@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    for (t <- Seq("lineitem", "events", "documents", "embeddings")) {
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      println(s"== $t rows=${df.count()}")
+      df.printSchema()
+      df.show(2, 80)
+    }
+    spark.stop()
+  }
+}

@@ -1,13 +1,287 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search.Search
+import graft.store.StoreOps
+import graft.text.Analyzer
+import graft.util.Exact
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * each paired with equivalent DuckDB SQL for the oracle compare.
+  *
+  * Cross-engine determinism rules used throughout (see [[graft.util.Exact]]):
+  * every floating aggregate is snapped to an integer grid *per row* before
+  * summation; every result has a deterministic total ORDER BY; every count /
+  * sum is BIGINT on both sides.
+  */
 object SparkEntry {
+
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
+  // Shared constants: events.ts spans 2024-01-01 .. 2024-01-31 (ns since
+  // epoch); this cutoff is mid-range, 2024-01-16T00:00:00Z.
+  private val TsCutoffNs = 1705363200000000000L
+
+  private def specs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Relational spine: scan → filter → hash-agg (pricing summary).
+    // Exercises partial (map-side) aggregation + parquet predicate pushdown.
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            sum(Exact.cents(col("l_extendedprice"))).as("base_cents"),
+            sum(Exact.cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))))
+              .as("disc_cents"),
+            count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT) AS base_cents,
+               CAST(sum(${Exact.centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS disc_cents,
+               count(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------------
+    // S1/S2: range + time predicate scan — uSearch's universal read path
+    // (`linkgraph/store/cdb/cdb.go:25-28`): id ∈ [from,to) AND ts < t.
+    Q("q02_range_time_scan",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .filter(col("user_id") >= 40 && col("user_id") < 60 &&
+            col("ts") < lit(TsCutoffNs))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), Exact.cents(col("value")).as("value_cents"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts,
+               ${Exact.centsSql("value")} AS value_cents
+        FROM events
+        WHERE user_id >= 40 AND user_id < 60 AND epoch_ns(ts) < $TsCutoffNs
+        ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
+    // S3/S4: point lookup by key (`FindLink`, `linkgraph/graph/graph.go:20`).
+    Q("q03_point_lookup",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") === 42L)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            Exact.cents(col("o_totalprice")).as("total_cents"),
+            unix_millis(col("o_orderdate")).as("odate_ms"))
+      },
+      Some(s"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               ${Exact.centsSql("o_totalprice")} AS total_cents,
+               epoch_ms(o_orderdate) AS odate_ms
+        FROM orders WHERE o_orderkey = 42""")),
+
+    // ------------------------------------------------------------------
+    // S5: upsert keyed by (user, type) keeping the newest row — the batch
+    // re-expression of `ON CONFLICT ... GREATEST(retrieved_at)`
+    // (`linkgraph/store/cdb/cdb.go:16-22`).
+    Q("q04_latest_upsert",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        StoreOps.latestByKey(ev, Seq("user_id", "event_type"), "ts",
+            tieBreak = Seq("event_id"))
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), Exact.cents(col("value")).as("value_cents"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some(s"""
+        SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+               ${Exact.centsSql("value")} AS value_cents
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1
+        ORDER BY user_id, event_type""")),
+
+    // ------------------------------------------------------------------
+    // S6: edge upsert with FK endpoint validation (`memory.go:144-148`) —
+    // lineitem rows as (order → part) edges, both endpoints semi-join
+    // checked, deduped keeping the newest observation.
+    Q("q05_edge_merge_fk",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val merged = StoreOps.mergeEdges(li, Tables.orders(s, dir)
+            .select(col("o_orderkey")), "l_orderkey", "l_partkey",
+          "l_shipdate", "o_orderkey", tieBreak = Seq("l_linenumber"))
+        // second endpoint check against part
+        val fkPart = merged.join(Tables.part(s, dir).select(col("p_partkey")),
+          merged("l_partkey") === col("p_partkey"), "left_semi")
+        fkPart.select(col("l_orderkey"), col("l_partkey"),
+            unix_millis(col("l_shipdate")).as("ship_ms"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_partkey"))
+      },
+      Some("""
+        SELECT l_orderkey, l_partkey, epoch_ms(l_shipdate) AS ship_ms,
+               l_linenumber
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                    ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+          FROM lineitem l
+          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) t
+        WHERE rn = 1
+          AND EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = t.l_partkey)
+        ORDER BY l_orderkey, l_partkey""")),
+
+    // ------------------------------------------------------------------
+    // S7: stale GC — drop (pred AND older-than-cutoff) rows, i.e.
+    // `DELETE WHERE src=$1 AND updated_at < $2` (`cdb.go:149-159`).
+    Q("q06_stale_gc",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        StoreOps.gcStale(ev, col("event_type") === "error", "ts",
+            lit(TsCutoffNs))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), min(col("ts")).as("min_ts"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, count(*) AS cnt,
+               CAST(min(epoch_ns(ts)) AS BIGINT) AS min_ts
+        FROM events
+        WHERE NOT (event_type = 'error' AND epoch_ns(ts) < $TsCutoffNs)
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // S9: score write-back with placeholder creation (`es.go:231-257`):
+    // full-outer merge; score-only rows become placeholders, unscored docs
+    // keep the default.
+    Q("q07_score_writeback",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scores = docs.select((col("doc_id") * 2).as("doc_id"),
+          (col("n_chars") / lit(10.0d)).as("score"))
+        StoreOps.writeScores(docs.select(col("doc_id"), col("text")),
+            scores, "doc_id", "score")
+          .select(col("doc_id"), col("text").isNotNull.as("has_doc"),
+            Exact.micros(col("final_score")).as("score_micros"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH scores AS (
+          SELECT CAST(doc_id * 2 AS BIGINT) AS doc_id, n_chars / 10.0 AS score
+          FROM documents)
+        SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+               d.text IS NOT NULL AS has_doc,
+               ${Exact.microsSql("COALESCE(s.score, 0)")} AS score_micros
+        FROM documents d FULL OUTER JOIN scores s ON d.doc_id = s.doc_id
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // R1: keyword (match) search, TF-IDF over the postings table
+    // (reference delegates to ES `multi_match`, `es.go:184-213`).
+    Q("q08_match_search",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Search.matchScores(docs, Seq("spark", "join", "window"))
+          .select(col("doc_id"), Exact.micros(col("score")).as("score_micros"))
+          .orderBy(col("score_micros").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+          FROM documents),
+        q AS (SELECT doc_id, term FROM tok
+              WHERE term IN ('spark', 'join', 'window')),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT tf.doc_id,
+               ${Exact.microsSql("sum(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df))")} AS score_micros
+        FROM tf JOIN dfreq USING (term), n
+        GROUP BY tf.doc_id
+        ORDER BY score_micros DESC, doc_id
+        LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // R2: exact-phrase search (`MatchPhraseQuery`, bleve `memory.go:105-107`).
+    Q("q09_phrase_search",
+      (s, dir) => {
+        Search.phraseMatch(Tables.documents(s, dir), "join batch")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE contains(' ' || lower(trim(text)) || ' ', ' join batch ')
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // R3 + R4: rank blend (relevance + stored prior, ES additive semantic
+    // `es.go:196-209`) with offset/limit pagination (`es.go:211-212`).
+    Q("q10_search_paginate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = Search.matchScores(docs, Seq("vector", "stream"))
+        val prior = docs.select(col("doc_id"),
+          (col("n_chars") / lit(1000.0d)).as("prior"))
+        val blended = Search.blend(scored, prior, "doc_id", "prior")
+          .select(col("doc_id"), Exact.micros(col("blended")).as("blended_micros"))
+        Search.paginate(blended,
+            Seq(col("blended_micros").desc, col("doc_id")), 10, 10)
+          .select(col("rn").cast("long").as("rn"), col("doc_id"),
+            col("blended_micros"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+          FROM documents),
+        q AS (SELECT doc_id, term FROM tok
+              WHERE term IN ('vector', 'stream')),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)) AS score
+          FROM tf JOIN dfreq USING (term), n
+          GROUP BY tf.doc_id),
+        blended AS (
+          SELECT s.doc_id,
+                 ${Exact.microsSql("s.score + d.n_chars / 1000.0")} AS blended_micros
+          FROM scored s JOIN documents d USING (doc_id)),
+        ranked AS (
+          SELECT row_number() OVER (ORDER BY blended_micros DESC, doc_id) AS rn,
+                 doc_id, blended_micros
+          FROM blended)
+        SELECT rn, doc_id, blended_micros
+        FROM ranked WHERE rn > 10 AND rn <= 20
+        ORDER BY rn"""))
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q08_match_search")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    specs.flatMap(q => q.oracle.map(sql => q.name ->
+      sql.stripMargin.trim.replaceAll("\\s+", " "))).toMap
 }

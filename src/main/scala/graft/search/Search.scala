@@ -1,0 +1,75 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.Analyzer
+
+/** Full-text search over a documents table (reference R1–R5,
+  * `textindexer/index/indexer.go:14-17`, ES DSL `textindexer/store/es/es.go:184-226`).
+  *
+  * uSearch delegates ranked retrieval to Elasticsearch/bleve; here the index
+  * IS a DataFrame: a postings table derived from the corpus, scored with
+  * TF-IDF and blended with a stored prior (PageRank in the reference,
+  * `es.go:196-209`: `_score + doc['PageRank'].value`).
+  *
+  * Scale notes: the postings build is one explode + two hash aggregations —
+  * all shuffle-partitioned by (term) or (doc); the per-term document
+  * frequency table is tiny (vocabulary-sized) and broadcast. Nothing is
+  * collected to the driver.
+  */
+object Search {
+
+  /** Postings: one row per (doc, position, term). */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), posexplode(Analyzer.tokenize(col(textCol)))
+      .as(Seq("pos", "term")))
+
+  /** TF-IDF scores for an OR-terms keyword query (reference R1 "match").
+    * idf = ln(N / df); score(d) = Σ_t tf(d,t)·idf(t).
+    * Returns (doc_id, score: Double), unranked.
+    */
+  def matchScores(docs: DataFrame, terms: Seq[String],
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = postings(docs, idCol, textCol).filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(countDistinct(idCol).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf") * log(col("n").cast("double") / col("df")))
+      .groupBy(idCol)
+      .agg(sum("w").as("score"))
+  }
+
+  /** Exact-phrase match (reference R2): documents whose token stream contains
+    * the phrase's tokens consecutively. For a whitespace corpus this is a
+    * padded substring test — sargable, no positional self-join needed.
+    */
+  def phraseMatch(docs: DataFrame, phrase: String,
+                  textCol: String = "text"): DataFrame = {
+    val needle = " " + phrase.trim.toLowerCase + " "
+    docs.filter(concat(lit(" "), lower(trim(col(textCol))), lit(" "))
+      .contains(needle))
+  }
+
+  /** Rank blend (reference R3, canonical ES additive semantic):
+    * final = relevance + prior. `priorCol` plays PageRank's role. */
+  def blend(scored: DataFrame, prior: DataFrame, idCol: String,
+            priorCol: String): DataFrame =
+    scored.join(prior, Seq(idCol), "left")
+      .withColumn("blended",
+        col("score") + coalesce(col(priorCol).cast("double"), lit(0d)))
+
+  /** Offset/limit pagination with a deterministic total order (reference R4:
+    * ES from/size, `es.go:211-212`). The `limit(offset+size)` runs first so
+    * the row_number window only sees a page-sized slice, never the corpus. */
+  def paginate(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+               offset: Int, size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.orderBy(orderCols: _*)
+      .limit(offset + size)
+      .withColumn("rn", row_number().over(Window.orderBy(orderCols: _*)))
+      .filter(col("rn") > offset)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-merge re-expressions of uSearch's mutable-store semantics
+  * (reference S5–S9). The reference upserts row-at-a-time into
+  * CockroachDB/Elasticsearch; in a Spark engine "storage" is an immutable
+  * table and each semantic becomes a declarative merge:
+  *
+  *  - S5 link upsert (`linkgraph/store/cdb/cdb.go:16-22`: `ON CONFLICT (url)
+  *    DO UPDATE ... GREATEST(retrieved_at)`) → window-dedup keeping newest.
+  *  - S6 edge upsert (`cdb.go:30-36`: key (src,dest), FK endpoints must
+  *    exist, `memory.go:144-148`) → semi-join FK check + window-dedup.
+  *  - S7 stale-edge GC (`cdb.go:42,149-159`) → negated predicate filter.
+  *  - S9 score write-back (`textindexer/store/es/es.go:231-257`: placeholder
+  *    doc created when score arrives first) → full-outer join + coalesce.
+  *
+  * All shapes are shuffle-minimal: one hash partition by the merge key; FK
+  * checks are semi-joins that Catalyst can broadcast when the key side is
+  * small.
+  */
+object StoreOps {
+
+  /** Keep the newest row per key (ties broken by `tieBreak` descending).
+    * This is the reference's upsert-keep-GREATEST discipline as a batch op. */
+  def latestByKey(df: DataFrame, keys: Seq[String], ts: String,
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord: Seq[Column] = (ts +: tieBreak).map(c => col(c).desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Edge upsert: FK-validate both endpoints against `vertices(idCol)`,
+    * then dedup (src,dst) keeping the newest observation. */
+  def mergeEdges(edges: DataFrame, vertices: DataFrame, src: String,
+                 dst: String, ts: String, vertexId: String,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    val ids = vertices.select(col(vertexId))
+    val fkOk = edges
+      .join(ids.withColumnRenamed(vertexId, src), Seq(src), "left_semi")
+      .join(ids.withColumnRenamed(vertexId, dst), Seq(dst), "left_semi")
+    latestByKey(fkOk, Seq(src, dst), ts, tieBreak)
+  }
+
+  /** Stale GC: drop rows matching (keyPred AND ts < cutoff) — the batch form
+    * of `DELETE WHERE src=$1 AND updated_at < $2`. */
+  def gcStale(df: DataFrame, keyPred: Column, ts: String,
+              cutoff: Column): DataFrame =
+    df.filter(!(keyPred && col(ts) < cutoff))
+
+  /** Score write-back with placeholder creation: docs FULL OUTER scores;
+    * a score with no doc yields a placeholder row, a doc with no score
+    * keeps its previous score (here: defaultScore). */
+  def writeScores(docs: DataFrame, scores: DataFrame, idCol: String,
+                  scoreCol: String, defaultScore: Double = 0d): DataFrame =
+    docs.join(scores, Seq(idCol), "full_outer")
+      .withColumn("final_score",
+        coalesce(col(scoreCol).cast("double"), lit(defaultScore)))
+}

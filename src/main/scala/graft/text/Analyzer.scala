@@ -1,0 +1,36 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-owned text analyzer (reference T4: uSearch delegates analysis to
+  * Elasticsearch's `text` analyzer / bleve's default mapping —
+  * `textindexer/store/es/es.go:35-36`, `textindexer/store/memory/memory.go:38-39`.
+  * The conformance corpus only requires lowercase word tokenization, see
+  * SURVEY.md §7 "Analyzer fidelity").
+  *
+  * Built from codegen'd `org.apache.spark.sql.functions` only — no UDFs —
+  * so tokenization stays inside whole-stage codegen at scale.
+  */
+object Analyzer {
+  /** Lowercased whitespace tokens, empty tokens dropped. */
+  def tokenize(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), _ =!= "")
+
+  /** Tokens normalized harder: strip non-alphanumerics (BPE-ish word regex),
+    * for free-form text rather than the pre-clean testdata corpus. */
+  def tokenizeStrict(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), _ =!= "")
+
+  /** Number of tokens. */
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** Contiguous word n-grams (shingles) as space-joined strings. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokenize(text)
+    // k-th shingle = tokens[k..k+n-1]; number of shingles = size - n + 1
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
+      k => array_join(slice(toks, k + 1, n), " "))
+  }
+}
