@@ -25,6 +25,11 @@ object SparkEntry {
   // Shared constants: events.ts spans 2024-01-01 .. 2024-01-31 (ns since
   // epoch); this cutoff is mid-range, 2024-01-16T00:00:00Z.
   private val TsCutoffNs = 1705363200000000000L
+  // DuckDB truncates parquet TIMESTAMP(NANOS) to microseconds, so all
+  // timestamp *outputs* are exchanged at µs precision (`ts div 1000` vs
+  // `epoch_us(ts)`); filters stay on the full-ns Spark column (safe: the
+  // cutoff is a whole second, so truncation never flips the comparison).
+  private val TsCutoffUs = TsCutoffNs / 1000L
 
   private def specs: Seq[Q] = Seq(
 
@@ -64,14 +69,15 @@ object SparkEntry {
           .filter(col("user_id") >= 40 && col("user_id") < 60 &&
             col("ts") < lit(TsCutoffNs))
           .select(col("event_id"), col("user_id"), col("event_type"),
-            col("ts"), Exact.cents(col("value")).as("value_cents"))
+            expr("ts div 1000").as("ts_us"),
+            Exact.cents(col("value")).as("value_cents"))
           .orderBy(col("event_id"))
       },
       Some(s"""
-        SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts,
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
                ${Exact.centsSql("value")} AS value_cents
         FROM events
-        WHERE user_id >= 40 AND user_id < 60 AND epoch_ns(ts) < $TsCutoffNs
+        WHERE user_id >= 40 AND user_id < 60 AND epoch_us(ts) < $TsCutoffUs
         ORDER BY event_id""")),
 
     // ------------------------------------------------------------------
@@ -82,7 +88,7 @@ object SparkEntry {
           .filter(col("o_orderkey") === 42L)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             Exact.cents(col("o_totalprice")).as("total_cents"),
-            unix_millis(col("o_orderdate")).as("odate_ms"))
+            unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"))
       },
       Some(s"""
         SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -97,18 +103,19 @@ object SparkEntry {
     Q("q04_latest_upsert",
       (s, dir) => {
         val ev = Tables.events(s, dir)
-        StoreOps.latestByKey(ev, Seq("user_id", "event_type"), "ts",
+          .withColumn("ts_us", expr("ts div 1000"))
+        StoreOps.latestByKey(ev, Seq("user_id", "event_type"), "ts_us",
             tieBreak = Seq("event_id"))
-          .select(col("user_id"), col("event_type"), col("ts"),
+          .select(col("user_id"), col("event_type"), col("ts_us"),
             col("event_id"), Exact.cents(col("value")).as("value_cents"))
           .orderBy(col("user_id"), col("event_type"))
       },
       Some(s"""
-        SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
                ${Exact.centsSql("value")} AS value_cents
         FROM (
           SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                    ORDER BY ts DESC, event_id DESC) AS rn
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
           FROM events) t
         WHERE rn = 1
         ORDER BY user_id, event_type""")),
@@ -120,14 +127,14 @@ object SparkEntry {
     Q("q05_edge_merge_fk",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-        val merged = StoreOps.mergeEdges(li, Tables.orders(s, dir)
-            .select(col("o_orderkey")), "l_orderkey", "l_partkey",
-          "l_shipdate", "o_orderkey", tieBreak = Seq("l_linenumber"))
-        // second endpoint check against part
-        val fkPart = merged.join(Tables.part(s, dir).select(col("p_partkey")),
-          merged("l_partkey") === col("p_partkey"), "left_semi")
-        fkPart.select(col("l_orderkey"), col("l_partkey"),
-            unix_millis(col("l_shipdate")).as("ship_ms"), col("l_linenumber"))
+        val merged = StoreOps.mergeEdges(li,
+          Tables.orders(s, dir), "o_orderkey",
+          Tables.part(s, dir), "p_partkey",
+          "l_orderkey", "l_partkey", "l_shipdate",
+          tieBreak = Seq("l_linenumber"))
+        merged.select(col("l_orderkey"), col("l_partkey"),
+            unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+            col("l_linenumber"))
           .orderBy(col("l_orderkey"), col("l_partkey"))
       },
       Some("""
@@ -151,14 +158,15 @@ object SparkEntry {
         StoreOps.gcStale(ev, col("event_type") === "error", "ts",
             lit(TsCutoffNs))
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("cnt"), min(col("ts")).as("min_ts"))
+          .agg(count(lit(1)).as("cnt"),
+            min(expr("ts div 1000")).as("min_ts_us"))
           .orderBy(col("event_type"))
       },
       Some(s"""
         SELECT event_type, count(*) AS cnt,
-               CAST(min(epoch_ns(ts)) AS BIGINT) AS min_ts
+               CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us
         FROM events
-        WHERE NOT (event_type = 'error' AND epoch_ns(ts) < $TsCutoffNs)
+        WHERE NOT (event_type = 'error' AND epoch_us(ts) < $TsCutoffUs)
         GROUP BY event_type
         ORDER BY event_type""")),
 

@@ -34,15 +34,17 @@ object StoreOps {
       .drop("__rn")
   }
 
-  /** Edge upsert: FK-validate both endpoints against `vertices(idCol)`,
-    * then dedup (src,dst) keeping the newest observation. */
-  def mergeEdges(edges: DataFrame, vertices: DataFrame, src: String,
-                 dst: String, ts: String, vertexId: String,
+  /** Edge upsert: FK-validate both endpoints (src against `srcVertices`,
+    * dst against `dstVertices` — same table for a homogeneous graph), then
+    * dedup (src,dst) keeping the newest observation. */
+  def mergeEdges(edges: DataFrame,
+                 srcVertices: DataFrame, srcVertexId: String,
+                 dstVertices: DataFrame, dstVertexId: String,
+                 src: String, dst: String, ts: String,
                  tieBreak: Seq[String] = Nil): DataFrame = {
-    val ids = vertices.select(col(vertexId))
     val fkOk = edges
-      .join(ids.withColumnRenamed(vertexId, src), Seq(src), "left_semi")
-      .join(ids.withColumnRenamed(vertexId, dst), Seq(dst), "left_semi")
+      .join(srcVertices.select(col(srcVertexId).as(src)), Seq(src), "left_semi")
+      .join(dstVertices.select(col(dstVertexId).as(dst)), Seq(dst), "left_semi")
     latestByKey(fkOk, Seq(src, dst), ts, tieBreak)
   }
 

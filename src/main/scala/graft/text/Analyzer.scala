@@ -31,6 +31,6 @@ object Analyzer {
     // k-th shingle = tokens[k..k+n-1]; number of shingles = size - n + 1
     transform(
       sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-      k => array_join(slice(toks, k + 1, n), " "))
+      k => array_join(slice(toks, k + 1, lit(n)), " "))
   }
 }
