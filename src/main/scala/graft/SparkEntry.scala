@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.queries.{DedupQueries, GraphQueries, MlQueries, TextQueries}
 import graft.search.Search
 import graft.store.StoreOps
 import graft.text.Analyzer
@@ -279,17 +280,22 @@ object SparkEntry {
         ORDER BY rn"""))
   )
 
+  private def allSpecs: Seq[Q] =
+    specs ++
+      (GraphQueries.specs ++ DedupQueries.specs ++ MlQueries.specs ++
+        TextQueries.specs).map(q => Q(q.name, q.fn, q.oracle))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q08_match_search")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    specs.map(q => q.name -> q.fn).toMap
+    allSpecs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    specs.flatMap(q => q.oracle.map(sql => q.name ->
+    allSpecs.flatMap(q => q.oracle.map(sql => q.name ->
       sql.stripMargin.trim.replaceAll("\\s+", " "))).toMap
 }

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.Analyzer
+import graft.util.Exact
+
+/** Deduplication queries over `documents`. The testdata corpus has no
+  * verbatim duplicates, so the near-dup queries build a deterministic
+  * augmented corpus (5% of docs get a perturbed copy at doc_id+100000)
+  * and must find exactly those planted pairs — a real end-to-end check
+  * of the MinHash/LSH and SimHash pipelines with a constructive oracle.
+  */
+object DedupQueries {
+
+  /** DuckDB: lowercased whitespace tokens, empties dropped (= Analyzer.tokenize). */
+  private def toksSql(expr: String): String =
+    s"list_filter(string_split_regex(lower(trim($expr)), '\\s+'), x -> x <> '')"
+
+  /** DuckDB: 60-bit portable hash (= Dedup.portableHash). */
+  private def hashSql(expr: String): String =
+    s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** DuckDB CTEs: aug corpus + distinct 3-shingles per doc. */
+  private val ShingleCtes =
+    s"""aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zz9 qq8 extra tail'
+      FROM documents WHERE doc_id % 20 = 0),
+    lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM aug),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(0, greatest(len(l) - 2, 0)),
+          k -> l[k + 1] || ' ' || l[k + 2] || ' ' || l[k + 3])) AS shingle
+      FROM lt)"""
+
+  private def augmented(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz9 qq8 extra tail")).as("text")))
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Exact dedup: hash-groupBy on a normalized content key (first two
+    // tokens — the corpus has no verbatim dups, the coarse key exercises
+    // the collision path).
+    QuerySpec("q14_exact_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val key = array_join(slice(Analyzer.tokenize(col("text")), 1, 2), " ")
+        docs.select(col("doc_id"), Dedup.portableHash(key).as("content_hash"))
+          .groupBy("content_hash")
+          .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_id"))
+          .filter(col("cnt") > 1)
+          .orderBy("content_hash")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        keyed AS (
+          SELECT doc_id,
+                 ${hashSql("array_to_string(l[1:2], ' ')")} AS content_hash
+          FROM lt)
+        SELECT content_hash, count(*) AS cnt, min(doc_id) AS keep_id
+        FROM keyed GROUP BY content_hash HAVING count(*) > 1
+        ORDER BY content_hash""")),
+
+    // MinHash + LSH near-dup detection end-to-end: 12 minhashes, 4 bands
+    // of 3, candidates verified by exact shingle Jaccard ≥ 0.5. Must
+    // recover the planted (i, i+100000) pairs.
+    QuerySpec("q15_minhash_neardup",
+      (s, dir) => {
+        Dedup.minHashNearDups(augmented(s, dir), shingleN = 3,
+            numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+          .select(col("a"), col("b"), Exact.micros(col("jaccard"))
+            .as("jaccard_micros"))
+          .orderBy("a", "b")
+      },
+      Some(s"""
+        WITH $ShingleCtes,
+        mh AS (
+          SELECT doc_id, j, min(${hashSql("j || ':' || shingle")}) AS mh
+          FROM shingles CROSS JOIN (SELECT unnest(range(0, 12)) AS j)
+          GROUP BY doc_id, j),
+        bands AS (
+          SELECT doc_id, CAST(j // 3 AS INT) AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
+          FROM mh GROUP BY doc_id, CAST(j // 3 AS INT)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT c.a, c.b, count(*) AS i
+          FROM cand c
+          JOIN shingles sa ON sa.doc_id = c.a
+          JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          GROUP BY c.a, c.b),
+        scored AS (
+          SELECT c.a, c.b,
+                 CAST(COALESCE(i.i, 0) AS DOUBLE) /
+                 CAST(za.sz + zb.sz - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+          FROM cand c
+          LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+          JOIN sizes za ON za.doc_id = c.a
+          JOIN sizes zb ON zb.doc_id = c.b)
+        SELECT a, b, ${Exact.microsSql("jaccard")} AS jaccard_micros
+        FROM scored WHERE jaccard >= 0.5
+        ORDER BY a, b""")),
+
+    // SimHash fingerprints: 60-bit per-bit-majority signature per doc.
+    QuerySpec("q16_simhash",
+      (s, dir) => {
+        Dedup.simHash(Tables.documents(s, dir))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        tf AS (
+          SELECT doc_id, tok, count(*) AS tf, ${hashSql("tok")} AS h
+          FROM (SELECT doc_id, unnest(l) AS tok FROM lt)
+          GROUP BY doc_id, tok),
+        bits AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1
+                     THEN tf ELSE -tf END) AS s
+          FROM tf CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+          GROUP BY doc_id, b)
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                   ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // SimHash near-dups on the augmented corpus: banded candidate
+    // generation (4×15-bit keys), exact Hamming ≤ 3 verification.
+    QuerySpec("q17_simhash_neardup",
+      (s, dir) => {
+        Dedup.simHashNearDups(Dedup.simHash(augmented(s, dir)),
+            maxHamming = 3)
+          .orderBy("a", "b")
+      },
+      Some(s"""
+        WITH $ShingleCtes,
+        tf AS (
+          SELECT doc_id, tok, count(*) AS tf, ${hashSql("tok")} AS h
+          FROM (SELECT doc_id, unnest(l) AS tok FROM lt)
+          GROUP BY doc_id, tok),
+        bits AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1
+                     THEN tf ELSE -tf END) AS s
+          FROM tf CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+          GROUP BY doc_id, b),
+        sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0
+                     THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                     ELSE 0 END) AS simhash
+          FROM bits GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> CAST(band * 15 AS INT)) & 32767 AS key
+          FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                 bit_count(xor(CAST(l.simhash AS UBIGINT),
+                               CAST(r.simhash AS UBIGINT))) AS hamming
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+        SELECT a, b, CAST(hamming AS INT) AS hamming
+        FROM pairs WHERE hamming <= 3
+        ORDER BY a, b"""))
+  )
+}

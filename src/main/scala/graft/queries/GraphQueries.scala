@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph.{Coloring, PageRank, ShortestPath}
+
+/** Iterative-graph queries over a link graph derived from the testdata
+  * star schema: vertices = orders ∪ parts (namespaced `o…`/`p…`),
+  * edges = lineitem order→part incidences. The DuckDB oracles unroll the
+  * fixed number of supersteps as chained CTEs — same arithmetic, same
+  * grid-snapping, bit-reproducible.
+  */
+object GraphQueries {
+
+  private val Grid = "1000000000.0" // 1e9 score grid (see PageRank.gridSnap)
+  private val PrIters = 5
+  private val SpHops = 6
+
+  /** Unrolled PageRank oracle: r0 … r{iters} CTE chain. */
+  private def pageRankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         SELECT e.dst AS id, sum(r.score / o.od) AS contrib
+         FROM edges e JOIN r${k - 1} r ON e.src = r.id
+         JOIN outd o ON e.src = o.src
+         GROUP BY e.dst),
+       d$k AS (
+         SELECT COALESCE(sum(r.score), 0.0) AS dm
+         FROM r${k - 1} r LEFT JOIN outd o ON r.id = o.src
+         WHERE o.src IS NULL),
+       r$k AS (
+         SELECT v.id,
+                floor(((1.0 - 0.85) / nn.n +
+                       0.85 * (COALESCE(c.contrib, 0.0) + d.dm / nn.n))
+                      * $Grid + 0.5) / $Grid AS score
+         FROM verts v CROSS JOIN nn CROSS JOIN d$k d
+         LEFT JOIN c$k c ON v.id = c.id)"""
+    }.mkString(",\n")
+    s"""
+      WITH verts AS (
+        SELECT 'o' || o_orderkey AS id FROM orders
+        UNION ALL
+        SELECT 'p' || p_partkey FROM part),
+      edges AS (
+        SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+        FROM lineitem),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+      outd AS (
+        SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+      r0 AS (
+        SELECT id, floor((1.0 / nn.n) * $Grid + 0.5) / $Grid AS score
+        FROM verts CROSS JOIN nn),
+      $steps
+      SELECT id, CAST(floor(score * $Grid + 0.5) AS BIGINT) AS score_nanos
+      FROM r$iters ORDER BY id"""
+  }
+
+  /** Unrolled Bellman-Ford oracle: d0 … d{hops} CTE chain. */
+  private def shortestPathSql(hops: Int): String = {
+    val steps = (1 to hops).map { k =>
+      s"""d$k AS (
+         SELECT id, min(dist) AS dist FROM (
+           SELECT id, dist FROM d${k - 1}
+           UNION ALL
+           SELECT e.dst AS id, d.dist + e.w AS dist
+           FROM d${k - 1} d JOIN edges e ON d.id = e.src)
+         GROUP BY id)"""
+    }.mkString(",\n")
+    s"""
+      WITH eo AS (
+        SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst,
+               CAST(l_linenumber AS BIGINT) AS w
+        FROM lineitem
+        UNION ALL
+        SELECT 'p' || l_partkey, 'o' || l_orderkey,
+               CAST(l_suppkey % 5 + 1 AS BIGINT)
+        FROM lineitem),
+      edges AS (SELECT src, dst, min(w) AS w FROM eo GROUP BY src, dst),
+      d0 AS (
+        SELECT 'o' || min(o_orderkey) AS id, CAST(0 AS BIGINT) AS dist
+        FROM orders),
+      $steps
+      SELECT id, dist FROM d$hops ORDER BY id"""
+  }
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // G6: PageRank with dead-end mass redistribution + damped formula —
+    // the reference's exact semantics (`pagerank/compute.go:52-79`), run
+    // for a fixed superstep count so the oracle can unroll it.
+    QuerySpec("q11_pagerank",
+      (s, dir) => {
+        val verts = Tables.orders(s, dir)
+          .select(concat(lit("o"), col("o_orderkey").cast("string")).as("id"))
+          .unionAll(Tables.part(s, dir)
+            .select(concat(lit("p"), col("p_partkey").cast("string")).as("id")))
+        val edges = Tables.lineitem(s, dir)
+          .select(concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
+            concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+          .distinct()
+        PageRank.run(verts, edges, damping = 0.85, maxIter = PrIters,
+            stopTol = None, gridSnap = Some(1e9))
+          .scores
+          .select(col("id"),
+            floor(col("score") * 1e9 + 0.5).cast("long").as("score_nanos"))
+          .orderBy("id")
+      },
+      Some(pageRankSql(PrIters))),
+
+    // G9: single-source shortest path (Bellman-Ford relaxation) on the
+    // bidirectional order↔part graph with exact integer weights.
+    QuerySpec("q12_shortest_path",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val eo = li.select(
+            concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
+            concat(lit("p"), col("l_partkey").cast("string")).as("dst"),
+            col("l_linenumber").cast("long").as("w"))
+          .unionAll(li.select(
+            concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+            concat(lit("o"), col("l_orderkey").cast("string")).as("dst"),
+            (col("l_suppkey") % 5 + 1).cast("long").as("w")))
+        val edges = eo.groupBy("src", "dst").agg(min("w").as("w"))
+        val source = "o" + Tables.orders(s, dir)
+          .agg(min("o_orderkey")).first().getLong(0)
+        ShortestPath.run(edges, source, SpHops).orderBy("id")
+      },
+      Some(shortestPathSql(SpHops))),
+
+    // G10: greedy coloring with deterministic token symmetry-breaking.
+    // Not SQL-expressible (sequential rounds) → rows-only driver check;
+    // properness is asserted in ColoringSpec.
+    QuerySpec("q13_graph_coloring",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val edges = li.select(
+            concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
+            concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+          .distinct()
+        val verts = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id"))).distinct()
+        Coloring.run(verts, edges)
+          .groupBy("color").agg(count(lit(1)).as("cnt"))
+          .orderBy("color")
+      },
+      None)
+  )
+}

@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.{Analyzer, Html, TextStats}
+import graft.util.Exact
+
+/** Text-analysis and HTML-operator queries. The HTML family (T1–T6)
+  * runs the real extraction operators over synthetic pages built
+  * deterministically from the `documents` table; the oracle constructs
+  * the *expected* output analytically — a golden check of the operator,
+  * not a SQL re-implementation of regex parsing.
+  */
+object TextQueries {
+
+  private def toksSql(expr: String): String =
+    s"list_filter(string_split_regex(lower(trim($expr)), '\\s+'), x -> x <> '')"
+
+  // --------------------------------------------------------- synthetic page
+
+  /** Page URL and HTML body derived from a documents row. The page
+    * carries: a <base href>, a followable root-relative link, a nofollow
+    * relative link, a .js / .png / mailto link (all dropped by the
+    * extractor), and a fragment-duplicate of the first link. */
+  private def htmlCol: Column = concat(
+    lit("<html><head><title> "), col("source"), lit(" #"),
+    col("doc_id").cast("string"), lit(" &amp; co </title>"),
+    lit("<base href=\"http://s"), col("doc_id").cast("string"),
+    lit(".example/sub/\"></head><body><p>"), col("text"),
+    lit("</p><a href=\"/doc/"), (col("doc_id") + 1).cast("string"),
+    lit("\">next</a><a href=\"page"), (col("doc_id") + 2).cast("string"),
+    lit("\" rel=\"nofollow\">rel</a>"),
+    lit("<a href=\"//cdn.example/lib.js\">js</a>"),
+    lit("<a href=\"img.png\">img</a>"),
+    lit("<a href=\"mailto:x@y.z\">mail</a>"),
+    lit("<a href=\"/doc/"), (col("doc_id") + 1).cast("string"),
+    lit("#frag\">dup</a><a href=\"http://s"),
+    (col("doc_id") + 1).cast("string"),
+    lit(".example/page\">np</a></body></html>"))
+
+  private def pageUrlCol: Column =
+    concat(lit("http://s"), col("doc_id").cast("string"),
+      lit(".example/page"))
+
+  private def pages(s: SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"),
+        htmlCol.as("html"), pageUrlCol.as("page_url"))
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ---------------------------------------------------------- text stats
+
+    // Token counting + quality scoring (training-data pipeline).
+    QuerySpec("q20_token_quality",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextStats.qualitySignals(docs)
+          .join(TextStats.qualityScore(docs), Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"),
+            Exact.micros(col("mean_token_len")).as("mtl_micros"),
+            Exact.micros(col("stopword_ratio")).as("stop_micros"),
+            Exact.micros(col("quality")).as("quality_micros"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, text, ${toksSql("text")} AS l
+                    FROM documents),
+        sig AS (
+          SELECT doc_id,
+            length(text) AS n_chars,
+            len(l) AS n_tokens,
+            CAST(length(text) AS DOUBLE) /
+              CAST(greatest(len(l), 1) AS DOUBLE) AS mean_token_len,
+            CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+              CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+            CAST(len(list_filter(l, x -> list_contains(
+              ['the','of','and','a','to','in','is','it','that','for',
+               'on','with','as','was','at','by','an','be','this','are'], x)))
+              AS DOUBLE) /
+              CAST(greatest(len(l), 1) AS DOUBLE) AS stopword_ratio
+          FROM lt)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+          ${Exact.microsSql("mean_token_len")} AS mtl_micros,
+          ${Exact.microsSql("stopword_ratio")} AS stop_micros,
+          ${Exact.microsSql(
+            "least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 + " +
+            "least(stopword_ratio * 4.0, 1.0) * 0.4 + " +
+            "(1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2")} AS quality_micros
+        FROM sig ORDER BY doc_id""")),
+
+    // Language-ID heuristic: marker-token argmax with deterministic ties.
+    QuerySpec("q21_language_id",
+      (s, dir) => {
+        TextStats.languageId(Tables.documents(s, dir))
+          .select(col("doc_id"), col("lang_pred"),
+            col("marker_hits").cast("long").as("marker_hits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        hits AS (
+          SELECT doc_id,
+            len(list_filter(l, x -> list_contains(
+              ['the','and','of','to','is','that','with','for'], x))) AS h_en,
+            len(list_filter(l, x -> list_contains(
+              ['der','die','das','und','ist','nicht','mit','ein'], x))) AS h_de,
+            len(list_filter(l, x -> list_contains(
+              ['le','la','les','et','est','que','pour','dans'], x))) AS h_fr,
+            len(list_filter(l, x -> list_contains(
+              ['el','los','las','es','que','para','con','una'], x))) AS h_es
+          FROM lt),
+        best AS (
+          SELECT doc_id, greatest(h_en, h_de, h_fr, h_es) AS bh,
+                 h_en, h_de, h_fr, h_es
+          FROM hits)
+        SELECT doc_id,
+          CASE WHEN bh = 0 THEN 'und'
+               WHEN h_fr = bh THEN 'fr'
+               WHEN h_es = bh THEN 'es'
+               WHEN h_en = bh THEN 'en'
+               ELSE 'de' END AS lang_pred,
+          CAST(bh AS BIGINT) AS marker_hits
+        FROM best ORDER BY doc_id""")),
+
+    // Order-sensitive document fingerprint (rolling-hash style).
+    QuerySpec("q22_fingerprint",
+      (s, dir) => {
+        TextStats.fingerprint(Tables.documents(s, dir))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(l) AS tok,
+                 generate_subscripts(l, 1) - 1 AS pos
+          FROM lt)
+        SELECT doc_id,
+               sum(CAST(('0x' || substring(md5(pos || ':' || tok), 1, 15))
+                        AS BIGINT) % 1000000007) AS fingerprint
+        FROM toks GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------- HTML (T1-T6)
+
+    // T2: <title> extraction with whitespace collapse + entity decode.
+    QuerySpec("q23_title_extract",
+      (s, dir) => pages(s, dir)
+        .select(col("doc_id"), Html.titleOf(col("html")).as("title"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, source || ' #' || doc_id || ' & co' AS title
+        FROM documents ORDER BY doc_id""")),
+
+    // T3: tag stripping with whitespace collapse + entity decode.
+    QuerySpec("q24_strip_tags",
+      (s, dir) => pages(s, dir)
+        .select(col("doc_id"), Html.stripTags(col("html")).as("content"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               source || ' #' || doc_id || ' & co ' ||
+               trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+               ' next rel js img mail dup np' AS content
+        FROM documents ORDER BY doc_id""")),
+
+    // T1: link extraction — base-href resolution, nofollow split,
+    // extension/scheme filters, fragment-strip dedup. The oracle states
+    // the expected links analytically.
+    QuerySpec("q25_extract_links",
+      (s, dir) => pages(s, dir)
+        .select(col("doc_id"),
+          explode(Html.extractLinksUdf(col("html"), col("page_url")))
+            .as("link"))
+        .select(col("doc_id"), col("link.url").as("url"),
+          col("link.nofollow").as("nofollow"))
+        .orderBy("doc_id", "url"),
+      Some("""
+        SELECT doc_id, url, nofollow FROM (
+          SELECT doc_id,
+                 'http://s' || doc_id || '.example/doc/' || (doc_id + 1)
+                   AS url,
+                 false AS nofollow
+          FROM documents
+          UNION ALL
+          SELECT doc_id,
+                 'http://s' || doc_id || '.example/sub/page' || (doc_id + 2),
+                 true
+          FROM documents
+          UNION ALL
+          SELECT doc_id,
+                 'http://s' || (doc_id + 1) || '.example/page',
+                 false
+          FROM documents)
+        ORDER BY doc_id, url""")),
+
+    // T6: term highlighting (fixed closing tag, unlike the reference).
+    QuerySpec("q26_highlight",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Html.highlight(col("text"), Seq("spark", "query")).as("marked"))
+        .filter(col("marked").contains("<em>"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               regexp_replace(text, '(?i)\b(spark|query)\b',
+                              '<em>\1</em>', 'g') AS marked
+        FROM documents
+        WHERE contains(regexp_replace(text,
+                '(?i)\b(spark|query)\b', '<em>\1</em>', 'g'),
+              '<em>')
+        ORDER BY doc_id""")),
+
+    // T5: match summarizer — imperative semantics (greedy sentence
+    // packing), rows-only driver check; golden specs in HtmlSpec.
+    QuerySpec("q27_summarize",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Html.summarizeUdf(col("text"),
+            array(lit("spark"), lit("join")), lit(120)).as("summary"))
+        .filter(length(col("summary")) > 0)
+        .orderBy("doc_id"),
+      None),
+
+    // P6/S5 composition: one crawl pass — extract links from every page,
+    // merge into a URL-keyed frontier keeping the newest observation.
+    QuerySpec("q28_crawl_merge",
+      (s, dir) => {
+        val p = pages(s, dir)
+        val seeds = p.select(col("page_url").as("url"),
+          lit(-1L).as("seen_at"))
+        val found = p.select(
+            explode(Html.extractLinksUdf(col("html"), col("page_url")))
+              .as("link"), col("doc_id"))
+          .select(col("link.url").as("url"), col("doc_id").as("seen_at"))
+        seeds.unionAll(found)
+          .groupBy("url")
+          .agg(max("seen_at").as("seen_at"), count(lit(1)).as("n_seen"))
+          .orderBy("url")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT 'http://s' || doc_id || '.example/page' AS url,
+                 CAST(-1 AS BIGINT) AS seen_at
+          FROM documents
+          UNION ALL
+          SELECT 'http://s' || doc_id || '.example/doc/' || (doc_id + 1),
+                 doc_id
+          FROM documents
+          UNION ALL
+          SELECT 'http://s' || doc_id || '.example/sub/page' || (doc_id + 2),
+                 doc_id
+          FROM documents
+          UNION ALL
+          SELECT 'http://s' || (doc_id + 1) || '.example/page',
+                 doc_id
+          FROM documents)
+        SELECT url, max(seen_at) AS seen_at, count(*) AS n_seen
+        FROM obs GROUP BY url ORDER BY url""")),
+
+    // Multimodal plumbing: opaque binary payload column + typed metadata
+    // (byte length, content digest) — the schema/partitioning layer the
+    // decode stubs in graft.multimodal build on.
+    QuerySpec("q29_binary_meta",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text").cast("binary")).as("digest"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents ORDER BY doc_id"""))
+  )
+}

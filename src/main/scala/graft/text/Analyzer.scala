@@ -25,12 +25,16 @@ object Analyzer {
   /** Number of tokens. */
   def tokenCount(text: Column): Column = size(tokenize(text))
 
-  /** Contiguous word n-grams (shingles) as space-joined strings. */
+  /** Contiguous word n-grams (shingles) as space-joined strings; empty
+    * array for texts shorter than n tokens (guarded — Spark's `sequence`
+    * would otherwise count DOWN for start > stop). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokenize(text)
     // k-th shingle = tokens[k..k+n-1]; number of shingles = size - n + 1
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-      k => array_join(slice(toks, k + 1, lit(n)), " "))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        k => array_join(slice(toks, k + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 }

@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML/text extraction operators (reference T1–T6):
+  *  - link extraction with base-href resolution, network-path refs,
+  *    fragment stripping, per-page dedup and nofollow split
+  *    (`crawler/link_extractor.go:15-118`);
+  *  - title extraction + entity unescape (`crawler/text_extractor.go:52-62`);
+  *  - tag stripping with whitespace collapse (`text_extractor.go:41-73`);
+  *  - match highlighting (`monolith/service/frontend/highlighter.go:9-41`
+  *    — reproduced WITHOUT the reference's unclosed-`</em` bug);
+  *  - sentence summarizer (`monolith/service/frontend/summarizer.go`).
+  *
+  * Column-expression forms (`titleOf`, `stripTags`, `highlight`) stay in
+  * whole-stage codegen; the URL resolver and summarizer are genuinely
+  * imperative and live behind Scala UDFs returning arrays — the
+  * generator shape (1 page → N links) is UDF + `explode`, per SURVEY §2.7.
+  */
+object Html {
+
+  // ---------------------------------------------------------------- columns
+
+  /** <title> text: trimmed, inner whitespace collapsed, entities decoded. */
+  def titleOf(html: Column): Column =
+    unescapeEntities(trim(regexp_replace(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1),
+      "\\s+", " ")))
+
+  /** All tags stripped (scripts/styles dropped wholesale), whitespace
+    * collapsed, entities decoded. */
+  def stripTags(html: Column): Column =
+    unescapeEntities(trim(regexp_replace(regexp_replace(regexp_replace(
+      html,
+      "(?is)<(script|style)[^>]*>.*?</\\1>", " "),
+      "(?s)<[^>]*>", " "),
+      "\\s+", " ")))
+
+  /** The five entities every HTML engine must decode. */
+  def unescapeEntities(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c,
+        "&lt;", "<"),
+      "&gt;", ">"),
+      "&quot;", "\""),
+      "&#39;", "'"),
+      "&amp;", "&")
+
+  /** Wrap case-insensitive whole-word term matches in <em>…</em>.
+    * Terms are regex-escaped; the reference's truncated closing tag
+    * (`highlighter.go:36`) is deliberately fixed. */
+  def highlight(text: Column, terms: Seq[String]): Column = {
+    val pat = "(?i)\\b(" +
+      terms.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"
+    regexp_replace(text, pat, "<em>$1</em>")
+  }
+
+  // ------------------------------------------------------------------ UDFs
+
+  /** One extracted link: absolute URL (fragment stripped) + nofollow. */
+  final case class ExtractedLink(url: String, nofollow: Boolean)
+
+  private val hrefRe =
+    "(?is)<a[^>]*\\shref\\s*=\\s*[\"']?([^\"'\\s>]+)[\"']?[^>]*>".r
+  private val baseRe =
+    "(?is)<base[^>]*\\shref\\s*=\\s*[\"']?([^\"'\\s>]+)[\"']?[^>]*>".r
+  private val nofollowRe = "(?is)rel\\s*=\\s*[\"']?nofollow".r
+  private val skipExtRe = "(?i)\\.(jpg|jpeg|png|gif|ico|css|js)$".r
+
+  /** Resolve `href` against `base`, normalizing per the reference:
+    * fragment stripped, network-path refs inherit the scheme, non-http(s)
+    * schemes rejected. Returns null when unresolvable/unwanted. */
+  def resolveUrl(base: String, href: String): String = {
+    val noFrag = href.takeWhile(_ != '#')
+    if (noFrag.isEmpty) return null
+    try {
+      val b = new java.net.URI(base)
+      val resolved =
+        if (noFrag.startsWith("//")) new java.net.URI(b.getScheme + ":" + noFrag)
+        else b.resolve(noFrag)
+      val scheme = resolved.getScheme
+      if (scheme != "http" && scheme != "https") null
+      else if (skipExtRe.findFirstIn(resolved.getPath match {
+        case null => ""; case p => p }).isDefined) null
+      else resolved.normalize().toString
+    } catch { case _: Exception => null }
+  }
+
+  /** T1 link extraction: (url, nofollow) pairs, deduped per page keeping
+    * the first occurrence's nofollow flag (reference keeps a per-page
+    * map, `link_extractor.go:81-107`). */
+  def extractLinks(html: String, pageUrl: String): Seq[ExtractedLink] = {
+    if (html == null || pageUrl == null) return Seq.empty
+    val base = baseRe.findFirstMatchIn(html).map(_.group(1))
+      .map { b => if (b.endsWith("/")) b else b + "/" }
+      .getOrElse(pageUrl)
+    val seen = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    for (m <- hrefRe.findAllMatchIn(html)) {
+      val resolved = resolveUrl(base, m.group(1))
+      if (resolved != null && !seen.contains(resolved))
+        seen(resolved) = nofollowRe.findFirstIn(m.matched).isDefined
+    }
+    seen.iterator.map { case (u, nf) => ExtractedLink(u, nf) }.toSeq
+  }
+
+  val extractLinksUdf = udf(extractLinks _)
+
+  // ---------------------------------------------------------- summarizer
+
+  /** T5 match summarizer: split content into sentences, score each by
+    * matched-term ratio, greedily pack the best (by ratio, then
+    * position) within `maxLen`, re-sort picked sentences by position,
+    * join with "..." gaps. */
+  def summarize(content: String, terms: Seq[String], maxLen: Int): String = {
+    if (content == null || content.isEmpty) return ""
+    val sentences = content.split("(?<=[.!?])\\s+").filter(_.nonEmpty)
+    val lowered = terms.map(_.toLowerCase)
+    val scored = sentences.zipWithIndex.map { case (s, i) =>
+      val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val hits = toks.count(t => lowered.exists(t.contains))
+      (i, s, if (toks.isEmpty) 0.0 else hits.toDouble / toks.length)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    var used = 0
+    for ((i, s, r) <- scored.sortBy { case (i, _, r) => (-r, i) }
+         if r > 0 && used + s.length <= maxLen) {
+      picked += ((i, s)); used += s.length
+    }
+    if (picked.isEmpty) {
+      sentences.headOption.map(_.take(maxLen)).getOrElse("")
+    } else {
+      val inOrder = picked.sortBy(_._1)
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      var prev = -1
+      for ((i, s) <- inOrder) {
+        if (prev >= 0 && i != prev + 1) parts += "..."
+        parts += s
+        prev = i
+      }
+      parts.mkString(" ")
+    }
+  }
+
+  val summarizeUdf = udf(summarize _)
+}

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Corpus-analysis operators for the training-data pipeline: token
+  * counting, quality scoring, n-gram language identification, and
+  * document fingerprinting — all pure `functions._` column expressions
+  * (whole-stage codegen, no UDFs), each oracle-expressible in ANSI SQL.
+  */
+object TextStats {
+
+  /** Whitespace token count (empty tokens dropped). */
+  def tokenCount(text: Column): Column = Analyzer.tokenCount(text)
+
+  /** Heuristic quality signals (reference-free): length, token stats,
+    * punctuation/digit/uppercase ratios, stopword hit-rate. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are")
+
+  def qualitySignals(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = Analyzer.tokenize(t)
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, _.isin(EnStopwords: _*)))
+    docs.select(col(idCol),
+      length(t).as("n_chars"),
+      nTok.as("n_tokens"),
+      (length(t).cast("double") / greatest(nTok, lit(1)).cast("double"))
+        .as("mean_token_len"),
+      (length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") /
+        greatest(length(t), lit(1)).cast("double")).as("punct_ratio"),
+      (length(regexp_replace(t, "[^0-9]", "")).cast("double") /
+        greatest(length(t), lit(1)).cast("double")).as("digit_ratio"),
+      (stopHits.cast("double") / greatest(nTok, lit(1)).cast("double"))
+        .as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]-ish: stopword presence up-weights,
+    * digit/punct excess down-weights, degenerate lengths clipped. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    qualitySignals(docs, idCol, textCol)
+      .select(col(idCol),
+        (least(col("n_tokens").cast("double") / lit(20.0), lit(1.0)) *
+          lit(0.4) +
+          least(col("stopword_ratio") * lit(4.0), lit(1.0)) * lit(0.4) +
+          (lit(1.0) - least(col("digit_ratio") * lit(5.0), lit(1.0))) *
+            lit(0.2)).as("quality"))
+
+  /** Tiny trait-word lists for the language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "que", "para", "con", "una"))
+
+  /** N-gram/stopword language ID: argmax of marker-token hit counts,
+    * deterministic tie-break (lexicographically last language code wins —
+    * the struct max compares (hits, lang) fields in order), "und"
+    * (undetermined) when nothing matches. */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = Analyzer.tokenize(col(textCol))
+    val scored = LangMarkers.map { case (lang, words) =>
+      struct(size(filter(toks, _.isin(words: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    docs.select(col(idCol),
+      when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(lit("und")).as("lang_pred"),
+      best.getField("hits").as("marker_hits"))
+  }
+
+  /** Order-sensitive document fingerprint: Σ over positions of
+    * H(pos:token) mod 1e9+7 — stable, portable, overflow-safe. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(Analyzer.tokenize(col(textCol))).as(Seq("pos", "tok")))
+    toks.select(col(idCol),
+        (Dedup.portableHash(concat(col("pos"), lit(":"), col("tok")))
+          % lit(1000000007L)).as("h"))
+      .groupBy(idCol)
+      .agg(sum("h").as("fingerprint"))
+  }
+}
