@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Library usage sample: one crawl pass against a stubbed site, then a
+  * multimodal decode batch — the package-boundary walkthrough of the
+  * non-query surfaces. Run: `sbt "runMain graft.Demo"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // --- crawl pass over a two-page stub site -------------------------
+    val site = Map(
+      "http://a.com/" -> ("<html><head><title>Page A</title></head><body>" +
+        "<a href=\"/next.html\">n</a><a href=\"http://b.com/\">b</a>" +
+        " alpha body</body></html>"),
+      "http://b.com/" -> ("<html><head><title>Page B</title></head><body>" +
+        "<a href=\"http://a.com/\">back</a> beta body</body></html>"))
+    val seeds = Seq(("http://a.com/", 0L), ("http://b.com/", 0L))
+      .toDF("url", "retrieved_at")
+    val r = graft.crawl.Crawl.pass(seeds,
+      graft.crawl.Crawl.TableUrlGetter(site), staleBefore = 1L, now = 42L)
+    println("== links"); r.links.orderBy("url").show(10, false)
+    println("== edges"); r.edges.orderBy("src").show(10, false)
+    println("== documents")
+    r.documents.select("url", "title", "content").orderBy("url")
+      .show(10, false)
+
+    // --- multimodal decode batch --------------------------------------
+    val media = Seq(
+      (1L, "image", "imagebytes-0001".getBytes("UTF-8")),
+      (2L, "video", "videobytes-0002-yyy".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    println("== media features")
+    graft.multimodal.Multimodal.decodeAndFeaturize(media)
+      .select("media_id", "kind", "n_bytes", "width", "height",
+        "duration_ms").show(false)
+    println("== sampled frames: " +
+      graft.multimodal.Multimodal.sampleFrames(media, 60000).count())
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "completely different content about database engines and columnar storage"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups verbatim duplicates only") {
+    val g = Dedup.exactDupGroups(base).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("cnt") == 2)
+    assert(g.head.getAs[Long]("keep_id") == 1)
+  }
+
+  test("minhash LSH finds the planted near-dup pair, not the distinct doc") {
+    val pairs = Dedup.minHashNearDups(base, shingleN = 3, numHashes = 12,
+        rowsPerBand = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup = jaccard 1
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard of identical docs is 1, disjoint docs 0") {
+    val sh = Dedup.shingleTable(base, 3)
+    val j = Dedup.jaccard(Seq((1L, 4L), (1L, 3L)).toDF("a", "b"), sh)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: near-dups close in hamming, distinct docs far") {
+    val sh = Dedup.simHash(base).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(4L))
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("simHashNearDups returns exact hamming for banded candidates") {
+    val out = Dedup.simHashNearDups(Dedup.simHash(base), maxHamming = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
+    assert(out.exists(r => r._1 == 1L && r._2 == 4L && r._3 == 0))
+  }
+
+  test("portable hash matches the DuckDB construction") {
+    // CAST(('0x' || substring(md5('abc'),1,15)) AS BIGINT) = 648541476951500027
+    val h = Seq("abc").toDF("s")
+      .select(Dedup.portableHash(col("s"))).as[Long].head()
+    assert(h == 648541476951500027L)
+  }
+}

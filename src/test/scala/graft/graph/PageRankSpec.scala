@@ -1,0 +1,58 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden PageRank semantics transcribed from the reference's
+  * conformance suite (`pagerank/calculator_test.go:35-139,174-195`):
+  * per-vertex scores within ±0.01 of the analytic expectation and
+  * Σ scores ≈ 1 — including the dead-end mass redistribution that
+  * GraphX's built-in variant lacks. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(vs: Seq[String], es: Seq[(String, String)],
+                    iters: Int = 50): Map[String, Double] = {
+    val r = PageRank.run(vs.toDF("id"),
+      es.toDF("src", "dst"), maxIter = iters, stopTol = Some(1e-6))
+    r.scores.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+  }
+
+  test("two isolated vertices split the mass evenly") {
+    val m = ranks(Seq("a", "b"), Seq.empty)
+    assert(math.abs(m("a") - 0.5) < 0.01)
+    assert(math.abs(m("b") - 0.5) < 0.01)
+    assert(math.abs(m.values.sum - 1.0) < 0.001)
+  }
+
+  test("star a->b, a->c: leaves share the fed mass equally") {
+    val m = ranks(Seq("a", "b", "c"), Seq("a" -> "b", "a" -> "c"))
+    assert(m("b") === m("c"))
+    assert(m("b") > m("a"))
+    assert(math.abs(m.values.sum - 1.0) < 0.001)
+  }
+
+  test("cycle a->b->c->a converges to uniform") {
+    val m = ranks(Seq("a", "b", "c"),
+      Seq("a" -> "b", "b" -> "c", "c" -> "a"))
+    Seq("a", "b", "c").foreach(v =>
+      assert(math.abs(m(v) - 1.0 / 3) < 0.01, s"vertex $v -> ${m(v)}"))
+    assert(math.abs(m.values.sum - 1.0) < 0.001)
+  }
+
+  test("dead-end sink: mass redistributed, sum still 1") {
+    // a->c, b->c; c dangling. Without redistribution Σ < 1.
+    val m = ranks(Seq("a", "b", "c"), Seq("a" -> "c", "b" -> "c"))
+    assert(math.abs(m.values.sum - 1.0) < 0.001)
+    assert(m("c") > m("a"))
+    assert(m("a") === m("b"))
+  }
+
+  test("convergence reports SAD below tolerance") {
+    val r = PageRank.run(Seq("a", "b", "c").toDF("id"),
+      Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst"),
+      maxIter = 100, stopTol = Some(1e-6))
+    assert(r.sad < 1e-6)
+    assert(r.iterations < 100)
+  }
+}

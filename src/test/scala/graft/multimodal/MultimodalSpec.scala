@@ -1,0 +1,48 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "image", "fake-jpeg-bytes".getBytes("UTF-8")),
+    (2L, "audio", "fake-wav-bytes".getBytes("UTF-8")),
+    (3L, "video", "fake-mp4-bytes-longer-payload".getBytes("UTF-8")))
+    .toDF("media_id", "kind", "payload")
+
+  test("decodeAndFeaturize: exact stub metadata, normalized features") {
+    val out = Multimodal.decodeAndFeaturize(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val img = out(1L)
+    val (w, h, _) = Multimodal.decodeStub("image",
+      "fake-jpeg-bytes".getBytes("UTF-8"))
+    assert(img.getInt(3) == w && img.getInt(4) == h)
+    assert(img.getInt(2) == "fake-jpeg-bytes".length)
+    val feat = img.getSeq[Float](6)
+    assert(feat.length == 8)
+    assert(math.abs(feat.sum - 1.0f) < 1e-5) // histogram normalized
+    assert(out(2L).getInt(5) > 0) // audio has duration
+  }
+
+  test("sampleFrames explodes one row per sampled timestamp") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 60000)
+    val n = frames.count()
+    val (_, _, dur) = Multimodal.decodeStub("video",
+      "fake-mp4-bytes-longer-payload".getBytes("UTF-8"))
+    assert(n == dur / 60000 + 1)
+    assert(frames.select("media_id").distinct().as[Long].head() == 3L)
+  }
+
+  test("payload survives a parquet round-trip as binary") {
+    val dir = java.nio.file.Files.createTempDirectory("mm").toString
+    media.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val p = back.filter(col("media_id") === 1L)
+      .select("payload").as[Array[Byte]].head()
+    assert(new String(p, "UTF-8") == "fake-jpeg-bytes")
+  }
+}

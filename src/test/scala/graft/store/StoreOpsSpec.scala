@@ -1,0 +1,66 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Conformance semantics transcribed from the reference's shared store
+  * suites (`linkgraph/graph/graphtest/link.go`, `edge.go`;
+  * `textindexer/index/indextest/suite.go`): upsert keeps the newest
+  * timestamp, edges need both endpoints, GC only removes matching stale
+  * rows, score updates preserve docs / create placeholders. */
+class StoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latestByKey keeps max timestamp per key (upsert-GREATEST)") {
+    val df = Seq(("u1", 10L, "first"), ("u1", 30L, "newest"),
+      ("u1", 20L, "mid"), ("u2", 5L, "only"))
+      .toDF("url", "retrieved_at", "tag")
+    val out = StoreOps.latestByKey(df, Seq("url"), "retrieved_at")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out === Map("u1" -> "newest", "u2" -> "only"))
+  }
+
+  test("latestByKey breaks timestamp ties deterministically") {
+    val df = Seq(("u1", 10L, 1L), ("u1", 10L, 2L))
+      .toDF("url", "ts", "seq")
+    val out = StoreOps.latestByKey(df, Seq("url"), "ts", Seq("seq"))
+    assert(out.select("seq").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("mergeEdges rejects edges with missing endpoints (FK)") {
+    val verts = Seq("a", "b").toDF("vid")
+    val edges = Seq(("a", "b", 1L), ("a", "ghost", 2L),
+      ("ghost", "b", 3L)).toDF("src", "dst", "ts")
+    val out = StoreOps.mergeEdges(edges, verts, "vid", verts, "vid",
+      "src", "dst", "ts")
+    assert(out.select("src", "dst").as[(String, String)].collect()
+      .toSeq === Seq(("a", "b")))
+  }
+
+  test("mergeEdges dedups (src,dst) keeping newest") {
+    val verts = Seq("a", "b").toDF("vid")
+    val edges = Seq(("a", "b", 1L), ("a", "b", 9L), ("b", "a", 2L))
+      .toDF("src", "dst", "ts")
+    val out = StoreOps.mergeEdges(edges, verts, "vid", verts, "vid",
+        "src", "dst", "ts")
+      .collect().map(r => (r.getString(1), r.getString(0)) -> r.getLong(2))
+      .toMap // columns reordered by join: dst, src, ts
+    assert(out.size == 2)
+  }
+
+  test("gcStale removes only (pred AND old) rows") {
+    val df = Seq(("e1", "error", 5L), ("e2", "error", 50L),
+      ("e3", "click", 5L)).toDF("id", "typ", "ts")
+    val kept = StoreOps.gcStale(df, col("typ") === "error", "ts", lit(10L))
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("e2", "e3"))
+  }
+
+  test("writeScores: placeholder for score-only, default for doc-only") {
+    val docs = Seq((1L, "doc one"), (2L, "doc two")).toDF("id", "body")
+    val scores = Seq((2L, 0.5), (3L, 0.9)).toDF("id", "score")
+    val out = StoreOps.writeScores(docs, scores, "id", "score")
+      .select("id", "final_score").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.9))
+  }
+}
