@@ -18,7 +18,13 @@ import org.apache.spark.storage.StorageLevel
   *  - edges + out-degrees are computed once and persisted;
   *  - each superstep is one shuffle: contributions grouped by dst
   *    (map-side partial aggregation applies);
-  *  - the only driver-side values are scalars (N, dangling mass, SAD);
+  *  - the dangling-mass scalar is a 1-row aggregate folded into the
+  *    superstep's own plan via a broadcast cross join — with
+  *    `stopTol = None` the whole run is ONE lazy plan with zero
+  *    per-iteration driver actions;
+  *  - with a tolerance, the only driver-side value per step is the SAD
+  *    scalar (one action), and generations are cached so each step
+  *    reads the previous step's materialized scores;
   *  - lineage is cut with `localCheckpoint` every `checkpointEvery`
   *    iterations so long runs don't blow the plan stack.
   *
@@ -48,9 +54,10 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val n = v.count().toDouble
+    val tracking = stopTol.isDefined
 
     var scores = v.withColumn("score", snap(lit(1.0) / lit(n)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var iter = 0
     var sad = Double.MaxValue
     var done = false
@@ -63,29 +70,34 @@ object PageRank {
         .groupBy(col("dst").as("id"))
         .agg(sum(col("score") / col("od")).as("contrib"))
 
-      // Dangling mass: total score sitting on vertices with no out-edges.
-      val dm = scores
+      // Dangling mass: total score on vertices with no out-edges — a
+      // 1-row frame cross-joined into the plan (no driver collect).
+      val dangling = scores
         .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
-        .agg(coalesce(sum("score"), lit(0.0))).first().getDouble(0)
+        .agg(coalesce(sum("score"), lit(0.0)).as("dm"))
 
       val next0 = v.join(contribs, Seq("id"), "left")
+        .crossJoin(dangling)
         .withColumn("score", snap(
           lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm / n))))
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              col("dm") / lit(n))))
         .select("id", "score")
-      val next = (if ((iter + 1) % checkpointEvery == 0) next0.localCheckpoint()
-                  else next0).persist(StorageLevel.MEMORY_AND_DISK)
 
-      stopTol.foreach { tol =>
+      // Lazy localCheckpoint: truncates the logical plan (which would
+      // otherwise nest the previous generation 2x per step and grow
+      // exponentially) to an RDD leaf without forcing execution; the
+      // generation materializes at its first action and is stored.
+      val next = next0.localCheckpoint(false)
+
+      if (tracking) {
         sad = next.join(scores.withColumnRenamed("score", "prev"), Seq("id"))
           .agg(sum(abs(col("score") - col("prev")))).first().getDouble(0)
-        if (iter > 0 && sad < tol) done = true
+        if (iter > 0 && sad < stopTol.get) done = true
       }
-      scores.unpersist()
       scores = next
       iter += 1
     }
-    v.unpersist(); e.unpersist(); outDeg.unpersist()
     Result(scores, iter, sad)
   }
 }

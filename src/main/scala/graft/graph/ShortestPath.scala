@@ -17,37 +17,43 @@ import org.apache.spark.storage.StorageLevel
 object ShortestPath {
 
   /** edges: (src, dst, w: long ≥ 0). Runs `maxHops` relaxation rounds
-    * (Bellman-Ford converges in ≤ |V|-1; callers bound it). */
+    * (Bellman-Ford converges in ≤ |V|-1; callers bound it).
+    *
+    * With `earlyStop = false` the loop builds ONE lazy plan — zero
+    * driver actions until the caller consumes the result (right for
+    * small fixed hop counts); with `earlyStop = true` each round pays
+    * one action to detect the fixed point and stop. */
   def run(edges: DataFrame, sourceId: String, maxHops: Int,
-          checkpointEvery: Int = 8): DataFrame = {
+          earlyStop: Boolean = true, checkpointEvery: Int = 8): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
     import spark.implicits._
 
     var dist = Seq((sourceId, 0L)).toDF("id", "dist")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var hop = 0
     var done = false
     while (hop < maxHops && !done) {
       val relaxed = dist
         .join(e.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      val next0 = dist.union(relaxed)
+      // Lazy localCheckpoint: constant-size plan per round (the union
+      // references `dist` twice — unchecked, the plan doubles per hop).
+      val next = dist.union(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
-      val next = (if ((hop + 1) % checkpointEvery == 0) next0.localCheckpoint()
-                  else next0).persist(StorageLevel.MEMORY_AND_DISK)
-      // Converged when no distance improved and no new vertex appeared.
-      val changed = next.join(dist.withColumnRenamed("dist", "prev"),
-          Seq("id"), "left")
-        .filter(col("prev").isNull || col("dist") < col("prev"))
-        .limit(1).count()
-      if (changed == 0) done = true
-      dist.unpersist()
+        .localCheckpoint(false)
+      if (earlyStop) {
+        // Converged when no distance improved and no vertex appeared.
+        val changed = next.join(dist.withColumnRenamed("dist", "prev"),
+            Seq("id"), "left")
+          .filter(col("prev").isNull || col("dist") < col("prev"))
+          .limit(1).count()
+        if (changed == 0) done = true
+      }
       dist = next
       hop += 1
     }
-    e.unpersist()
     dist
   }
 }

@@ -123,7 +123,8 @@ object GraphQueries {
         val edges = eo.groupBy("src", "dst").agg(min("w").as("w"))
         val source = "o" + Tables.orders(s, dir)
           .agg(min("o_orderkey")).first().getLong(0)
-        ShortestPath.run(edges, source, SpHops).orderBy("id")
+        ShortestPath.run(edges, source, SpHops, earlyStop = false)
+          .orderBy("id")
       },
       Some(shortestPathSql(SpHops))),
 
