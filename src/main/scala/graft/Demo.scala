@@ -43,6 +43,19 @@ object Demo {
     println("== sampled frames: " +
       graft.multimodal.Multimodal.sampleFrames(media, 60000).count())
 
+    // --- full search read path over the real documents table ----------
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val priors = docs.select(col("doc_id"),
+      (col("n_chars") / 1000.0).as("prior"))
+    val page = graft.search.Search.search(docs, priors,
+      "spark join window", offset = 0, size = 5)
+    println(s"== search 'spark join window': total=${page.total}")
+    page.rows.select("rn", "doc_id", "blended").show(false)
+    val phrase = graft.search.Search.search(docs, priors,
+      "\"join batch\"", offset = 0, size = 3)
+    println(s"== phrase \"join batch\": total=${phrase.total}")
+    phrase.rows.select("rn", "doc_id").show(false)
+
     spark.stop()
   }
 }

@@ -72,4 +72,46 @@ object Search {
       .withColumn("rn", row_number().over(Window.orderBy(orderCols: _*)))
       .filter(col("rn") > offset)
   }
+
+  /** A page plus the corpus-wide hit count (reference R4 `TotalCount`,
+    * `indexer.go:40-41` — the gRPC stream's first frame). One extra
+    * scalar aggregate; the page itself stays a top-(offset+size) plan. */
+  final case class Page(rows: DataFrame, total: Long)
+
+  def searchPage(scored: DataFrame,
+                 orderCols: Seq[org.apache.spark.sql.Column],
+                 offset: Int, size: Int): Page =
+    Page(paginate(scored, orderCols, offset, size), scored.count())
+
+  /** Parsed query type (reference T7, `frontend.go:288-291`): leading +
+    * trailing quote switches keyword Match to exact Phrase. */
+  sealed trait ParsedQuery { def expression: String }
+  final case class MatchQuery(expression: String) extends ParsedQuery
+  final case class PhraseQuery(expression: String) extends ParsedQuery
+
+  def parseQuery(raw: String): ParsedQuery = {
+    val t = raw.trim
+    if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+      PhraseQuery(t.substring(1, t.length - 1))
+    else MatchQuery(t)
+  }
+
+  /** Full read path (reference §3.1): parse → score (match or phrase) →
+    * blend with the stored prior → rank → paginate. */
+  def search(docs: DataFrame, priors: DataFrame, raw: String,
+             offset: Int = 0, size: Int = 10,
+             idCol: String = "doc_id", textCol: String = "text"): Page = {
+    val scored = parseQuery(raw) match {
+      case PhraseQuery(p) =>
+        phraseMatch(docs, p, textCol)
+          .select(col(idCol), lit(1.0).as("score"))
+      case MatchQuery(m) =>
+        matchScores(docs,
+          m.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq,
+          idCol, textCol)
+    }
+    val blended = blend(scored, priors, idCol, "prior")
+    searchPage(blended,
+      Seq(col("blended").desc, col(idCol)), offset, size)
+  }
 }

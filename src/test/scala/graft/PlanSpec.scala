@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards — the properties that make the 100 TB
+  * posture real. If one of these breaks, the query still returns correct
+  * rows at test scale but degrades catastrophically at cluster scale, so
+  * they are asserted, not eyeballed. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("range+time scan pushes every predicate into the parquet scan") {
+    val p = planOf("q02_range_time_scan")
+    // plan toString elides long filter lists — check the stable prefix
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), IsNotNull(ts), " +
+      "GreaterThanOrEqual(user_id,40), LessThan(user_id,60)"),
+      p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("scans prune to the referenced columns only") {
+    val p = planOf("q02_range_time_scan")
+    // events has a `props` string column the query never touches
+    assert(!p.contains("props"), "props column not pruned")
+  }
+
+  test("tf-idf search broadcasts the vocabulary-sized side") {
+    val p = planOf("q08_match_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "doc-frequency join must broadcast")
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q18_cosine_topk").contains("TakeOrderedAndProject"))
+    assert(planOf("q08_match_search").contains("TakeOrderedAndProject"))
+  }
+
+  test("point lookup pushes the key into the scan") {
+    val p = planOf("q03_point_lookup")
+    assert(p.contains("EqualTo(o_orderkey,42)"), p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("stale-gc pushes the negated predicate to parquet (Or pushdown)") {
+    val p = planOf("q06_stale_gc")
+    assert(p.contains("PushedFilters: [Or(Not(EqualTo(event_type,error))"),
+      p.linesIterator.take(25).mkString("\n"))
+  }
+}
