@@ -197,6 +197,32 @@ object SparkEntry {
         ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // Star-schema join spine: fact ⋈ two dims, both broadcast (the shape
+    // every 100 TB rollup takes: big fact table streams, small dims ship
+    // to the executors — no fact-side shuffle before aggregation).
+    Q("q30_star_join",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(Exact.cents(col("o_totalprice"))).as("rev_cents"))
+          .orderBy(col("n_name"), col("o_orderstatus"))
+      },
+      Some(s"""
+        SELECT n_name, o_orderstatus, count(*) AS n_orders,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS rev_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderstatus
+        ORDER BY n_name, o_orderstatus""")),
+
+    // ------------------------------------------------------------------
     // R1: keyword (match) search, TF-IDF over the postings table
     // (reference delegates to ES `multi_match`, `es.go:184-213`).
     Q("q08_match_search",
