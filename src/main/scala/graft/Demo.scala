@@ -56,6 +56,14 @@ object Demo {
     println(s"== phrase \"join batch\": total=${phrase.total}")
     phrase.rows.select("rn", "doc_id").show(false)
 
+    // --- IVF ANN over the real embeddings -----------------------------
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qv = emb.filter(col("vec_id") === 7).select("embedding")
+      .as[Seq[Float]].head()
+    val idx = graft.ml.Ivf.build(emb, k = 8, iters = 3)
+    println("== ivf top-5 around vec 7 (nprobe=2)")
+    graft.ml.Ivf.topK(idx, qv, 5, nprobe = 2).show(false)
+
     spark.stop()
   }
 }

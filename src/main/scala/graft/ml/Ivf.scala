@@ -1,0 +1,98 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** IVF (inverted-file) approximate nearest neighbour — the coarse-
+  * quantizer scale path: k-means cluster the corpus once, then search
+  * only the `nprobe` clusters nearest to the query. Complements the
+  * sign-random-projection LSH in [[Similarity]]:
+  *  - build: a few Lloyd iterations, each one broadcast of k centroids
+  *    and one shuffle (groupBy cluster) — linear passes, no pairwise
+  *    work, deterministic (hash-seeded init, fixed iteration count);
+  *  - search: centroid ranking happens driver-side over k rows (k is
+  *    small by construction), candidate scan touches ~nprobe/k of the
+  *    corpus.
+  * At 100 TB the assignment table is written alongside the embeddings
+  * (partitioned by cluster), so a probe reads only its clusters'
+  * partitions.
+  */
+object Ivf {
+
+  final case class Index(assignments: DataFrame, centroids: DataFrame)
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Squared L2 distance between two equal-length vectors. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b),
+      (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Build an IVF index: `k` clusters, `iters` Lloyd rounds.
+    * Deterministic: initial centroids are the `k` vectors with the
+    * smallest xxhash64(id). */
+  def build(emb: DataFrame, k: Int, iters: Int = 5,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): Index = {
+    val data = emb.select(col(idCol), col(vecCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var centroids = data
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy("h").limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("h")).cast("long").as("cluster"),
+        asDouble(col(vecCol)).as("centroid"))
+      .localCheckpoint() // tiny: k rows, eager
+
+    for (_ <- 0 until iters) {
+      val assigned = data.crossJoin(broadcast(centroids))
+        .withColumn("d", sqDist(col(vecCol), col("centroid")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(idCol).orderBy(col("d"), col("cluster"))))
+        .filter(col("rn") === 1)
+      // new centroid = element-wise mean of member vectors (posexplode
+      // keeps it schema-free — no fixed dimensionality anywhere)
+      centroids = assigned
+        .select(col("cluster"),
+          posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+        .groupBy("cluster", "i")
+        .agg(avg("x").as("m"))
+        .groupBy("cluster")
+        .agg(transform(
+          sort_array(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .localCheckpoint()
+    }
+
+    val assignments = data.crossJoin(broadcast(centroids))
+      .withColumn("d", sqDist(col(vecCol), col("centroid")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("d"), col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    data.unpersist()
+    Index(assignments, centroids)
+  }
+
+  /** Approximate top-k by cosine: scan only the `nprobe` clusters whose
+    * centroids are closest to the query. */
+  def topK(index: Index, query: Seq[Float], k: Int, nprobe: Int = 2,
+           idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val q = array(query.map(lit(_)): _*)
+    val probed = index.centroids
+      .withColumn("d", sqDist(q, col("centroid")))
+      .orderBy(col("d"), col("cluster")).limit(nprobe)
+      .select("cluster")
+    index.assignments
+      .join(broadcast(probed), Seq("cluster"), "left_semi")
+      .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

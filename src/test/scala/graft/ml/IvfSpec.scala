@@ -1,0 +1,53 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivf on well-separated clusters: perfect recall at nprobe=1") {
+    // three tight clusters around orthogonal axes
+    def jitter(base: Seq[Float], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 31 + d * 7) % 5) - 2)
+      }
+    val rows = (0 until 30).map { i =>
+      val base = (i % 3) match {
+        case 0 => Seq(1f, 0f, 0f, 0f)
+        case 1 => Seq(0f, 1f, 0f, 0f)
+        case _ => Seq(0f, 0f, 1f, 0f)
+      }
+      (i.toLong, jitter(base, i))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = Ivf.build(emb, k = 3, iters = 4)
+
+    // every member of cluster-0's axis family found from an axis query
+    val top = Ivf.topK(idx, Seq(1f, 0f, 0f, 0f), 10, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top == (0 until 30 by 3).map(_.toLong).toSet)
+  }
+
+  test("ivf recall vs brute force on the real embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .as[Seq[Float]].head()
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val idx = Ivf.build(emb, k = 8, iters = 3)
+    val approx = Ivf.topK(idx, q, 10, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.contains(3L)) // the query's own vector
+    assert((exact & approx).size >= 5, // ≥ half the true neighbours
+      s"recall too low: ${(exact & approx).size}/10")
+  }
+
+  test("assignments cover every vector exactly once") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = Ivf.build(emb, k = 8, iters = 2)
+    assert(idx.assignments.count() == emb.count())
+    assert(idx.assignments.select("vec_id").distinct().count()
+      == emb.count())
+  }
+}
