@@ -6,22 +6,25 @@ import org.apache.spark.storage.StorageLevel
 
 /** Greedy graph coloring with randomized-token symmetry breaking —
   * reference G10 (`color/color.go:133-200`): each round, every uncolored
-  * vertex whose token is highest among its *uncolored* neighbours picks
-  * the minimum color unused by any neighbour; undirectedness is imposed
-  * by inserting reverse edges (`color.go:90-98`); pre-colored vertices
-  * are honoured (`color.go:85-87`).
+  * vertex whose (token, id) is highest among its *uncolored* neighbours
+  * picks the minimum color unused by any neighbour; undirectedness is
+  * imposed by inserting reverse edges (`color.go:90-98`); pre-colored
+  * vertices are honoured (`color.go:85-87`).
   *
-  * Sparse-activation formulation (the BSP vote-to-halt analogue, and the
-  * reason this scales): the loop never re-touches settled vertices —
-  *  - `active` edges connect two *uncolored* vertices; every round they
-  *    shrink by anti-join against the newly colored set;
-  *  - each uncolored vertex accumulates the colors of its settled
-  *    neighbours in a `forbidden` set, so messages flow only from newly
-  *    colored vertices: total message volume is O(E) over the whole run,
-  *    not O(E · rounds);
-  *  - one driver action per round (the winner count);
-  *  - every generation is truncated with a lazy `localCheckpoint` so the
-  *    logical plan stays constant-size across rounds.
+  * Scale design:
+  *  - sparse activation: settled vertices are never re-touched — their
+  *    colors flow once into neighbours' `forbidden` sets (O(E) total
+  *    message volume over the whole run);
+  *  - the undirected edge table is cached once; per-round frames are
+  *    derived from it by semi-joins against the shrinking uncolored set
+  *    (no per-round edge materialization);
+  *  - one driver action per round; generations are truncated with lazy
+  *    `localCheckpoint` so the logical plan stays constant-size;
+  *  - tail cutoff: Luby-style rounds shed a constant fraction per round,
+  *    so after O(log V) rounds a tiny residual subgraph pays full
+  *    cluster-job latency per round — once it fits comfortably on the
+  *    driver (`localFinishThreshold` rows) the SAME round rule runs
+  *    in-memory, producing bit-identical colors.
   * Tokens are deterministic (`xxhash64`, ties broken by id), so the
   * coloring is reproducible and always progresses.
   */
@@ -30,11 +33,17 @@ object Coloring {
   /** vertices: (id [, color]) — optional pre-colored rows; edges:
     * (src, dst), treated as undirected. Returns (id, color). */
   def run(vertices: DataFrame, edges: DataFrame,
-          maxRounds: Int = 1000, foldEvery: Int = 8): DataFrame = {
+          maxRounds: Int = 1000,
+          localFinishThreshold: Long = 20000,
+          foldEvery: Int = 8): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val hasColor = vertices.columns.contains("color")
     val init = vertices
@@ -61,20 +70,21 @@ object Coloring {
         coalesce(col("forbidden"), emptyInts).as("forbidden"))
       .localCheckpoint(false)
 
+    // Active edges: both endpoints uncolored, annotated with the dst's
+    // token — shrinks monotonically by anti-join against each round's
+    // winners, so per-round work tracks the live subgraph, not |E|.
     var active = und
       .join(uncolored.select(col("id").as("src")), Seq("src"), "left_semi")
-      .join(uncolored.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .join(uncolored.select(col("id").as("dst"),
+        col("token").as("n_token")), Seq("dst"))
       .localCheckpoint(false)
 
     var remaining = uncolored.count()
     var doneParts: List[DataFrame] = List(preColored)
     var round = 0
 
-    while (remaining > 0 && round < maxRounds) {
-      // Winner rule: (token, id) beats every uncolored neighbour's.
+    while (remaining > localFinishThreshold && round < maxRounds) {
       val nbrMax = active
-        .join(uncolored.select(col("id").as("dst"),
-          col("token").as("n_token")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(max(struct(col("n_token"), col("dst"))).as("max_nbr"))
 
@@ -87,7 +97,8 @@ object Coloring {
 
       // Colors won this round flow into still-uncolored neighbours.
       val msgs = active
-        .join(winners.withColumnRenamed("id", "dst"), Seq("dst"))
+        .join(winners.withColumnRenamed("id", "wdst"),
+          active("dst") === col("wdst"))
         .groupBy(col("src").as("id"))
         .agg(collect_set(col("color")).as("new_forbidden"))
 
@@ -104,13 +115,55 @@ object Coloring {
         .localCheckpoint(false)
 
       doneParts ::= winners
-      if (doneParts.length >= foldEvery) {
-        // keep the final union shallow: fold accumulated winner parts
+      if (doneParts.length >= foldEvery)
         doneParts = List(doneParts.reduce(_ unionByName _)
           .localCheckpoint(false))
-      }
       remaining -= nWon
       round += 1
+      if (sys.env.contains("GRAFT_LOOP_DEBUG"))
+        println(s"[coloring] round=$round won=$nWon remaining=$remaining")
+    }
+
+    if (remaining > 0) {
+      // ---- driver-side finish: same rule, in memory, bit-identical ----
+      val vs = uncolored.select("id", "token", "forbidden")
+        .as[(String, Long, Seq[Int])].collect()
+      val ids = vs.map(_._1).toSet
+      val es = und
+        .join(uncolored.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(uncolored.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").as[(String, String)].collect()
+      if (sys.env.contains("GRAFT_LOOP_DEBUG"))
+        println(s"[coloring] local finish: ${vs.length} vertices, " +
+          s"${es.length} edges")
+
+      val token = vs.map(v => v._1 -> v._2).toMap
+      val forbidden = scala.collection.mutable.Map(
+        vs.map(v => v._1 -> scala.collection.mutable.Set(v._3: _*)): _*)
+      val nbrs = scala.collection.mutable.Map[String, List[String]]()
+        .withDefaultValue(Nil)
+      es.foreach { case (s, d) => nbrs(s) = d :: nbrs(s) }
+      val unset = scala.collection.mutable.Set(ids.toSeq: _*)
+      val out = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+      var guard = 0
+      while (unset.nonEmpty && guard < maxRounds) {
+        val winners = unset.iterator.filter { v =>
+          nbrs(v).iterator.filter(unset.contains).forall { u =>
+            val c = java.lang.Long.compare(token(v), token(u))
+            c > 0 || (c == 0 && v > u)
+          }
+        }.toVector
+        winners.foreach { v =>
+          val f = forbidden(v)
+          var c = 0
+          while (f.contains(c)) c += 1
+          out += ((v, c))
+          unset -= v
+          nbrs(v).foreach(u => forbidden.get(u).foreach(_ += c))
+        }
+        guard += 1
+      }
+      doneParts ::= out.toSeq.toDF("id", "color")
     }
     doneParts.reduce(_ unionByName _).select("id", "color")
   }

@@ -40,6 +40,20 @@ class ColoringSpec extends SparkSpec {
     assertProper(out, es)
   }
 
+  test("distributed and driver-side finish produce identical colors") {
+    val vs = (0 to 40).map(i => s"v$i")
+    val es = (0 until 40).map(i => s"v$i" -> s"v${(i * 7 + 3) % 41}")
+      .filter { case (a, b) => a != b }
+    val dist = Coloring.run(vs.toDF("id"), es.toDF("src", "dst"),
+        localFinishThreshold = 0) // force every round distributed
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val local = Coloring.run(vs.toDF("id"), es.toDF("src", "dst"),
+        localFinishThreshold = 1000000) // force the in-memory path
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dist === local)
+    assertProper(dist, es)
+  }
+
   test("proper on the sf0.001 bipartite order-part graph") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val edges = li.select(
