@@ -16,9 +16,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Queries are independent — run them on a small thread pool so the
-    // cluster stays busy (Spark's scheduler interleaves concurrent jobs;
-    // FAIR mode keeps the iterative ones from starving the rest).
-    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+    // cluster stays busy (Spark's FIFO scheduler interleaves concurrent
+    // jobs' tasks; the iterative queries overlap the scan-heavy ones).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
