@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-facing vector functions backed by native codegen'd Catalyst
+  * expressions (see `org.apache.spark.sql.graftvec.DotProductFF`). */
+object VecFunctions {
+  /** Codegen'd float-vector dot product (double accumulation,
+    * left-to-right — bit-identical to the lambda fold). */
+  def dotFF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftvec.VecBridge.dotFF(a, b)
+
+  /** Cosine similarity on float vectors via the native dot. */
+  def cosineFF(a: Column, b: Column): Column =
+    dotFF(a, b) / (sqrt(dotFF(a, a)) * sqrt(dotFF(b, b)))
+}

@@ -24,15 +24,25 @@ object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Reference implementation: lambda fold. Kept as the spec oracle for
+    * the native expression; same left-to-right double accumulation. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), _ * _),
       lit(0.0), _ + _)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), _ + _))
+  /** Hot path: native codegen'd expression, bit-identical to the fold
+    * (VecExpressionsSpec) at ~2× the throughput. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VecFunctions.dotFF(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Fold-based cosine, for benchmarking against the native path. */
+  def cosineFold(a: Column, b: Column): Column =
+    dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
 
   /** Exact top-k by cosine against one query vector. */
   def bruteForceTopK(emb: DataFrame, query: Seq[Float], k: Int,

@@ -23,11 +23,37 @@ object LoopBench {
       .union(edges.select(col("dst").as("id"))).distinct()
     println(s"V=${verts.count()} E=${edges.count()}")
 
-    val t0 = System.nanoTime()
-    val colored = graft.graph.Coloring.run(verts, edges)
-    val histo = colored.groupBy("color").count().orderBy("color").collect()
-    println(f"coloring total ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
-      s"colors=${histo.length}")
+    if (!args.contains("novec")) {
+      // fold vs native dot product on a 500k x 64 synthetic corpus
+      val vecs = spark.range(500000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(xxhash64(col("id") * 64 + d), lit(1000)) / 500.0 - 1.0)
+            .cast("float")).as("embedding"))
+        .localCheckpoint() // materialize so we time compute, not gen
+      val q = (0 until 64).map(i => (i % 7 - 3) / 3.0f)
+      def time(tag: String)(f: => Long): Unit = {
+        val t = System.nanoTime()
+        val n = f
+        println(f"$tag: ${(System.nanoTime() - t) / 1e9}%.2f s ($n rows)")
+      }
+      val qc = array(q.map(lit(_)): _*)
+      time("dot fold  ")(vecs.select(graft.ml.Similarity
+        .dotFold(col("embedding"), qc).as("d")).filter(col("d") > 1e9).count())
+      time("dot native")(vecs.select(graft.functions.VecFunctions
+        .dotFF(col("embedding"), qc).as("d")).filter(col("d") > 1e9).count())
+      time("cos fold  ")(vecs.select(graft.ml.Similarity
+        .cosineFold(col("embedding"), qc).as("d")).filter(col("d") > 2).count())
+      time("cos native")(vecs.select(graft.functions.VecFunctions
+        .cosineFF(col("embedding"), qc).as("d")).filter(col("d") > 2).count())
+    }
+
+    if (!args.contains("nocolor")) {
+      val t0 = System.nanoTime()
+      val colored = graft.graph.Coloring.run(verts, edges)
+      val histo = colored.groupBy("color").count().orderBy("color").collect()
+      println(f"coloring total ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+        s"colors=${histo.length}")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ml.Similarity
+import org.apache.spark.sql.functions._
+
+class VecExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot is bit-identical to the fold on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val qc = array(q.map(lit(_)): _*)
+    val both = emb.select(col("vec_id"),
+      Similarity.dotFold(col("embedding"), qc).as("fold"),
+      VecFunctions.dotFF(col("embedding"), qc).as("native"))
+    val mismatches = both.filter(col("fold") =!= col("native")).count()
+    assert(mismatches == 0L)
+  }
+
+  test("native cosine is bit-identical to the fold cosine") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 9).select("embedding")
+      .as[Seq[Float]].head()
+    val qc = array(q.map(lit(_)): _*)
+    val m = emb.select(
+      (Similarity.dotFold(col("embedding"), qc) / (sqrt(Similarity.dotFold(col("embedding"), col("embedding"))) * sqrt(Similarity.dotFold(qc, qc)))).as("fold"),
+      VecFunctions.cosineFF(col("embedding"), qc).as("native"))
+      .filter(col("fold") =!= col("native")).count()
+    assert(m == 0L)
+  }
+
+  test("interpreted path (nullSafeEval) agrees with codegen") {
+    val a = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val got = a.select(VecFunctions.dotFF(col("a"), col("b")))
+      .as[Double].head()
+    assert(got == (4.0 + 10.0 + 18.0))
+    // mismatched lengths: min-length semantics, no crash
+    val short = Seq((Seq(1f, 2f), Seq(3f))).toDF("a", "b")
+    assert(short.select(VecFunctions.dotFF(col("a"), col("b")))
+      .as[Double].head() == 3.0)
+  }
+}
