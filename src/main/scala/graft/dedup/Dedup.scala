@@ -104,9 +104,18 @@ object Dedup {
                       threshold: Double = 0.6,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val mh = minHashes(docs, shingleN, numHashes, idCol, textCol)
+    // shingles feed both the signatures and the exact verify — cache one
+    val sh = shingleTable(docs, shingleN, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val js = (0 until numHashes).map(lit(_))
+    val mh = sh
+      .select(col(idCol), explode(array(js: _*)).as("j"), col("shingle"))
+      .select(col(idCol), col("j"),
+        portableHash(concat(col("j"), lit(":"), col("shingle"))).as("h"))
+      .groupBy(idCol, "j")
+      .agg(min("h").as("mh"))
     val cand = lshCandidates(lshBands(mh, rowsPerBand, idCol), idCol)
-    jaccard(cand, shingleTable(docs, shingleN, idCol, textCol), idCol)
+    jaccard(cand, sh, idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

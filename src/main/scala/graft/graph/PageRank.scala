@@ -47,10 +47,13 @@ object PageRank {
       gridSnap.map(g => floor(c * g + 0.5) / g).getOrElse(c)
 
     val v = vertices.select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
-    val e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val outDeg = e.groupBy("src")
+    val e0 = edges.select(col("src"), col("dst"))
+    val outDeg = e0.groupBy("src")
       .agg(count(lit(1)).cast("double").as("od"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // out-degree is static — join it into the edge table ONCE, so each
+    // superstep pays a single shuffle (scores⋈edges), not two.
+    val e = e0.join(outDeg, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val n = v.count().toDouble
@@ -66,7 +69,6 @@ object PageRank {
       // Σ over in-edges of score(src)/outdeg(src) — one shuffle keyed by dst.
       val contribs = e
         .join(scores.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("score") / col("od")).as("contrib"))
 
