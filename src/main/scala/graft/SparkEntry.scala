@@ -223,6 +223,47 @@ object SparkEntry {
         ORDER BY n_name, o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // BM25 ranking (Okapi, Lucene +1 idf) — the modern default scorer
+    // alongside the reference-faithful TF-IDF of q08.
+    Q("q31_bm25_search",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Search.bm25Scores(docs, Seq("spark", "join", "window"))
+          .select(col("doc_id"), Exact.micros(col("score")).as("score_micros"))
+          .orderBy(col("score_micros").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+            AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        adl AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS avgdl FROM dl),
+        q AS (SELECT doc_id, term FROM tok
+              WHERE term IN ('spark', 'join', 'window')),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT tf.doc_id,
+               ${Exact.microsSql(
+                 "sum(ln((CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)" +
+                 " / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)" +
+                 " * (CAST(tf.tf AS DOUBLE) * (1.2 + 1))" +
+                 " / (CAST(tf.tf AS DOUBLE) + 1.2 *" +
+                 " (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / adl.avgdl))))")}
+                 AS score_micros
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN n CROSS JOIN adl
+        GROUP BY tf.doc_id
+        ORDER BY score_micros DESC, tf.doc_id
+        LIMIT 20""")),
+
+    // ------------------------------------------------------------------
     // R1: keyword (match) search, TF-IDF over the postings table
     // (reference delegates to ES `multi_match`, `es.go:184-213`).
     Q("q08_match_search",

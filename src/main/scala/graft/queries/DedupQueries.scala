@@ -36,6 +36,38 @@ object DedupQueries {
           k -> l[k + 1] || ' ' || l[k + 2] || ' ' || l[k + 3])) AS shingle
       FROM lt)"""
 
+  /** DuckDB CTEs: the full MinHash pipeline down to verified pairs
+    * (`scored`), shared by q15 and the q32 component clustering. */
+  private val MinhashPairCtes =
+    s"""$ShingleCtes,
+    mh AS (
+      SELECT doc_id, j, min(${hashSql("j || ':' || shingle")}) AS mh
+      FROM shingles CROSS JOIN (SELECT unnest(range(0, 12)) AS j)
+      GROUP BY doc_id, j),
+    bands AS (
+      SELECT doc_id, CAST(j // 3 AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
+      FROM mh GROUP BY doc_id, CAST(j // 3 AS INT)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS i
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.a
+      JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b),
+    scored AS (
+      SELECT c.a, c.b,
+             CAST(COALESCE(i.i, 0) AS DOUBLE) /
+             CAST(za.sz + zb.sz - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+      JOIN sizes za ON za.doc_id = c.a
+      JOIN sizes zb ON zb.doc_id = c.b)"""
+
   private def augmented(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     docs.unionAll(docs.filter(col("doc_id") % 20 === 0)
@@ -80,34 +112,7 @@ object DedupQueries {
           .orderBy("a", "b")
       },
       Some(s"""
-        WITH $ShingleCtes,
-        mh AS (
-          SELECT doc_id, j, min(${hashSql("j || ':' || shingle")}) AS mh
-          FROM shingles CROSS JOIN (SELECT unnest(range(0, 12)) AS j)
-          GROUP BY doc_id, j),
-        bands AS (
-          SELECT doc_id, CAST(j // 3 AS INT) AS band,
-                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
-          FROM mh GROUP BY doc_id, CAST(j // 3 AS INT)),
-        cand AS (
-          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-          FROM bands l JOIN bands r
-            ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-        inter AS (
-          SELECT c.a, c.b, count(*) AS i
-          FROM cand c
-          JOIN shingles sa ON sa.doc_id = c.a
-          JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-          GROUP BY c.a, c.b),
-        scored AS (
-          SELECT c.a, c.b,
-                 CAST(COALESCE(i.i, 0) AS DOUBLE) /
-                 CAST(za.sz + zb.sz - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
-          FROM cand c
-          LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
-          JOIN sizes za ON za.doc_id = c.a
-          JOIN sizes zb ON zb.doc_id = c.b)
+        WITH $MinhashPairCtes
         SELECT a, b, ${Exact.microsSql("jaccard")} AS jaccard_micros
         FROM scored WHERE jaccard >= 0.5
         ORDER BY a, b""")),
@@ -173,6 +178,40 @@ object DedupQueries {
             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
         SELECT a, b, CAST(hamming AS INT) AS hamming
         FROM pairs WHERE hamming <= 3
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    // Dedup clustering: near-dup pairs → connected components by
+    // min-label propagation (6 fixed rounds, fully lazy plan); component
+    // id = canonical (minimum) doc id. The oracle unrolls the rounds.
+    QuerySpec("q32_dedup_components",
+      (s, dir) => {
+        val pairs = Dedup.minHashNearDups(augmented(s, dir), shingleN = 3,
+            numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+          .select("a", "b")
+        graft.graph.Components.run(pairs, maxRounds = 6,
+            earlyStop = false)
+          .orderBy("id")
+      },
+      Some {
+        val steps = (1 to 6).map { k =>
+          s"""l$k AS (
+             SELECT id, min(component) AS component FROM (
+               SELECT id, component FROM l${k - 1}
+               UNION ALL
+               SELECT u.src AS id, l.component
+               FROM und u JOIN l${k - 1} l ON u.dst = l.id)
+             GROUP BY id)"""
+        }.mkString(",\n")
+        s"""
+        WITH $MinhashPairCtes,
+        pairs AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+        und AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION
+          SELECT b, a FROM pairs),
+        l0 AS (SELECT DISTINCT src AS id, src AS component FROM und),
+        $steps
+        SELECT id, component FROM l6 ORDER BY id"""
+      })
   )
 }

@@ -42,6 +42,39 @@ object Search {
       .agg(sum("w").as("score"))
   }
 
+  /** BM25 scores for an OR-terms query (Okapi, Lucene-style +1 idf):
+    * idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1),
+    * score(d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+    * Same shuffle shape as TF-IDF (postings agg + broadcast df) plus a
+    * per-doc length join; dl/avgdl computed over ALL tokens. */
+  def bm25Scores(docs: DataFrame, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val all = postings(docs, idCol, textCol)
+    val dl = all.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg((sum("dl").cast("double") /
+      count(lit(1)).cast("double")).as("avgdl"))
+    val toks = all.filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(countDistinct(idCol).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .join(dl, idCol)
+      .withColumn("idf", log(
+        (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("w", col("idf") *
+        (col("tf").cast("double") * lit(k1 + 1)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) *
+            (col("dl").cast("double") / col("avgdl")))))
+      .groupBy(idCol)
+      .agg(sum("w").as("score"))
+  }
+
   /** Exact-phrase match (reference R2): documents whose token stream contains
     * the phrase's tokens consecutively. For a whitespace corpus this is a
     * padded substring test — sargable, no positional self-join needed.
