@@ -223,6 +223,47 @@ object SparkEntry {
         ORDER BY n_name, o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // As-of join: every click paired with the user's latest
+    // at-or-before purchase — an operator Spark lacks natively,
+    // implemented as tagged-union + running window (one shuffle, no
+    // range-join blow-up). Oracle: DuckDB's native ASOF LEFT JOIN.
+    Q("q33_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("ts_us", expr("ts div 1000"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts_us").as("pts"))
+          .agg(max("event_id").as("p_event"),
+            sum(Exact.cents(col("value"))).as("p_cents"))
+          .select("user_id", "pts", "p_event", "p_cents")
+        graft.operators.AsOf.join(clicks, purchases, Seq("user_id"),
+            "ts_us", "pts")
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("r_pts"), col("r_p_event"), col("r_p_cents"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                 value
+          FROM events),
+        clicks AS (
+          SELECT user_id, ts_us, event_id FROM ev
+          WHERE event_type = 'click'),
+        purch AS (
+          SELECT user_id, ts_us AS pts, max(event_id) AS p_event,
+                 CAST(sum(${Exact.centsSql("value")}) AS BIGINT) AS p_cents
+          FROM ev WHERE event_type = 'purchase'
+          GROUP BY user_id, ts_us)
+        SELECT c.user_id, c.event_id, c.ts_us, p.pts AS r_pts,
+               p.p_event AS r_p_event, p.p_cents AS r_p_cents
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts_us >= p.pts
+        ORDER BY c.event_id""")),
+
+    // ------------------------------------------------------------------
     // BM25 ranking (Okapi, Lucene +1 idf) — the modern default scorer
     // alongside the reference-faithful TF-IDF of q08.
     Q("q31_bm25_search",
