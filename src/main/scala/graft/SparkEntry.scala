@@ -223,6 +223,114 @@ object SparkEntry {
         ORDER BY n_name, o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // Hierarchical rollup: subtotals at (flag, status), (flag), and
+    // grand-total levels in one pass — Spark plans a single Expand +
+    // hash aggregation, no multiple scans.
+    Q("q34_rollup",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(Exact.cents(col("l_extendedprice"))).as("rev_cents"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT)
+                 AS rev_cents
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST,
+                 l_linestatus ASC NULLS FIRST""")),
+
+    // ------------------------------------------------------------------
+    // Window frames: per-customer running revenue and order rank over
+    // order time — the running-aggregate shape every event pipeline has.
+    Q("q35_running_window",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+            Exact.cents(col("o_totalprice")).as("price_cents"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_custkey")
+              .orderBy(col("odate_ms"), col("o_orderkey"))))
+          .withColumn("running_cents", sum("price_cents").over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_custkey")
+              .orderBy(col("odate_ms"), col("o_orderkey"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)))
+          .orderBy("o_custkey", "rn")
+      },
+      Some(s"""
+        SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS odate_ms,
+               ${Exact.centsSql("o_totalprice")} AS price_cents,
+               CAST(row_number() OVER w AS INT) AS rn,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS running_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY epoch_ms(o_orderdate), o_orderkey)
+        ORDER BY o_custkey, rn""")),
+
+    // ------------------------------------------------------------------
+    // Batch sessionization: session boundaries where the per-user gap
+    // exceeds 30 min (lag + conditional cumsum), then per-session stats
+    // — the batch twin of streaming.Streams.sessionize.
+    Q("q36_sessionize_batch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"))
+          .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+          .withColumn("sess_no", sum("new_sess").over(
+            Window.partitionBy("user_id")
+              .orderBy(col("ts_us"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_no")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+          .orderBy("user_id", "sess_no")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (
+          SELECT user_id, event_id, ts_us,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (
+          SELECT user_id, event_id, ts_us,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_no
+          FROM flagged)
+        SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+               count(*) AS n_events,
+               CAST(min(ts_us) AS BIGINT) AS start_us,
+               CAST(max(ts_us) AS BIGINT) AS end_us
+        FROM sess GROUP BY user_id, sess_no
+        ORDER BY user_id, sess_no""")),
+
+    // ------------------------------------------------------------------
     // As-of join: every click paired with the user's latest
     // at-or-before purchase — an operator Spark lacks natively,
     // implemented as tagged-union + running window (one shuffle, no
