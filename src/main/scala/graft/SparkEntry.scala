@@ -223,6 +223,27 @@ object SparkEntry {
         ORDER BY n_name, o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // Semi-structured extraction: JSON payload column → typed field →
+    // aggregation (codegen'd JSON path, pushdown-friendly shape).
+    Q("q37_json_extract",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+            min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS cnt,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
     // Hierarchical rollup: subtotals at (flag, status), (flag), and
     // grand-total levels in one pass — Spark plans a single Expand +
     // hash aggregation, no multiple scans.
