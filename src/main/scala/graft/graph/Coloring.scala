@@ -34,7 +34,7 @@ object Coloring {
     * (src, dst), treated as undirected. Returns (id, color). */
   def run(vertices: DataFrame, edges: DataFrame,
           maxRounds: Int = 1000,
-          localFinishThreshold: Long = 50000,
+          localFinishThreshold: Long = 100000,
           foldEvery: Int = 8): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
