@@ -48,4 +48,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [Or(Not(EqualTo(event_type,error))"),
       p.linesIterator.take(25).mkString("\n"))
   }
+
+  test("as-of join is one window over one shuffle, not a range join") {
+    val p = planOf("q33_asof_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("rollup plans a single Expand, not multiple scans") {
+    val p = planOf("q34_rollup")
+    assert(p.contains("Expand"), p)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 1)
+  }
+
+  test("star join broadcasts both dimensions") {
+    val p = planOf("q30_star_join")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") == 2, p)
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
