@@ -29,7 +29,8 @@ object MlQueries {
 
   /** DuckDB: per-(vector, plane) signed projection onto the
     * deterministic hash-derived hyperplane (= Similarity.lshBuckets). */
-  private def bucketCte(src: String, out: String): String =
+  private def bucketCte(src: String, out: String,
+                        planes: Int = 8): String =
     s"""$out AS (
       SELECT vec_id, embedding,
              sum(CASE WHEN proj > 0
@@ -42,7 +43,7 @@ object MlQueries {
                          AS BIGINT) AS DOUBLE) / 1152921504606846976.0 - 0.5))
                  AS proj
         FROM $src e
-        CROSS JOIN (SELECT unnest(range(0, 8)) AS p) p
+        CROSS JOIN (SELECT unnest(range(0, $planes)) AS p) p
         CROSS JOIN (SELECT unnest(range(0, $Dim)) AS d) d
         GROUP BY e.vec_id, e.embedding, p.p)
       GROUP BY vec_id, embedding)"""
@@ -88,6 +89,39 @@ object MlQueries {
         FROM be e CROSS JOIN qb q
         WHERE e.bucket = q.bucket
         ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, e.vec_id
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    // Embedding-cosine near-dup detection, bucket-local: the corpus has
+    // no organic near-dups (max pairwise cos ≈ 0.51), so perturbed
+    // copies are planted at vec_id+100000 (element 1 replaced by a
+    // constant — no float arithmetic, exact cross-engine parity) and
+    // the operator must recover exactly the planted pairs that share a
+    // 4-plane LSH bucket, verified by exact cosine ≥ 0.85.
+    QuerySpec("q38_embedding_neardup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val aug = emb.unionAll(emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            concat(array(lit(0.5f)),
+              slice(col("embedding"), 2, Dim - 1)).as("embedding")))
+        Similarity.nearPairs(aug, planes = 4, minCos = 0.85)
+          .select(col("a"), col("b"), Exact.micros(col("cos")).as("cos_micros"))
+          .orderBy("a", "b")
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 [CAST(0.5 AS FLOAT)] || embedding[2:$Dim]
+          FROM embeddings WHERE vec_id % 20 = 0),
+        ${bucketCte("aug", "ba", planes = 4)}
+        SELECT l.vec_id AS a, r.vec_id AS b,
+               ${Exact.microsSql(cosSql("l.embedding", "r.embedding"))}
+                 AS cos_micros
+        FROM ba l JOIN ba r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.85
+        ORDER BY a, b"""))
   )
 }
