@@ -42,6 +42,10 @@ object Demo {
         "duration_ms").show(false)
     println("== sampled frames: " +
       graft.multimodal.Multimodal.sampleFrames(media, 60000).count())
+    println("== resized to 256x256 box")
+    graft.multimodal.Multimodal.resize(media, 256, 256)
+      .select(col("media_id"), col("width"), col("height"),
+        octet_length(col("payload")).as("n_bytes")).show(false)
 
     // --- full search read path over the real documents table ----------
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -82,4 +82,41 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("duration_ms"), lit(everyMs)))
           .as("frame_ts_ms"))
+
+  private val resizedSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Resize stub: a real implementation decodes + rescales pixels; the
+    * stub emits a deterministic payload whose SIZE scales with the
+    * target box (so tests can assert the contract) while the batch
+    * shape — per-partition pass, binary in/binary out, bounded output
+    * size — is exactly what a real resizer has. */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val idI = media.columns.indexOf("media_id")
+    val kindI = media.columns.indexOf("kind")
+    val payI = media.columns.indexOf("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payI)
+        val kind = r.getString(kindI)
+        val (w, h, _) = decodeStub(kind, payload)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / math.max(w, 1),
+            maxH.toDouble / math.max(h, 1)))
+        val (nw, nh) = (math.max(1, (w * scale).toInt),
+          math.max(1, (h * scale).toInt))
+        // stub "pixels": payload cycled to the new byte budget
+        val out = new Array[Byte](math.max(1, nw * nh / 64))
+        var i = 0
+        while (i < out.length) {
+          out(i) = payload(i % math.max(payload.length, 1)); i += 1
+        }
+        Row(r.getLong(idI), kind, nw, nh, out)
+      }
+    }(RowEncoder.encoderFor(resizedSchema))
+  }
 }

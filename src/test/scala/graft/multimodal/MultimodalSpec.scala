@@ -35,6 +35,20 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("media_id").distinct().as[Long].head() == 3L)
   }
 
+  test("resize bounds dimensions while preserving aspect ratio") {
+    val out = Multimodal.resize(media, maxW = 100, maxH = 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4).length))).toMap
+    val (w1, h1, _) = Multimodal.decodeStub("image",
+      "fake-jpeg-bytes".getBytes("UTF-8"))
+    val (nw, nh, _) = out(1L)
+    assert(nw <= 100 && nh <= 100)
+    // aspect preserved within integer truncation
+    assert(math.abs(nw.toDouble / nh - w1.toDouble / h1) < 0.1)
+    // shrunken payload is smaller than a full-size stub frame
+    assert(out(1L)._3 <= 100 * 100 / 64)
+  }
+
   test("payload survives a parquet round-trip as binary") {
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
     media.write.mode("overwrite").parquet(dir)
