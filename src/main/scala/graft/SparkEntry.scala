@@ -237,7 +237,8 @@ object SparkEntry {
       },
       Some("""
         SELECT event_type, count(*) AS cnt,
-               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         FROM events

@@ -6,13 +6,24 @@ import org.apache.spark.storage.StorageLevel
 
 /** Connected components by min-label propagation — the clustering step
   * of a dedup pipeline (near-dup PAIRS → duplicate GROUPS with one
-  * canonical member). Each round every vertex takes the minimum label
-  * among itself and its neighbours; converges in O(diameter) rounds
-  * (dedup components are near-cliques, so a handful).
+  * canonical member). Converges in O(diameter) rounds (dedup components
+  * are near-cliques, so a handful).
   *
-  * Same loop discipline as the other iterative operators: lazy
-  * `localCheckpoint` per generation, optional fixed round count for a
-  * fully-lazy single plan (used by the oracle-checked query).
+  * Scale design:
+  *  - **delta-frontier propagation**: round k only sends labels that
+  *    changed in round k-1. Bit-identical to full propagation (if a
+  *    neighbour's label last changed in round j < k-1, its value already
+  *    reached us in round j+1 and labels only decrease), but the edge
+  *    join shrinks with the frontier instead of staying O(V) per round —
+  *    at 100 TB most labels settle in 2-3 rounds and later rounds touch
+  *    only the shrinking boundary.
+  *  - the input pair pipeline (often an expensive minhash near-dup job)
+  *    is persisted and materialized ONCE before the forward+reverse
+  *    union references it twice.
+  *  - lazy `localCheckpoint` per generation keeps the logical plan
+  *    constant-size; with `earlyStop = false` the fixed round count
+  *    builds one lazy plan with zero extra driver actions (the shape
+  *    the unrolled SQL oracle checks).
   */
 object Components {
 
@@ -20,8 +31,13 @@ object Components {
     * component = min id reachable (within `maxRounds` hops). */
   def run(edges: DataFrame, maxRounds: Int = 20,
           earlyStop: Boolean = true): DataFrame = {
-    val und = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    // Materialize the caller's pair pipeline exactly once: the union
+    // below references it twice and Spark does not dedupe common plan
+    // subtrees, so an unmaterialized upstream would run twice.
+    val pairs = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -29,25 +45,30 @@ object Components {
       .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(false)
+    // Round 0 frontier = every vertex (its own label is "news").
+    var frontier = labels
 
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
-      val next = labels
-        .unionByName(und
-          .join(labels.withColumnRenamed("id", "dst")
-            .withColumnRenamed("component", "nlbl"), Seq("dst"))
-          .select(col("src").as("id"), col("nlbl").as("component")))
-        .groupBy("id").agg(min("component").as("component"))
+      // Only frontier labels travel over edges; min per receiver.
+      val msgs = frontier
+        .join(und.withColumnRenamed("src", "id"), Seq("id"))
+        .select(col("dst").as("id"), col("component").as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      // One join + one checkpoint per round; `changed` marks the next
+      // frontier so it is a free projection of the same generation.
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          when(col("cand") < col("component"), col("cand"))
+            .otherwise(col("component")).as("component"),
+          coalesce(col("cand") < col("component"), lit(false)).as("changed"))
         .localCheckpoint(false)
+      labels = next.select("id", "component")
+      frontier = next.filter(col("changed")).select("id", "component")
       if (earlyStop) {
-        val changed = next
-          .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-          .filter(col("component") < col("prev"))
-          .limit(1).count()
-        if (changed == 0) done = true
+        if (frontier.limit(1).count() == 0) done = true
       }
-      labels = next
       round += 1
     }
     labels

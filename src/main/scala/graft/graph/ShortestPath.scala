@@ -6,54 +6,107 @@ import org.apache.spark.storage.StorageLevel
 
 /** Single-source shortest path — Bellman-Ford relaxation as a DataFrame
   * loop (reference G9, `shortestpath/path.go:145-197`: min-cost message
-  * relax until no vertex improves; negative weights rejected).
+  * relax until no vertex improves; negative weights rejected,
+  * `path.go:87-93`; the answer includes the actual path, rebuilt from
+  * per-vertex predecessor pointers, `path.go:115-141`).
   *
   * Distances are LongType so results are exact (and cross-engine
-  * comparable). Each round is one shuffle (`groupBy(id).min`): the
-  * frontier of known distances joins the edge table, candidate
-  * distances union the previous state, and min wins. Vertices never
-  * reached are absent from the result (infinite distance).
+  * comparable). Each round is one shuffle (`groupBy(id).min(struct)`):
+  * the frontier of known distances joins the edge table, candidate
+  * `(dist, prev)` pairs union the previous state, and the lexicographic
+  * minimum wins — ties on distance break to the smallest predecessor id,
+  * so the chosen tree (and every reconstructed path) is deterministic.
+  * Vertices never reached are absent from the result (infinite
+  * distance).
   */
 object ShortestPath {
 
-  /** edges: (src, dst, w: long ≥ 0). Runs `maxHops` relaxation rounds
-    * (Bellman-Ford converges in ≤ |V|-1; callers bound it).
+  /** Full per-vertex state: (id, dist, prev), where `prev` is the
+    * chosen predecessor on a shortest path and "" marks the source.
     *
-    * With `earlyStop = false` the loop builds ONE lazy plan — zero
-    * driver actions until the caller consumes the result (right for
-    * small fixed hop counts); with `earlyStop = true` each round pays
-    * one action to detect the fixed point and stop. */
-  def run(edges: DataFrame, sourceId: String, maxHops: Int,
-          earlyStop: Boolean = true, checkpointEvery: Int = 8): DataFrame = {
+    * edges: (src, dst, w: long ≥ 0) — negative weights rejected up
+    * front (one bounded scan) unless `validateWeights = false`. Runs
+    * `maxHops` relaxation rounds (Bellman-Ford converges in ≤ |V|-1;
+    * callers bound it). With `earlyStop = false` the loop builds ONE
+    * lazy plan — zero driver actions beyond the weight guard. */
+  def state(edges: DataFrame, sourceId: String, maxHops: Int,
+            earlyStop: Boolean = true,
+            validateWeights: Boolean = true): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (validateWeights) {
+      require(e.filter(col("w") < 0).limit(1).count() == 0,
+        "negative edge weights are not supported (reference " +
+          "shortestpath/path.go:87-93 rejects them)")
+    }
     val spark = edges.sparkSession
     import spark.implicits._
 
-    var dist = Seq((sourceId, 0L)).toDF("id", "dist")
+    var st = Seq((sourceId, 0L, "")).toDF("id", "dist", "prev")
       .localCheckpoint(false)
     var hop = 0
     var done = false
     while (hop < maxHops && !done) {
-      val relaxed = dist
+      val relaxed = st
         .join(e.withColumnRenamed("src", "id"), Seq("id"))
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"),
+          col("id").as("prev"))
       // Lazy localCheckpoint: constant-size plan per round (the union
-      // references `dist` twice — unchecked, the plan doubles per hop).
-      val next = dist.union(relaxed)
-        .groupBy("id").agg(min("dist").as("dist"))
+      // references `st` twice — unchecked, the plan doubles per hop).
+      val next = st.select(col("id"), struct(col("dist"), col("prev")).as("sp"))
+        .union(relaxed.select(col("id"),
+          struct(col("dist"), col("prev")).as("sp")))
+        .groupBy("id").agg(min("sp").as("sp"))
+        .select(col("id"), col("sp.dist").as("dist"), col("sp.prev").as("prev"))
         .localCheckpoint(false)
       if (earlyStop) {
         // Converged when no distance improved and no vertex appeared.
-        val changed = next.join(dist.withColumnRenamed("dist", "prev"),
+        val changed = next.join(st.select(col("id"), col("dist").as("pd")),
             Seq("id"), "left")
-          .filter(col("prev").isNull || col("dist") < col("prev"))
+          .filter(col("pd").isNull || col("dist") < col("pd"))
           .limit(1).count()
         if (changed == 0) done = true
       }
-      dist = next
+      st = next
       hop += 1
     }
-    dist
+    st
   }
+
+  /** Distances only — (id, dist), the reference's scalar answer. */
+  def run(edges: DataFrame, sourceId: String, maxHops: Int,
+          earlyStop: Boolean = true, checkpointEvery: Int = 8): DataFrame =
+    state(edges, sourceId, maxHops, earlyStop).select("id", "dist")
+
+  /** Path reconstruction for EVERY reachable vertex at once: walks the
+    * predecessor pointers `maxSteps` times in parallel (a join per step
+    * against the state table, not a driver-side walk per destination).
+    * Returns (id, dist, path) with path = "src->…->id". `maxSteps` must
+    * be ≥ the relaxation hop bound — back-pointer chains cannot be
+    * longer than the hop count that produced them. */
+  def paths(st: DataFrame, maxSteps: Int): DataFrame = {
+    val s = st.persist(StorageLevel.MEMORY_AND_DISK)
+    var walk = s.select(col("id"), col("dist"),
+      array(col("id")).as("path"), col("id").as("head"))
+    for (_ <- 0 until maxSteps) {
+      walk = walk
+        .join(s.select(col("id").as("head"), col("prev").as("ph")),
+          Seq("head"))
+        .select(col("id"), col("dist"),
+          when(col("ph") === "", col("path"))
+            .otherwise(concat(array(col("ph")), col("path"))).as("path"),
+          when(col("ph") === "", col("head"))
+            .otherwise(col("ph")).as("head"))
+        .localCheckpoint(false)
+    }
+    walk.select(col("id"), col("dist"),
+      concat_ws("->", col("path")).as("path"))
+  }
+
+  /** One destination's path as plain Scala (reference
+    * `BuildShortestPathTo`): None if unreachable. */
+  def pathTo(st: DataFrame, dst: String, maxSteps: Int): Option[Seq[String]] =
+    paths(st, maxSteps).filter(col("id") === dst)
+      .select("path").collect()
+      .headOption.map(_.getString(0).split("->").toSeq)
 }

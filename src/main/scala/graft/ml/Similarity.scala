@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.dedup.Dedup
+import org.apache.spark.storage.StorageLevel
 
 /** Embedding similarity search over an `array<float>` column — the
   * approximate-nearest-neighbour surface of the training-data pipeline.
@@ -14,11 +14,18 @@ import graft.dedup.Dedup
   *  - [[bruteForceTopK]] is the exact baseline: one pass over N rows,
   *    top-k via orderBy+limit (Spark plans TakeOrderedAndProject — no
   *    full sort materialization);
-  *  - [[lshBuckets]]/[[lshTopK]] is the scale path: sign-random-
-  *    projection buckets with deterministic hash-derived hyperplanes —
-  *    candidate set shrinks by ~2^planes, then exact cosine re-ranks.
-  *    At 100 TB the bucketed variant turns an all-pairs scan into a
-  *    bucket-local join.
+  *  - [[lshBuckets]]/[[lshTopK]]/[[nearPairs]] is the scale path:
+  *    sign-random-projection signatures against a deterministic
+  *    hash-derived hyperplane matrix. The matrix is computed ONCE on the
+  *    driver and baked into the plan as literal arrays — the projection
+  *    is a plain codegen'd fold per plane, no per-row hashing.
+  *
+  * Bucket-count scaling law: a band key of `b` bits yields `2^b` buckets
+  * per band, and the bucket-local self-join costs Σ bucket² ≈ N²/2^b per
+  * band. Choose `b ≈ log2(N / targetBucketSize)` so buckets stay
+  * join-sized as the corpus grows — at 100 TB that means 16-20+ bits per
+  * band (and more bands to buy recall back), never a handful of global
+  * buckets.
   */
 object Similarity {
 
@@ -55,22 +62,32 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * portable 60-bit hash mapped into [-0.5, 0.5). */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    Dedup.portableHash(concat(plane, lit(":"), dim))
-      .cast("double") / lit((1L << 60).toDouble) - lit(0.5)
+    * portable 60-bit hash of "p:d" mapped into [-0.5, 0.5). Computed on
+    * the driver with the same md5-prefix formula the SQL oracles use, so
+    * the literal matrix is bit-identical across engines. */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane:$dim".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
+      (1L << 60).toDouble - 0.5
+  }
 
-  /** Sign-random-projection bucket id for each vector: one bit per
-    * hyperplane. `planes` ≤ 30. */
+  /** The planes × dim hyperplane matrix, driver-side. */
+  def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)(planeComponent)
+
+  /** Sign-random-projection signature for each vector: one bit per
+    * hyperplane (`planes` ≤ 60). The hyperplanes enter the plan as
+    * literal arrays — each projection is one codegen'd zip_with/fold. */
   def lshBuckets(emb: DataFrame, planes: Int,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding",
+                 dim: Int = 64): DataFrame = {
+    val m = planeMatrix(planes, dim)
     val sig = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(asDouble(col(vecCol)),
-          transform(sequence(lit(0), size(col(vecCol)) - 1),
-            d => planeComponent(lit(p), d)),
-          _ * _),
+      val plane = array(m(p).map(lit(_)): _*)
+      val proj = aggregate(zip_with(asDouble(col(vecCol)), plane, _ * _),
         lit(0.0), _ + _)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
@@ -83,30 +100,50 @@ object Similarity {
   def lshTopK(emb: DataFrame, query: Seq[Float], k: Int, planes: Int = 8,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val withB = lshBuckets(emb, planes, idCol, vecCol)
-    val qB = lshBuckets(Seq(Tuple1(query)).toDF(vecCol), planes, idCol, vecCol)
-      .select("bucket").first().getLong(0)
+    val dim = query.length
+    // Query-side signature needs no Spark job: same driver-side matrix.
+    val m = planeMatrix(planes, dim)
+    val qB = (0 until planes).map { p =>
+      val proj = (0 until dim)
+        .foldLeft(0.0)((acc, d) => acc + query(d).toDouble * m(p)(d))
+      if (proj > 0) 1L << p else 0L
+    }.sum
     val q = array(query.map(lit(_)): _*)
-    withB.filter(col("bucket") === qB)
+    lshBuckets(emb, planes, idCol, vecCol, dim)
+      .filter(col("bucket") === qB)
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
 
-  /** All-pairs near neighbours above a cosine threshold, bucket-local:
-    * only pairs sharing an LSH bucket are compared. */
+  /** All-pairs near neighbours above a cosine threshold, bucket-local
+    * with minhash-style banding: the `planes`-bit signature splits into
+    * `bands` keys of planes/bands bits; a pair is a candidate iff it
+    * matches on ALL bits of ≥ 1 band, then exact cosine verifies. More
+    * bits per band → smaller buckets (cheaper join); more bands → recall
+    * back (see the scaling law in the object doc). */
   def nearPairs(emb: DataFrame, planes: Int, minCos: Double,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
-    val b = lshBuckets(emb, planes, idCol, vecCol)
-    val l = b.select(col("bucket"), col(idCol).as("a"),
-      col(vecCol).as("va"))
-    val r = b.select(col("bucket"), col(idCol).as("b"),
-      col(vecCol).as("vb"))
-    l.join(r, Seq("bucket"))
+                vecCol: String = "embedding",
+                bands: Int = 1, dim: Int = 64): DataFrame = {
+    require(planes % bands == 0, "planes must divide evenly into bands")
+    val rpb = planes / bands
+    // emb is referenced by the band join (twice) and the verify (twice).
+    val e = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    val keyed = lshBuckets(e, planes, idCol, vecCol, dim)
+      .select(col(idCol), col("bucket"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("key",
+        expr(s"shiftright(bucket, CAST(band * $rpb AS INT))")
+          .bitwiseAND(lit((1L << rpb) - 1)))
+    val l = keyed.select(col("band"), col("key"), col(idCol).as("a"))
+    val r = keyed.select(col("band"), col("key"), col(idCol).as("b"))
+    val cand = l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(e.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(e.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCos)
   }

@@ -136,8 +136,9 @@ object DedupQueries {
           FROM tf CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
           GROUP BY doc_id, b)
         SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
-                   ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN s > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                        ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
     // SimHash near-dups on the augmented corpus: banded candidate

@@ -83,6 +83,54 @@ object GraphQueries {
       SELECT id, dist FROM d$hops ORDER BY id"""
   }
 
+  /** Unrolled Bellman-Ford WITH predecessor tracking, then an unrolled
+    * back-pointer walk rebuilding every vertex's path. Ties on distance
+    * break to the smallest predecessor id (row_number ORDER BY dist,
+    * prev ≡ Spark's min(struct(dist, prev))), so the tree is
+    * deterministic on both engines. */
+  private def shortestPathTreeSql(hops: Int): String = {
+    val relax = (1 to hops).map { k =>
+      s"""s$k AS (
+         SELECT id, dist, prev FROM (
+           SELECT id, dist, prev,
+                  row_number() OVER (PARTITION BY id
+                                     ORDER BY dist, prev) AS rn
+           FROM (
+             SELECT id, dist, prev FROM s${k - 1}
+             UNION ALL
+             SELECT e.dst AS id, d.dist + e.w AS dist, d.id AS prev
+             FROM s${k - 1} d JOIN edges e ON d.id = e.src))
+         WHERE rn = 1)"""
+    }.mkString(",\n")
+    val walk = (1 to hops).map { j =>
+      s"""w$j AS (
+         SELECT w.id, w.dist,
+                CASE WHEN s.prev = '' THEN w.path
+                     ELSE list_prepend(s.prev, w.path) END AS path,
+                CASE WHEN s.prev = '' THEN w.head ELSE s.prev END AS head
+         FROM w${j - 1} w JOIN s$hops s ON w.head = s.id)"""
+    }.mkString(",\n")
+    s"""
+      WITH eo AS (
+        SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst,
+               CAST(l_linenumber AS BIGINT) AS w
+        FROM lineitem
+        UNION ALL
+        SELECT 'p' || l_partkey, 'o' || l_orderkey,
+               CAST(l_suppkey % 5 + 1 AS BIGINT)
+        FROM lineitem),
+      edges AS (SELECT src, dst, min(w) AS w FROM eo GROUP BY src, dst),
+      s0 AS (
+        SELECT 'o' || min(o_orderkey) AS id, CAST(0 AS BIGINT) AS dist,
+               '' AS prev
+        FROM orders),
+      $relax,
+      w0 AS (SELECT id, dist, [id] AS path, id AS head FROM s$hops),
+      $walk
+      SELECT id, dist, array_to_string(path, '->') AS path
+      FROM w$hops ORDER BY id"""
+  }
+
   def specs: Seq[QuerySpec] = Seq(
 
     // G6: PageRank with dead-end mass redistribution + damped formula —
@@ -127,6 +175,30 @@ object GraphQueries {
           .orderBy("id")
       },
       Some(shortestPathSql(SpHops))),
+
+    // G9 (full): shortest-path TREE — distances plus the actual path,
+    // rebuilt from per-vertex predecessor pointers in a parallel
+    // back-walk (reference `shortestpath/path.go:115-141`
+    // BuildShortestPathTo, here for every vertex at once).
+    QuerySpec("q39_shortest_path_tree",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val eo = li.select(
+            concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
+            concat(lit("p"), col("l_partkey").cast("string")).as("dst"),
+            col("l_linenumber").cast("long").as("w"))
+          .unionAll(li.select(
+            concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+            concat(lit("o"), col("l_orderkey").cast("string")).as("dst"),
+            (col("l_suppkey") % 5 + 1).cast("long").as("w")))
+        val edges = eo.groupBy("src", "dst").agg(min("w").as("w"))
+        val source = "o" + Tables.orders(s, dir)
+          .agg(min("o_orderkey")).first().getLong(0)
+        val st = ShortestPath.state(edges, source, SpHops,
+          earlyStop = false)
+        ShortestPath.paths(st, SpHops).orderBy("id")
+      },
+      Some(shortestPathTreeSql(SpHops))),
 
     // G10: greedy coloring with deterministic token symmetry-breaking.
     // Not SQL-expressible (sequential rounds) → rows-only driver check;

@@ -8,7 +8,11 @@ import graft.util.Exact
 /** Embedding similarity queries over `embeddings` (64-dim float
   * vectors). The oracles unroll the 64-element dot products as chained
   * `+` so the left-to-right double accumulation matches Spark's
-  * `aggregate` fold bit-for-bit.
+  * `aggregate` fold bit-for-bit; LSH hyperplanes are emitted as the SAME
+  * literal doubles `Similarity.planeMatrix` bakes into the Spark plan
+  * (shortest-round-trip formatting re-parses to identical bits), so the
+  * projection sums are order-deterministic on both engines — no
+  * group-sum reassociation flake near a sign boundary.
   */
 object MlQueries {
 
@@ -27,26 +31,21 @@ object MlQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (${normSql(a)} * ${normSql(b)})"
 
-  /** DuckDB: per-(vector, plane) signed projection onto the
-    * deterministic hash-derived hyperplane (= Similarity.lshBuckets). */
-  private def bucketCte(src: String, out: String,
-                        planes: Int = 8): String =
-    s"""$out AS (
-      SELECT vec_id, embedding,
-             sum(CASE WHEN proj > 0
-                 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)
-               AS bucket
-      FROM (
-        SELECT e.vec_id, e.embedding, p.p,
-               sum(CAST(e.embedding[d.d + 1] AS DOUBLE) *
-                   (CAST(CAST(('0x' || substring(md5(p.p || ':' || d.d), 1, 15))
-                         AS BIGINT) AS DOUBLE) / 1152921504606846976.0 - 0.5))
-                 AS proj
-        FROM $src e
-        CROSS JOIN (SELECT unnest(range(0, $planes)) AS p) p
-        CROSS JOIN (SELECT unnest(range(0, $Dim)) AS d) d
-        GROUP BY e.vec_id, e.embedding, p.p)
-      GROUP BY vec_id, embedding)"""
+  /** Signed projection of `vecExpr` onto plane `p`, unrolled with the
+    * driver-computed literal components (= Similarity.lshBuckets). */
+  private def projSql(vecExpr: String, plane: Array[Double]): String =
+    plane.zipWithIndex.map { case (c, d) =>
+      s"CAST($vecExpr[${d + 1}] AS DOUBLE) * ($c)"
+    }.mkString(" + ")
+
+  /** `planes`-bit sign-LSH signature of `vecExpr` as a BIGINT. */
+  private def bucketSql(vecExpr: String, planes: Int): String = {
+    val m = Similarity.planeMatrix(planes, Dim)
+    (0 until planes).map { p =>
+      s"(CASE WHEN (${projSql(vecExpr, m(p))}) > 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+  }
 
   private def queryVec(s: org.apache.spark.sql.SparkSession,
                        dir: String): Seq[Float] =
@@ -82,7 +81,9 @@ object MlQueries {
           .select(col("vec_id"), Exact.micros(col("cos")).as("cos_micros"))
       },
       Some(s"""
-        WITH ${bucketCte("embeddings", "be")},
+        WITH be AS (
+          SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket
+          FROM embeddings),
         qb AS (SELECT bucket, embedding AS qv FROM be WHERE vec_id = 0)
         SELECT e.vec_id, ${Exact.microsSql(cosSql("e.embedding", "q.qv"))}
                  AS cos_micros
@@ -91,12 +92,17 @@ object MlQueries {
         ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, e.vec_id
         LIMIT 10""")),
 
-    // Embedding-cosine near-dup detection, bucket-local: the corpus has
-    // no organic near-dups (max pairwise cos ≈ 0.51), so perturbed
+    // Embedding-cosine near-dup detection, banded sign-LSH: the corpus
+    // has no organic near-dups (max pairwise cos ≈ 0.51), so perturbed
     // copies are planted at vec_id+100000 (element 1 replaced by a
-    // constant — no float arithmetic, exact cross-engine parity) and
-    // the operator must recover exactly the planted pairs that share a
-    // 4-plane LSH bucket, verified by exact cosine ≥ 0.85.
+    // constant — no float arithmetic, exact cross-engine parity). A
+    // 24-bit signature split into 3 bands of 8 bits generates candidates
+    // (minhash-style: match ≥ 1 whole band), exact cosine ≥ 0.85
+    // verifies. The banded key is the scale shape: bucket count per band
+    // is 2^bitsPerBand, so pick bitsPerBand ≈ log2(N/targetBucketSize) —
+    // 8 bits ≈ 2 vectors/bucket at this corpus size; a 100 TB corpus
+    // widens each band to 16-20+ bits (and adds bands for recall), the
+    // join cost staying Σ bucket² ≈ N²/2^bits per band.
     QuerySpec("q38_embedding_neardup",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -104,7 +110,7 @@ object MlQueries {
           .select((col("vec_id") + 100000).as("vec_id"),
             concat(array(lit(0.5f)),
               slice(col("embedding"), 2, Dim - 1)).as("embedding")))
-        Similarity.nearPairs(aug, planes = 4, minCos = 0.85)
+        Similarity.nearPairs(aug, planes = 24, minCos = 0.85, bands = 3)
           .select(col("a"), col("b"), Exact.micros(col("cos")).as("cos_micros"))
           .orderBy("a", "b")
       },
@@ -115,13 +121,24 @@ object MlQueries {
           SELECT vec_id + 100000,
                  [CAST(0.5 AS FLOAT)] || embedding[2:$Dim]
           FROM embeddings WHERE vec_id % 20 = 0),
-        ${bucketCte("aug", "ba", planes = 4)}
-        SELECT l.vec_id AS a, r.vec_id AS b,
-               ${Exact.microsSql(cosSql("l.embedding", "r.embedding"))}
+        ba AS (
+          SELECT vec_id, embedding, ${bucketSql("embedding", 24)} AS bucket
+          FROM aug),
+        bb AS (
+          SELECT vec_id, band,
+                 (bucket >> CAST(band * 8 AS INT)) & 255 AS key
+          FROM ba CROSS JOIN (SELECT unnest(range(0, 3)) AS band)),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          FROM bb l JOIN bb r
+            ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)
+        SELECT c.a, c.b,
+               ${Exact.microsSql(cosSql("la.embedding", "rb.embedding"))}
                  AS cos_micros
-        FROM ba l JOIN ba r
-          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-        WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.85
+        FROM cand c
+        JOIN aug la ON la.vec_id = c.a
+        JOIN aug rb ON rb.vec_id = c.b
+        WHERE ${cosSql("la.embedding", "rb.embedding")} >= 0.85
         ORDER BY a, b"""))
   )
 }

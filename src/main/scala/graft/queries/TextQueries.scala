@@ -137,8 +137,8 @@ object TextQueries {
                  generate_subscripts(l, 1) - 1 AS pos
           FROM lt)
         SELECT doc_id,
-               sum(CAST(('0x' || substring(md5(pos || ':' || tok), 1, 15))
-                        AS BIGINT) % 1000000007) AS fingerprint
+               CAST(sum(CAST(('0x' || substring(md5(pos || ':' || tok), 1, 15))
+                             AS BIGINT) % 1000000007) AS BIGINT) AS fingerprint
         FROM toks GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---------------------------------------------------------- HTML (T1-T6)

@@ -27,7 +27,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("identical vectors share an LSH bucket; opposite vectors don't") {
-    val b = Similarity.lshBuckets(vecs, planes = 12)
+    val b = Similarity.lshBuckets(vecs, planes = 12, dim = 3)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
     assert(b(0L) != b(3L)) // antipodal: all projection signs flip
   }
@@ -40,7 +40,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("nearPairs respects the threshold within buckets") {
-    val p = Similarity.nearPairs(vecs, planes = 2, minCos = 0.99)
+    val p = Similarity.nearPairs(vecs, planes = 2, minCos = 0.99, dim = 3)
       .select("a", "b").as[(Long, Long)].collect().toSet
     // only (0,1) has cos ≥ 0.99 among bucket-mates
     assert(p.subsetOf(Set((0L, 1L))))

@@ -31,11 +31,17 @@ for name, sql in sorted(oracle.items()):
         cols = sorted(tbl.column_names)
         rows = [tuple(str(tbl.column(c)[i].as_py()) for c in cols)
                 for i in range(tbl.num_rows)]
-        return cols, sorted(rows)
-    sc, sr = norm(spark_tbl)
-    oc, orr = norm(ora_tbl)
+        types = [str(tbl.schema.field(c).type) for c in cols]
+        return cols, sorted(rows), types
+    sc, sr, st = norm(spark_tbl)
+    oc, orr, ot = norm(ora_tbl)
     if sc != oc:
         print(f"SCHEMA   {name}: spark={sc} oracle={oc}"); fail += 1
+    # the driver's hash is type-aware: decimal128 vs int64 with equal
+    # values still fails the gate (round-2 q16/q22/q37 lesson)
+    elif st != ot:
+        print(f"TYPES    {name}: spark={list(zip(sc, st))} "
+              f"oracle={list(zip(oc, ot))}"); fail += 1
     elif sr != orr:
         diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
         print(f"ROWS     {name}: {len(sr)} vs {len(orr)} rows; first diffs {diffs}")
