@@ -19,6 +19,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.quietExpected()
     new java.io.File(outDir).mkdirs()
     // Queries are independent — run them on a small thread pool so the
     // cluster stays busy (Spark's FIFO scheduler interleaves concurrent

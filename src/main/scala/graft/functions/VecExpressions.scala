@@ -24,6 +24,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * composition (SURVEY §4 found none *required* for parity — this is a
   * performance specialization; the fold remains the reference
   * implementation, asserted equal in VecExpressionsSpec).
+  *
+  * Contract (narrower than the fold): inputs must be equal-length
+  * arrays with no null elements — mismatched lengths raise rather than
+  * silently truncating (the fold would return NULL), and null elements
+  * are undefined (the fold would propagate NULL). The engine's
+  * embedding columns are fixed-width non-null, which is the only shape
+  * the hot path serves.
   */
 case class DotProductFF(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -36,7 +43,11 @@ case class DotProductFF(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"dot_ff requires equal-length arrays, got $n and ${y.numElements()}")
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -53,7 +64,12 @@ case class DotProductFF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_ff requires equal-length arrays, got " + $n + " and " +
+         |    $y.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);

@@ -31,10 +31,16 @@ import org.apache.spark.storage.StorageLevel
 object Coloring {
 
   /** vertices: (id [, color]) — optional pre-colored rows; edges:
-    * (src, dst), treated as undirected. Returns (id, color). */
+    * (src, dst), treated as undirected. Returns (id, color).
+    *
+    * The driver-side tail finish engages only when BOTH the residual
+    * vertex count and the residual edge count fit their thresholds — a
+    * dense residual can carry far more edges than vertices, and the
+    * collect is bounded by the larger of the two. */
   def run(vertices: DataFrame, edges: DataFrame,
           maxRounds: Int = 1000,
           localFinishThreshold: Long = 100000,
+          localFinishEdgeThreshold: Long = 2000000,
           foldEvery: Int = 8): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
@@ -82,8 +88,18 @@ object Coloring {
     var remaining = uncolored.count()
     var doneParts: List[DataFrame] = List(preColored)
     var round = 0
+    var finishLocally = false
 
-    while (remaining > localFinishThreshold && round < maxRounds) {
+    // Residual edges with both endpoints still uncolored — `active`
+    // tracks exactly this set, so the bound is one cheap count of an
+    // already-materialized frame (no extra joins).
+    def residualSmallEnough(): Boolean =
+      remaining <= localFinishThreshold &&
+        active.count() <= localFinishEdgeThreshold
+
+    while (remaining > 0 && round < maxRounds && !finishLocally) {
+      if (residualSmallEnough()) { finishLocally = true }
+      else {
       val nbrMax = active
         .groupBy(col("src").as("id"))
         .agg(max(struct(col("n_token"), col("dst"))).as("max_nbr"))
@@ -122,6 +138,7 @@ object Coloring {
       round += 1
       if (sys.env.contains("GRAFT_LOOP_DEBUG"))
         println(s"[coloring] round=$round won=$nWon remaining=$remaining")
+      }
     }
 
     if (remaining > 0) {

@@ -29,6 +29,22 @@ object Ivf {
     aggregate(zip_with(asDouble(a), asDouble(b),
       (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
+  /** Assign every vector to its nearest centroid — min squared L2,
+    * ties to the smallest cluster id (deterministic). centroids:
+    * (cluster, centroid: array<double>), broadcast (k is small by
+    * construction). */
+  def assign(emb: DataFrame, centroids: DataFrame,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", sqDist(col(vecCol), col("centroid")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("d"), col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cluster"))
+
   /** Build an IVF index: `k` clusters, `iters` Lloyd rounds.
     * Deterministic: initial centroids are the `k` vectors with the
     * smallest xxhash64(id). */
@@ -47,12 +63,7 @@ object Ivf {
       .localCheckpoint() // tiny: k rows, eager
 
     for (_ <- 0 until iters) {
-      val assigned = data.crossJoin(broadcast(centroids))
-        .withColumn("d", sqDist(col(vecCol), col("centroid")))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(idCol).orderBy(col("d"), col("cluster"))))
-        .filter(col("rn") === 1)
+      val assigned = assign(data, centroids, idCol, vecCol)
       // new centroid = element-wise mean of member vectors (posexplode
       // keeps it schema-free — no fixed dimensionality anywhere)
       centroids = assigned
@@ -67,13 +78,7 @@ object Ivf {
         .localCheckpoint()
     }
 
-    val assignments = data.crossJoin(broadcast(centroids))
-      .withColumn("d", sqDist(col(vecCol), col("centroid")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(idCol).orderBy(col("d"), col("cluster"))))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cluster"))
+    val assignments = assign(data, centroids, idCol, vecCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     data.unpersist()
     Index(assignments, centroids)

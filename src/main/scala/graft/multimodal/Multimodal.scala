@@ -109,11 +109,15 @@ object Multimodal {
             maxH.toDouble / math.max(h, 1)))
         val (nw, nh) = (math.max(1, (w * scale).toInt),
           math.max(1, (h * scale).toInt))
-        // stub "pixels": payload cycled to the new byte budget
+        // stub "pixels": payload cycled to the new byte budget (an
+        // empty payload yields zero-filled output — no modulo indexing
+        // into a zero-length array)
         val out = new Array[Byte](math.max(1, nw * nh / 64))
-        var i = 0
-        while (i < out.length) {
-          out(i) = payload(i % math.max(payload.length, 1)); i += 1
+        if (payload.length > 0) {
+          var i = 0
+          while (i < out.length) {
+            out(i) = payload(i % payload.length); i += 1
+          }
         }
         Row(r.getLong(idI), kind, nw, nh, out)
       }

@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   * (key, ts) carrying the last-seen right payload forward — a single
   * shuffle on the key, linear work, no pair blow-up.
   *
+  * The right payload travels as ONE struct through a single
+  * `last(..., ignoreNulls)` — all returned right columns always come
+  * from the SAME right row, even when some of its payload columns are
+  * NULL (per-column carry would stitch fields from different rows).
+  *
   * Tie rule: a right row at exactly `leftTs` matches (>=); among right
-  * rows with the same timestamp the one latest in `tieCol` order wins.
+  * rows sharing (key, rightTs) the window orders by the payload struct
+  * itself, so the winner is the one with the largest payload tuple —
+  * arbitrary but deterministic.
   */
 object AsOf {
 
@@ -26,34 +33,35 @@ object AsOf {
     val payloadCols = right.columns
       .filterNot(keyCols.contains).filterNot(_ == rightTs).toSeq
 
+    // The whole right row rides in one struct: ts first (it is non-null
+    // on right rows, so last(ignoreNulls) keys on row presence, not on
+    // individual payload nullability), then the payload columns.
     val taggedRight = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        payloadCols.map(c => col(c).as(s"$rightPrefix$c")) ++
-        Seq(col(rightTs).as(s"$rightPrefix$rightTs")): _*)
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          struct(col(rightTs).as("__rts") +: payloadCols.map(col): _*)
+            .as("__rp")): _*)
     val taggedLeft = left.select(
       keyCols.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"$rightPrefix$c")) ++
-        Seq(lit(null).cast(right.schema(rightTs).dataType)
-          .as(s"$rightPrefix$rightTs")) ++
         left.columns.filterNot(keyCols.contains).filterNot(_ == leftTs)
           .map(col): _*)
 
-    // right rows sort before left rows at equal ts (__side 0 < 1), so
-    // `last(..., ignoreNulls)` over the running frame gives each left
-    // row the latest right payload with rightTs <= leftTs.
+    // right rows sort before left rows at equal ts (__side 0 < 1); the
+    // struct as the final sort key makes equal-(key, ts) right rows
+    // deterministic. unionByName fills __rp with NULL on left rows.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__rp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (s"$rightPrefix$rightTs" +: payloadCols.map(rightPrefix + _))
-      .foldLeft(taggedLeft.unionByName(taggedRight,
-        allowMissingColumns = true)) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    val carried = taggedLeft
+      .unionByName(taggedRight, allowMissingColumns = true)
+      .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w))
+
     carried.filter(col("__side") === 1)
+      .withColumn(s"$rightPrefix$rightTs", col("__rp.__rts"))
+      .withColumns(payloadCols.map(c =>
+        s"$rightPrefix$c" -> col(s"__rp.$c")).toMap)
       .withColumnRenamed("__ts", leftTs)
-      .drop("__side")
+      .drop("__side", "__rp")
   }
 }

@@ -47,6 +47,14 @@ object MlQueries {
     }.mkString(" + ")
   }
 
+  /** Squared L2 between two float arrays, per-element double widening,
+    * left-to-right (= Ivf.sqDist's fold). */
+  private def sqDistSql(a: String, b: String): String =
+    (1 to Dim).map { i =>
+      s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE)) * " +
+        s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
+    }.mkString(" + ")
+
   private def queryVec(s: org.apache.spark.sql.SparkSession,
                        dir: String): Seq[Float] =
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
@@ -90,6 +98,50 @@ object MlQueries {
         FROM be e CROSS JOIN qb q
         WHERE e.bucket = q.bucket
         ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, e.vec_id
+        LIMIT 10""")),
+
+    // IVF coarse-quantizer probe: assign every vector to its nearest of
+    // 8 fixed centroids (the vec_id < 8 embeddings — no Lloyd averaging
+    // in the oracle path, so every arithmetic step is an ordered fold),
+    // then scan only the nprobe=2 clusters nearest the query and exact-
+    // rank by cosine. This is the IVF read path at 100 TB: the
+    // assignment table is partitioned by cluster, a probe reads
+    // ~nprobe/k of the corpus. (Lloyd build determinism is covered by
+    // IvfSpec; group means are engine-local FP, so the driver oracle
+    // pins the quantizer instead.)
+    QuerySpec("q41_ivf_probe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cluster"),
+            transform(col("embedding"), _.cast("double")).as("centroid"))
+        val idx = graft.ml.Ivf.Index(
+          graft.ml.Ivf.assign(emb, cents), cents)
+        graft.ml.Ivf.topK(idx, queryVec(s, dir), 10, nprobe = 2)
+          .select(col("vec_id"), Exact.micros(col("cos")).as("cos_micros"))
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS cluster, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probed AS (
+          SELECT cluster FROM (
+            SELECT c.cluster, ${sqDistSql("q.qv", "c.cvec")} AS d
+            FROM cents c CROSS JOIN q
+            ORDER BY d, cluster LIMIT 2)),
+        assigned AS (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqDistSql("e.embedding", "c.cvec")},
+                              c.cluster) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1)
+        SELECT a.vec_id, ${Exact.microsSql(cosSql("a.embedding", "q.qv"))}
+                 AS cos_micros
+        FROM assigned a JOIN probed USING (cluster) CROSS JOIN q
+        ORDER BY ${cosSql("a.embedding", "q.qv")} DESC, a.vec_id
         LIMIT 10""")),
 
     // Embedding-cosine near-dup detection, banded sign-LSH: the corpus

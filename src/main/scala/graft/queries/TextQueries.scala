@@ -212,15 +212,72 @@ object TextQueries {
         ORDER BY doc_id""")),
 
     // T5: match summarizer — imperative semantics (greedy sentence
-    // packing), rows-only driver check; golden specs in HtmlSpec.
+    // packing). Constructive oracle (q23-q25 pattern): the input is
+    // built so the greedy pick is analytically known — sentence ratios
+    // are 1/3, 0, 2/3, 0, so the packer takes s3 then s1, re-sorts by
+    // position, and joins the skipped gap with "..." — the expected
+    // string is closed-form. Golden specs for free-form text in HtmlSpec.
     QuerySpec("q27_summarize",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
-          Html.summarizeUdf(col("text"),
+          Html.summarizeUdf(
+            concat(lit("spark wins "), col("doc_id").cast("string"),
+              lit(". plain filler text. join spark now." +
+                " tail padding sentence.")),
             array(lit("spark"), lit("join")), lit(120)).as("summary"))
-        .filter(length(col("summary")) > 0)
         .orderBy("doc_id"),
-      None),
+      Some("""
+        SELECT doc_id,
+               'spark wins ' || doc_id || '. ... join spark now.'
+                 AS summary
+        FROM documents ORDER BY doc_id""")),
+
+    // R1 multi-field: weighted Title+Content relevance over the
+    // crawl-derived corpus (reference es.go:199-201 multi_match over
+    // [Title, Content]) — title hits boosted 2×, field-local df.
+    QuerySpec("q40_multifield_search",
+      (s, dir) => {
+        val docs = pages(s, dir).select(col("doc_id"),
+          Html.titleOf(col("html")).as("title"),
+          Html.stripTags(col("html")).as("content"))
+        graft.search.Search.matchScoresFields(docs,
+            Seq("src3", "join"), Seq("title" -> 2.0, "content" -> 1.0))
+          .select(col("doc_id"), Exact.micros(col("score")).as("score_micros"))
+          .orderBy(col("score_micros").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH pg AS (
+          SELECT doc_id,
+                 source || ' #' || doc_id || ' & co' AS title,
+                 source || ' #' || doc_id || ' & co ' ||
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+                   ' next rel js img mail dup np' AS content
+          FROM documents),
+        n AS (SELECT count(*) AS n FROM documents),
+        qt AS (SELECT doc_id, unnest(${toksSql("title")}) AS term FROM pg),
+        qc AS (SELECT doc_id, unnest(${toksSql("content")}) AS term FROM pg),
+        ft AS (SELECT doc_id, term FROM qt WHERE term IN ('src3', 'join')),
+        fc AS (SELECT doc_id, term FROM qc WHERE term IN ('src3', 'join')),
+        tft AS (SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+        tfc AS (SELECT doc_id, term, count(*) AS tf FROM fc GROUP BY 1, 2),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1),
+        dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM fc GROUP BY 1),
+        st AS (
+          SELECT tf.doc_id,
+                 sum(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)) AS score
+          FROM tft tf JOIN dft df USING (term), n GROUP BY tf.doc_id),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)) AS score
+          FROM tfc tf JOIN dfc df USING (term), n GROUP BY tf.doc_id)
+        SELECT doc_id,
+               ${Exact.microsSql(
+                 "COALESCE(st.score, 0.0) * 2.0 + COALESCE(sc.score, 0.0) * 1.0")}
+                 AS score_micros
+        FROM st FULL JOIN sc USING (doc_id)
+        ORDER BY score_micros DESC, doc_id
+        LIMIT 20""")),
 
     // P6/S5 composition: one crawl pass — extract links from every page,
     // merge into a URL-keyed frontier keeping the newest observation.

@@ -19,10 +19,13 @@ import graft.text.Analyzer
   */
 object Search {
 
-  /** Postings: one row per (doc, position, term). */
+  /** Postings: one row per (doc, position, term). `analyzer` picks the
+    * tokenization (default: the engine's lowercase-whitespace analyzer). */
   def postings(docs: DataFrame, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), posexplode(Analyzer.tokenize(col(textCol)))
+               textCol: String = "text",
+               analyzer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                 Analyzer.tokenize): DataFrame =
+    docs.select(col(idCol), posexplode(analyzer(col(textCol)))
       .as(Seq("pos", "term")))
 
   /** TF-IDF scores for an OR-terms keyword query (reference R1 "match").
@@ -75,6 +78,33 @@ object Search {
       .agg(sum("w").as("score"))
   }
 
+  /** Multi-field weighted relevance (the reference searches
+    * `fields: [Title, Content]` — `textindexer/store/es/es.go:199-201`
+    * multi_match): per-field TF-IDF with field-local document
+    * frequencies, blended as Σ weight_f · score_f. Same shuffle shape
+    * as [[matchScores]] per field; fields are few, so the union-sum is
+    * one extra page-sized aggregation. */
+  def matchScoresFields(docs: DataFrame, terms: Seq[String],
+                        fields: Seq[(String, Double)],
+                        idCol: String = "doc_id"): DataFrame =
+    fields.map { case (f, wgt) =>
+      matchScores(docs, terms, idCol, f)
+        .select(col(idCol), (col("score") * wgt).as("score"))
+    }.reduce(_ unionByName _)
+      .groupBy(idCol).agg(sum("score").as("score"))
+
+  /** Multi-field BM25 — [[bm25Scores]] per field (field-local df, dl,
+    * avgdl), blended as Σ weight_f · score_f. */
+  def bm25ScoresFields(docs: DataFrame, terms: Seq[String],
+                       fields: Seq[(String, Double)],
+                       k1: Double = 1.2, b: Double = 0.75,
+                       idCol: String = "doc_id"): DataFrame =
+    fields.map { case (f, wgt) =>
+      bm25Scores(docs, terms, k1, b, idCol, f)
+        .select(col(idCol), (col("score") * wgt).as("score"))
+    }.reduce(_ unionByName _)
+      .groupBy(idCol).agg(sum("score").as("score"))
+
   /** Exact-phrase match (reference R2): documents whose token stream contains
     * the phrase's tokens consecutively. For a whitespace corpus this is a
     * padded substring test — sargable, no positional self-join needed.
@@ -84,6 +114,39 @@ object Search {
     val needle = " " + phrase.trim.toLowerCase + " "
     docs.filter(concat(lit(" "), lower(trim(col(textCol))), lit(" "))
       .contains(needle))
+  }
+
+  /** Positional phrase match — the analyzer-based form ES/bleve
+    * implement (`textindexer/store/memory/memory.go:105-107`): the
+    * phrase's tokens must appear at CONSECUTIVE positions in the
+    * document's analyzed token stream. Equivalent to the padded-contains
+    * fast path ([[phraseMatch]]) on whitespace-clean corpora, but still
+    * correct when punctuation intervenes: with `Analyzer.tokenizeStrict`
+    * "join, batch" matches the phrase "join batch" (contains() cannot).
+    *
+    * Shape: postings filtered to the phrase's terms (pruned before any
+    * shuffle), each term i anchored to `pos - i`, one aggregation keyed
+    * (doc, anchor) counting distinct slots — no self-join chain, one
+    * shuffle regardless of phrase length. */
+  def phraseMatchPositional(docs: DataFrame, phrase: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            analyzer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                              Analyzer.tokenize): DataFrame = {
+    val terms = phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    require(terms.nonEmpty, "empty phrase")
+    val post = postings(docs, idCol, textCol, analyzer)
+      .filter(col("term").isin(terms.distinct.toIndexedSeq: _*))
+    val slots = terms.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col(idCol), (col("pos") - i).as("anchor"),
+          lit(i).as("slot"))
+    }.reduce(_ unionByName _)
+    val hits = slots.groupBy(idCol, "anchor")
+      .agg(countDistinct("slot").as("found"))
+      .filter(col("found") === terms.length)
+      .select(idCol).distinct()
+    docs.join(hits, Seq(idCol), "left_semi")
   }
 
   /** Rank blend (reference R3, canonical ES additive semantic):
@@ -96,7 +159,10 @@ object Search {
 
   /** Offset/limit pagination with a deterministic total order (reference R4:
     * ES from/size, `es.go:211-212`). The `limit(offset+size)` runs first so
-    * the row_number window only sees a page-sized slice, never the corpus. */
+    * the row_number window only sees a page-sized slice, never the corpus —
+    * the partitionless window is page-bounded BY CONSTRUCTION, which is why
+    * WindowExec's "No Partition Defined" warning is expected here and
+    * silenced in the runnable mains (util.Logs.quietExpected). */
   def paginate(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
                offset: Int, size: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -82,6 +82,17 @@ object Porter {
     // Step 1c
     if (w.endsWith("y") && hasVowel(w.dropRight(1))) w = w.dropRight(1) + "i"
 
+    // Steps 2-4 are "longest matching suffix wins, its condition tested
+    // exactly once" — if the longest match fails its m-condition the
+    // step ends with NO rewrite (canonical Porter; no fall-through to a
+    // shorter suffix, e.g. "agreement" stays "agreement" even though
+    // the shorter "ent" rule's condition would hold).
+    def longestMatch(word: String,
+                     rules: Seq[(String, String)]): Option[(String, String)] =
+      rules.filter { case (s, _) => word.endsWith(s) }
+        .sortBy { case (s, _) => -s.length }
+        .headOption
+
     // Step 2 (m > 0)
     val step2 = Seq(
       "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
@@ -91,33 +102,30 @@ object Porter {
       "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
       "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive",
       "biliti" -> "ble")
-    step2.collectFirst {
-      case (s, r) if w.endsWith(s) && m(w.dropRight(s.length)) > 0 =>
-        w.dropRight(s.length) + r
-    }.foreach(w = _)
+    longestMatch(w, step2).foreach { case (s, r) =>
+      val stem = w.dropRight(s.length)
+      if (m(stem) > 0) w = stem + r
+    }
 
     // Step 3 (m > 0)
     val step3 = Seq("icate" -> "ic", "ative" -> "", "alize" -> "al",
       "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> "")
-    step3.collectFirst {
-      case (s, r) if w.endsWith(s) && m(w.dropRight(s.length)) > 0 =>
-        w.dropRight(s.length) + r
-    }.foreach(w = _)
-
-    // Step 4 (m > 1)
-    val step4 = Seq("al", "ance", "ence", "er", "ic", "able", "ible",
-      "ant", "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
-      "ive", "ize")
-    val s4 = step4.collectFirst {
-      case s if w.endsWith(s) && m(w.dropRight(s.length)) > 1 =>
-        w.dropRight(s.length)
+    longestMatch(w, step3).foreach { case (s, r) =>
+      val stem = w.dropRight(s.length)
+      if (m(stem) > 0) w = stem + r
     }
-    s4 match {
-      case Some(stemmed) => w = stemmed
-      case None if w.endsWith("ion") && w.length > 3 &&
-        "st".contains(w(w.length - 4)) && m(w.dropRight(3)) > 1 =>
-        w = w.dropRight(3)
-      case None =>
+
+    // Step 4 (m > 1); "ion" additionally requires an s/t before it.
+    val step4 = Seq("al", "ance", "ence", "er", "ic", "able", "ible",
+      "ant", "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+      "ous", "ive", "ize")
+    longestMatch(w, step4.map(_ -> "")).foreach { case (s, _) =>
+      val stem = w.dropRight(s.length)
+      val ok =
+        if (s == "ion") stem.nonEmpty && "st".contains(stem.last) &&
+          m(stem) > 1
+        else m(stem) > 1
+      if (ok) w = stem
     }
 
     // Step 5a

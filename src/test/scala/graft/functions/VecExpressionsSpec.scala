@@ -36,9 +36,14 @@ class VecExpressionsSpec extends SparkSpec {
     val got = a.select(VecFunctions.dotFF(col("a"), col("b")))
       .as[Double].head()
     assert(got == (4.0 + 10.0 + 18.0))
-    // mismatched lengths: min-length semantics, no crash
+    // mismatched lengths raise (never silently truncate — the contract
+    // is equal-length non-null embeddings)
     val short = Seq((Seq(1f, 2f), Seq(3f))).toDF("a", "b")
-    assert(short.select(VecFunctions.dotFF(col("a"), col("b")))
-      .as[Double].head() == 3.0)
+    val e = intercept[Exception] {
+      short.select(VecFunctions.dotFF(col("a"), col("b")))
+        .as[Double].head()
+    }
+    assert(e.getMessage.contains("equal-length") ||
+      Option(e.getCause).exists(_.getMessage.contains("equal-length")))
   }
 }

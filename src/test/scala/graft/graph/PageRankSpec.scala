@@ -48,6 +48,24 @@ class PageRankSpec extends SparkSpec {
     assert(m("a") === m("b"))
   }
 
+  test("stopTol path is score-identical to the lazy fixed-iteration path") {
+    // Guards the SAD-tracking branch (one first() per step): early-exit
+    // must change WHEN the loop stops, never WHAT a step computes. Run
+    // tracked to convergence, then re-run untracked for the same number
+    // of iterations — bit-identical scores (same grid snap).
+    val vs = Seq("a", "b", "c", "d").toDF("id")
+    val es = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d")
+      .toDF("src", "dst")
+    val tracked = PageRank.run(vs, es, maxIter = 100,
+      stopTol = Some(1e-9), gridSnap = Some(1e9))
+    assert(tracked.iterations < 100) // actually early-exited
+    val lazyRun = PageRank.run(vs, es, maxIter = tracked.iterations,
+      stopTol = None, gridSnap = Some(1e9))
+    val t = tracked.scores.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val l = lazyRun.scores.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(t === l) // exact equality, not approximate
+  }
+
   test("convergence reports SAD below tolerance") {
     val r = PageRank.run(Seq("a", "b", "c").toDF("id"),
       Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst"),

@@ -21,6 +21,20 @@ class AsOfSpec extends SparkSpec {
     assert(j((2L, 3L, "d")) == (None, None)) // nothing precedes
   }
 
+  test("all right columns come from the SAME row even when it has NULLs") {
+    // latest preceding right row (ts=8) has a NULL in column a: per-
+    // column carry would smuggle a=1 from the OLDER ts=5 row (tearing);
+    // the struct carry must return (a=null, b="y", r_rts=8).
+    val right = Seq((1L, 5L, Some(1), "x"), (1L, 8L, None, "y"))
+      .toDF("k", "rts", "a", "b")
+    val left = Seq((1L, 9L)).toDF("k", "lts")
+    val r = AsOf.join(left, right, Seq("k"), "lts", "rts")
+      .select("r_rts", "r_a", "r_b").head()
+    assert(r.getLong(0) == 8L)
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "y")
+  }
+
   test("matches a per-row scan oracle on a seeded dataset") {
     val rnd = new scala.util.Random(7)
     val right = (1 to 200).map(_ =>

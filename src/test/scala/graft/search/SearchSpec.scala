@@ -39,6 +39,47 @@ class SearchSpec extends SparkSpec {
     assert(hits === Set(1L, 3L))
   }
 
+  test("positional phrase matches where contains() cannot (punctuation)") {
+    // "join, batch" — the strict analyzer sees tokens [join, batch]
+    // adjacent; the padded-contains fast path sees "join," ≠ "join".
+    val docs = Seq((1L, "run the join, batch it later"),
+      (2L, "join the batch"), (3L, "batch join now"),
+      (4L, "join batch")).toDF("doc_id", "text")
+    val fast = Search.phraseMatch(docs, "join batch")
+      .select("doc_id").as[Long].collect().toSet
+    val positional = Search.phraseMatchPositional(docs, "join batch",
+        analyzer = graft.text.Analyzer.tokenizeStrict)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fast === Set(4L)) // misses doc 1: punctuation breaks substring
+    assert(positional === Set(1L, 4L)) // the analyzer's view — correct
+  }
+
+  test("positional phrase agrees with contains() on a clean corpus") {
+    val docs = Seq((1L, "big data engine"), (2L, "big fast data"),
+      (3L, "the big data"), (4L, "data big data big data")).toDF("doc_id", "text")
+    val fast = Search.phraseMatch(docs, "big data")
+      .select("doc_id").as[Long].collect().toSet
+    val positional = Search.phraseMatchPositional(docs, "big data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(positional === fast)
+    assert(positional === Set(1L, 3L, 4L))
+  }
+
+  test("multi-field search boosts title matches over content matches") {
+    // doc 1 has the term in its (short) title, doc 2 only in content;
+    // with title weight 2x doc 1 must outrank doc 2.
+    val docs = Seq(
+      (1L, "quantum leap", "filler body entirely unrelated words"),
+      (2L, "plain heading", "quantum appears within the content body"),
+      (3L, "no match here", "nothing relevant at all in this one"))
+      .toDF("doc_id", "title", "content")
+    val ranked = Search.matchScoresFields(docs, Seq("quantum"),
+        Seq("title" -> 2.0, "content" -> 1.0))
+      .orderBy(desc("score"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ranked === Seq(1L, 2L))
+  }
+
   test("blend is additive and prior-dominant when scores tie") {
     val scored = Seq((1L, 1.0), (2L, 1.0)).toDF("doc_id", "score")
     val prior = Seq((1L, 0.1), (2L, 0.9)).toDF("doc_id", "pr")
