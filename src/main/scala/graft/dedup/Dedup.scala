@@ -43,17 +43,46 @@ object Dedup {
         explode(array_distinct(Analyzer.shingles(col(textCol), n)))
           .as("shingle"))
 
+  /** All `numHashes` min-hashes in ONE aggregation over the shingle
+    * table — each hash function is its own codegen'd `min` column, so
+    * the shuffle carries each (doc, shingle) row once instead of
+    * ×numHashes. Output: (id, mh0 … mh{n-1}) wide. */
+  private[graft] def minHashesWide(sh: DataFrame, numHashes: Int,
+                                   idCol: String): DataFrame = {
+    val mins = (0 until numHashes).map { j =>
+      min(portableHash(concat(lit(j), lit(":"), col("shingle"))))
+        .as(s"mh$j")
+    }
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+  }
+
   /** MinHash signatures: `numHashes` independent min-hashes per doc.
-    * Output: (id, j, mh) — long format, ready for banding. */
+    * Output: (id, j, mh) — long format, ready for banding (a cheap
+    * per-doc unpivot of the wide single-shuffle aggregation). */
   def minHashes(docs: DataFrame, shingleN: Int, numHashes: Int,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingleTable(docs, shingleN, idCol, textCol)
-    val js = (0 until numHashes).map(lit(_))
-    sh.select(col(idCol), explode(array(js: _*)).as("j"), col("shingle"))
-      .select(col(idCol), col("j"),
-        portableHash(concat(col("j"), lit(":"), col("shingle"))).as("h"))
-      .groupBy(idCol, "j")
-      .agg(min("h").as("mh"))
+    val wide = minHashesWide(shingleTable(docs, shingleN, idCol, textCol),
+      numHashes, idCol)
+    wide.select(col(idCol), explode(array((0 until numHashes).map(j =>
+        struct(lit(j).as("j"), col(s"mh$j").as("mh"))): _*)).as("s"))
+      .select(col(idCol), col("s.j").as("j"), col("s.mh").as("mh"))
+  }
+
+  /** Band signatures straight off the wide minhash row: one md5 per
+    * band, unpivoted to (id, band, sig) — numHashes/rowsPerBand rows
+    * per doc, no re-aggregation. Identical sig strings to
+    * [[lshBands]] (minhashes joined with "," in j order). */
+  private[graft] def lshBandsWide(wide: DataFrame, rowsPerBand: Int,
+                                  numHashes: Int, idCol: String): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val sig = md5(concat_ws(",",
+        (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}").cast("string")): _*))
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    wide.select(col(idCol), explode(array(bandStructs: _*)).as("s"))
+      .select(col(idCol), col("s.band").as("band"), col("s.sig").as("sig"))
   }
 
   /** LSH band signatures: bands of `rowsPerBand` minhashes; signature =
@@ -104,24 +133,32 @@ object Dedup {
                       threshold: Double = 0.6,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    // shingles feed both the signatures and the exact verify — cache one
+    // shingles feed both the signatures and the exact verify — cache
+    // once; likewise the band table (self-joined by lshCandidates) and
+    // the candidate pairs (referenced by the intersection AND the final
+    // join) are persisted so the minhash aggregation over the full
+    // shingle set runs exactly once, not 2-4x through the duplicated
+    // plan subtrees.
     val sh = shingleTable(docs, shingleN, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val js = (0 until numHashes).map(lit(_))
-    val mh = sh
-      .select(col(idCol), explode(array(js: _*)).as("j"), col("shingle"))
-      .select(col(idCol), col("j"),
-        portableHash(concat(col("j"), lit(":"), col("shingle"))).as("h"))
-      .groupBy(idCol, "j")
-      .agg(min("h").as("mh"))
-    val cand = lshCandidates(lshBands(mh, rowsPerBand, idCol), idCol)
+    val bands = lshBandsWide(minHashesWide(sh, numHashes, idCol),
+        rowsPerBand, numHashes, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(bands, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccard(cand, sh, idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** SimHash fingerprints (60-bit): per-bit majority over token hashes
-    * weighted by term frequency. Output: (id, simhash). */
+    * weighted by term frequency. Output: (id, simhash).
+    *
+    * All `bits` per-bit sums ride ONE aggregation as separate codegen'd
+    * sum columns — no explode(bits) blow-up, so the shuffle carries the
+    * (id, token) tf rows once instead of ×bits (at 100 TB that factor
+    * is the difference between one pass and sixty). Integer arithmetic
+    * throughout: bit-identical to the per-bit-row formulation. */
   def simHash(docs: DataFrame, bits: Int = 60, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val tf = docs
@@ -129,18 +166,16 @@ object Dedup {
       .groupBy(idCol, "tok")
       .agg(count(lit(1)).as("tf"))
       .withColumn("h", portableHash(col("tok")))
-    val bitRows = tf.select(col(idCol),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"),
-        col("tf"), col("h"))
-      .withColumn("contrib",
-        when(expr("shiftright(h, CAST(b AS INT))").bitwiseAND(1) === 1,
-          col("tf")).otherwise(-col("tf")))
-    bitRows.groupBy(idCol, "b")
-      .agg(sum("contrib").as("s"))
-      .groupBy(idCol)
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(0L)).as("simhash"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(expr(s"shiftright(h, $b)").bitwiseAND(1) === 1,
+        col("tf")).otherwise(-col("tf"))).as(s"s$b")
+    }
+    tf.groupBy(idCol)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup candidates: docs colliding on ≥1 of four 15-bit
@@ -148,11 +183,14 @@ object Dedup {
     * verified by exact Hamming ≤ `maxHamming`. */
   def simHashNearDups(sh: DataFrame, maxHamming: Int = 3,
                       idCol: String = "doc_id"): DataFrame = {
+    // the band table is self-joined below — persist so the caller's
+    // simhash pipeline (a full-corpus aggregation) runs once, not twice
     val bands = sh.select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("key",
         expr("shiftright(simhash, CAST(band * 15 AS INT))")
           .bitwiseAND(lit((1L << 15) - 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.select(col("band"), col("key"), col(idCol).as("a"),
       col("simhash").as("ha"))
     val r = bands.select(col("band"), col("key"), col(idCol).as("b"),

@@ -39,7 +39,7 @@ object Coloring {
     * collect is bounded by the larger of the two. */
   def run(vertices: DataFrame, edges: DataFrame,
           maxRounds: Int = 1000,
-          localFinishThreshold: Long = 100000,
+          localFinishThreshold: Long = 150000,
           localFinishEdgeThreshold: Long = 2000000,
           foldEvery: Int = 8): DataFrame = {
     val spark = vertices.sparkSession

@@ -279,6 +279,43 @@ object TextQueries {
         ORDER BY score_micros DESC, doc_id
         LIMIT 20""")),
 
+    // R2 (positional): analyzer-correct phrase matching on a PUNCTUATED
+    // corpus — a comma is injected after every "join", so the padded-
+    // contains fast path (q09's shape) cannot see "join batch" but the
+    // positional matcher over strict-analyzer postings must. The oracle
+    // replays the anchor construction: term i at position p anchors
+    // p - i; a doc hits when one anchor collects every slot.
+    QuerySpec("q42_positional_phrase",
+      (s, dir) => {
+        val punct = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " join ", " join, ").as("text"))
+        graft.search.Search.phraseMatchPositional(punct, "join batch",
+            analyzer = Analyzer.tokenizeStrict)
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 regexp_replace(text, ' join ', ' join, ', 'g') AS t
+          FROM documents),
+        lt AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '') AS l
+          FROM p),
+        pos AS (
+          SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos
+          FROM lt),
+        a0 AS (SELECT doc_id, pos AS anchor FROM pos WHERE term = 'join'),
+        a1 AS (SELECT doc_id, pos - 1 AS anchor FROM pos WHERE term = 'batch')
+        SELECT doc_id FROM (
+          SELECT DISTINCT a0.doc_id AS doc_id
+          FROM a0 JOIN a1
+            ON a0.doc_id = a1.doc_id AND a0.anchor = a1.anchor)
+        ORDER BY doc_id""")),
+
     // P6/S5 composition: one crawl pass — extract links from every page,
     // merge into a URL-keyed frontier keeping the newest observation.
     QuerySpec("q28_crawl_merge",

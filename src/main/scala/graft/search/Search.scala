@@ -54,11 +54,15 @@ object Search {
                  k1: Double = 1.2, b: Double = 0.75,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val all = postings(docs, idCol, textCol)
-    val dl = all.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    // dl needs no postings shuffle: token COUNT is a per-row size()
+    // (empty docs excluded, matching the postings-derived table).
+    val dl = docs.select(col(idCol),
+        size(Analyzer.tokenize(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val avgdl = dl.agg((sum("dl").cast("double") /
       count(lit(1)).cast("double")).as("avgdl"))
-    val toks = all.filter(col("term").isin(terms: _*))
+    val toks = postings(docs, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy("term").agg(countDistinct(idCol).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
