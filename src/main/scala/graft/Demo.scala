@@ -12,6 +12,7 @@ object Demo {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.quietExpected()
     import spark.implicits._
 
     // --- crawl pass over a two-page stub site -------------------------
@@ -60,6 +61,24 @@ object Demo {
     println(s"== phrase \"join batch\": total=${phrase.total}")
     phrase.rows.select("rn", "doc_id").show(false)
 
+    // --- multi-field search over the crawl output ---------------------
+    // the crawl's own documents (title + content) searched the way the
+    // reference queries ES: fields [Title, Content], title boosted
+    val crawlDocs = r.documents.select(col("url").as("doc_id"),
+      col("title"), col("content"))
+    println("== multi-field 'alpha' over crawl docs (title 2x)")
+    graft.search.Search.matchScoresFields(crawlDocs, Seq("alpha"),
+      Seq("title" -> 2.0, "content" -> 1.0), idCol = "doc_id")
+      .orderBy(desc("score")).show(false)
+
+    // --- positional phrase through punctuation ------------------------
+    val punct = Seq((1L, "we join, batch it"), (2L, "batch join"))
+      .toDF("doc_id", "text")
+    println("== positional phrase 'join batch' (strict analyzer): " +
+      graft.search.Search.phraseMatchPositional(punct, "join batch",
+        analyzer = graft.text.Analyzer.tokenizeStrict)
+        .select("doc_id").as[Long].collect().mkString(","))
+
     // --- IVF ANN over the real embeddings -----------------------------
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qv = emb.filter(col("vec_id") === 7).select("embedding")
@@ -67,6 +86,13 @@ object Demo {
     val idx = graft.ml.Ivf.build(emb, k = 8, iters = 3)
     println("== ivf top-5 around vec 7 (nprobe=2)")
     graft.ml.Ivf.topK(idx, qv, 5, nprobe = 2).show(false)
+
+    // --- shortest paths with reconstruction ---------------------------
+    val es = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 5L))
+      .toDF("src", "dst", "w")
+    val st = graft.graph.ShortestPath.state(es, "a", maxHops = 4)
+    println("== shortest path a->c: " +
+      graft.graph.ShortestPath.pathTo(st, "c", 4).mkString)
 
     spark.stop()
   }

@@ -68,4 +68,28 @@ class PlanSpec extends SparkSpec {
       .count(_ == "BroadcastHashJoin") == 2, p)
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("multi-field search keeps broadcast joins and the top-k plan") {
+    val p = planOf("q40_multifield_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "per-field document-frequency joins must broadcast")
+  }
+
+  test("ivf probe broadcasts centroids — never shuffles the corpus to them") {
+    val p = planOf("q41_ivf_probe")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "centroid assignment and cluster probe must broadcast the small side")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("positional phrase never degenerates to a cartesian/range join") {
+    val p = planOf("q42_positional_phrase")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "anchor aggregation must stay a single keyed shuffle")
+  }
 }
