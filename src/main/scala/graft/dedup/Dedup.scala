@@ -69,16 +69,18 @@ object Dedup {
   }
 
   /** Band signatures straight off the wide minhash row: one md5 per
-    * band, unpivoted to (id, band, sig) — numHashes/rowsPerBand rows
-    * per doc, no re-aggregation. Identical sig strings to
-    * [[lshBands]] (minhashes joined with "," in j order). */
+    * band, unpivoted to (id, band, sig) — ceil(numHashes/rowsPerBand)
+    * rows per doc, no re-aggregation. Identical sig strings to
+    * [[lshBands]] (minhashes joined with "," in j order; a trailing
+    * partial band is kept, matching the old `j / rowsPerBand`
+    * grouping). */
   private[graft] def lshBandsWide(wide: DataFrame, rowsPerBand: Int,
                                   numHashes: Int, idCol: String): DataFrame = {
-    val nBands = numHashes / rowsPerBand
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val sig = md5(concat_ws(",",
-        (0 until rowsPerBand).map(r =>
-          col(s"mh${b * rowsPerBand + r}").cast("string")): _*))
+        (b * rowsPerBand until math.min((b + 1) * rowsPerBand, numHashes))
+          .map(j => col(s"mh$j").cast("string")): _*))
       struct(lit(b).as("band"), sig.as("sig"))
     }
     wide.select(col(idCol), explode(array(bandStructs: _*)).as("s"))

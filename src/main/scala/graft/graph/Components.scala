@@ -28,7 +28,13 @@ import org.apache.spark.storage.StorageLevel
 object Components {
 
   /** edges: (a, b) undirected pairs. Returns (id, component) where
-    * component = min id reachable (within `maxRounds` hops). */
+    * component = min id reachable (within `maxRounds` hops).
+    *
+    * NOTE: this is an algorithm entry point, not a lazy operator — it
+    * eagerly materializes its input once up front (the union below
+    * references the pair pipeline twice, and Spark re-executes
+    * duplicated plan subtrees; for a minhash near-dup input that double
+    * run costs more than the whole propagation). */
   def run(edges: DataFrame, maxRounds: Int = 20,
           earlyStop: Boolean = true): DataFrame = {
     // Materialize the caller's pair pipeline exactly once: the union

@@ -75,7 +75,7 @@ object ShortestPath {
 
   /** Distances only — (id, dist), the reference's scalar answer. */
   def run(edges: DataFrame, sourceId: String, maxHops: Int,
-          earlyStop: Boolean = true, checkpointEvery: Int = 8): DataFrame =
+          earlyStop: Boolean = true): DataFrame =
     state(edges, sourceId, maxHops, earlyStop).select("id", "dist")
 
   /** Path reconstruction for EVERY reachable vertex at once: walks the

@@ -85,9 +85,17 @@ object Similarity {
                  vecCol: String = "embedding",
                  dim: Int = 64): DataFrame = {
     val m = planeMatrix(planes, dim)
+    // A vector of the wrong length would zip against the literal plane
+    // with NULL padding, poison every projection, and silently send the
+    // whole corpus to bucket 0 (turning the bucket-local join into an
+    // all-pairs scan) — fail loudly per row instead.
+    val checked = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"lshBuckets: expected $dim-dim vector, got "),
+        size(col(vecCol)).cast("string"))).cast("array<float>"))
     val sig = (0 until planes).map { p =>
       val plane = array(m(p).map(lit(_)): _*)
-      val proj = aggregate(zip_with(asDouble(col(vecCol)), plane, _ * _),
+      val proj = aggregate(zip_with(asDouble(checked), plane, _ * _),
         lit(0.0), _ + _)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * Tie rule: a right row at exactly `leftTs` matches (>=); among right
   * rows sharing (key, rightTs) the window orders by the payload struct
   * itself, so the winner is the one with the largest payload tuple —
-  * arbitrary but deterministic.
+  * arbitrary but deterministic (when a payload column is a
+  * non-orderable type such as map, the tie falls back to
+  * partition-order nondeterminism rather than failing the join).
   */
 object AsOf {
 
@@ -49,9 +51,18 @@ object AsOf {
 
     // right rows sort before left rows at equal ts (__side 0 < 1); the
     // struct as the final sort key makes equal-(key, ts) right rows
-    // deterministic. unionByName fills __rp with NULL on left rows.
+    // deterministic — but only orderable payload types can join the
+    // ordering (a map-typed payload would make the window throw, and
+    // such rows were never orderable to begin with).
+    // unionByName fills __rp with NULL on left rows.
+    val payloadOrderable = (rightTs +: payloadCols).forall { c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType)
+    }
+    val ordering = Seq(col("__ts"), col("__side")) ++
+      (if (payloadOrderable) Seq(col("__rp")) else Nil)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__rp"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedLeft
       .unionByName(taggedRight, allowMissingColumns = true)

@@ -302,7 +302,8 @@ object TextQueries {
           FROM documents),
         lt AS (
           SELECT doc_id, list_filter(
-            string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '') AS l
+            string_split_regex(lower(t), '[^\p{L}\p{N}]+'), x -> x <> '')
+            AS l
           FROM p),
         pos AS (
           SELECT doc_id, unnest(l) AS term,

@@ -90,24 +90,28 @@ object Search {
     * one extra page-sized aggregation. */
   def matchScoresFields(docs: DataFrame, terms: Seq[String],
                         fields: Seq[(String, Double)],
-                        idCol: String = "doc_id"): DataFrame =
+                        idCol: String = "doc_id"): DataFrame = {
+    require(fields.nonEmpty, "at least one (field, weight) required")
     fields.map { case (f, wgt) =>
       matchScores(docs, terms, idCol, f)
         .select(col(idCol), (col("score") * wgt).as("score"))
     }.reduce(_ unionByName _)
       .groupBy(idCol).agg(sum("score").as("score"))
+  }
 
   /** Multi-field BM25 — [[bm25Scores]] per field (field-local df, dl,
     * avgdl), blended as Σ weight_f · score_f. */
   def bm25ScoresFields(docs: DataFrame, terms: Seq[String],
                        fields: Seq[(String, Double)],
                        k1: Double = 1.2, b: Double = 0.75,
-                       idCol: String = "doc_id"): DataFrame =
+                       idCol: String = "doc_id"): DataFrame = {
+    require(fields.nonEmpty, "at least one (field, weight) required")
     fields.map { case (f, wgt) =>
       bm25Scores(docs, terms, k1, b, idCol, f)
         .select(col(idCol), (col("score") * wgt).as("score"))
     }.reduce(_ unionByName _)
       .groupBy(idCol).agg(sum("score").as("score"))
+  }
 
   /** Exact-phrase match (reference R2): documents whose token stream contains
     * the phrase's tokens consecutively. For a whitespace corpus this is a
@@ -137,7 +141,15 @@ object Search {
                             textCol: String = "text",
                             analyzer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                               Analyzer.tokenize): DataFrame = {
-    val terms = phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // The phrase goes through the SAME analyzer as the documents (ES/
+    // bleve semantics) — a whitespace split would leave punctuation
+    // attached to the query terms and silently never match. One local
+    // 1-row job; the phrase is a literal.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = Seq(phrase).toDF("p")
+      .select(explode(analyzer(col("p"))).as("t"))
+      .as[String].collect().toSeq
     require(terms.nonEmpty, "empty phrase")
     val post = postings(docs, idCol, textCol, analyzer)
       .filter(col("term").isin(terms.distinct.toIndexedSeq: _*))
