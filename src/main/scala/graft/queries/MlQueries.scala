@@ -148,13 +148,15 @@ object MlQueries {
     // has no organic near-dups (max pairwise cos ≈ 0.51), so perturbed
     // copies are planted at vec_id+100000 (element 1 replaced by a
     // constant — no float arithmetic, exact cross-engine parity). A
-    // 24-bit signature split into 3 bands of 8 bits generates candidates
+    // 24-bit signature split into 4 bands of 6 bits generates candidates
     // (minhash-style: match ≥ 1 whole band), exact cosine ≥ 0.85
-    // verifies. The banded key is the scale shape: bucket count per band
-    // is 2^bitsPerBand, so pick bitsPerBand ≈ log2(N/targetBucketSize) —
-    // 8 bits ≈ 2 vectors/bucket at this corpus size; a 100 TB corpus
-    // widens each band to 16-20+ bits (and adds bands for recall), the
-    // join cost staying Σ bucket² ≈ N²/2^bits per band.
+    // verifies. Band math at the planted cosines (~0.90): per-plane
+    // collision ≈ 0.86, per-band 0.86^6 ≈ 0.39, ≥1-of-4 ≈ 0.86 recall.
+    // The banded key is the scale shape: bucket count per band is
+    // 2^bitsPerBand, so pick bitsPerBand ≈ log2(N/targetBucketSize) —
+    // a 100 TB corpus widens each band to 16-20+ bits (and adds bands
+    // to buy recall back), the join cost staying Σ bucket² ≈ N²/2^bits
+    // per band.
     QuerySpec("q38_embedding_neardup",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -162,7 +164,7 @@ object MlQueries {
           .select((col("vec_id") + 100000).as("vec_id"),
             concat(array(lit(0.5f)),
               slice(col("embedding"), 2, Dim - 1)).as("embedding")))
-        Similarity.nearPairs(aug, planes = 24, minCos = 0.85, bands = 3)
+        Similarity.nearPairs(aug, planes = 24, minCos = 0.85, bands = 4)
           .select(col("a"), col("b"), Exact.micros(col("cos")).as("cos_micros"))
           .orderBy("a", "b")
       },
@@ -178,8 +180,8 @@ object MlQueries {
           FROM aug),
         bb AS (
           SELECT vec_id, band,
-                 (bucket >> CAST(band * 8 AS INT)) & 255 AS key
-          FROM ba CROSS JOIN (SELECT unnest(range(0, 3)) AS band)),
+                 (bucket >> CAST(band * 6 AS INT)) & 63 AS key
+          FROM ba CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
         cand AS (
           SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
           FROM bb l JOIN bb r
