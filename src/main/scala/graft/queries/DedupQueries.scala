@@ -24,13 +24,13 @@ object DedupQueries {
 
   /** DuckDB CTEs: aug corpus + distinct 3-shingles per doc. */
   private val ShingleCtes =
-    s"""aug AS (
+    s"""aug AS MATERIALIZED (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 100000, text || ' zz9 qq8 extra tail'
       FROM documents WHERE doc_id % 20 = 0),
-    lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM aug),
-    shingles AS (
+    lt AS MATERIALIZED (SELECT doc_id, ${toksSql("text")} AS l FROM aug),
+    shingles AS MATERIALIZED (
       SELECT DISTINCT doc_id,
         unnest(list_transform(range(0, greatest(len(l) - 2, 0)),
           k -> l[k + 1] || ' ' || l[k + 2] || ' ' || l[k + 3])) AS shingle
@@ -40,26 +40,26 @@ object DedupQueries {
     * (`scored`), shared by q15 and the q32 component clustering. */
   private val MinhashPairCtes =
     s"""$ShingleCtes,
-    mh AS (
+    mh AS MATERIALIZED (
       SELECT doc_id, j, min(${hashSql("j || ':' || shingle")}) AS mh
       FROM shingles CROSS JOIN (SELECT unnest(range(0, 12)) AS j)
       GROUP BY doc_id, j),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id, CAST(j // 3 AS INT) AS band,
              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS sig
       FROM mh GROUP BY doc_id, CAST(j // 3 AS INT)),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       FROM bands l JOIN bands r
         ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-    inter AS (
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS MATERIALIZED (
       SELECT c.a, c.b, count(*) AS i
       FROM cand c
       JOIN shingles sa ON sa.doc_id = c.a
       JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
       GROUP BY c.a, c.b),
-    scored AS (
+    scored AS MATERIALIZED (
       SELECT c.a, c.b,
              CAST(COALESCE(i.i, 0) AS DOUBLE) /
              CAST(za.sz + zb.sz - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
@@ -91,8 +91,8 @@ object DedupQueries {
           .orderBy("content_hash")
       },
       Some(s"""
-        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
-        keyed AS (
+        WITH lt AS MATERIALIZED (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        keyed AS MATERIALIZED (
           SELECT doc_id,
                  ${hashSql("array_to_string(l[1:2], ' ')")} AS content_hash
           FROM lt)
@@ -124,12 +124,12 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
-        tf AS (
+        WITH lt AS MATERIALIZED (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        tf AS MATERIALIZED (
           SELECT doc_id, tok, count(*) AS tf, ${hashSql("tok")} AS h
           FROM (SELECT doc_id, unnest(l) AS tok FROM lt)
           GROUP BY doc_id, tok),
-        bits AS (
+        bits AS MATERIALIZED (
           SELECT doc_id, b,
                  sum(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1
                      THEN tf ELSE -tf END) AS s
@@ -151,27 +151,27 @@ object DedupQueries {
       },
       Some(s"""
         WITH $ShingleCtes,
-        tf AS (
+        tf AS MATERIALIZED (
           SELECT doc_id, tok, count(*) AS tf, ${hashSql("tok")} AS h
           FROM (SELECT doc_id, unnest(l) AS tok FROM lt)
           GROUP BY doc_id, tok),
-        bits AS (
+        bits AS MATERIALIZED (
           SELECT doc_id, b,
                  sum(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1
                      THEN tf ELSE -tf END) AS s
           FROM tf CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
           GROUP BY doc_id, b),
-        sh AS (
+        sh AS MATERIALIZED (
           SELECT doc_id,
                  sum(CASE WHEN s > 0
                      THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
                      ELSE 0 END) AS simhash
           FROM bits GROUP BY doc_id),
-        bands AS (
+        bands AS MATERIALIZED (
           SELECT doc_id, simhash, band,
                  (simhash >> CAST(band * 15 AS INT)) & 32767 AS key
           FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-        pairs AS (
+        pairs AS MATERIALIZED (
           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
                  bit_count(xor(CAST(l.simhash AS UBIGINT),
                                CAST(r.simhash AS UBIGINT))) AS hamming
@@ -195,7 +195,7 @@ object DedupQueries {
       },
       Some {
         val steps = (1 to 6).map { k =>
-          s"""l$k AS (
+          s"""l$k AS MATERIALIZED (
              SELECT id, min(component) AS component FROM (
                SELECT id, component FROM l${k - 1}
                UNION ALL
@@ -205,12 +205,12 @@ object DedupQueries {
         }.mkString(",\n")
         s"""
         WITH $MinhashPairCtes,
-        pairs AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
-        und AS (
+        pairs AS MATERIALIZED (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+        und AS MATERIALIZED (
           SELECT a AS src, b AS dst FROM pairs
           UNION
           SELECT b, a FROM pairs),
-        l0 AS (SELECT DISTINCT src AS id, src AS component FROM und),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS component FROM und),
         $steps
         SELECT id, component FROM l6 ORDER BY id"""
       })

@@ -19,16 +19,16 @@ object GraphQueries {
   /** Unrolled PageRank oracle: r0 … r{iters} CTE chain. */
   private def pageRankSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          SELECT e.dst AS id, sum(r.score / o.od) AS contrib
          FROM edges e JOIN r${k - 1} r ON e.src = r.id
          JOIN outd o ON e.src = o.src
          GROUP BY e.dst),
-       d$k AS (
+       d$k AS MATERIALIZED (
          SELECT COALESCE(sum(r.score), 0.0) AS dm
          FROM r${k - 1} r LEFT JOIN outd o ON r.id = o.src
          WHERE o.src IS NULL),
-       r$k AS (
+       r$k AS MATERIALIZED (
          SELECT v.id,
                 floor(((1.0 - 0.85) / nn.n +
                        0.85 * (COALESCE(c.contrib, 0.0) + d.dm / nn.n))
@@ -37,17 +37,17 @@ object GraphQueries {
          LEFT JOIN c$k c ON v.id = c.id)"""
     }.mkString(",\n")
     s"""
-      WITH verts AS (
+      WITH verts AS MATERIALIZED (
         SELECT 'o' || o_orderkey AS id FROM orders
         UNION ALL
         SELECT 'p' || p_partkey FROM part),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
         FROM lineitem),
-      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
-      outd AS (
+      nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+      outd AS MATERIALIZED (
         SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
-      r0 AS (
+      r0 AS MATERIALIZED (
         SELECT id, floor((1.0 / nn.n) * $Grid + 0.5) / $Grid AS score
         FROM verts CROSS JOIN nn),
       $steps
@@ -58,7 +58,7 @@ object GraphQueries {
   /** Unrolled Bellman-Ford oracle: d0 … d{hops} CTE chain. */
   private def shortestPathSql(hops: Int): String = {
     val steps = (1 to hops).map { k =>
-      s"""d$k AS (
+      s"""d$k AS MATERIALIZED (
          SELECT id, min(dist) AS dist FROM (
            SELECT id, dist FROM d${k - 1}
            UNION ALL
@@ -67,7 +67,7 @@ object GraphQueries {
          GROUP BY id)"""
     }.mkString(",\n")
     s"""
-      WITH eo AS (
+      WITH eo AS MATERIALIZED (
         SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst,
                CAST(l_linenumber AS BIGINT) AS w
         FROM lineitem
@@ -75,8 +75,8 @@ object GraphQueries {
         SELECT 'p' || l_partkey, 'o' || l_orderkey,
                CAST(l_suppkey % 5 + 1 AS BIGINT)
         FROM lineitem),
-      edges AS (SELECT src, dst, min(w) AS w FROM eo GROUP BY src, dst),
-      d0 AS (
+      edges AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM eo GROUP BY src, dst),
+      d0 AS MATERIALIZED (
         SELECT 'o' || min(o_orderkey) AS id, CAST(0 AS BIGINT) AS dist
         FROM orders),
       $steps
@@ -90,7 +90,7 @@ object GraphQueries {
     * deterministic on both engines. */
   private def shortestPathTreeSql(hops: Int): String = {
     val relax = (1 to hops).map { k =>
-      s"""s$k AS (
+      s"""s$k AS MATERIALIZED (
          SELECT id, dist, prev FROM (
            SELECT id, dist, prev,
                   row_number() OVER (PARTITION BY id
@@ -103,7 +103,7 @@ object GraphQueries {
          WHERE rn = 1)"""
     }.mkString(",\n")
     val walk = (1 to hops).map { j =>
-      s"""w$j AS (
+      s"""w$j AS MATERIALIZED (
          SELECT w.id, w.dist,
                 CASE WHEN s.prev = '' THEN w.path
                      ELSE list_prepend(s.prev, w.path) END AS path,
@@ -111,7 +111,7 @@ object GraphQueries {
          FROM w${j - 1} w JOIN s$hops s ON w.head = s.id)"""
     }.mkString(",\n")
     s"""
-      WITH eo AS (
+      WITH eo AS MATERIALIZED (
         SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst,
                CAST(l_linenumber AS BIGINT) AS w
         FROM lineitem
@@ -119,13 +119,13 @@ object GraphQueries {
         SELECT 'p' || l_partkey, 'o' || l_orderkey,
                CAST(l_suppkey % 5 + 1 AS BIGINT)
         FROM lineitem),
-      edges AS (SELECT src, dst, min(w) AS w FROM eo GROUP BY src, dst),
-      s0 AS (
+      edges AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM eo GROUP BY src, dst),
+      s0 AS MATERIALIZED (
         SELECT 'o' || min(o_orderkey) AS id, CAST(0 AS BIGINT) AS dist,
                '' AS prev
         FROM orders),
       $relax,
-      w0 AS (SELECT id, dist, [id] AS path, id AS head FROM s$hops),
+      w0 AS MATERIALIZED (SELECT id, dist, [id] AS path, id AS head FROM s$hops),
       $walk
       SELECT id, dist, array_to_string(path, '->') AS path
       FROM w$hops ORDER BY id"""

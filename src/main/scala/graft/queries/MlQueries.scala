@@ -72,7 +72,7 @@ object MlQueries {
           .select(col("vec_id"), Exact.micros(col("cos")).as("cos_micros"))
       },
       Some(s"""
-        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        WITH q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id, ${Exact.microsSql(cosSql("e.embedding", "q.qv"))}
                  AS cos_micros
         FROM embeddings e CROSS JOIN q
@@ -89,10 +89,10 @@ object MlQueries {
           .select(col("vec_id"), Exact.micros(col("cos")).as("cos_micros"))
       },
       Some(s"""
-        WITH be AS (
+        WITH be AS MATERIALIZED (
           SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket
           FROM embeddings),
-        qb AS (SELECT bucket, embedding AS qv FROM be WHERE vec_id = 0)
+        qb AS MATERIALIZED (SELECT bucket, embedding AS qv FROM be WHERE vec_id = 0)
         SELECT e.vec_id, ${Exact.microsSql(cosSql("e.embedding", "q.qv"))}
                  AS cos_micros
         FROM be e CROSS JOIN qb q
@@ -121,16 +121,16 @@ object MlQueries {
           .select(col("vec_id"), Exact.micros(col("cos")).as("cos_micros"))
       },
       Some(s"""
-        WITH cents AS (
+        WITH cents AS MATERIALIZED (
           SELECT vec_id AS cluster, embedding AS cvec
           FROM embeddings WHERE vec_id < 8),
-        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        probed AS (
+        q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probed AS MATERIALIZED (
           SELECT cluster FROM (
             SELECT c.cluster, ${sqDistSql("q.qv", "c.cvec")} AS d
             FROM cents c CROSS JOIN q
             ORDER BY d, cluster LIMIT 2)),
-        assigned AS (
+        assigned AS MATERIALIZED (
           SELECT vec_id, embedding, cluster FROM (
             SELECT e.vec_id, e.embedding, c.cluster,
                    row_number() OVER (PARTITION BY e.vec_id
@@ -169,20 +169,20 @@ object MlQueries {
           .orderBy("a", "b")
       },
       Some(s"""
-        WITH aug AS (
+        WITH aug AS MATERIALIZED (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
           SELECT vec_id + 100000,
                  [CAST(0.5 AS FLOAT)] || embedding[2:$Dim]
           FROM embeddings WHERE vec_id % 20 = 0),
-        ba AS (
+        ba AS MATERIALIZED (
           SELECT vec_id, embedding, ${bucketSql("embedding", 24)} AS bucket
           FROM aug),
-        bb AS (
+        bb AS MATERIALIZED (
           SELECT vec_id, band,
                  (bucket >> CAST(band * 6 AS INT)) & 63 AS key
           FROM ba CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-        cand AS (
+        cand AS MATERIALIZED (
           SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
           FROM bb l JOIN bb r
             ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)
