@@ -19,6 +19,13 @@ import graft.text.Analyzer
   *    candidate generation by 16-bit band buckets (Hamming ≤ k near-dups
   *    must collide on ≥ 1 of 4 bands when k ≤ 3·... pigeonhole over 4
   *    bands covers Hamming ≤ 3; wider radii take more/narrower bands).
+  *
+  * Cache contract: the near-dup entry points persist intermediate
+  * frames their self-joins reference (Spark re-executes duplicated
+  * plan subtrees otherwise). The cached blocks live until the session
+  * drops them — batch drivers that run many pipelines should
+  * `spark.catalog.clearCache()` between them (Bench does; Verify
+  * clears at exit).
   */
 object Dedup {
 

@@ -13,16 +13,21 @@ import org.apache.spark.storage.StorageLevel
   * Distances are LongType so results are exact (and cross-engine
   * comparable). Each round is one shuffle (`groupBy(id).min(struct)`):
   * the frontier of known distances joins the edge table, candidate
-  * `(dist, prev)` pairs union the previous state, and the lexicographic
-  * minimum wins — ties on distance break to the smallest predecessor id,
-  * so the chosen tree (and every reconstructed path) is deterministic.
-  * Vertices never reached are absent from the result (infinite
-  * distance).
+  * `(dist, hops, prev)` tuples union the previous state, and the
+  * lexicographic minimum wins — ties on distance break to the FEWEST
+  * HOPS first, then the smallest predecessor id. The hop tie-break is
+  * what makes the predecessor tree well-founded under zero-weight
+  * edges: every chosen prev has strictly fewer hops, so back-walks
+  * strictly descend and can never cycle (prev-only tie-breaking can be
+  * tricked into a 2-cycle by a zero-weight loop whose ids sort below
+  * the true predecessor). Vertices never reached are absent from the
+  * result (infinite distance).
   */
 object ShortestPath {
 
-  /** Full per-vertex state: (id, dist, prev), where `prev` is the
-    * chosen predecessor on a shortest path and "" marks the source.
+  /** Full per-vertex state: (id, dist, hops, prev), where `prev` is
+    * the chosen predecessor on a shortest path, `hops` its length in
+    * edges, and "" marks the source.
     *
     * edges: (src, dst, w: long ≥ 0) — negative weights rejected up
     * front (one bounded scan) unless `validateWeights = false`. Runs
@@ -42,7 +47,7 @@ object ShortestPath {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    var st = Seq((sourceId, 0L, "")).toDF("id", "dist", "prev")
+    var st = Seq((sourceId, 0L, 0, "")).toDF("id", "dist", "hops", "prev")
       .localCheckpoint(false)
     var hop = 0
     var done = false
@@ -50,20 +55,25 @@ object ShortestPath {
       val relaxed = st
         .join(e.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"),
-          col("id").as("prev"))
+          (col("hops") + 1).as("hops"), col("id").as("prev"))
       // Lazy localCheckpoint: constant-size plan per round (the union
       // references `st` twice — unchecked, the plan doubles per hop).
-      val next = st.select(col("id"), struct(col("dist"), col("prev")).as("sp"))
+      val next = st.select(col("id"),
+          struct(col("dist"), col("hops"), col("prev")).as("sp"))
         .union(relaxed.select(col("id"),
-          struct(col("dist"), col("prev")).as("sp")))
+          struct(col("dist"), col("hops"), col("prev")).as("sp")))
         .groupBy("id").agg(min("sp").as("sp"))
-        .select(col("id"), col("sp.dist").as("dist"), col("sp.prev").as("prev"))
+        .select(col("id"), col("sp.dist").as("dist"),
+          col("sp.hops").as("hops"), col("sp.prev").as("prev"))
         .localCheckpoint(false)
       if (earlyStop) {
-        // Converged when no distance improved and no vertex appeared.
-        val changed = next.join(st.select(col("id"), col("dist").as("pd")),
-            Seq("id"), "left")
-          .filter(col("pd").isNull || col("dist") < col("pd"))
+        // Converged when no (dist, hops) improved and no vertex
+        // appeared (hops included: a shorter equal-cost route may
+        // still be propagating under zero-weight edges).
+        val changed = next.join(st.select(col("id"),
+            col("dist").as("pd"), col("hops").as("ph")), Seq("id"), "left")
+          .filter(col("pd").isNull || col("dist") < col("pd") ||
+            (col("dist") === col("pd") && col("hops") < col("ph")))
           .limit(1).count()
         if (changed == 0) done = true
       }

@@ -85,20 +85,23 @@ object GraphQueries {
 
   /** Unrolled Bellman-Ford WITH predecessor tracking, then an unrolled
     * back-pointer walk rebuilding every vertex's path. Ties on distance
-    * break to the smallest predecessor id (row_number ORDER BY dist,
-    * prev ≡ Spark's min(struct(dist, prev))), so the tree is
-    * deterministic on both engines. */
+    * break to fewest hops then smallest predecessor id (row_number
+    * ORDER BY dist, hops, prev ≡ Spark's min(struct(dist, hops,
+    * prev))), so the tree is deterministic on both engines and
+    * back-walks strictly descend in hops (no cycles even with
+    * zero-weight edges). */
   private def shortestPathTreeSql(hops: Int): String = {
     val relax = (1 to hops).map { k =>
       s"""s$k AS MATERIALIZED (
-         SELECT id, dist, prev FROM (
-           SELECT id, dist, prev,
+         SELECT id, dist, hops, prev FROM (
+           SELECT id, dist, hops, prev,
                   row_number() OVER (PARTITION BY id
-                                     ORDER BY dist, prev) AS rn
+                                     ORDER BY dist, hops, prev) AS rn
            FROM (
-             SELECT id, dist, prev FROM s${k - 1}
+             SELECT id, dist, hops, prev FROM s${k - 1}
              UNION ALL
-             SELECT e.dst AS id, d.dist + e.w AS dist, d.id AS prev
+             SELECT e.dst AS id, d.dist + e.w AS dist,
+                    d.hops + 1 AS hops, d.id AS prev
              FROM s${k - 1} d JOIN edges e ON d.id = e.src))
          WHERE rn = 1)"""
     }.mkString(",\n")
@@ -122,7 +125,7 @@ object GraphQueries {
       edges AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM eo GROUP BY src, dst),
       s0 AS MATERIALIZED (
         SELECT 'o' || min(o_orderkey) AS id, CAST(0 AS BIGINT) AS dist,
-               '' AS prev
+               0 AS hops, '' AS prev
         FROM orders),
       $relax,
       w0 AS MATERIALIZED (SELECT id, dist, [id] AS path, id AS head FROM s$hops),

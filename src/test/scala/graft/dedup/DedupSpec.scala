@@ -52,6 +52,28 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 1L && r._2 == 4L && r._3 == 0))
   }
 
+  test("wide single-shuffle minhash/bands equal the long-format API") {
+    // 5 hashes with rowsPerBand = 2 also exercises the trailing
+    // partial band ([mh4] alone) both formats must agree on.
+    val sh = Dedup.shingleTable(base, 2)
+    val wide = Dedup.minHashesWide(sh, numHashes = 5, "doc_id")
+    val longMh = Dedup.minHashes(base, shingleN = 2, numHashes = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    wide.collect().foreach { r =>
+      val id = r.getLong(0)
+      (0 until 5).foreach { j =>
+        assert(r.getLong(1 + j) == longMh((id, j)), s"mh$j of doc $id")
+      }
+    }
+    val wideBands = Dedup.lshBandsWide(wide, rowsPerBand = 2,
+        numHashes = 5, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val longBands = Dedup.lshBands(
+        Dedup.minHashes(base, shingleN = 2, numHashes = 5), rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(wideBands === longBands)
+  }
+
   test("portable hash matches the DuckDB construction") {
     // CAST(('0x' || substring(md5('abc'),1,15)) AS BIGINT) = 648541476951500027
     val h = Seq("abc").toDF("s")

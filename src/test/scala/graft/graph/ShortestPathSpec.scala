@@ -40,6 +40,19 @@ class ShortestPathSpec extends SparkSpec {
     assert(ShortestPath.pathTo(st, "d", 4) === Some(Seq("a", "b", "d")))
   }
 
+  test("zero-weight cycles cannot corrupt the predecessor tree") {
+    // z-0->b, b-0->a, a-0->b: with prev-only tie-breaking, round 3's
+    // candidate (dist 0, prev "a") would displace b's true prev "z"
+    // ("a" < "z") and create an a<->b back-pointer cycle; the hop
+    // tie-break keeps the earliest route, so walks always reach z.
+    val e = Seq(("z", "b", 0L), ("b", "a", 0L), ("a", "b", 0L))
+      .toDF("src", "dst", "w")
+    val st = ShortestPath.state(e, "z", maxHops = 6)
+    val p = ShortestPath.paths(st, maxSteps = 6)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(p === Map("z" -> "z", "b" -> "z->b", "a" -> "z->b->a"))
+  }
+
   test("negative edge weights are rejected up front") {
     val e = Seq(("a", "b", -1L)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException] {
