@@ -80,6 +80,20 @@ class SearchSpec extends SparkSpec {
     assert(ranked === Seq(1L, 2L))
   }
 
+  test("multi-field bm25 boosts title matches and stays finite") {
+    val docs = Seq(
+      (1L, "quantum leap", "filler body entirely unrelated words"),
+      (2L, "plain heading", "quantum appears within the content body"),
+      (3L, "no match here", "nothing relevant at all in this one"))
+      .toDF("doc_id", "title", "content")
+    val ranked = Search.bm25ScoresFields(docs, Seq("quantum"),
+        Seq("title" -> 2.0, "content" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranked.keySet === Set(1L, 2L))
+    assert(ranked.values.forall(v => v > 0 && !v.isNaN && !v.isInfinite))
+    assert(ranked(1L) > ranked(2L)) // 2x title weight dominates
+  }
+
   test("blend is additive and prior-dominant when scores tie") {
     val scored = Seq((1L, 1.0), (2L, 1.0)).toDF("doc_id", "score")
     val prior = Seq((1L, 0.1), (2L, 0.9)).toDF("doc_id", "pr")
