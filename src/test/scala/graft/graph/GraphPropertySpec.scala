@@ -76,6 +76,37 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  test("coloring is proper, total, and deterministic on random graphs") {
+    for (seed <- Seq(4, 19)) {
+      val es = randomGraph(seed + 200, n = 50, m = 120)
+      if (es.nonEmpty) {
+        val edges = es.toDF("src", "dst")
+        val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+        def colorMap() = Coloring.run(verts, edges)
+          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+        val c = colorMap()
+        assert(c.keySet === es.flatMap(e => Seq(e._1, e._2)).toSet)
+        es.foreach { case (a, b) =>
+          assert(c(a) != c(b), s"seed=$seed edge ($a,$b) monochrome")
+        }
+        assert(colorMap() === c, s"seed=$seed nondeterministic")
+      }
+    }
+  }
+
+  test("pagerank conserves probability mass on random graphs") {
+    for (seed <- Seq(6, 23)) {
+      val es = randomGraph(seed + 300, n = 40, m = 60)
+      val verts = (0 until 40).map(i => s"v$i").toDF("id")
+      val r = PageRank.run(verts, es.toDF("src", "dst"),
+        maxIter = 40, stopTol = Some(1e-9))
+      val scores = r.scores.collect().map(_.getDouble(1))
+      assert(scores.length == 40)
+      assert(scores.forall(_ > 0))
+      assert(math.abs(scores.sum - 1.0) < 1e-6, s"seed=$seed sum=${scores.sum}")
+    }
+  }
+
   test("reconstructed path cost equals the reported distance") {
     val rnd = new scala.util.Random(5)
     val edges = randomGraph(500, n = 30, m = 60)
