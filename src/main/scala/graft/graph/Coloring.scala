@@ -44,6 +44,13 @@ object Coloring {
           foldEvery: Int = 8): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
+    val debug = sys.env.contains("GRAFT_LOOP_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(what: String): Unit = if (debug) {
+      val t1 = System.nanoTime()
+      println(f"[coloring] $what: ${(t1 - t0) / 1e9}%.2fs")
+      t0 = t1
+    }
 
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -66,39 +73,58 @@ object Coloring {
     val preColored = init.filter(col("color").isNotNull)
       .select("id", "color")
 
-    var uncolored = init.filter(col("color").isNull)
-      .join(und
-        .join(preColored.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(sort_array(collect_set(col("color"))).as("forbidden")),
-        Seq("id"), "left")
-      .select(col("id"), col("token"),
-        coalesce(col("forbidden"), emptyInts).as("forbidden"))
+    // Without pre-colored rows every initial forbidden set is empty —
+    // skip the (always-empty) neighbour-color join entirely.
+    var uncolored = (if (hasColor)
+      init.filter(col("color").isNull)
+        .join(und
+          .join(preColored.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(sort_array(collect_set(col("color"))).as("forbidden")),
+          Seq("id"), "left")
+        .select(col("id"), col("token"),
+          coalesce(col("forbidden"), emptyInts).as("forbidden"))
+    else
+      init.select(col("id"), col("token"), emptyInts.as("forbidden")))
       .localCheckpoint(false)
 
     // Active edges: both endpoints uncolored, annotated with the dst's
     // token — shrinks monotonically by anti-join against each round's
     // winners, so per-round work tracks the live subgraph, not |E|.
-    var active = und
-      .join(uncolored.select(col("id").as("src")), Seq("src"), "left_semi")
-      .join(uncolored.select(col("id").as("dst"),
-        col("token").as("n_token")), Seq("dst"))
+    // The token is a pure function of the id, so it's computed in place
+    // (no join); only pre-colored vertices need filtering out, by
+    // anti-join against the (typically small) pre-colored set.
+    val withTok = und.withColumn("n_token", abs(xxhash64(col("dst"))))
+    var active = (if (hasColor)
+      withTok
+        .join(preColored.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(preColored.select(col("id").as("dst")), Seq("dst"), "left_anti")
+    else withTok)
       .localCheckpoint(false)
 
-    var remaining = uncolored.count()
+    // Both residual bounds come from ONE job per round: a constant-key
+    // union-count over two frames the round must materialize anyway
+    // (map-side partial aggregation reduces each partition to one row,
+    // so the count itself is ~free). This halves the driver round-trips
+    // the previous two-action (winners.count + active.count) loop paid.
+    def countBoth(a: DataFrame, ka: String,
+                  b: DataFrame, kb: String): (Long, Long) = {
+      val m = a.select(lit(ka).as("k"))
+        .unionAll(b.select(lit(kb).as("k")))
+        .groupBy("k").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (m.getOrElse(ka, 0L), m.getOrElse(kb, 0L))
+    }
+
+    var (remaining, activeEdges) = countBoth(uncolored, "v", active, "e")
+    lap("setup+init counts")
     var doneParts: List[DataFrame] = List(preColored)
     var round = 0
     var finishLocally = false
 
-    // Residual edges with both endpoints still uncolored — `active`
-    // tracks exactly this set, so the bound is one cheap count of an
-    // already-materialized frame (no extra joins).
-    def residualSmallEnough(): Boolean =
-      remaining <= localFinishThreshold &&
-        active.count() <= localFinishEdgeThreshold
-
     while (remaining > 0 && round < maxRounds && !finishLocally) {
-      if (residualSmallEnough()) { finishLocally = true }
+      if (remaining <= localFinishThreshold &&
+          activeEdges <= localFinishEdgeThreshold) { finishLocally = true }
       else {
       val nbrMax = active
         .groupBy(col("src").as("id"))
@@ -109,7 +135,6 @@ object Coloring {
           struct(col("token"), col("id")) > col("max_nbr"))
         .select(col("id"), mex(col("forbidden")).as("color"))
         .localCheckpoint(false)
-      val nWon = winners.count() // the round's single driver action
 
       // Colors won this round flow into still-uncolored neighbours.
       val msgs = active
@@ -130,58 +155,69 @@ object Coloring {
         .join(winners.select(col("id").as("dst")), Seq("dst"), "left_anti")
         .localCheckpoint(false)
 
+      // The round's single driver action: materializes the winners and
+      // next-active checkpoints and returns both residual bounds.
+      val (nWon, nEdges) = countBoth(winners, "w", active, "e")
+      activeEdges = nEdges
+
       doneParts ::= winners
       if (doneParts.length >= foldEvery)
         doneParts = List(doneParts.reduce(_ unionByName _)
           .localCheckpoint(false))
       remaining -= nWon
       round += 1
-      if (sys.env.contains("GRAFT_LOOP_DEBUG"))
-        println(s"[coloring] round=$round won=$nWon remaining=$remaining")
+      if (debug) {
+        println(s"[coloring] round=$round won=$nWon " +
+          s"remaining=$remaining activeEdges=$activeEdges")
+        lap(s"round $round")
+      }
       }
     }
 
     if (remaining > 0) {
-      // ---- driver-side finish: same rule, in memory, bit-identical ----
+      // ---- driver-side finish: bit-identical to the round protocol ----
+      // In the token protocol a vertex wins exactly when every
+      // higher-priority neighbour (larger (token, id)) is already
+      // colored, so its forbidden set at that moment is the initial set
+      // plus the colors of precisely its higher-priority neighbours.
+      // Sequential greedy in decreasing (token, id) order sees the same
+      // forbidden set per vertex → identical colors, in ONE O(V log V +
+      // E) pass instead of O(rounds × (V + E)) winner scans.
+      // `active` is exactly the both-endpoints-uncolored edge set (both
+      // directions), already materialized — no extra joins to collect it.
       val vs = uncolored.select("id", "token", "forbidden")
         .as[(String, Long, Seq[Int])].collect()
-      val ids = vs.map(_._1).toSet
-      val es = und
-        .join(uncolored.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(uncolored.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst").as[(String, String)].collect()
-      if (sys.env.contains("GRAFT_LOOP_DEBUG"))
+      val es = active.select("src", "dst").as[(String, String)].collect()
+      if (debug) {
         println(s"[coloring] local finish: ${vs.length} vertices, " +
           s"${es.length} edges")
+        lap("local collect")
+      }
 
-      val token = vs.map(v => v._1 -> v._2).toMap
       val forbidden = scala.collection.mutable.Map(
         vs.map(v => v._1 -> scala.collection.mutable.Set(v._3: _*)): _*)
       val nbrs = scala.collection.mutable.Map[String, List[String]]()
         .withDefaultValue(Nil)
       es.foreach { case (s, d) => nbrs(s) = d :: nbrs(s) }
-      val unset = scala.collection.mutable.Set(ids.toSeq: _*)
-      val out = scala.collection.mutable.ArrayBuffer[(String, Int)]()
-      var guard = 0
-      while (unset.nonEmpty && guard < maxRounds) {
-        val winners = unset.iterator.filter { v =>
-          nbrs(v).iterator.filter(unset.contains).forall { u =>
-            val c = java.lang.Long.compare(token(v), token(u))
-            c > 0 || (c == 0 && v > u)
-          }
-        }.toVector
-        winners.foreach { v =>
-          val f = forbidden(v)
-          var c = 0
-          while (f.contains(c)) c += 1
-          out += ((v, c))
-          unset -= v
-          nbrs(v).foreach(u => forbidden.get(u).foreach(_ += c))
-        }
-        guard += 1
+      // Decreasing (token, id); String ordering matches Spark's binary
+      // UTF8 compare for the ASCII ids used here (same assumption the
+      // distributed struct compare has always made).
+      val order = vs.sortBy(v => (v._2, v._1))(
+        Ordering.Tuple2(Ordering.Long, Ordering.String).reverse)
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Int)](
+        vs.length)
+      order.foreach { case (v, _, _) =>
+        val f = forbidden(v)
+        var c = 0
+        while (f.contains(c)) c += 1
+        out += ((v, c))
+        nbrs(v).foreach(u => forbidden.get(u).foreach(_ += c))
       }
+      lap("local greedy")
       doneParts ::= out.toSeq.toDF("id", "color")
+      lap("local toDF")
     }
+    und.unpersist(false)
     doneParts.reduce(_ unionByName _).select("id", "color")
   }
 }

@@ -209,10 +209,14 @@ object GraphQueries {
     QuerySpec("q13_graph_coloring",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
+        // The distinct-edges subtree feeds verts (×2 union branches) and
+        // the coloring's undirected table (×2) — Spark re-executes
+        // identical subtrees per reference, so truncate it once.
         val edges = li.select(
             concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
             concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
           .distinct()
+          .localCheckpoint(false)
         val verts = edges.select(col("src").as("id"))
           .union(edges.select(col("dst").as("id"))).distinct()
         Coloring.run(verts, edges)
