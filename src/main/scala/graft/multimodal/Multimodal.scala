@@ -7,11 +7,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed in partition-sized
-  * batches. The Spark-side contract — schema, partitioning, batch
-  * shape — is real and tested; the actual media decode is STUBBED
-  * (`decodeStub`) because no image/audio codec ships in this
-  * environment: swap `decodeStub` for a real decoder without touching
-  * the plumbing.
+  * batches.
+  *
+  * Image payloads are decoded for real with the JDK's built-in
+  * `javax.imageio.ImageIO` codecs (PNG/JPEG/GIF/BMP, headless-safe):
+  * true dimensions, pixel-luminance features, and an actual pixel
+  * rescale in [[resize]]. Payloads no JDK codec accepts — including the
+  * synthetic test corpus — and audio/video (no JDK codec exists) fall
+  * back to [[decodeStub]], a deterministic fake, so every pipeline stays
+  * exercisable end-to-end without media fixtures.
   *
   * At scale the payload column stays columnar in parquet (binary),
   * `spark.sql.files.maxPartitionBytes` bounds task memory, and the
@@ -19,6 +23,25 @@ import org.apache.spark.sql.types._
   * `mapInPandas` pipeline has in PySpark.
   */
 object Multimodal {
+
+  // ImageIO never needs a display, but pin headless mode so executors
+  // can't try to initialize a windowing toolkit.
+  System.setProperty("java.awt.headless", "true")
+
+  /** Real image decode: JDK ImageIO, or None if no installed codec
+    * accepts the payload (wrong magic bytes, truncated file, or a
+    * non-image kind). */
+  def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** (width, height, durationMs): real ImageIO decode for image
+    * payloads, deterministic stub for everything else. */
+  def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
+    (if (kind == "image") readImage(payload).map(i =>
+      (i.getWidth, i.getHeight, 0)) else None)
+      .getOrElse(decodeStub(kind, payload))
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -28,9 +51,10 @@ object Multimodal {
     StructField("meta_height", IntegerType),
     StructField("meta_duration_ms", IntegerType)))
 
-  /** STUB decode: a real implementation would parse the codec header.
-    * This deterministic fake derives pseudo-dimensions from payload
-    * bytes so tests can assert exact values end-to-end. */
+  /** STUB decode, for payloads no JDK codec accepts (all audio/video,
+    * and non-image synthetic fixtures): derives deterministic
+    * pseudo-dimensions from payload bytes so tests can assert exact
+    * values end-to-end without media fixtures. */
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
     val h = payload.foldLeft(17)((a, b) => a * 31 + b) & 0x7fffffff
@@ -53,8 +77,9 @@ object Multimodal {
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
   /** Batch decode + feature extraction over (media_id, kind, payload)
-    * rows: one pass per partition, no driver collection. The "feature"
-    * is a stub 8-dim byte-histogram embedding. */
+    * rows: one pass per partition, no driver collection. The 8-dim
+    * feature is a normalized luminance histogram over real pixels when
+    * the payload decodes, a byte histogram otherwise. */
   def decodeAndFeaturize(media: DataFrame): DataFrame = {
     val idI = media.columns.indexOf("media_id")
     val kindI = media.columns.indexOf("kind")
@@ -63,12 +88,35 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payI)
         val kind = r.getString(kindI)
-        val (w, h, d) = decodeStub(kind, payload)
+        val img = if (kind == "image") readImage(payload) else None
         val hist = new Array[Float](8)
-        payload.foreach(b => hist((b & 0xff) / 32) += 1f)
-        val n = math.max(payload.length, 1).toFloat
-        Row(r.getLong(idI), kind, payload.length, w, h, d,
-          hist.map(_ / n).toSeq)
+        val (w, h, d) = img match {
+          case Some(i) =>
+            var y = 0
+            while (y < i.getHeight) {
+              var x = 0
+              while (x < i.getWidth) {
+                val rgb = i.getRGB(x, y)
+                // integer Rec.601 luma, banded into 8 bins
+                val lum = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                hist(lum / 32) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = math.max(i.getWidth * i.getHeight, 1).toFloat
+            var b = 0
+            while (b < 8) { hist(b) /= n; b += 1 }
+            (i.getWidth, i.getHeight, 0)
+          case None =>
+            payload.foreach(b => hist((b & 0xff) / 32) += 1f)
+            val n = math.max(payload.length, 1).toFloat
+            var b = 0
+            while (b < 8) { hist(b) /= n; b += 1 }
+            decodeStub(kind, payload)
+        }
+        Row(r.getLong(idI), kind, payload.length, w, h, d, hist.toSeq)
       }
     }(RowEncoder.encoderFor(featSchema))
   }
@@ -90,11 +138,19 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
-  /** Resize stub: a real implementation decodes + rescales pixels; the
-    * stub emits a deterministic payload whose SIZE scales with the
-    * target box (so tests can assert the contract) while the batch
-    * shape — per-partition pass, binary in/binary out, bounded output
-    * size — is exactly what a real resizer has. */
+  private def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val scale = math.min(1.0,
+      math.min(maxW.toDouble / math.max(w, 1),
+        maxH.toDouble / math.max(h, 1)))
+    (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+  }
+
+  /** Aspect-preserving downscale into a (maxW, maxH) box. Decodable
+    * images are really rescaled (Graphics2D bilinear) and re-encoded as
+    * PNG; everything else keeps the stub contract — deterministic
+    * payload whose SIZE scales with the target box. Either way the
+    * batch shape is the real one: per-partition pass, binary in /
+    * binary out, bounded output size. */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val idI = media.columns.indexOf("media_id")
     val kindI = media.columns.indexOf("kind")
@@ -103,23 +159,36 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payI)
         val kind = r.getString(kindI)
-        val (w, h, _) = decodeStub(kind, payload)
-        val scale = math.min(1.0,
-          math.min(maxW.toDouble / math.max(w, 1),
-            maxH.toDouble / math.max(h, 1)))
-        val (nw, nh) = (math.max(1, (w * scale).toInt),
-          math.max(1, (h * scale).toInt))
-        // stub "pixels": payload cycled to the new byte budget (an
-        // empty payload yields zero-filled output — no modulo indexing
-        // into a zero-length array)
-        val out = new Array[Byte](math.max(1, nw * nh / 64))
-        if (payload.length > 0) {
-          var i = 0
-          while (i < out.length) {
-            out(i) = payload(i % payload.length); i += 1
-          }
+        val img = if (kind == "image") readImage(payload) else None
+        img match {
+          case Some(i) =>
+            val (nw, nh) = fitBox(i.getWidth, i.getHeight, maxW, maxH)
+            val scaled = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(i, 0, 0, nw, nh, null)
+            g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", baos)
+            Row(r.getLong(idI), kind, nw, nh, baos.toByteArray)
+          case None =>
+            val (w, h, _) = decodeStub(kind, payload)
+            val (nw, nh) = fitBox(w, h, maxW, maxH)
+            // stub "pixels": payload cycled to the new byte budget (an
+            // empty payload yields zero-filled output — no modulo
+            // indexing into a zero-length array)
+            val out = new Array[Byte](math.max(1, nw * nh / 64))
+            if (payload.length > 0) {
+              var i = 0
+              while (i < out.length) {
+                out(i) = payload(i % payload.length); i += 1
+              }
+            }
+            Row(r.getLong(idI), kind, nw, nh, out)
         }
-        Row(r.getLong(idI), kind, nw, nh, out)
       }
     }(RowEncoder.encoderFor(resizedSchema))
   }

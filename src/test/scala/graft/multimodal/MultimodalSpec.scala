@@ -59,4 +59,48 @@ class MultimodalSpec extends SparkSpec {
       .select("payload").as[Array[Byte]].head()
     assert(new String(p, "UTF-8") == "fake-jpeg-bytes")
   }
+
+  // ---- real-codec path: tiny PNGs generated in-test ----
+
+  private def pngBytes(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, px(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    baos.toByteArray
+  }
+
+  test("decodeAndFeaturize reads true dimensions from a real PNG") {
+    // left half black, right half white -> luminance mass in bins 0 and 7
+    val png = pngBytes(12, 7)((x, _) => if (x < 6) 0x000000 else 0xffffff)
+    val df = Seq((9L, "image", png)).toDF("media_id", "kind", "payload")
+    val r = Multimodal.decodeAndFeaturize(df).collect().head
+    assert(r.getInt(3) == 12 && r.getInt(4) == 7) // true, not stub, dims
+    val feat = r.getSeq[Float](6)
+    assert(math.abs(feat(0) - 0.5f) < 1e-5)
+    assert(math.abs(feat(7) - 0.5f) < 1e-5)
+    assert(math.abs(feat.sum - 1.0f) < 1e-5)
+  }
+
+  test("resize really rescales a decodable PNG and re-encodes it") {
+    val png = pngBytes(40, 20)((_, _) => 0x336699)
+    val df = Seq((9L, "image", png)).toDF("media_id", "kind", "payload")
+    val r = Multimodal.resize(df, maxW = 10, maxH = 10).collect().head
+    assert(r.getInt(2) == 10 && r.getInt(3) == 5) // aspect preserved
+    // output payload is itself a valid image with the reported dims
+    val back = Multimodal.readImage(r.getAs[Array[Byte]](4))
+    assert(back.isDefined)
+    assert(back.get.getWidth == 10 && back.get.getHeight == 5)
+    // solid-color input stays solid through bilinear rescale
+    assert((back.get.getRGB(4, 2) & 0xffffff) == 0x336699)
+  }
+
+  test("non-image payloads still take the deterministic stub path") {
+    val out = Multimodal.decodeAndFeaturize(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val (w, h, _) = Multimodal.decodeStub("image",
+      "fake-jpeg-bytes".getBytes("UTF-8"))
+    assert(out(1L).getInt(3) == w && out(1L).getInt(4) == h)
+  }
 }
