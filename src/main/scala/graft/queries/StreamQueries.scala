@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.Streams
+
+/** Driver-checked streaming queries.
+  *
+  * q43 replays the events table through the REAL Structured-Streaming
+  * sessionizer (file source → flatMapGroupsWithState → foreachBatch →
+  * parquet) and must hash-match the same DuckDB oracle as the batch
+  * q36 — the batch ≡ stream equality that makes the streaming path a
+  * first-class, correctness-gated citizen rather than spec-only code.
+  */
+object StreamQueries {
+
+  // Same 30-minute inactivity gap as q36, in microseconds.
+  private val GapUs = 30L * 60 * 1000000
+
+  def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q43_sessionize_stream",
+      (s, dir) =>
+        Streams.sessionizeReplay(Tables.events(s, dir), GapUs)
+          .orderBy("user_id", "sess_no"),
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (
+          SELECT user_id, event_id, ts_us,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > $GapUs
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (
+          SELECT user_id, event_id, ts_us,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_no
+          FROM flagged)
+        SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+               count(*) AS n_events,
+               CAST(min(ts_us) AS BIGINT) AS start_us,
+               CAST(max(ts_us) AS BIGINT) AS end_us
+        FROM sess GROUP BY user_id, sess_no
+        ORDER BY user_id, sess_no"""))
+  )
+}

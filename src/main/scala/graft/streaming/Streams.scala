@@ -28,19 +28,31 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"))
 
-  final case class Click(userId: Long, ts: java.sql.Timestamp)
-  final case class Session(userId: Long, nEvents: Int, startMs: Long,
-                           endMs: Long)
+  /** `ts` drives the watermark (ms resolution is all Spark needs);
+    * `tsUs` carries the full microsecond event time so session stats
+    * are exact — the source data has sub-millisecond precision. */
+  final case class Click(userId: Long, ts: java.sql.Timestamp, tsUs: Long)
+  final case class Session(userId: Long, nEvents: Int, startUs: Long,
+                           endUs: Long)
 
-  /** Session windows via custom state: a session closes after `gapMs`
-    * of event-time inactivity. Event-time timeouts (not processing
-    * time) keep the query deterministic and replayable — the watermark,
-    * not the wall clock, fires session expiry, and state stays bounded
-    * by the watermark delay. */
+  /** Session windows via custom state: a session closes after `gapUs`
+    * microseconds of event-time inactivity. Event-time timeouts (not
+    * processing time) keep the query deterministic and replayable — the
+    * watermark, not the wall clock, fires session expiry, and state
+    * stays bounded by the watermark delay (one open session per key).
+    *
+    * Gap splitting happens INSIDE the merge too: a batch whose rows
+    * already straddle a gap emits the completed sessions immediately
+    * instead of fusing everything that arrived together into one
+    * session. That makes the result independent of how the input is
+    * batched — an all-in-one-batch replay produces exactly the batch
+    * (lag + conditional cumsum) sessionization, which is what the
+    * q43 driver check asserts against the q36 oracle. */
   def sessionize(clicks: org.apache.spark.sql.Dataset[Click],
-                 gapMs: Long): org.apache.spark.sql.Dataset[Session] = {
+                 gapUs: Long): org.apache.spark.sql.Dataset[Session] = {
     import clicks.sparkSession.implicits._
-    clicks.withWatermark("ts", s"$gapMs milliseconds")
+    val gapMsCeil = (gapUs + 999) / 1000
+    clicks.withWatermark("ts", s"$gapMsCeil milliseconds")
       .groupByKey(_.userId)
       .flatMapGroupsWithState[Session, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
@@ -51,21 +63,108 @@ object Streams {
             state.remove()
             out
           } else {
-            val events = rows.map(_.ts.getTime).toSeq
-            if (events.isEmpty) Iterator.empty
+            val times = rows.map(_.tsUs).toArray
+            if (times.isEmpty) Iterator.empty
             else {
-              val cur = state.getOption
-                .map(s => Session(userId, s.nEvents + events.size,
-                  math.min(s.startMs, events.min),
-                  math.max(s.endMs, events.max)))
-                .getOrElse(Session(userId, events.size, events.min,
-                  events.max))
+              java.util.Arrays.sort(times)
+              val done = new scala.collection.mutable.ArrayBuffer[Session]()
+              var cur = state.getOption.orNull
+              times.foreach { t =>
+                if (cur == null) cur = Session(userId, 1, t, t)
+                else if (t - cur.endUs > gapUs) {
+                  done += cur
+                  cur = Session(userId, 1, t, t)
+                } else cur = Session(userId, cur.nEvents + 1,
+                  math.min(cur.startUs, t), math.max(cur.endUs, t))
+              }
               state.update(cur)
-              state.setTimeoutTimestamp(cur.endMs + gapMs)
-              Iterator.empty
+              // +1ms: the ceil'd ms timeout must sit strictly past the
+              // µs session end or a gap-boundary event could be split
+              // off by an early timeout between batches.
+              state.setTimeoutTimestamp(cur.endUs / 1000 + gapMsCeil + 1)
+              done.iterator
             }
           }
       }
+  }
+
+  /** Batch ≡ stream parity surface (q43): replay the events table
+    * through a REAL file-source streaming run of [[sessionize]] —
+    * stage the projected clicks as a parquet file, stream it, flush the
+    * final open sessions by staging far-future sentinel rows that
+    * advance the watermark past every real timeout, and return the
+    * per-session stats numbered exactly like the batch q36 query so the
+    * driver can hash-compare both against the same DuckDB oracle.
+    *
+    * Two sentinel ticks: the watermark only reflects a batch after it
+    * completes, so tick 1 raises it past every real session's timeout
+    * and tick 2 triggers the state round that fires them. */
+  def sessionizeReplay(events: DataFrame, gapUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("sess_stage")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("sess_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("sess_ckpt").toString
+
+    def addFile(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("sess_add")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, stage.resolve(name))
+          moved = true
+        }
+      }
+      require(moved, s"no parquet part produced for $name")
+    }
+
+    val clicks = events.select(
+      col("user_id").as("userId"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      expr("ts div 1000").as("tsUs"))
+    val maxUs = events.agg(max(expr("ts div 1000"))).first().getLong(0)
+    addFile(clicks, "00-real.parquet")
+
+    def sentinel(n: Int): DataFrame = {
+      val us = maxUs + n * 10L * gapUs
+      Seq((-1L, us)).toDF("userId", "us")
+        .select(col("userId"), timestamp_micros(col("us")).as("ts"),
+          col("us").as("tsUs"))
+    }
+
+    val src = spark.readStream
+      .schema("userId BIGINT, ts TIMESTAMP, tsUs BIGINT")
+      .parquet(stage.toString).as[Click]
+    val q = sessionize(src, gapUs).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Session],
+                       _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      addFile(sentinel(1), "01-sentinel.parquet")
+      q.processAllAvailable()
+      addFile(sentinel(2), "02-sentinel.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_us")
+    spark.read.parquet(outDir)
+      .filter(col("userId") >= 0)
+      .select(col("userId").as("user_id"),
+        col("nEvents").cast("long").as("n_events"),
+        col("startUs").as("start_us"), col("endUs").as("end_us"))
+      .withColumn("sess_no", row_number().over(w).cast("long"))
+      .select("user_id", "sess_no", "n_events", "start_us", "end_us")
   }
 
   /** The crawl loop as a streaming query skeleton: rate source ticks,

@@ -28,27 +28,51 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def click(user: Long, ms: Long) =
+    Streams.Click(user, new Timestamp(ms), ms * 1000)
+
   test("sessionize closes sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def ts(ms: Long) = new Timestamp(ms)
     val in = MemoryStream[Streams.Click]
-    val q = Streams.sessionize(in.toDS(), gapMs = 1000)
+    val q = Streams.sessionize(in.toDS(), gapUs = 1000000)
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
-      in.addData(Streams.Click(7L, ts(1000)), Streams.Click(7L, ts(1500)),
-        Streams.Click(8L, ts(1200)))
+      in.addData(click(7L, 1000), click(7L, 1500), click(8L, 1200))
       q.processAllAvailable()
       // event at t=60s pushes the watermark far past both sessions' gaps
-      in.addData(Streams.Click(9L, ts(60000)))
+      in.addData(click(9L, 60000))
       q.processAllAvailable()
-      val out = spark.sql("SELECT userId, nEvents, startMs, endMs FROM sessions")
+      in.addData(click(9L, 120000)) // second tick fires the timeouts
+      q.processAllAvailable()
+      val out = spark.sql("SELECT userId, nEvents, startUs, endUs FROM sessions")
         .as[(Long, Int, Long, Long)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-      assert(out.get(7L).contains((2, 1000L, 1500L)))
-      assert(out.get(8L).contains((1, 1200L, 1200L)))
-      assert(!out.contains(9L)) // its session is still open
+      assert(out.get(7L).contains((2, 1000000L, 1500000L)))
+      assert(out.get(8L).contains((1, 1200000L, 1200000L)))
+      // 9's first session flushed by the second tick; the 120s one is
+      // still open and must NOT have been emitted
+      assert(out.get(9L).contains((1, 60000000L, 60000000L)))
+    } finally q.stop()
+  }
+
+  test("sessionize splits gap-straddling rows inside one batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Click]
+    val q = Streams.sessionize(in.toDS(), gapUs = 1000000)
+      .writeStream.format("memory").queryName("sessions_split")
+      .outputMode("append").start()
+    try {
+      // one batch, two sessions for user 5 (gap 1s, events 3s apart) —
+      // the completed first session must emit without any watermark help
+      in.addData(click(5L, 1000), click(5L, 1200), click(5L, 4200))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT nEvents, startUs, endUs FROM sessions_split")
+        .as[(Int, Long, Long)].collect()
+      assert(out.toSet === Set((2, 1000000L, 1200000L)))
     } finally q.stop()
   }
 }
