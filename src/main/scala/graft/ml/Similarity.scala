@@ -104,21 +104,33 @@ object Similarity {
 
   /** Approximate top-k: restrict to the query's LSH bucket (plus exact
     * re-rank). Falls back to nothing if the bucket is empty — callers
-    * can lower `planes` for higher recall. */
+    * can lower `planes` or raise `multiProbe` for higher recall.
+    *
+    * `multiProbe` > 0 additionally probes that many one-bit-flip
+    * neighbour buckets, flipping the planes with the SMALLEST absolute
+    * query projection first — the classic multi-probe LSH order: a
+    * near-zero margin means true neighbours plausibly landed on the
+    * other side of that plane. Recall rises at constant bucket size
+    * (probes × bucket rows scanned) instead of exploding bucket size by
+    * dropping planes. */
   def lshTopK(emb: DataFrame, query: Seq[Float], k: Int, planes: Int = 8,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              multiProbe: Int = 0): DataFrame = {
     val dim = query.length
     // Query-side signature needs no Spark job: same driver-side matrix.
     val m = planeMatrix(planes, dim)
-    val qB = (0 until planes).map { p =>
-      val proj = (0 until dim)
+    val projs = (0 until planes).map { p =>
+      (0 until dim)
         .foldLeft(0.0)((acc, d) => acc + query(d).toDouble * m(p)(d))
-      if (proj > 0) 1L << p else 0L
-    }.sum
+    }
+    val qB = (0 until planes).map(p => if (projs(p) > 0) 1L << p else 0L).sum
+    val flips = (0 until planes).sortBy(p => math.abs(projs(p)))
+      .take(math.min(multiProbe, planes))
+    val probes = qB +: flips.map(p => qB ^ (1L << p))
     val q = array(query.map(lit(_)): _*)
     lshBuckets(emb, planes, idCol, vecCol, dim)
-      .filter(col("bucket") === qB)
+      .filter(col("bucket").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -46,6 +46,55 @@ class SimilaritySpec extends SparkSpec {
     assert(p.subsetOf(Set((0L, 1L))))
   }
 
+  test("nearPairs recall floor ≥0.9 on the planted q38 corpus") {
+    // Same corpus + parameters as the driver's q38: every 20th vector
+    // re-planted with its first component set to 0.5, 24 planes in 4
+    // bands of 6 bits, cos ≥ 0.85. The banding was tuned for ~90%
+    // planted-pair recall — this pins that as a floor so a parameter
+    // regression fails loudly instead of silently shipping worse recall.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val dim = 64
+    val aug = emb.unionAll(emb.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(lit(0.5f)),
+          slice(col("embedding"), 2, dim - 1)).as("embedding")))
+    val l = aug.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val r = aug.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val truth = l.crossJoin(r).filter(col("a") < col("b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= 0.85)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val found = Similarity.nearPairs(aug, planes = 24, minCos = 0.85,
+        bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(found.subsetOf(truth)) // exact verify: no false positives
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 " +
+      s"(${(found & truth).size}/${truth.size})")
+  }
+
+  test("multi-probe lshTopK strictly widens the candidate set") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recallAt(probe: Int): Double = {
+      val approx = Similarity.lshTopK(emb, q, 10, planes = 8,
+          multiProbe = probe)
+        .select("vec_id").as[Long].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r0 = recallAt(0)
+    val r8 = recallAt(8)
+    assert(r8 >= r0) // probing more buckets can only add candidates
+    // with all 9 buckets probed the top hit must still rank first
+    val top = Similarity.lshTopK(emb, q, 10, planes = 8, multiProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.head == 1L)
+  }
+
   test("lsh recall on the real embeddings table") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") === 1).select("embedding")
