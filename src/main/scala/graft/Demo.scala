@@ -24,13 +24,22 @@ object Demo {
         "<a href=\"http://a.com/\">back</a> beta body</body></html>"))
     val seeds = Seq(("http://a.com/", 0L), ("http://b.com/", 0L))
       .toDF("url", "retrieved_at")
-    val r = graft.crawl.Crawl.pass(seeds,
+    val r = graft.api.Engine.crawlPass(seeds,
       graft.crawl.Crawl.TableUrlGetter(site), staleBefore = 1L, now = 42L)
     println("== links"); r.links.orderBy("url").show(10, false)
     println("== edges"); r.edges.orderBy("src").show(10, false)
     println("== documents")
     r.documents.select("url", "title", "content").orderBy("url")
       .show(10, false)
+
+    // --- rank the crawled graph and write scores back -----------------
+    val pr = graft.api.Engine.pageRankPass(
+      r.links.select(col("id")), r.edges)
+    println(s"== pagerank over crawl graph (iters=${pr.iterations})")
+    graft.api.Engine.writeScores(
+        r.documents.select(md5(col("url")).as("doc_id"), col("title")),
+        pr.scores.select(col("id").as("doc_id"), col("score")))
+      .orderBy(desc("final_score")).show(5, false)
 
     // --- multimodal decode batch --------------------------------------
     val media = Seq(
@@ -52,11 +61,11 @@ object Demo {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val priors = docs.select(col("doc_id"),
       (col("n_chars") / 1000.0).as("prior"))
-    val page = graft.search.Search.search(docs, priors,
+    val page = graft.api.Engine.search(docs, priors,
       "spark join window", offset = 0, size = 5)
     println(s"== search 'spark join window': total=${page.total}")
     page.rows.select("rn", "doc_id", "blended").show(false)
-    val phrase = graft.search.Search.search(docs, priors,
+    val phrase = graft.api.Engine.search(docs, priors,
       "\"join batch\"", offset = 0, size = 3)
     println(s"== phrase \"join batch\": total=${phrase.total}")
     phrase.rows.select("rn", "doc_id").show(false)

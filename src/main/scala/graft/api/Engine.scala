@@ -1,0 +1,54 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+
+import graft.crawl.Crawl
+import graft.graph.PageRank
+import graft.search.Search
+import graft.store.StoreOps
+
+/** SURVEY §7's `api` facade — the single object a user of the reference
+  * system programs against, mirroring its three service entry points:
+  *
+  *  - [[search]] ≙ the frontend query path: parse (phrase vs match) →
+  *    score → blend stored prior → rank → paginate
+  *    (`monolith/service/frontend/frontend.go:288-343`);
+  *  - [[crawlPass]] ≙ one crawler run over the link store
+  *    (`monolith/service/crawler/crawler.go:44-124`);
+  *  - [[pageRankPass]] ≙ one ranker run, and [[writeScores]] its
+  *    write-back into the document index
+  *    (`monolith/service/pagerank/pagerank.go:133-194`).
+  *
+  * Thin delegations only — every operator keeps living in its package;
+  * this is the package boundary, not a re-implementation.
+  */
+object Engine {
+
+  /** Full read path over a documents table; `priors` carries the stored
+    * PageRank score to blend (reference ES additive blend). */
+  def search(docs: DataFrame, priors: DataFrame, raw: String,
+             offset: Int = 0, size: Int = 10,
+             idCol: String = "doc_id",
+             textCol: String = "text"): Search.Page =
+    Search.search(docs, priors, raw, offset, size, idCol, textCol)
+
+  /** One crawl pass: stale frontier → filters → fetch → extract →
+    * merged links/edges + fresh documents. */
+  def crawlPass(links: DataFrame, getter: Crawl.UrlGetter,
+                staleBefore: Long, now: Long): Crawl.CrawlResult =
+    Crawl.pass(links, getter, staleBefore, now)
+
+  /** One PageRank pass over the link graph: (id, score) per vertex,
+    * dead-end mass redistributed, SAD-converged. */
+  def pageRankPass(vertices: DataFrame, edges: DataFrame,
+                   damping: Double = 0.85, maxIter: Int = 20,
+                   stopTol: Option[Double] = Some(1e-3)): PageRank.Result =
+    PageRank.run(vertices, edges, damping, maxIter, stopTol)
+
+  /** Score write-back with placeholder creation for scored-but-unknown
+    * docs (reference S9 semantics). */
+  def writeScores(docs: DataFrame, scores: DataFrame,
+                  idCol: String = "doc_id",
+                  scoreCol: String = "score"): DataFrame =
+    StoreOps.writeScores(docs, scores, idCol, scoreCol)
+}

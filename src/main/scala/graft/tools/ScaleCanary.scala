@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10× scale canary: a seeded synthetic corpus roughly 10× the sf0.1
+  * bench inputs (500k-vertex / 5M-edge graph, 500k short documents with
+  * planted duplicates), one timed pass over each iterative or
+  * shuffle-heavy operator. The driver-generated testdata caps at sf0.1,
+  * so every "survives 100×" design claim is otherwise argued, not
+  * measured — this is the empirical data point above that cap, the same
+  * role the reference's 100k-vertex PageRank convergence canary plays
+  * (`pagerank/calculator_test.go:141-143`).
+  *
+  * Everything derives from `spark.range` + `xxhash64`: deterministic,
+  * no RNG, no disk staging. 10% of edges land on 1k hub vertices so the
+  * graph has the skew a real link graph has.
+  *
+  * Sizes override via GRAFT_CANARY_V / _E / _DOCS; timings are recorded
+  * in COVERAGE.md.
+  */
+object ScaleCanary {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nV = sys.env.getOrElse("GRAFT_CANARY_V", "500000").toLong
+    val nE = sys.env.getOrElse("GRAFT_CANARY_E", "5000000").toLong
+    val nD = sys.env.getOrElse("GRAFT_CANARY_DOCS", "500000").toLong
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.quietExpected()
+
+    // ---- graph: uniform sources, 10% of edges into 1k hubs ----
+    val edges = spark.range(nE).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(nV)).as("src"),
+        when(pmod(xxhash64(col("id"), lit(2)), lit(10)) === 0,
+          pmod(xxhash64(col("id"), lit(3)), lit(1000)))
+          .otherwise(pmod(xxhash64(col("id"), lit(3)), lit(nV))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint() // eager: time the operators, not the generator
+    val verts = spark.range(nV).select(col("id"))
+
+    // ---- documents: 25-token texts; every 100th doc duplicates its
+    // predecessor (seed swap), so near-dup recall has planted truth ----
+    val docs = spark.range(nD).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(24)),
+          i => concat(lit("w"), pmod(xxhash64(
+            when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
+              .otherwise(col("id")) * 131 + i, lit(7)), lit(5000)))),
+          " ").as("text"))
+      .localCheckpoint()
+    val planted = nD / 100
+
+    // Inputs are lineage-truncated checkpoints: their blocks are the
+    // ONLY copy, so the per-op cleanup must never drop them.
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[canary] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      // isolate ops: drop SQL cache AND the op's own checkpoint blocks
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!keep.contains(id)) rdd.unpersist(blocking = false) }
+      r
+    }
+    println(s"[canary] graph V=$nV E=${edges.count()} docs=$nD")
+
+    val pr = time("pagerank") {
+      val r = graft.graph.PageRank.run(verts, edges, maxIter = 20,
+        stopTol = Some(1e-3))
+      (r.iterations, r.sad, r.scores.count())
+    }
+    println(s"[canary]   pagerank iters=${pr._1} sad=${pr._2} rows=${pr._3}")
+
+    val comp = time("components") {
+      graft.graph.Components.run(
+          edges.select(col("src").as("a"), col("dst").as("b")))
+        .agg(countDistinct(col("component"))).first().getLong(0)
+    }
+    println(s"[canary]   components distinct=$comp")
+
+    // Speculative strategy: the default Jones-Plassmann rule sheds only
+    // ~1/(degree+1) per round — at degree ~20 that is ~80 rounds, each
+    // paying full superstep latency. Conflict-retry coloring converges
+    // in O(log V) rounds at this scale (see Coloring.run scaladoc).
+    val colors = time("coloring (speculative)") {
+      graft.graph.Coloring.run(verts.select(col("id").cast("string")
+          .as("id")),
+        edges.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst")),
+        speculative = true)
+        .agg(max(col("color"))).first().getInt(0)
+    }
+    println(s"[canary]   coloring maxColor=$colors")
+
+    val dups = time("minhash near-dup") {
+      graft.dedup.Dedup.minHashNearDups(docs).count()
+    }
+    println(s"[canary]   near-dup pairs=$dups (planted=$planted)")
+
+    val exact = time("exact dedup") {
+      docs.groupBy(xxhash64(col("text")).as("h"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    }
+    println(s"[canary]   exact dup groups=$exact")
+    spark.stop()
+  }
+}

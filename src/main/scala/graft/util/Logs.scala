@@ -13,7 +13,14 @@ object Logs {
     * ever sees one page-sized slice — never the corpus. WindowExec
     * cannot know that and warns "No Partition Defined" on every page;
     * dozens of identical lines per bench run drown actual warnings. */
-  def quietExpected(): Unit =
+  def quietExpected(): Unit = {
     Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
+    // Bench/ScaleCanary intentionally unpersist finished queries'
+    // localCheckpoint blocks (they are invisible to clearCache); Spark
+    // warns "lineage has been truncated and cannot be recomputed" per
+    // RDD, which is precisely the intent — the result was consumed.
+    Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", Level.ERROR)
+  }
 }

@@ -54,6 +54,32 @@ class ColoringSpec extends SparkSpec {
     assertProper(dist, es)
   }
 
+  test("speculative strategy is proper, deterministic, honours pre-colors") {
+    // random-ish graph: 60 vertices, ~180 hash-derived edges
+    val es = (0 until 180).map { i =>
+      val a = (i * 2654435761L % 60).toInt
+      val b = ((i * 40503L + 7) % 60).toInt
+      (s"v$a", s"v$b")
+    }.filter { case (a, b) => a != b }
+    val vs = (0 until 60).map(i => s"v$i")
+    def spec() = Coloring.run(vs.toDF("id"), es.toDF("src", "dst"),
+        localFinishThreshold = 0, speculative = true)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val c1 = spec()
+    assert(c1.size == 60)
+    assertProper(c1, es)
+    assert(c1 == spec()) // deterministic across runs
+
+    // pre-colored vertices keep their colors and block neighbours
+    val pre = (("v0", Some(5)) +: vs.tail.map(v => (v, None: Option[Int])))
+      .toDF("id", "color")
+    val c2 = Coloring.run(pre, es.toDF("src", "dst"),
+        localFinishThreshold = 0, speculative = true)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(c2("v0") == 5)
+    assertProper(c2, es)
+  }
+
   test("proper on the sf0.001 bipartite order-part graph") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val edges = li.select(
