@@ -78,13 +78,18 @@ object PageRank {
         .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum("score"), lit(0.0)).as("dm"))
 
-      val next0 = v.join(contribs, Seq("id"), "left")
+      // The id universe never changes, so the new generation grows from
+      // the previous one (not from v) and carries the previous score
+      // along: SAD becomes a pure aggregate over the frame this
+      // iteration materializes anyway — no extra join per iteration.
+      val next0 = scores.select(col("id"), col("score").as("prev"))
+        .join(contribs, Seq("id"), "left")
         .crossJoin(dangling)
         .withColumn("score", snap(
           lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               col("dm") / lit(n))))
-        .select("id", "score")
+        .select("id", "prev", "score")
 
       // Lazy localCheckpoint: truncates the logical plan (which would
       // otherwise nest the previous generation 2x per step and grow
@@ -93,11 +98,11 @@ object PageRank {
       val next = next0.localCheckpoint(false)
 
       if (tracking) {
-        sad = next.join(scores.withColumnRenamed("score", "prev"), Seq("id"))
-          .agg(sum(abs(col("score") - col("prev")))).first().getDouble(0)
+        sad = next.agg(sum(abs(col("score") - col("prev"))))
+          .first().getDouble(0)
         if (iter > 0 && sad < stopTol.get) done = true
       }
-      scores = next
+      scores = next.select("id", "score")
       iter += 1
     }
     Result(scores, iter, sad)
