@@ -45,6 +45,21 @@ object StreamQueries {
                CAST(min(ts_us) AS BIGINT) AS start_us,
                CAST(max(ts_us) AS BIGINT) AS end_us
         FROM sess GROUP BY user_id, sess_no
-        ORDER BY user_id, sess_no"""))
+        ORDER BY user_id, sess_no""")),
+
+    // q44: the watermarked tumbling-window rollup, replayed through a
+    // real Append-mode streaming run — finalized windows must equal the
+    // batch GROUP BY over hour buckets.
+    QuerySpec("q44_windowed_counts_stream",
+      (s, dir) =>
+        Streams.windowedCountsReplay(Tables.events(s, dir),
+            "1 hour", "2 hours")
+          .orderBy("win_start_us", "event_type"),
+      Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+               event_type, count(*) AS cnt
+        FROM events
+        GROUP BY win_start_us, event_type
+        ORDER BY win_start_us, event_type"""))
   )
 }

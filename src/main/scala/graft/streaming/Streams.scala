@@ -99,17 +99,24 @@ object Streams {
     * Two sentinel ticks: the watermark only reflects a batch after it
     * completes, so tick 1 raises it past every real session's timeout
     * and tick 2 triggers the state round that fires them. */
-  def sessionizeReplay(events: DataFrame, gapUs: Long): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val stage = java.nio.file.Files.createTempDirectory("sess_stage")
+  /** File-source replay scaffolding shared by the parity surfaces:
+    * stage `real` as one parquet file, start the query `build`
+    * constructs over the staged directory, then append two sentinel
+    * ticks (watermark reflects a batch only after it completes — tick 1
+    * raises it past every real timeout/window, tick 2 triggers the
+    * round that fires them) and return the parquet the query's
+    * foreachBatch appended. */
+  private def replayThroughFiles(
+      real: DataFrame, sentinel: Int => DataFrame, schema: String,
+      build: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery)
+      : DataFrame = {
+    val spark = real.sparkSession
+    val stage = java.nio.file.Files.createTempDirectory("replay_stage")
     val outDir = java.nio.file.Files
-      .createTempDirectory("sess_out").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("sess_ckpt").toString
+      .createTempDirectory("replay_out").toString
 
     def addFile(df: DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("sess_add")
+      val tmp = java.nio.file.Files.createTempDirectory("replay_add")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator()
       var moved = false
@@ -123,31 +130,9 @@ object Streams {
       require(moved, s"no parquet part produced for $name")
     }
 
-    val clicks = events.select(
-      col("user_id").as("userId"),
-      timestamp_micros(expr("ts div 1000")).as("ts"),
-      expr("ts div 1000").as("tsUs"))
-    val maxUs = events.agg(max(expr("ts div 1000"))).first().getLong(0)
-    addFile(clicks, "00-real.parquet")
-
-    def sentinel(n: Int): DataFrame = {
-      val us = maxUs + n * 10L * gapUs
-      Seq((-1L, us)).toDF("userId", "us")
-        .select(col("userId"), timestamp_micros(col("us")).as("ts"),
-          col("us").as("tsUs"))
-    }
-
-    val src = spark.readStream
-      .schema("userId BIGINT, ts TIMESTAMP, tsUs BIGINT")
-      .parquet(stage.toString).as[Click]
-    val q = sessionize(src, gapUs).writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[Session],
-                       _: Long) =>
-        b.write.mode("append").parquet(outDir)
-      }
-      .start()
+    addFile(real, "00-real.parquet")
+    val src = spark.readStream.schema(schema).parquet(stage.toString)
+    val q = build(src, outDir)
     try {
       q.processAllAvailable()
       addFile(sentinel(1), "01-sentinel.parquet")
@@ -155,16 +140,81 @@ object Streams {
       addFile(sentinel(2), "02-sentinel.parquet")
       q.processAllAvailable()
     } finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
+  private def ckptDir(): String =
+    java.nio.file.Files.createTempDirectory("replay_ckpt").toString
+
+  def sessionizeReplay(events: DataFrame, gapUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val clicks = events.select(
+      col("user_id").as("userId"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      expr("ts div 1000").as("tsUs"))
+    val maxUs = events.agg(max(expr("ts div 1000"))).first().getLong(0)
+    def sentinel(n: Int): DataFrame = {
+      val us = maxUs + n * 10L * gapUs
+      Seq((-1L, us)).toDF("userId", "us")
+        .select(col("userId"), timestamp_micros(col("us")).as("ts"),
+          col("us").as("tsUs"))
+    }
+
+    val sessions = replayThroughFiles(clicks, sentinel,
+      "userId BIGINT, ts TIMESTAMP, tsUs BIGINT",
+      (src, outDir) => sessionize(src.as[Click], gapUs).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Session],
+                         _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start())
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("start_us")
-    spark.read.parquet(outDir)
+    sessions
       .filter(col("userId") >= 0)
       .select(col("userId").as("user_id"),
         col("nEvents").cast("long").as("n_events"),
         col("startUs").as("start_us"), col("endUs").as("end_us"))
       .withColumn("sess_no", row_number().over(w).cast("long"))
       .select("user_id", "sess_no", "n_events", "start_us", "end_us")
+  }
+
+  /** Batch ≡ stream parity for [[windowedCounts]] (q44): replay the
+    * events table through a file-source streaming run of the
+    * watermarked tumbling-window rollup; finalized windows (Append
+    * mode) must equal the batch GROUP BY. */
+  def windowedCountsReplay(events: DataFrame, windowDur: String,
+                           lateness: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("event_type"))
+    val maxUs = events.agg(max(expr("ts div 1000"))).first().getLong(0)
+    // Two days clears any sane window + lateness combination here.
+    def sentinel(n: Int): DataFrame =
+      Seq(maxUs + n * 2L * 86400L * 1000000L).toDF("us")
+        .select(timestamp_micros(col("us")).as("ts"),
+          lit("__sentinel").as("event_type"))
+
+    val wins = replayThroughFiles(rows, sentinel,
+      "ts TIMESTAMP, event_type STRING",
+      (src, outDir) => windowedCounts(src, windowDur, lateness)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start())
+
+    wins.filter(col("event_type") =!= "__sentinel")
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("cnt"))
   }
 
   /** The crawl loop as a streaming query skeleton: rate source ticks,
