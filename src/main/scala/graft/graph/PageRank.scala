@@ -52,8 +52,12 @@ object PageRank {
       .agg(count(lit(1)).cast("double").as("od"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // out-degree is static — join it into the edge table ONCE, so each
-    // superstep pays a single shuffle (scores⋈edges), not two.
+    // superstep pays a single shuffle (scores⋈edges), not two; and
+    // hash-partition the result by the join key so the cached layout
+    // (InMemoryRelation preserves it) lets each superstep shuffle only
+    // the V-sized score frame, never the E-sized edge table.
     val e = e0.join(outDeg, Seq("src"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val n = v.count().toDouble

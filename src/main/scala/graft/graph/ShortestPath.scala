@@ -37,7 +37,13 @@ object ShortestPath {
   def state(edges: DataFrame, sourceId: String, maxHops: Int,
             earlyStop: Boolean = true,
             validateWeights: Boolean = true): DataFrame = {
+    // Hash-partition the static edge table by the join key ONCE and
+    // cache it in that layout (InMemoryRelation preserves the cached
+    // plan's partitioning): every relaxation round then shuffles only
+    // the V-sized state frame, never the E-sized edge table — the
+    // superstep co-location a 100 TB cluster needs.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (validateWeights) {
       require(e.filter(col("w") < 0).limit(1).count() == 0,
