@@ -42,9 +42,13 @@ object Components {
     // subtrees, so an unmaterialized upstream would run twice.
     val pairs = edges.persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
+    // Hash-partitioned by the join key and cached in that layout
+    // (InMemoryRelation preserves it): each propagation round then
+    // shuffles only the frontier, never the edge table.
     val und = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = und.select(col("src").as("id"))
