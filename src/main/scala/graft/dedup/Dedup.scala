@@ -50,17 +50,29 @@ object Dedup {
         explode(array_distinct(Analyzer.shingles(col(textCol), n)))
           .as("shingle"))
 
+  /** Prime modulus for the minhash permutation family; (a·h + b) mod P
+    * with per-j constants is the classic universal family, and every
+    * term stays well inside signed-64 range (h < P ≈ 2^31, a ≤ 2n+1). */
+  private[graft] val MinHashP = 2147483647L
+  private[graft] def mixA(j: Int): Long = 2L * j + 1
+  private[graft] def mixB(j: Int): Long = (j * 2654435761L) % MinHashP
+
   /** All `numHashes` min-hashes in ONE aggregation over the shingle
     * table — each hash function is its own codegen'd `min` column, so
     * the shuffle carries each (doc, shingle) row once instead of
-    * ×numHashes. Output: (id, mh0 … mh{n-1}) wide. */
+    * ×numHashes. The expensive portable md5 runs ONCE per shingle (a
+    * projection before the agg); the per-j permutations are integer
+    * (a·h + b) mod P mixes of that single hash — 12 md5s per shingle
+    * was the dominant cost of the whole near-dup pipeline. Output:
+    * (id, mh0 … mh{n-1}) wide. */
   private[graft] def minHashesWide(sh: DataFrame, numHashes: Int,
                                    idCol: String): DataFrame = {
+    val hashed = sh.select(col(idCol),
+      pmod(portableHash(col("shingle")), lit(MinHashP)).as("h"))
     val mins = (0 until numHashes).map { j =>
-      min(portableHash(concat(lit(j), lit(":"), col("shingle"))))
-        .as(s"mh$j")
+      min((col("h") * mixA(j) + mixB(j)) % MinHashP).as(s"mh$j")
     }
-    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash signatures: `numHashes` independent min-hashes per doc.

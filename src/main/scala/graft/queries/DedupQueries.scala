@@ -40,9 +40,14 @@ object DedupQueries {
     * (`scored`), shared by q15 and the q32 component clustering. */
   private val MinhashPairCtes =
     s"""$ShingleCtes,
+    hashed AS MATERIALIZED (
+      SELECT doc_id, ${hashSql("shingle")} % 2147483647 AS h
+      FROM shingles),
     mh AS MATERIALIZED (
-      SELECT doc_id, j, min(${hashSql("j || ':' || shingle")}) AS mh
-      FROM shingles CROSS JOIN (SELECT unnest(range(0, 12)) AS j)
+      SELECT doc_id, j,
+             min((h * (2 * j + 1) + (j * 2654435761) % 2147483647)
+                 % 2147483647) AS mh
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, 12)) AS j)
       GROUP BY doc_id, j),
     bands AS MATERIALIZED (
       SELECT doc_id, CAST(j // 3 AS INT) AS band,

@@ -27,14 +27,21 @@ object Analyzer {
 
   /** Contiguous word n-grams (shingles) as space-joined strings; empty
     * array for texts shorter than n tokens (guarded — Spark's `sequence`
-    * would otherwise count DOWN for start > stop). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokenize(text)
-    // k-th shingle = tokens[k..k+n-1]; number of shingles = size - n + 1
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        k => array_join(slice(toks, k + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * would otherwise count DOWN for start > stop).
+    *
+    * The token array is bound ONCE per row as a lambda variable (the
+    * single-element-array + transform + flatten wrap): referencing the
+    * `tokenize` expression directly inside the inner lambda would
+    * re-run the regex split once PER SHINGLE INDEX — subexpression
+    * elimination is disabled inside higher-order-function lambdas, and
+    * that O(tokens²) regex work dominated the whole minhash pipeline
+    * (6.1s of q15's 7.5s at sf0.1). */
+  def shingles(text: Column, n: Int): Column =
+    flatten(transform(array(tokenize(text)), toks =>
+      // k-th shingle = tokens[k..k+n-1]; count = size - n + 1
+      when(size(toks) >= n,
+        transform(
+          sequence(lit(0), size(toks) - n),
+          k => array_join(slice(toks, k + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))))
 }
