@@ -66,10 +66,15 @@ object Coloring {
       t0 = t1
     }
 
+    // Partitioned by src so the per-round neighbour-max aggregation and
+    // the src-side joins run without re-shuffling the edge table (the
+    // winner frames are small enough to broadcast, preserving the
+    // layout through the anti-joins).
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val hasColor = vertices.columns.contains("color")
