@@ -6,10 +6,10 @@ package org.apache.spark.sql.graftvec
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the similarity hot path: the dot
   * product of two `array<float>` columns, accumulated in double,
@@ -83,7 +83,89 @@ case class DotProductFF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The whole sign-random-projection signature as ONE expression: for
+  * each hyperplane p, bit p of the result is set iff
+  * Σ_d (double)vec(d) · m(p)(d) > 0, accumulated left-to-right — term
+  * for term the same IEEE ops, in the same order, as the per-plane
+  * `aggregate(zip_with(cast, plane, _*_))` fold the DuckDB oracles
+  * mirror, so bucket values are bit-identical.
+  *
+  * Why one expression instead of `planes` dot products OR'd together:
+  * a 40+-term expression tree overflows whole-stage codegen's method
+  * budget and drops the entire projection to interpreted evaluation —
+  * a measured 5× regression on the near-pair pipeline. Here the matrix
+  * rides along as a reference object and the generated code is one
+  * small doubly-nested loop regardless of plane count. */
+case class SignRandomProjection(child: Expression,
+                                matrix: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_projection"
+
+  private def dim: Int = if (matrix.isEmpty) 0 else matrix(0).length
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"sign_projection: expected $dim-dim vector, got " +
+          s"${x.numElements()}")
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < matrix.length) {
+      val row = matrix(p)
+      var acc = 0.0
+      var d = 0
+      while (d < row.length) {
+        acc += x.getFloat(d).toDouble * row(d)
+        d += 1
+      }
+      if (acc > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("planeMatrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |if ($x.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "sign_projection: expected $dim-dim vector, got " +
+         |    $x.numElements());
+         |}
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $m.length; $p++) {
+         |  double[] $row = $m[$p];
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $row.length; $d++) {
+         |    $acc += (double) $x.getFloat($d) * $row[$d];
+         |  }
+         |  if ($acc > 0) $bucket |= 1L << $p;
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VecBridge {
   def dotFF(a: Column, b: Column): Column =
     column(DotProductFF(expression(a), expression(b)))
+  def signProjection(v: Column, matrix: Array[Array[Double]]): Column =
+    column(SignRandomProjection(expression(v), matrix))
 }

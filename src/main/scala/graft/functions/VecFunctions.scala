@@ -11,6 +11,12 @@ object VecFunctions {
   def dotFF(a: Column, b: Column): Column =
     org.apache.spark.sql.graftvec.VecBridge.dotFF(a, b)
 
+  /** Whole sign-LSH signature (one bit per hyperplane) as a single
+    * codegen'd expression; bit-identical to per-plane fold projections
+    * but one small loop regardless of plane count. */
+  def signProjection(v: Column, matrix: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftvec.VecBridge.signProjection(v, matrix)
+
   /** Cosine similarity on float vectors via the native dot. */
   def cosineFF(a: Column, b: Column): Column =
     dotFF(a, b) / (sqrt(dotFF(a, a)) * sqrt(dotFF(b, b)))

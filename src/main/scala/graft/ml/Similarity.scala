@@ -78,29 +78,22 @@ object Similarity {
     Array.tabulate(planes, dim)(planeComponent)
 
   /** Sign-random-projection signature for each vector: one bit per
-    * hyperplane (`planes` ≤ 60). The hyperplanes enter the plan as
-    * literal arrays — each projection is one codegen'd zip_with/fold. */
+    * hyperplane (`planes` ≤ 60), via ONE native codegen'd expression
+    * (`SignRandomProjection`) carrying the whole literal hyperplane
+    * matrix — bit-identical to a per-plane zip_with/aggregate fold
+    * (VecExpressionsSpec) but a single small nested loop regardless of
+    * plane count, where 40+ chained per-plane folds overflow the
+    * codegen method budget and drop the projection to interpreted
+    * evaluation. A wrong-length vector would otherwise silently poison
+    * every projection and send the corpus to one bucket (turning the
+    * bucket-local join into an all-pairs scan) — the expression
+    * validates per row and fails loudly. */
   def lshBuckets(emb: DataFrame, planes: Int,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding",
-                 dim: Int = 64): DataFrame = {
-    val m = planeMatrix(planes, dim)
-    // A vector of the wrong length would zip against the literal plane
-    // with NULL padding, poison every projection, and silently send the
-    // whole corpus to bucket 0 (turning the bucket-local join into an
-    // all-pairs scan) — fail loudly per row instead.
-    val checked = when(size(col(vecCol)) === dim, col(vecCol))
-      .otherwise(raise_error(concat(
-        lit(s"lshBuckets: expected $dim-dim vector, got "),
-        size(col(vecCol)).cast("string"))).cast("array<float>"))
-    val sig = (0 until planes).map { p =>
-      val plane = array(m(p).map(lit(_)): _*)
-      val proj = aggregate(zip_with(asDouble(checked), plane, _ * _),
-        lit(0.0), _ + _)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
-    emb.withColumn("bucket", sig)
-  }
+                 dim: Int = 64): DataFrame =
+    emb.withColumn("bucket", graft.functions.VecFunctions
+      .signProjection(col(vecCol), planeMatrix(planes, dim)))
 
   /** Approximate top-k: restrict to the query's LSH bucket (plus exact
     * re-rank). Falls back to nothing if the bucket is empty — callers
@@ -150,7 +143,14 @@ object Similarity {
     val rpb = planes / bands
     // emb is referenced by the band join (twice) and the verify (twice).
     val e = emb.persist(StorageLevel.MEMORY_AND_DISK)
-    val keyed = lshBuckets(e, planes, idCol, vecCol, dim)
+    // The planes×dims signature is the pipeline's hot loop and the band
+    // self-join references it on BOTH sides (and Spark re-executes
+    // duplicated subtrees) — materialize the narrow (id, bucket) frame
+    // so every vector is projected exactly once.
+    val bucketed = lshBuckets(e, planes, idCol, vecCol, dim)
+      .select(col(idCol), col("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keyed = bucketed
       .select(col(idCol), col("bucket"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("key",

@@ -52,6 +52,21 @@ object ScaleCanary {
       .localCheckpoint()
     val planted = nD / 100
 
+    // ---- embeddings: 64-dim hash-derived unit-ish vectors; every
+    // 100th vector is a slightly perturbed copy of its predecessor so
+    // near-pair search has planted truth at scale ----
+    val nEmb = nD
+    val emb = spark.range(nEmb).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(xxhash64(
+            when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
+              .otherwise(col("id")) * 977 + d, lit(11)), lit(2000))
+            / 1000.0 - 1.0) +
+            // the copy gets a +0.01 nudge on every component
+            when(pmod(col("id"), lit(100)) === 1, 0.01).otherwise(0.0))
+            .cast("float")).as("embedding"))
+      .localCheckpoint()
+
     // Inputs are lineage-truncated checkpoints: their blocks are the
     // ONLY copy, so the per-op cleanup must never drop them.
     val keep = spark.sparkContext.getPersistentRDDs.keySet
@@ -107,6 +122,28 @@ object ScaleCanary {
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
     }
     println(s"[canary]   exact dup groups=$exact")
+
+    // Scaling law from Similarity: b ≈ log2(N / targetBucketSize);
+    // N=500k, target ≈ 250 → 11 bits per band, 4 bands (44 planes).
+    val pairs = time("ann near-pairs") {
+      graft.ml.Similarity.nearPairs(emb, planes = 44, minCos = 0.99,
+        bands = 4).count()
+    }
+    println(s"[canary]   ann near-pairs=$pairs (planted=${nEmb / 100})")
+
+    val topk = time("ann lshTopK+multiprobe") {
+      val q = (0 until 64).map(i => ((i % 13) - 6) / 6.0f)
+      graft.ml.Similarity.lshTopK(emb, q, 10, planes = 16,
+        multiProbe = 8).count()
+    }
+    println(s"[canary]   ann topk rows=$topk")
+
+    val ivf = time("ivf build(64)+probe") {
+      val q = (0 until 64).map(i => ((i % 13) - 6) / 6.0f)
+      val idx = graft.ml.Ivf.build(emb, k = 64, iters = 3)
+      graft.ml.Ivf.topK(idx, q, 10, nprobe = 4).count()
+    }
+    println(s"[canary]   ivf probe rows=$ivf")
     spark.stop()
   }
 }

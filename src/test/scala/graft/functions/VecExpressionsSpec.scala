@@ -31,6 +31,38 @@ class VecExpressionsSpec extends SparkSpec {
     assert(m == 0L)
   }
 
+  test("signProjection is bit-identical to per-plane fold buckets") {
+    // the bucket value lshBuckets used to build from per-plane
+    // zip_with/aggregate folds, for small AND codegen-cliff plane
+    // counts (44 chained folds is where whole-stage codegen bails)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (planes <- Seq(8, 24, 44)) {
+      val m = Similarity.planeMatrix(planes, 64)
+      val foldBucket = (0 until planes).map { p =>
+        val plane = array(m(p).map(lit(_)): _*)
+        val v = transform(col("embedding"), _.cast("double"))
+        when(aggregate(zip_with(v, plane, _ * _), lit(0.0), _ + _) > 0,
+          lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      val mismatches = emb.select(
+          foldBucket.as("fold"),
+          VecFunctions.signProjection(col("embedding"), m).as("native"))
+        .filter(col("fold") =!= col("native")).count()
+      assert(mismatches == 0L, s"planes=$planes")
+    }
+  }
+
+  test("signProjection rejects wrong-length vectors loudly") {
+    import spark.implicits._
+    val m = Similarity.planeMatrix(4, 8)
+    val bad = Seq(Seq(1f, 2f)).toDF("v")
+    val e = intercept[Exception] {
+      bad.select(VecFunctions.signProjection(col("v"), m)).collect()
+    }
+    assert(e.getMessage.contains("expected 8-dim") ||
+      e.getCause.getMessage.contains("expected 8-dim"))
+  }
+
   test("interpreted path (nullSafeEval) agrees with codegen") {
     val a = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     val got = a.select(VecFunctions.dotFF(col("a"), col("b")))
