@@ -163,9 +163,83 @@ case class SignRandomProjection(child: Expression,
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Nearest-centroid assignment as one expression: returns the id (from
+  * `clusterIds`) of the centroid with the smallest squared L2 distance
+  * to the vector, ties to the earliest (= smallest id, rows pre-sorted)
+  * — exactly the `min(struct(dist, cluster))` argmin of the dataframe
+  * formulation, with per-element double accumulation in the same
+  * order, so assignments are bit-identical. Replaces a
+  * crossJoin(corpus × k) + per-id window sort (k× the corpus shuffled
+  * per Lloyd round) with a narrow codegen'd projection. */
+case class NearestCentroid(child: Expression,
+                           clusterIds: Array[Long],
+                           centroids: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val row = centroids(c)
+      var acc = 0.0
+      var d = 0
+      while (d < row.length) {
+        val diff = x.getFloat(d).toDouble - row(d)
+        acc += diff * diff
+        d += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    clusterIds(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val ids = ctx.addReferenceObj("clusterIds", clusterIds, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val row = ctx.freshName("row")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $m.length; $c++) {
+         |  double[] $row = $m[$c];
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $row.length; $d++) {
+         |    double $diff = (double) $x.getFloat($d) - $row[$d];
+         |    $acc += $diff * $diff;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |}
+         |${ev.value} = $ids[$best];
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VecBridge {
   def dotFF(a: Column, b: Column): Column =
     column(DotProductFF(expression(a), expression(b)))
   def signProjection(v: Column, matrix: Array[Array[Double]]): Column =
     column(SignRandomProjection(expression(v), matrix))
+  def nearestCentroid(v: Column, clusterIds: Array[Long],
+                      centroids: Array[Array[Double]]): Column =
+    column(NearestCentroid(expression(v), clusterIds, centroids))
 }

@@ -17,6 +17,13 @@ object VecFunctions {
   def signProjection(v: Column, matrix: Array[Array[Double]]): Column =
     org.apache.spark.sql.graftvec.VecBridge.signProjection(v, matrix)
 
+  /** Nearest-centroid id by squared L2 (ties to earliest id), one
+    * codegen'd expression; the IVF Lloyd/assign hot path. */
+  def nearestCentroid(v: Column, clusterIds: Array[Long],
+                      centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftvec.VecBridge
+      .nearestCentroid(v, clusterIds, centroids)
+
   /** Cosine similarity on float vectors via the native dot. */
   def cosineFF(a: Column, b: Column): Column =
     dotFF(a, b) / (sqrt(dotFF(a, a)) * sqrt(dotFF(b, b)))

@@ -31,19 +31,22 @@ object Ivf {
 
   /** Assign every vector to its nearest centroid — min squared L2,
     * ties to the smallest cluster id (deterministic). centroids:
-    * (cluster, centroid: array<double>), broadcast (k is small by
-    * construction). */
+    * (cluster, centroid: array<double>) — k is small by construction,
+    * so the matrix is collected and baked into ONE native codegen'd
+    * expression (`NearestCentroid`, bit-identical distances and
+    * tie-breaks to the crossJoin + argmin-window formulation it
+    * replaces, which shuffled k× the corpus per Lloyd round). */
   def assign(emb: DataFrame, centroids: DataFrame,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame =
+             vecCol: String = "embedding"): DataFrame = {
+    val rows = centroids.select(col("cluster"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
     emb.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d", sqDist(col(vecCol), col("centroid")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(idCol).orderBy(col("d"), col("cluster"))))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cluster"))
+      .withColumn("cluster", graft.functions.VecFunctions
+        .nearestCentroid(col(vecCol), rows.map(_._1), rows.map(_._2)))
+  }
 
   /** Build an IVF index: `k` clusters, `iters` Lloyd rounds.
     * Deterministic: initial centroids are the `k` vectors with the

@@ -123,10 +123,13 @@ object ScaleCanary {
     }
     println(s"[canary]   exact dup groups=$exact")
 
-    // Scaling law from Similarity: b ≈ log2(N / targetBucketSize);
-    // N=500k, target ≈ 250 → 11 bits per band, 4 bands (44 planes).
+    // Scaling law from Similarity: b ≈ log2(N / targetBucketSize).
+    // Candidate volume is Σ bucket² ≈ N²/2^b per band, so for PAIR
+    // MINING the target bucket is small: N=500k with 11-bit bands
+    // (~250/bucket) enumerates ~250M candidate pairs and the exact
+    // verify dominates; 15-bit bands (~15/bucket) cut that ~16×.
     val pairs = time("ann near-pairs") {
-      graft.ml.Similarity.nearPairs(emb, planes = 44, minCos = 0.99,
+      graft.ml.Similarity.nearPairs(emb, planes = 60, minCos = 0.99,
         bands = 4).count()
     }
     println(s"[canary]   ann near-pairs=$pairs (planted=${nEmb / 100})")
