@@ -23,6 +23,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE keep a few tasks of parallelism on the small V-sized
+      // exchanges of the iterative loops instead of collapsing a 1-2 MB
+      // shuffle to one serial task (default minPartitionSize is 1 MB);
+      // at production shuffle sizes this setting is never the binding
+      // constraint.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "256k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -69,12 +69,20 @@ object Coloring {
     // Partitioned by src so the per-round neighbour-max aggregation and
     // the src-side joins run without re-shuffling the edge table (the
     // winner frames are small enough to broadcast, preserving the
-    // layout through the anti-joins).
+    // layout through the anti-joins). Partition-count law as in
+    // PageRank/ShortestPath: ~128k undirected edges per partition,
+    // floored at 4 and capped at the cluster parallelism — per-round
+    // frames inherit this count, so small residual graphs don't pay
+    // scheduler overhead for dozens of near-empty tasks.
+    val eCnt = edges.count()
+    val p = math.max(4, math.min(
+      spark.sparkContext.defaultParallelism,
+      (2 * eCnt / 128000L).toInt + 1))
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("src"))
+      .repartition(p, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val hasColor = vertices.columns.contains("color")
@@ -221,39 +229,56 @@ object Coloring {
       // E) pass instead of O(rounds × (V + E)) winner scans.
       // `active` is exactly the both-endpoints-uncolored edge set (both
       // directions), already materialized — no extra joins to collect it.
-      val vs = uncolored.select("id", "token", "forbidden")
-        .as[(String, Long, Seq[Int])].collect()
-      val es = active.select("src", "dst").as[(String, String)].collect()
-      if (debug) {
-        println(s"[coloring] local finish: ${vs.length} vertices, " +
-          s"${es.length} edges")
-        lap("local collect")
-      }
-
-      val forbidden = scala.collection.mutable.Map(
-        vs.map(v => v._1 -> scala.collection.mutable.Set(v._3: _*)): _*)
-      val nbrs = scala.collection.mutable.Map[String, List[String]]()
-        .withDefaultValue(Nil)
-      es.foreach { case (s, d) => nbrs(s) = d :: nbrs(s) }
-      // Decreasing (token, id); String ordering matches Spark's binary
-      // UTF8 compare for the ASCII ids used here (same assumption the
-      // distributed struct compare has always made).
-      val order = vs.sortBy(v => (v._2, v._1))(
-        Ordering.Tuple2(Ordering.Long, Ordering.String).reverse)
-      val out = new scala.collection.mutable.ArrayBuffer[(String, Int)](
-        vs.length)
-      order.foreach { case (v, _, _) =>
-        val f = forbidden(v)
-        var c = 0
-        while (f.contains(c)) c += 1
-        out += ((v, c))
-        nbrs(v).foreach(u => forbidden.get(u).foreach(_ += c))
-      }
-      lap("local greedy")
-      doneParts ::= out.toSeq.toDF("id", "color")
-      lap("local toDF")
+      doneParts ::= (uncolored.schema("id").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          localGreedy[Long](uncolored, active, debug, lap)
+        case _ => localGreedy[String](uncolored, active, debug, lap)
+      })
     }
     und.unpersist(false)
     doneParts.reduce(_ unionByName _).select("id", "color")
+  }
+
+  /** The driver-side tail pass, generic over the vertex-id type (string
+    * names or dictionary-encoded longs). The id `Ordering` must match
+    * Spark's column ordering — true for Long, and for String Spark's
+    * binary UTF8 compare matches `Ordering.String` on the ASCII ids used
+    * here (same assumption the distributed struct compare has always
+    * made). */
+  private def localGreedy[I](uncolored: DataFrame, active: DataFrame,
+      debug: Boolean, lap: String => Unit)(implicit
+      vEnc: org.apache.spark.sql.Encoder[(I, Long, Seq[Int])],
+      eEnc: org.apache.spark.sql.Encoder[(I, I)],
+      oEnc: org.apache.spark.sql.Encoder[(I, Int)],
+      ord: Ordering[I]): DataFrame = {
+    val spark = uncolored.sparkSession
+    val vs = uncolored.select("id", "token", "forbidden")
+      .as[(I, Long, Seq[Int])].collect()
+    val es = active.select("src", "dst").as[(I, I)].collect()
+    if (debug) {
+      println(s"[coloring] local finish: ${vs.length} vertices, " +
+        s"${es.length} edges")
+      lap("local collect")
+    }
+
+    val forbidden = scala.collection.mutable.Map(
+      vs.map(v => v._1 -> scala.collection.mutable.Set(v._3: _*)): _*)
+    val nbrs = scala.collection.mutable.Map[I, List[I]]()
+      .withDefaultValue(Nil)
+    es.foreach { case (s, d) => nbrs(s) = d :: nbrs(s) }
+    val order = vs.sortBy(v => (v._2, v._1))(
+      Ordering.Tuple2(Ordering.Long, ord).reverse)
+    val out = new scala.collection.mutable.ArrayBuffer[(I, Int)](vs.length)
+    order.foreach { case (v, _, _) =>
+      val f = forbidden(v)
+      var c = 0
+      while (f.contains(c)) c += 1
+      out += ((v, c))
+      nbrs(v).foreach(u => forbidden.get(u).foreach(_ += c))
+    }
+    lap("local greedy")
+    val df = spark.createDataset(out.toSeq).toDF("id", "color")
+    lap("local toDF")
+    df
   }
 }

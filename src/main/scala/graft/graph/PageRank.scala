@@ -47,53 +47,81 @@ object PageRank {
       gridSnap.map(g => floor(c * g + 0.5) / g).getOrElse(c)
 
     val v = vertices.select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    // The caller's edge subtree (typically a scan + distinct) feeds both
+    // out-degrees and the join table — persist it ONCE or Spark
+    // re-executes the identical subtree per reference.
     val e0 = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e0.groupBy("src")
       .agg(count(lit(1)).cast("double").as("od"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // out-degree is static — join it into the edge table ONCE, so each
     // superstep pays a single shuffle (scores⋈edges), not two; and
-    // hash-partition the result by the join key so the cached layout
-    // (InMemoryRelation preserves it) lets each superstep shuffle only
-    // the V-sized score frame, never the E-sized edge table.
+    // hash-partition + SORT the result by the join key: the cached
+    // layout (InMemoryRelation preserves both the partitioning and the
+    // ordering of the cached plan) lets each superstep shuffle + sort
+    // only the V-sized score frame — the E-sized edge table is never
+    // re-shuffled NOR re-sorted by the per-superstep sort-merge join.
+    // Partition-count law: ~128k edges per partition, floored at 4 and
+    // capped at the cluster's parallelism. Superstep stages inherit this
+    // count (the cached layout fixes it for the co-partitioned join), so
+    // at small scale the loop doesn't pay scheduler + codegen-init
+    // overhead for dozens of near-empty tasks, and at scale it grows to
+    // the cluster width.
+    val eCount = e0.count()
+    val p = math.max(4, math.min(
+      e0.sparkSession.sparkContext.defaultParallelism,
+      (eCount / 128000L).toInt + 1))
     val e = e0.join(outDeg, Seq("src"))
-      .repartition(col("src"))
+      .repartition(p, col("src"))
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val n = v.count().toDouble
     val tracking = stopTol.isDefined
 
-    var scores = v.withColumn("score", snap(lit(1.0) / lit(n)))
+    // The dangling-vertex SET is static (it depends only on graph
+    // shape), so resolve it once at init and carry it as a boolean
+    // through the generations: the per-superstep dangling mass becomes
+    // a filter + aggregate over the frame each superstep materializes
+    // anyway — no per-superstep anti-join.
+    var scores = v
+      .join(outDeg.select(col("src").as("id"), lit(true).as("hasOut")),
+        Seq("id"), "left")
+      .select(col("id"), snap(lit(1.0) / lit(n)).as("score"),
+        col("hasOut").isNull.as("dang"))
       .localCheckpoint(false)
     var iter = 0
     var sad = Double.MaxValue
     var done = false
 
     while (iter < maxIter && !done) {
-      // Σ over in-edges of score(src)/outdeg(src) — one shuffle keyed by dst.
+      // Σ over in-edges of score(src)/outdeg(src) — one shuffle keyed by
+      // dst. Project down to (src, score) first: the dang flag has no
+      // business traveling through the E-sized join.
       val contribs = e
-        .join(scores.withColumnRenamed("id", "src"), Seq("src"))
+        .join(scores.select(col("id").as("src"), col("score")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("score") / col("od")).as("contrib"))
 
-      // Dangling mass: total score on vertices with no out-edges — a
-      // 1-row frame cross-joined into the plan (no driver collect).
-      val dangling = scores
-        .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+      // Dangling mass: total score on the static dangling set — a 1-row
+      // frame cross-joined into the plan (no driver collect, no join).
+      val dangling = scores.filter(col("dang"))
         .agg(coalesce(sum("score"), lit(0.0)).as("dm"))
 
       // The id universe never changes, so the new generation grows from
       // the previous one (not from v) and carries the previous score
       // along: SAD becomes a pure aggregate over the frame this
       // iteration materializes anyway — no extra join per iteration.
-      val next0 = scores.select(col("id"), col("score").as("prev"))
+      val next0 = scores
+        .select(col("id"), col("dang"), col("score").as("prev"))
         .join(contribs, Seq("id"), "left")
         .crossJoin(dangling)
         .withColumn("score", snap(
           lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               col("dm") / lit(n))))
-        .select("id", "prev", "score")
+        .select("id", "dang", "prev", "score")
 
       // Lazy localCheckpoint: truncates the logical plan (which would
       // otherwise nest the previous generation 2x per step and grow
@@ -106,9 +134,9 @@ object PageRank {
           .first().getDouble(0)
         if (iter > 0 && sad < stopTol.get) done = true
       }
-      scores = next.select("id", "score")
+      scores = next.select("id", "dang", "score")
       iter += 1
     }
-    Result(scores, iter, sad)
+    Result(scores.select("id", "score"), iter, sad)
   }
 }

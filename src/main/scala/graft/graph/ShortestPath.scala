@@ -34,26 +34,43 @@ object ShortestPath {
     * `maxHops` relaxation rounds (Bellman-Ford converges in ≤ |V|-1;
     * callers bound it). With `earlyStop = false` the loop builds ONE
     * lazy plan — zero driver actions beyond the weight guard. */
-  def state(edges: DataFrame, sourceId: String, maxHops: Int,
+  def state(edges: DataFrame, sourceId: Any, maxHops: Int,
             earlyStop: Boolean = true,
-            validateWeights: Boolean = true): DataFrame = {
-    // Hash-partition the static edge table by the join key ONCE and
-    // cache it in that layout (InMemoryRelation preserves the cached
-    // plan's partitioning): every relaxation round then shuffles only
-    // the V-sized state frame, never the E-sized edge table — the
-    // superstep co-location a 100 TB cluster needs.
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
-      .repartition(col("src"))
+            validateWeights: Boolean = true,
+            noPrev: Any = ""): DataFrame = {
+    // Persist the caller's edge subtree once (it is typically a scan +
+    // aggregate and would otherwise re-execute for the guard and the
+    // cache build), then hash-partition AND sort the static edge table
+    // by the join key and cache it in that layout (InMemoryRelation
+    // preserves the cached plan's partitioning and ordering): every
+    // relaxation round then shuffles + sorts only the V-sized state
+    // frame, never the E-sized edge table — the superstep co-location a
+    // 100 TB cluster needs. Partition-count law as in PageRank: ~128k
+    // edges per partition between 4 and the cluster parallelism, so
+    // small graphs don't pay scheduler overhead for near-empty tasks.
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val firstRow = e0
+      .agg(count(when(col("w") < 0, lit(1))).as("neg"),
+        count(lit(1)).as("n")).first()
     if (validateWeights) {
-      require(e.filter(col("w") < 0).limit(1).count() == 0,
+      require(firstRow.getLong(0) == 0,
         "negative edge weights are not supported (reference " +
           "shortestpath/path.go:87-93 rejects them)")
     }
+    val p = math.max(4, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      (firstRow.getLong(1) / 128000L).toInt + 1))
+    val e = e0.repartition(p, col("src"))
+      .sortWithinPartitions("src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
-    import spark.implicits._
 
-    var st = Seq((sourceId, 0L, 0, "")).toDF("id", "dist", "hops", "prev")
+    // `lit` keeps the caller's id type — string names or
+    // dictionary-encoded longs both work; `noPrev` is the source's
+    // predecessor sentinel in that same type.
+    var st = spark.range(1).select(lit(sourceId).as("id"),
+        lit(0L).as("dist"), lit(0).as("hops"), lit(noPrev).as("prev"))
       .localCheckpoint(false)
     var hop = 0
     var done = false
@@ -90,9 +107,10 @@ object ShortestPath {
   }
 
   /** Distances only — (id, dist), the reference's scalar answer. */
-  def run(edges: DataFrame, sourceId: String, maxHops: Int,
-          earlyStop: Boolean = true): DataFrame =
-    state(edges, sourceId, maxHops, earlyStop).select("id", "dist")
+  def run(edges: DataFrame, sourceId: Any, maxHops: Int,
+          earlyStop: Boolean = true, noPrev: Any = ""): DataFrame =
+    state(edges, sourceId, maxHops, earlyStop, noPrev = noPrev)
+      .select("id", "dist")
 
   /** Path reconstruction for EVERY reachable vertex at once: walks the
     * predecessor pointers `maxSteps` times in parallel (a join per step

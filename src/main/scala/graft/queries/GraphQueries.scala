@@ -16,6 +16,12 @@ object GraphQueries {
   private val PrIters = 5
   private val SpHops = 6
 
+  /** Long vertex id (order k → 2k, part k → 2k+1) back to the
+    * reference's string name ('o<k>' / 'p<k>'). */
+  private def decodeId(id: org.apache.spark.sql.Column) =
+    when(id % 2 === 0, concat(lit("o"), (id / 2).cast("long").cast("string")))
+      .otherwise(concat(lit("p"), ((id - 1) / 2).cast("long").cast("string")))
+
   /** Unrolled PageRank oracle: r0 … r{iters} CTE chain. */
   private def pageRankSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
@@ -89,7 +95,10 @@ object GraphQueries {
     * ORDER BY dist, hops, prev ≡ Spark's min(struct(dist, hops,
     * prev))), so the tree is deterministic on both engines and
     * back-walks strictly descend in hops (no cycles even with
-    * zero-weight edges). */
+    * zero-weight edges). The relax rounds run on the SAME long-encoded
+    * ids as the Spark side (order k → 2k, part k → 2k+1, prev sentinel
+    * -1) so the prev tie-break compares identically; names are decoded
+    * in the final projection only. */
   private def shortestPathTreeSql(hops: Int): String = {
     val relax = (1 to hops).map { k =>
       s"""s$k AS MATERIALIZED (
@@ -108,30 +117,36 @@ object GraphQueries {
     val walk = (1 to hops).map { j =>
       s"""w$j AS MATERIALIZED (
          SELECT w.id, w.dist,
-                CASE WHEN s.prev = '' THEN w.path
+                CASE WHEN s.prev = -1 THEN w.path
                      ELSE list_prepend(s.prev, w.path) END AS path,
-                CASE WHEN s.prev = '' THEN w.head ELSE s.prev END AS head
+                CASE WHEN s.prev = -1 THEN w.head ELSE s.prev END AS head
          FROM w${j - 1} w JOIN s$hops s ON w.head = s.id)"""
     }.mkString(",\n")
     s"""
       WITH eo AS MATERIALIZED (
-        SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst,
+        SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
                CAST(l_linenumber AS BIGINT) AS w
         FROM lineitem
         UNION ALL
-        SELECT 'p' || l_partkey, 'o' || l_orderkey,
+        SELECT l_partkey * 2 + 1, l_orderkey * 2,
                CAST(l_suppkey % 5 + 1 AS BIGINT)
         FROM lineitem),
       edges AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM eo GROUP BY src, dst),
       s0 AS MATERIALIZED (
-        SELECT 'o' || min(o_orderkey) AS id, CAST(0 AS BIGINT) AS dist,
-               0 AS hops, '' AS prev
+        SELECT 2 * min(o_orderkey) AS id, CAST(0 AS BIGINT) AS dist,
+               0 AS hops, CAST(-1 AS BIGINT) AS prev
         FROM orders),
       $relax,
       w0 AS MATERIALIZED (SELECT id, dist, [id] AS path, id AS head FROM s$hops),
       $walk
-      SELECT id, dist, array_to_string(path, '->') AS path
-      FROM w$hops ORDER BY id"""
+      SELECT CASE WHEN id % 2 = 0 THEN 'o' || CAST(id // 2 AS VARCHAR)
+                  ELSE 'p' || CAST((id - 1) // 2 AS VARCHAR) END AS id,
+             dist,
+             array_to_string(list_transform(path,
+               x -> CASE WHEN x % 2 = 0 THEN 'o' || CAST(x // 2 AS VARCHAR)
+                         ELSE 'p' || CAST((x - 1) // 2 AS VARCHAR) END),
+               '->') AS path
+      FROM w$hops ORDER BY 1"""
   }
 
   def specs: Seq[QuerySpec] = Seq(
@@ -139,20 +154,27 @@ object GraphQueries {
     // G6: PageRank with dead-end mass redistribution + damped formula —
     // the reference's exact semantics (`pagerank/compute.go:52-79`), run
     // for a fixed superstep count so the oracle can unroll it.
+    // Vertex ids are dictionary-encoded to longs for the supersteps
+    // (order k → 2k, part k → 2k+1) and decoded back to the reference's
+    // 'o…'/'p…' names only at the very end: every per-superstep
+    // shuffle, sort and hash then works on 8-byte integers instead of
+    // variable-length strings — the standard id-encoding a 100 TB graph
+    // job does up front. Scores are unaffected (same vertices, same
+    // edges, same arithmetic).
     QuerySpec("q11_pagerank",
       (s, dir) => {
         val verts = Tables.orders(s, dir)
-          .select(concat(lit("o"), col("o_orderkey").cast("string")).as("id"))
+          .select((col("o_orderkey") * 2).as("id"))
           .unionAll(Tables.part(s, dir)
-            .select(concat(lit("p"), col("p_partkey").cast("string")).as("id")))
+            .select((col("p_partkey") * 2 + 1).as("id")))
         val edges = Tables.lineitem(s, dir)
-          .select(concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
-            concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
           .distinct()
         PageRank.run(verts, edges, damping = 0.85, maxIter = PrIters,
             stopTol = None, gridSnap = Some(1e9))
           .scores
-          .select(col("id"),
+          .select(decodeId(col("id")).as("id"),
             floor(col("score") * 1e9 + 0.5).cast("long").as("score_nanos"))
           .orderBy("id")
       },
@@ -160,21 +182,26 @@ object GraphQueries {
 
     // G9: single-source shortest path (Bellman-Ford relaxation) on the
     // bidirectional order↔part graph with exact integer weights.
+    // Same long-id dictionary encoding as q11: the relax rounds join,
+    // shuffle and take struct-minima over 8-byte ids; names come back
+    // only in the final projection.
     QuerySpec("q12_shortest_path",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
         val eo = li.select(
-            concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
-            concat(lit("p"), col("l_partkey").cast("string")).as("dst"),
+            (col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"),
             col("l_linenumber").cast("long").as("w"))
           .unionAll(li.select(
-            concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-            concat(lit("o"), col("l_orderkey").cast("string")).as("dst"),
+            (col("l_partkey") * 2 + 1).as("src"),
+            (col("l_orderkey") * 2).as("dst"),
             (col("l_suppkey") % 5 + 1).cast("long").as("w")))
         val edges = eo.groupBy("src", "dst").agg(min("w").as("w"))
-        val source = "o" + Tables.orders(s, dir)
+        val source = 2L * Tables.orders(s, dir)
           .agg(min("o_orderkey")).first().getLong(0)
-        ShortestPath.run(edges, source, SpHops, earlyStop = false)
+        ShortestPath.run(edges, source, SpHops, earlyStop = false,
+            noPrev = -1L)
+          .select(decodeId(col("id")).as("id"), col("dist"))
           .orderBy("id")
       },
       Some(shortestPathSql(SpHops))),
@@ -183,23 +210,31 @@ object GraphQueries {
     // rebuilt from per-vertex predecessor pointers in a parallel
     // back-walk (reference `shortestpath/path.go:115-141`
     // BuildShortestPathTo, here for every vertex at once).
+    // Relax rounds on long ids with prev tie-breaking in the SAME long
+    // domain as the oracle; the state is decoded to names before the
+    // back-walk (6 cheap V-sized joins) so the emitted paths carry the
+    // reference's 'o…'/'p…' vertex names.
     QuerySpec("q39_shortest_path_tree",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
         val eo = li.select(
-            concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
-            concat(lit("p"), col("l_partkey").cast("string")).as("dst"),
+            (col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"),
             col("l_linenumber").cast("long").as("w"))
           .unionAll(li.select(
-            concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-            concat(lit("o"), col("l_orderkey").cast("string")).as("dst"),
+            (col("l_partkey") * 2 + 1).as("src"),
+            (col("l_orderkey") * 2).as("dst"),
             (col("l_suppkey") % 5 + 1).cast("long").as("w")))
         val edges = eo.groupBy("src", "dst").agg(min("w").as("w"))
-        val source = "o" + Tables.orders(s, dir)
+        val source = 2L * Tables.orders(s, dir)
           .agg(min("o_orderkey")).first().getLong(0)
         val st = ShortestPath.state(edges, source, SpHops,
-          earlyStop = false)
-        ShortestPath.paths(st, SpHops).orderBy("id")
+          earlyStop = false, noPrev = -1L)
+        val stNamed = st.select(decodeId(col("id")).as("id"),
+          col("dist"), col("hops"),
+          when(col("prev") === -1L, lit(""))
+            .otherwise(decodeId(col("prev"))).as("prev"))
+        ShortestPath.paths(stNamed, SpHops).orderBy("id")
       },
       Some(shortestPathTreeSql(SpHops))),
 
@@ -211,10 +246,15 @@ object GraphQueries {
         val li = Tables.lineitem(s, dir)
         // The distinct-edges subtree feeds verts (×2 union branches) and
         // the coloring's undirected table (×2) — Spark re-executes
-        // identical subtrees per reference, so truncate it once.
+        // identical subtrees per reference, so truncate it once. Ids are
+        // dictionary-encoded longs (as in q11/q12/q39): the per-round
+        // aggregations, anti-joins and the driver tail all work on
+        // 8-byte keys. Tokens (and so the palette) follow the encoded
+        // id — fine for a rows-only-checked query whose determinism is
+        // per-encoding.
         val edges = li.select(
-            concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
-            concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+            (col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
           .distinct()
           .localCheckpoint(false)
         val verts = edges.select(col("src").as("id"))
