@@ -115,6 +115,14 @@ object Streams {
     val outDir = java.nio.file.Files
       .createTempDirectory("replay_out").toString
 
+    // A streaming query's stateful-operator partition count is frozen
+    // from spark.sql.shuffle.partitions at query start (AQE never
+    // re-plans micro-batches), and EVERY micro-batch then runs that many
+    // state-store tasks — commit, snapshot and all. The batch-side
+    // default (≈ one per core) is the wrong size for a replay with a
+    // handful of micro-batches: scope it down while the stream runs. In
+    // production the state partition count is sized to key cardinality ×
+    // throughput, not inherited from the batch default — same principle.
     def addFile(df: DataFrame, name: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("replay_add")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -132,14 +140,18 @@ object Streams {
 
     addFile(real, "00-real.parquet")
     val src = spark.readStream.schema(schema).parquet(stage.toString)
-    val q = build(src, outDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      q.processAllAvailable()
-      addFile(sentinel(1), "01-sentinel.parquet")
-      q.processAllAvailable()
-      addFile(sentinel(2), "02-sentinel.parquet")
-      q.processAllAvailable()
-    } finally q.stop()
+      val q = build(src, outDir)
+      try {
+        q.processAllAvailable()
+        addFile(sentinel(1), "01-sentinel.parquet")
+        q.processAllAvailable()
+        addFile(sentinel(2), "02-sentinel.parquet")
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.read.parquet(outDir)
   }
 
