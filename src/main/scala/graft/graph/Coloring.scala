@@ -55,8 +55,33 @@ object Coloring {
           localFinishThreshold: Long = 150000,
           localFinishEdgeThreshold: Long = 2000000,
           foldEvery: Int = 8,
-          speculative: Boolean = false): DataFrame = {
-    val spark = vertices.sparkSession
+          speculative: Boolean = false): DataFrame =
+    runImpl(Some(vertices), edges, maxRounds, localFinishThreshold,
+      localFinishEdgeThreshold, foldEvery, speculative)
+
+  /** Color the graph whose vertex set is EXACTLY the edge endpoints —
+    * the common case when the graph IS an edge table. The vertex set is
+    * derived from the cached undirected table (a partition-local
+    * distinct — the cache is already hash-partitioned by src), so the
+    * caller doesn't pay a separate wide distinct over the raw edges.
+    * Isolated vertices (no edges) don't exist by construction here; use
+    * [[run]] when they can. */
+  def runFromEdges(edges: DataFrame,
+                   maxRounds: Int = 1000,
+                   localFinishThreshold: Long = 150000,
+                   localFinishEdgeThreshold: Long = 2000000,
+                   foldEvery: Int = 8,
+                   speculative: Boolean = false): DataFrame =
+    runImpl(None, edges, maxRounds, localFinishThreshold,
+      localFinishEdgeThreshold, foldEvery, speculative)
+
+  private def runImpl(verticesOpt: Option[DataFrame], edges: DataFrame,
+          maxRounds: Int,
+          localFinishThreshold: Long,
+          localFinishEdgeThreshold: Long,
+          foldEvery: Int,
+          speculative: Boolean): DataFrame = {
+    val spark = edges.sparkSession
     import spark.implicits._
     val debug = sys.env.contains("GRAFT_LOOP_DEBUG")
     var t0 = System.nanoTime()
@@ -74,10 +99,7 @@ object Coloring {
     // floored at 4 and capped at the cluster parallelism — per-round
     // frames inherit this count, so small residual graphs don't pay
     // scheduler overhead for dozens of near-empty tasks.
-    val eCnt = edges.count()
-    val p = math.max(4, math.min(
-      spark.sparkContext.defaultParallelism,
-      (2 * eCnt / 128000L).toInt + 1))
+    val p = GraphUtil.partitionLaw(2 * edges.count(), spark)
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -85,6 +107,11 @@ object Coloring {
       .repartition(p, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Derived vertex set: both edge directions are in `und`, so src
+    // alone covers every endpoint, and the distinct is partition-local
+    // on the cached layout (no wide exchange).
+    val vertices = verticesOpt.getOrElse(
+      und.select(col("src").as("id")).distinct())
     val hasColor = vertices.columns.contains("color")
     val init = vertices
       .select(col("id"),

@@ -41,14 +41,19 @@ object Components {
     // below references it twice and Spark does not dedupe common plan
     // subtrees, so an unmaterialized upstream would run twice.
     val pairs = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    // Hash-partitioned by the join key and cached in that layout
-    // (InMemoryRelation preserves it): each propagation round then
-    // shuffles only the frontier, never the edge table.
+    val nPairs = pairs.count()
+    // Hash-partitioned by the join key, SORTED by it, and cached in that
+    // layout (InMemoryRelation preserves both): each propagation round
+    // then shuffles + sorts only the frontier — the edge table is never
+    // re-shuffled nor re-sorted by the per-round sort-merge join.
+    // Partition-count law as in PageRank: ~128k undirected edges per
+    // partition between 4 and the cluster parallelism.
+    val p = GraphUtil.partitionLaw(2 * nPairs, edges.sparkSession)
     val und = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
-      .repartition(col("src"))
+      .repartition(p, col("src"))
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = und.select(col("src").as("id"))

@@ -68,10 +68,7 @@ object PageRank {
     // at small scale the loop doesn't pay scheduler + codegen-init
     // overhead for dozens of near-empty tasks, and at scale it grows to
     // the cluster width.
-    val eCount = e0.count()
-    val p = math.max(4, math.min(
-      e0.sparkSession.sparkContext.defaultParallelism,
-      (eCount / 128000L).toInt + 1))
+    val p = GraphUtil.partitionLaw(e0.count(), e0.sparkSession)
     val e = e0.join(outDeg, Seq("src"))
       .repartition(p, col("src"))
       .sortWithinPartitions("src")

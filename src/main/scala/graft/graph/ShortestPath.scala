@@ -58,9 +58,8 @@ object ShortestPath {
         "negative edge weights are not supported (reference " +
           "shortestpath/path.go:87-93 rejects them)")
     }
-    val p = math.max(4, math.min(
-      edges.sparkSession.sparkContext.defaultParallelism,
-      (firstRow.getLong(1) / 128000L).toInt + 1))
+    val p = GraphUtil.partitionLaw(firstRow.getLong(1),
+      edges.sparkSession)
     val e = e0.repartition(p, col("src"))
       .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)

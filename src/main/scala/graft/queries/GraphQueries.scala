@@ -257,9 +257,9 @@ object GraphQueries {
             (col("l_partkey") * 2 + 1).as("dst"))
           .distinct()
           .localCheckpoint(false)
-        val verts = edges.select(col("src").as("id"))
-          .union(edges.select(col("dst").as("id"))).distinct()
-        Coloring.run(verts, edges)
+        // Vertex set = edge endpoints, derived inside the operator from
+        // its already-cached undirected table — no second wide distinct.
+        Coloring.runFromEdges(edges)
           .groupBy("color").agg(count(lit(1)).as("cnt"))
           .orderBy("color")
       },

@@ -103,11 +103,7 @@ object ScaleCanary {
     // paying full superstep latency. Conflict-retry coloring converges
     // in O(log V) rounds at this scale (see Coloring.run scaladoc).
     val colors = time("coloring (speculative)") {
-      graft.graph.Coloring.run(verts.select(col("id").cast("string")
-          .as("id")),
-        edges.select(col("src").cast("string").as("src"),
-          col("dst").cast("string").as("dst")),
-        speculative = true)
+      graft.graph.Coloring.run(verts, edges, speculative = true)
         .agg(max(col("color"))).first().getInt(0)
     }
     println(s"[canary]   coloring maxColor=$colors")
