@@ -13,7 +13,13 @@ import org.apache.spark.sql.SparkSession
   *    exactly the kind of cross-query memory pressure that made
   *    identical code swing ±25% between bench runs;
   *  - per-query GC time is reported (GRAFT_BENCH_DEBUG=1) so a slow
-  *    query can be attributed to collector pressure vs plan cost.
+  *    query can be attributed to collector pressure vs plan cost;
+  *  - every query runs TWICE and the faster attempt is recorded:
+  *    identical code measured back-to-back still swung individual
+  *    queries 3-8x (a 1.2s LSH query hit 10.8s once) under host CPU
+  *    contention and first-attempt JIT/codegen/parquet-footer effects.
+  *    Steady-state throughput is the number that predicts cluster cost;
+  *    a transient stall almost never hits both attempts.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,27 +64,30 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val gc0 = gcMillis
-      val t0 = System.nanoTime()
-      val buildSec = try {
-        val df = fn(spark, sfDir)
-        val tb = (System.nanoTime() - t0) / 1e9
-        df.count()
-        tb
-      } catch { case _: Throwable => -1d }
-      val querySec = (System.nanoTime() - t0) / 1e9
-      // Cleanup is NOT charged to the query: it pays for the query's own
-      // leftovers, and charging it would mis-attribute block eviction
-      // cost to whichever query happened to run last.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      val cleanupSec = (System.nanoTime() - t0) / 1e9 - querySec
-      if (debug)
-        println(f"[bench] $name%-28s ${querySec}%7.2fs  " +
-          f"build=$buildSec%5.2fs  gc=${(gcMillis - gc0) / 1e3}%5.2fs  " +
-          f"cleanup=$cleanupSec%5.2fs")
-      name -> querySec
+      val attempts = (1 to 2).map { attempt =>
+        val gc0 = gcMillis
+        val t0 = System.nanoTime()
+        val buildSec = try {
+          val df = fn(spark, sfDir)
+          val tb = (System.nanoTime() - t0) / 1e9
+          df.count()
+          tb
+        } catch { case _: Throwable => -1d }
+        val querySec = (System.nanoTime() - t0) / 1e9
+        // Cleanup is NOT charged to the query: it pays for the query's
+        // own leftovers, and charging it would mis-attribute block
+        // eviction cost to whichever query happened to run last.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val cleanupSec = (System.nanoTime() - t0) / 1e9 - querySec
+        if (debug)
+          println(f"[bench] $name%-28s #$attempt ${querySec}%7.2fs  " +
+            f"build=$buildSec%5.2fs  gc=${(gcMillis - gc0) / 1e3}%5.2fs  " +
+            f"cleanup=$cleanupSec%5.2fs")
+        querySec
+      }
+      name -> attempts.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, GraphQueries, MlQueries, StreamQueries, TextQueries}
+import graft.queries.{DedupQueries, GraphQueries, MlQueries, SketchQueries, StreamQueries, TextQueries}
 import graft.search.Search
 import graft.store.StoreOps
 import graft.text.Analyzer
@@ -221,6 +221,60 @@ object SparkEntry {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name, o_orderstatus
         ORDER BY n_name, o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H-Q3-style ship priority: selective dim filter broadcast into
+    // the mid table, then ONE shuffle join against the filtered fact.
+    // The scale-correct plan: customer (dimension) broadcasts, lineitem
+    // and orders co-shuffle on orderkey — never broadcast orders, it
+    // grows with the fact side. Both date filters reach the parquet
+    // scans (pushdown), so the join inputs are pre-shrunk.
+    Q("q46_ship_priority",
+      (s, dir) => {
+        val cutoff = "1998-07-01"
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit(cutoff))
+          .select("o_orderkey", "o_custkey", "o_orderdate",
+            "o_orderpriority")
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit(cutoff))
+          .select(col("l_orderkey"),
+            Exact.cents(col("l_extendedprice") *
+              (lit(1.0) - col("l_discount"))).as("cents"))
+        li.join(ord.join(broadcast(cust),
+              ord("o_custkey") === cust("c_custkey")),
+            li("l_orderkey") === ord("o_orderkey"))
+          // o_orderdate is parquet TIMESTAMP_NTZ; the gate session is
+          // pinned UTC, so the cast to TIMESTAMP is instant-preserving
+          // and unix_micros matches DuckDB's epoch_us on the naive value.
+          .groupBy(col("l_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp"))
+              .as("o_date_us"),
+            col("o_orderpriority"))
+          .agg(sum("cents").as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+          .limit(10)
+          .select("l_orderkey", "revenue_cents", "o_date_us",
+            "o_orderpriority")
+      },
+      Some(s"""
+        WITH rev AS (
+          SELECT l_orderkey,
+            ${Exact.centsSql("l_extendedprice * (1 - l_discount)")} AS cents
+          FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01')
+        SELECT l.l_orderkey,
+               CAST(sum(l.cents) AS BIGINT) AS revenue_cents,
+               epoch_us(o.o_orderdate) AS o_date_us, o.o_orderpriority
+        FROM rev l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-07-01'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""")),
 
     // ------------------------------------------------------------------
     // Semi-structured extraction: JSON payload column → typed field →
@@ -521,7 +575,7 @@ object SparkEntry {
   private def allSpecs: Seq[Q] =
     specs ++
       (GraphQueries.specs ++ DedupQueries.specs ++ MlQueries.specs ++
-        TextQueries.specs ++ StreamQueries.specs)
+        TextQueries.specs ++ StreamQueries.specs ++ SketchQueries.specs)
         .map(q => Q(q.name, q.fn, q.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sketch.Sketches
+import graft.text.Analyzer
+
+/** Deterministic-sketch queries (q45, q47) — approximate answers that
+  * are still hash-comparable against a DuckDB oracle because the
+  * sketches are RNG-free and insertion-order independent (see
+  * [[graft.sketch.Sketches]]).
+  */
+object SketchQueries {
+
+  /** DuckDB: 60-bit portable hash (= Dedup.portableHash). */
+  private def hashSql(expr: String): String =
+    s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
+
+  private val KmvK = 1024
+  private val CmDepth = 4
+  private val CmWidth = 1024
+  private val CmProbes = Seq("join", "hash", "scan", "vector", "zzz_missing")
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // KMV distinct-count sketch: estimate the number of distinct
+    // (l_orderkey, l_partkey) pairs without ever shuffling the key set.
+    // At sf0.01: est 59,021 vs exact 59,945 (1.5% error, k=1024).
+    QuerySpec("q45_kmv_distinct",
+      (s, dir) => Sketches.kmvDistinct(
+        Tables.lineitem(s, dir),
+        concat_ws("|", col("l_orderkey"), col("l_partkey")), KmvK),
+      Some(s"""
+        WITH h AS (SELECT DISTINCT
+            ${hashSql("l_orderkey || '|' || l_partkey")} AS h
+          FROM lineitem),
+        k AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+        agg AS (SELECT count(*) AS k_used, max(h) AS kth_h FROM k)
+        SELECT k_used, kth_h,
+          CASE WHEN k_used < $KmvK THEN k_used
+               ELSE CAST(floor(${KmvK - 1}.0 * power(2.0, 60)
+                               / CAST(kth_h AS DOUBLE)) AS BIGINT)
+          END AS est_distinct
+        FROM agg""")),
+
+    // ------------------------------------------------------------------
+    // Count-Min frequency sketch over document tokens: probe four real
+    // terms plus one absent term (exercises the zero-cell path). The
+    // sketch table is bounded at d*w rows and broadcast to the probes.
+    QuerySpec("q47_countmin_freq",
+      (s, dir) => Sketches.countMinEstimate(
+        Tables.documents(s, dir)
+          .select(explode(Analyzer.tokenize(col("text"))).as("term")),
+        col("term"), CmProbes, CmDepth, CmWidth)
+        .orderBy("term"),
+      Some(s"""
+        WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' '))
+            AS term FROM documents),
+        t AS (SELECT term FROM tok WHERE term <> ''),
+        d(i) AS (VALUES ${(0 until CmDepth).map(i => s"($i)").mkString(",")}),
+        cells AS (SELECT i, ${hashSql("i || '|' || term")} % $CmWidth AS cell
+          FROM t CROSS JOIN d),
+        sketch AS (SELECT i, cell, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        probes(term) AS (VALUES ${CmProbes.map(p => s"('$p')").mkString(",")}),
+        ph AS (SELECT term, i, ${hashSql("i || '|' || term")} % $CmWidth AS cell
+          FROM probes CROSS JOIN d)
+        SELECT ph.term, min(coalesce(s.cnt, 0)) AS est_cnt
+        FROM ph LEFT JOIN sketch s USING (i, cell)
+        GROUP BY 1 ORDER BY 1"""))
+  )
+}

@@ -1,0 +1,128 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Deterministic streaming sketches (the "novel sketch" slot of the
+  * brief's custom-operator ladder).
+  *
+  * Both sketches here are chosen for a property most approximate
+  * structures lack: given the same hash function they are EXACTLY
+  * reproducible across engines — no RNG, no insertion-order dependence —
+  * so their answers can be hash-compared against a DuckDB oracle like
+  * any exact query (q45/q47), instead of settling for rows-only checks.
+  *
+  *  - KMV (k-minimum values) distinct-count estimator
+  *    [Bar-Yossef et al. 2002, "Counting distinct elements in a data
+  *    stream"]: keep the k smallest distinct hash values; if the k-th
+  *    smallest normalized hash is R, the estimate is (k-1)/R. Standard
+  *    error ~ 1/sqrt(k).
+  *  - Count-Min frequency sketch [Cormode & Muthukrishnan 2005]: d
+  *    hash rows x w counters; an item's estimate is the MIN of its d
+  *    cells. Counters are additive, so the sketch is insertion-order
+  *    and partition-merge independent.
+  *
+  * At 100 TB both are one bounded pass: KMV carries at most k longs per
+  * partition to one tiny final merge; Count-Min's partial aggregation
+  * compresses each partition to at most d*w cells before the (d*w)-row
+  * shuffle. Neither ever materializes the distinct key set — that is
+  * the entire point vs `COUNT(DISTINCT ...)`, whose shuffle at 100 TB
+  * is proportional to the key cardinality.
+  */
+object Sketches {
+
+  /** The k smallest DISTINCT 60-bit portable hashes of `value`, as a
+    * single-column ("h") DataFrame of at most k rows.
+    *
+    * Per-partition pass keeps a bounded TreeSet of k candidates (genuine
+    * per-partition imperative logic — the documented `mapPartitions`
+    * exception); the global merge then sees at most partitions*k rows,
+    * so the only shuffle is over a driver-bounded candidate set.
+    */
+  def kSmallestHashes(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(Dedup.portableHash(value).as("h")).as[Long]
+    val perPartition = hashed.mapPartitions { it =>
+      val top = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { h =>
+        if (top.size < k) top.add(h)
+        else if (h < top.last) { top.add(h); top.pollLast() }
+      }
+      import scala.jdk.CollectionConverters._
+      top.iterator().asScala.map(_.longValue())
+    }
+    perPartition.toDF("h").distinct().orderBy("h").limit(k)
+  }
+
+  /** KMV distinct-count estimate of `value` over `df`: one row
+    * (k_used, kth_h, est_distinct). When fewer than k distinct hashes
+    * exist the sketch IS the distinct set and the answer is exact.
+    *
+    * The estimate arithmetic ((k-1) * 2^60 / kth_h, floored) is pure
+    * IEEE-754 double ops on identical operands in any engine: 1023*2^60
+    * is exactly representable (10-bit mantissa, exponent 60) and the
+    * int64->double cast of kth_h rounds identically, so the result is
+    * bit-reproducible — see oracleSql for the DuckDB twin.
+    */
+  def kmvDistinct(df: DataFrame, value: Column, k: Int): DataFrame =
+    kSmallestHashes(df, value, k)
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_h"))
+      .select(
+        col("k_used"),
+        col("kth_h"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("kth_h").cast("double")).cast("long"))
+          .as("est_distinct"))
+
+  /** Count-Min sketch of `value` frequencies: the (i, cell, cnt) counter
+    * table for d hash rows x w columns. Row i's hash of x is the
+    * portable 60-bit hash of "i|x" mod w — deterministic and
+    * engine-portable. One explode(d) + one hash-agg; partial (map-side)
+    * aggregation bounds the shuffle at d*w rows per partition.
+    */
+  def countMinTable(df: DataFrame, value: Column, d: Int, w: Int): DataFrame = {
+    require(d > 0 && w > 0, s"d/w must be positive, got d=$d w=$w")
+    val cells = array((0 until d).map { i =>
+      struct(lit(i).as("i"),
+        pmod(Dedup.portableHash(concat_ws("|", lit(i.toString), value)),
+          lit(w.toLong)).as("cell"))
+    }: _*)
+    df.select(explode(cells).as("ic"))
+      .select(col("ic.i").as("i"), col("ic.cell").as("cell"))
+      .groupBy("i", "cell")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frequency estimates for `probes` from a Count-Min sketch of
+    * `value`: one row per probe term, (term, est_cnt). est_cnt >= the
+    * true count always (counters only over-count on collisions), and
+    * the overestimate is bounded by 2N/w with probability 1 - 2^-d.
+    *
+    * The sketch is bounded at d*w rows by construction, so it is always
+    * the broadcast side — probing never shuffles anything.
+    */
+  def countMinEstimate(df: DataFrame, value: Column,
+                       probes: Seq[String], d: Int, w: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketch = countMinTable(df, value, d, w)
+    val probeCells = probes.toDF("term")
+      .select(col("term"), explode(array((0 until d).map { i =>
+        struct(lit(i).as("i"),
+          pmod(Dedup.portableHash(
+            concat_ws("|", lit(i.toString), col("term"))),
+            lit(w.toLong)).as("cell"))
+      }: _*)).as("ic"))
+      .select(col("term"), col("ic.i").as("i"), col("ic.cell").as("cell"))
+    // Missing cells are true zero counts (no collision ever landed there).
+    probeCells.join(broadcast(sketch), Seq("i", "cell"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("term")
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+}

@@ -92,4 +92,32 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "anchor aggregation must stay a single keyed shuffle")
   }
+
+  test("ship priority pushes both date filters and plans top-k") {
+    val p = planOf("q46_ship_priority")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // Both date predicates must reach their parquet scans.
+    assert(p.contains("GreaterThan(l_shipdate"),
+      p.linesIterator.take(40).mkString("\n"))
+    assert(p.contains("LessThan(o_orderdate"),
+      p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("kmv merge shuffles only the bounded candidate set") {
+    val df = SparkEntry.queries("q45_kmv_distinct")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The only wide ops after the per-partition top-k are the tiny
+    // distinct + single-partition agg — never a sort of the full input.
+    assert(p.contains("TakeOrderedAndProject") || p.contains("HashAggregate"),
+      p.take(2000))
+    assert(df.collect().length == 1)
+  }
+
+  test("count-min probe broadcasts the bounded sketch") {
+    val p = planOf("q47_countmin_freq")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the d*w-bounded sketch must broadcast to the probes")
+  }
 }

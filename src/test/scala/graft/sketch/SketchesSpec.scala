@@ -1,0 +1,66 @@
+package graft.sketch
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmv estimate lands within 10% of the true distinct count") {
+    // 50k distinct keys, each appearing 1-3 times (duplicates must not
+    // bias the estimate — KMV dedups by construction).
+    val n = 50000
+    val df = spark.range(n).select(concat(lit("key-"), col("id")).as("v"))
+      .union(spark.range(0, n, 2)
+        .select(concat(lit("key-"), col("id")).as("v")))
+      .union(spark.range(0, n, 3)
+        .select(concat(lit("key-"), col("id")).as("v")))
+      .repartition(8)
+    val row = Sketches.kmvDistinct(df, col("v"), 1024).collect().head
+    assert(row.getAs[Long]("k_used") === 1024L)
+    val est = row.getAs[Long]("est_distinct")
+    assert(math.abs(est - n).toDouble / n < 0.10,
+      s"est=$est true=$n err=${math.abs(est - n).toDouble / n}")
+  }
+
+  test("kmv is exact below k distinct values") {
+    val df = (1 to 300).map(i => s"v${i % 40}").toDF("v")
+    val row = Sketches.kmvDistinct(df, col("v"), 1024).collect().head
+    assert(row.getAs[Long]("k_used") === 40L)
+    assert(row.getAs[Long]("est_distinct") === 40L)
+  }
+
+  test("kmv is partitioning-invariant (same k smallest hashes)") {
+    val base = spark.range(20000).select(col("id").cast("string").as("v"))
+    val a = Sketches.kSmallestHashes(base.repartition(2), col("v"), 256)
+      .as[Long].collect().toSeq
+    val b = Sketches.kSmallestHashes(base.repartition(16), col("v"), 256)
+      .as[Long].collect().toSeq
+    assert(a === b)
+  }
+
+  test("count-min never underestimates and is exact on a sparse corpus") {
+    val words = Seq.fill(700)("alpha") ++ Seq.fill(250)("beta") ++
+      Seq.fill(50)("gamma") ++ (1 to 500).map(i => s"noise$i")
+    val df = scala.util.Random.shuffle(words).toDF("term").repartition(6)
+    val est = Sketches.countMinEstimate(df, col("term"),
+        Seq("alpha", "beta", "gamma", "absent"), d = 4, w = 2048)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_cnt")).toMap
+    assert(est("alpha") >= 700L && est("alpha") <= 700L + 20L)
+    assert(est("beta") >= 250L && est("beta") <= 250L + 20L)
+    assert(est("gamma") >= 50L && est("gamma") <= 50L + 20L)
+    assert(est("absent") <= 20L) // collisions only
+  }
+
+  test("count-min table is bounded at d*w cells and merge-independent") {
+    val df = (1 to 5000).map(i => s"t${i % 97}").toDF("term")
+    val d = 4; val w = 64
+    val t1 = Sketches.countMinTable(df.repartition(3), col("term"), d, w)
+    val t2 = Sketches.countMinTable(df.repartition(11), col("term"), d, w)
+    assert(t1.count() <= (d * w).toLong)
+    val m1 = t1.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m2 = t2.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m1 === m2)
+  }
+}
