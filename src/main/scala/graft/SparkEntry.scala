@@ -277,6 +277,37 @@ object SparkEntry {
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""")),
 
     // ------------------------------------------------------------------
+    // Skew-safe join + aggregation: the fact side is salted 16 ways so
+    // one hot orderkey spreads over 16 shuffle partitions, and the
+    // 5-key priority rollup runs as a two-stage (key, salt) -> key
+    // aggregation so no single reducer sees a whole hot group. Results
+    // are identical to the plain join+agg (the oracle is exactly that).
+    Q("q48_skew_salted_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("k"),
+            Exact.cents(col("l_extendedprice") *
+              (lit(1.0) - col("l_discount"))).as("cents"))
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+        val joined = graft.operators.Skew.saltedJoin(li, ord, Seq("k"), 16)
+        graft.operators.Skew.twoStageAgg(joined,
+            Seq("o_orderpriority"), 16,
+            partial = Seq(count(lit(1)).as("pn"), sum("cents").as("pc")),
+            merge = Seq(sum("pn").as("n_items"), sum("pc").as("rev_cents")))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(${Exact.centsSql(
+                 "l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+                 AS rev_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
     // Semi-structured extraction: JSON payload column → typed field →
     // aggregation (codegen'd JSON path, pushdown-friendly shape).
     Q("q37_json_extract",
