@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Deterministic sampling and dataset splitting.
+  *
+  * Training-data pipelines need samples and train/val/test splits that
+  * are (a) reproducible run-to-run without seed plumbing, (b) stable
+  * under repartitioning/retries, and (c) GROUP-stable: all rows of one
+  * user/domain/document land in the same split, or near-duplicates leak
+  * across the train/eval boundary. `df.sample()` gives none of these —
+  * its outcome depends on partitioning. Hashing a caller-chosen key
+  * gives all three: split membership is a pure function of the key.
+  *
+  * All predicates are codegen'd column expressions on the 60-bit
+  * portable hash ([[Dedup.portableHash]]), so they ride inside the scan
+  * stage (no shuffle, no UDF) and replicate exactly in any engine with
+  * md5 — which is what lets q49 hash-match a DuckDB oracle.
+  */
+object Sampling {
+
+  /** hash(domain|key) mod den, in [0, den) — the sampling coordinate.
+    * The domain prefix decorrelates the operators: without it, a 50%
+    * sample keyed like an 80/10/10 split would emit ONLY train rows
+    * (both predicates would test the same hash value). */
+  private def coord(domain: String, key: Column, den: Int): Column =
+    pmod(Dedup.portableHash(concat_ws("|", lit(domain), key)),
+      lit(den.toLong))
+
+  /** Keep rows whose key hashes into the first `num` of `den` buckets
+    * (a deterministic num/den Bernoulli sample, exact per key). */
+  def hashSample(df: DataFrame, key: Column, num: Int,
+                 den: Int = 100): DataFrame = {
+    require(num >= 0 && num <= den, s"need 0 <= num <= den, got $num/$den")
+    df.filter(coord("sample", key, den) < num)
+  }
+
+  /** Per-stratum sampling rates (percent of `den`): a row is kept when
+    * its key hashes under its stratum's rate; strata absent from
+    * `rates` get `defaultNum`. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           rates: Map[String, Int], defaultNum: Int,
+                           den: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultNum)) { case (acc, (value, num)) =>
+      when(stratum === value, lit(num)).otherwise(acc)
+    }
+    df.filter(coord("sample", key, den) < rate)
+  }
+
+  /** Group-stable split label ("train"/"val"/"test") from the key's
+    * hash: the same key always gets the same label, so splitting by
+    * user/domain/doc keeps correlated rows on one side of the eval
+    * boundary. Percents are out of 100; test gets the remainder. */
+  def splitLabel(key: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split $trainPct/$valPct")
+    val c = coord("split", key, 100)
+    when(c < trainPct, "train")
+      .when(c < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Sampling
+
+/** Dataset-carving queries (q49): deterministic sampling + group-stable
+  * splits — the reproducible train/val/test machinery of a training-data
+  * pipeline (see [[graft.operators.Sampling]]).
+  */
+object PipelineQueries {
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // Stratified deterministic sample (en 50%, others 20%) + group-stable
+    // 80/10/10 split, both pure hash predicates inside the scan stage.
+    // Sampling and splitting hash DISJOINT domains ("sample|", "split|"),
+    // so the sample doesn't bias the split (SamplingSpec pins this).
+    QuerySpec("q49_sample_split",
+      (s, dir) => {
+        val key = col("doc_id").cast("string")
+        val sampled = Sampling.stratifiedHashSample(
+          Tables.documents(s, dir), key, col("lang"),
+          rates = Map("en" -> 50), defaultNum = 20)
+        sampled
+          .withColumn("split", Sampling.splitLabel(key, 80, 10))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+          .orderBy("lang", "split")
+      },
+      Some("""
+        WITH s AS (
+          SELECT lang, n_chars,
+            CAST(('0x'||substring(md5('sample|' || doc_id),1,15))
+              AS BIGINT) % 100 AS cs,
+            CAST(('0x'||substring(md5('split|' || doc_id),1,15))
+              AS BIGINT) % 100 AS cp
+          FROM documents),
+        kept AS (SELECT * FROM s
+          WHERE cs < CASE WHEN lang = 'en' THEN 50 ELSE 20 END),
+        lab AS (SELECT lang, n_chars,
+          CASE WHEN cp < 80 THEN 'train'
+               WHEN cp < 90 THEN 'val'
+               ELSE 'test' END AS split
+          FROM kept)
+        SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""))
+  )
+}

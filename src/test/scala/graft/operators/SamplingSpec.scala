@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = spark.range(20000)
+    .select(col("id").cast("string").as("k"),
+      (col("id") % 4).cast("string").as("stratum"))
+
+  test("hash sample hits the target rate and is partitioning-stable") {
+    val n = Sampling.hashSample(rows.repartition(3), col("k"), 25).count()
+    val m = Sampling.hashSample(rows.repartition(17), col("k"), 25).count()
+    assert(n === m, "sample must not depend on partitioning")
+    assert(math.abs(n - 5000L) < 300, s"25% of 20k expected, got $n")
+  }
+
+  test("stratified rates apply per stratum") {
+    val sampled = Sampling.stratifiedHashSample(rows, col("k"),
+      col("stratum"), rates = Map("0" -> 60), defaultNum = 10)
+    val byStratum = sampled.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byStratum("0") - 3000L) < 300, byStratum.toString)
+    Seq("1", "2", "3").foreach { st =>
+      assert(math.abs(byStratum(st) - 500L) < 150, byStratum.toString)
+    }
+  }
+
+  test("split is group-stable and proportioned 80/10/10") {
+    val labeled = rows.withColumn("split",
+      Sampling.splitLabel(col("k"), 80, 10))
+    val counts = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 16000L) < 500, counts.toString)
+    assert(math.abs(counts("val") - 2000L) < 300, counts.toString)
+    assert(math.abs(counts("test") - 2000L) < 300, counts.toString)
+    // Same key → same label, even from a differently-built frame.
+    val again = spark.range(20000)
+      .select(col("id").cast("string").as("k"))
+      .repartition(7)
+      .withColumn("split2", Sampling.splitLabel(col("k"), 80, 10))
+    val joined = labeled.join(again, "k")
+      .filter(col("split") =!= col("split2")).count()
+    assert(joined === 0L)
+  }
+
+  test("sampling does not bias the split (disjoint hash domains)") {
+    val sampled = Sampling.hashSample(rows, col("k"), 50)
+      .withColumn("split", Sampling.splitLabel(col("k"), 80, 10))
+    val counts = sampled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~10k sampled rows must still split ~80/10/10 — if sample and
+    // split shared a hash coordinate, val/test would be empty.
+    assert(counts.getOrElse("val", 0L) > 500L, counts.toString)
+    assert(counts.getOrElse("test", 0L) > 500L, counts.toString)
+  }
+}
