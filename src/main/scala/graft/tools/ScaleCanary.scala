@@ -143,6 +143,41 @@ object ScaleCanary {
       graft.ml.Ivf.topK(idx, q, 10, nprobe = 4).count()
     }
     println(s"[canary]   ivf probe rows=$ivf")
+
+    // The true distinct text count is known by construction: planted
+    // copies collapse, so distinct = nD - planted.
+    val kmv = time("kmv distinct") {
+      graft.sketch.Sketches.kmvDistinct(docs, col("text"), 1024)
+        .first().getAs[Long]("est_distinct")
+    }
+    println(s"[canary]   kmv est=$kmv (true=${nD - planted})")
+
+    val cm = time("count-min sketch") {
+      graft.sketch.Sketches.countMinEstimate(
+        docs.select(explode(split(col("text"), " ")).as("term")),
+        col("term"), Seq("w0", "w1", "w2"), d = 4, w = 4096).count()
+    }
+    println(s"[canary]   count-min probes=$cm")
+
+    val salted = time("salted join+agg") {
+      val dim = spark.range(nV).select(col("id").as("src"),
+        pmod(col("id"), lit(5)).cast("string").as("grp"))
+      graft.operators.Skew.twoStageAgg(
+        graft.operators.Skew.saltedJoin(edges, dim, Seq("src"), 16),
+        Seq("grp"), 16,
+        partial = Seq(count(lit(1)).as("pn")),
+        merge = Seq(sum(col("pn")).as("n"))).count()
+    }
+    println(s"[canary]   salted-agg groups=$salted")
+
+    val splitLabels = time("sample+split") {
+      graft.operators.Sampling.hashSample(docs,
+          col("doc_id").cast("string"), 25)
+        .withColumn("split", graft.operators.Sampling.splitLabel(
+          col("doc_id").cast("string"), 80, 10))
+        .groupBy("split").count().count()
+    }
+    println(s"[canary]   split labels=$splitLabels")
     spark.stop()
   }
 }
