@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Sampling
+import graft.util.Exact
 
 /** Dataset-carving queries (q49): deterministic sampling + group-stable
   * splits — the reproducible train/val/test machinery of a training-data
@@ -47,6 +48,37 @@ object PipelineQueries {
           FROM kept)
         SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS chars
-        FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM lab GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Per-language length quantiles — the length-percentile cutoffs a
+    // quality filter derives before trimming a corpus. EXACT interpolated
+    // percentile (not percentile_approx): both engines compute the same
+    // a + (b-a)*frac(p*(n-1)) on integer inputs, and the micros snap
+    // absorbs any last-ulp difference. Spark's exact percentile buffers
+    // a value->count map per group — bounded by the distinct-length
+    // domain, not row count, so it holds at 100 TB for length-like
+    // columns (use approx_percentile for unbounded-domain doubles).
+    QuerySpec("q50_length_quantiles",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("q"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+          Exact.micros(element_at(col("q"), 1)).as("p50_micros"),
+          Exact.micros(element_at(col("q"), 2)).as("p90_micros"),
+          Exact.micros(element_at(col("q"), 3)).as("p99_micros"),
+          col("n_docs"))
+        .orderBy("lang"),
+      Some("""
+        SELECT lang,
+          CAST(floor(quantile_cont(n_chars, 0.5)*1000000+0.5) AS BIGINT)
+            AS p50_micros,
+          CAST(floor(quantile_cont(n_chars, 0.9)*1000000+0.5) AS BIGINT)
+            AS p90_micros,
+          CAST(floor(quantile_cont(n_chars, 0.99)*1000000+0.5) AS BIGINT)
+            AS p99_micros,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }
