@@ -60,6 +60,17 @@ object StreamQueries {
                event_type, count(*) AS cnt
         FROM events
         GROUP BY win_start_us, event_type
-        ORDER BY win_start_us, event_type"""))
+        ORDER BY win_start_us, event_type""")),
+
+    // q51: bounded-state streaming dedup — first occurrence per
+    // (user_id, event_type) through dropDuplicatesWithinWatermark must
+    // equal the batch DISTINCT.
+    QuerySpec("q51_dedup_stream",
+      (s, dir) =>
+        Streams.dedupReplay(Tables.events(s, dir))
+          .orderBy("user_id", "event_type"),
+      Some("""
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type"""))
   )
 }

@@ -229,6 +229,40 @@ object Streams {
         col("event_type"), col("cnt"))
   }
 
+  /** Batch ≡ stream parity for streaming deduplication (q51): replay
+    * the events table through `dropDuplicatesWithinWatermark` — the
+    * bounded-state streaming dedup (state for a key is evicted once the
+    * watermark passes its event time + delay, unlike classic
+    * `dropDuplicates`, whose key state grows forever). First-occurrence
+    * emission means the surviving row set is exactly the DISTINCT key
+    * set, which is the oracle. */
+  def dedupReplay(events: DataFrame, delay: String = "1 hour"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("user_id"), col("event_type"))
+    val maxUs = events.agg(max(expr("ts div 1000"))).first().getLong(0)
+    def sentinel(n: Int): DataFrame =
+      Seq(maxUs + n * 2L * 86400L * 1000000L).toDF("us")
+        .select(timestamp_micros(col("us")).as("ts"),
+          lit(-1L).as("user_id"), lit("__sentinel").as("event_type"))
+
+    val out = replayThroughFiles(rows, sentinel,
+      "ts TIMESTAMP, user_id BIGINT, event_type STRING",
+      (src, outDir) => src
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start())
+    out.filter(col("user_id") >= 0).select("user_id", "event_type")
+  }
+
   /** The crawl loop as a streaming query skeleton: rate source ticks,
     * `foreachBatch` runs one crawl pass per tick. Returned unstarted so
     * tests/callers own the lifecycle. */

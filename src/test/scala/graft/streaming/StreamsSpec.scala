@@ -28,6 +28,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "user_id", "event_type")
+    val q = df.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+      in.addData((t(1), 7L, "click"), (t(1), 8L, "view"))
+      q.processAllAvailable()
+      // same keys again in a LATER batch, within the watermark delay:
+      // state must still hold them, so nothing new is emitted
+      in.addData((t(3), 7L, "click"), (t(4), 8L, "view"),
+        (t(5), 9L, "click"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT user_id, event_type FROM dedup_out")
+        .as[(Long, String)].collect().toSet
+      assert(out === Set((7L, "click"), (8L, "view"), (9L, "click")))
+    } finally q.stop()
+  }
+
   private def click(user: Long, ms: Long) =
     Streams.Click(user, new Timestamp(ms), ms * 1000)
 
