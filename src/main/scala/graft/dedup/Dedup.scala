@@ -223,4 +223,34 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: local algorithms for document fingerprinting" — the
+    * MOSS selection rule): hash every k-token shingle, slide a window of
+    * w consecutive hashes, keep each window's minimum, dedupe. Guarantees
+    * any shared run of k+w-1 tokens between two documents shares at
+    * least one fingerprint, while storing only ~2/(w+1) of the hashes.
+    *
+    * Plain `min` + DISTINCT (rather than the paper's rightmost-tie rule)
+    * keeps the result a pure set — position-free, so the tie rule cannot
+    * change it. The window min is computed BEFORE restricting to full
+    * windows: filtering first would silently shrink the tail windows.
+    * One shuffle, partitioned by document — per-doc work, no skew beyond
+    * document length.
+    */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol),
+        posexplode(Analyzer.shingles(col(textCol), k)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"),
+        (portableHash(col("sh")) % lit(1000000007L)).as("h"))
+    val byDoc = Window.partitionBy(idCol)
+    val ahead = byDoc.orderBy("pos").rowsBetween(0, w - 1)
+    sh.withColumn("fp", min(col("h")).over(ahead))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("pos") <= col("n") - w) // full windows only
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
 }

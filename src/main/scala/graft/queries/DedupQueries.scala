@@ -218,6 +218,35 @@ object DedupQueries {
         l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS component FROM und),
         $steps
         SELECT id, component FROM l6 ORDER BY id"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Winnowed fingerprints (Schleimer et al. 2003 / MOSS): per-doc
+    // selection stats over k=3-gram hashes, window w=4. The window min
+    // runs BEFORE the full-window filter on both engines (filtering
+    // first would shrink tail windows).
+    QuerySpec("q52_winnow_fingerprints",
+      (s, dir) => Dedup.winnow(Tables.documents(s, dir), k = 3, w = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"), min("fp").as("min_fp"),
+          max("fp").as("max_fp"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        ex AS (SELECT doc_id, greatest(len(l)-2, 0) AS n,
+            unnest(list_transform(range(0, greatest(len(l)-2, 0)),
+              k -> struct_pack(pos := k,
+                h := ${hashSql("l[k+1]||' '||l[k+2]||' '||l[k+3]")}
+                       % 1000000007))) AS s
+          FROM lt),
+        sh AS (SELECT doc_id, s.pos AS pos, s.h AS h, n FROM ex),
+        win AS (SELECT doc_id, pos, n,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM sh),
+        fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE pos <= n - 4)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+               min(fp) AS min_fp, max(fp) AS max_fp
+        FROM fps GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -80,4 +80,31 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.portableHash(col("s"))).as[Long].head()
     assert(h == 648541476951500027L)
   }
+
+  test("winnowing: shared k+w-1 token runs share a fingerprint") {
+    // k=3, w=4: any shared run of 6 tokens must yield >=1 common
+    // fingerprint (the Schleimer et al. guarantee).
+    val sharedRun = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $sharedRun four five six seven"),
+      (2L, s"red blue green yellow $sharedRun purple orange pink"),
+      (3L, "completely different words with no overlap at all here okay")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnow(docs, k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not collide")
+    // Density: winnowing keeps roughly 2/(w+1) of hashes — far fewer
+    // than one fingerprint per shingle.
+    val doc1Shingles = 13 - 2 // 13 tokens, k=3
+    assert(fps(1L).size < doc1Shingles)
+  }
+
+  test("winnowing ignores trailing partial windows") {
+    // 6 tokens -> 4 shingles -> exactly one full window of w=4.
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val fps = Dedup.winnow(docs, k = 3, w = 4).collect()
+    assert(fps.length == 1, fps.mkString(","))
+  }
 }
