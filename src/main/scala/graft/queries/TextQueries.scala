@@ -365,6 +365,53 @@ object TextQueries {
       Some("""
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS digest
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Per-document keyword extraction: top-3 TF-IDF terms per doc. The
+    // per-group top-k pattern at scale: rank-filter windows plan a
+    // WindowGroupLimit (per-partition pre-prune before the shuffle), so
+    // the window never sorts more than k+ rows per group downstream —
+    // PlanSpec asserts the node is present.
+    QuerySpec("q53_doc_keywords",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"),
+          explode(Analyzer.tokenize(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.count()
+        val scored = tf.join(broadcast(dfreq), "term")
+          .select(col("doc_id"), col("term"),
+            Exact.micros(col("tf") *
+              log(lit(n.toDouble) / col("df"))).as("tfidf_micros"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("tfidf_micros").desc, col("term"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("term"),
+            col("tfidf_micros"))
+          .orderBy("doc_id", "rn")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id,
+            unnest(${toksSql("text")}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (SELECT tf.doc_id, tf.term,
+            ${Exact.microsSql(
+              "tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)")} AS tfidf_micros
+          FROM tf JOIN dfreq USING (term), n),
+        ranked AS (SELECT doc_id, term, tfidf_micros,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf_micros DESC, term) AS rn
+          FROM scored)
+        SELECT doc_id, CAST(rn AS INT) AS rn, term, tfidf_micros
+        FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn"""))
   )
 }

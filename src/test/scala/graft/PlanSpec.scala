@@ -114,6 +114,13 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().length == 1)
   }
 
+  test("doc keywords plans WindowGroupLimit, not a full per-group sort") {
+    val p = planOf("q53_doc_keywords")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k filter must push a per-partition group limit")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("count-min probe broadcasts the bounded sketch") {
     val p = planOf("q47_countmin_freq")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
