@@ -412,6 +412,44 @@ object TextQueries {
               ORDER BY tfidf_micros DESC, term) AS rn
           FROM scored)
         SELECT doc_id, CAST(rn AS INT) AS rn, term, tfidf_micros
-        FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn"""))
+        FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // ------------------------------------------------------------------
+    // PII scrubbing: plant a deterministic email + 12-digit identifier
+    // per doc (the corpus itself is clean), redact via TextStats.scrubPii,
+    // and hash the scrubbed text — any regex-semantics drift between the
+    // engine and the oracle's RE2 flips the hash. `removed` counts the
+    // redacted characters (17/doc here: both patterns fired).
+    QuerySpec("q54_pii_scrub",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com ref 123456789012")).as("t"))
+        planted
+          .select(col("doc_id"), col("t"),
+            graft.text.TextStats.scrubPii(col("t")).as("s"))
+          .select(col("doc_id"),
+            graft.dedup.Dedup.portableHash(col("s")).as("scrub_h"),
+            (length(col("t")) - length(col("s"))).cast("long")
+              .as("removed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH planted AS (
+          SELECT doc_id,
+            text || ' contact user' || doc_id ||
+              '@example.com ref 123456789012' AS t
+          FROM documents),
+        scrubbed AS (
+          SELECT doc_id, t,
+            regexp_replace(
+              regexp_replace(t,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g'),
+              '[0-9]{9,}', '<num>', 'g') AS s
+          FROM planted)
+        SELECT doc_id,
+          CAST(('0x'||substring(md5(s),1,15)) AS BIGINT) AS scrub_h,
+          CAST(length(t) - length(s) AS BIGINT) AS removed
+        FROM scrubbed ORDER BY doc_id"""))
   )
 }

@@ -14,6 +14,24 @@ object TextStats {
   /** Whitespace token count (empty tokens dropped). */
   def tokenCount(text: Column): Column = Analyzer.tokenCount(text)
 
+  /** Email pattern for [[scrubPii]] — character classes and bounded
+    * quantifiers only, so Java regex (Spark codegen) and RE2 (DuckDB,
+    * and most data-plane scrubbers) agree on every match. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Long digit runs (account/phone/SSN-ish identifiers). */
+  val LongNumberRe = "[0-9]{9,}"
+
+  /** PII redaction: emails → `<email>`, 9+-digit runs → `<num>`.
+    * Pure codegen'd regexp_replace chain — rides inside the scan stage,
+    * no UDF, no shuffle. Order matters: emails first, so an address
+    * containing digits is redacted as one token, not chopped by the
+    * number rule. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<email>"),
+      LongNumberRe, "<num>")
+
   /** Heuristic quality signals (reference-free): length, token stats,
     * punctuation/digit/uppercase ratios, stopword hit-rate. */
   val EnStopwords: Seq[String] = Seq(
