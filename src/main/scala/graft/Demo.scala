@@ -103,6 +103,26 @@ object Demo {
     println("== shortest path a->c: " +
       graft.graph.ShortestPath.pathTo(st, "c", 4).mkString)
 
+    // --- pipeline carving: sample, split, scrub, sketch ----------------
+    val carved = graft.operators.Sampling.stratifiedHashSample(docs,
+        col("doc_id").cast("string"), col("lang"),
+        rates = Map("en" -> 50), defaultNum = 20)
+      .withColumn("split", graft.operators.Sampling.splitLabel(
+        col("doc_id").cast("string"), 80, 10))
+      .withColumn("clean", graft.text.TextStats.scrubPii(col("text")))
+    println("== stratified sample + split")
+    carved.groupBy("split").count().orderBy("split").show(false)
+    println("== kmv distinct texts (k=256)")
+    graft.sketch.Sketches.kmvDistinct(docs, col("text"), 256).show(false)
+    println("== count-min probe of 'spark'")
+    graft.sketch.Sketches.countMinEstimate(
+      docs.select(explode(graft.text.Analyzer.tokenize(col("text")))
+        .as("term")), col("term"), Seq("spark"), d = 4, w = 1024)
+      .show(false)
+    println("== winnowed fingerprints per doc (first 3 docs)")
+    graft.dedup.Dedup.winnow(docs).groupBy("doc_id").count()
+      .orderBy("doc_id").show(3, false)
+
     spark.stop()
   }
 }

@@ -79,6 +79,47 @@ object PipelineQueries {
           CAST(floor(quantile_cont(n_chars, 0.99)*1000000+0.5) AS BIGINT)
             AS p99_micros,
           CAST(count(*) AS BIGINT) AS n_docs
-        FROM documents GROUP BY lang ORDER BY lang"""))
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // Length-outlier detection via EXACT integer moments: variance needs
+    // only (n, Σx, Σx²), which are associative BIGINT sums — one partial-
+    // aggregated pass, bit-identical on any engine and at any partition
+    // count (a float stddev would be neither). The 2σ test is evaluated
+    // without division: (x·n − Σx)² > 4·(n·Σx² − Σx²) stays in integers.
+    QuerySpec("q55_length_outliers",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val m = d.groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        d.join(broadcast(m), "lang")
+          .select(col("lang"), col("n"), col("sx"), col("sxx"),
+            when((col("n_chars") * col("n") - col("sx")) *
+                 (col("n_chars") * col("n") - col("sx")) >
+                 lit(4L) * (col("n") * col("sxx") - col("sx") * col("sx")),
+              1L).otherwise(0L).as("is_out"))
+          .groupBy("lang")
+          .agg(sum(col("is_out")).as("n_outliers"),
+            count(lit(1)).as("n_docs"),
+            first(col("sx")).as("sum_chars"),
+            first(col("sxx")).as("sum_sq_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH m AS (SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS sx,
+            CAST(sum(n_chars*n_chars) AS BIGINT) AS sxx
+          FROM documents GROUP BY lang),
+        o AS (SELECT d.lang, m.sx, m.sxx,
+            CASE WHEN (d.n_chars*m.n - m.sx)*(d.n_chars*m.n - m.sx)
+                      > 4*(m.n*m.sxx - m.sx*m.sx) THEN 1 ELSE 0 END AS is_out
+          FROM documents d JOIN m USING (lang))
+        SELECT lang, CAST(sum(is_out) AS BIGINT) AS n_outliers,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(sx) AS BIGINT) AS sum_chars,
+               CAST(min(sxx) AS BIGINT) AS sum_sq_chars
+        FROM o GROUP BY lang ORDER BY lang"""))
   )
 }
