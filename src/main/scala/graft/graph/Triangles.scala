@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting with degree-ordered orientation (the
+  * node-iterator++ of Schank & Wagner 2005; the same shape MapReduce
+  * adaptations use, cf. Suri & Vassilvitskii 2011).
+  *
+  * Orient every undirected edge from its lower endpoint to its higher
+  * endpoint under the total order (degree, id). Each triangle then has
+  * exactly one vertex with two out-edges, so counting (wedge, closing
+  * edge) matches counts each triangle once — and, crucially for scale,
+  * the wedge fan-out of a vertex is its OUT-degree under this
+  * orientation, which is O(sqrt(m)) even for a hub whose raw degree is
+  * millions: a celebrity vertex generates almost no wedges because
+  * nearly all its edges point INTO it. Plain id-ordering has no such
+  * bound; the count is identical under any total order (which is why
+  * the DuckDB oracle can use simple id-ordering).
+  *
+  * Three shuffles total: the degree aggregation, the wedge self-join on
+  * the source, and the closing-edge join.
+  */
+object Triangles {
+
+  /** One row (n_edges, n_triangles) for the undirected graph given as
+    * (u, v) pairs in any orientation/multiplicity. */
+  def count(und: DataFrame): DataFrame = {
+    val canon = und.select(
+        least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("x"))
+      .union(canon.select(col("v").as("x")))
+      .groupBy("x").agg(functions.count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    // orient from lower to higher (degree, id); carry the head's rank
+    // key so wedges can order their two heads without another join
+    val lowerIsU = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+        when(lowerIsU, col("u")).otherwise(col("v")).as("src"),
+        when(lowerIsU, col("v")).otherwise(col("u")).as("dst"),
+        when(lowerIsU, col("dv")).otherwise(col("du")).as("dd"))
+    val e1 = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"), col("dd").as("dc"))
+    val wedges = e1.join(e2, "src")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val nTri = wedges.join(closing, Seq("b", "c"))
+      .agg(functions.count(lit(1)).as("n_triangles"))
+    canon.agg(functions.count(lit(1)).as("n_edges")).crossJoin(nTri)
+  }
+}

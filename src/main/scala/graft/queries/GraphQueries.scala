@@ -151,6 +151,34 @@ object GraphQueries {
 
   def specs: Seq[QuerySpec] = Seq(
 
+    // ------------------------------------------------------------------
+    // Triangle count on the part co-purchase graph (parts sharing an
+    // order). Spark orients edges by (degree, id) — hub wedge fan-out
+    // bounded by out-degree, the formulation that survives skew at
+    // scale; the oracle uses plain id-ordering, valid because the count
+    // is orientation-invariant.
+    QuerySpec("q56_triangle_count",
+      (s, dir) => {
+        val op = graft.Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs = op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v"))
+        graft.graph.Triangles.count(pairs)
+      },
+      Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        tri AS (SELECT count(*) AS n_triangles
+          FROM e e1 JOIN e e2 ON e1.v = e2.u
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               CAST(n_triangles AS BIGINT) AS n_triangles
+        FROM tri""")),
+
     // G6: PageRank with dead-end mass redistribution + damped formula —
     // the reference's exact semantics (`pagerank/compute.go:52-79`), run
     // for a fixed superstep count so the oracle can unroll it.

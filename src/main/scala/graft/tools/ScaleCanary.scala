@@ -170,6 +170,13 @@ object ScaleCanary {
     }
     println(s"[canary]   salted-agg groups=$salted")
 
+    val tri = time("triangle count") {
+      graft.graph.Triangles.count(
+          edges.select(col("src").as("u"), col("dst").as("v")))
+        .first().getAs[Long]("n_triangles")
+    }
+    println(s"[canary]   triangles=$tri (1k-hub skew handled by degree orientation)")
+
     val splitLabels = time("sample+split") {
       graft.operators.Sampling.hashSample(docs,
           col("doc_id").cast("string"), 25)

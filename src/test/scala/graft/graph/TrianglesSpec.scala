@@ -1,0 +1,32 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long) = {
+    val r = Triangles.count(edges.toDF("u", "v")).collect().head
+    (r.getAs[Long]("n_edges"), r.getAs[Long]("n_triangles"))
+  }
+
+  test("K4 has 4 triangles, C5 has none") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(tri(k4) === (6L, 4L))
+    val c5 = (0L to 4L).map(i => (i, (i + 1) % 5))
+    assert(tri(c5) === (5L, 0L))
+  }
+
+  test("duplicate and reversed edges collapse before counting") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 1L))
+    assert(tri(noisy) === (3L, 1L))
+  }
+
+  test("hub star plus one rim edge yields exactly one triangle") {
+    // hub 0 connected to 1..20; one rim edge (5,6): triangle (0,5,6).
+    // Degree orientation points rim->hub, so the hub fans out no wedges.
+    val star = (1L to 20L).map(i => (0L, i)) :+ (5L, 6L)
+    assert(tri(star) === (21L, 1L))
+  }
+}
