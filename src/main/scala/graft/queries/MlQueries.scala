@@ -193,6 +193,30 @@ object MlQueries {
         JOIN aug la ON la.vec_id = c.a
         JOIN aug rb ON rb.vec_id = c.b
         WHERE ${cosSql("la.embedding", "rb.embedding")} >= 0.85
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    // ------------------------------------------------------------------
+    // int8 quantization round-trip (FAISS-style SQ8, per-vector scale):
+    // scale + max reconstruction error per vector, all scan-stage column
+    // math. floor(x+0.5) not round(): engines disagree on round's tie
+    // rule. Max error must sit under scale/254 + fp noise (spec'd too).
+    QuerySpec("q57_int8_quantize",
+      (s, dir) => graft.ml.Quantize.roundtripStats(
+          Tables.embeddings(s, dir))
+        .orderBy("vec_id"),
+      Some("""
+        WITH sc AS (SELECT vec_id,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings),
+        e AS (SELECT em.vec_id, sc.scale,
+            list_max(list_transform(em.embedding, x ->
+              abs(floor(CAST(x AS DOUBLE) * 127.0 / sc.scale + 0.5)
+                  * sc.scale / 127.0 - CAST(x AS DOUBLE)))) AS max_err
+          FROM embeddings em JOIN sc USING (vec_id))
+        SELECT vec_id,
+          CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_micros,
+          CAST(floor(max_err * 1000000 + 0.5) AS BIGINT) AS max_err_micros
+        FROM e ORDER BY vec_id"""))
   )
 }
