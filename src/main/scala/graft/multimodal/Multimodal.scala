@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * Image payloads are decoded for real with the JDK's built-in
   * `javax.imageio.ImageIO` codecs (PNG/JPEG/GIF/BMP, headless-safe):
   * true dimensions, pixel-luminance features, and an actual pixel
-  * rescale in [[resize]]. Payloads no JDK codec accepts — including the
-  * synthetic test corpus — and audio/video (no JDK codec exists) fall
-  * back to [[decodeStub]], a deterministic fake, so every pipeline stays
+  * rescale in [[resize]]. Audio payloads are decoded for real with the
+  * JDK's `javax.sound.sampled` readers (WAV/AIFF/AU): true duration
+  * from the header, amplitude-histogram features over 16-bit PCM
+  * samples. Payloads no JDK reader accepts — including the synthetic
+  * test corpus — and video (no JDK codec exists) fall back to
+  * [[decodeStub]], a deterministic fake, so every pipeline stays
   * exercisable end-to-end without media fixtures.
   *
   * At scale the payload column stays columnar in parquet (binary),
@@ -36,12 +39,36 @@ object Multimodal {
       new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
 
-  /** (width, height, durationMs): real ImageIO decode for image
-    * payloads, deterministic stub for everything else. */
+  /** Real audio header decode: JDK `javax.sound.sampled` parses
+    * WAV/AIFF/AU containers (no external codec). Returns
+    * (channels, sampleRateHz, durationMs), or None when no installed
+    * reader accepts the payload (MP3/OGG/… and all synthetic fixtures). */
+  def readAudio(payload: Array[Byte])
+      : Option[(Int, Int, Int)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (frames >= 0 && fmt.getFrameRate > 0)
+          Some((fmt.getChannels, fmt.getSampleRate.toInt,
+            (frames * 1000.0 / fmt.getFrameRate).toInt))
+        else None
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** (width, height, durationMs): real ImageIO decode for images, real
+    * WAV/AIFF/AU header decode for audio, deterministic stub otherwise
+    * (video has no JDK codec — documented stub). */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
-    (if (kind == "image") readImage(payload).map(i =>
-      (i.getWidth, i.getHeight, 0)) else None)
-      .getOrElse(decodeStub(kind, payload))
+    (kind match {
+      case "image" => readImage(payload).map(i =>
+        (i.getWidth, i.getHeight, 0))
+      case "audio" => readAudio(payload).map { case (_, _, ms) =>
+        (0, 0, ms) }
+      case _ => None
+    }).getOrElse(decodeStub(kind, payload))
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -66,6 +93,33 @@ object Multimodal {
       case _ => (0, 0, 0)
     }
   }
+
+  /** All samples of a signed-16-bit PCM stream (any endianness, channels
+    * interleaved); empty for non-PCM16 payloads. */
+  def readPcm16(payload: Array[Byte]): Array[Short] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) Array.empty[Short]
+        else {
+          val bytes = in.readAllBytes()
+          val out = new Array[Short](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            val b0 = bytes(2 * i) & 0xff     // first byte on the wire
+            val b1 = bytes(2 * i + 1) & 0xff
+            out(i) = (if (fmt.isBigEndian) (b0 << 8) | b1
+                      else (b1 << 8) | b0).toShort
+            i += 1
+          }
+          out
+        }
+      } finally in.close()
+    } catch { case _: Exception => Array.empty[Short] }
 
   private val featSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -110,11 +164,33 @@ object Multimodal {
             while (b < 8) { hist(b) /= n; b += 1 }
             (i.getWidth, i.getHeight, 0)
           case None =>
-            payload.foreach(b => hist((b & 0xff) / 32) += 1f)
-            val n = math.max(payload.length, 1).toFloat
-            var b = 0
-            while (b < 8) { hist(b) /= n; b += 1 }
-            decodeStub(kind, payload)
+            val audio = if (kind == "audio") readAudio(payload) else None
+            audio match {
+              case Some((_, _, durMs)) =>
+                // real audio: 8-bin |amplitude| histogram over 16-bit
+                // PCM samples (the dominant WAV layout); non-PCM
+                // containers fall back to a byte histogram below
+                val samples = readPcm16(payload)
+                if (samples.length > 0) {
+                  samples.foreach(s =>
+                    hist(math.min(math.abs(s.toInt), 32767) / 4096) += 1f)
+                  val n = samples.length.toFloat
+                  var b = 0
+                  while (b < 8) { hist(b) /= n; b += 1 }
+                } else {
+                  payload.foreach(b => hist((b & 0xff) / 32) += 1f)
+                  val n = math.max(payload.length, 1).toFloat
+                  var b = 0
+                  while (b < 8) { hist(b) /= n; b += 1 }
+                }
+                (0, 0, durMs)
+              case None =>
+                payload.foreach(b => hist((b & 0xff) / 32) += 1f)
+                val n = math.max(payload.length, 1).toFloat
+                var b = 0
+                while (b < 8) { hist(b) /= n; b += 1 }
+                decodeStub(kind, payload)
+            }
         }
         Row(r.getLong(idI), kind, payload.length, w, h, d, hist.toSeq)
       }

@@ -103,4 +103,49 @@ class MultimodalSpec extends SparkSpec {
       "fake-jpeg-bytes".getBytes("UTF-8"))
     assert(out(1L).getInt(3) == w && out(1L).getInt(4) == h)
   }
+
+  /** 500 ms of 8 kHz mono 16-bit PCM: a loud square wave, WAV-encoded
+    * in-memory — a REAL audio fixture with a known duration. */
+  private def wavBytes(): Array[Byte] = {
+    import javax.sound.sampled._
+    val frames = 4000 // 500 ms at 8 kHz
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s: Short = if ((i / 20) % 2 == 0) 20000 else -20000
+      pcm(2 * i) = (s & 0xff).toByte         // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("decodeAndFeaturize reads true duration and amplitudes from a real WAV") {
+    import spark.implicits._
+    val audio = Seq((10L, "audio", wavBytes()))
+      .toDF("media_id", "kind", "payload")
+    val r = Multimodal.decodeAndFeaturize(audio).collect().head
+    assert(r.getInt(5) === 500, "duration_ms from the real WAV header")
+    val hist = r.getSeq[Float](6)
+    // |20000| / 4096 = bin 4 — every sample lands there
+    assert(math.abs(hist(4) - 1.0f) < 1e-6, hist.mkString(","))
+    // and the samples round-trip through readPcm16
+    val samples = Multimodal.readPcm16(wavBytes())
+    assert(samples.length === 4000)
+    assert(samples.forall(s => s == 20000 || s == -20000))
+  }
+
+  test("undecodable audio still takes the deterministic stub duration") {
+    import spark.implicits._
+    val fake = "not-audio-at-all".getBytes("UTF-8")
+    val audio = Seq((11L, "audio", fake)).toDF("media_id", "kind", "payload")
+    val r = Multimodal.decodeAndFeaturize(audio).collect().head
+    val (_, _, d) = Multimodal.decodeStub("audio", fake)
+    assert(r.getInt(5) === d)
+  }
 }
