@@ -24,11 +24,16 @@ object Quantize {
   def scaleOf(emb: Column): Column =
     array_max(transform(emb, x => abs(x.cast("double"))))
 
+  /** Division-safe scale: an all-zero vector has scale 0, and 0/0 would
+    * turn its codes into NaN->null; the epsilon keeps 0*127/eps = 0, so
+    * zero vectors quantize to all-zero codes and reconstruct exactly. */
+  private def safe(scale: Column): Column = greatest(scale, lit(1e-30))
+
   /** int8 codes as array<tinyint>; `scale` must be [[scaleOf]] (or any
     * bound >= max|x|, else codes clip past a byte). */
   def quantize(emb: Column, scale: Column): Column =
     transform(emb, x =>
-      floor(x.cast("double") * 127.0 / scale + 0.5).cast("tinyint"))
+      floor(x.cast("double") * 127.0 / safe(scale) + 0.5).cast("tinyint"))
 
   /** Reconstruction (DOUBLE components). */
   def dequantize(codes: Column, scale: Column): Column =
@@ -42,7 +47,7 @@ object Quantize {
                      idCol: String = "vec_id"): DataFrame = {
     val withScale = df.withColumn("__s", scaleOf(col(embCol)))
     val err = array_max(transform(col(embCol), x =>
-      abs(floor(x.cast("double") * 127.0 / col("__s") + 0.5)
+      abs(floor(x.cast("double") * 127.0 / safe(col("__s")) + 0.5)
         * col("__s") / 127.0 - x.cast("double"))))
     withScale.select(col(idCol),
       floor(col("__s") * 1000000d + 0.5d).cast("long").as("scale_micros"),

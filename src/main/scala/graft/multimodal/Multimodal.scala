@@ -94,32 +94,47 @@ object Multimodal {
     }
   }
 
-  /** All samples of a signed-16-bit PCM stream (any endianness, channels
-    * interleaved); empty for non-PCM16 payloads. */
-  def readPcm16(payload: Array[Byte]): Array[Short] =
+  /** Single container parse for the featurize hot path: duration plus
+    * the decoded 16-bit PCM samples (empty array for non-PCM16 streams)
+    * — one `getAudioInputStream` instead of a header pass + a sample
+    * pass. */
+  private def readAudioFull(payload: Array[Byte])
+      : Option[(Int, Array[Short])] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
-        if (fmt.getEncoding !=
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16) Array.empty[Short]
+        val frames = in.getFrameLength
+        if (frames < 0 || fmt.getFrameRate <= 0) None
         else {
-          val bytes = in.readAllBytes()
-          val out = new Array[Short](bytes.length / 2)
-          var i = 0
-          while (i < out.length) {
-            val b0 = bytes(2 * i) & 0xff     // first byte on the wire
-            val b1 = bytes(2 * i + 1) & 0xff
-            out(i) = (if (fmt.isBigEndian) (b0 << 8) | b1
-                      else (b1 << 8) | b0).toShort
-            i += 1
-          }
-          out
+          val durMs = (frames * 1000.0 / fmt.getFrameRate).toInt
+          val samples =
+            if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16) Array.empty[Short]
+            else {
+              val bytes = in.readAllBytes()
+              val out = new Array[Short](bytes.length / 2)
+              var i = 0
+              while (i < out.length) {
+                val b0 = bytes(2 * i) & 0xff // first byte on the wire
+                val b1 = bytes(2 * i + 1) & 0xff
+                out(i) = (if (fmt.isBigEndian) (b0 << 8) | b1
+                          else (b1 << 8) | b0).toShort
+                i += 1
+              }
+              out
+            }
+          Some((durMs, samples))
         }
       } finally in.close()
-    } catch { case _: Exception => Array.empty[Short] }
+    } catch { case _: Exception => None }
+
+  /** All samples of a signed-16-bit PCM stream (any endianness, channels
+    * interleaved); empty for non-PCM16 payloads. */
+  def readPcm16(payload: Array[Byte]): Array[Short] =
+    readAudioFull(payload).map(_._2).getOrElse(Array.empty[Short])
 
   private val featSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -164,13 +179,12 @@ object Multimodal {
             while (b < 8) { hist(b) /= n; b += 1 }
             (i.getWidth, i.getHeight, 0)
           case None =>
-            val audio = if (kind == "audio") readAudio(payload) else None
+            val audio = if (kind == "audio") readAudioFull(payload) else None
             audio match {
-              case Some((_, _, durMs)) =>
+              case Some((durMs, samples)) =>
                 // real audio: 8-bin |amplitude| histogram over 16-bit
                 // PCM samples (the dominant WAV layout); non-PCM
                 // containers fall back to a byte histogram below
-                val samples = readPcm16(payload)
                 if (samples.length > 0) {
                   samples.foreach(s =>
                     hist(math.min(math.abs(s.toInt), 32767) / 4096) += 1f)

@@ -31,10 +31,20 @@ object Skew {
   private val SaltCol = "__salt"
 
   /** Deterministic per-row salt: hash of the whole fact row, so the
-    * assignment is stable across retries/replays (no rand()). */
-  private def rowSalt(df: DataFrame, salt: Int): Column =
+    * assignment is stable across retries/replays (no rand() — a
+    * nondeterministic salt recomputed by a task retry can disagree with
+    * shuffle data a consumer already read). The flip side of
+    * determinism: rows that are byte-identical necessarily share a
+    * salt, so a hot key whose rows carry NO distinguishing column does
+    * not spread — pre-aggregate exact duplicate rows first (they carry
+    * no information a join could use) or keep a disambiguating column
+    * in the frame when salting. */
+  private def rowSalt(df: DataFrame, salt: Int): Column = {
+    require(!df.columns.contains(SaltCol),
+      s"input already has a $SaltCol column")
     pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
       lit(salt.toLong)).cast("int")
+  }
 
   /** Inner equi-join on `keys` with the fact side salted `salt` ways
     * and the dim side replicated per salt value. Result columns =

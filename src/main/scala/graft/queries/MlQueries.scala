@@ -211,7 +211,8 @@ object MlQueries {
           FROM embeddings),
         e AS (SELECT em.vec_id, sc.scale,
             list_max(list_transform(em.embedding, x ->
-              abs(floor(CAST(x AS DOUBLE) * 127.0 / sc.scale + 0.5)
+              abs(floor(CAST(x AS DOUBLE) * 127.0
+                        / greatest(sc.scale, 1e-30) + 0.5)
                   * sc.scale / 127.0 - CAST(x AS DOUBLE)))) AS max_err
           FROM embeddings em JOIN sc USING (vec_id))
         SELECT vec_id,

@@ -86,7 +86,12 @@ object PipelineQueries {
     // only (n, Σx, Σx²), which are associative BIGINT sums — one partial-
     // aggregated pass, bit-identical on any engine and at any partition
     // count (a float stddev would be neither). The 2σ test is evaluated
-    // without division: (x·n − Σx)² > 4·(n·Σx² − Σx²) stays in integers.
+    // without division: (x·n − Σx)² > 4·(n·Σx² − (Σx)²) stays in
+    // integers. Range bound: the test needs (x_max·n)² < 2^63, i.e.
+    // n ≲ 3·10^9/x_max rows per group (fine for per-language groups of
+    // ~10^6-char docs up to ~billions of rows); past that, rescale x or
+    // widen to DECIMAL(38) sums — don't switch to float moments, they
+    // lose both exactness and engine parity.
     QuerySpec("q55_length_outliers",
       (s, dir) => {
         val d = Tables.documents(s, dir)

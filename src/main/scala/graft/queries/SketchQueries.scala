@@ -17,6 +17,11 @@ object SketchQueries {
   private def hashSql(expr: String): String =
     s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** DuckDB: lowercased \\s+ tokens, empties dropped (= Analyzer.tokenize —
+    * the single-space string_split shortcut would diverge on tabs/newlines). */
+  private def toksSql(expr: String): String =
+    s"list_filter(string_split_regex(lower(trim($expr)), '\\s+'), x -> x <> '')"
+
   private val KmvK = 1024
   private val CmDepth = 4
   private val CmWidth = 1024
@@ -56,9 +61,8 @@ object SketchQueries {
         col("term"), CmProbes, CmDepth, CmWidth)
         .orderBy("term"),
       Some(s"""
-        WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' '))
-            AS term FROM documents),
-        t AS (SELECT term FROM tok WHERE term <> ''),
+        WITH t AS (SELECT unnest(${toksSql("text")}) AS term
+          FROM documents),
         d(i) AS (VALUES ${(0 until CmDepth).map(i => s"($i)").mkString(",")}),
         cells AS (SELECT i, ${hashSql("i || '|' || term")} % $CmWidth AS cell
           FROM t CROSS JOIN d),

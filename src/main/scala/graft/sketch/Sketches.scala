@@ -50,7 +50,9 @@ object Sketches {
       val top = new java.util.TreeSet[java.lang.Long]()
       it.foreach { h =>
         if (top.size < k) top.add(h)
-        else if (h < top.last) { top.add(h); top.pollLast() }
+        // evict ONLY when h actually entered: add() returns false for a
+        // duplicate value, and evicting then would drop a true member
+        else if (h < top.last && top.add(h)) top.pollLast()
       }
       import scala.jdk.CollectionConverters._
       top.iterator().asScala.map(_.longValue())

@@ -107,10 +107,14 @@ class PlanSpec extends SparkSpec {
   test("kmv merge shuffles only the bounded candidate set") {
     val df = SparkEntry.queries("q45_kmv_distinct")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // The only wide ops after the per-partition top-k are the tiny
-    // distinct + single-partition agg — never a sort of the full input.
-    assert(p.contains("TakeOrderedAndProject") || p.contains("HashAggregate"),
-      p.take(2000))
+    // The bounded per-partition top-k (MapPartitions) must sit in the
+    // plan, and nothing may globally sort the raw input — a regression
+    // to orderBy().limit() over the full hash stream would plan a
+    // range-partitioned Sort/TakeOrdered over the scan.
+    assert(p.contains("MapPartitions"),
+      "per-partition bounded top-k missing:\n" + p.take(2000))
+    assert(!p.contains("rangepartitioning"),
+      "global sort of the full input:\n" + p.take(2000))
     assert(df.collect().length == 1)
   }
 

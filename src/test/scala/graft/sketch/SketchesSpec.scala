@@ -31,6 +31,19 @@ class SketchesSpec extends SparkSpec {
     assert(row.getAs[Long]("est_distinct") === 40L)
   }
 
+  test("in-partition duplicates never evict a true top-k member") {
+    // one partition, k=4: values [1,2,3,4] then a duplicate of 1 — the
+    // old eviction bug would drop 4 on the duplicate's arrival
+    val df = Seq("a", "b", "c", "d", "a").toDF("v").coalesce(1)
+    val withDups = Sketches.kSmallestHashes(df, col("v"), 4)
+      .as[Long].collect().toSet
+    val distinctOnly = Sketches.kSmallestHashes(
+        Seq("a", "b", "c", "d").toDF("v").coalesce(1), col("v"), 4)
+      .as[Long].collect().toSet
+    assert(withDups === distinctOnly)
+    assert(withDups.size === 4)
+  }
+
   test("kmv is partitioning-invariant (same k smallest hashes)") {
     val base = spark.range(20000).select(col("id").cast("string").as("v"))
     val a = Sketches.kSmallestHashes(base.repartition(2), col("v"), 256)
