@@ -29,4 +29,21 @@ class TrianglesSpec extends SparkSpec {
     val star = (1L to 20L).map(i => (0L, i)) :+ (5L, 6L)
     assert(tri(star) === (21L, 1L))
   }
+
+  test("property: matches brute force on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 25
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.25
+      } yield (i, j)).toSeq
+      val adj = edges.toSet
+      val brute = (for {
+        a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if adj((a, b)) && adj((b, c)) && adj((a, c))
+      } yield 1).size.toLong
+      assert(tri(edges) === (edges.size.toLong, brute))
+    }
+  }
 }
