@@ -238,6 +238,33 @@ object Dedup {
     * One shuffle, partitioned by document — per-doc work, no skew beyond
     * document length.
     */
+  /** Benchmark decontamination: flag training documents that share at
+    * least one word n-gram with an evaluation/benchmark set (the
+    * standard guard against test-set leakage in a training corpus —
+    * e.g. GPT-3's 13-gram and Llama's n-gram overlap checks). Returns
+    * one row per contaminated training doc with the number of distinct
+    * eval n-grams it contains.
+    *
+    * Scale: benchmark suites are MBs while corpora are TBs, so the
+    * distinct eval-gram set is broadcast and the training side streams
+    * through a broadcast hash join inside its scan stage — the corpus
+    * is never shuffled. If the eval side ever outgrew broadcast range
+    * the same plan degrades gracefully to a shuffled semi-join on the
+    * gram key.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 5,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val evalGrams = shingleTable(evalSet, n, idCol, textCol)
+      .select(col("shingle")).distinct()
+    // shingleTable is per-doc distinct, so count(*) after the join is
+    // the count of DISTINCT contaminating n-grams.
+    shingleTable(train, n, idCol, textCol)
+      .join(broadcast(evalGrams), Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -247,6 +247,34 @@ object DedupQueries {
         fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE pos <= n - 4)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
                min(fp) AS min_fp, max(fp) AS max_fp
-        FROM fps GROUP BY doc_id ORDER BY doc_id"""))
+        FROM fps GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Benchmark decontamination: every 10th doc plays the eval set, the
+    // rest are training docs; flag training docs sharing any distinct
+    // 3-gram with the eval set. The eval gram set broadcasts; the
+    // training side never shuffles before the final per-doc count.
+    QuerySpec("q59_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val evalSet = docs.filter(col("doc_id") % 10 === 0)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        Dedup.decontaminate(train, evalSet, n = 3)
+          .select(col("doc_id"), col("shared_ngrams").cast("long")
+            .as("shared_ngrams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        grams AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(
+              generate_series(1, greatest(len(l) - 2, 0)),
+              i -> array_to_string(l[i:i + 2], ' ')))) AS g
+          FROM lt),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+        tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+        SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+        FROM tr JOIN ev USING (g)
+        GROUP BY tr.doc_id ORDER BY tr.doc_id"""))
   )
 }

@@ -450,6 +450,52 @@ object TextQueries {
         SELECT doc_id,
           CAST(('0x'||substring(md5(s),1,15)) AS BIGINT) AS scrub_h,
           CAST(length(t) - length(s) AS BIGINT) AS removed
-        FROM scrubbed ORDER BY doc_id"""))
+        FROM scrubbed ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Gopher repetition filters (token-n-gram form): most-frequent-
+    // 2/3-gram share and duplicate-5-gram share per document. The
+    // count/count divisions are single IEEE ops, so micros-rounding is
+    // engine-stable.
+    QuerySpec("q58_repetition_stats",
+      (s, dir) => {
+        TextStats.repetitionSignals(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            Exact.micros(col("top2_frac")).as("top2_micros"),
+            Exact.micros(col("top3_frac")).as("top3_micros"),
+            Exact.micros(col("dup5_frac")).as("dup5_micros"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        ${Seq(2 -> "s2", 3 -> "s3").map { case (n, cte) => s"""
+        g$n AS (SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, greatest(len(l) - ${n - 1}, 0)),
+              i -> array_to_string(l[i:i + ${n - 1}], ' '))) AS g
+          FROM lt),
+        c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2),
+        $cte AS (SELECT doc_id,
+            CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS f
+          FROM c$n GROUP BY 1)""" }.mkString(",")},
+        g5 AS (SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, greatest(len(l) - 4, 0)),
+              i -> array_to_string(l[i:i + 4], ' '))) AS g
+          FROM lt),
+        c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+        s5 AS (SELECT doc_id,
+            CAST(sum(c) - count(*) AS DOUBLE) /
+              CAST(sum(c) AS DOUBLE) AS f
+          FROM c5 GROUP BY 1)
+        SELECT d.doc_id,
+          ${Exact.microsSql("coalesce(s2.f, 0.0)")} AS top2_micros,
+          ${Exact.microsSql("coalesce(s3.f, 0.0)")} AS top3_micros,
+          ${Exact.microsSql("coalesce(s5.f, 0.0)")} AS dup5_micros
+        FROM documents d
+        LEFT JOIN s2 USING (doc_id)
+        LEFT JOIN s3 USING (doc_id)
+        LEFT JOIN s5 USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }

@@ -94,6 +94,46 @@ object TextStats {
       best.getField("hits").as("marker_hits"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1,
+    * adapted to token n-grams since this corpus has no line structure):
+    *
+    *  - `top2_frac` / `top3_frac` — fraction of all 2-/3-grams taken by
+    *    the single most frequent one (boilerplate headers/footers and
+    *    keyword-stuffed spam score high);
+    *  - `dup5_frac` — fraction of 5-gram occurrences that are repeats
+    *    of another 5-gram in the same document.
+    *
+    * Docs shorter than n tokens contribute no n-grams and report 0.0.
+    *
+    * Scale: each signal is explode → hash-agg keyed (doc, gram) →
+    * hash-agg keyed doc. Both aggregations combine map-side (partial
+    * agg), keys never leave the document, so the shuffle volume is
+    * O(distinct grams) and skew is bounded by the longest document —
+    * no corpus-wide hot key exists by construction.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def gramFracs(n: Int, alias: String, dup: Boolean): DataFrame = {
+      val perGram = docs
+        .select(col(idCol), explode(Analyzer.shingles(col(textCol), n))
+          .as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      val total = sum("c").cast("double")
+      val frac =
+        if (dup) (sum("c") - count(lit(1))).cast("double") / total
+        else max("c").cast("double") / total
+      perGram.groupBy(idCol).agg(frac.as(alias))
+    }
+    docs.select(col(idCol))
+      .join(gramFracs(2, "top2_frac", dup = false), Seq(idCol), "left")
+      .join(gramFracs(3, "top3_frac", dup = false), Seq(idCol), "left")
+      .join(gramFracs(5, "dup5_frac", dup = true), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+  }
+
   /** Order-sensitive document fingerprint: Σ over positions of
     * H(pos:token) mod 1e9+7 — stable, portable, overflow-safe. */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",

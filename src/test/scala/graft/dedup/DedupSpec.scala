@@ -107,4 +107,28 @@ class DedupSpec extends SparkSpec {
     val fps = Dedup.winnow(docs, k = 3, w = 4).collect()
     assert(fps.length == 1, fps.mkString(","))
   }
+
+  test("decontaminate counts distinct shared n-grams per training doc") {
+    val evalSet = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // shares "the quick brown" and "quick brown fox"
+      (1L, "lazy dog sees the quick brown fox now"),
+      // no 3-gram overlap
+      (2L, "completely unrelated words right here"),
+      // the shared 3-gram occurs twice but counts once (distinct grams)
+      (3L, "the quick brown then the quick brown")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalSet, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L)) // clean doc 2 absent
+  }
+
+  test("decontaminate broadcasts the eval gram set") {
+    val evalSet = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val plan = Dedup.decontaminate(train, evalSet, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -28,4 +28,31 @@ class TextStatsSpec extends SparkSpec {
     val clean = "just ordinary words and 42 numbers"
     assert(scrub(clean) === clean)
   }
+
+  private def repetition(texts: (Int, String)*):
+      Map[Int, (Double, Double, Double)] =
+    TextStats.repetitionSignals(
+        texts.toSeq.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+
+  test("repetitionSignals: hand-computed n-gram fractions") {
+    val m = repetition(
+      1 -> "a b a b a b",  // 2g: ab,ba,ab,ba,ab  3g: aba,bab,aba,bab
+      2 -> "x y z",        // 2g: xy,yz           3g: xyz
+      3 -> "w")            // no grams at all
+    assert(m(1) === ((3d / 5, 2d / 4, 0d))) // two distinct 5-grams, no dup
+    assert(m(2) === ((1d / 2, 1d, 0d)))
+    assert(m(3) === ((0d, 0d, 0d))) // short doc reports zeros, not nulls
+  }
+
+  test("repetitionSignals: duplicate 5-grams in a cyclic doc") {
+    // tokens cycle with period 5 → 11 5-grams over 5 distinct values
+    val m = repetition(1 -> "p q r s t p q r s t p q r s t")
+    val (top2, _, dup5) = m(1)
+    assert(dup5 === 6d / 11)
+    assert(top2 === 3d / 14) // pq,qr,rs,st appear 3x over 14 bigrams
+  }
 }
