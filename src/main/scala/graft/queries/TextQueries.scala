@@ -496,6 +496,64 @@ object TextQueries {
         LEFT JOIN s2 USING (doc_id)
         LEFT JOIN s3 USING (doc_id)
         LEFT JOIN s5 USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // GPT-style sequence packing: global token offsets via the two-phase
+    // distributed prefix sum, 512-token contexts. The oracle's flat
+    // window cumsum is the semantics; the engine's partitioned form is
+    // the scale-correct plan for the same numbers.
+    QuerySpec("q60_sequence_pack",
+      (s, dir) => {
+        graft.text.Pack.packedOffsets(Tables.documents(s, dir),
+            budget = 512)
+          .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+            col("seq_id"), col("seq_offset"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id,
+            CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok
+          FROM documents),
+        offs AS (SELECT doc_id, n_tok,
+            coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS tok_offset
+          FROM lt)
+        SELECT doc_id, n_tok, CAST(tok_offset AS BIGINT) AS tok_offset,
+          CAST(tok_offset // 512 AS BIGINT) AS seq_id,
+          CAST(tok_offset % 512 AS BIGINT) AS seq_offset
+        FROM offs ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Sliding-window token chunking (size 16, stride 8): per-chunk start,
+    // length, and text hash. Shuffle-free explode on the engine side;
+    // the hash flips on any slicing/joining drift between engines.
+    QuerySpec("q61_token_chunks",
+      (s, dir) => {
+        graft.text.Pack.tokenChunks(Tables.documents(s, dir),
+            size = 16, stride = 8)
+          .select(col("doc_id"), col("chunk_id").cast("long")
+              .as("chunk_id"),
+            col("start").cast("long").as("start"),
+            col("n_chunk_toks").cast("long").as("n_chunk_toks"),
+            col("chunk_hash"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        starts AS (SELECT doc_id, l,
+            unnest(generate_series(0, len(l) - 1, 8)) AS start
+          FROM lt WHERE len(l) > 0),
+        ch AS (SELECT doc_id, start,
+            list_slice(l, start + 1, least(start + 16, len(l))) AS c
+          FROM starts)
+        SELECT doc_id,
+          CAST(start // 8 AS BIGINT) AS chunk_id,
+          CAST(start AS BIGINT) AS start,
+          CAST(len(c) AS BIGINT) AS n_chunk_toks,
+          CAST(('0x'||substring(md5(array_to_string(c, ' ')),1,15))
+            AS BIGINT) AS chunk_hash
+        FROM ch ORDER BY doc_id, chunk_id"""))
   )
 }
