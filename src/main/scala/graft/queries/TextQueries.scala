@@ -554,6 +554,34 @@ object TextQueries {
           CAST(len(c) AS BIGINT) AS n_chunk_toks,
           CAST(('0x'||substring(md5(array_to_string(c, ' ')),1,15))
             AS BIGINT) AS chunk_hash
-        FROM ch ORDER BY doc_id, chunk_id"""))
+        FROM ch ORDER BY doc_id, chunk_id""")),
+
+    // ------------------------------------------------------------------
+    // Unigram-LM perplexity filter (CCNet-style, deterministic form):
+    // per-token -ln p snapped to integer micros BEFORE the per-doc sum
+    // so the aggregation is associative on both engines. ln() precedent:
+    // q53's TF-IDF oracle already round-trips ln through micros.
+    QuerySpec("q62_unigram_nll",
+      (s, dir) => {
+        TextStats.unigramTokenNll(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            Exact.micros(col("tok_nll")).as("m"))
+          .groupBy("doc_id")
+          .agg(sum("m").as("nll_sum_micros"),
+            count(lit(1)).as("n_scored"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok
+          FROM documents),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+        vocab AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c
+          FROM tok GROUP BY 1),
+        scored AS (SELECT t.doc_id,
+            ${Exact.microsSql("-ln(v.c / n.n)")} AS m
+          FROM tok t JOIN vocab v USING (tok), n)
+        SELECT doc_id, CAST(sum(m) AS BIGINT) AS nll_sum_micros,
+          CAST(count(*) AS BIGINT) AS n_scored
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

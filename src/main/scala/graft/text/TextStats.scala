@@ -94,6 +94,47 @@ object TextStats {
       best.getField("hits").as("marker_hits"))
   }
 
+  /** Unigram-LM perplexity scoring — the deterministic baseline form of
+    * the CCNet/CC-100 "LM quality filter" (Wenzek et al. 2020 filter
+    * CommonCrawl by LM perplexity; a unigram model keeps the signal
+    * reproducible with no external model artifact). The corpus itself
+    * is the model: p(tok) = count(tok) / total tokens, and a document
+    * scores its average negative log-probability
+    * `nll = -(1/n) Σ ln p(tok_i)` — low = in-distribution text, high =
+    * off-vocabulary or unusual token mix. Docs with no tokens are
+    * dropped (no distribution to score).
+    *
+    * Scale: the vocabulary table is a hash-agg over tokens (map-side
+    * combinable); scoring is one shuffle join keyed by token — at web
+    * vocabulary sizes (~100M types) that join stays well within normal
+    * shuffle range, and Zipf skew is harmless because the per-token
+    * payload is a single double and the (doc, token) pairs of a hot
+    * token spread across whatever partitions hold the docs.
+    */
+  def unigramNll(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    unigramTokenNll(docs, idCol, textCol)
+      .groupBy(idCol)
+      .agg((sum("tok_nll") / count(lit(1))).as("nll"))
+
+  /** Per-token-occurrence negative log-probability under the corpus
+    * unigram model — the exact-aggregation seam: a caller needing
+    * cross-engine-stable doc scores snaps `tok_nll` to integer micros
+    * BEFORE summing (float sums are order-sensitive; integer sums are
+    * associative). */
+  def unigramTokenNll(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(Analyzer.tokenize(col(textCol))).as("tok"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__n"))
+    val vocab = toks.groupBy("tok")
+      .agg(count(lit(1)).cast("double").as("c"))
+      .crossJoin(total) // 1-row total rides along, no driver action
+      .select(col("tok"), (col("c") / col("__n")).as("p"))
+    toks.join(vocab, "tok")
+      .select(col(idCol), col("tok"), negate(log(col("p"))).as("tok_nll"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1,
     * adapted to token n-grams since this corpus has no line structure):
     *

@@ -48,6 +48,25 @@ class TextStatsSpec extends SparkSpec {
     assert(m(3) === ((0d, 0d, 0d))) // short doc reports zeros, not nulls
   }
 
+  test("unigramNll: corpus-frequency model, hand-computed scores") {
+    // corpus: a a a b  → p(a)=3/4, p(b)=1/4
+    val docs = Seq((1, "a a a"), (2, "b")).toDF("doc_id", "text")
+    val out = TextStats.unigramNll(docs)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1) - (-math.log(0.75))) < 1e-12)
+    assert(math.abs(out(2) - (-math.log(0.25))) < 1e-12)
+    // rarer-token doc scores strictly higher (less in-distribution)
+    assert(out(2) > out(1))
+  }
+
+  test("unigramNll: empty docs drop; averaging is per-occurrence") {
+    val docs = Seq((1, "x y"), (2, "")).toDF("doc_id", "text")
+    val scored = TextStats.unigramNll(docs).collect()
+    assert(scored.map(_.getInt(0)).toSet === Set(1))
+    // both tokens have p=1/2 → nll = ln 2 regardless of mix
+    assert(math.abs(scored.head.getDouble(1) - math.log(2)) < 1e-12)
+  }
+
   test("repetitionSignals: duplicate 5-grams in a cyclic doc") {
     // tokens cycle with period 5 → 11 5-grams over 5 distinct values
     val m = repetition(1 -> "p q r s t p q r s t p q r s t")
