@@ -131,4 +131,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the d*w-bounded sketch must broadcast to the probes")
   }
+
+  test("sequence packing windows by partition id — never a global window") {
+    val p = planOf("q60_sequence_pack")
+    // the scale-killer shape is a Window whose partition spec is empty
+    // (single-task running sum); the prefix-sum plan partitions by __pid
+    assert(p.contains("windowspecdefinition(__pid"),
+      "running sum must be partitioned by __pid: " +
+        p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-partition base offsets must broadcast: " + p.take(2000))
+  }
+
+  test("token chunking plans no shuffle at all") {
+    val chunks = graft.text.Pack.tokenChunks(
+      Tables.documents(spark, dir), size = 16, stride = 8)
+    val p = chunks.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "per-row explode must ride the scan stage: " + p.take(2000))
+  }
+
+  test("decontamination broadcasts eval grams, never shuffles the corpus") {
+    val p = planOf("q59_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "training-side gram stream must not shuffle before the join")
+  }
 }
