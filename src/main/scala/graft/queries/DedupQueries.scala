@@ -275,6 +275,75 @@ object DedupQueries {
         tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
         SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
         FROM tr JOIN ev USING (g)
-        GROUP BY tr.doc_id ORDER BY tr.doc_id"""))
+        GROUP BY tr.doc_id ORDER BY tr.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // The dedup pipeline's final decision: near-dup clusters (q32's
+    // minhash → LSH → verify → components chain) pruned to one KEEPER
+    // per cluster — the member with the best quality score, ties to the
+    // smaller id. One struct-max aggregation per cluster on the engine
+    // side (no per-cluster sort); the oracle mirrors it with a window.
+    QuerySpec("q63_dedup_keep_best",
+      (s, dir) => {
+        val docs = augmented(s, dir)
+        val pairs = Dedup.minHashNearDups(docs, shingleN = 3,
+            numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+          .select("a", "b")
+        val comp = graft.graph.Components.run(pairs, maxRounds = 6,
+          earlyStop = false)
+        val qual = graft.text.TextStats.qualityScore(docs)
+          .select(col("doc_id"), Exact.micros(col("quality")).as("qm"))
+        comp.join(qual, comp("id") === qual("doc_id"))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("qm").as("q"), (-col("id")).as("nid")))
+              .as("b"))
+          .select(col("component"), col("n_members"),
+            (-col("b.nid")).as("keep_id"),
+            col("b.q").as("keep_q_micros"))
+          .orderBy("component")
+      },
+      Some {
+        val steps = (1 to 6).map { k =>
+          s"""l$k AS MATERIALIZED (
+             SELECT id, min(component) AS component FROM (
+               SELECT id, component FROM l${k - 1}
+               UNION ALL
+               SELECT u.src AS id, l.component
+               FROM und u JOIN l${k - 1} l ON u.dst = l.id)
+             GROUP BY id)"""
+        }.mkString(",\n")
+        s"""
+        WITH $MinhashPairCtes,
+        pairs AS MATERIALIZED (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+        und AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION
+          SELECT b, a FROM pairs),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS component FROM und),
+        $steps,
+        q AS MATERIALIZED (
+          SELECT lt.doc_id, ${Exact.microsSql(
+            "least(CAST(len(l) AS DOUBLE) / 20.0, 1.0) * 0.4 + " +
+            "least((CAST(len(list_filter(l, x -> list_contains(" +
+            "['the','of','and','a','to','in','is','it','that','for'," +
+            "'on','with','as','was','at','by','an','be','this','are'], x)))" +
+            " AS DOUBLE) / CAST(greatest(len(l), 1) AS DOUBLE)) * 4.0, 1.0)" +
+            " * 0.4 + " +
+            "(1.0 - least((CAST(length(regexp_replace(aug.text, '[^0-9]'," +
+            " '', 'g')) AS DOUBLE) / " +
+            "CAST(greatest(length(aug.text), 1) AS DOUBLE)) * 5.0, 1.0))" +
+            " * 0.2")} AS qm
+          FROM lt JOIN aug USING (doc_id)),
+        ranked AS (
+          SELECT l6.component, l6.id, q.qm,
+            row_number() OVER (PARTITION BY l6.component
+              ORDER BY q.qm DESC, l6.id ASC) AS rn,
+            count(*) OVER (PARTITION BY l6.component) AS n_members
+          FROM l6 JOIN q ON q.doc_id = l6.id)
+        SELECT component, CAST(n_members AS BIGINT) AS n_members,
+          id AS keep_id, qm AS keep_q_micros
+        FROM ranked WHERE rn = 1 ORDER BY component"""
+      })
   )
 }
