@@ -123,6 +123,23 @@ object Demo {
     graft.dedup.Dedup.winnow(docs).groupBy("doc_id").count()
       .orderBy("doc_id").show(3, false)
 
+    // --- training-set assembly: filter, decontaminate, pack -----------
+    println("== repetition + unigram-NLL quality signals (first 3 docs)")
+    graft.text.TextStats.repetitionSignals(docs)
+      .join(graft.text.TextStats.unigramNll(docs), "doc_id")
+      .orderBy("doc_id").show(3, false)
+    println("== decontaminate vs eval split (docs sharing 3-grams)")
+    graft.dedup.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 3)
+      .orderBy(col("shared_ngrams").desc).show(3, false)
+    println("== pack into 512-token sequences (first 5 docs)")
+    graft.text.Pack.packedOffsets(docs, budget = 512)
+      .orderBy("doc_id").show(5, false)
+    println("== sliding 16/8 token chunks of doc 0")
+    graft.text.Pack.tokenChunks(docs.filter(col("doc_id") === 0),
+      size = 16, stride = 8).show(false)
+
     spark.stop()
   }
 }

@@ -185,6 +185,17 @@ object ScaleCanary {
         .groupBy("split").count().count()
     }
     println(s"[canary]   split labels=$splitLabels")
+
+    // prefix-sum packing: the subtotal collect stays #partitions-sized
+    // however many docs there are — the leg proves the constant-driver
+    // contract at 10x
+    val packed = time("sequence packing") {
+      val p = graft.text.Pack.packedOffsets(docs, budget = 2048)
+      p.agg(max(col("seq_id")).as("m"), sum(col("n_tok")).as("t"))
+        .first()
+    }
+    println(s"[canary]   packing seqs=${packed.getLong(0) + 1} " +
+      s"tokens=${packed.getLong(1)} (25/doc expected)")
     spark.stop()
   }
 }
