@@ -36,6 +36,9 @@ object Pack {
     * The result is invariant to the partition count: offset = total
     * tokens before the doc in id order, however the range boundaries
     * fell.
+    *
+    * Contract: `idCol` must be unique — it IS the total order; rows
+    * tying on it would make their relative offsets arbitrary.
     */
   def packedOffsets(docs: DataFrame, budget: Int,
                     idCol: String = "doc_id",
