@@ -245,22 +245,25 @@ object Dedup {
     * one row per contaminated training doc with the number of distinct
     * eval n-grams it contains.
     *
-    * Scale: benchmark suites are MBs while corpora are TBs, so the
-    * distinct eval-gram set is broadcast and the training side streams
-    * through a broadcast hash join inside its scan stage — the corpus
-    * is never shuffled. If the eval side ever outgrew broadcast range
-    * the same plan degrades gracefully to a shuffled semi-join on the
-    * gram key.
+    * Scale: benchmark suites are MBs while corpora are TBs, so by
+    * default the distinct eval-gram set is broadcast (the hint is
+    * unconditional — it overrides autoBroadcastJoinThreshold) and the
+    * training side streams through a broadcast hash join inside its
+    * scan stage — the corpus is never shuffled. For an eval side too
+    * big for driver/executor memory, pass `broadcastEval = false` to
+    * let the optimizer plan a shuffled join on the gram key instead.
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 5,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    broadcastEval: Boolean = true): DataFrame = {
     val evalGrams = shingleTable(evalSet, n, idCol, textCol)
       .select(col("shingle")).distinct()
     // shingleTable is per-doc distinct, so count(*) after the join is
     // the count of DISTINCT contaminating n-grams.
     shingleTable(train, n, idCol, textCol)
-      .join(broadcast(evalGrams), Seq("shingle"))
+      .join(if (broadcastEval) broadcast(evalGrams) else evalGrams,
+        Seq("shingle"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("shared_ngrams"))
   }

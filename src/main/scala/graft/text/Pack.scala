@@ -48,34 +48,37 @@ object Pack {
       .select(col(idCol), Analyzer.tokenCount(col(textCol))
         .cast("long").as("n_tok"))
       .repartitionByRange(col(idCol))
-      .sortWithinPartitions(idCol)
       .withColumn("__pid", spark_partition_id())
+    // The cache is LOAD-BEARING for correctness, not just cost (same
+    // contract as Dedup.minHashNearDups — the caller/bench cleans up):
+    // the bases below are keyed by the __pid layout of THIS
+    // materialization. Unpersisting before the returned frame runs
+    // would let the range exchange re-sample its boundaries on
+    // re-execution and silently pair rows with the wrong base.
     counted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val subtotals = counted.groupBy("__pid")
-        .agg(sum("n_tok").as("tot"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1))
-        .sortBy(_._1)
-      // exclusive prefix scan: partition pid starts after every earlier
-      // partition's tokens (empty partitions simply never appear)
-      val bases = subtotals
-        .scanLeft((-1, 0L, 0L)) { case ((_, acc, prev), (pid, tot)) =>
-          (pid, acc + prev, tot)
-        }.drop(1).map { case (pid, base, _) => (pid, base) }.toSeq
-      val spark = docs.sparkSession
-      import spark.implicits._
-      val baseDf = broadcast(bases.toDF("__pid", "__base"))
-      val run = Window.partitionBy("__pid").orderBy(idCol)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      counted.join(baseDf, "__pid")
-        .select(col(idCol), col("n_tok"),
-          (col("__base") + coalesce(sum("n_tok").over(run), lit(0L)))
-            .as("tok_offset"))
-        // integral div — a double-valued `/` would silently lose
-        // exactness past 2^53 total tokens, well inside 100 TB range
-        .withColumn("seq_id", expr(s"tok_offset div $budget"))
-        .withColumn("seq_offset", col("tok_offset") % budget)
-    } finally counted.unpersist(blocking = false)
+    val subtotals = counted.groupBy("__pid")
+      .agg(sum("n_tok").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // exclusive prefix scan: partition pid starts after every earlier
+    // partition's tokens (empty partitions simply never appear)
+    val bases = subtotals
+      .scanLeft((-1, 0L, 0L)) { case ((_, acc, prev), (pid, tot)) =>
+        (pid, acc + prev, tot)
+      }.drop(1).map { case (pid, base, _) => (pid, base) }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val baseDf = broadcast(bases.toDF("__pid", "__base"))
+    val run = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted.join(baseDf, "__pid")
+      .select(col(idCol), col("n_tok"),
+        (col("__base") + coalesce(sum("n_tok").over(run), lit(0L)))
+          .as("tok_offset"))
+      // integral div — a double-valued `/` would silently lose
+      // exactness past 2^53 total tokens, well inside 100 TB range
+      .withColumn("seq_id", expr(s"tok_offset div $budget"))
+      .withColumn("seq_offset", col("tok_offset") % budget)
   }
 
   /** Sliding-window token chunks: one row per (doc, chunk) with the

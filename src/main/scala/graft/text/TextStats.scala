@@ -126,6 +126,10 @@ object TextStats {
                       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(Analyzer.tokenize(col(textCol))).as("tok"))
+    // three consumers (total, vocab, scoring) — Spark re-executes
+    // duplicated subtrees, so cache the exploded corpus once (the
+    // caller/bench cleans up, as with Dedup's persisted pipelines)
+    toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = toks.agg(count(lit(1)).cast("double").as("__n"))
     val vocab = toks.groupBy("tok")
       .agg(count(lit(1)).cast("double").as("c"))

@@ -191,11 +191,16 @@ object ScaleCanary {
     // contract at 10x
     val packed = time("sequence packing") {
       val p = graft.text.Pack.packedOffsets(docs, budget = 2048)
-      p.agg(max(col("seq_id")).as("m"), sum(col("n_tok")).as("t"))
-        .first()
+      p.agg(max(col("seq_id")).as("m"), sum(col("n_tok")).as("t"),
+        max(col("tok_offset") + col("n_tok")).as("end")).first()
     }
+    // end-of-corpus invariant: the highest offset+count must equal the
+    // grand total — any base/partition mismatch breaks this loudly
+    require(packed.getLong(2) == packed.getLong(1),
+      s"packing offsets inconsistent: end=${packed.getLong(2)} " +
+        s"total=${packed.getLong(1)}")
     println(s"[canary]   packing seqs=${packed.getLong(0) + 1} " +
-      s"tokens=${packed.getLong(1)} (25/doc expected)")
+      s"tokens=${packed.getLong(1)} (25/doc, offsets verified)")
     spark.stop()
   }
 }
