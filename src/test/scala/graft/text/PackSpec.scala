@@ -42,6 +42,19 @@ class PackSpec extends SparkSpec {
       one.last(1).asInstanceOf[Long] === total)
   }
 
+  test("packedOffsets property: matches a local prefix sum on random sizes") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 500).map(i =>
+      (i, ("t " * rnd.nextInt(40)).trim)) // includes empty docs
+    val expected = docs.scanLeft((0, 0L, 0L)) { case ((_, off, n), (id, t)) =>
+      (id, off + n, if (t.isEmpty) 0L else t.split(" ").length.toLong)
+    }.drop(1).map { case (id, off, _) => id -> off }.toMap
+    val out = Pack.packedOffsets(
+        docs.toDF("doc_id", "text").repartition(7), budget = 128)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out === expected)
+  }
+
   test("tokenChunks: stride windows with a short tail, empty docs drop") {
     val docs = Seq(
       (1, "a b c d e f g"), // 7 tokens, size 4 stride 2 → starts 0,2,4,6
