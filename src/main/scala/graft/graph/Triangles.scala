@@ -88,4 +88,70 @@ object Triangles {
       } finally oriented.unpersist(blocking = false)
     } finally canon.unpersist(blocking = false)
   }
+
+  /** Local clustering coefficient per vertex:
+    * `c(v) = 2·T(v) / (d(v)·(d(v)−1))`, 0 for degree < 2 — the classic
+    * Watts–Strogatz local density measure (spam/community signal on a
+    * link graph). Per-vertex triangle membership is orientation-
+    * invariant — every triangle is emitted once and credited to all
+    * three corners — so the oracle can count with plain id-ordering.
+    *
+    * Same plan skeleton as [[count]] (persisted canon + oriented, the
+    * degree-bounded wedge stream, broadcast closing side below the
+    * threshold); adds one explode(3) + hash-agg on the triangle set,
+    * which is tiny relative to the wedge stream.
+    */
+  def clusteringCoefficients(und: DataFrame,
+                             broadcastCloseBelow: Long = 5000000L)
+      : DataFrame = {
+    val canon = und.select(
+        least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = canon.count()
+      val deg = canon.select(col("u").as("x"))
+        .union(canon.select(col("v").as("x")))
+        .groupBy("x").agg(functions.count(lit(1)).as("d"))
+      val withDeg = canon
+        .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      val lowerIsU = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = withDeg.select(
+          when(lowerIsU, col("u")).otherwise(col("v")).as("src"),
+          when(lowerIsU, col("v")).otherwise(col("u")).as("dst"),
+          when(lowerIsU, col("dv")).otherwise(col("du")).as("dd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val e1 = oriented.select(col("src"), col("dst").as("b"),
+          col("dd").as("db"))
+        val e2 = oriented.select(col("src"), col("dst").as("c"),
+          col("dd").as("dc"))
+        val wedges = e1.join(e2, "src")
+          .filter(col("db") < col("dc") ||
+            (col("db") === col("dc") && col("b") < col("c")))
+        val closing0 = oriented.select(col("src").as("b"),
+          col("dst").as("c"))
+        val closing = if (nEdges < broadcastCloseBelow) broadcast(closing0)
+                      else closing0
+        val triCnt = wedges.join(closing, Seq("b", "c"))
+          .select(explode(array(col("src"), col("b"), col("c")))
+            .as("x"))
+          .groupBy("x").agg(functions.count(lit(1)).as("t"))
+        val out = deg.join(triCnt, Seq("x"), "left")
+          .select(col("x").as("id"), col("d").as("degree"),
+            coalesce(col("t"), lit(0L)).as("tri_cnt"))
+          .withColumn("coeff",
+            when(col("degree") >= 2,
+              (lit(2.0) * col("tri_cnt")) /
+                (col("degree") * (col("degree") - 1)))
+              .otherwise(lit(0.0)))
+        // materialize before dropping the caches the plan depends on
+        out.localCheckpoint(eager = true)
+      } finally oriented.unpersist(blocking = false)
+    } finally canon.unpersist(blocking = false)
+  }
 }

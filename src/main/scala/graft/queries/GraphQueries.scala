@@ -179,6 +179,46 @@ object GraphQueries {
                CAST(n_triangles AS BIGINT) AS n_triangles
         FROM tri""")),
 
+    // Local clustering coefficients on the same co-purchase graph.
+    // Per-vertex triangle membership is orientation-invariant, so the
+    // engine's degree-ordered search and the oracle's id-ordered one
+    // agree corner for corner. coeff = (2·t)/(d·(d−1)) is one IEEE
+    // division on both engines → micros-exact.
+    QuerySpec("q64_clustering_coeff",
+      (s, dir) => {
+        val op = graft.Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs = op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v"))
+        graft.graph.Triangles.clusteringCoefficients(pairs)
+          .select(col("id"), col("degree"), col("tri_cnt"),
+            graft.util.Exact.micros(col("coeff")).as("coeff_micros"))
+          .orderBy("id")
+      },
+      Some(s"""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+          GROUP BY x),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1 JOIN e e2 ON e1.v = e2.u
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        tv AS (SELECT unnest([a, b, c]) AS id FROM tri),
+        tc AS (SELECT id, CAST(count(*) AS BIGINT) AS t
+          FROM tv GROUP BY id)
+        SELECT deg.x AS id, deg.d AS degree,
+          CAST(coalesce(tc.t, 0) AS BIGINT) AS tri_cnt,
+          ${graft.util.Exact.microsSql(
+            "CASE WHEN deg.d >= 2 THEN (2.0 * coalesce(tc.t, 0)) / " +
+            "(deg.d * (deg.d - 1)) ELSE 0.0 END")} AS coeff_micros
+        FROM deg LEFT JOIN tc ON tc.id = deg.x
+        ORDER BY id""")),
+
     // G6: PageRank with dead-end mass redistribution + damped formula —
     // the reference's exact semantics (`pagerank/compute.go:52-79`), run
     // for a fixed superstep count so the oracle can unroll it.

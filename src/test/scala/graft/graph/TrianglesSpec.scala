@@ -30,6 +30,23 @@ class TrianglesSpec extends SparkSpec {
     assert(tri(star) === (21L, 1L))
   }
 
+  test("clusteringCoefficients: K4, star+chord, isolated-degree-1") {
+    import spark.implicits._
+    // K4 on 0..3 plus a pendant vertex 9 hanging off 0
+    val edges = (for {
+      i <- 0L to 3L; j <- (i + 1) to 3L
+    } yield (i, j)) :+ (0L, 9L)
+    val out = graft.graph.Triangles.clusteringCoefficients(
+        edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // K4 members: every pair of 0's K4-neighbours is connected; vertex
+    // 0 additionally sees the pendant → d=4, t=3, c=2*3/(4*3)=0.5
+    assert(out(0L) === ((4L, 3L, 0.5)))
+    (1L to 3L).foreach(v => assert(out(v) === ((3L, 3L, 1.0))))
+    assert(out(9L) === ((1L, 0L, 0.0))) // degree-1: defined as 0
+  }
+
   test("property: matches brute force on seeded random graphs") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { _ =>
