@@ -268,6 +268,53 @@ object Dedup {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Exact duplicate-span detection (the n-gram-position formulation of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — their suffix-array substring dedup, restated as: a span =
+    * the n-token gram starting at each token position; a span is
+    * duplicated when its gram text occurs more than once in the corpus,
+    * within OR across documents). Returns one row per document:
+    * (id, n_spans, dup_spans, dup_frac).
+    *
+    * Shape at scale: gram frequencies are ONE hash-aggregation keyed by
+    * the 60-bit gram hash (map-side combine applies), filtered to the
+    * duplicated grams only — typically a tiny fraction of a deduped
+    * corpus, so by default that set is broadcast and the gram stream is
+    * probed inside its own scan stage (the corpus never shuffles for the
+    * join; same posture as [[decontaminate]]). For corpora where the
+    * duplicated-gram set itself is huge, `broadcastDups = false` lets
+    * the optimizer plan a shuffled join on the gram key instead. The
+    * final per-doc count is map-side combinable.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 5,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     broadcastDups: Boolean = true): DataFrame = {
+    // gram stream feeds the frequency agg AND the probe join — persist
+    // or Spark re-runs the shingle explode through both subtrees
+    val grams = docs
+      .select(col(idCol), explode(Analyzer.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), portableHash(col("g")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupGrams = grams.groupBy("h")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select("h")
+    val perDoc = grams
+      .join(if (broadcastDups) broadcast(dupGrams) else dupGrams, Seq("h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("dup_spans"))
+    docs.select(col(idCol),
+        greatest(size(Analyzer.tokenize(col(textCol))) - (n - 1), lit(0))
+          .cast("long").as("n_spans"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        when(col("n_spans") > 0,
+          coalesce(col("dup_spans"), lit(0L)).cast("double") /
+            col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

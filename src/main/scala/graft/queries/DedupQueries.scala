@@ -278,6 +278,48 @@ object DedupQueries {
         GROUP BY tr.doc_id ORDER BY tr.doc_id""")),
 
     // ------------------------------------------------------------------
+    // Exact duplicate-span detection (Lee et al. 2022's substring dedup,
+    // n-gram-position formulation): a doc's span is duplicated when its
+    // 5-token gram occurs more than once corpus-wide. The planted
+    // verbatim copies (+100000) make every span of theirs — and of their
+    // originals — duplicated; dup_frac is a single IEEE division on both
+    // engines, so micros snapping is exact.
+    QuerySpec("q66_duplicate_spans",
+      (s, dir) => {
+        Dedup.duplicateSpans(augmented(s, dir), n = 5)
+          .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+            Exact.micros(col("dup_frac")).as("dup_frac_micros"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH aug AS MATERIALIZED (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text || ' zz9 qq8 extra tail'
+          FROM documents WHERE doc_id % 20 = 0),
+        lt AS MATERIALIZED (SELECT doc_id, ${toksSql("text")} AS l FROM aug),
+        g AS MATERIALIZED (
+          SELECT doc_id, ${hashSql("gram")} AS h FROM (
+            SELECT doc_id,
+              unnest(list_transform(range(0, greatest(len(l) - 4, 0)),
+                k -> array_to_string(l[k + 1:k + 5], ' '))) AS gram
+            FROM lt)),
+        f AS MATERIALIZED (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+        d AS MATERIALIZED (
+          SELECT doc_id, count(*) AS dup_spans
+          FROM g JOIN f USING (h) GROUP BY doc_id),
+        ns AS MATERIALIZED (
+          SELECT doc_id, greatest(len(l) - 4, 0) AS n_spans FROM lt)
+        SELECT ns.doc_id, CAST(ns.n_spans AS BIGINT) AS n_spans,
+          CAST(coalesce(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+          ${Exact.microsSql(
+            "CASE WHEN ns.n_spans > 0 THEN " +
+            "CAST(coalesce(d.dup_spans, 0) AS DOUBLE) / " +
+            "CAST(ns.n_spans AS DOUBLE) ELSE 0.0 END")} AS dup_frac_micros
+        FROM ns LEFT JOIN d USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // The dedup pipeline's final decision: near-dup clusters (q32's
     // minhash → LSH → verify → components chain) pruned to one KEEPER
     // per cluster — the member with the best quality score, ties to the

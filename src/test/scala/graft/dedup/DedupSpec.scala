@@ -131,4 +131,37 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("duplicateSpans counts cross-doc duplicated gram positions") {
+    // doc 1 ≡ doc 4 (13 tokens → 9 5-gram spans, all duplicated);
+    // doc 2 = doc 1 + "today" (10 spans: the first 9 match doc 1's, the
+    // last one is unique); doc 3 is disjoint (9 tokens → 5 clean spans).
+    val out = Dedup.duplicateSpans(base, n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((9L, 9L)))
+    assert(out(4L) == ((9L, 9L)))
+    assert(out(2L) == ((10L, 9L)))
+    assert(out(3L) == ((5L, 0L)))
+  }
+
+  test("duplicateSpans counts within-doc repeats and guards short docs") {
+    val docs = Seq(
+      // "a b c d e" repeats at positions 0 and 6 → both duplicated,
+      // the 5 spans in between are unique (11 tokens → 7 spans)
+      (1L, "a b c d e x a b c d e"),
+      // shorter than n → zero spans, dup_frac 0 (no division blow-up)
+      (2L, "too short")).toDF("doc_id", "text")
+    val rows = Dedup.duplicateSpans(docs, n = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) == ((7L, 2L, 2.0 / 7.0)))
+    assert(rows(2L) == ((0L, 0L, 0.0)))
+  }
+
+  test("duplicateSpans broadcasts the duplicated-gram set") {
+    val plan = Dedup.duplicateSpans(base, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
