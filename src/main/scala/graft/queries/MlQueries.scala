@@ -196,6 +196,52 @@ object MlQueries {
         ORDER BY a, b""")),
 
     // ------------------------------------------------------------------
+    // SemDedup (Abbas et al. 2023): coarse-quantize the embedding space
+    // (the q41 fixed centroids — every arithmetic step an ordered fold),
+    // then drop vectors with a smaller-id cluster-mate at cosine ≥ 0.85.
+    // The planted q38-style copies are the semantic duplicates the prune
+    // must catch; pairwise work is cluster-local on both engines.
+    QuerySpec("q65_semdedup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val aug = emb.unionAll(emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            concat(array(lit(0.5f)),
+              slice(col("embedding"), 2, Dim - 1)).as("embedding")))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cluster"),
+            transform(col("embedding"), _.cast("double")).as("centroid"))
+        graft.ml.SemDedup.prune(aug, cents, minCos = 0.85)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH aug AS MATERIALIZED (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 [CAST(0.5 AS FLOAT)] || embedding[2:$Dim]
+          FROM embeddings WHERE vec_id % 20 = 0),
+        cents AS MATERIALIZED (
+          SELECT vec_id AS cluster, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT a.vec_id, a.embedding, c.cluster,
+                   row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY ${sqDistSql("a.embedding", "c.cvec")},
+                              c.cluster) AS rn
+            FROM aug a CROSS JOIN cents c)
+          WHERE rn = 1),
+        dropped AS MATERIALIZED (
+          SELECT DISTINCT r.vec_id
+          FROM assigned l JOIN assigned r
+            ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+          WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.85)
+        SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep
+        FROM assigned a LEFT JOIN dropped d USING (vec_id)
+        ORDER BY a.vec_id""")),
+
+    // ------------------------------------------------------------------
     // int8 quantization round-trip (FAISS-style SQ8, per-vector scale):
     // scale + max reconstruction error per vector, all scan-stage column
     // math. floor(x+0.5) not round(): engines disagree on round's tie
