@@ -242,6 +242,94 @@ object MlQueries {
         ORDER BY a.vec_id""")),
 
     // ------------------------------------------------------------------
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    // BM25 lexical top-50 + embedding-cosine semantic top-50, fused as
+    // Σ 1/(60 + rank) — no score calibration across the two systems.
+    // Both rankings order by the micros-SNAPPED score (integers, so the
+    // cross-engine rank order is exact, not ulp-fragile); each RRF term
+    // is one IEEE division and their sum one add → micros-exact.
+    QuerySpec("q69_hybrid_rrf",
+      (s, dir) => {
+        import graft.search.Search
+        val bm = Search.bm25Scores(Tables.documents(s, dir),
+            Seq("spark", "join", "window"))
+          .select(col("doc_id"), Exact.micros(col("score")).as("m"))
+        val qv = queryVec(s, dir)
+        val cosScored = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"),
+            Exact.micros(Similarity.cosine(col("embedding"),
+              array(qv.map(lit(_)): _*))).as("m"))
+        // the two top-50 frames feed the fuse AND the rank projection —
+        // page-sized, but persist keeps the corpus-sized scoring single-run
+        val bmTop = Search.rankedTopN(bm, "m", 50)
+          .select(col("doc_id"), col("rank")).persist()
+        val cosTop = Search.rankedTopN(cosScored, "m", 50)
+          .select(col("doc_id"), col("rank")).persist()
+        Search.rrfFuse(Seq(bmTop, cosTop))
+          .join(bmTop.select(col("doc_id"), col("rank").as("r_bm")),
+            Seq("doc_id"), "left")
+          .join(cosTop.select(col("doc_id"), col("rank").as("r_cos")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("r_bm"), col("r_cos"),
+            Exact.micros(col("rrf")).as("rrf_micros"))
+          .orderBy(col("rrf_micros").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+            AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        adl AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS avgdl FROM dl),
+        qt AS (SELECT doc_id, term FROM tok
+               WHERE term IN ('spark', 'join', 'window')),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        bm AS MATERIALIZED (
+          SELECT tf.doc_id,
+                 ${Exact.microsSql(
+                   "sum(ln((CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)" +
+                   " / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)" +
+                   " * (CAST(tf.tf AS DOUBLE) * (1.2 + 1))" +
+                   " / (CAST(tf.tf AS DOUBLE) + 1.2 *" +
+                   " (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / adl.avgdl))))")}
+                   AS m
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN n CROSS JOIN adl
+          GROUP BY tf.doc_id),
+        bmtop AS MATERIALIZED (
+          SELECT doc_id, row_number() OVER (ORDER BY m DESC, doc_id) AS r_bm
+          FROM bm ORDER BY m DESC, doc_id LIMIT 50),
+        qv AS MATERIALIZED (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cosx AS MATERIALIZED (
+          SELECT e.vec_id AS doc_id,
+                 ${Exact.microsSql(cosSql("e.embedding", "q.qv"))} AS m
+          FROM embeddings e CROSS JOIN qv q),
+        costop AS MATERIALIZED (
+          SELECT doc_id, row_number() OVER (ORDER BY m DESC, doc_id) AS r_cos
+          FROM cosx ORDER BY m DESC, doc_id LIMIT 50),
+        f AS (
+          SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, b.r_bm, c.r_cos,
+                 coalesce(CAST(1.0 AS DOUBLE) /
+                   (CAST(60 AS DOUBLE) + CAST(b.r_bm AS DOUBLE)),
+                   CAST(0 AS DOUBLE)) +
+                 coalesce(CAST(1.0 AS DOUBLE) /
+                   (CAST(60 AS DOUBLE) + CAST(c.r_cos AS DOUBLE)),
+                   CAST(0 AS DOUBLE)) AS rrf
+          FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.doc_id)
+        SELECT doc_id, CAST(r_bm AS INTEGER) AS r_bm,
+               CAST(r_cos AS INTEGER) AS r_cos,
+               ${Exact.microsSql("rrf")} AS rrf_micros
+        FROM f ORDER BY rrf_micros DESC, doc_id LIMIT 20""")),
+
+    // ------------------------------------------------------------------
     // int8 quantization round-trip (FAISS-style SQ8, per-vector scale):
     // scale + max reconstruction error per vector, all scan-stage column
     // math. floor(x+0.5) not round(): engines disagree on round's tie

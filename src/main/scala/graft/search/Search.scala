@@ -198,6 +198,48 @@ object Search {
                  offset: Int, size: Int): Page =
     Page(paginate(scored, orderCols, offset, size), scored.count())
 
+  /** Bounded ranking: top `n` rows of `scored` by (`scoreCol` DESC,
+    * `idCol` ASC) with a dense 1-based `rank` column. The limit runs
+    * first (TakeOrderedAndProject — never a global sort), so the
+    * partitionless ranking window sees only an n-row slice, the same
+    * bounded-by-construction shape as [[paginate]]. Rank by an
+    * INTEGER-snapped score (e.g. `Exact.micros`) when the ranking must
+    * reproduce across engines — raw-double order is ulp-fragile. */
+  def rankedTopN(scored: DataFrame, scoreCol: String, n: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col(scoreCol).desc, col(idCol))
+    scored.orderBy(order: _*).limit(n)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse any
+    * number of rankings — each (idCol, rank) — into
+    * score(d) = Σ_r 1 / (k + rank_r(d)), k = 60 the paper's constant.
+    * The hybrid-search default for blending lexical (BM25) and semantic
+    * (embedding-cosine) retrieval without score calibration.
+    *
+    * Ids missing from a ranking contribute 0 for that term (full outer
+    * join). Terms sum left-to-right in input order — deterministic, and
+    * each 1/(k+rank) is a single IEEE division on exact integers, so the
+    * fused score is engine-portable. Scale: inputs are bounded top-N
+    * rankings by construction (the expensive corpus-sized scoring stays
+    * upstream in its own shuffle shape), so the fusion joins are
+    * page-sized — broadcastable no-ops at any corpus scale. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking required")
+    val terms = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol),
+        (lit(1.0) / (lit(k.toDouble) + col("rank").cast("double")))
+          .as(s"__rrf$i"))
+    }
+    terms.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+      .select(col(idCol),
+        terms.indices.map(i => coalesce(col(s"__rrf$i"), lit(0.0)))
+          .reduce(_ + _).as("rrf"))
+  }
+
   /** Parsed query type (reference T7, `frontend.go:288-291`): leading +
     * trailing quote switches keyword Match to exact Phrase. */
   sealed trait ParsedQuery { def expression: String }

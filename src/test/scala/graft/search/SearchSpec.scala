@@ -111,4 +111,27 @@ class SearchSpec extends SparkSpec {
     val beyond = Search.paginate(df, Seq(col("score").desc), 30, 10)
     assert(beyond.count() == 0L)
   }
+
+  test("rankedTopN: 1-based ranks over (score desc, id), top-k plan") {
+    val df = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L))
+      .toDF("doc_id", "m")
+    val top = Search.rankedTopN(df, "m", 3)
+    val ranks = top.select("doc_id", "rank").as[(Long, Int)]
+      .collect().toMap
+    assert(ranks === Map(2L -> 1, 3L -> 2, 1L -> 3)) // tie 9 → smaller id
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("rrfFuse: reciprocal-rank sum with full-outer id coverage") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val out = Search.rrfFuse(Seq(a, b), k = 60)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(out(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(out(3L) - 1.0 / 62) < 1e-12)
+    // doc in both lists outranks single-list docs at the same ranks
+    assert(out(2L) > out(1L) && out(1L) > out(3L))
+  }
 }
