@@ -36,12 +36,21 @@ object PageRank {
 
   final case class Result(scores: DataFrame, iterations: Int, sad: Double)
 
+  /** `seeds`: personalized/topic-sensitive PageRank (Haveliwala 2002,
+    * "Topic-Sensitive PageRank"): the (1−d) teleport AND the dangling
+    * mass go uniformly to the seed set instead of all N vertices —
+    * reset weight r(v) = 1/|S| on seeds, 0 elsewhere; the iteration
+    * starts from r and stays a probability distribution (Σ = 1). The
+    * seed set is resolved once (one V-sized broadcast-ish join at init,
+    * the weight then rides the generations like the dangling flag);
+    * per-superstep cost is identical to the uniform run. */
   def run(vertices: DataFrame, edges: DataFrame,
           damping: Double = 0.85,
           maxIter: Int = 20,
           stopTol: Option[Double] = Some(1e-3),
           gridSnap: Option[Double] = None,
-          checkpointEvery: Int = 5): Result = {
+          checkpointEvery: Int = 5,
+          seeds: Option[DataFrame] = None): Result = {
 
     def snap(c: Column): Column =
       gridSnap.map(g => floor(c * g + 0.5) / g).getOrElse(c)
@@ -77,17 +86,37 @@ object PageRank {
     val n = v.count().toDouble
     val tracking = stopTol.isDefined
 
+    // Personalized reset: resolve the seed set once; the per-vertex
+    // reset weight rides the generations (like the dangling flag) so
+    // no per-superstep join is added. None → the uniform-reset plan is
+    // byte-identical to before (no rw column, same literals).
+    val seedInfo = seeds.map { sd =>
+      val s = sd.select(col("id")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (s, s.count().toDouble)
+    }
+    val carry = if (seedInfo.isDefined) Seq("dang", "rw") else Seq("dang")
+
     // The dangling-vertex SET is static (it depends only on graph
     // shape), so resolve it once at init and carry it as a boolean
     // through the generations: the per-superstep dangling mass becomes
     // a filter + aggregate over the frame each superstep materializes
     // anyway — no per-superstep anti-join.
-    var scores = v
+    val init0 = v
       .join(outDeg.select(col("src").as("id"), lit(true).as("hasOut")),
         Seq("id"), "left")
-      .select(col("id"), snap(lit(1.0) / lit(n)).as("score"),
-        col("hasOut").isNull.as("dang"))
-      .localCheckpoint(false)
+    var scores = (seedInfo match {
+      case Some((s, cnt)) =>
+        init0.join(s.select(col("id"), lit(true).as("isSeed")),
+            Seq("id"), "left")
+          .withColumn("rw",
+            when(col("isSeed"), lit(1.0 / cnt)).otherwise(lit(0.0)))
+          .select(col("id"), snap(col("rw")).as("score"),
+            col("hasOut").isNull.as("dang"), col("rw"))
+      case None =>
+        init0.select(col("id"), snap(lit(1.0) / lit(n)).as("score"),
+          col("hasOut").isNull.as("dang"))
+    }).localCheckpoint(false)
     var iter = 0
     var sad = Double.MaxValue
     var done = false
@@ -111,14 +140,19 @@ object PageRank {
       // along: SAD becomes a pure aggregate over the frame this
       // iteration materializes anyway — no extra join per iteration.
       val next0 = scores
-        .select(col("id"), col("dang"), col("score").as("prev"))
+        .select(col("id") +: col("score").as("prev") +: carry.map(col): _*)
         .join(contribs, Seq("id"), "left")
         .crossJoin(dangling)
         .withColumn("score", snap(
-          lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              col("dm") / lit(n))))
-        .select("id", "dang", "prev", "score")
+          if (seedInfo.isDefined)
+            lit(1.0 - damping) * col("rw") +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+                col("dm") * col("rw"))
+          else
+            lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+                col("dm") / lit(n))))
+        .select(col("id") +: col("prev") +: col("score") +: carry.map(col): _*)
 
       // Lazy localCheckpoint: truncates the logical plan (which would
       // otherwise nest the previous generation 2x per step and grow
@@ -131,7 +165,7 @@ object PageRank {
           .first().getDouble(0)
         if (iter > 0 && sad < stopTol.get) done = true
       }
-      scores = next.select("id", "dang", "score")
+      scores = next.select(col("id") +: col("score") +: carry.map(col): _*)
       iter += 1
     }
     Result(scores.select("id", "score"), iter, sad)

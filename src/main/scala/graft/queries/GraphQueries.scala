@@ -61,6 +61,56 @@ object GraphQueries {
       FROM r$iters ORDER BY id"""
   }
 
+  /** Unrolled PERSONALIZED PageRank oracle: reset weight w(v) = 1/|S|
+    * on the seed set (orders divisible by 100), 0 elsewhere; teleport
+    * and dangling mass flow to the seeds. Same CTE chain as
+    * [[pageRankSql]] with `rw.w` replacing the uniform 1/N. */
+  private def personalizedPageRankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (
+         SELECT e.dst AS id, sum(r.score / o.od) AS contrib
+         FROM edges e JOIN r${k - 1} r ON e.src = r.id
+         JOIN outd o ON e.src = o.src
+         GROUP BY e.dst),
+       d$k AS MATERIALIZED (
+         SELECT COALESCE(sum(r.score), 0.0) AS dm
+         FROM r${k - 1} r LEFT JOIN outd o ON r.id = o.src
+         WHERE o.src IS NULL),
+       r$k AS MATERIALIZED (
+         SELECT v.id,
+                floor(((1.0 - 0.85) * rw.w +
+                       0.85 * (COALESCE(c.contrib, 0.0) + d.dm * rw.w))
+                      * $Grid + 0.5) / $Grid AS score
+         FROM verts v JOIN rw ON rw.id = v.id CROSS JOIN d$k d
+         LEFT JOIN c$k c ON v.id = c.id)"""
+    }.mkString(",\n")
+    s"""
+      WITH verts AS MATERIALIZED (
+        SELECT 'o' || o_orderkey AS id FROM orders
+        UNION ALL
+        SELECT 'p' || p_partkey FROM part),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+        FROM lineitem),
+      seeds AS MATERIALIZED (
+        SELECT 'o' || o_orderkey AS id FROM orders
+        WHERE o_orderkey % 100 = 0),
+      ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+      outd AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+      rw AS MATERIALIZED (
+        SELECT v.id,
+               CASE WHEN s.id IS NOT NULL
+                    THEN CAST(1.0 AS DOUBLE) / ns.s
+                    ELSE CAST(0.0 AS DOUBLE) END AS w
+        FROM verts v LEFT JOIN seeds s ON v.id = s.id CROSS JOIN ns),
+      r0 AS MATERIALIZED (
+        SELECT id, floor(w * $Grid + 0.5) / $Grid AS score FROM rw),
+      $steps
+      SELECT id, CAST(floor(score * $Grid + 0.5) AS BIGINT) AS score_nanos
+      FROM r$iters ORDER BY id"""
+  }
+
   /** Unrolled Bellman-Ford oracle: d0 … d{hops} CTE chain. */
   private def shortestPathSql(hops: Int): String = {
     val steps = (1 to hops).map { k =>
@@ -247,6 +297,34 @@ object GraphQueries {
           .orderBy("id")
       },
       Some(pageRankSql(PrIters))),
+
+    // Personalized (topic-sensitive) PageRank — Haveliwala 2002: the
+    // teleport and dangling mass flow to a seed set (every 100th order)
+    // instead of all vertices. Same encoded-long supersteps as q11; the
+    // oracle unrolls the same chain with the seeded reset weight. Seeds
+    // hold most of the mass; parts reachable from seed orders pick up
+    // the rest — the "related to these documents" ranking primitive.
+    QuerySpec("q67_personalized_pagerank",
+      (s, dir) => {
+        val verts = Tables.orders(s, dir)
+          .select((col("o_orderkey") * 2).as("id"))
+          .unionAll(Tables.part(s, dir)
+            .select((col("p_partkey") * 2 + 1).as("id")))
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val seeds = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") * 2).as("id"))
+        PageRank.run(verts, edges, damping = 0.85, maxIter = PrIters,
+            stopTol = None, gridSnap = Some(1e9), seeds = Some(seeds))
+          .scores
+          .select(decodeId(col("id")).as("id"),
+            floor(col("score") * 1e9 + 0.5).cast("long").as("score_nanos"))
+          .orderBy("id")
+      },
+      Some(personalizedPageRankSql(PrIters))),
 
     // G9: single-source shortest path (Bellman-Ford relaxation) on the
     // bidirectional order↔part graph with exact integer weights.

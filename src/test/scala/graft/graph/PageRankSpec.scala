@@ -73,4 +73,43 @@ class PageRankSpec extends SparkSpec {
     assert(r.sad < 1e-6)
     assert(r.iterations < 100)
   }
+
+  test("personalized: mass concentrates around the seed, Σ still 1") {
+    // Two disconnected 2-cycles {a,b} and {c,d}; seed = a. ALL mass must
+    // stay in the seed's component (teleport and dangling flow to a);
+    // the other component's stationary score is exactly 0.
+    val vs = Seq("a", "b", "c", "d").toDF("id")
+    val es = Seq("a" -> "b", "b" -> "a", "c" -> "d", "d" -> "c")
+      .toDF("src", "dst")
+    val r = PageRank.run(vs, es, maxIter = 60, stopTol = Some(1e-9),
+      seeds = Some(Seq("a").toDF("id")))
+    val m = r.scores.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(m.values.sum - 1.0) < 1e-6)
+    assert(m("c") == 0.0 && m("d") == 0.0)
+    // a receives the teleport plus b's full out-flow: strictly above b
+    assert(m("a") > m("b") && m("b") > 0.1)
+  }
+
+  test("personalized: dangling mass teleports to the seeds only") {
+    // a -> c with c a sink; seed = a. c's absorbed mass must return to
+    // a each step, never leak to b (isolated non-seed).
+    val vs = Seq("a", "b", "c").toDF("id")
+    val es = Seq("a" -> "c").toDF("src", "dst")
+    val r = PageRank.run(vs, es, maxIter = 60, stopTol = Some(1e-9),
+      seeds = Some(Seq("a").toDF("id")))
+    val m = r.scores.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(m.values.sum - 1.0) < 1e-6)
+    assert(m("b") == 0.0)
+    assert(m("a") > m("c"))
+  }
+
+  test("uniform run is unchanged by the seeds refactor (regression)") {
+    val vs = Seq("a", "b", "c").toDF("id")
+    val es = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
+    val m = PageRank.run(vs, es, maxIter = 5, stopTol = None,
+        gridSnap = Some(1e9)).scores
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(m.values.sum - 1.0) < 1e-6)
+    assert(m("c") > m("b") && m("b") > m("a"))
+  }
 }
