@@ -384,6 +384,42 @@ object GraphQueries {
       },
       Some(shortestPathTreeSql(SpHops))),
 
+    // k-core decomposition (Matula & Beck 1983) on the bidirectional
+    // order↔part graph: peel vertices with remaining degree < 4, four
+    // rounds, fully lazy (earlyStop=false → zero driver actions; the
+    // oracle unrolls the identical rounds). Orders with few distinct
+    // parts die first; parts then cascade as their orders disappear.
+    QuerySpec("q68_kcore",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.graph.KCore.run(edges, k = 4, rounds = 4,
+            earlyStop = false)
+          .select(decodeId(col("id")).as("id"), col("degree"))
+          .orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""k$r AS MATERIALIZED (
+             SELECT src FROM e${r - 1} GROUP BY src HAVING count(*) >= 4),
+           e$r AS MATERIALIZED (
+             SELECT e.src, e.dst FROM e${r - 1} e
+             JOIN k$r a ON e.src = a.src
+             JOIN k$r b ON e.dst = b.src)"""
+        }.mkString(",\n")
+        s"""
+        WITH eo AS MATERIALIZED (
+          SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+          FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+        $rounds
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+        FROM e4 GROUP BY src ORDER BY id"""
+      }),
+
     // G10: greedy coloring with deterministic token symmetry-breaking.
     // Not SQL-expressible (sequential rounds) → rows-only driver check;
     // properness is asserted in ColoringSpec.
