@@ -438,6 +438,48 @@ object SparkEntry {
         ORDER BY user_id, sess_no""")),
 
     // ------------------------------------------------------------------
+    // Ordered-stage conversion funnel: earliest view, earliest click AT
+    // OR AFTER it, earliest purchase after that — one keyed agg per
+    // stage, all shuffles on user_id. NULLs mark the drop-off stage;
+    // integer-µs timestamps keep every min() cross-engine exact.
+    Q("q72_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"))
+        graft.operators.Funnel.conversion(ev,
+            Seq("view", "click", "purchase"))
+          .select(col("user_id"), col("t0").as("t_view_us"),
+            col("t1").as("t_click_us"), col("t2").as("t_purchase_us"),
+            col("t2").isNotNull.as("converted"),
+            (col("t2") - col("t0")).as("convert_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        s0 AS (
+          SELECT user_id, min(ts_us) AS t0 FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (
+          SELECT s0.user_id, s0.t0,
+                 min(CASE WHEN e.ts_us >= s0.t0 THEN e.ts_us END) AS t1
+          FROM s0 LEFT JOIN ev e
+            ON e.user_id = s0.user_id AND e.event_type = 'click'
+          GROUP BY s0.user_id, s0.t0),
+        s2 AS (
+          SELECT s1.user_id, s1.t0, s1.t1,
+                 min(CASE WHEN s1.t1 IS NOT NULL AND e.ts_us >= s1.t1
+                     THEN e.ts_us END) AS t2
+          FROM s1 LEFT JOIN ev e
+            ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+          GROUP BY s1.user_id, s1.t0, s1.t1)
+        SELECT user_id, t0 AS t_view_us, t1 AS t_click_us,
+               t2 AS t_purchase_us, (t2 IS NOT NULL) AS converted,
+               CASE WHEN t2 IS NOT NULL THEN t2 - t0 END AS convert_us
+        FROM s2 ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
     // As-of join: every click paired with the user's latest
     // at-or-before purchase — an operator Spark lacks natively,
     // implemented as tagged-union + running window (one shuffle, no

@@ -582,6 +582,100 @@ object TextQueries {
           FROM tok t JOIN vocab v USING (tok), n)
         SELECT doc_id, CAST(sum(m) AS BIGINT) AS nll_sum_micros,
           CAST(count(*) AS BIGINT) AS n_scored
-        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Vocabulary + per-doc OOV rate: min-df vocab (one distinct + one
+    // term-keyed agg), broadcast back over the token stream — the
+    // corpus never shuffles before the per-doc count. oov_frac is one
+    // IEEE division → micros-exact.
+    QuerySpec("q70_vocab_oov",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val vocab = TextStats.vocabulary(docs, minDf = 5L)
+        TextStats.oovStats(docs, vocab)
+          .select(col("doc_id"), col("n_tokens"), col("oov_tokens"),
+            Exact.micros(col("oov_frac")).as("oov_frac_micros"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, unnest(${toksSql("text")}) AS term
+          FROM documents),
+        vocab AS MATERIALIZED (
+          SELECT term FROM (SELECT term, count(DISTINCT doc_id) AS df
+            FROM tok GROUP BY term) WHERE df >= 5)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS oov_tokens,
+          ${Exact.microsSql(
+            "CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)" +
+            " AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS oov_frac_micros
+        FROM tok t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Vocabulary coverage curve: cumulative occurrence share of the 200
+    // most frequent types — integer cumsums over a TakeOrdered top-K
+    // slice (the bounded-window paginate shape), one division per row.
+    QuerySpec("q71_vocab_coverage",
+      (s, dir) => {
+        TextStats.vocabCoverage(Tables.documents(s, dir), topK = 200)
+          .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+            Exact.micros(col("cum_frac")).as("cum_frac_micros"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH tok AS MATERIALIZED (
+          SELECT unnest(${toksSql("text")}) AS term FROM documents),
+        counts AS MATERIALIZED (
+          SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM counts),
+        top AS (
+          SELECT term, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+                 sum(cnt) OVER (ORDER BY cnt DESC, term
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cnt
+          FROM counts ORDER BY cnt DESC, term LIMIT 200)
+        SELECT CAST(rank AS INT) AS rank, term,
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(cum_cnt AS BIGINT) AS cum_cnt,
+               ${Exact.microsSql("CAST(cum_cnt AS DOUBLE) / tot.tot")}
+                 AS cum_frac_micros
+        FROM top CROSS JOIN tot ORDER BY rank""")),
+
+    // ------------------------------------------------------------------
+    // Trigram-LM continuation table: per 2-token context, the total
+    // count and the argmax next token (ties to the smaller token).
+    // Pure integer counts; the rank-1 window prunes via
+    // WindowGroupLimit. Contexts with total < 3 are noise-filtered.
+    QuerySpec("q73_ngram_continuations",
+      (s, dir) => {
+        TextStats.continuationTable(Tables.documents(s, dir), n = 3)
+          .filter(col("total") >= 3)
+          .orderBy("context")
+      },
+      Some(s"""
+        WITH lt AS MATERIALIZED (
+          SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        g AS MATERIALIZED (
+          SELECT unnest(list_transform(range(0, greatest(len(l) - 2, 0)),
+            k -> struct_pack(context := l[k + 1] || ' ' || l[k + 2],
+                             nxt := l[k + 3]))) AS s
+          FROM lt),
+        counts AS MATERIALIZED (
+          SELECT s.context AS context, s.nxt AS next_tok, count(*) AS cnt
+          FROM g GROUP BY 1, 2),
+        ranked AS (
+          SELECT context, next_tok, cnt,
+                 sum(cnt) OVER (PARTITION BY context) AS total,
+                 row_number() OVER (PARTITION BY context
+                   ORDER BY cnt DESC, next_tok) AS rn
+          FROM counts)
+        SELECT context, CAST(total AS BIGINT) AS total, next_tok,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM ranked WHERE rn = 1 AND total >= 3
+        ORDER BY context"""))
   )
 }

@@ -181,6 +181,99 @@ object TextStats {
 
   /** Order-sensitive document fingerprint: Σ over positions of
     * H(pos:token) mod 1e9+7 — stable, portable, overflow-safe. */
+  /** Corpus vocabulary with a document-frequency floor — the tokenizer-
+    * training / feature-hashing precursor: (term, df) for terms
+    * appearing in ≥ `minDf` distinct documents. One distinct + one
+    * hash-agg keyed by term (map-side combine applies). */
+  def vocabulary(docs: DataFrame, minDf: Long,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(Analyzer.tokenize(col(textCol))))
+          .as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Per-document out-of-vocabulary stats against a vocabulary frame
+    * (term column): (id, n_tokens, oov_tokens, oov_frac). Tokens count
+    * with multiplicity. The vocab is zipf-bounded (≪ corpus) so it is
+    * broadcast by default and the token stream is probed inside its own
+    * scan stage — the corpus never shuffles before the per-doc count
+    * (map-side combinable). `broadcastVocab = false` for a vocabulary
+    * too large for executor memory. */
+  def oovStats(docs: DataFrame, vocab: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text",
+               broadcastVocab: Boolean = true): DataFrame = {
+    val v = vocab.select(col("term"), lit(true).as("__inv"))
+    val toks = docs.select(col(idCol),
+      explode(Analyzer.tokenize(col(textCol))).as("term"))
+    toks.join(if (broadcastVocab) broadcast(v) else v, Seq("term"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_frac",
+        col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Vocabulary coverage curve: the `topK` most frequent types by
+    * occurrence count (ties to the lexicographically smaller term) with
+    * the cumulative fraction of all token occurrences they cover — the
+    * "how big must the vocab be" tokenizer-design curve. The type-count
+    * table is corpus-wide but zipf-bounded; the top-K cut is a
+    * TakeOrderedAndProject (never a global sort) and the running sum
+    * windows over the K-row slice only — bounded by construction, like
+    * [[graft.search.Search.paginate]]. Counts accumulate as integers
+    * (exact); the fraction is one IEEE division per row. */
+  def vocabCoverage(docs: DataFrame, topK: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(Analyzer.tokenize(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum("cnt").as("__tot"))
+    val order = Seq(col("cnt").desc, col("term").asc)
+    counts.orderBy(order: _*).limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("cum_cnt",
+        sum("cnt").over(Window.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("__tot").cast("double"))
+          .as("cum_frac"))
+  }
+
+  /** n-gram language-model continuation table: for every (n−1)-token
+    * context, the total continuation count and the most frequent next
+    * token (ties to the lexicographically smaller token — deterministic).
+    * One explode + one (context, next) hash-agg; the per-context argmax
+    * is a rank-1 window that Spark prunes with WindowGroupLimit (no full
+    * per-context sort materialization at scale). */
+  def continuationTable(docs: DataFrame, n: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(n >= 2, "need at least a 1-token context")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(
+      explode(Analyzer.shingles(col(textCol), n)).as("g"))
+    val counts = grams.select(
+        substring_index(col("g"), " ", n - 1).as("context"),
+        substring_index(col("g"), " ", -1).as("next_tok"))
+      .groupBy("context", "next_tok")
+      .agg(count(lit(1)).as("cnt"))
+    val byCtx = Window.partitionBy("context")
+    counts
+      .withColumn("total", sum("cnt").over(byCtx))
+      .withColumn("rn", row_number().over(
+        byCtx.orderBy(col("cnt").desc, col("next_tok").asc)))
+      .filter(col("rn") === 1)
+      .select(col("context"), col("total"), col("next_tok"), col("cnt"))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol),

@@ -74,4 +74,52 @@ class TextStatsSpec extends SparkSpec {
     assert(dup5 === 6d / 11)
     assert(top2 === 3d / 14) // pq,qr,rs,st appear 3x over 14 bigrams
   }
+
+  test("vocabulary: document-frequency floor counts docs, not occurrences") {
+    // 'a' in 3 docs, 'b' in 2 (one doc has it twice — still df 2),
+    // 'c' in 1.
+    val docs = Seq((1, "a b"), (2, "a b b"), (3, "a c"))
+      .toDF("doc_id", "text")
+    val v = TextStats.vocabulary(docs, minDf = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v === Map("a" -> 3L, "b" -> 2L))
+  }
+
+  test("oovStats: multiplicity counting and broadcast probe") {
+    val docs = Seq((1, "a a zz"), (2, "a b")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("term")
+    val out = TextStats.oovStats(docs, vocab)
+    val m = out.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1) == ((3L, 1L))) // 'zz' OOV once, 'a' counts twice
+    assert(m(2) == ((2L, 0L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("vocabCoverage: exact integer cumsums, ties to smaller term") {
+    // counts: b=3, a=2, c=1; total 6.
+    val docs = Seq((1, "b a b"), (2, "b a c")).toDF("doc_id", "text")
+    val rows = TextStats.vocabCoverage(docs, topK = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(3)))
+    assert(rows.toSeq == Seq((1, "b", 3L), (2, "a", 5L)))
+    val plan = TextStats.vocabCoverage(docs, topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("continuationTable: argmax next token with deterministic ties") {
+    // contexts: "a b" → c (2x), d (1x); "b c" → a (1x) ties with e (1x)
+    // → lexicographically smaller 'a' wins.
+    val docs = Seq(
+      (1, "a b c a b c"), // "a b"→c twice (pos 0,3), "b c"→a once
+      (2, "a b d"),
+      (3, "b c e")).toDF("doc_id", "text")
+    val m = TextStats.continuationTable(docs, n = 3)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(m("a b") == ((3L, "c", 2L)))
+    assert(m("b c") == ((2L, "a", 1L)))
+  }
 }
