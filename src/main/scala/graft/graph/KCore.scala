@@ -26,6 +26,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object KCore {
 
+  /** One peel round: drop every edge with an endpoint of degree < k in
+    * `e` (the symmetric edge table). Degree = one map-side-combinable
+    * agg; survivor restriction = two semi-joins — the per-round plan
+    * shape PlanSpec pins (the `run` loop truncates each generation with
+    * localCheckpoint, so the final plan alone can't show it). */
+  private[graft] def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.groupBy("src")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= k)
+      .select("src")
+    e.join(keep, Seq("src"), "left_semi")
+      .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst")
+  }
+
   /** Surviving (id, degree) after `rounds` peels at threshold `k`.
     * `edges` is an undirected edge list given once per pair (u, v);
     * both orientations are derived internally, so per-vertex degree is
@@ -42,14 +57,7 @@ object KCore {
     var done = false
     var r = 0
     while (r < rounds && !done) {
-      val keep = e.groupBy("src")
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c") >= k)
-        .select("src")
-      val next = e
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst")
+      val next = peelOnce(e, k)
         .localCheckpoint(false)
       if (earlyStop) {
         val n = next.count()

@@ -157,4 +157,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "training-side gram stream must not shuffle before the join")
   }
+
+  test("semdedup pair join is cluster-keyed, never a cartesian") {
+    val p = planOf("q65_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "intra-cluster pairs must join on the cluster key: " + p.take(2000))
+  }
+
+  test("duplicate spans broadcast the duplicated-gram set") {
+    val p = planOf("q66_duplicate_spans")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("k-core peels restrict edges via semi-joins, no cartesian") {
+    // q68's final plan is generation-truncated (localCheckpoint per
+    // round) — pin the per-round shape on the round body itself.
+    val li = Tables.lineitem(spark, dir)
+      .select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val und = li.unionAll(li.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val p = graft.graph.KCore.peelOnce(und, 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      "survivor filtering must be a semi-join: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("n-gram continuations prune the rank-1 window with WindowGroupLimit") {
+    val p = planOf("q73_ngram_continuations")
+    assert(p.contains("WindowGroupLimit"),
+      "rn=1 filter must push a per-context group limit: " +
+        p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
 }
