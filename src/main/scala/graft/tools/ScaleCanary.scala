@@ -186,6 +186,32 @@ object ScaleCanary {
     }
     println(s"[canary]   split labels=$splitLabels")
 
+    // k-core peeling at 10x. k sits just under the ER core-emergence
+    // threshold (mean total degree ~20; a 15-core provably vanishes at
+    // that density, a 12-core is giant) so the peel does real cascading
+    // work instead of deleting everything in round one.
+    val kcore = time("k-core (k=12)") {
+      val c = graft.graph.KCore.run(
+        edges.select(col("src"), col("dst")), k = 12, rounds = 30)
+      val cnt = c.count()
+      val minDeg = if (cnt > 0)
+        c.agg(min("degree")).first().getLong(0) else -1L
+      (cnt, minDeg)
+    }
+    println(s"[canary]   k-core survivors=${kcore._1} " +
+      s"minDeg=${kcore._2} (early-stop fixpoint)")
+
+    // duplicate spans at 10x: the planted predecessor copies make every
+    // span of theirs duplicated — recall has ground truth; the dup-gram
+    // set stays broadcastable because the corpus is largely unique
+    val spans = time("duplicate spans") {
+      val d = graft.dedup.Dedup.duplicateSpans(docs, n = 5)
+      d.filter(col("dup_spans") === col("n_spans")).count()
+    }
+    require(spans >= 2 * planted,
+      s"full-dup docs $spans < ${2 * planted} planted")
+    println(s"[canary]   full-dup docs=$spans (>= ${2 * planted} planted)")
+
     // prefix-sum packing: the subtotal collect stays #partitions-sized
     // however many docs there are — the leg proves the constant-driver
     // contract at 10x
