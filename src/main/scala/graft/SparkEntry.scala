@@ -388,6 +388,38 @@ object SparkEntry {
         ORDER BY o_custkey, rn""")),
 
     // ------------------------------------------------------------------
+    // SCD Type-2 history: each customer's order stream versioned with
+    // half-open [valid_from, valid_to) intervals — lead() per key, the
+    // keep-full-history twin of the S5 keep-newest upsert. One shuffle
+    // keyed by the dimension key; o_orderkey tie-breaks same-day orders
+    // so version order is deterministic on both engines.
+    Q("q75_scd2_history",
+      (s, dir) => {
+        val ch = Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+          Exact.cents(col("o_totalprice")).as("price_cents"))
+        graft.store.StoreOps.scd2(ch, Seq("o_custkey"), "odate_ms",
+            tieBreak = Seq("o_orderkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("valid_from"), col("valid_to"), col("is_current"),
+            col("price_cents"))
+          .orderBy("o_custkey", "valid_from", "o_orderkey")
+      },
+      Some(s"""
+        WITH ch AS (
+          SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS vf,
+                 ${Exact.centsSql("o_totalprice")} AS price_cents
+          FROM orders)
+        SELECT o_custkey, o_orderkey, vf AS valid_from,
+               lead(vf) OVER w AS valid_to,
+               (lead(vf) OVER w IS NULL) AS is_current,
+               price_cents
+        FROM ch
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY vf, o_orderkey)
+        ORDER BY o_custkey, valid_from, o_orderkey""")),
+
+    // ------------------------------------------------------------------
     // Batch sessionization: session boundaries where the per-user gap
     // exceeds 30 min (lag + conditional cumsum), then per-session stats
     // — the batch twin of streaming.Streams.sessionize.

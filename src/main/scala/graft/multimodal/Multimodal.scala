@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   * rescale in [[resize]]. Audio payloads are decoded for real with the
   * JDK's `javax.sound.sampled` readers (WAV/AIFF/AU): true duration
   * from the header, amplitude-histogram features over 16-bit PCM
-  * samples. Payloads no JDK reader accepts — including the synthetic
-  * test corpus — and video (no JDK codec exists) fall back to
-  * [[decodeStub]], a deterministic fake, so every pipeline stays
+  * samples. Video payloads get a real MP4/QuickTime container parse
+  * ([[readVideoMeta]]: `moov/mvhd` duration, `tkhd` presentation size —
+  * metadata, not frames; no frame codec ships with the JDK). Payloads
+  * no parser accepts — including the synthetic test corpus — fall back
+  * to [[decodeStub]], a deterministic fake, so every pipeline stays
   * exercisable end-to-end without media fixtures.
   *
   * At scale the payload column stays columnar in parquet (binary),
@@ -58,15 +60,85 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** ISO-BMFF box scan over b[from, to): (type, payloadStart, payloadEnd)
+    * per well-formed box; stops at the first malformed header. Handles
+    * the 64-bit largesize (size==1) and to-end (size==0) forms. */
+  private def boxScan(b: Array[Byte], from: Int,
+                      to: Int): List[(String, Int, Int)] = {
+    val out = List.newBuilder[(String, Int, Int)]
+    var o = from
+    var bad = false
+    while (!bad && o + 8 <= to) {
+      var size = be32(b, o)
+      val typ = new String(b, o + 4, 4,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      var hdr = 8L
+      if (size == 1 && o + 16 <= to) { size = be64(b, o + 8); hdr = 16 }
+      else if (size == 0) size = to - o
+      if (size < hdr || o + size > to ||
+          !typ.forall(c => c >= 0x20 && c < 0x7f)) bad = true
+      else {
+        out += ((typ, o + hdr.toInt, o + size.toInt))
+        o += size.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** Real video-container metadata: ISO base-media / MP4 / QuickTime box
+    * parse (public spec ISO/IEC 14496-12). Movie duration comes from
+    * `moov/mvhd` (duration/timescale, version 0 and 1 layouts);
+    * presentation size from the first `moov/trak/tkhd` with nonzero
+    * 16.16 fixed-point width/height. Pure byte-walk, JDK-only — this is
+    * a METADATA decode (the pipeline's partition/batch shape), not a
+    * frame codec. None unless the payload leads with a well-formed box
+    * tree containing `moov` — random or synthetic bytes never do. */
+  def readVideoMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val top = boxScan(payload, 0, payload.length)
+      for {
+        (_, ms, me) <- top.find(_._1 == "moov")
+        moov = boxScan(payload, ms, me)
+        (_, hs, _) <- moov.find(_._1 == "mvhd")
+        v = payload(hs) & 0xff
+        timescale = if (v == 1) be32(payload, hs + 20)
+                    else be32(payload, hs + 12)
+        duration = if (v == 1) be64(payload, hs + 24)
+                   else be32(payload, hs + 16)
+        if timescale > 0
+      } yield {
+        val durMs = (duration * 1000 / timescale).toInt
+        val wh = moov.filter(_._1 == "trak").flatMap { case (_, ts, te) =>
+          boxScan(payload, ts, te).find(_._1 == "tkhd").map {
+            case (_, ks, _) =>
+              val tv = payload(ks) & 0xff
+              val wOff = if (tv == 1) ks + 88 else ks + 76
+              ((be32(payload, wOff) >> 16).toInt,
+                (be32(payload, wOff + 4) >> 16).toInt)
+          }
+        }.find(p => p._1 > 0 && p._2 > 0)
+        (wh.map(_._1).getOrElse(0), wh.map(_._2).getOrElse(0), durMs)
+      }
+    } catch { case _: Exception => None }
+
   /** (width, height, durationMs): real ImageIO decode for images, real
-    * WAV/AIFF/AU header decode for audio, deterministic stub otherwise
-    * (video has no JDK codec — documented stub). */
+    * WAV/AIFF/AU header decode for audio, real MP4/QuickTime `moov` box
+    * parse for video metadata; deterministic stub for payloads no
+    * parser accepts (the synthetic test corpus). */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
     (kind match {
       case "image" => readImage(payload).map(i =>
         (i.getWidth, i.getHeight, 0))
       case "audio" => readAudio(payload).map { case (_, _, ms) =>
         (0, 0, ms) }
+      case "video" => readVideoMeta(payload)
       case _ => None
     }).getOrElse(decodeStub(kind, payload))
 
@@ -203,7 +275,11 @@ object Multimodal {
                 val n = math.max(payload.length, 1).toFloat
                 var b = 0
                 while (b < 8) { hist(b) /= n; b += 1 }
-                decodeStub(kind, payload)
+                // real MP4/QuickTime metadata when the payload carries a
+                // moov box tree; deterministic stub otherwise
+                val vid =
+                  if (kind == "video") readVideoMeta(payload) else None
+                vid.getOrElse(decodeStub(kind, payload))
             }
         }
         Row(r.getLong(idI), kind, payload.length, w, h, d, hist.toSeq)

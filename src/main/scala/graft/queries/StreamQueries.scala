@@ -71,6 +71,27 @@ object StreamQueries {
           .orderBy("user_id", "event_type"),
       Some("""
         SELECT DISTINCT user_id, event_type FROM events
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // q74: stream-stream interval join (click ⋈ purchase within the
+    // following hour, same user) replayed through a real watermarked
+    // streaming self-join; must equal the batch interval join exactly
+    // (µs timestamps on both the condition and the output).
+    QuerySpec("q74_interval_join_stream",
+      (s, dir) =>
+        Streams.intervalJoinReplay(Tables.events(s, dir),
+            windowSec = 3600L)
+          .orderBy("c_event", "p_event"),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+          FROM events)
+        SELECT c.user_id, c.event_id AS c_event, p.event_id AS p_event,
+               c.ts_us AS c_us, p.ts_us AS p_us
+        FROM ev c JOIN ev p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000
+        ORDER BY c_event, p_event"""))
   )
 }

@@ -62,4 +62,25 @@ object StoreOps {
     docs.join(scores, Seq(idCol), "full_outer")
       .withColumn("final_score",
         coalesce(col(scoreCol).cast("double"), lit(defaultScore)))
+
+  /** Slowly-changing-dimension TYPE 2 history build: a change stream
+    * (key, change-time, attributes) becomes versioned rows with
+    * half-open validity intervals [valid_from, valid_to) — each
+    * version's `valid_to` is the NEXT change's time for that key (NULL
+    * while current), plus an `is_current` flag. The warehouse upsert
+    * discipline that [[latestByKey]] collapses, kept as full history.
+    *
+    * One shuffle keyed by the dimension key; `lead()` over
+    * (`tsCol`, `tieBreak…`) — pass a unique tie-break column when two
+    * changes of one key can share a timestamp, or version order (and
+    * any engine-parity check) is underdetermined. */
+  def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -263,6 +263,62 @@ object Streams {
     out.filter(col("user_id") >= 0).select("user_id", "event_type")
   }
 
+  /** Batch ≡ stream parity for a STREAM-STREAM interval join (q74):
+    * every click joined to the same user's purchases within the
+    * following `windowSec` seconds. Both sides are watermarked filtered
+    * branches of ONE file source (a streaming self-join); the interval
+    * condition on the two event-time columns is what lets Spark bound
+    * the join state — click state drops once the watermark passes
+    * c_ts + window, purchase state once it passes p_ts. Inner joins
+    * emit as soon as both rows have arrived (no watermark wait), so the
+    * sentinel ticks exercise state eviction, not emission. Timestamps
+    * are µs-resolution on both the join condition and the output, so
+    * the batch SQL twin compares exactly. */
+  def intervalJoinReplay(events: DataFrame,
+                         windowSec: Long = 3600L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      expr("ts div 1000").as("ts_us"),
+      col("user_id"), col("event_type"), col("event_id"))
+    val maxUs = events.agg(max(expr("ts div 1000"))).first().getLong(0)
+    def sentinel(n: Int): DataFrame =
+      Seq(maxUs + n * 2L * 86400L * 1000000L).toDF("us")
+        .select(timestamp_micros(col("us")).as("ts"),
+          col("us").as("ts_us"), lit(-1L).as("user_id"),
+          lit("__sentinel").as("event_type"), lit(-1L).as("event_id"))
+
+    val out = replayThroughFiles(rows, sentinel,
+      "ts TIMESTAMP, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, event_id BIGINT",
+      (src, outDir) => {
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"),
+            col("ts_us").as("c_us"), col("event_id").as("c_event"))
+          .withWatermark("c_ts", "1 minute")
+        val purch = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("ts_us").as("p_us"), col("event_id").as("p_event"))
+          .withWatermark("p_ts", "1 minute")
+        clicks.join(purch,
+            col("user_id") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") +
+                expr(s"INTERVAL $windowSec SECONDS"))
+          .select(col("user_id"), col("c_event"), col("p_event"),
+            col("c_us"), col("p_us"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .start()
+      })
+    out.filter(col("user_id") >= 0)
+  }
+
   /** The crawl loop as a streaming query skeleton: rate source ticks,
     * `foreachBatch` runs one crawl pass per tick. Returned unstarted so
     * tests/callers own the lifecycle. */

@@ -148,4 +148,59 @@ class MultimodalSpec extends SparkSpec {
     val (_, _, d) = Multimodal.decodeStub("audio", fake)
     assert(r.getInt(5) === d)
   }
+
+  // ----------------------------------------------------------- real MP4
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(payload.length + 8)
+    bb.putInt(payload.length + 8)
+      .put(typ.getBytes("ISO-8859-1")).put(payload)
+    bb.array()
+  }
+
+  /** Minimal well-formed MP4: ftyp + moov{mvhd(v0) + trak{tkhd(v0)}} +
+    * mdat — timescale 1000, duration 5500 ticks (= 5500 ms), track
+    * presentation size 640×360 in 16.16 fixed point. */
+  private def mp4Bytes(): Array[Byte] = {
+    val mvhd = java.nio.ByteBuffer.allocate(100)
+    mvhd.putInt(0)         // version 0 + flags
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(1000)        // timescale
+      .putInt(5500)        // duration (ticks)
+    val tkhd = java.nio.ByteBuffer.allocate(84)
+    tkhd.position(76)
+    tkhd.putInt(640 << 16).putInt(360 << 16)
+    val moov = box("moov",
+      box("mvhd", mvhd.array()) ++ box("trak", box("tkhd", tkhd.array())))
+    box("ftyp", "isom0000isom".getBytes("ISO-8859-1")) ++ moov ++
+      box("mdat", Array.fill[Byte](32)(7))
+  }
+
+  test("decodeAndFeaturize parses real MP4 duration and track size") {
+    import spark.implicits._
+    val video = Seq((20L, "video", mp4Bytes()))
+      .toDF("media_id", "kind", "payload")
+    val r = Multimodal.decodeAndFeaturize(video).collect().head
+    assert(r.getInt(3) === 640)
+    assert(r.getInt(4) === 360)
+    assert(r.getInt(5) === 5500)
+    assert(Multimodal.decode("video", mp4Bytes()) === ((640, 360, 5500)))
+  }
+
+  test("mvhd version-1 (64-bit times) layout parses too") {
+    val mvhd = java.nio.ByteBuffer.allocate(112)
+    mvhd.putInt(0x01000000)        // version 1 + flags
+      .putLong(0L).putLong(0L)     // ctime, mtime (64-bit)
+      .putInt(90000)               // timescale
+      .putLong(90000L * 7)         // duration → 7000 ms
+    val m = box("moov", box("mvhd", mvhd.array()))
+    assert(Multimodal.readVideoMeta(m) === Some((0, 0, 7000)))
+  }
+
+  test("non-MP4 video payloads keep the deterministic stub path") {
+    val fake = "definitely not an mp4 container".getBytes("UTF-8")
+    assert(Multimodal.readVideoMeta(fake) === None)
+    assert(Multimodal.decode("video", fake) ===
+      Multimodal.decodeStub("video", fake))
+  }
 }

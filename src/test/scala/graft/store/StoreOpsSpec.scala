@@ -63,4 +63,27 @@ class StoreOpsSpec extends SparkSpec {
       .select("id", "final_score").as[(Long, Double)].collect().toMap
     assert(out === Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.9))
   }
+
+  test("scd2: chained validity intervals, one current version per key") {
+    val changes = Seq(
+      (1L, 100L, "a"), (1L, 300L, "b"), (1L, 200L, "c"),
+      (2L, 50L, "x")).toDF("key", "ts", "v")
+    val rows = StoreOps.scd2(changes, Seq("key"), "ts")
+      .select("key", "v", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)), r.getBoolean(4)))).toMap
+    assert(rows((1L, "a")) == ((100L, Some(200L), false)))
+    assert(rows((1L, "c")) == ((200L, Some(300L), false)))
+    assert(rows((1L, "b")) == ((300L, None, true)))
+    assert(rows((2L, "x")) == ((50L, None, true)))
+  }
+
+  test("scd2: same-timestamp changes order by the tie-break column") {
+    val changes = Seq((1L, 100L, 7L, "first"), (1L, 100L, 9L, "second"))
+      .toDF("key", "ts", "seq", "v")
+    val rows = StoreOps.scd2(changes, Seq("key"), "ts", Seq("seq"))
+      .select("v", "is_current").as[(String, Boolean)].collect().toMap
+    assert(rows === Map("first" -> false, "second" -> true))
+  }
 }

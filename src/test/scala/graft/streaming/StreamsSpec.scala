@@ -99,4 +99,19 @@ class StreamsSpec extends SparkSpec {
       assert(out.toSet === Set((2, 1000000L, 1200000L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch semantics") {
+    import spark.implicits._
+    // ts is LONG nanoseconds, as the events table reads it
+    val ev = Seq(
+      (1L, "click", 1L, 1000L), // us = 1
+      (1L, "purchase", 2L, 2000000000L), // 2s later → within 1h
+      (1L, "purchase", 3L, 7201000000000L), // 7201s → outside 1h
+      (2L, "purchase", 4L, 500L), // before user 2's click → no match
+      (2L, "click", 5L, 1000000L)
+    ).toDF("user_id", "event_type", "event_id", "ts")
+    val out = Streams.intervalJoinReplay(ev, windowSec = 3600)
+      .select("c_event", "p_event").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
 }
