@@ -388,6 +388,44 @@ object SparkEntry {
         ORDER BY o_custkey, rn""")),
 
     // ------------------------------------------------------------------
+    // Z-order layout math: Morton-interleave (user bucket, hour bucket)
+    // and aggregate per curve segment — min/max spans per z-bucket are
+    // what parquet row-group stats would see after a z-sorted write
+    // (tight in BOTH dimensions; a lexicographic sort is tight only in
+    // the leading one). Pure integer bit arithmetic → exact oracle.
+    Q("q76_zorder_layout",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          (col("user_id") % 256).as("ux"),
+          (expr("(ts div 1000) div 3600000000") % 256).as("th"))
+        ev.withColumn("z", graft.operators.Layout.zValue(
+            Seq(col("ux"), col("th")), bits = 8))
+          .groupBy(shiftright(col("z"), 8).as("zbucket"))
+          .agg(count(lit(1)).as("cnt"),
+            min("ux").as("ux_min"), max("ux").as("ux_max"),
+            min("th").as("th_min"), max("th").as("th_max"))
+          .orderBy("zbucket")
+      },
+      Some {
+        val z = (0 until 8).map { b =>
+          s"(((ux >> $b) & 1) << ${2 * b}) + (((th >> $b) & 1) << ${2 * b + 1})"
+        }.mkString(" + ")
+        s"""
+        WITH ev AS (
+          SELECT user_id % 256 AS ux,
+                 (epoch_us(ts) // 3600000000) % 256 AS th
+          FROM events),
+        zv AS (SELECT ux, th, $z AS z FROM ev)
+        SELECT CAST(z >> 8 AS BIGINT) AS zbucket,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(min(ux) AS BIGINT) AS ux_min,
+               CAST(max(ux) AS BIGINT) AS ux_max,
+               CAST(min(th) AS BIGINT) AS th_min,
+               CAST(max(th) AS BIGINT) AS th_max
+        FROM zv GROUP BY 1 ORDER BY zbucket"""
+      }),
+
+    // ------------------------------------------------------------------
     // SCD Type-2 history: each customer's order stream versioned with
     // half-open [valid_from, valid_to) intervals — lead() per key, the
     // keep-full-history twin of the S5 keep-newest upsert. One shuffle
