@@ -268,6 +268,57 @@ object Dedup {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** EXACT set-similarity join via prefix filtering (the PPJoin family —
+    * Xiao, Wang, Lin & Yu 2008, "Efficient similarity joins for near
+    * duplicate detection"): ALL pairs with shingle-set Jaccard ≥
+    * `threshold`, no approximation — the exact counterpart to the
+    * MinHash/LSH pipeline (which trades recall for fewer candidates).
+    *
+    * Principle: order every doc's shingles by GLOBAL rarity (one total
+    * order — ties broken by the shingle string); if J(x,y) ≥ t, the
+    * first |x| − ⌈t·|x|⌉ + 1 shingles of x and the corresponding prefix
+    * of y must share at least one element. So candidates are generated
+    * by joining PREFIXES only — the frequent tokens that make the naive
+    * shared-token join quadratic sit at the END of the order and never
+    * enter a prefix. Candidates are then verified with the exact
+    * Jaccard, which is also what makes the result candidate-
+    * independent: any correct (no-false-negative) filter yields the
+    * same output, so the driver oracle can brute-force it.
+    *
+    * Shape at scale: frequency table = one shingle-keyed agg (tiny,
+    * vocabulary-sized per-shingle counts); per-doc ordering = one
+    * doc-partitioned window; the candidate join touches only prefix
+    * rows (≈ (1−t) of each doc's set); verify = [[jaccard]]'s
+    * intersection agg. */
+  def prefixFilterJoin(docs: DataFrame, shingleN: Int = 3,
+                       threshold: Double = 0.5,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleTable(docs, shingleN, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("gf"))
+    val byDoc = Window.partitionBy(idCol)
+    val ranked = sh.join(freq, Seq("shingle"))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(col("gf").asc, col("shingle").asc)))
+    // Jaccard prefix length: |x| - ceil(t*|x|) + 1
+    val prefixes = ranked
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(idCol), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefixes.select(col("shingle"), col(idCol).as("a"))
+      .join(prefixes.select(col("shingle"), col(idCol).as("b")),
+        Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    jaccard(cand, sh, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Exact duplicate-span detection (the n-gram-position formulation of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better" — their suffix-array substring dedup, restated as: a span =

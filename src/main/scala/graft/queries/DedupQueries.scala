@@ -278,6 +278,40 @@ object DedupQueries {
         GROUP BY tr.doc_id ORDER BY tr.doc_id""")),
 
     // ------------------------------------------------------------------
+    // EXACT set-similarity join (PPJoin-style prefix filtering): all
+    // pairs with shingle Jaccard ≥ 0.5, no approximation. The oracle
+    // BRUTE-FORCES every shingle-sharing pair — so this row hash-checks
+    // the filter's no-false-negative guarantee end-to-end, not just the
+    // arithmetic (any missed pair changes the row set).
+    QuerySpec("q77_prefix_join",
+      (s, dir) => {
+        Dedup.prefixFilterJoin(augmented(s, dir), shingleN = 3,
+            threshold = 0.5)
+          .select(col("a"), col("b"), Exact.micros(col("jaccard"))
+            .as("jaccard_micros"))
+          .orderBy("a", "b")
+      },
+      Some(s"""
+        WITH $ShingleCtes,
+        sizes AS MATERIALIZED (
+          SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        inter AS MATERIALIZED (
+          SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+          FROM shingles sa JOIN shingles sb
+            ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+          GROUP BY 1, 2)
+        SELECT i.a, i.b,
+               ${Exact.microsSql(
+                 "CAST(i.i AS DOUBLE) / " +
+                 "CAST(za.sz + zb.sz - i.i AS DOUBLE)")} AS jaccard_micros
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a
+        JOIN sizes zb ON zb.doc_id = i.b
+        WHERE CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE)
+              >= 0.5
+        ORDER BY a, b""")),
+
+    // ------------------------------------------------------------------
     // Exact duplicate-span detection (Lee et al. 2022's substring dedup,
     // n-gram-position formulation): a doc's span is duplicated when its
     // 5-token gram occurs more than once corpus-wide. The planted

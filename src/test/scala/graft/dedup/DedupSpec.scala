@@ -164,4 +164,28 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("prefixFilterJoin finds EVERY pair above threshold (exact, no LSH miss)") {
+    val out = Dedup.prefixFilterJoin(base, shingleN = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // brute-force truth on the hand corpus: 1≡4 (J=1), 1-2 and 2-4
+    // differ by one trailing token (J ≈ 10/12), 3 is disjoint
+    assert(out === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("prefixFilterJoin threshold tightens the result monotonically") {
+    val strict = Dedup.prefixFilterJoin(base, shingleN = 3,
+        threshold = 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(strict === Set((1L, 4L))) // only the verbatim duplicate
+  }
+
+  test("prefixFilterJoin jaccard values match the direct computation") {
+    val j = Dedup.prefixFilterJoin(base, shingleN = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 4L)) == 1.0)
+    // 13-token docs: 11 shingles; doc 2 has 12, sharing all 11
+    assert(math.abs(j((1L, 2L)) - 11.0 / 12.0) < 1e-12)
+  }
 }
