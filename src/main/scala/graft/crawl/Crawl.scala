@@ -82,6 +82,25 @@ object Crawl {
   /** F4: http(s) scheme retention (`link_extractor.go:120-144`). */
   def keepScheme(url: Column): Column = url.rlike("(?i)^https?://")
 
+  /** Politeness scheduling: assign every frontier URL a fetch WAVE so
+    * that at most `perWave` URLs of any one host run concurrently — the
+    * per-host rate discipline a polite crawler owes origin servers (the
+    * reference serializes per-host via its worker pool; batch-side this
+    * becomes a deterministic wave plan the fetch loop iterates).
+    * One shuffle keyed by host; rank ties break on the URL string, so
+    * the plan is reproducible run to run. Host extraction is a plain
+    * scheme-authority regex (RE2-safe — engine-portable). */
+  def politenessWaves(links: DataFrame, perWave: Int,
+                      urlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy(col(urlCol))
+    links
+      .withColumn("host",
+        regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1))
+      .withColumn("wave",
+        ((row_number().over(w) - 1) / perWave).cast("int"))
+  }
+
   // -------------------------------------------------------------- fetch
 
   /** Fetch a frontier of (url) rows with bounded per-task concurrency.

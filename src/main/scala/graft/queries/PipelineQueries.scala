@@ -125,6 +125,32 @@ object PipelineQueries {
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(min(sx) AS BIGINT) AS sum_chars,
                CAST(min(sxx) AS BIGINT) AS sum_sq_chars
-        FROM o GROUP BY lang ORDER BY lang"""))
+        FROM o GROUP BY lang ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // Crawl politeness scheduling: frontier URLs (20 synthetic hosts ×
+    // 25 URLs) planned into fetch waves of ≤ 4 per host — one host-keyed
+    // shuffle, rank ties on the URL string so the plan reproduces.
+    QuerySpec("q78_politeness_waves",
+      (s, dir) => {
+        val links = Tables.documents(s, dir).select(
+          concat(lit("http://s"), (col("doc_id") % 20).cast("string"),
+            lit(".example/d/"), col("doc_id").cast("string")).as("url"))
+        graft.crawl.Crawl.politenessWaves(links, perWave = 4)
+          .select(col("url"), col("host"), col("wave"))
+          .orderBy("url")
+      },
+      Some("""
+        WITH links AS (
+          SELECT 'http://s' || (doc_id % 20) || '.example/d/' || doc_id
+            AS url
+          FROM documents),
+        h AS (SELECT url,
+            regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+          FROM links)
+        SELECT url, host,
+               CAST((row_number() OVER (PARTITION BY host ORDER BY url)
+                     - 1) // 4 AS INT) AS wave
+        FROM h ORDER BY url"""))
   )
 }

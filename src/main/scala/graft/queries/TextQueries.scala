@@ -676,6 +676,45 @@ object TextQueries {
         SELECT context, CAST(total AS BIGINT) AS total, next_tok,
                CAST(cnt AS BIGINT) AS cnt
         FROM ranked WHERE rn = 1 AND total >= 3
-        ORDER BY context"""))
+        ORDER BY context""")),
+
+    // ------------------------------------------------------------------
+    // PMI collocations (Church & Hanks 1990): adjacent-token bigrams
+    // with count ≥ 5 scored by pointwise mutual information. Integer
+    // counts off two hash-aggs; one fixed parenthesization
+    // ((cnt·N)·N)/((M·cx)·cy) then ln — micros-exact cross-engine (the
+    // q53/q62 ln precedent).
+    QuerySpec("q79_collocations",
+      (s, dir) => {
+        TextStats.collocations(Tables.documents(s, dir), minCount = 5)
+          .select(col("w1"), col("w2"), col("cnt"),
+            Exact.micros(col("pmi")).as("pmi_micros"))
+          .orderBy("w1", "w2")
+      },
+      Some(s"""
+        WITH lt AS MATERIALIZED (
+          SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        uni AS MATERIALIZED (
+          SELECT t, count(*) AS c
+          FROM (SELECT unnest(l) AS t FROM lt) GROUP BY t),
+        n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+        big AS MATERIALIZED (
+          SELECT unnest(list_transform(range(0, greatest(len(l) - 1, 0)),
+            k -> struct_pack(a := l[k + 1], b := l[k + 2]))) AS s
+          FROM lt),
+        bc AS MATERIALIZED (
+          SELECT s.a AS w1, s.b AS w2, count(*) AS cnt
+          FROM big GROUP BY 1, 2),
+        m AS (SELECT CAST(sum(cnt) AS DOUBLE) AS m FROM bc)
+        SELECT sel.w1, sel.w2, CAST(sel.cnt AS BIGINT) AS cnt,
+               ${Exact.microsSql(
+                 "ln(((CAST(sel.cnt AS DOUBLE) * n.n) * n.n) / " +
+                 "((m.m * CAST(ux.c AS DOUBLE)) * CAST(uy.c AS DOUBLE)))")}
+                 AS pmi_micros
+        FROM (SELECT * FROM bc WHERE cnt >= 5) sel
+        JOIN uni ux ON ux.t = sel.w1
+        JOIN uni uy ON uy.t = sel.w2
+        CROSS JOIN n CROSS JOIN m
+        ORDER BY sel.w1, sel.w2"""))
   )
 }

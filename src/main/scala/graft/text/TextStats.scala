@@ -274,6 +274,47 @@ object TextStats {
       .select(col("context"), col("total"), col("next_tok"), col("cnt"))
   }
 
+  /** PMI collocations (Church & Hanks 1990, "Word association norms,
+    * mutual information, and lexicography"): adjacent-token pairs
+    * scored by pointwise mutual information
+    * `pmi = ln( p(xy) / (p(x)·p(y)) )` — high-PMI bigrams are the
+    * multiword expressions ("new york") a tokenizer/phrase-miner wants.
+    * Noise floor via `minCount`.
+    *
+    * All counts are integers off two hash-aggs (unigrams, bigrams);
+    * the PMI is evaluated in ONE fixed parenthesization
+    * `((cnt·N)·N) / ((M·cx)·cy)` then ln — a deterministic op chain
+    * both engines reproduce (the q53/q62 micros-ln precedent). The
+    * unigram table is vocabulary-sized → broadcast joins. */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val uni = docs
+      .select(explode(Analyzer.tokenize(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = uni.agg(sum("c").cast("double").as("__n"))
+    val bc = docs
+      .select(explode(Analyzer.shingles(col(textCol), 2)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = bc.agg(sum("cnt").cast("double").as("__m"))
+    bc.filter(col("cnt") >= minCount)
+      .join(broadcast(uni.select(col("t").as("w1"), col("c").as("cx"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("t").as("w2"), col("c").as("cy"))),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(m))
+      .withColumn("pmi",
+        log(((col("cnt").cast("double") * col("__n")) * col("__n")) /
+          ((col("__m") * col("cx").cast("double")) *
+            col("cy").cast("double"))))
+      .select(col("w1"), col("w2"), col("cnt"), col("pmi"))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol),

@@ -77,4 +77,19 @@ class CrawlSpec extends SparkSpec {
     assert(!Crawl.isPrivateIp("172.32.0.1"))
     assert(!Crawl.isPrivateIp("not-an-ip"))
   }
+
+  test("politeness waves cap per-host concurrency, other hosts unaffected") {
+    import spark.implicits._
+    val links = (1 to 5).map(i => s"http://a.example/p$i")
+      .appended("http://b.example/only")
+      .toDF("url")
+    val waves = Crawl.politenessWaves(links, perWave = 2)
+      .select("url", "wave").as[(String, Int)].collect().toMap
+    assert(waves("http://a.example/p1") == 0)
+    assert(waves("http://a.example/p2") == 0)
+    assert(waves("http://a.example/p3") == 1)
+    assert(waves("http://a.example/p4") == 1)
+    assert(waves("http://a.example/p5") == 2)
+    assert(waves("http://b.example/only") == 0) // own host, own budget
+  }
 }

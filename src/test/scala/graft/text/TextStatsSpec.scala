@@ -108,6 +108,18 @@ class TextStatsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("collocations: hand-computed PMI, floor filter applied") {
+    // unigrams: a=3 b=3 c=1 (N=7); bigrams: (a,b)=3 (b,a)=1 (b,c)=1
+    // (M=5) → only (a,b) clears minCount=2:
+    // pmi = ln((3·7·7)/(5·3·3)) = ln(147/45)
+    val docs = Seq((1, "a b a b c"), (2, "a b")).toDF("doc_id", "text")
+    val rows = TextStats.collocations(docs, minCount = 2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("a", "b", 3L)))
+    assert(math.abs(r.getDouble(3) - math.log(147.0 / 45.0)) < 1e-12)
+  }
+
   test("continuationTable: argmax next token with deterministic ties") {
     // contexts: "a b" → c (2x), d (1x); "b c" → a (1x) ties with e (1x)
     // → lexicographically smaller 'a' wins.
