@@ -140,6 +140,55 @@ object Demo {
     graft.text.Pack.tokenChunks(docs.filter(col("doc_id") === 0),
       size = 16, stride = 8).show(false)
 
+    // --- hybrid retrieval, exact near-dup join, semantic dedup ---------
+    println("== hybrid RRF: BM25 top-20 fused with cosine top-20")
+    val bmR = graft.search.Search.rankedTopN(
+      graft.search.Search.bm25Scores(docs, Seq("spark", "join"))
+        .select(col("doc_id"), graft.util.Exact.micros(col("score")).as("m")),
+      "m", 20)
+    val cosR = graft.search.Search.rankedTopN(
+      emb.select(col("vec_id").as("doc_id"), graft.util.Exact.micros(
+        graft.ml.Similarity.cosine(col("embedding"),
+          array(qv.map(lit(_)): _*))).as("m")),
+      "m", 20)
+    graft.search.Search.rrfFuse(Seq(
+        bmR.select("doc_id", "rank"), cosR.select("doc_id", "rank")))
+      .orderBy(col("rrf").desc, col("doc_id")).show(5, false)
+
+    println("== exact PPJoin similarity pairs (jaccard >= 0.5)")
+    graft.dedup.Dedup.prefixFilterJoin(docs, shingleN = 3,
+      threshold = 0.5).orderBy("a", "b").show(3, false)
+
+    println("== SemDedup keep/drop over embedding clusters")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    graft.ml.SemDedup.prune(emb, cents, minCos = 0.85)
+      .groupBy("keep").count().show(false)
+
+    // --- graph structure: k-core, clustering, personalized rank --------
+    println("== k-core of the order-part graph (k=4): survivors")
+    val opEdges = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst")).distinct()
+    println("   " + graft.graph.KCore.run(opEdges, k = 4, rounds = 8)
+      .count() + " vertices survive")
+
+    // --- warehouse ops: funnel, SCD2, z-order ---------------------------
+    println("== view->click->purchase funnel (first 3 users)")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").select(col("user_id"),
+      col("event_type"), expr("ts div 1000").as("ts_us"))
+    graft.operators.Funnel.conversion(ev,
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").show(3, false)
+    println("== z-order layout: first z-buckets of (user, hour)")
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select((col("user_id") % 256).as("ux"),
+        (expr("(ts div 1000) div 3600000000") % 256).as("th"))
+      .withColumn("z", graft.operators.Layout.zValue(
+        Seq(col("ux"), col("th")), bits = 8))
+      .orderBy("z").show(3, false)
+
     spark.stop()
   }
 }
