@@ -420,6 +420,70 @@ object GraphQueries {
         FROM e4 GROUP BY src ORDER BY id"""
       }),
 
+    // k-truss (Cohen 2008) on the STRONG co-purchase graph (parts
+    // sharing ≥ 2 orders — the repeat-signal filter that shrinks the
+    // 1.2M-pair co-purchase graph to its ~3.5k-edge cohesive core):
+    // k=3 keeps every edge that sits in ≥ 1 triangle of the survivor
+    // set (at sf0.01: 181 of 3,445 edges; the 4-truss of this graph is
+    // empty — spec-pinned cascades cover the higher-k peeling). Three
+    // unrolled peel rounds, fully lazy; output = edges + support
+    // within the final truss.
+    QuerySpec("q81_ktruss",
+      (s, dir) => {
+        val op = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs = op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select("u", "v")
+        graft.graph.Truss.run(pairs, k = 3, rounds = 3,
+            earlyStop = false)
+          .orderBy("u", "v")
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""tri$r AS MATERIALIZED (
+             SELECT x.u AS a, x.v AS b, y.v AS c
+             FROM e${r - 1} x JOIN e${r - 1} y ON x.v = y.u
+             JOIN e${r - 1} z ON z.u = x.u AND z.v = y.v),
+           s$r AS MATERIALIZED (
+             SELECT u, v, count(*) AS supp FROM (
+               SELECT a AS u, b AS v FROM tri$r
+               UNION ALL SELECT b, c FROM tri$r
+               UNION ALL SELECT a, c FROM tri$r)
+             GROUP BY 1, 2),
+           e$r AS MATERIALIZED (
+             SELECT e.u, e.v FROM e${r - 1} e
+             JOIN s$r s ON s.u = e.u AND s.v = e.v AND s.supp >= 1)"""
+        }.mkString(",\n")
+        s"""
+        WITH op AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT u, v FROM (
+            SELECT a.p AS u, b.p AS v, count(*) AS w
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2)
+          WHERE w >= 2),
+        $rounds,
+        trif AS MATERIALIZED (
+          SELECT x.u AS a, x.v AS b, y.v AS c
+          FROM e3 x JOIN e3 y ON x.v = y.u
+          JOIN e3 z ON z.u = x.u AND z.v = y.v),
+        sf AS MATERIALIZED (
+          SELECT u, v, count(*) AS supp FROM (
+            SELECT a AS u, b AS v FROM trif
+            UNION ALL SELECT b, c FROM trif
+            UNION ALL SELECT a, c FROM trif)
+          GROUP BY 1, 2)
+        SELECT e.u, e.v, CAST(s.supp AS BIGINT) AS supp
+        FROM e3 e JOIN sf s ON s.u = e.u AND s.v = e.v
+        ORDER BY e.u, e.v"""
+      }),
+
     // G10: greedy coloring with deterministic token symmetry-breaking.
     // Not SQL-expressible (sequential rounds) → rows-only driver check;
     // properness is asserted in ColoringSpec.

@@ -679,6 +679,29 @@ object TextQueries {
         ORDER BY context""")),
 
     // ------------------------------------------------------------------
+    // Materialized inverted index with delta-encoded postings — the
+    // persisted form of the reference's ES/bleve index. Gap lists ride
+    // as a comma-joined string so the cross-engine compare is on exact
+    // integer text (arrow list field names differ between engines).
+    QuerySpec("q80_inverted_index",
+      (s, dir) => {
+        graft.search.Search.invertedIndex(Tables.documents(s, dir))
+          .select(col("term"), col("df"),
+            array_join(col("doc_gaps"), ",").as("gaps"))
+          .orderBy("term")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        t AS (SELECT doc_id, unnest(list_distinct(l)) AS term FROM lt),
+        g AS (SELECT term, count(*) AS df,
+                     list_sort(list(doc_id)) AS ds
+              FROM t GROUP BY term)
+        SELECT term, CAST(df AS BIGINT) AS df,
+               array_to_string(list_transform(range(1, len(ds) + 1),
+                 i -> ds[i] - coalesce(ds[i - 1], 0)), ',') AS gaps
+        FROM g ORDER BY term""")),
+
+    // ------------------------------------------------------------------
     // PMI collocations (Church & Hanks 1990): adjacent-token bigrams
     // with count ≥ 5 scored by pointwise mutual information. Integer
     // counts off two hash-aggs; one fixed parenthesization

@@ -198,6 +198,30 @@ object Search {
                  offset: Int, size: Int): Page =
     Page(paginate(scored, orderCols, offset, size), scored.count())
 
+  /** Materialized inverted index: one row per term with document
+    * frequency and the posting list DELTA-ENCODED (sorted doc ids →
+    * gaps), the classic index compression (gaps are small, so
+    * varint/bit-packing layers shrink them — here the engine keeps the
+    * gap array; parquet's integer encodings do the byte-level work).
+    * This is the persisted form of the reference's ES/bleve index
+    * (`textindexer/index/indexer.go`): write it `partitionBy(term
+    * bucket)` and a query touches only its terms' row groups.
+    * One explode + one term-keyed agg; arrays stay bounded by document
+    * frequency (Zipf head terms are the big rows — exactly the rows a
+    * real engine splits into blocks; block splitting composes on top). */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(Analyzer.tokenize(col(textCol))))
+          .as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col(idCol))).as("__ds"))
+      .select(col("term"), col("df"),
+        transform(col("__ds"), (x, i) =>
+          x - coalesce(get(col("__ds"), i - 1), lit(0L)))
+          .as("doc_gaps"))
+
   /** Bounded ranking: top `n` rows of `scored` by (`scoreCol` DESC,
     * `idCol` ASC) with a dense 1-based `rank` column. The limit runs
     * first (TakeOrderedAndProject — never a global sort), so the

@@ -123,6 +123,21 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("invertedIndex: df counts docs once, gaps reconstruct sorted ids") {
+    val docs = Seq(
+      (5L, "alpha beta alpha"), // repeated term counts once for df
+      (2L, "alpha"), (9L, "alpha gamma")).toDF("doc_id", "text")
+    val idx = Search.invertedIndex(docs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2))))
+      .toMap
+    assert(idx("alpha") == ((3L, Seq(2L, 3L, 4L)))) // ids 2,5,9 → gaps
+    assert(idx("beta") == ((1L, Seq(5L))))
+    assert(idx("gamma") == ((1L, Seq(9L))))
+    // gaps prefix-sum back to the sorted posting list
+    assert(idx("alpha")._2.scanLeft(0L)(_ + _).tail == Seq(2L, 5L, 9L))
+  }
+
   test("rrfFuse: reciprocal-rank sum with full-outer id coverage") {
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
