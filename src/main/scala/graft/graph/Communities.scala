@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (Raghavan,
+  * Albert & Kumara 2007, "Near linear time algorithm to detect
+  * community structures in large-scale networks") — the standard
+  * near-linear community primitive for link-graph analysis (the
+  * reference's linkgraph/pagerank tier surfaces per-page authority;
+  * communities surface per-CLUSTER structure: mirror groups, site
+  * families, topical neighborhoods).
+  *
+  * Determinism (the paper's coin-flip tie rule is replaced, same spirit
+  * as Coloring's token protocol):
+  *  - every vertex votes for its own current label once (the common
+  *    self-vote damping, which also kills the classic bipartite
+  *    oscillation), each neighbor votes once;
+  *  - new label = the most-voted label, ties to the SMALLEST label.
+  * Fixed `rounds` supersteps, so the whole run is ONE lazy plan that a
+  * SQL oracle can unroll round for round (zero driver actions).
+  *
+  * Superstep shape — identical scaling posture to PageRank's: one join
+  * of the label table against the staticly-partitioned edge table
+  * (shuffle ∝ labels, edges never move after the one-time layout), one
+  * (id, lab)-keyed count (map-side combinable), one id-keyed argmax via
+  * `max(struct(cnt, -lab))` — an ordinary hash-agg, NOT a window, so no
+  * per-group sort anywhere. Lazy `localCheckpoint` generations bound
+  * the plan depth exactly as in PageRank/Components.
+  */
+object Communities {
+
+  /** Per-vertex community labels after `rounds` synchronous LPA steps.
+    *
+    * @param edges undirected edges, one row per (src, dst) pair in
+    *              either orientation; symmetrized internally.
+    * @return (id, community) — community = the elected label, which by
+    *         the min-tie rule is always some member's vertex id.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    // Lazy checkpoint: the symmetric edge table materializes once at
+    // action time and every superstep generation reuses its blocks —
+    // the KCore pattern, keeping the whole run a single lazy plan.
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+
+    var lab = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint(false)
+
+    for (_ <- 1 to rounds) {
+      val nbrVotes = und
+        .join(lab.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("lab"))
+      val votes = nbrVotes
+        .unionAll(lab.select(col("id"), col("lab"))) // self-vote
+        .groupBy("id", "lab").agg(count(lit(1)).as("cnt"))
+      // Lexicographic struct max: more votes wins, then smaller label
+      // (negated so that max() picks the minimum).
+      lab = votes.groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("w"))
+        .select(col("id"), (-col("w.nl")).as("lab"))
+        .localCheckpoint(false)
+    }
+    lab.select(col("id"), col("lab").as("community"))
+  }
+}

@@ -484,6 +484,57 @@ object GraphQueries {
         ORDER BY e.u, e.v"""
       }),
 
+    // Label-propagation communities (Raghavan et al. 2007) on the
+    // bidirectional order↔part graph: 3 synchronous supersteps with
+    // self-vote damping and the deterministic most-votes/min-label
+    // rule. Fully lazy (zero driver actions); the oracle unrolls the
+    // identical rounds on the numeric vertex encoding (the tie rule
+    // orders LABELS, so the oracle must compare the same longs the
+    // engine does — decode to 'o…'/'p…' only at the end).
+    QuerySpec("q82_label_propagation",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.graph.Communities.labelPropagation(edges, rounds = 3)
+          .select(decodeId(col("id")).as("id"),
+            decodeId(col("community")).as("community"))
+          .orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""v$r AS MATERIALIZED (
+             SELECT id, lab FROM (
+               SELECT id, lab,
+                      row_number() OVER (PARTITION BY id
+                                         ORDER BY cnt DESC, lab) AS rn
+               FROM (
+                 SELECT id, lab, count(*) AS cnt FROM (
+                   SELECT e.dst AS id, l.lab
+                   FROM e0 e JOIN v${r - 1} l ON e.src = l.id
+                   UNION ALL
+                   SELECT id, lab FROM v${r - 1}) votes
+                 GROUP BY id, lab) c)
+             WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""
+        WITH eo AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+        v0 AS MATERIALIZED (
+          SELECT DISTINCT src AS id, src AS lab FROM e0),
+        $rounds
+        SELECT CASE WHEN id % 2 = 0 THEN 'o' || CAST(id // 2 AS VARCHAR)
+                    ELSE 'p' || CAST((id - 1) // 2 AS VARCHAR) END AS id,
+               CASE WHEN lab % 2 = 0 THEN 'o' || CAST(lab // 2 AS VARCHAR)
+                    ELSE 'p' || CAST((lab - 1) // 2 AS VARCHAR)
+               END AS community
+        FROM v3 ORDER BY id"""
+      }),
+
     // G10: greedy coloring with deterministic token symmetry-breaking.
     // Not SQL-expressible (sequential rounds) → rows-only driver check;
     // properness is asserted in ColoringSpec.
