@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sketch.Sketches
 import graft.text.Analyzer
+import graft.util.Exact
 
 /** Deterministic-sketch queries (q45, q47) — approximate answers that
   * are still hash-comparable against a DuckDB oracle because the
@@ -26,6 +27,9 @@ object SketchQueries {
   private val CmDepth = 4
   private val CmWidth = 1024
   private val CmProbes = Seq("join", "hash", "scan", "vector", "zzz_missing")
+  private val HllP = 10
+  private val HllM = 1 << HllP // 1024 registers
+  private val HllBits = 60 - HllP // hash bits after the register index
 
   def specs: Seq[QuerySpec] = Seq(
 
@@ -72,6 +76,48 @@ object SketchQueries {
           FROM probes CROSS JOIN d)
         SELECT ph.term, min(coalesce(s.cnt, 0)) AS est_cnt
         FROM ph LEFT JOIN sketch s USING (i, cell)
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // HyperLogLog distinct-count sketch (Flajolet et al. 2007) on the
+    // same key as q45, so the two estimators are directly comparable:
+    // at sf0.01 HLL (m=1024 registers, ~3.2% std err) estimates the
+    // 59,945 true distinct pairs from 8 KB of register state. The
+    // harmonic mean is summed EXACTLY (powers of two in DECIMAL(38,0)),
+    // so the only float ops are one multiply chain + one division,
+    // identical in both engines — see Sketches.hllDistinct.
+    QuerySpec("q83_hll_distinct",
+      (s, dir) => Sketches.hllDistinct(
+        Tables.lineitem(s, dir),
+        concat_ws("|", col("l_orderkey"), col("l_partkey")), p = HllP),
+      Some(s"""
+        WITH hs AS (SELECT
+            ${hashSql("l_orderkey || '|' || l_partkey")} AS h
+          FROM lineitem),
+        regs AS (
+          SELECT h % $HllM AS idx,
+                 CASE WHEN h // $HllM = 0 THEN ${HllBits + 1}
+                      ELSE ${HllBits + 1} - length(bin(h // $HllM))
+                 END AS rho
+          FROM hs
+          UNION ALL
+          SELECT range AS idx, 0 AS rho FROM range(0, $HllM)),
+        mx AS (SELECT idx, max(rho) AS m_rho FROM regs GROUP BY idx),
+        agg AS (SELECT
+            count(CASE WHEN m_rho > 0 THEN 1 END) AS nonzero_regs,
+            sum(CAST(power(2.0, 62 - m_rho) AS DECIMAL(38,0))) AS s
+          FROM mx),
+        est AS (SELECT
+            CAST(nonzero_regs AS BIGINT) AS nonzero_regs,
+            CAST($HllM - nonzero_regs AS BIGINT) AS zero_regs,
+            ((0.7213 / (1.0 + 1.079 / $HllM.0)) * $HllM.0) * $HllM.0
+              * power(2.0, 62) / CAST(s AS DOUBLE) AS raw
+          FROM agg)
+        SELECT nonzero_regs, zero_regs,
+          ${Exact.microsSql(
+            s"CASE WHEN raw <= 2.5 * $HllM.0 AND zero_regs > 0 " +
+            s"THEN $HllM.0 * ln($HllM.0 / CAST(zero_regs AS DOUBLE)) " +
+            "ELSE raw END")} AS est_micros
+        FROM est"""))
   )
 }

@@ -127,4 +127,76 @@ object Sketches {
       .groupBy("term")
       .agg(min(col("cnt")).as("est_cnt"))
   }
+
+  /** HyperLogLog register table [Flajolet et al. 2007]: 2^p registers,
+    * register j = max over values hashing to j of rho(w) = 1 + the
+    * number of leading zeros in the value's remaining 60-p hash bits.
+    * EVERY register id is present (absent → rho 0), so downstream
+    * arithmetic never multiplies by a separate zero-register count.
+    *
+    * rho is computed from the hash's BIT LENGTH via `bin()` — exact
+    * integer string length, not a float log2, so register contents are
+    * engine-portable (DuckDB's bin() is the same no-leading-zeros form).
+    * The m-row register union is the only state: one hash-agg keyed by
+    * 2^p values, map-side combinable — duplicates and partitioning
+    * cannot change a max.
+    */
+  def hllRegisters(df: DataFrame, value: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1L << p
+    val bits = 60 - p // hash bits left after the register index
+    val h = Dedup.portableHash(value)
+    val w = shiftrightunsigned(h, p)
+    val regs = df.select(
+      pmod(h, lit(m)).as("idx"),
+      when(w === 0, lit(bits + 1))
+        .otherwise(lit(bits + 1) - length(bin(w))).as("rho"))
+    val allIdx = df.sparkSession.range(m)
+      .select(col("id").as("idx"), lit(0).as("rho"))
+    regs.unionByName(allIdx).groupBy("idx").agg(max("rho").as("m_rho"))
+  }
+
+  /** HyperLogLog distinct-count estimate: one row
+    * (nonzero_regs, zero_regs, est_micros).
+    *
+    * The harmonic mean is computed EXACTLY: each register contributes
+    * 2^(62 - M_j) — a power of two, exact in double and exact after the
+    * cast to DECIMAL(38,0) — and the decimal SUM is integer arithmetic,
+    * so it is insertion-order and partition independent (the usual
+    * float-sum nondeterminism never arises; 1024 * 2^62 = 2^72 is well
+    * inside 38 digits). Only then does ONE double division produce the
+    * raw estimate alpha_m * m^2 * 2^62 / S, micros-snapped — the same
+    * two IEEE ops in any engine. Small-range correction (linear
+    * counting m * ln(m / zero_regs) when raw <= 2.5m and a register is
+    * empty) is the published estimator, same fixed parenthesization on
+    * both sides.
+    *
+    * At 100 TB: the sketch IS the m-row register table — the value set
+    * never shuffles (contrast COUNT(DISTINCT), whose exchange scales
+    * with key cardinality, and see [[kmvDistinct]] for the same
+    * argument at k rows).
+    */
+  def hllDistinct(df: DataFrame, value: Column, p: Int = 10): DataFrame = {
+    val m = 1L << p
+    val mD = m.toDouble
+    // alpha_m * m^2, fixed parenthesization mirrored in the SQL twin.
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD)) *
+      lit(mD) * lit(mD)
+    hllRegisters(df, value, p)
+      .agg(
+        count(when(col("m_rho") > 0, lit(1))).as("nonzero_regs"),
+        sum(pow(lit(2.0), lit(62) - col("m_rho")).cast("decimal(38,0)"))
+          .as("s"))
+      .select(
+        col("nonzero_regs"),
+        (lit(m) - col("nonzero_regs")).as("zero_regs"),
+        (alphaM2 * pow(lit(2.0), lit(62)) / col("s").cast("double"))
+          .as("raw"))
+      .select(
+        col("nonzero_regs"), col("zero_regs"),
+        graft.util.Exact.micros(
+          when(col("raw") <= lit(2.5) * lit(mD) && col("zero_regs") > 0,
+            lit(mD) * log(lit(mD) / col("zero_regs").cast("double")))
+            .otherwise(col("raw"))).as("est_micros"))
+  }
 }

@@ -76,4 +76,44 @@ class SketchesSpec extends SparkSpec {
     val m2 = t2.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(m1 === m2)
   }
+
+  test("hll estimate lands within 10% of the true distinct count") {
+    // 100k distinct over m=1024 registers: std err ~ 1.04/sqrt(1024) =
+    // 3.25%; 10% is a 3-sigma bar. Duplicates must not move a register
+    // max.
+    val n = 100000
+    val df = spark.range(n).select(concat(lit("k-"), col("id")).as("v"))
+      .union(spark.range(0, n, 2).select(concat(lit("k-"), col("id")).as("v")))
+      .repartition(8)
+    val row = Sketches.hllDistinct(df, col("v"), p = 10).collect().head
+    val est = row.getAs[Long]("est_micros").toDouble / 1e6
+    assert(math.abs(est - n) / n < 0.10, s"est=$est true=$n")
+    assert(row.getAs[Long]("nonzero_regs") === 1024L) // saturated
+  }
+
+  test("hll small-range path: linear counting on a sparse register set") {
+    // 150 distinct << 2.5m with empty registers -> m*ln(m/zeros), which
+    // is near-exact at this occupancy.
+    val df = (1 to 450).map(i => s"v${i % 150}").toDF("v")
+    val row = Sketches.hllDistinct(df, col("v"), p = 10).collect().head
+    assert(row.getAs[Long]("zero_regs") > 0L)
+    val est = row.getAs[Long]("est_micros").toDouble / 1e6
+    assert(math.abs(est - 150) / 150.0 < 0.05, s"est=$est true=150")
+  }
+
+  test("hll registers are partitioning-invariant and merge by max") {
+    val base = spark.range(30000).select(col("id").cast("string").as("v"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, col("v"), p = 8)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = regs(base.repartition(2))
+    val b = regs(base.repartition(13))
+    assert(a === b)
+    assert(a.size === 256) // every register id present
+    // Split-merge equals whole: register-wise max of the two halves.
+    val left = regs(base.filter(col("id") < 15000))
+    val right = regs(base.filter(col("id") >= 15000))
+    val merged = a.keys.map(k => k -> math.max(left(k), right(k))).toMap
+    assert(merged === a)
+  }
 }
