@@ -151,6 +151,62 @@ object PipelineQueries {
         SELECT url, host,
                CAST((row_number() OVER (PARTITION BY host ORDER BY url)
                      - 1) // 4 AS INT) AS wave
-        FROM h ORDER BY url"""))
+        FROM h ORDER BY url""")),
+
+    // ------------------------------------------------------------------
+    // Bloom runtime-filter semi-join reduction: build a 4096-bit / 3-hash
+    // Bloom filter from the BUILDING customers, pre-filter the orders
+    // fact scan through it (3 broadcast semi-probes, fact side never
+    // shuffles), then account exactly: bloom_pass >= true_match always
+    // (no false negatives — the q77-style guarantee, here checked by the
+    // oracle replaying both sides), and the gap IS the false-positive
+    // count the real join would cull. At sf0.01: ~0.8% fp rate.
+    QuerySpec("q84_bloom_filter_join",
+      (s, dir) => {
+        import graft.operators.RuntimeFilter
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k"))
+        // The bit table feeds all 3 probes plus its own count — truncate
+        // once (KCore lazy-checkpoint pattern) so the dimension scan
+        // doesn't re-run per consumer.
+        val bits = RuntimeFilter.bloomBits(cust, col("k"), k = 3,
+          mBits = 4096).localCheckpoint(false)
+        val orders = Tables.orders(s, dir)
+        val pass = RuntimeFilter.probe(orders, col("o_custkey"), bits,
+          k = 3, mBits = 4096)
+        val exact = orders.join(cust.withColumnRenamed("k", "o_custkey"),
+          Seq("o_custkey"), "left_semi")
+        bits.agg(count(lit(1)).as("bits_set"))
+          .crossJoin(pass.agg(count(lit(1)).as("bloom_pass")))
+          .crossJoin(exact.agg(count(lit(1)).as("true_match")))
+          .select(col("bits_set"), col("bloom_pass"), col("true_match"),
+            (col("bloom_pass") - col("true_match")).as("false_pos"))
+      },
+      Some {
+        def h(expr: String) =
+          s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT) % 4096"
+        s"""
+        WITH sm AS (SELECT c_custkey AS k FROM customer
+          WHERE c_mktsegment = 'BUILDING'),
+        bits AS (SELECT DISTINCT bit FROM (
+          SELECT ${h("'0|' || k")} AS bit FROM sm
+          UNION ALL SELECT ${h("'1|' || k")} FROM sm
+          UNION ALL SELECT ${h("'2|' || k")} FROM sm)),
+        pass AS (SELECT o_orderkey FROM orders
+          WHERE ${h("'0|' || o_custkey")} IN (SELECT bit FROM bits)
+            AND ${h("'1|' || o_custkey")} IN (SELECT bit FROM bits)
+            AND ${h("'2|' || o_custkey")} IN (SELECT bit FROM bits)),
+        agg AS (SELECT
+          (SELECT count(*) FROM bits) AS bits_set,
+          (SELECT count(*) FROM pass) AS bloom_pass,
+          (SELECT count(*) FROM orders
+           WHERE o_custkey IN (SELECT k FROM sm)) AS true_match)
+        SELECT CAST(bits_set AS BIGINT) AS bits_set,
+               CAST(bloom_pass AS BIGINT) AS bloom_pass,
+               CAST(true_match AS BIGINT) AS true_match,
+               CAST(bloom_pass - true_match AS BIGINT) AS false_pos
+        FROM agg"""
+      })
   )
 }
