@@ -207,6 +207,27 @@ object PipelineQueries {
                CAST(true_match AS BIGINT) AS true_match,
                CAST(bloom_pass - true_match AS BIGINT) AS false_pos
         FROM agg"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Fuzzy record-linkage join: all supplier-name pairs within
+    // Levenshtein distance 1 via SymSpell deletion-key blocking +
+    // levenshtein verify. Like q77 the ORACLE is the brute-force cross
+    // join — the hash compare checks the blocking scheme's
+    // no-false-negative guarantee itself (900 pairs at sf0.01; the
+    // engine never forms the 100x100 cross product).
+    QuerySpec("q85_fuzzy_join",
+      (s, dir) => {
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+        graft.operators.Fuzzy.editDistance1Pairs(sup, "id", "name")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+               a.s_name AS name_a, b.s_name AS name_b
+        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
+        ORDER BY id_a, id_b"""))
   )
 }
