@@ -738,6 +738,25 @@ object TextQueries {
         JOIN uni ux ON ux.t = sel.w1
         JOIN uni uy ON uy.t = sel.w2
         CROSS JOIN n CROSS JOIN m
-        ORDER BY sel.w1, sel.w2"""))
+        ORDER BY sel.w1, sel.w2""")),
+
+    // ------------------------------------------------------------------
+    // BPE tokenizer training (Sennrich et al. 2016): the first 8 learned
+    // merges over the documents corpus. Merge k+1 depends on the argmax
+    // of round k — inherently sequential, like q13's coloring — so this
+    // is a rows-only driver check; BpeSpec pins the canonical
+    // low/lower/newest/widest merge sequence and the leftmost-first
+    // fold semantics. The corpus is read once (vocab pass); each round
+    // is one hash-agg over the vocab + a single collected row.
+    QuerySpec("q86_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.Bpe.learnMerges(Tables.documents(s, dir), "text",
+            numMerges = 8)
+          .toDF("rank", "left", "right", "freq")
+          .select(col("rank"), col("left"), col("right"), col("freq"))
+          .orderBy("rank")
+      },
+      None)
   )
 }
