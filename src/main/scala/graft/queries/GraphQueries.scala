@@ -535,6 +535,57 @@ object GraphQueries {
         FROM v3 ORDER BY id"""
       }),
 
+    // Landmark multi-source BFS + harmonic closeness (Potamias et al.
+    // 2009 / Boldi & Vigna 2014): one BFS wave from all 7 landmark
+    // orders at once (o_orderkey % 2048 = 0), 4 hops, delta-frontier
+    // state. Fully lazy — the oracle unrolls candidate/EXCEPT/union
+    // per round. Per-term micros snap keeps the harmonic sum integral.
+    QuerySpec("q87_landmark_closeness",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val seeds = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 2048 === 0)
+          .select((col("o_orderkey") * 2).as("id"))
+        graft.graph.Landmarks.harmonicCloseness(edges, seeds, rounds = 4)
+          .select(decodeId(col("id")).as("id"), col("reached"),
+            col("harmonic_micros"))
+          .orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""c$r AS (
+             SELECT DISTINCT e.dst AS id, f.seed
+             FROM e0 e JOIN f${r - 1} f ON e.src = f.id),
+           f$r AS MATERIALIZED (
+             SELECT id, seed FROM c$r
+             EXCEPT SELECT id, seed FROM k${r - 1}),
+           k$r AS MATERIALIZED (
+             SELECT id, seed, dist FROM k${r - 1}
+             UNION ALL SELECT id, seed, $r AS dist FROM f$r)"""
+        }.mkString(",\n")
+        s"""
+        WITH eo AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+        k0 AS MATERIALIZED (
+          SELECT o_orderkey * 2 AS id, o_orderkey * 2 AS seed, 0 AS dist
+          FROM orders WHERE o_orderkey % 2048 = 0),
+        f0 AS MATERIALIZED (SELECT id, seed FROM k0),
+        $rounds
+        SELECT CASE WHEN id % 2 = 0 THEN 'o' || CAST(id // 2 AS VARCHAR)
+                    ELSE 'p' || CAST((id - 1) // 2 AS VARCHAR) END AS id,
+               CAST(count(*) AS BIGINT) AS reached,
+               CAST(sum(CASE WHEN dist = 0 THEN 0
+                             ELSE ${graft.util.Exact.microsSql("1.0 / dist")}
+                        END) AS BIGINT) AS harmonic_micros
+        FROM k4 GROUP BY id ORDER BY id"""
+      }),
+
     // G10: greedy coloring with deterministic token symmetry-breaking.
     // Not SQL-expressible (sequential rounds) → rows-only driver check;
     // properness is asserted in ColoringSpec.
