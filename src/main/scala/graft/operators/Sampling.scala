@@ -50,6 +50,35 @@ object Sampling {
     df.filter(coord("sample", key, den) < rate)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): rank every row by u^(1/w) with u a hash-derived
+    * uniform in (0, 1], keep the top k. Inclusion probability is
+    * proportional-to-weight without replacement — the quality- or
+    * length-weighted subsampling step of a training-data pipeline,
+    * reproducible because u comes from the portable hash, not an RNG.
+    *
+    * Ranks are compared in the log domain (ln(u)/w is monotone in
+    * u^(1/w)) so the only transcendental is ONE ln, and the score is
+    * micros-snapped with the row key as tie-break — a total order both
+    * engines agree on. Top-k is TakeOrderedAndProject: each partition
+    * keeps k candidates, the driver merges k-sized heaps — no global
+    * sort, no shuffle of the losers, scale-safe at any corpus size.
+    *
+    * Returns the selected rows plus their `ws_score_micros`. Rows with
+    * weight <= 0 are excluded (zero-weight items are never sampled).
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (Dedup.portableHash(concat_ws("|", lit("wsample"), key)) + 1)
+      .cast("double") / lit(math.pow(2, 60))
+    df.filter(weight > 0)
+      .withColumn("ws_score_micros",
+        graft.util.Exact.micros(log(u) / weight.cast("double")))
+      .orderBy(col("ws_score_micros").desc, key)
+      .limit(k)
+  }
+
   /** Group-stable split label ("train"/"val"/"test") from the key's
     * hash: the same key always gets the same label, so splitting by
     * user/domain/doc keeps correlated rows on one side of the eval

@@ -228,6 +228,35 @@ object PipelineQueries {
                a.s_name AS name_a, b.s_name AS name_b
         FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         WHERE levenshtein(a.s_name, b.s_name) <= 1
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ------------------------------------------------------------------
+    // Weighted sample without replacement (Efraimidis-Spirakis 2006):
+    // 500 documents drawn proportional to token count, reproducibly
+    // (hash-uniform, no RNG). Log-domain ranking (one ln), micros snap,
+    // doc_id tie-break; top-k is TakeOrderedAndProject — no global sort.
+    QuerySpec("q88_weighted_sample",
+      (s, dir) => {
+        import graft.text.Analyzer
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          size(Analyzer.tokenize(col("text"))).cast("long").as("w"))
+        Sampling.weightedSample(docs, col("doc_id"), col("w"), k = 500)
+          .select(col("doc_id"), col("w"), col("ws_score_micros"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+            CAST(len(list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              x -> x <> '')) AS BIGINT) AS w
+          FROM documents),
+        sc AS (SELECT doc_id, w,
+            ${Exact.microsSql(
+              "ln(CAST(" +
+              "CAST(('0x' || substring(md5('wsample|' || doc_id), 1, 15)) " +
+              "AS BIGINT) + 1 AS DOUBLE) / power(2.0, 60)) " +
+              "/ CAST(w AS DOUBLE)")} AS ws_score_micros
+          FROM t WHERE w > 0)
+        SELECT doc_id, w, ws_score_micros
+        FROM sc ORDER BY ws_score_micros DESC, doc_id LIMIT 500"""))
   )
 }

@@ -57,4 +57,31 @@ class SamplingSpec extends SparkSpec {
     assert(counts.getOrElse("val", 0L) > 500L, counts.toString)
     assert(counts.getOrElse("test", 0L) > 500L, counts.toString)
   }
+
+  test("weighted sample favors heavy rows and is partitioning-stable") {
+    // 5000 rows with weight 1 and 500 with weight 100: at k=300 the
+    // heavy minority (50% of total mass from 9% of rows) must dominate.
+    val df = spark.range(5500)
+      .select(col("id").cast("string").as("k"),
+        when(col("id") < 500, lit(100L)).otherwise(lit(1L)).as("w"))
+    val picked = Sampling.weightedSample(df, col("k"), col("w"), 300)
+    val heavy = picked.filter(col("w") === 100L).count()
+    assert(heavy > 150L, s"heavy=$heavy of 300")
+    // determinism under repartitioning: identical selection + scores
+    val a = picked.select("k", "ws_score_micros")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sampling.weightedSample(df.repartition(13), col("k"),
+        col("w"), 300)
+      .select("k", "ws_score_micros")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("weighted sample excludes non-positive weights, is exact under k") {
+    val df = Seq(("a", 3L), ("b", 0L), ("c", -1L), ("d", 5L))
+      .toDF("k", "w")
+    val got = Sampling.weightedSample(df, col("k"), col("w"), 10)
+      .select("k").as[String].collect().toSet
+    assert(got == Set("a", "d"))
+  }
 }
