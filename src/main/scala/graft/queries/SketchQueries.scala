@@ -118,6 +118,39 @@ object SketchQueries {
             s"CASE WHEN raw <= 2.5 * $HllM.0 AND zero_regs > 0 " +
             s"THEN $HllM.0 * ln($HllM.0 / CAST(zero_regs AS DOUBLE)) " +
             "ELSE raw END")} AS est_micros
-        FROM est"""))
+        FROM est""")),
+
+    // ------------------------------------------------------------------
+    // DDSketch quantiles (Masson et al. 2019) over l_extendedprice at
+    // alpha = 1%: p50/p90/p99 with guaranteed relative error <= alpha
+    // from a ~600-row bucket table. The oracle replays bucketing, the
+    // cumulative rank walk, and the midpoint read-back; the micros snap
+    // before ceil() makes the bucket boundary rule engine-exact.
+    QuerySpec("q89_ddsketch_quantiles",
+      (s, dir) => Sketches.ddQuantiles(
+        Tables.lineitem(s, dir), col("l_extendedprice"),
+        alpha = 0.01, pcts = Seq(50, 90, 99)),
+      Some {
+        val g = "((1.0 + 0.01) / (1.0 - 0.01))"
+        s"""
+        WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+          WHERE l_extendedprice > 0),
+        b AS (SELECT CAST(ceil(
+            CAST(${Exact.microsSql(s"ln(x) / ln($g)")} AS DOUBLE)
+            / 1000000.0) AS BIGINT) AS bucket FROM v),
+        sk AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+        c AS (SELECT bucket, cnt,
+                sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+        n AS (SELECT sum(cnt) AS n FROM sk),
+        q(q_pct) AS (VALUES (50), (90), (99)),
+        sel AS (SELECT q_pct, min(bucket) AS bucket
+          FROM q, c, n
+          WHERE cum >= floor(q_pct / 100.0 * (CAST(n AS DOUBLE) - 1.0)) + 1
+          GROUP BY q_pct)
+        SELECT CAST(q_pct AS INT) AS q_pct, bucket,
+               ${Exact.microsSql(s"2.0 * power($g, bucket) / ($g + 1.0)")}
+                 AS est_micros
+        FROM sel ORDER BY q_pct"""
+      })
   )
 }

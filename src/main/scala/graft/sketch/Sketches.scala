@@ -128,6 +128,60 @@ object Sketches {
       .agg(min(col("cnt")).as("est_cnt"))
   }
 
+  /** DDSketch bucket table [Masson, Rim & Lee 2019, "DDSketch: a fast
+    * and fully-mergeable quantile sketch with relative-error
+    * guarantees"]: positive values land in bucket
+    * ceil(log_gamma(x)) with gamma = (1+alpha)/(1-alpha), so every
+    * bucket spans a (1±alpha) relative range and any quantile read
+    * back from bucket midpoints is within alpha relative error.
+    *
+    * Engine portability: the only float steps before the hash-agg are
+    * ln(x)/ln(gamma), which is micros-SNAPPED before the ceil — a value
+    * would have to sit within 5e-7 (in log space) of a bucket edge AND
+    * land there differently under the two engines' ln for assignment to
+    * diverge; the snap makes the boundary rule itself deterministic.
+    * The table is bounded at O(log_gamma(max/min)) rows (~600 buckets
+    * for cents-to-100k at alpha=0.01) regardless of input size, counts
+    * are additive — mergeable, partition-invariant, broadcastable. */
+  def ddSketchTable(df: DataFrame, value: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val snapped = graft.util.Exact.micros(log(value) / lit(math.log(gamma)))
+    df.filter(value > 0)
+      .select(ceil(snapped.cast("double") / lit(1000000.0)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a DDSketch: one row per requested
+    * percentile, (q_pct, bucket, est_micros) with est the bucket
+    * midpoint 2*gamma^b/(gamma+1). The rank walk (cumulative sum +
+    * first bucket reaching rank floor(q/100*(n-1))+1) runs on the
+    * bounded bucket table — the partition-less window is over O(100)
+    * rows by construction, never data-scale. */
+  def ddQuantiles(df: DataFrame, value: Column, alpha: Double,
+                  pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val sketch = ddSketchTable(df, value, alpha)
+    val cum = sketch.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .orderBy("bucket")))
+    val total = sketch.agg(sum("cnt").as("n"))
+    pcts.toDF("q_pct")
+      .crossJoin(cum).crossJoin(total)
+      .filter(col("cum") >=
+        floor(col("q_pct") / lit(100.0) *
+          (col("n").cast("double") - lit(1.0))) + 1)
+      .groupBy("q_pct").agg(min("bucket").as("bucket"))
+      .select(col("q_pct"), col("bucket"),
+        graft.util.Exact.micros(
+          lit(2.0) * pow(lit(gamma), col("bucket")) / lit(gamma + 1.0))
+          .as("est_micros"))
+      .orderBy("q_pct")
+  }
+
   /** HyperLogLog register table [Flajolet et al. 2007]: 2^p registers,
     * register j = max over values hashing to j of rho(w) = 1 + the
     * number of leading zeros in the value's remaining 60-p hash bits.

@@ -116,4 +116,36 @@ class SketchesSpec extends SparkSpec {
     val merged = a.keys.map(k => k -> math.max(left(k), right(k))).toMap
     assert(merged === a)
   }
+
+  test("ddsketch quantiles honor the alpha relative-error guarantee") {
+    // Uniform 1..100000: true p-quantile ~ p * 1000. alpha = 0.01.
+    val df = spark.range(1, 100001).select(col("id").cast("double").as("x"))
+    val rows = Sketches.ddQuantiles(df, col("x"), 0.01, Seq(10, 50, 90, 99))
+      .collect().map(r => r.getInt(0) -> r.getLong(2).toDouble / 1e6).toMap
+    for ((p, est) <- rows) {
+      val truth = p / 100.0 * 100000.0
+      assert(math.abs(est - truth) / truth <= 0.011,
+        s"p$p est=$est truth=$truth")
+    }
+  }
+
+  test("ddsketch table is bounded, mergeable, partition-invariant") {
+    val df = spark.range(1, 50001).select((col("id") % 997 + 1)
+      .cast("double").as("x"))
+    def tbl(d: org.apache.spark.sql.DataFrame) =
+      Sketches.ddSketchTable(d, col("x"), 0.01)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = tbl(df)
+    assert(whole.size < 800) // log_gamma(997) buckets, not data-scale
+    assert(tbl(df.repartition(9)) === whole)
+    // additive merge: disjoint halves sum bucket-wise to the whole
+    val lo = tbl(df.filter(col("id") <= 25000))
+    val hi = tbl(df.filter(col("id") > 25000))
+    val merged = (lo.keySet ++ hi.keySet).map(k =>
+      k -> (lo.getOrElse(k, 0L) + hi.getOrElse(k, 0L))).toMap
+    assert(merged === whole)
+    // non-positive values are excluded by the positive-domain contract
+    val withJunk = df.union(Seq(-5.0, 0.0).toDF("x"))
+    assert(tbl(withJunk) === whole)
+  }
 }
