@@ -189,6 +189,34 @@ object Demo {
         Seq(col("ux"), col("th")), bits = 8))
       .orderBy("z").show(3, false)
 
+    // --- communities, sketch suite, tokenizer training ----------------
+    println("== label-propagation communities (largest 3)")
+    graft.graph.Communities.labelPropagation(opEdges, rounds = 3)
+      .groupBy("community").count()
+      .orderBy(col("count").desc, col("community")).show(3, false)
+
+    println("== sketch suite on one column: HLL / KMV / DDSketch")
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    graft.sketch.Sketches.hllDistinct(li,
+      concat_ws("|", col("l_orderkey"), col("l_partkey")), p = 10).show(false)
+    graft.sketch.Sketches.ddQuantiles(li, col("l_extendedprice"),
+      alpha = 0.01, pcts = Seq(50, 95)).show(false)
+
+    println("== bloom runtime filter: orders passing a customer-segment filter")
+    val bCust = Tables.customer(spark, "/root/testdata/sf0.001")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val bBits = graft.operators.RuntimeFilter.bloomBits(
+      bCust, col("k"), k = 3, mBits = 4096)
+    println("   pass=" + graft.operators.RuntimeFilter.probe(
+      Tables.orders(spark, "/root/testdata/sf0.001"), col("o_custkey"),
+      bBits, k = 3, mBits = 4096).count())
+
+    println("== BPE merges learned from the documents corpus")
+    graft.text.Bpe.learnMerges(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "text", 4)
+      .foreach { case (r, a, b, f) => println(s"   #$r: '$a'+'$b' ($f)") }
+
     spark.stop()
   }
 }

@@ -227,6 +227,46 @@ object ScaleCanary {
         s"total=${packed.getLong(1)}")
     println(s"[canary]   packing seqs=${packed.getLong(0) + 1} " +
       s"tokens=${packed.getLong(1)} (25/doc, offsets verified)")
+
+    // label propagation at 10x: same superstep shape as PageRank (join
+    // + two keyed aggs per round, no window), 3 fixed rounds
+    val lpa = time("label propagation") {
+      graft.graph.Communities.labelPropagation(
+          edges.select(col("src"), col("dst")), rounds = 3)
+        .select(countDistinct(col("community"))).first().getLong(0)
+    }
+    println(s"[canary]   lpa communities=$lpa")
+
+    // HLL at 10x on the same key as the KMV leg: the register table is
+    // 8 KB whatever the corpus size; truth is nD - planted
+    val hll = time("hll distinct") {
+      graft.sketch.Sketches.hllDistinct(docs, col("text"), p = 10)
+        .first().getAs[Long]("est_micros") / 1000000L
+    }
+    println(s"[canary]   hll est=$hll (true=${nD - planted})")
+
+    // bloom runtime filter at 10x: 20k-key dim filter probed by the 5M
+    // fact rows — 3 scan-stage broadcast semi-joins, fact never shuffles
+    val bloom = time("bloom filter probe") {
+      val dim = spark.range(20000).select((col("id") * 7).as("k"))
+      val bits = graft.operators.RuntimeFilter.bloomBits(
+        dim, col("k"), k = 3, mBits = 1 << 18).localCheckpoint(false)
+      graft.operators.RuntimeFilter.probe(
+        edges.select(col("src").as("k")), col("k"), bits,
+        k = 3, mBits = 1 << 18).count()
+    }
+    println(s"[canary]   bloom pass=$bloom of $nE (pre-join pruning)")
+
+    // ddsketch at 10x: quantiles of the uniform-ish hash edge sources —
+    // the bucket table stays O(log range) rows at any scale
+    val dd = time("ddsketch quantiles") {
+      graft.sketch.Sketches.ddQuantiles(
+        edges.select((col("src") + 1).cast("double").as("x")),
+        col("x"), alpha = 0.01, pcts = Seq(50, 99))
+        .collect().map(r => r.getInt(0) -> r.getLong(2) / 1000000L).toMap
+    }
+    println(s"[canary]   ddsketch p50=${dd(50)} p99=${dd(99)} " +
+      s"(true ~${nV / 2} / ~${nV * 99 / 100})")
     spark.stop()
   }
 }
