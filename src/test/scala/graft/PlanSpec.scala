@@ -191,4 +191,29 @@ class PlanSpec extends SparkSpec {
       "rn=1 filter must push a per-context group limit: " +
         p.linesIterator.filter(_.contains("Window")).mkString("\n"))
   }
+
+  test("label propagation elects by hash-agg, never a per-vertex window") {
+    // The argmax is max(struct(cnt, -lab)) — a plain aggregate. A window
+    // (rank per vertex) would sort every vertex's vote list per round.
+    val p = planOf("q82_label_propagation")
+    assert(!p.contains("Window"), "LPA vote argmax must stay a hash-agg")
+  }
+
+  test("weighted sample plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q88_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(8)
+      .mkString("\n"))
+  }
+
+  test("bloom probe runs broadcast semi-joins on the fact side") {
+    val p = planOf("q84_bloom_filter_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("fuzzy join blocks on deletion keys — no cartesian, no BNLJ") {
+    val p = planOf("q85_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "SymSpell blocking must stay an equi-join")
+  }
 }
