@@ -257,6 +257,41 @@ object PipelineQueries {
               "/ CAST(w AS DOUBLE)")} AS ws_score_micros
           FROM t WHERE w > 0)
         SELECT doc_id, w, ws_score_micros
-        FROM sc ORDER BY ws_score_micros DESC, doc_id LIMIT 500"""))
+        FROM sc ORDER BY ws_score_micros DESC, doc_id LIMIT 500""")),
+
+    // ------------------------------------------------------------------
+    // Incremental aggregate maintenance (materialized-view refresh):
+    // the engine takes the MERGE path — state(base) ⊕ state(delta),
+    // base = 90% of lineitem, delta = the l_orderkey % 10 = 7 batch —
+    // while the oracle recomputes the aggregate from the full table.
+    // Hash equality IS the maintenance invariant: absorbing a delta
+    // into standing state touches |delta| rows, never |base|.
+    QuerySpec("q90_incremental_agg",
+      (s, dir) => {
+        import graft.operators.Incremental
+        val li = Tables.lineitem(s, dir)
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val v = Exact.cents(col("l_extendedprice"))
+        val base = Incremental.aggState(
+          li.filter(col("l_orderkey") % 10 =!= 7), keys, v)
+        val delta = Incremental.aggState(
+          li.filter(col("l_orderkey") % 10 === 7), keys, v)
+        Incremental.readout(Incremental.mergeState(base, delta, keys))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT)
+                 AS sum_cents,
+               min(${Exact.centsSql("l_extendedprice")}) AS min_cents,
+               max(${Exact.centsSql("l_extendedprice")}) AS max_cents,
+               ${Exact.microsSql(
+                 "CAST(sum(" + Exact.centsSql("l_extendedprice") +
+                 ") AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)")}
+                 AS avg_micros
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""))
   )
 }
