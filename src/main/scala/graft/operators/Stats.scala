@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass exact correlation matrix over integer-snapped measures —
+  * the q55 integer-moment trick (variance from (n, Σx, Σx²) BIGINT
+  * sums) extended to every PAIRWISE second moment: ONE scan accumulates
+  * n, Σxᵢ, Σxᵢ², and Σxᵢxⱼ for all pairs, then Pearson r falls out of
+  * pure arithmetic on exact sums,
+  *   r = (nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²) · sqrt(nΣy² − (Σy)²)).
+  *
+  * Cross-engine determinism: every sum is integer-exact (per-row
+  * products fit a long; sums are DECIMAL(38,0) on Spark, HUGEINT in
+  * DuckDB), and the float tail is two casts, two sqrts (correctly
+  * rounded by IEEE 754 — bit-identical in any conforming engine), one
+  * multiply and one divide — so even the DIVISION's operands are
+  * bit-equal and the micros snap is stable.
+  *
+  * At 100 TB: k measures cost one map-side-combinable aggregation of
+  * k(k+3)/2 + 1 counters — a single row out, no shuffle of data rows,
+  * vs k² separate corr() passes. Feature-correlation triage over a
+  * training corpus (length vs quality vs dup-count …) is this exact
+  * shape.
+  */
+object Stats {
+
+  /** Pairwise Pearson correlations of the named integer measures:
+    * (pair, n, corr_micros) for every i < j pair, one scan. */
+  def corrMatrix(df: DataFrame, measures: Seq[(String, Column)]): DataFrame = {
+    require(measures.size >= 2, "need at least two measures")
+    val names = measures.map(_._1)
+    require(names.distinct.size == names.size, "measure names must be unique")
+    val dec = "decimal(38,0)"
+    val sums =
+      measures.flatMap { case (nm, c) =>
+        Seq(sum(c).as(s"s_$nm"),
+          sum((c * c).cast(dec)).as(s"ss_$nm"))
+      } ++
+        measures.combinations(2).map { case Seq((na, ca), (nb, cb)) =>
+          sum((ca * cb).cast(dec)).as(s"sp_${na}_$nb")
+        }
+    val one = df.agg(count(lit(1)).as("n"), sums: _*)
+
+    def corr(na: String, nb: String): Column = {
+      val n = col("n").cast(dec)
+      val num = (n * col(s"sp_${na}_$nb") -
+        (col(s"s_$na").cast(dec) * col(s"s_$nb").cast(dec)))
+        .cast("double")
+      def dev(x: String) =
+        sqrt((n * col(s"ss_$x") -
+          col(s"s_$x").cast(dec) * col(s"s_$x").cast(dec)).cast("double"))
+      num / (dev(na) * dev(nb))
+    }
+
+    val pairRows = measures.combinations(2).map { case Seq((na, _), (nb, _)) =>
+      struct(lit(s"$na~$nb").as("pair"), col("n").as("n"),
+        graft.util.Exact.micros(corr(na, nb)).as("corr_micros"))
+    }.toSeq
+    one.select(explode(array(pairRows: _*)).as("r"))
+      .select(col("r.pair").as("pair"), col("r.n").as("n"),
+        col("r.corr_micros").as("corr_micros"))
+  }
+}

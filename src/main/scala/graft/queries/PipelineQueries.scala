@@ -292,6 +292,52 @@ object PipelineQueries {
                  AS avg_micros
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus"""))
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------------
+    // One-pass exact correlation matrix (q55's integer moments, all
+    // pairwise): quantity/price/discount in cents, every sum integer-
+    // exact (DECIMAL(38,0) ≡ HUGEINT), the float tail only casts +
+    // IEEE-exact sqrts + one divide. On this synthetic corpus all three
+    // pairs come out near zero (the generator draws the measures
+    // independently) — the decorrelation itself is the checked answer.
+    QuerySpec("q91_corr_matrix",
+      (s, dir) => graft.operators.Stats.corrMatrix(
+        Tables.lineitem(s, dir),
+        Seq("qty" -> Exact.cents(col("l_quantity")),
+          "price" -> Exact.cents(col("l_extendedprice")),
+          "disc" -> Exact.cents(col("l_discount"))))
+        .orderBy("pair"),
+      Some {
+        def corrSql(sp: String, sa: String, sb: String,
+                    ssa: String, ssb: String) =
+          s"CAST(n * $sp - $sa * $sb AS DOUBLE) / " +
+            s"(sqrt(CAST(n * $ssa - $sa * $sa AS DOUBLE)) * " +
+            s"sqrt(CAST(n * $ssb - $sb * $sb AS DOUBLE)))"
+        s"""
+        WITH m AS (SELECT
+            ${Exact.centsSql("l_quantity")} AS q,
+            ${Exact.centsSql("l_extendedprice")} AS p,
+            ${Exact.centsSql("l_discount")} AS d
+          FROM lineitem),
+        a AS (SELECT count(*) AS n,
+            sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+            sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd,
+            sum(q*p) AS sqp, sum(q*d) AS sqd, sum(p*d) AS spd
+          FROM m)
+        SELECT pair, CAST(n AS BIGINT) AS n, corr_micros FROM (
+          SELECT 'qty~price' AS pair, n,
+                 ${Exact.microsSql(corrSql("sqp", "sq", "sp", "sqq", "spp"))}
+                   AS corr_micros FROM a
+          UNION ALL
+          SELECT 'qty~disc', n,
+                 ${Exact.microsSql(corrSql("sqd", "sq", "sd", "sqq", "sdd"))}
+            FROM a
+          UNION ALL
+          SELECT 'price~disc', n,
+                 ${Exact.microsSql(corrSql("spd", "sp", "sd", "spp", "sdd"))}
+            FROM a)
+        ORDER BY pair"""
+      })
   )
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corrs(df: org.apache.spark.sql.DataFrame,
+                    ms: Seq[(String, org.apache.spark.sql.Column)]) =
+    Stats.corrMatrix(df, ms).collect()
+      .map(r => r.getString(0) -> r.getLong(2).toDouble / 1e6).toMap
+
+  test("perfect linear relation gives r = +1 / -1 exactly") {
+    val df = spark.range(1, 1001).select(col("id").as("x"),
+      (col("id") * 3 + 7).as("y"), (lit(5000) - col("id") * 2).as("z"))
+    val m = corrs(df, Seq("x" -> col("x"), "y" -> col("y"),
+      "z" -> col("z")))
+    assert(m("x~y") == 1.0)
+    assert(m("x~z") == -1.0)
+    assert(m("y~z") == -1.0)
+  }
+
+  test("independent alternation decorrelates") {
+    // y cycles 0..9 with period 10, x ascends: corr ~ 0 over full cycles
+    val df = spark.range(10000).select(col("id").as("x"),
+      (col("id") % 10).as("y"))
+    val m = corrs(df, Seq("x" -> col("x"), "y" -> col("y")))
+    assert(math.abs(m("x~y")) < 0.001, m.toString)
+  }
+
+  test("matches the textbook formula on a small hand case") {
+    // x = 1,2,3,4; y = 2,4,5,9: Σxy = 61, so r = (4*61 - 10*20) /
+    //   (sqrt(4*30-100) * sqrt(4*126-400)) = 44/sqrt(20*104)
+    val df = Seq((1L, 2L), (2L, 4L), (3L, 5L), (4L, 9L)).toDF("x", "y")
+    val m = corrs(df, Seq("x" -> col("x"), "y" -> col("y")))
+    val want = 44.0 / math.sqrt(20.0 * 104.0)
+    assert(math.abs(m("x~y") - want) < 1e-6)
+  }
+
+  test("one-pass result is partitioning-invariant (exact sums)") {
+    val df = spark.range(5000).select(col("id").as("x"),
+      ((col("id") * 7919) % 1000).as("y"))
+    val ms = Seq("x" -> col("x"), "y" -> col("y"))
+    val a = corrs(df.repartition(17), ms)
+    val b = corrs(df.coalesce(1), ms)
+    assert(a === b)
+  }
+}
