@@ -586,6 +586,49 @@ object GraphQueries {
         FROM k4 GROUP BY id ORDER BY id"""
       }),
 
+    // Degree assortativity (Newman 2002, "Assortative mixing in
+    // networks"): Pearson correlation of endpoint degrees across the
+    // symmetric edge list — do high-degree orders attach to high-degree
+    // parts? Pure composition: degree agg + two broadcast-able joins
+    // feeding the one-pass exact-moment corrMatrix (q91's operator).
+    QuerySpec("q92_degree_assortativity",
+      (s, dir) => {
+        val eo = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val e0 = eo.unionAll(eo.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        val dg = e0.groupBy("src").agg(count(lit(1)).as("d"))
+          .select(col("src").as("id"), col("d"))
+        val ed = e0
+          .join(dg.select(col("id").as("src"), col("d").as("x")), Seq("src"))
+          .join(dg.select(col("id").as("dst"), col("d").as("y")), Seq("dst"))
+        graft.operators.Stats.corrMatrix(ed,
+          Seq("dsrc" -> col("x"), "ddst" -> col("y")))
+      },
+      Some {
+        val corr = "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+        s"""
+        WITH eo AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+        dg AS MATERIALIZED (
+          SELECT src AS id, count(*) AS d FROM e0 GROUP BY src),
+        ed AS (SELECT a.d AS x, b.d AS y
+          FROM e0 JOIN dg a ON e0.src = a.id JOIN dg b ON e0.dst = b.id),
+        agg AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+            sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+          FROM ed)
+        SELECT 'dsrc~ddst' AS pair, CAST(n AS BIGINT) AS n,
+               ${graft.util.Exact.microsSql(corr)} AS corr_micros
+        FROM agg"""
+      }),
+
     // G10: greedy coloring with deterministic token symmetry-breaking.
     // Not SQL-expressible (sequential rounds) → rows-only driver check;
     // properness is asserted in ColoringSpec.
