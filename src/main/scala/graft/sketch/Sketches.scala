@@ -195,16 +195,24 @@ object Sketches {
     * 2^p values, map-side combinable — duplicates and partitioning
     * cannot change a max.
     */
-  def hllRegisters(df: DataFrame, value: Column, p: Int): DataFrame = {
+  /** Per-row (idx, rho) register observations — the pre-aggregation
+    * form, exposed so a streaming max-aggregation can consume it. */
+  private[graft] def hllObservations(df: DataFrame, value: Column,
+                                     p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1L << p
     val bits = 60 - p // hash bits left after the register index
     val h = Dedup.portableHash(value)
     val w = shiftrightunsigned(h, p)
-    val regs = df.select(
+    df.select(
       pmod(h, lit(m)).as("idx"),
       when(w === 0, lit(bits + 1))
         .otherwise(lit(bits + 1) - length(bin(w))).as("rho"))
+  }
+
+  def hllRegisters(df: DataFrame, value: Column, p: Int): DataFrame = {
+    val m = 1L << p
+    val regs = hllObservations(df, value, p)
     val allIdx = df.sparkSession.range(m)
       .select(col("id").as("idx"), lit(0).as("rho"))
     regs.unionByName(allIdx).groupBy("idx").agg(max("rho").as("m_rho"))
@@ -230,13 +238,26 @@ object Sketches {
     * with key cardinality, and see [[kmvDistinct]] for the same
     * argument at k rows).
     */
-  def hllDistinct(df: DataFrame, value: Column, p: Int = 10): DataFrame = {
+  def hllDistinct(df: DataFrame, value: Column, p: Int = 10): DataFrame =
+    hllEstimate(hllObservations(df, value, p), p)
+
+  /** Finish an HLL estimate from ANY (idx, rho) observation multiset —
+    * sparse, duplicated, or partially pre-maxed (register merge is max,
+    * so pre-aggregated snapshots compose freely; this is what lets the
+    * streaming replay's final register snapshot reuse the exact batch
+    * estimator, q93). Missing registers are filled with rho 0 here. */
+  def hllEstimate(observations: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1L << p
     val mD = m.toDouble
     // alpha_m * m^2, fixed parenthesization mirrored in the SQL twin.
     val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD)) *
       lit(mD) * lit(mD)
-    hllRegisters(df, value, p)
+    val allIdx = observations.sparkSession.range(m)
+      .select(col("id").as("idx"), lit(0).as("rho"))
+    observations.select(col("idx"), col("rho").cast("int").as("rho"))
+      .unionByName(allIdx)
+      .groupBy("idx").agg(max("rho").as("m_rho"))
       .agg(
         count(when(col("m_rho") > 0, lit(1))).as("nonzero_regs"),
         sum(pow(lit(2.0), lit(62) - col("m_rho")).cast("decimal(38,0)"))

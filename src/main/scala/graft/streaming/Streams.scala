@@ -322,6 +322,38 @@ object Streams {
   /** The crawl loop as a streaming query skeleton: rate source ticks,
     * `foreachBatch` runs one crawl pass per tick. Returned unstarted so
     * tests/callers own the lifecycle. */
+  /** Batch ≡ stream parity for the HLL distinct sketch (q93): register
+    * merge is MAX, so a complete-mode streaming max-aggregation over
+    * (idx, rho) observations converges to EXACTLY the batch register
+    * table whatever the micro-batch boundaries — the "sketches are
+    * streaming-native" property, driver-checked. The replay feeds two
+    * REAL micro-batches (hash-halves of the corpus) plus a sentinel
+    * tick, so cross-batch state merging is genuinely exercised; the
+    * final complete snapshot is returned sparse and finished by the
+    * SHARED batch estimator ([[graft.sketch.Sketches.hllEstimate]]) —
+    * one code path for the arithmetic on both sides of the parity. */
+  def hllReplay(events: DataFrame, p: Int = 10): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val vals = events.select(col("user_id").cast("string").as("v"))
+    val half = pmod(graft.dedup.Dedup.portableHash(col("v")), lit(2L))
+    def sentinel(n: Int): DataFrame =
+      if (n == 1) vals.filter(half === 1)
+      else Seq("__sentinel").toDF("v")
+    replayThroughFiles(vals.filter(half === 0), sentinel, "v STRING",
+      (src, outDir) => graft.sketch.Sketches
+        .hllObservations(src.filter(col("v") =!= "__sentinel"),
+          col("v"), p)
+        .groupBy("idx").agg(max("rho").as("rho"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckptDir())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(outDir)
+        }
+        .start())
+  }
+
   def crawlTrigger(spark: SparkSession, intervalSec: Int)(
       passFn: Long => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()

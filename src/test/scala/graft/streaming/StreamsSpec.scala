@@ -114,4 +114,20 @@ class StreamsSpec extends SparkSpec {
       .select("c_event", "p_event").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 2L)))
   }
+
+  test("streaming HLL snapshot finishes to the exact batch estimate") {
+    import spark.implicits._
+    // 400 users with duplicates; the replay splits them into two real
+    // micro-batches by hash, so the complete-mode max-agg must merge
+    // register state across batches to match the one-shot batch sketch.
+    val ev = spark.range(1200).select((col("id") % 400).as("user_id"))
+    val streamed = graft.sketch.Sketches.hllEstimate(
+      Streams.hllReplay(ev, p = 8), p = 8).collect().head
+    val batch = graft.sketch.Sketches.hllDistinct(
+      ev.select(col("user_id").cast("string").as("v")), col("v"), p = 8)
+      .collect().head
+    assert(streamed === batch)
+    val est = streamed.getAs[Long]("est_micros").toDouble / 1e6
+    assert(math.abs(est - 400) / 400.0 < 0.15, s"est=$est")
+  }
 }
