@@ -151,6 +151,25 @@ object SketchQueries {
                ${Exact.microsSql(s"2.0 * power($g, bucket) / ($g + 1.0)")}
                  AS est_micros
         FROM sel ORDER BY q_pct"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // EXACT heavy hitters with Count-Min candidate pruning: parts on 45+
+    // lineitems (16 of ~2000 at sf0.01). The engine takes the
+    // sketch-prune-verify path — the only term-keyed exchange carries
+    // pruned candidates — while the oracle is the plain GROUP BY
+    // HAVING; hash equality proves the prune lost nothing (CM never
+    // underestimates) and the verify pass culled its false positives.
+    QuerySpec("q94_heavy_hitters",
+      (s, dir) => Sketches.heavyHitters(
+        Tables.lineitem(s, dir), col("l_partkey").cast("string"),
+        minCount = 45)
+        .orderBy("term"),
+      Some("""
+        SELECT CAST(l_partkey AS VARCHAR) AS term,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem
+        GROUP BY l_partkey HAVING count(*) >= 45
+        ORDER BY term"""))
   )
 }

@@ -128,6 +128,51 @@ object Sketches {
       .agg(min(col("cnt")).as("est_cnt"))
   }
 
+  /** EXACT heavy hitters with a Count-Min candidate prune (the batch
+    * form of the sketch-then-verify pattern, Cormode & Muthukrishnan
+    * 2005 §4): values occurring >= minCount times, with their exact
+    * counts, found WITHOUT ever shuffling the full term-count table.
+    *
+    *  1. one scan builds the d*w Count-Min sketch (broadcast);
+    *  2. terms are probed against the broadcast sketch IN the scan
+    *     stage and filtered to est >= minCount BEFORE the distinct —
+    *     the only exchange carries plausible-heavy terms, not the
+    *     vocabulary. CM never underestimates, so the candidate set
+    *     provably contains every true heavy hitter (no false
+    *     negatives);
+    *  3. one more scan counts ONLY the candidates exactly (broadcast
+    *     semi-join + map-side-combinable agg whose key set is the
+    *     candidate list), discarding the sketch's false positives.
+    *
+    * Result = exactly `HAVING count(*) >= minCount`, at a shuffle cost
+    * of O(candidates) instead of O(vocabulary) — the hot-token / hot-URL
+    * primitive at corpus scale. */
+  def heavyHitters(df: DataFrame, value: Column, minCount: Long,
+                   d: Int = 4, w: Int = 8192): DataFrame = {
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    val vals = df.select(value.as("term"))
+    val sketch = countMinTable(vals, col("term"), d, w)
+      .localCheckpoint(false) // d consumers below; build the scan once
+    // Row-preserving scan-stage probe: one broadcast join per hash row
+    // (d tiny joins, never an explode or a term-keyed shuffle), then
+    // est = least of the d cells. Rows keep their identity, so the
+    // est-filter happens BEFORE any exchange.
+    val probed = (0 until d).foldLeft(vals) { (acc, i) =>
+      val si = sketch.filter(col("i") === i)
+        .select(col("cell").as(s"__c$i"), col("cnt").as(s"__n$i"))
+      acc.join(broadcast(si),
+        pmod(Dedup.portableHash(
+          concat_ws("|", lit(i.toString), col("term"))),
+          lit(w.toLong)) === col(s"__c$i"), "left")
+    }
+    val est = least((0 until d).map(i =>
+      coalesce(col(s"__n$i"), lit(0L))): _*)
+    val cand = probed.filter(est >= minCount).select("term").distinct()
+    vals.join(broadcast(cand), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** DDSketch bucket table [Masson, Rim & Lee 2019, "DDSketch: a fast
     * and fully-mergeable quantile sketch with relative-error
     * guarantees"]: positive values land in bucket

@@ -117,6 +117,30 @@ class SketchesSpec extends SparkSpec {
     assert(merged === a)
   }
 
+  test("heavy hitters are exact: no false negatives, no false positives") {
+    // Zipf-ish: term t_k appears 2000/k times for k=1..40 — heavy tail
+    // plus 5000 singleton terms to give the prune something to drop.
+    val heavyRows = (1 to 40).flatMap(k => Seq.fill(2000 / k)(s"t_$k"))
+    val df = (heavyRows ++ (1 to 5000).map(i => s"rare_$i")).toDF("v")
+      .repartition(7)
+    val got = Sketches.heavyHitters(df, col("v"), minCount = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = (1 to 40).filter(k => 2000 / k >= 100)
+      .map(k => s"t_$k" -> (2000 / k).toLong).toMap
+    assert(got === want) // exact counts, exact membership
+  }
+
+  test("heavy hitters with a tiny sketch still lose nothing") {
+    // w=16 cells force heavy collisions: false positives explode but
+    // the verify pass must still return the exact answer.
+    val df = ((1 to 300).map(_ => "hot") ++ (1 to 400).map(i => s"cold_$i"))
+      .toDF("v")
+    val got = Sketches.heavyHitters(df, col("v"), minCount = 200,
+        d = 2, w = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("hot" -> 300L))
+  }
+
   test("ddsketch quantiles honor the alpha relative-error guarantee") {
     // Uniform 1..100000: true p-quantile ~ p * 1000. alpha = 0.01.
     val df = spark.range(1, 100001).select(col("id").cast("double").as("x"))
