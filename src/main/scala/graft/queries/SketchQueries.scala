@@ -170,6 +170,41 @@ object SketchQueries {
                CAST(count(*) AS BIGINT) AS cnt
         FROM lineitem
         GROUP BY l_partkey HAVING count(*) >= 45
-        ORDER BY term"""))
+        ORDER BY term""")),
+
+    // ------------------------------------------------------------------
+    // GROUPED DDSketch: per-language p50/p90 document length from
+    // per-(lang, bucket) counts — the sketch counterpart of q50's exact
+    // percentiles (alpha=2% relative error, O(log range) buckets per
+    // group, partitioned-window rank walk). One scan, any group count.
+    QuerySpec("q95_ddsketch_grouped",
+      (s, dir) => Sketches.ddQuantilesGrouped(
+        Tables.documents(s, dir), Seq("lang"), col("n_chars"),
+        alpha = 0.02, pcts = Seq(50, 90))
+        .orderBy("lang", "q_pct"),
+      Some {
+        val g = "((1.0 + 0.02) / (1.0 - 0.02))"
+        s"""
+        WITH v AS (SELECT lang, n_chars AS x FROM documents
+          WHERE n_chars > 0),
+        b AS (SELECT lang, CAST(ceil(
+            CAST(${Exact.microsSql(s"ln(x) / ln($g)")} AS DOUBLE)
+            / 1000000.0) AS BIGINT) AS bucket FROM v),
+        sk AS (SELECT lang, bucket, count(*) AS cnt
+          FROM b GROUP BY lang, bucket),
+        c AS (SELECT lang, bucket, cnt,
+            sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum
+          FROM sk),
+        t AS (SELECT lang, sum(cnt) AS n FROM sk GROUP BY lang),
+        q(q_pct) AS (VALUES (50), (90)),
+        sel AS (SELECT c.lang, q_pct, min(bucket) AS bucket
+          FROM c JOIN t ON c.lang = t.lang CROSS JOIN q
+          WHERE cum >= floor(q_pct / 100.0 * (CAST(t.n AS DOUBLE) - 1.0)) + 1
+          GROUP BY c.lang, q_pct)
+        SELECT lang, CAST(q_pct AS INT) AS q_pct, bucket,
+               ${Exact.microsSql(s"2.0 * power($g, bucket) / ($g + 1.0)")}
+                 AS est_micros
+        FROM sel ORDER BY lang, q_pct"""
+      })
   )
 }

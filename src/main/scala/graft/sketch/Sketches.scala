@@ -227,6 +227,45 @@ object Sketches {
       .orderBy("q_pct")
   }
 
+  /** GROUPED DDSketch quantiles — the per-key deployment shape (per
+    * language, per domain, per source …): bucket counts keyed by
+    * (group, bucket), rank walk per group under a PARTITIONED window
+    * (each partition is that group's O(log range) bucket list, never
+    * data-scale). One scan however many groups; contrast an exact
+    * per-group percentile whose sort buffer grows with the group's
+    * value multiset. Same engine-portable bucket rule as
+    * [[ddSketchTable]]. */
+  def ddQuantilesGrouped(df: DataFrame, keys: Seq[String], value: Column,
+                         alpha: Double, pcts: Seq[Int]): DataFrame = {
+    require(keys.nonEmpty, "need at least one grouping key")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val snapped = graft.util.Exact.micros(log(value) / lit(math.log(gamma)))
+    val sketch = df.filter(value > 0)
+      .select(keys.map(col) :+
+        ceil(snapped.cast("double") / lit(1000000.0)).as("bucket"): _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // feeds the walk and the per-group totals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy("bucket")
+    val cum = sketch.withColumn("cum", sum("cnt").over(w))
+    val totals = sketch.groupBy(keys.map(col): _*).agg(sum("cnt").as("n"))
+    cum.join(totals, keys)
+      .crossJoin(pcts.toDF("q_pct"))
+      .filter(col("cum") >=
+        floor(col("q_pct") / lit(100.0) *
+          (col("n").cast("double") - lit(1.0))) + 1)
+      .groupBy((keys :+ "q_pct").map(col): _*)
+      .agg(min("bucket").as("bucket"))
+      .select(keys.map(col) ++ Seq(col("q_pct"), col("bucket"),
+        graft.util.Exact.micros(
+          lit(2.0) * pow(lit(gamma), col("bucket")) / lit(gamma + 1.0))
+          .as("est_micros")): _*)
+  }
+
   /** HyperLogLog register table [Flajolet et al. 2007]: 2^p registers,
     * register j = max over values hashing to j of rho(w) = 1 + the
     * number of leading zeros in the value's remaining 60-p hash bits.

@@ -117,6 +117,22 @@ class SketchesSpec extends SparkSpec {
     assert(merged === a)
   }
 
+  test("grouped ddsketch hits the per-group alpha bound independently") {
+    // Two groups with disjoint scales: a (1..1000), b (100k..200k).
+    val df = spark.range(1, 1001)
+      .select(lit("a").as("g"), col("id").cast("double").as("x"))
+      .union(spark.range(1, 1001).select(lit("b").as("g"),
+        (col("id") * 100 + 100000).cast("double").as("x")))
+    val got = Sketches.ddQuantilesGrouped(df, Seq("g"), col("x"),
+        alpha = 0.01, pcts = Seq(50, 90))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getLong(3).toDouble / 1e6).toMap
+    val truth = Map(("a", 50) -> 500.0, ("a", 90) -> 900.0,
+      ("b", 50) -> 150000.0, ("b", 90) -> 190000.0)
+    for ((k, want) <- truth)
+      assert(math.abs(got(k) - want) / want <= 0.011, s"$k: ${got(k)}")
+  }
+
   test("heavy hitters are exact: no false negatives, no false positives") {
     // Zipf-ish: term t_k appears 2000/k times for k=1..40 — heavy tail
     // plus 5000 singleton terms to give the prune something to drop.
