@@ -205,6 +205,41 @@ object SketchQueries {
                ${Exact.microsSql(s"2.0 * power($g, bucket) / ($g + 1.0)")}
                  AS est_micros
         FROM sel ORDER BY lang, q_pct"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // KMV set resemblance: Jaccard similarity of the even- and odd-id
+    // document TEXT sets from two k=512 sketches (planted near-dups
+    // straddle the split, so the overlap is real). The corpora are
+    // never joined — only the two k-row sketches meet.
+    QuerySpec("q96_kmv_jaccard",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Sketches.kmvJaccard(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          col("text"), k = 512)
+      },
+      Some(s"""
+        WITH ha AS (SELECT DISTINCT ${hashSql("text")} AS h
+          FROM documents WHERE doc_id % 2 = 0),
+        hb AS (SELECT DISTINCT ${hashSql("text")} AS h
+          FROM documents WHERE doc_id % 2 = 1),
+        ka AS (SELECT h FROM ha ORDER BY h LIMIT 512),
+        kb AS (SELECT h FROM hb ORDER BY h LIMIT 512),
+        ku AS (SELECT DISTINCT h FROM
+          (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+          ORDER BY h LIMIT 512),
+        agg AS (SELECT
+          (SELECT count(*) FROM ku) AS k_used,
+          (SELECT count(*) FROM ku
+           WHERE h IN (SELECT h FROM ka)
+             AND h IN (SELECT h FROM kb)) AS matches)
+        SELECT CAST(k_used AS BIGINT) AS k_used,
+               CAST(matches AS BIGINT) AS matches,
+               ${Exact.microsSql(
+                 "CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE)")}
+                 AS jaccard_micros
+        FROM agg"""))
   )
 }

@@ -81,6 +81,33 @@ object Sketches {
             col("kth_h").cast("double")).cast("long"))
           .as("est_distinct"))
 
+  /** KMV set resemblance (Beyer et al. 2007, "On synopses for
+    * distinct-value estimation under multiset operations"): estimate
+    * the Jaccard similarity of two SETS from their k-minimum-value
+    * sketches alone — corpus-drift / release-overlap detection without
+    * ever joining the corpora. K = the k smallest of kmin(A) ∪ kmin(B)
+    * is a uniform sample of A ∪ B, and any member of K that belongs to
+    * A (resp. B) provably appears in kmin(A) (kmin(B)) — fewer than k
+    * set members hash below it — so membership tests against the two
+    * k-row sketches are EXACT and J ≈ |K ∩ kmin(A) ∩ kmin(B)| / |K|.
+    * RNG-free like the rest of the suite: the whole computation is
+    * hash-deterministic, so it oracle-checks (q96). */
+  def kmvJaccard(a: DataFrame, b: DataFrame, value: Column,
+                 k: Int): DataFrame = {
+    val ka = kSmallestHashes(a, value, k).localCheckpoint(false)
+    val kb = kSmallestHashes(b, value, k).localCheckpoint(false)
+    val ku = ka.unionAll(kb).distinct().orderBy("h").limit(k)
+      .localCheckpoint(false)
+    val matches = ku.join(ka, Seq("h"), "left_semi")
+      .join(kb, Seq("h"), "left_semi")
+    ku.agg(count(lit(1)).as("k_used"))
+      .crossJoin(matches.agg(count(lit(1)).as("matches")))
+      .select(col("k_used"), col("matches"),
+        graft.util.Exact.micros(
+          col("matches").cast("double") / col("k_used").cast("double"))
+          .as("jaccard_micros"))
+  }
+
   /** Count-Min sketch of `value` frequencies: the (i, cell, cnt) counter
     * table for d hash rows x w columns. Row i's hash of x is the
     * portable 60-bit hash of "i|x" mod w — deterministic and

@@ -117,6 +117,24 @@ class SketchesSpec extends SparkSpec {
     assert(merged === a)
   }
 
+  test("kmv jaccard estimates set resemblance from sketches alone") {
+    // |A| = |B| = 20000, |A ∩ B| = 10000 -> J = 10000/30000 = 1/3.
+    val a = spark.range(0, 20000).select(concat(lit("v"), col("id")).as("v"))
+    val b = spark.range(10000, 30000)
+      .select(concat(lit("v"), col("id")).as("v"))
+    val row = Sketches.kmvJaccard(a, b, col("v"), k = 1024).collect().head
+    assert(row.getAs[Long]("k_used") === 1024L)
+    val j = row.getAs[Long]("jaccard_micros").toDouble / 1e6
+    assert(math.abs(j - 1.0 / 3) < 0.05, s"j=$j") // ~3 sigma at k=1024
+    // identical sets -> exactly 1; disjoint sets -> exactly 0
+    val same = Sketches.kmvJaccard(a, a, col("v"), 256).collect().head
+    assert(same.getAs[Long]("jaccard_micros") === 1000000L)
+    val disj = Sketches.kmvJaccard(a,
+      spark.range(50000, 70000).select(concat(lit("v"), col("id")).as("v")),
+      col("v"), 256).collect().head
+    assert(disj.getAs[Long]("jaccard_micros") === 0L)
+  }
+
   test("grouped ddsketch hits the per-group alpha bound independently") {
     // Two groups with disjoint scales: a (1..1000), b (100k..200k).
     val df = spark.range(1, 1001)
