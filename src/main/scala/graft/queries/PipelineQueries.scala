@@ -338,6 +338,133 @@ object PipelineQueries {
                  ${Exact.microsSql(corrSql("spd", "sp", "sd", "spp", "sdd"))}
             FROM a)
         ORDER BY pair"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Multi-dimensional CUBE aggregate: all 2^2 grouping-set combinations
+    // of (returnflag, linestatus) in ONE pass — Spark expands the cube
+    // into a single Expand + hash-agg (each input row feeds all 4 sets
+    // map-side, so it still partial-aggregates before the shuffle; no
+    // 4x rescan). grouping_id() disambiguates rolled-up NULLs from data
+    // NULLs; keys are coalesced to 'ALL' so the oracle compare never
+    // depends on engine NULL-ordering rules.
+    QuerySpec("q97_cube_pricing",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().cast("long").as("gid"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            sum(Exact.cents(col("l_extendedprice"))).as("price_cents"),
+            count(lit(1)).as("cnt"))
+          .select(col("gid"),
+            coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+            col("sum_qty"), col("price_cents"), col("cnt"))
+          .orderBy("gid", "rflag", "lstatus")
+      },
+      Some(s"""
+        SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT)
+                 AS price_cents,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, rflag, lstatus""")),
+
+    // ------------------------------------------------------------------
+    // Pivot (long -> wide): order value by status x priority. Spark's
+    // `pivot` with an EXPLICIT value list compiles to one hash-agg of
+    // conditional sums (no second pass to discover the domain, which at
+    // 100 TB would be a full extra scan + collect) — same shape as the
+    // oracle's FILTER aggregates. Empty cells are 0, not NULL, so the
+    // frame is total.
+    QuerySpec("q98_pivot_priority",
+      (s, dir) => {
+        val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")
+        val wide = Tables.orders(s, dir)
+          .withColumn("cents", Exact.cents(col("o_totalprice")))
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", priorities)
+          .agg(sum(col("cents")))
+        val named = Seq("p_urgent", "p_high", "p_medium", "p_notspec",
+          "p_low")
+        priorities.zip(named).foldLeft(wide) { case (df, (from, to)) =>
+          df.withColumn(to, coalesce(col(s"`$from`"), lit(0L)))
+        }.select(col("o_orderstatus") +: named.map(col): _*)
+          .orderBy("o_orderstatus")
+      },
+      Some {
+        def cell(p: String, as: String) =
+          "CAST(coalesce(sum(" + Exact.centsSql("o_totalprice") +
+            s") FILTER (WHERE o_orderpriority = '$p'), 0) AS BIGINT) AS $as"
+        s"""
+        SELECT o_orderstatus,
+               ${cell("1-URGENT", "p_urgent")},
+               ${cell("2-HIGH", "p_high")},
+               ${cell("3-MEDIUM", "p_medium")},
+               ${cell("4-NOT SPECIFIED", "p_notspec")},
+               ${cell("5-LOW", "p_low")}
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      }),
+
+    // ------------------------------------------------------------------
+    // Sessionless user-activity analytics: per-user daily series ->
+    // day-over-day churn via lag() (window PARTITIONED by user — shuffles
+    // once on user_id, each partition sorts its own short series; scale-
+    // safe), then activity quartiles via ntile(4) over the per-user
+    // rollup. The unpartitioned ntile window ranks |users| rows, not
+    // |events| — bounded input by construction (at 100 TB you'd swap the
+    // exact ntile for percentile cutoffs; the daily/churn stages are the
+    // scale path and they never see a global window).
+    QuerySpec("q99_activity_quartiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val dayNs = 86400L * 1000000000L
+        val daily = Tables.events(s, dir)
+          .groupBy(col("user_id"), expr(s"ts div $dayNs").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val wUser = Window.partitionBy("user_id").orderBy("day")
+        val churn = daily
+          .withColumn("prev", lag(col("n"), 1).over(wUser))
+          .groupBy("user_id")
+          .agg(sum(col("n")).as("n_events"),
+            sum(abs(col("n") - col("prev"))).as("churn"),
+            count(lit(1)).as("active_days"))
+        val wAll = Window.orderBy(col("n_events").desc, col("user_id"))
+        churn.withColumn("quartile", ntile(4).over(wAll).cast("long"))
+          .groupBy("quartile")
+          .agg(count(lit(1)).as("users"),
+            sum(col("n_events")).as("events"),
+            sum(coalesce(col("churn"), lit(0L))).as("total_churn"),
+            sum(col("active_days")).as("active_days"))
+          .orderBy("quartile")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        lagged AS (
+          SELECT user_id, n,
+                 lag(n) OVER (PARTITION BY user_id ORDER BY day) AS prev
+          FROM daily),
+        churn AS (
+          SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+                 CAST(sum(abs(n - prev)) AS BIGINT) AS churn,
+                 count(*) AS active_days
+          FROM lagged GROUP BY user_id),
+        q AS (
+          SELECT *, CAST(ntile(4) OVER
+              (ORDER BY n_events DESC, user_id) AS BIGINT) AS quartile
+          FROM churn)
+        SELECT quartile, CAST(count(*) AS BIGINT) AS users,
+               CAST(sum(n_events) AS BIGINT) AS events,
+               CAST(sum(coalesce(churn, 0)) AS BIGINT) AS total_churn,
+               CAST(sum(active_days) AS BIGINT) AS active_days
+        FROM q GROUP BY quartile ORDER BY quartile"""))
   )
 }
