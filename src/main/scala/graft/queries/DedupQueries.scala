@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
+import graft.operators.Neighborhood
 import graft.text.Analyzer
 import graft.util.Exact
 
@@ -420,6 +421,44 @@ object DedupQueries {
         SELECT component, CAST(n_members AS BIGINT) AS n_members,
           id AS keep_id, qm AS keep_q_micros
         FROM ranked WHERE rn = 1 ORDER BY component"""
-      })
+      }),
+
+    // Sorted-neighborhood blocking (Hernández & Stolfo 1995): rank the
+    // augmented corpus by a 20-char normalized text prefix, pair only
+    // rows within a rank window of 6, then verify candidates with exact
+    // edit distance (the planted copies append a 19-char tail, so they
+    // rank adjacent and pass dist <= 20). Candidate volume is O(n·w) —
+    // the rank join is an equi-join, never a cross product — and the
+    // global rank itself is the two-phase distributed prefix sum
+    // (driver sees only #partitions subtotal rows).
+    QuerySpec("q100_sorted_neighborhood",
+      (s, dir) => {
+        val pairs = Neighborhood.sortedNeighborhoodPairs(
+          augmented(s, dir),
+          substring(lower(trim(col("text"))), 1, 20), "doc_id",
+          w = 6, payload = Seq("text"))
+        pairs
+          .withColumn("dist",
+            levenshtein(col("text_a"), col("text_b")).cast("long"))
+          .filter(col("dist") <= 20)
+          .select(col("id_a"), col("id_b"), col("dist"))
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text || ' zz9 qq8 extra tail'
+          FROM documents WHERE doc_id % 20 = 0),
+        ranked AS (
+          SELECT doc_id, text,
+                 row_number() OVER (
+                   ORDER BY substring(lower(trim(text)), 1, 20), doc_id) AS rn
+          FROM aug),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+          FROM ranked a JOIN ranked b
+            ON b.rn > a.rn AND b.rn <= a.rn + 5)
+        SELECT id_a, id_b, dist FROM pairs WHERE dist <= 20"""))
   )
 }
