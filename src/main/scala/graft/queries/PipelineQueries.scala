@@ -465,6 +465,76 @@ object PipelineQueries {
                CAST(sum(n_events) AS BIGINT) AS events,
                CAST(sum(coalesce(churn, 0)) AS BIGINT) AS total_churn,
                CAST(sum(active_days) AS BIGINT) AS active_days
-        FROM q GROUP BY quartile ORDER BY quartile"""))
+        FROM q GROUP BY quartile ORDER BY quartile""")),
+
+    // ------------------------------------------------------------------
+    // Bucketed point-in-interval range join: error events attributed to
+    // the user's activity sessions (sessions built over NON-error
+    // events, q36's gap rule, padded ±30 min — an error just before,
+    // during, or just after a session belongs to it; padding makes
+    // adjacent intervals overlap, so multi-match is exercised). A
+    // native `BETWEEN` join condition plans as BroadcastNestedLoop;
+    // RangeJoin turns it into an equi-join on (user, hour-bucket) —
+    // PlanSpec asserts no nested loop / cartesian survives. Errors
+    // outside any padded session drop out (inner semantics).
+    QuerySpec("q101_range_join",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 30L * 60 * 1000000
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"))
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val sessions = ev.filter(col("event_type") =!= "error")
+          .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+          .withColumn("sess_no", sum("new_sess").over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_no")
+          .agg((min("ts_us") - gapUs).as("start_us"),
+            (max("ts_us") + gapUs).as("end_us"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+        graft.operators.RangeJoin.pointInInterval(errors, sessions,
+            Seq("user_id"), "ts_us", "start_us", "end_us",
+            bucketWidth = 3600L * 1000000)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("sess_no"), col("start_us"), col("end_us"))
+          .orderBy("event_id", "sess_no")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, ts_us,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev WHERE event_type <> 'error'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_no,
+                 ts_us
+          FROM flagged),
+        bounds AS (
+          SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+                 CAST(min(ts_us) - 1800000000 AS BIGINT) AS start_us,
+                 CAST(max(ts_us) + 1800000000 AS BIGINT) AS end_us
+          FROM sess GROUP BY user_id, sess_no)
+        SELECT e.user_id, e.event_id, e.ts_us,
+               b.sess_no, b.start_us, b.end_us
+        FROM ev e JOIN bounds b
+          ON e.user_id = b.user_id
+         AND e.ts_us BETWEEN b.start_us AND b.end_us
+        WHERE e.event_type = 'error'
+        ORDER BY e.event_id, b.sess_no"""))
   )
 }

@@ -216,4 +216,11 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "SymSpell blocking must stay an equi-join")
   }
+
+  test("range join buckets to an equi-join — no cartesian, no BNLJ") {
+    val p = planOf("q101_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "interval containment must ride the (key, bucket) equi-join")
+  }
 }
