@@ -352,6 +352,57 @@ object MlQueries {
         SELECT vec_id,
           CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_micros,
           CAST(floor(max_err * 1000000 + 0.5) AS BIGINT) AS max_err_micros
-        FROM e ORDER BY vec_id"""))
+        FROM e ORDER BY vec_id""")),
+
+    // ------------------------------------------------------------------
+    // All-pairs sparse TF-IDF cosine (Bayardo-style df-capped candidate
+    // generation): related-document pairs from the inverted index alone,
+    // no embeddings. Hub terms (df > 64) stay in the norms but never
+    // generate candidates — the stopword-pruning contract, mirrored in
+    // the oracle. Per-term products micros-snap before integer sums.
+    QuerySpec("q102_sparse_cosine",
+      (s, dir) => {
+        graft.ml.SparseSim.tfidfCosinePairs(
+            Tables.documents(s, dir), maxDf = 64L, minCosMicros = 250000L)
+          .select(col("id_a"), col("id_b"), col("shared_terms"),
+            Exact.micros(col("cos")).as("cos_micros"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id AS id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))
+            AS term
+          FROM documents),
+        tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        w AS (SELECT tf.id, tf.term, dfreq.df,
+                tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS w
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        norms AS (
+          SELECT id, sqrt(CAST(sum(${Exact.microsSql("w * w")}) AS DOUBLE)
+                 / 1000000.0) AS norm
+          FROM w GROUP BY id),
+        probe AS (SELECT * FROM w WHERE df <= 64 AND df >= 2),
+        dots AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 count(*) AS shared_terms,
+                 CAST(sum(${Exact.microsSql("a.w * b.w")}) AS BIGINT)
+                   AS dot_micros
+          FROM probe a JOIN probe b
+            ON a.term = b.term AND a.id < b.id
+          GROUP BY 1, 2)
+        SELECT d.id_a, d.id_b, d.shared_terms,
+               ${Exact.microsSql(
+                 "(CAST(d.dot_micros AS DOUBLE) / 1000000.0)" +
+                 " / (na.norm * nb.norm)")} AS cos_micros
+        FROM dots d
+        JOIN norms na ON na.id = d.id_a
+        JOIN norms nb ON nb.id = d.id_b
+        WHERE ${Exact.microsSql(
+          "(CAST(d.dot_micros AS DOUBLE) / 1000000.0)" +
+          " / (na.norm * nb.norm)")} >= 250000
+        ORDER BY id_a, id_b"""))
   )
 }
