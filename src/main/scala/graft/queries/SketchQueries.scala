@@ -240,6 +240,47 @@ object SketchQueries {
                ${Exact.microsSql(
                  "CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE)")}
                  AS jaccard_micros
-        FROM agg"""))
+        FROM agg""")),
+
+    // ------------------------------------------------------------------
+    // Grouped HLL: distinct users per event type, one 8 KB-bounded
+    // sketch per group with NO per-group register fill — absent
+    // registers enter the harmonic sum arithmetically ((m−present)·2^62,
+    // exact DECIMAL math). COUNT(DISTINCT) per group would shuffle every
+    // (group, user) pair; this shuffles ≤ m rows per group.
+    QuerySpec("q103_hll_grouped",
+      (s, dir) => Sketches.hllDistinctGrouped(
+          Tables.events(s, dir), Seq("event_type"),
+          col("user_id").cast("string"), p = HllP)
+        .orderBy("event_type"),
+      Some(s"""
+        WITH hs AS (SELECT event_type,
+            ${hashSql("CAST(user_id AS VARCHAR)")} AS h
+          FROM events),
+        regs AS (SELECT event_type, h % $HllM AS idx,
+            CASE WHEN h // $HllM = 0 THEN ${HllBits + 1}
+                 ELSE ${HllBits + 1} - length(bin(h // $HllM))
+            END AS rho
+          FROM hs),
+        mx AS (SELECT event_type, idx, max(rho) AS m_rho
+          FROM regs GROUP BY 1, 2),
+        agg AS (SELECT event_type, count(*) AS present,
+            sum(CAST(power(2.0, 62 - m_rho) AS DECIMAL(38,0))) AS sp
+          FROM mx GROUP BY 1),
+        est AS (SELECT event_type,
+            CAST(present AS BIGINT) AS nonzero_regs,
+            CAST($HllM - present AS BIGINT) AS zero_regs,
+            ((0.7213 / (1.0 + 1.079 / $HllM.0)) * $HllM.0) * $HllM.0
+              * power(2.0, 62)
+              / CAST(sp + ($HllM - present)
+                     * CAST(power(2.0, 62) AS DECIMAL(38,0)) AS DOUBLE)
+              AS raw
+          FROM agg)
+        SELECT event_type, nonzero_regs, zero_regs,
+          ${Exact.microsSql(
+            s"CASE WHEN raw <= 2.5 * $HllM.0 AND zero_regs > 0 " +
+            s"THEN $HllM.0 * ln($HllM.0 / CAST(zero_regs AS DOUBLE)) " +
+            "ELSE raw END")} AS est_micros
+        FROM est ORDER BY event_type"""))
   )
 }

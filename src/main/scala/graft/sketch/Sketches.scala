@@ -385,4 +385,54 @@ object Sketches {
             lit(mD) * log(lit(mD) / col("zero_regs").cast("double")))
             .otherwise(col("raw"))).as("est_micros"))
   }
+
+  /** Per-group HLL distinct estimates — one sketch per key, WITHOUT
+    * materializing m registers per group: a register an element hit
+    * always has rho ≥ 1 (the hash is 60 bits, so the suffix's bin()
+    * length never exceeds 60−p), so present-register count IS
+    * nonzero_regs, and the (m − present) silent registers enter the
+    * harmonic sum arithmetically as (m − present)·2^62 — exact integer
+    * (DECIMAL) math, identical in the SQL twin. Same estimator tail as
+    * [[hllEstimate]] (alpha_m·m²·2^62/S, linear counting on the small
+    * range), applied per key.
+    *
+    * At 100 TB: per-group state is ≤ min(m, distinct(group)) rows and
+    * both aggregations are map-side combinable — distinct-per-segment
+    * dashboards over arbitrarily many segments at 8 KB a segment,
+    * where COUNT(DISTINCT) per group shuffles every (group, value)
+    * pair. */
+  def hllDistinctGrouped(df: DataFrame, keys: Seq[String], value: Column,
+                         p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1L << p
+    val mD = m.toDouble
+    val bits = 60 - p
+    val h = Dedup.portableHash(value)
+    val w = shiftrightunsigned(h, p)
+    val keyCols = keys.map(col)
+    val obs = df.select(keyCols ++ Seq(
+      pmod(h, lit(m)).as("idx"),
+      when(w === 0, lit(bits + 1))
+        .otherwise(lit(bits + 1) - length(bin(w))).as("rho")): _*)
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD)) *
+      lit(mD) * lit(mD)
+    val two62 = pow(lit(2.0), lit(62)).cast("decimal(38,0)")
+    obs.groupBy(keyCols :+ col("idx"): _*).agg(max("rho").as("m_rho"))
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("nonzero_regs"),
+        sum(pow(lit(2.0), lit(62) - col("m_rho")).cast("decimal(38,0)"))
+          .as("sp"))
+      .select(keyCols ++ Seq(
+        col("nonzero_regs"),
+        (lit(m) - col("nonzero_regs")).as("zero_regs"),
+        (alphaM2 * pow(lit(2.0), lit(62)) /
+          (col("sp") + (lit(m) - col("nonzero_regs")).cast("decimal(38,0)")
+            * two62).cast("double")).as("raw")): _*)
+      .select(keyCols ++ Seq(
+        col("nonzero_regs"), col("zero_regs"),
+        graft.util.Exact.micros(
+          when(col("raw") <= lit(2.5) * lit(mD) && col("zero_regs") > 0,
+            lit(mD) * log(lit(mD) / col("zero_regs").cast("double")))
+            .otherwise(col("raw"))).as("est_micros")): _*)
+  }
 }

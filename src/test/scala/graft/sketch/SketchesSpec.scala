@@ -206,4 +206,31 @@ class SketchesSpec extends SparkSpec {
     val withJunk = df.union(Seq(-5.0, 0.0).toDF("x"))
     assert(tbl(withJunk) === whole)
   }
+
+  test("grouped hll equals one independent sketch per group") {
+    // Three groups with very different cardinalities (100 / 40 / 1:
+    // group a's ids are multiples of 3, so id % 300 hits only the 100
+    // multiples of 3; the small groups exercise linear counting).
+    val df = spark.range(0, 4000).select(
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+        .otherwise("c").as("g"),
+      when(col("id") % 3 === 0, col("id") % 300)
+        .when(col("id") % 3 === 1, col("id") % 40)
+        .otherwise(col("id") % 3).cast("string").as("v"))
+    val grouped = Sketches.hllDistinctGrouped(df, Seq("g"), col("v"), p = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val solo = Sketches.hllDistinct(
+        df.filter(col("g") === g), col("v"), p = 8)
+        .collect().head
+      assert(grouped(g) == ((solo.getLong(0), solo.getLong(1),
+        solo.getLong(2))), s"group $g diverges from its solo sketch")
+    }
+    // and the estimates are in range of the true cardinalities
+    for ((g, truth) <- Seq("a" -> 100.0, "b" -> 40.0, "c" -> 1.0)) {
+      val est = grouped(g)._3.toDouble / 1e6
+      assert(math.abs(est - truth) / truth < 0.25, s"$g est=$est")
+    }
+  }
 }
