@@ -61,4 +61,29 @@ object Stats {
       .select(col("r.pair").as("pair"), col("r.n").as("n"),
         col("r.corr_micros").as("corr_micros"))
   }
+
+  /** Exponential time-decay aggregation in EXACT integer arithmetic —
+    * the recency-weighted engagement/quality score of every feature
+    * pipeline (EWMA-style), with the float-sum nondeterminism designed
+    * out: weight(age) = 2^(maxAge − clamp(age, 0, maxAge)), a power of
+    * two (halving per age unit, floored at weight 1), so the decayed
+    * sum is a plain integer hash-agg — map-side combinable, insertion-
+    * order independent, engine-portable bit-for-bit.
+    *
+    * At 100 TB this is ONE aggregation pass keyed by `keys` — the same
+    * shape as any rollup; no window, no per-key ordering. Overflow
+    * headroom: |values| · 2^maxAge must fit DECIMAL(38,0), i.e.
+    * maxAge ≤ 62 enforced, and row values should keep
+    * value · 2^maxAge within ~10^38/rows. */
+  def decayedSum(df: DataFrame, keys: Seq[String], value: Column,
+                 age: Column, maxAge: Int): DataFrame = {
+    require(maxAge >= 0 && maxAge <= 62, s"maxAge in [0,62], got $maxAge")
+    // 2^k is exact in double for any k here; the cast back is exact.
+    val weight = pow(lit(2.0),
+      lit(maxAge) - least(greatest(age, lit(0)), lit(maxAge))).cast("long")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum((value * weight).cast("decimal(38,0)")).cast("long")
+          .as("decayed"))
+  }
 }

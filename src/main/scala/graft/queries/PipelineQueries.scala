@@ -535,6 +535,40 @@ object PipelineQueries {
           ON e.user_id = b.user_id
          AND e.ts_us BETWEEN b.start_us AND b.end_us
         WHERE e.event_type = 'error'
-        ORDER BY e.event_id, b.sess_no"""))
+        ORDER BY e.event_id, b.sess_no""")),
+
+    // ------------------------------------------------------------------
+    // Recency-weighted (exponentially decayed) engagement score per
+    // user: weight halves per day of age relative to the corpus's
+    // newest event, floored at 1 past 30 days — EWMA semantics with the
+    // float sum designed out (weights are powers of two, the sum is
+    // exact integer arithmetic; see operators.Stats.decayedSum). The
+    // corpus max-ts is an in-plan 1-row broadcast, not a driver action.
+    QuerySpec("q104_decayed_engagement",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          Exact.cents(col("value")).as("cents"))
+        val mx = ev.agg(max("ts_us").as("max_us"))
+        val aged = ev.crossJoin(broadcast(mx))
+          .withColumn("age", expr(s"(max_us - ts_us) div $dayUs"))
+        graft.operators.Stats.decayedSum(aged, Seq("user_id"),
+            col("cents"), col("age"), maxAge = 30)
+          .withColumnRenamed("decayed", "decayed_cents")
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        mx AS (SELECT max(ts_us) AS max_us FROM ev)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents * CAST(power(2.0,
+                 30 - least((max_us - ts_us) // 86400000000, 30))
+                 AS BIGINT)) AS BIGINT) AS decayed_cents
+        FROM ev CROSS JOIN mx
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }

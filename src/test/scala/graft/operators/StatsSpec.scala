@@ -47,4 +47,30 @@ class StatsSpec extends SparkSpec {
     val b = corrs(df.coalesce(1), ms)
     assert(a === b)
   }
+
+  private def decayed(df: org.apache.spark.sql.DataFrame, maxAge: Int) =
+    Stats.decayedSum(df, Seq("k"), col("v"), col("age"), maxAge)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("decayed sum halves per age unit, exactly") {
+    // maxAge 2: weights 4, 2, 1 for ages 0, 1, 2
+    val df = Seq(("a", 10L, 0L), ("a", 10L, 1L), ("a", 10L, 2L),
+      ("b", 7L, 0L)).toDF("k", "v", "age")
+    val m = decayed(df, maxAge = 2)
+    assert(m("a") == ((3L, 10L * 4 + 10L * 2 + 10L * 1)))
+    assert(m("b") == ((1L, 28L)))
+  }
+
+  test("ages clamp into [0, maxAge]: old rows keep weight 1, future rows cap") {
+    val df = Seq(("a", 5L, 99L), ("a", 5L, -3L)).toDF("k", "v", "age")
+    val m = decayed(df, maxAge = 3)
+    assert(m("a") == ((2L, 5L * 1 + 5L * 8)))
+  }
+
+  test("decayed sum is partitioning-invariant (integer weights)") {
+    val df = spark.range(4000).select(lit("g").as("k"),
+      (col("id") % 97 + 1).as("v"), (col("id") % 45).as("age"))
+    assert(decayed(df.repartition(13), 30) == decayed(df.coalesce(1), 30))
+  }
 }
