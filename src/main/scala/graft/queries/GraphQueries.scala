@@ -654,6 +654,39 @@ object GraphQueries {
           .groupBy("color").agg(count(lit(1)).as("cnt"))
           .orderBy("color")
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // Adamic-Adar co-purchase recommendation (link prediction): top part
+    // pairs scored Σ 1/ln(|order|) over shared orders — item-based CF
+    // with inverse-log activity weighting. Wedge centers are ORDERS
+    // (size ~4-7), so candidate volume is Σ|order|² — linear in
+    // lineitem; orders above 40 parts are hub-suppressed by contract
+    // (none at this SF, but the knob is what survives a bot order at
+    // 100 TB). Per-wedge weights micros-snap before the integer sum.
+    QuerySpec("q105_adamic_adar",
+      (s, dir) => {
+        val inc = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("mid"), col("l_partkey").as("item"))
+          .distinct()
+        graft.graph.LinkPrediction.adamicAdar(inc,
+          maxMidDegree = 40L, topN = 100)
+      },
+      Some(s"""
+        WITH inc AS (SELECT DISTINCT l_orderkey AS mid, l_partkey AS item
+          FROM lineitem),
+        deg AS (SELECT mid, count(*) AS deg FROM inc GROUP BY mid
+                HAVING count(*) >= 2 AND count(*) <= 40),
+        mids AS (SELECT i.mid, i.item, d.deg
+                 FROM inc i JOIN deg d USING (mid)),
+        w AS (SELECT a.item AS u, b.item AS v, a.deg AS mid_deg
+              FROM mids a JOIN mids b
+                ON a.mid = b.mid AND a.item < b.item)
+        SELECT u, v, CAST(count(*) AS BIGINT) AS common,
+               CAST(sum(${graft.util.Exact.microsSql(
+                 "1.0 / ln(CAST(mid_deg AS DOUBLE))")}) AS BIGINT)
+                 AS aa_micros
+        FROM w GROUP BY u, v
+        ORDER BY aa_micros DESC, u, v LIMIT 100"""))
   )
 }
