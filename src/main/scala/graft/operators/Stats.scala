@@ -86,4 +86,33 @@ object Stats {
         sum((value * weight).cast("decimal(38,0)")).cast("long")
           .as("decayed"))
   }
+
+  /** Per-group z-score standardization of an integer measure — the
+    * feature-normalization pass of every training pipeline — in the
+    * division-free integer-moment form:
+    *   z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²) · 1   (population σ),
+    * i.e. the NUMERATOR is exact integer arithmetic and the float tail
+    * is one cast, one IEEE sqrt and one divide — bit-identical in any
+    * conforming engine (same trick as [[corrMatrix]]). Degenerate
+    * groups (σ = 0, incl. singletons) standardize to 0.
+    *
+    * Shape: one map-side-combinable moments agg per group + one keyed
+    * join back — no window, no per-group sort; at 100 TB the group
+    * stats side is |groups| rows and broadcasts (AQE) when small. */
+  def zscore(df: DataFrame, keys: Seq[String], measure: Column,
+             outCol: String = "z_micros"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(measure.cast(dec)).as("__sx"),
+        sum((measure * measure).cast(dec)).as("__sxx"))
+    val varNum = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val z = (col("__n") * measure.cast(dec) - col("__sx")).cast("double") /
+      sqrt(varNum)
+    df.join(stats, keys)
+      .withColumn(outCol,
+        when(varNum > 0, graft.util.Exact.micros(z)).otherwise(lit(0L)))
+      .drop("__n", "__sx", "__sxx")
+  }
 }

@@ -569,6 +569,39 @@ object PipelineQueries {
                  30 - least((max_us - ts_us) // 86400000000, 30))
                  AS BIGINT)) AS BIGINT) AS decayed_cents
         FROM ev CROSS JOIN mx
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // Per-group feature standardization: z-score of document length
+    // within each language, in the division-free integer-moment form
+    // z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²) — exact integer numerator,
+    // one IEEE sqrt + one divide (the q55/q91 moment trick applied
+    // per row). One moments agg + one keyed join back; no window.
+    QuerySpec("q106_zscore_normalize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        graft.operators.Stats.zscore(docs, Seq("lang"), col("n_chars"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("z_micros"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH st AS (
+          SELECT lang,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(n_chars AS HUGEINT)
+                          * CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sxx
+          FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang, d.n_chars,
+               CASE WHEN st.n * st.sxx - st.sx * st.sx > 0
+                    THEN ${Exact.microsSql(
+                      "CAST(st.n * d.n_chars - st.sx AS DOUBLE)" +
+                      " / sqrt(CAST(st.n * st.sxx - st.sx * st.sx" +
+                      " AS DOUBLE))")}
+                    ELSE 0 END AS z_micros
+        FROM documents d JOIN st USING (lang)
+        ORDER BY d.doc_id"""))
   )
 }

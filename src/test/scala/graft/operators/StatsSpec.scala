@@ -73,4 +73,29 @@ class StatsSpec extends SparkSpec {
       (col("id") % 97 + 1).as("v"), (col("id") % 45).as("age"))
     assert(decayed(df.repartition(13), 30) == decayed(df.coalesce(1), 30))
   }
+
+  private def zmap(df: org.apache.spark.sql.DataFrame) =
+    Stats.zscore(df, Seq("g"), col("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getLong(2)).toMap
+
+  test("z-score matches the integer-moment formula per group") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 30L))
+      .toDF("g", "x")
+    val m = zmap(df)
+    def z(n: Long, sx: Long, sxx: Long, x: Long) =
+      math.floor((n * x - sx).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble) * 1e6 + 0.5).toLong
+    assert(m(("a", 1L)) == z(3, 6, 14, 1))
+    assert(m(("a", 2L)) == 0L)
+    assert(m(("a", 3L)) == z(3, 6, 14, 3))
+    assert(m(("b", 10L)) == -1000000L) // two points: z = ±1 exactly
+    assert(m(("b", 30L)) == 1000000L)
+  }
+
+  test("degenerate groups (constant or singleton) standardize to 0") {
+    val df = Seq(("c", 5L), ("c", 5L), ("s", 42L)).toDF("g", "x")
+    val m = zmap(df)
+    assert(m(("c", 5L)) == 0L && m(("s", 42L)) == 0L)
+  }
 }
