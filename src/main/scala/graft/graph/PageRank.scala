@@ -43,14 +43,24 @@ object PageRank {
     * starts from r and stays a probability distribution (Σ = 1). The
     * seed set is resolved once (one V-sized broadcast-ish join at init,
     * the weight then rides the generations like the dangling flag);
-    * per-superstep cost is identical to the uniform run. */
+    * per-superstep cost is identical to the uniform run.
+    *
+    * `weightCol`: WEIGHTED PageRank — a vertex's mass splits over its
+    * out-edges proportionally to the (positive integer) edge weight
+    * instead of uniformly: contribution = score·w/Σw_out. Out-weight
+    * sums are exact integer arithmetic (cross-engine stable); the
+    * per-edge fraction is one IEEE divide. Non-positive weights are
+    * dropped (a zero-weight edge would make its source non-dangling
+    * while contributing no mass — a probability leak). Superstep cost
+    * and plan shape are identical to the uniform run. */
   def run(vertices: DataFrame, edges: DataFrame,
           damping: Double = 0.85,
           maxIter: Int = 20,
           stopTol: Option[Double] = Some(1e-3),
           gridSnap: Option[Double] = None,
           checkpointEvery: Int = 5,
-          seeds: Option[DataFrame] = None): Result = {
+          seeds: Option[DataFrame] = None,
+          weightCol: Option[String] = None): Result = {
 
     def snap(c: Column): Column =
       gridSnap.map(g => floor(c * g + 0.5) / g).getOrElse(c)
@@ -59,11 +69,17 @@ object PageRank {
     // The caller's edge subtree (typically a scan + distinct) feeds both
     // out-degrees and the join table — persist it ONCE or Spark
     // re-executes the identical subtree per reference.
-    val e0 = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val outDeg = e0.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("od"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e0 = (weightCol match {
+      case Some(w) => edges.select(col("src"), col("dst"),
+          col(w).cast("long").as("w"))
+        .filter(col("w") > 0)
+      case None => edges.select(col("src"), col("dst"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = (weightCol match {
+      // exact integer out-weight sum, cast once — no float-sum wobble
+      case Some(_) => e0.groupBy("src").agg(sum("w").cast("double").as("od"))
+      case None => e0.groupBy("src").agg(count(lit(1)).cast("double").as("od"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     // out-degree is static — join it into the edge table ONCE, so each
     // superstep pays a single shuffle (scores⋈edges), not two; and
     // hash-partition + SORT the result by the join key: the cached
@@ -128,7 +144,10 @@ object PageRank {
       val contribs = e
         .join(scores.select(col("id").as("src"), col("score")), Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("score") / col("od")).as("contrib"))
+        .agg(sum(
+          if (weightCol.isDefined)
+            col("score") * col("w").cast("double") / col("od")
+          else col("score") / col("od")).as("contrib"))
 
       // Dangling mass: total score on the static dangling set — a 1-row
       // frame cross-joined into the plan (no driver collect, no join).

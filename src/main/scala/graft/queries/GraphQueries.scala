@@ -111,6 +111,51 @@ object GraphQueries {
       FROM r$iters ORDER BY id"""
   }
 
+  /** Unrolled WEIGHTED PageRank oracle: mass splits over out-edges
+    * proportionally to integer edge weights (total quantity of the
+    * order→part incidence); out-weight sums are exact integers, the
+    * per-edge fraction is one IEEE divide — same CTE chain as
+    * [[pageRankSql]] with `sum(w)` out-mass. */
+  private def weightedPageRankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (
+         SELECT e.dst AS id,
+                sum(r.score * CAST(e.w AS DOUBLE) / o.od) AS contrib
+         FROM edges e JOIN r${k - 1} r ON e.src = r.id
+         JOIN outd o ON e.src = o.src
+         GROUP BY e.dst),
+       d$k AS MATERIALIZED (
+         SELECT COALESCE(sum(r.score), 0.0) AS dm
+         FROM r${k - 1} r LEFT JOIN outd o ON r.id = o.src
+         WHERE o.src IS NULL),
+       r$k AS MATERIALIZED (
+         SELECT v.id,
+                floor(((1.0 - 0.85) / nn.n +
+                       0.85 * (COALESCE(c.contrib, 0.0) + d.dm / nn.n))
+                      * $Grid + 0.5) / $Grid AS score
+         FROM verts v CROSS JOIN nn CROSS JOIN d$k d
+         LEFT JOIN c$k c ON v.id = c.id)"""
+    }.mkString(",\n")
+    s"""
+      WITH verts AS MATERIALIZED (
+        SELECT 'o' || o_orderkey AS id FROM orders
+        UNION ALL
+        SELECT 'p' || p_partkey FROM part),
+      edges AS MATERIALIZED (
+        SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst,
+               CAST(sum(l_quantity) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+      nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+      outd AS MATERIALIZED (
+        SELECT src, CAST(sum(w) AS DOUBLE) AS od FROM edges GROUP BY src),
+      r0 AS MATERIALIZED (
+        SELECT id, floor((1.0 / nn.n) * $Grid + 0.5) / $Grid AS score
+        FROM verts CROSS JOIN nn),
+      $steps
+      SELECT id, CAST(floor(score * $Grid + 0.5) AS BIGINT) AS score_nanos
+      FROM r$iters ORDER BY id"""
+  }
+
   /** Unrolled Bellman-Ford oracle: d0 … d{hops} CTE chain. */
   private def shortestPathSql(hops: Int): String = {
     val steps = (1 to hops).map { k =>
@@ -687,6 +732,34 @@ object GraphQueries {
                  "1.0 / ln(CAST(mid_deg AS DOUBLE))")}) AS BIGINT)
                  AS aa_micros
         FROM w GROUP BY u, v
-        ORDER BY aa_micros DESC, u, v LIMIT 100"""))
+        ORDER BY aa_micros DESC, u, v LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // Weighted PageRank: a vertex's mass splits over its out-edges
+    // proportionally to total ordered quantity instead of uniformly —
+    // the strength-weighted variant every production ranker uses.
+    // Out-weight sums are exact integers (cross-engine stable); the
+    // per-edge fraction is one IEEE divide; same superstep shape and
+    // 1e-9 grid snap as q11.
+    QuerySpec("q107_weighted_pagerank",
+      (s, dir) => {
+        val verts = Tables.orders(s, dir)
+          .select((col("o_orderkey") * 2).as("id"))
+          .unionAll(Tables.part(s, dir)
+            .select((col("p_partkey") * 2 + 1).as("id")))
+        val edges = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("w"))
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"), col("w"))
+        PageRank.run(verts, edges, damping = 0.85, maxIter = PrIters,
+            stopTol = None, gridSnap = Some(1e9),
+            weightCol = Some("w"))
+          .scores
+          .select(decodeId(col("id")).as("id"),
+            floor(col("score") * 1e9 + 0.5).cast("long").as("score_nanos"))
+          .orderBy("id")
+      },
+      Some(weightedPageRankSql(PrIters)))
   )
 }

@@ -112,4 +112,43 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(m.values.sum - 1.0) < 1e-6)
     assert(m("c") > m("b") && m("b") > m("a"))
   }
+
+  test("weighted: mass splits by weight; equal weights reduce to uniform") {
+    val vs = Seq("a", "b", "c").toDF("id")
+    // a feeds b 3x harder than c
+    val es = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val r = PageRank.run(vs, es, maxIter = 1, stopTol = None,
+      weightCol = Some("w"))
+    val m = r.scores.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(m.values.sum - 1.0) < 1e-9)
+    // after one step: b gets d·(1/3)·(3/4), c gets d·(1/3)·(1/4)
+    val base = 0.15 / 3 + 0.85 * (2.0 / 3) / 3 // teleport + dangling b,c
+    assert(math.abs(m("b") - (base + 0.85 * (1.0 / 3) * 0.75)) < 1e-9)
+    assert(math.abs(m("c") - (base + 0.85 * (1.0 / 3) * 0.25)) < 1e-9)
+    // equal weights ≡ unweighted
+    val ew = Seq(("a", "b", 5L), ("b", "c", 5L)).toDF("src", "dst", "w")
+    val got = PageRank.run(vs, ew, maxIter = 5, stopTol = None,
+        gridSnap = Some(1e9), weightCol = Some("w")).scores
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val want = PageRank.run(vs,
+        Seq("a" -> "b", "b" -> "c").toDF("src", "dst"),
+        maxIter = 5, stopTol = None, gridSnap = Some(1e9)).scores
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got == want)
+  }
+
+  test("weighted: non-positive weights are dropped (no probability leak)") {
+    val vs = Seq("a", "b", "c").toDF("id")
+    // a's only positive edge is to b; the zero edge to c must not make
+    // a split mass with it (and a stays non-dangling via the b edge)
+    val es = Seq(("a", "b", 2L), ("a", "c", 0L)).toDF("src", "dst", "w")
+    val m = PageRank.run(vs, es, maxIter = 8, stopTol = None,
+        weightCol = Some("w")).scores
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(m.values.sum - 1.0) < 1e-9)
+    val only = PageRank.run(vs, Seq(("a", "b", 2L)).toDF("src", "dst", "w"),
+        maxIter = 8, stopTol = None, weightCol = Some("w")).scores
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(m == only)
+  }
 }
