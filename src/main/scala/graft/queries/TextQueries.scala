@@ -194,6 +194,32 @@ object TextQueries {
           FROM documents)
         ORDER BY doc_id, url""")),
 
+    // Anchor-text index: the OFF-page ranking signal — what incoming
+    // link text says a target URL is about. Every followable anchor
+    // occurrence is a vote (no per-page dedup, unlike T1); nofollow
+    // anchors are excluded entirely. Per the synthetic page layout each
+    // /doc/ target receives 'next' + 'dup', each /page target 'np'.
+    QuerySpec("q108_anchor_text",
+      (s, dir) => pages(s, dir)
+        .select(explode(Html.anchorTextsUdf(col("html"), col("page_url")))
+          .as("a"))
+        .select(col("a.url").as("url"), col("a.anchor").as("anchor"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_anchors"),
+          array_join(array_sort(collect_set(lower(col("anchor")))), " ")
+            .as("terms"))
+        .orderBy("url"),
+      Some("""
+        SELECT url, CAST(n_anchors AS BIGINT) AS n_anchors, terms FROM (
+          SELECT 'http://s' || doc_id || '.example/doc/' || (doc_id + 1)
+                   AS url,
+                 2 AS n_anchors, 'dup next' AS terms
+          FROM documents
+          UNION ALL
+          SELECT 'http://s' || (doc_id + 1) || '.example/page', 1, 'np'
+          FROM documents)
+        ORDER BY url""")),
+
     // T6: term highlighting (fixed closing tag, unlike the reference).
     QuerySpec("q26_highlight",
       (s, dir) => Tables.documents(s, dir)

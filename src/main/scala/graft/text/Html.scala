@@ -106,6 +106,37 @@ object Html {
 
   val extractLinksUdf = udf(extractLinks _)
 
+  /** One anchor occurrence: absolute target URL + the link's visible
+    * text (inner tags stripped, whitespace collapsed). */
+  final case class AnchorText(url: String, anchor: String)
+
+  private val anchorPairRe =
+    "(?is)(<a[^>]*\\shref\\s*=\\s*[\"']?([^\"'\\s>]+)[\"']?[^>]*>)(.*?)</a>".r
+
+  /** Anchor-text extraction — the OFF-page ranking signal: what other
+    * pages' link text says a URL is about (the classic web-search
+    * signal the on-page indexer can't see). Unlike [[extractLinks]],
+    * every occurrence is kept (each incoming anchor is a vote — no
+    * per-page dedup) and NOFOLLOW anchors are excluded entirely (the
+    * reference's nofollow links enter the graph but must not endorse).
+    * Same base-href resolution, scheme and extension rules as T1. */
+  def anchorTexts(html: String, pageUrl: String): Seq[AnchorText] = {
+    if (html == null || pageUrl == null) return Seq.empty
+    val base = baseRe.findFirstMatchIn(html).map(_.group(1))
+      .map { b => if (b.endsWith("/")) b else b + "/" }
+      .getOrElse(pageUrl)
+    (for {
+      m <- anchorPairRe.findAllMatchIn(html)
+      if nofollowRe.findFirstIn(m.group(1)).isEmpty // opening tag only
+      url = resolveUrl(base, m.group(2)) if url != null
+      text = m.group(3).replaceAll("<[^>]*>", " ")
+        .replaceAll("\\s+", " ").trim
+      if text.nonEmpty
+    } yield AnchorText(url, text)).toSeq
+  }
+
+  val anchorTextsUdf = udf(anchorTexts _)
+
   // ---------------------------------------------------------- summarizer
 
   /** T5 match summarizer: split content into sentences, score each by

@@ -78,4 +78,25 @@ class HtmlSpec extends SparkSpec {
       Seq("absent"), 10)
     assert(out == "Only one s")
   }
+
+  test("anchorTexts keeps every followable occurrence with cleaned text") {
+    val html = "<html><body>" +
+      "<a href=\"/a\"><b>Bold</b>  link</a>" +
+      "<a href=\"/a\">again</a>" + // same target, second vote kept
+      "<a href=\"/nf\" rel=\"nofollow\">sneaky</a>" +
+      "<a href=\"mailto:x@y.z\">mail</a>" +
+      "<a href=\"/empty\"><img/></a>" + // no visible text -> dropped
+      "</body></html>"
+    val got = Html.anchorTexts(html, "http://h.example/p")
+    assert(got == Seq(
+      Html.AnchorText("http://h.example/a", "Bold link"),
+      Html.AnchorText("http://h.example/a", "again")))
+  }
+
+  test("anchorTexts resolves against base href like extractLinks") {
+    val html = "<html><head><base href=\"http://b.example/sub/\"></head>" +
+      "<body><a href=\"page2#frag\">deep page</a></body></html>"
+    assert(Html.anchorTexts(html, "http://h.example/p") ==
+      Seq(Html.AnchorText("http://b.example/sub/page2", "deep page")))
+  }
 }
