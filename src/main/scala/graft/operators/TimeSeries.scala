@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series densification (gap filling): expand a sparse per-key
+  * integer time series to one row per tick in the key's own observed
+  * [min(t), max(t)] span, filling the missing ticks — the resample /
+  * "make the series dense" pass every downstream window, EWMA, or
+  * day-over-day computation silently assumes (a lag() over a sparse
+  * series compares non-adjacent days).
+  *
+  * Shape: one bounds agg per key + a per-key `sequence` explode + one
+  * co-keyed left join — no window. Emitted volume is Σ spans (keys ×
+  * their tick ranges), linear and known up front; the explode is
+  * bounded by the calendar span, never by |rows|. At 100 TB each stage
+  * shuffles on (keys) or (keys, t) — plain hash exchanges.
+  */
+object TimeSeries {
+
+  /** One row per key per tick in the key's observed span. Measures
+    * carry through where the tick existed; `fill` supplies values for
+    * the synthesized ticks (column → fill expression, typically 0);
+    * `gapCol` (when set) names a boolean column marking synthesized
+    * rows. */
+  def gapFill(series: DataFrame, keys: Seq[String], timeCol: String,
+              fill: Map[String, Column] = Map.empty,
+              gapCol: Option[String] = Some("is_gap")): DataFrame = {
+    val marked = series.withColumn("__present", lit(true))
+    val bounds = series.groupBy(keys.map(col): _*)
+      .agg(min(col(timeCol)).as("__t0"), max(col(timeCol)).as("__t1"))
+    val dense = bounds.select(keys.map(col) :+
+      explode(sequence(col("__t0"), col("__t1"))).as(timeCol): _*)
+    val joined = dense.join(marked, keys :+ timeCol, "left")
+    val flagged = gapCol.fold(joined)(g =>
+      joined.withColumn(g, col("__present").isNull))
+    fill.foldLeft(flagged) { case (df, (c, v)) =>
+      df.withColumn(c, coalesce(col(c), v))
+    }.drop("__present")
+  }
+}

@@ -602,6 +602,43 @@ object PipelineQueries {
                       " AS DOUBLE))")}
                     ELSE 0 END AS z_micros
         FROM documents d JOIN st USING (lang)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Time-series gap filling: each user's sparse daily activity series
+    // densified to one row per day of their own [first, last] span,
+    // missing days filled with zeros and flagged — the resample pass
+    // that makes lag()/EWMA/day-over-day correct on sparse data. One
+    // bounds agg + calendar-bounded explode + one co-keyed left join.
+    QuerySpec("q109_gap_fill",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val daily = Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            expr(s"(ts div 1000) div $dayUs").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(Exact.cents(col("value"))).as("cents"))
+        graft.operators.TimeSeries.gapFill(daily, Seq("user_id"), "day",
+            fill = Map("n_events" -> lit(0L), "cents" -> lit(0L)))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+              FROM daily GROUP BY user_id),
+        dense AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+                  FROM b)
+        SELECT d.user_id, CAST(d.day AS BIGINT) AS day,
+               CAST(coalesce(t.n_events, 0) AS BIGINT) AS n_events,
+               CAST(coalesce(t.cents, 0) AS BIGINT) AS cents,
+               (t.user_id IS NULL) AS is_gap
+        FROM dense d LEFT JOIN daily t
+          ON d.user_id = t.user_id AND d.day = t.day
+        ORDER BY d.user_id, d.day"""))
   )
 }

@@ -267,6 +267,67 @@ object ScaleCanary {
     }
     println(s"[canary]   ddsketch p50=${dd(50)} p99=${dd(99)} " +
       s"(true ~${nV / 2} / ~${nV * 99 / 100})")
+
+    // bucketed range join at 10x: 5M points against 500k intervals —
+    // intervals cover the lower half of each 1000-unit stripe, so ~50%
+    // of points must land; candidate density per (key, bucket) stays
+    // O(points / keys / buckets) by construction
+    val rj = time("range join") {
+      val nK = 50000L
+      val pts = spark.range(nE).select(
+        pmod(xxhash64(col("id"), lit(21)), lit(nK)).as("k"),
+        pmod(xxhash64(col("id"), lit(22)), lit(10000L)).as("pt"))
+      val ivs = spark.range(nK * 10).select(
+        pmod(col("id"), lit(nK)).as("k"),
+        ((col("id") / nK).cast("long") * 1000).as("start"))
+        .withColumn("end", col("start") + 499)
+      graft.operators.RangeJoin.pointInInterval(pts, ivs, Seq("k"),
+        "pt", "start", "end", bucketWidth = 250L).count()
+    }
+    require(rj > (nE * 45) / 100 && rj < (nE * 55) / 100,
+      s"range join matched $rj of $nE — expected ~50%")
+    println(s"[canary]   range-join matches=$rj of $nE (~50% planted)")
+
+    // sparse TF-IDF cosine at scale: 200k docs over a 500k-term
+    // vocabulary (df ~ 10, so the df<=64 candidate cap keeps volume
+    // ~ df * |postings|); the planted predecessor copies are identical
+    // term vectors -> cos 1.0, recall has ground truth
+    val sdocs = spark.range(200000L).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(24)),
+          i => concat(lit("t"), pmod(xxhash64(
+            when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
+              .otherwise(col("id")) * 131 + i, lit(7)), lit(500000L)))),
+          " ").as("text"))
+      .localCheckpoint()
+    val sparsePlanted = 200000L / 100
+    val sc = time("sparse cosine pairs") {
+      graft.ml.SparseSim.tfidfCosinePairs(sdocs, maxDf = 64,
+        minCosMicros = 900000L).count()
+    }
+    require(sc >= sparsePlanted,
+      s"sparse cosine found $sc >= $sparsePlanted planted identical pairs")
+    println(s"[canary]   sparse-cosine pairs=$sc " +
+      s"(>= $sparsePlanted planted)")
+
+    // Adamic-Adar at 10x: wedge centers are the 500k sources (mean
+    // out-degree ~10, capped at 40), so candidate volume is
+    // sum(min(deg,cap)^2) ~ 55M — linear in |edges| with the cap knob
+    val aa = time("adamic-adar top100") {
+      graft.graph.LinkPrediction.adamicAdar(
+        edges.select(col("src").as("mid"), col("dst").as("item")),
+        maxMidDegree = 40, topN = 100).count()
+    }
+    println(s"[canary]   adamic-adar top=$aa (hub items fine: volume " +
+      "is center-degree-bounded)")
+
+    // grouped HLL: 16 per-group sketches over the doc corpus — state is
+    // <= 16 * 1024 rows whatever the corpus size
+    val hg = time("hll grouped") {
+      graft.sketch.Sketches.hllDistinctGrouped(
+        docs.select(pmod(col("doc_id"), lit(16)).as("g"), col("text")),
+        Seq("g"), col("text"), p = 10).count()
+    }
+    println(s"[canary]   hll-grouped groups=$hg")
     spark.stop()
   }
 }
