@@ -91,4 +91,22 @@ object Sampling {
       .when(c < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Balanced (exactly-k-per-group) deterministic sample: every group
+    * contributes its min(k, n) hash-smallest rows — the class-balanced
+    * subsample of training pipelines (rate-based sampling leaves group
+    * sizes proportional; this EQUALIZES them), reproducible across
+    * runs and partitionings because rank order is (hash, key), never
+    * arrival order. The rank-k filter plans WindowGroupLimit, so each
+    * group is pre-pruned to k rows BEFORE the full sort would happen.
+    * Adds `rank` (1-based within the group). */
+  def balancedSample(df: DataFrame, groups: Seq[String], key: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*)
+      .orderBy(coord("balance", key, 1 << 30), key)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

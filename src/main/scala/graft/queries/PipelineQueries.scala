@@ -639,6 +639,106 @@ object PipelineQueries {
                (t.user_id IS NULL) AS is_gap
         FROM dense d LEFT JOIN daily t
           ON d.user_id = t.user_id AND d.day = t.day
-        ORDER BY d.user_id, d.day"""))
+        ORDER BY d.user_id, d.day""")),
+
+    // ------------------------------------------------------------------
+    // Balanced (exactly-k-per-group) deterministic sample: 50 docs per
+    // language by hash rank — the class-balancing subsample (rate-based
+    // sampling keeps groups proportional; this equalizes them). Rank
+    // order is (hash, key), never arrival order, so the pick is stable
+    // across runs and partitionings; the rank<=k filter plans
+    // WindowGroupLimit (groups pre-prune to k before any full sort).
+    QuerySpec("q110_balanced_sample",
+      (s, dir) => Sampling.balancedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          Seq("lang"), col("doc_id").cast("string"), k = 50)
+        .select(col("doc_id"), col("lang"), col("rank"))
+        .orderBy("lang", "rank"),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY
+                   CAST(('0x' || substring(md5('balance|' || doc_id), 1, 15))
+                        AS BIGINT) % 1073741824,
+                   CAST(doc_id AS VARCHAR)) AS rank
+          FROM documents)
+        SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 50 ORDER BY lang, rank""")),
+
+    // ------------------------------------------------------------------
+    // Retention cohort matrix: users grouped by first-activity week
+    // (cohort), distinct active users per (cohort, week offset) — the
+    // product-analytics retention triangle. Two keyed aggs + one join;
+    // the countDistinct shuffles (cohort, offset, user) triples, all
+    // integer keys.
+    QuerySpec("q111_retention_cohorts",
+      (s, dir) => {
+        val weekUs = 7L * 86400000000L
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr(s"(ts div 1000) div $weekUs").as("week"))
+        val first = ev.groupBy("user_id").agg(min("week").as("cohort"))
+        ev.join(first, "user_id")
+          .groupBy(col("cohort"),
+            (col("week") - col("cohort")).as("week_offset"))
+          .agg(countDistinct("user_id").as("users"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 604800000000 AS week
+          FROM events),
+        first AS (SELECT user_id, min(week) AS cohort
+                  FROM ev GROUP BY user_id)
+        SELECT f.cohort, e.week - f.cohort AS week_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+        FROM ev e JOIN first f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort, week_offset""")),
+
+    // ------------------------------------------------------------------
+    // Behavioral transition matrix: consecutive event-type bigrams per
+    // user (lead over the per-user timeline) with transition
+    // probabilities — the Markov-chain view of user behavior. One
+    // user-keyed window + one hash-agg; p = cnt/row-total is a single
+    // IEEE divide per cell.
+    QuerySpec("q112_event_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"))
+        val bi = ev.withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = bi.groupBy("from_type").agg(sum("cnt").as("total"))
+        bi.join(tot, "from_type")
+          .select(col("from_type"), col("to_type"), col("cnt"),
+            Exact.micros(col("cnt").cast("double") /
+              col("total").cast("double")).as("p_micros"))
+          .orderBy("from_type", "to_type")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        bi AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS to_type
+          FROM ev),
+        cnts AS (
+          SELECT from_type, to_type, count(*) AS cnt
+          FROM bi WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS total
+                FROM cnts GROUP BY 1)
+        SELECT c.from_type, c.to_type, CAST(c.cnt AS BIGINT) AS cnt,
+               ${Exact.microsSql(
+                 "CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)")}
+                 AS p_micros
+        FROM cnts c JOIN tot t USING (from_type)
+        ORDER BY from_type, to_type"""))
   )
 }

@@ -217,6 +217,11 @@ class PlanSpec extends SparkSpec {
       "SymSpell blocking must stay an equi-join")
   }
 
+  test("balanced sample pre-prunes groups with WindowGroupLimit") {
+    val p = planOf("q110_balanced_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("range join buckets to an equi-join — no cartesian, no BNLJ") {
     val p = planOf("q101_range_join")
     assert(!p.contains("CartesianProduct") &&

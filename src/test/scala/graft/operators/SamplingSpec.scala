@@ -84,4 +84,27 @@ class SamplingSpec extends SparkSpec {
       .select("k").as[String].collect().toSet
     assert(got == Set("a", "d"))
   }
+
+  test("balanced sample takes exactly min(k, n) per group, stably") {
+    val df = spark.range(300).select(col("id"),
+      when(col("id") % 3 === 0, "big")       // 100 rows
+        .when(col("id") % 3 === 1, "mid")    // 100 rows
+        .otherwise(lit("tiny")).as("g"))
+      .filter(col("g") =!= "tiny" || col("id") < 30) // tiny: 10 rows
+    val got = Sampling.balancedSample(df, Seq("g"),
+        col("id").cast("string"), k = 40)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("big" -> 40L, "mid" -> 40L, "tiny" -> 10L))
+    // partitioning invariance: same rows, same ranks
+    val a = Sampling.balancedSample(df, Seq("g"),
+        col("id").cast("string"), 40)
+      .select("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.balancedSample(df.repartition(17), Seq("g"),
+        col("id").cast("string"), 40)
+      .select("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }
