@@ -115,4 +115,52 @@ object Stats {
         when(varNum > 0, graft.util.Exact.micros(z)).otherwise(lit(0L)))
       .drop("__n", "__sx", "__sxx")
   }
+
+  /** Equal-frequency (quantile) binning against EXACT interpolated
+    * percentile cutoffs computed once and broadcast back — the
+    * scale-safe form of a global ntile(): no global sort, the cutoff
+    * side is ONE row, and the per-row label is scan-stage arithmetic.
+    * bucket(x) = #{cutoffs c : x > c} (boundary values fall low).
+    * Engine-exact: interpolated percentiles of integer inputs are
+    * bit-identical across engines (the q50 parity), so the cutoffs —
+    * and hence every comparison — agree. Spark's exact percentile
+    * buffers value→count per group: bounded by the value DOMAIN, fine
+    * for length-like integers; use DDSketch for unbounded doubles. */
+  def quantileBuckets(df: DataFrame, valueCol: String, probs: Seq[Double],
+                      outCol: String = "bucket"): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"probs must sit strictly inside (0,1): $probs")
+    val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val cuts = df.agg(expr(s"percentile(`$valueCol`, $arr)").as("__cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(outCol,
+        probs.indices.map(i =>
+          when(col(valueCol) > element_at(col("__cuts"), i + 1), 1L)
+            .otherwise(0L))
+          .reduce(_ + _))
+      .drop("__cuts")
+  }
+
+  /** Robust per-group outlier detection via the modified z-score
+    * (Iglewicz & Hoaglin 1993): flag x when
+    * 0.6745·|x − median| > threshold·MAD, with MAD the median absolute
+    * deviation — resistant to the very outliers a mean/σ rule (q55)
+    * lets distort the fence. Two exact-percentile aggs + two keyed
+    * joins; comparisons are engine-exact because both medians inherit
+    * the q50 interpolation parity. Degenerate groups (MAD = 0) flag
+    * nothing. Adds med, mad, is_outlier. */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                  threshold: Double = 3.5): DataFrame = {
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile(`$valueCol`, 0.5D)").as("med"))
+    val dev = df.join(med, keys)
+      .withColumn("__adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(keys.map(col): _*)
+      .agg(expr("percentile(`__adev`, 0.5D)").as("mad"))
+    dev.join(mad, keys)
+      .withColumn("is_outlier",
+        col("mad") > 0 && lit(0.6745) * col("__adev") >
+          lit(threshold) * col("mad"))
+      .drop("__adev")
+  }
 }

@@ -739,6 +739,66 @@ object PipelineQueries {
                  "CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)")}
                  AS p_micros
         FROM cnts c JOIN tot t USING (from_type)
-        ORDER BY from_type, to_type"""))
+        ORDER BY from_type, to_type""")),
+
+    // ------------------------------------------------------------------
+    // Equal-frequency quartile binning of document length against
+    // EXACT percentile cutoffs broadcast back — the scale-safe form of
+    // a global ntile() (q99's caveat made real: no global sort, the
+    // cutoff side is one row, labels are scan-stage arithmetic).
+    // Cutoffs are bit-identical cross-engine (q50 parity), so every
+    // boundary comparison agrees.
+    QuerySpec("q113_quantile_binning",
+      (s, dir) => graft.operators.Stats.quantileBuckets(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          "n_chars", Seq(0.25, 0.5, 0.75))
+        .orderBy("doc_id"),
+      Some("""
+        WITH cuts AS (
+          SELECT quantile_cont(n_chars, 0.25) AS b1,
+                 quantile_cont(n_chars, 0.5)  AS b2,
+                 quantile_cont(n_chars, 0.75) AS b3
+          FROM documents)
+        SELECT d.doc_id, d.n_chars,
+               CAST(CASE WHEN d.n_chars > c.b1 THEN 1 ELSE 0 END +
+                    CASE WHEN d.n_chars > c.b2 THEN 1 ELSE 0 END +
+                    CASE WHEN d.n_chars > c.b3 THEN 1 ELSE 0 END
+                 AS BIGINT) AS bucket
+        FROM documents d CROSS JOIN cuts c
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Robust outliers via the modified z-score (Iglewicz-Hoaglin 1993):
+    // 0.6745*|x - median| > 3.5*MAD per language — the fence the q55
+    // mean/sigma rule can't give when outliers distort sigma itself.
+    // Both medians inherit the q50 interpolation parity, so the
+    // comparison is engine-exact; division-free form on both sides.
+    QuerySpec("q114_mad_outliers",
+      (s, dir) => graft.operators.Stats.madOutliers(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Exact.micros(col("med")).as("med_micros"),
+          Exact.micros(col("mad")).as("mad_micros"),
+          col("is_outlier"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH med AS (
+          SELECT lang, quantile_cont(n_chars, 0.5) AS med
+          FROM documents GROUP BY lang),
+        dev AS (
+          SELECT d.doc_id, d.lang, d.n_chars, m.med,
+                 abs(d.n_chars - m.med) AS adev
+          FROM documents d JOIN med m USING (lang)),
+        mad AS (
+          SELECT lang, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY lang)
+        SELECT v.doc_id, v.lang, v.n_chars,
+               CAST(floor(v.med * 1000000 + 0.5) AS BIGINT) AS med_micros,
+               CAST(floor(a.mad * 1000000 + 0.5) AS BIGINT) AS mad_micros,
+               (a.mad > 0 AND 0.6745 * v.adev > 3.5 * a.mad) AS is_outlier
+        FROM dev v JOIN mad a USING (lang)
+        ORDER BY v.doc_id"""))
   )
 }

@@ -98,4 +98,30 @@ class StatsSpec extends SparkSpec {
     val m = zmap(df)
     assert(m(("c", 5L)) == 0L && m(("s", 42L)) == 0L)
   }
+
+  test("quantile buckets split 1..100 into even quartiles, boundary low") {
+    val df = spark.range(1, 101).select(col("id").as("v"))
+    val got = Stats.quantileBuckets(df, "v", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cutoffs: 25.75, 50.5, 75.25 → 25/25/25/25 split
+    assert(got.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(0L -> 25, 1L -> 25, 2L -> 25, 3L -> 25))
+    assert(got(25L) == 0L && got(26L) == 1L) // 25 < 25.75 stays low
+    assert(got(100L) == 3L && got(1L) == 0L)
+  }
+
+  test("mad outliers flag via modified z-score, degenerate mad flags none") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+      ("a", 100L),
+      // group b: MAD = 0 (constant majority) — nothing may flag, not
+      // even the wild 1000
+      ("b", 10L), ("b", 10L), ("b", 10L), ("b", 1000L))
+      .toDF("g", "x")
+    val got = Stats.madOutliers(df, Seq("g"), "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getBoolean(4)).toMap
+    assert(got(("a", 100L)))
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(v => !got(("a", v))))
+    assert(!got(("b", 1000L)) && !got(("b", 10L)))
+  }
 }
