@@ -281,6 +281,49 @@ object SketchQueries {
             s"CASE WHEN raw <= 2.5 * $HllM.0 AND zero_regs > 0 " +
             s"THEN $HllM.0 * ln($HllM.0 / CAST(zero_regs AS DOUBLE)) " +
             "ELSE raw END")} AS est_micros
-        FROM est ORDER BY event_type"""))
+        FROM est ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // KMV set algebra (q96's sketches taken further): |A∪B| from the
+    // merged k-row sketch (the k smallest of the two sketches' union IS
+    // kmin(A∪B)) and |A∩B| ≈ J·|A∪B| — sketch-only distinct set
+    // arithmetic; the corpora never meet past the two bounded builds.
+    QuerySpec("q115_kmv_setops",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Sketches.kmvSetOps(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          col("text"), k = 512)
+      },
+      Some(s"""
+        WITH ha AS (SELECT DISTINCT ${hashSql("text")} AS h
+          FROM documents WHERE doc_id % 2 = 0),
+        hb AS (SELECT DISTINCT ${hashSql("text")} AS h
+          FROM documents WHERE doc_id % 2 = 1),
+        ka AS (SELECT h FROM ha ORDER BY h LIMIT 512),
+        kb AS (SELECT h FROM hb ORDER BY h LIMIT 512),
+        ku AS (SELECT DISTINCT h FROM
+          (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+          ORDER BY h LIMIT 512),
+        agg AS (SELECT
+          (SELECT count(*) FROM ku) AS k_used,
+          (SELECT max(h) FROM ku) AS kth_h,
+          (SELECT count(*) FROM ku
+           WHERE h IN (SELECT h FROM ka)
+             AND h IN (SELECT h FROM kb)) AS matches),
+        est AS (SELECT k_used, matches,
+          CASE WHEN k_used < 512 THEN k_used
+               ELSE CAST(floor(511.0 * power(2.0, 60)
+                               / CAST(kth_h AS DOUBLE)) AS BIGINT)
+          END AS est_union
+          FROM agg)
+        SELECT CAST(k_used AS BIGINT) AS k_used,
+               CAST(matches AS BIGINT) AS matches,
+               CAST(est_union AS BIGINT) AS est_union,
+               ${Exact.microsSql(
+                 "CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE)" +
+                 " * CAST(est_union AS DOUBLE)")} AS est_inter_micros
+        FROM est"""))
   )
 }

@@ -108,6 +108,37 @@ object Sketches {
           .as("jaccard_micros"))
   }
 
+  /** KMV sketch SET ALGEBRA (Beyer et al. 2007 §4, multiset
+    * operations): distinct-count estimates for A ∪ B and A ∩ B from
+    * the two k-row sketches alone — |A∪B| via the KMV estimator on
+    * the merged sketch (the k smallest of kmin(A) ∪ kmin(B) IS
+    * kmin(A∪B)), and |A∩B| ≈ Ĵ · |A∪B| with Ĵ the [[kmvJaccard]]
+    * resemblance whose membership tests are provably exact. The
+    * corpora never meet: after the two bounded sketch builds, every
+    * operand is ≤ k rows. Same RNG-free determinism as the rest of
+    * the suite — the float tail (one divide for Ĵ, one multiply, the
+    * estimator's divide) is fixed-parenthesization IEEE, so the
+    * result oracle-checks (q115). */
+  def kmvSetOps(a: DataFrame, b: DataFrame, value: Column,
+                k: Int): DataFrame = {
+    val ka = kSmallestHashes(a, value, k).localCheckpoint(false)
+    val kb = kSmallestHashes(b, value, k).localCheckpoint(false)
+    val ku = ka.unionAll(kb).distinct().orderBy("h").limit(k)
+      .localCheckpoint(false)
+    val matches = ku.join(ka, Seq("h"), "left_semi")
+      .join(kb, Seq("h"), "left_semi")
+    ku.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_h"))
+      .crossJoin(matches.agg(count(lit(1)).as("matches")))
+      .select(col("k_used"), col("matches"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("kth_h").cast("double")).cast("long"))
+          .as("est_union"))
+      .withColumn("est_inter_micros", graft.util.Exact.micros(
+        col("matches").cast("double") / col("k_used").cast("double") *
+          col("est_union").cast("double")))
+  }
+
   /** Count-Min sketch of `value` frequencies: the (i, cell, cnt) counter
     * table for d hash rows x w columns. Row i's hash of x is the
     * portable 60-bit hash of "i|x" mod w — deterministic and

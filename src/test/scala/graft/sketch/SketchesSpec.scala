@@ -233,4 +233,24 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(est - truth) / truth < 0.25, s"$g est=$est")
     }
   }
+
+  test("kmv set ops estimate union and intersection from sketches") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // A = {0..5999}, B = {4000..9999}: union 10000, intersection 2000
+    val a = spark.range(0, 6000).select(
+      concat(lit("v"), col("id")).as("v"))
+    val b = spark.range(4000, 10000).select(
+      concat(lit("v"), col("id")).as("v"))
+    val r = Sketches.kmvSetOps(a, b, col("v"), k = 1024).collect().head
+    val (kUsed, union, inter) =
+      (r.getLong(0), r.getLong(2), r.getLong(3).toDouble / 1e6)
+    assert(kUsed == 1024L)
+    assert(math.abs(union - 10000.0) / 10000.0 < 0.15, s"union=$union")
+    assert(math.abs(inter - 2000.0) / 2000.0 < 0.30, s"inter=$inter")
+    // exact-below-k path: tiny disjoint sets → exact union, zero inter
+    val ta = spark.range(0, 50).select(concat(lit("x"), col("id")).as("v"))
+    val tb = spark.range(50, 80).select(concat(lit("x"), col("id")).as("v"))
+    val t = Sketches.kmvSetOps(ta, tb, col("v"), k = 1024).collect().head
+    assert(t.getLong(2) == 80L && t.getLong(3) == 0L && t.getLong(1) == 0L)
+  }
 }
