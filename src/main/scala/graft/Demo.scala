@@ -217,6 +217,75 @@ object Demo {
         Tables.documents(spark, "/root/testdata/sf0.001"), "text", 4)
       .foreach { case (r, a, b, f) => println(s"   #$r: '$a'+'$b' ($f)") }
 
+    // --- session-2 additions: ranges, similarity, recsys, features ----
+    println("== range join: points into containing intervals (bucketed)")
+    val demoPts = Seq((1L, 5L, "p1"), (1L, 42L, "p2"), (2L, 7L, "p3"))
+      .toDF("k", "t", "name")
+    val demoIvs = Seq((1L, 0L, 10L, "early"), (1L, 40L, 50L, "late"),
+      (2L, 0L, 3L, "miss")).toDF("k", "lo", "hi", "tag")
+    graft.operators.RangeJoin.pointInInterval(demoPts, demoIvs,
+      Seq("k"), "t", "lo", "hi", bucketWidth = 8L).show(false)
+
+    println("== sparse TF-IDF cosine pairs (df-capped, no embeddings)")
+    graft.ml.SparseSim.tfidfCosinePairs(
+        Tables.documents(spark, "/root/testdata/sf0.001"),
+        maxDf = 25, minCosMicros = 0L)
+      .orderBy(desc("cos"), col("id_a"), col("id_b")).show(3, false)
+
+    println("== adamic-adar co-purchase recommendations")
+    graft.graph.LinkPrediction.adamicAdar(
+      Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select(col("l_orderkey").as("mid"), col("l_partkey").as("item"))
+        .distinct(), maxMidDegree = 40, topN = 3).show(false)
+
+    println("== weighted pagerank (mass splits by quantity)")
+    val wEdges = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(sum("l_quantity").cast("long").as("w"))
+      .select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"), col("w"))
+    val wVerts = wEdges.select(col("src").as("id"))
+      .unionAll(wEdges.select(col("dst"))).distinct()
+    println("   iters=" + graft.graph.PageRank.run(wVerts, wEdges,
+      maxIter = 5, stopTol = None, weightCol = Some("w")).iterations)
+
+    println("== feature passes: z-score / quartile bins / MAD outliers")
+    val demoDocs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.operators.Stats.zscore(demoDocs, Seq("lang"), col("n_chars"))
+      .orderBy("doc_id").show(3, false)
+    graft.operators.Stats.quantileBuckets(demoDocs.drop("lang"),
+      "n_chars", Seq(0.25, 0.5, 0.75)).orderBy("doc_id").show(3, false)
+    println("   outliers=" + graft.operators.Stats.madOutliers(
+      demoDocs, Seq("lang"), "n_chars").filter(col("is_outlier")).count())
+
+    println("== time-series gap fill (dense daily series per user)")
+    graft.operators.TimeSeries.gapFill(
+        Tables.events(spark, "/root/testdata/sf0.001")
+          .groupBy(col("user_id"),
+            expr("(ts div 1000) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n")),
+        Seq("user_id"), "day", fill = Map("n" -> lit(0L)))
+      .orderBy("user_id", "day").show(5, false)
+
+    println("== kmv set algebra: union/intersection from sketches alone")
+    val demoCorpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    graft.sketch.Sketches.kmvSetOps(
+      demoCorpus.filter(col("doc_id") % 2 === 0),
+      demoCorpus.filter(col("doc_id") % 2 === 1),
+      col("text"), k = 128).show(false)
+
+    println("== anchor-text votes per target URL")
+    val demoPages = Seq(("http://x.example/p",
+      "<html><body><a href=\"/t\">great docs</a>" +
+        "<a href=\"/t\">docs</a></body></html>"))
+      .toDF("page_url", "html")
+    demoPages.select(explode(graft.text.Html.anchorTextsUdf(
+        col("html"), col("page_url"))).as("a"))
+      .groupBy("a.url").agg(count(lit(1)).as("votes"),
+        array_join(array_sort(collect_set(lower(col("a.anchor")))), " ")
+          .as("terms")).show(false)
+
     spark.stop()
   }
 }
