@@ -611,6 +611,55 @@ object TextQueries {
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // Interpolated BIGRAM perplexity (Jelinek-Mercer, λ=0.75) — q62's
+    // CCNet-style filter upgraded one order: p(w|prev) = λ·cb/cp +
+    // (1−λ)·cu/N, doc-initial tokens on the unigram term alone.
+    // Per-token micros snap before the doc sum keeps aggregation
+    // associative; the mean is integer division on both engines.
+    QuerySpec("q116_bigram_perplexity",
+      (s, dir) => {
+        TextStats.bigramTokenNll(Tables.documents(s, dir))
+          .select(col("doc_id"), Exact.micros(col("tok_nll")).as("m"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum("m").as("nll_sum_micros"))
+          .withColumn("mean_nll_micros",
+            expr("nll_sum_micros div n_toks"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(l) AS tok,
+                 generate_subscripts(l, 1) - 1 AS pos
+          FROM lt),
+        prevd AS (
+          SELECT doc_id, pos, tok,
+                 lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM toks),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cu
+                FROM toks GROUP BY tok),
+        bi AS (SELECT prev, tok, CAST(count(*) AS DOUBLE) AS cb
+               FROM prevd WHERE prev IS NOT NULL GROUP BY 1, 2),
+        ctx AS (SELECT prev, CAST(sum(cb) AS DOUBLE) AS cp
+                FROM bi GROUP BY prev),
+        sc AS (SELECT p.doc_id,
+            ${Exact.microsSql(
+              "CASE WHEN p.prev IS NULL THEN -ln(u.cu / n.n) " +
+              "ELSE -ln(0.75 * (b.cb / c.cp) + 0.25 * (u.cu / n.n)) " +
+              "END")} AS m
+          FROM prevd p JOIN uni u USING (tok) CROSS JOIN n
+          LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+          LEFT JOIN ctx c ON c.prev = p.prev),
+        agg AS (SELECT doc_id, count(*) AS n_toks,
+            CAST(sum(m) AS BIGINT) AS nll_sum_micros
+          FROM sc GROUP BY doc_id)
+        SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, nll_sum_micros,
+               CAST(nll_sum_micros // n_toks AS BIGINT) AS mean_nll_micros
+        FROM agg ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // Vocabulary + per-doc OOV rate: min-df vocab (one distinct + one
     // term-keyed agg), broadcast back over the token stream — the
     // corpus never shuffles before the per-doc count. oov_frac is one

@@ -139,6 +139,50 @@ object TextStats {
       .select(col(idCol), col("tok"), negate(log(col("p"))).as("tok_nll"))
   }
 
+  /** Per-token NLL under a Jelinek-Mercer INTERPOLATED BIGRAM model —
+    * the CCNet-style perplexity filter of [[unigramTokenNll]] upgraded
+    * one order: p(w|prev) = λ·c(prev,w)/c(prev,·) + (1−λ)·c(w)/N,
+    * doc-initial tokens backing off to the unigram term alone. The
+    * corpus is its own model, so every scored bigram exists in the
+    * count tables and the left joins never miss.
+    *
+    * Scale: one posexplode + one doc-keyed window (lag) + three
+    * hash-aggs (unigram, bigram, context), then count-table joins keyed
+    * by tok / (prev, tok) — the same shuffle shapes as the unigram
+    * scorer with one extra (prev, tok)-keyed exchange; no vocabulary
+    * ever broadcasts except the 1-row total. Cross-engine: counts are
+    * exact integers, the probability is one fixed parenthesization
+    * `λ·(cb/cp) + (1−λ)·(cu/N)`, and callers snap tok_nll to micros
+    * before summing (q116). */
+  def bigramTokenNll(docs: DataFrame, lambda: Double = 0.75,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(Analyzer.tokenize(col(textCol))).as(Seq("pos", "tok")))
+    // feeds total, unigram, bigram AND scoring — cache once
+    toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val prevd = toks.withColumn("prev", lag("tok", 1).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = toks.agg(count(lit(1)).cast("double").as("__n"))
+    val uni = toks.groupBy("tok")
+      .agg(count(lit(1)).cast("double").as("cu"))
+    val bi = prevd.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).cast("double").as("cb"))
+    val ctx = bi.groupBy("prev").agg(sum("cb").as("cp"))
+    prevd.join(uni, "tok")
+      .crossJoin(broadcast(total))
+      .join(bi, Seq("prev", "tok"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .select(col(idCol), col("pos"), col("tok"), col("prev"),
+        negate(log(
+          when(col("prev").isNull, col("cu") / col("__n"))
+            .otherwise(lit(lambda) * (col("cb") / col("cp")) +
+              lit(1 - lambda) * (col("cu") / col("__n")))))
+          .as("tok_nll"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1,
     * adapted to token n-grams since this corpus has no line structure):
     *

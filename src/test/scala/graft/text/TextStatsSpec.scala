@@ -67,6 +67,26 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(scored.head.getDouble(1) - math.log(2)) < 1e-12)
   }
 
+  test("bigramTokenNll: interpolated probabilities, hand-computed") {
+    // corpus "a b a" + "a b": N=5, cu(a)=3, cu(b)=2;
+    // bigrams: (a,b)x2, (b,a)x1 → cp(a)=2, cp(b)=1
+    val docs = Seq((1, "a b a"), (2, "a b")).toDF("doc_id", "text")
+    val got = TextStats.bigramTokenNll(docs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4))
+      .toMap
+    def nll(p: Double) = -math.log(p)
+    val pFirstA = 3.0 / 5                         // doc-initial backoff
+    val pBgivenA = 0.75 * (2.0 / 2) + 0.25 * (2.0 / 5)
+    val pAgivenB = 0.75 * (1.0 / 1) + 0.25 * (3.0 / 5)
+    assert(math.abs(got((1, 0)) - nll(pFirstA)) < 1e-12)
+    assert(math.abs(got((1, 1)) - nll(pBgivenA)) < 1e-12)
+    assert(math.abs(got((1, 2)) - nll(pAgivenB)) < 1e-12)
+    assert(math.abs(got((2, 0)) - nll(pFirstA)) < 1e-12)
+    assert(math.abs(got((2, 1)) - nll(pBgivenA)) < 1e-12)
+    // the in-distribution bigram scores lower NLL than its unigram term
+    assert(got((1, 1)) < nll(2.0 / 5))
+  }
+
   test("repetitionSignals: duplicate 5-grams in a cyclic doc") {
     // tokens cycle with period 5 → 11 5-grams over 5 distinct values
     val m = repetition(1 -> "p q r s t p q r s t p q r s t")
