@@ -660,6 +660,40 @@ object TextQueries {
         FROM agg ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // Keyness: top-10 discriminative terms per language by add-one
+    // log-odds vs the rest of the corpus (Monroe et al. 2008's measure,
+    // simple prior) — the corpus-drift diagnostic. Exact integer
+    // counts; ranking compares micros-snapped scores (integer order is
+    // engine-exact, q69 precedent), ties to the smaller term;
+    // WindowGroupLimit pre-prunes each group.
+    QuerySpec("q117_keyness",
+      (s, dir) => TextStats.keyTerms(
+          Tables.documents(s, dir), groupCol = "lang", k = 10)
+        .orderBy("lang", "rank"),
+      Some(s"""
+        WITH tok AS (SELECT lang AS g, unnest(${toksSql("text")}) AS tok
+          FROM documents),
+        cl AS (SELECT g, tok, count(*) AS cl FROM tok GROUP BY 1, 2),
+        nl AS (SELECT g, CAST(sum(cl) AS BIGINT) AS nl FROM cl GROUP BY g),
+        ca AS (SELECT tok, CAST(sum(cl) AS BIGINT) AS c FROM cl GROUP BY tok),
+        na AS (SELECT CAST(sum(nl) AS BIGINT) AS n FROM nl),
+        sc AS (SELECT cl.g, cl.tok, cl.cl,
+            ${Exact.microsSql(
+              "ln(CAST(cl.cl + 1 AS DOUBLE) " +
+              "/ CAST(nl.nl - cl.cl + 1 AS DOUBLE)) " +
+              "- ln(CAST(ca.c - cl.cl + 1 AS DOUBLE) " +
+              "/ CAST(na.n - nl.nl - (ca.c - cl.cl) + 1 AS DOUBLE))")}
+              AS score_micros
+          FROM cl JOIN nl USING (g) JOIN ca USING (tok) CROSS JOIN na),
+        ranked AS (SELECT g, tok, cl, score_micros,
+            row_number() OVER (PARTITION BY g
+              ORDER BY score_micros DESC, tok) AS rank
+          FROM sc)
+        SELECT g AS lang, CAST(rank AS BIGINT) AS rank, tok,
+               CAST(cl AS BIGINT) AS cl, score_micros
+        FROM ranked WHERE rank <= 10 ORDER BY lang, rank""")),
+
+    // ------------------------------------------------------------------
     // Vocabulary + per-doc OOV rate: min-df vocab (one distinct + one
     // term-keyed agg), broadcast back over the token stream — the
     // corpus never shuffles before the per-doc count. oov_frac is one

@@ -183,6 +183,44 @@ object TextStats {
           .as("tok_nll"))
   }
 
+  /** Top-k DISCRIMINATIVE terms per group by add-one log-odds keyness
+    * (the corpus-linguistics "keyness" measure; the simple-prior form
+    * of Monroe et al. 2008's fightin'-words log-odds):
+    *   score(t, g) = ln((c_g+1)/(N_g−c_g+1)) − ln((c_r+1)/(N_r−c_r+1))
+    * with r the rest of the corpus — what vocabulary makes a language /
+    * source / split DIFFERENT, the drift diagnostic between corpus
+    * slices.
+    *
+    * Shape: one explode + (group, term) hash-agg, two roll-ups, a
+    * vocabulary-keyed join and a per-group WindowGroupLimit top-k —
+    * no global sort. All counts are exact integers; ranking compares
+    * micros-SNAPPED scores (integer order is engine-exact, the q69
+    * precedent), ties to the smaller term. */
+  def keyTerms(docs: DataFrame, groupCol: String = "lang", k: Int = 10,
+               textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(Analyzer.tokenize(col(textCol))).as("tok"))
+    val cl = toks.groupBy("g", "tok").agg(count(lit(1)).as("cl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nl = cl.groupBy("g").agg(sum("cl").as("nl"))
+    val cAll = cl.groupBy("tok").agg(sum("cl").as("c"))
+    val nAll = nl.agg(sum("nl").as("n"))
+    val d = "double"
+    val scored = cl.join(nl, "g").join(cAll, "tok")
+      .crossJoin(broadcast(nAll))
+      .withColumn("score_micros", graft.util.Exact.micros(
+        log((col("cl") + 1).cast(d) / (col("nl") - col("cl") + 1).cast(d)) -
+          log((col("c") - col("cl") + 1).cast(d) /
+            (col("n") - col("nl") - (col("c") - col("cl")) + 1).cast(d))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g")
+      .orderBy(col("score_micros").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("g").as(groupCol), col("rank"), col("tok"),
+        col("cl"), col("score_micros"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1,
     * adapted to token n-grams since this corpus has no line structure):
     *

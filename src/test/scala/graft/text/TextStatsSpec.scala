@@ -87,6 +87,18 @@ class TextStatsSpec extends SparkSpec {
     assert(got((1, 1)) < nll(2.0 / 5))
   }
 
+  test("keyTerms surfaces group-exclusive vocabulary first") {
+    val docs = Seq(
+      ("en", "shared shared hello hello hello world"),
+      ("de", "shared shared hallo hallo hallo welt")).toDF("lang", "text")
+    val got = TextStats.keyTerms(docs, "lang", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    // exclusive high-count terms outrank exclusive low-count and shared
+    assert(got(("en", 1L)) == "hello" && got(("en", 2L)) == "world")
+    assert(got(("de", 1L)) == "hallo" && got(("de", 2L)) == "welt")
+  }
+
   test("repetitionSignals: duplicate 5-grams in a cyclic doc") {
     // tokens cycle with period 5 → 11 5-grams over 5 distinct values
     val m = repetition(1 -> "p q r s t p q r s t p q r s t")
