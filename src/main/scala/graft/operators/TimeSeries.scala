@@ -38,4 +38,38 @@ object TimeSeries {
       df.withColumn(c, coalesce(col(c), v))
     }.drop("__present")
   }
+
+  /** Peak concurrency per key: the maximum number of intervals
+    * simultaneously open, by the classic sweep-line — each interval
+    * becomes (+1 at start, −1 past end), deltas are pre-summed per
+    * (key, instant) so equal timestamps carry no ordering ambiguity,
+    * and the answer is the max prefix sum. Ends are INCLUSIVE: the −1
+    * lands at `endExclusive` = end + one tick, supplied by the caller
+    * (so an interval ending exactly when another starts still counts
+    * as overlapping at that instant).
+    *
+    * Scale shape: JOIN-FREE — where the naive formulation self-joins
+    * intervals (quadratic under skew), this is one union, one
+    * (key, t) pre-agg, one per-key window, one max agg: every stage a
+    * plain hash exchange on the key, linear in |intervals|. The window
+    * partition is a key's DISTINCT event instants (≤ 2 per interval),
+    * so even a hot key with millions of intervals collapses to its
+    * timeline before the sort.
+    */
+  def peakConcurrency(intervals: DataFrame, keys: Seq[String],
+                      startCol: String, endExclusiveCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltas = intervals
+      .select(keys.map(col) :+ col(startCol).as("__t") :+
+        lit(1L).as("__d"): _*)
+      .unionAll(intervals.select(keys.map(col) :+
+        col(endExclusiveCol).as("__t") :+ lit(-1L).as("__d"): _*))
+    val perInstant = deltas.groupBy(keys.map(col) :+ col("__t"): _*)
+      .agg(sum("__d").as("__d"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perInstant.withColumn("__run", sum("__d").over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(max("__run").as("peak"))
+  }
 }

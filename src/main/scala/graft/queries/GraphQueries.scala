@@ -15,6 +15,7 @@ object GraphQueries {
   private val Grid = "1000000000.0" // 1e9 score grid (see PageRank.gridSnap)
   private val PrIters = 5
   private val SpHops = 6
+  private val HitsIters = 4
 
   /** Long vertex id (order k → 2k, part k → 2k+1) back to the
     * reference's string name ('o<k>' / 'p<k>'). */
@@ -154,6 +155,36 @@ object GraphQueries {
       $steps
       SELECT id, CAST(floor(score * $Grid + 0.5) AS BIGINT) AS score_nanos
       FROM r$iters ORDER BY id"""
+  }
+
+  /** Unrolled HITS oracle: a1/h1 … a{iters}/h{iters} CTE chain. Pure
+    * integer sums end-to-end (see [[graft.graph.Hits]]) — the only
+    * cross-engine care is DuckDB's sum(BIGINT) → HUGEINT, cast back. */
+  private def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""a$k AS MATERIALIZED (
+         SELECT e.dst AS id, CAST(sum(h.hub) AS BIGINT) AS auth
+         FROM edges e JOIN h${k - 1} h ON e.src = h.id
+         GROUP BY e.dst),
+       h$k AS MATERIALIZED (
+         SELECT e.src AS id, CAST(sum(a.auth) AS BIGINT) AS hub
+         FROM edges e JOIN a$k a ON e.dst = a.id
+         GROUP BY e.src)"""
+    }.mkString(",\n")
+    s"""
+      WITH edges AS MATERIALIZED (
+        SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+        FROM lineitem),
+      verts AS MATERIALIZED (
+        SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      h0 AS MATERIALIZED (
+        SELECT id, CAST(1 AS BIGINT) AS hub FROM verts),
+      $steps
+      SELECT v.id, COALESCE(h.hub, 0) AS hub, COALESCE(a.auth, 0) AS auth
+      FROM verts v
+      LEFT JOIN h$iters h ON v.id = h.id
+      LEFT JOIN a$iters a ON v.id = a.id
+      ORDER BY v.id"""
   }
 
   /** Unrolled Bellman-Ford oracle: d0 … d{hops} CTE chain. */
@@ -760,6 +791,27 @@ object GraphQueries {
             floor(col("score") * 1e9 + 0.5).cast("long").as("score_nanos"))
           .orderBy("id")
       },
-      Some(weightedPageRankSql(PrIters)))
+      Some(weightedPageRankSql(PrIters))),
+
+    // ------------------------------------------------------------------
+    // HITS hubs/authorities (Kleinberg 1999): the companion link-analysis
+    // ranker to PageRank, by EXACT INTEGER power iteration — rankings
+    // are scale-invariant, so the per-iteration normalization is dropped
+    // and every score stays a bit-reproducible BIGINT (no float
+    // snapping anywhere; the operator bounds growth against overflow
+    // from the measured degree profile). On the bipartite order→part
+    // graph: hub(order) = how much of the popular catalog it touches,
+    // auth(part) = how endorsed it is by broad orders.
+    QuerySpec("q118_hits",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.graph.Hits.run(edges, iters = HitsIters)
+          .select(decodeId(col("id")).as("id"), col("hub"), col("auth"))
+          .orderBy("id")
+      },
+      Some(hitsSql(HitsIters)))
   )
 }

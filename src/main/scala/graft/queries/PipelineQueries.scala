@@ -799,6 +799,100 @@ object PipelineQueries {
                CAST(floor(a.mad * 1000000 + 0.5) AS BIGINT) AS mad_micros,
                (a.mad > 0 AND 0.6745 * v.adev > 3.5 * a.mad) AS is_outlier
         FROM dev v JOIN mad a USING (lang)
-        ORDER BY v.doc_id"""))
+        ORDER BY v.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Peak concurrency (sweep-line): the max number of shipments
+    // simultaneously in transit per supplier — transit window is the
+    // half-open [ship, ship + quantity days). JOIN-FREE where the naive
+    // formulation self-joins intervals (quadratic under skew):
+    // ±1 deltas, pre-summed per (key, instant) so equal timestamps have
+    // no ordering ambiguity, then max prefix sum. All integer µs
+    // arithmetic — exact on both engines.
+    QuerySpec("q119_peak_concurrency",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val iv = Tables.lineitem(s, dir).select(
+          col("l_suppkey").as("suppkey"),
+          // NTZ → timestamp under the UTC session tz, so unix_micros
+          // matches DuckDB's epoch_us on the naive value.
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("t0"),
+          (expr("unix_micros(cast(l_shipdate as timestamp))") +
+            col("l_quantity").cast("long") * dayUs).as("t1"))
+        graft.operators.TimeSeries.peakConcurrency(iv,
+            Seq("suppkey"), "t0", "t1")
+          .orderBy("suppkey")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT l_suppkey AS suppkey, epoch_us(l_shipdate) AS t0,
+                 epoch_us(l_shipdate) +
+                   CAST(l_quantity AS BIGINT) * 86400000000 AS t1
+          FROM lineitem),
+        d AS (
+          SELECT suppkey, t0 AS t, 1 AS dd FROM iv
+          UNION ALL
+          SELECT suppkey, t1, -1 FROM iv),
+        g AS (
+          SELECT suppkey, t, CAST(sum(dd) AS BIGINT) AS dd
+          FROM d GROUP BY suppkey, t),
+        r AS (
+          SELECT suppkey,
+                 sum(dd) OVER (PARTITION BY suppkey ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM g)
+        SELECT suppkey, CAST(max(run) AS BIGINT) AS peak
+        FROM r GROUP BY suppkey ORDER BY suppkey""")),
+
+    // ------------------------------------------------------------------
+    // Interval-overlap self-join: pairs of shipments of the SAME part
+    // from the SAME supplier whose transit windows overlap — the
+    // conflicting-concurrent-shipment detector. The join is a plain
+    // equi-join on the (part, supp) composite key (groups are a few
+    // rows each; the quadratic blowup of a time-bucketed interval join
+    // is not needed when a natural equi-key bounds the group), with the
+    // half-open overlap predicate t0a < t1b AND t0b < t1a as a post-join
+    // filter. Overlap duration is exact integer µs.
+    QuerySpec("q120_overlap_pairs",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val iv = Tables.lineitem(s, dir).select(
+          col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"),
+          col("l_orderkey").as("okey"), col("l_linenumber").as("lno"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("t0"),
+          (expr("unix_micros(cast(l_shipdate as timestamp))") +
+            col("l_quantity").cast("long") * dayUs).as("t1"))
+        val a = iv.select(col("partkey"), col("suppkey"),
+          col("okey").as("okey_a"), col("lno").as("lno_a"),
+          col("t0").as("t0_a"), col("t1").as("t1_a"))
+        val b = iv.select(col("partkey"), col("suppkey"),
+          col("okey").as("okey_b"), col("lno").as("lno_b"),
+          col("t0").as("t0_b"), col("t1").as("t1_b"))
+        a.join(b, Seq("partkey", "suppkey"))
+          .filter((col("okey_a") < col("okey_b")) ||
+            (col("okey_a") === col("okey_b") && col("lno_a") < col("lno_b")))
+          .filter(col("t0_a") < col("t1_b") && col("t0_b") < col("t1_a"))
+          .groupBy("suppkey")
+          .agg(count(lit(1)).as("overlap_pairs"),
+            sum(least(col("t1_a"), col("t1_b")) -
+              greatest(col("t0_a"), col("t0_b"))).as("overlap_us"))
+          .orderBy("suppkey")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 l_orderkey AS okey, l_linenumber AS lno,
+                 epoch_us(l_shipdate) AS t0,
+                 epoch_us(l_shipdate) +
+                   CAST(l_quantity AS BIGINT) * 86400000000 AS t1
+          FROM lineitem)
+        SELECT a.suppkey, count(*) AS overlap_pairs,
+               CAST(sum(least(a.t1, b.t1) - greatest(a.t0, b.t0))
+                 AS BIGINT) AS overlap_us
+        FROM iv a JOIN iv b
+          ON a.partkey = b.partkey AND a.suppkey = b.suppkey
+         AND (a.okey < b.okey OR (a.okey = b.okey AND a.lno < b.lno))
+         AND a.t0 < b.t1 AND b.t0 < a.t1
+        GROUP BY a.suppkey ORDER BY a.suppkey"""))
   )
 }

@@ -46,4 +46,24 @@ class TimeSeriesSpec extends SparkSpec {
       .select("v").collect()
     assert(out.length == 2 && out.forall(_.isNullAt(0)))
   }
+
+  private def peaks(iv: Seq[(String, Long, Long)]): Map[String, Long] =
+    TimeSeries.peakConcurrency(iv.toDF("k", "t0", "t1"), Seq("k"), "t0", "t1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("peak concurrency: overlapping stack counts, disjoint stays 1") {
+    val m = peaks(Seq(
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 7L, 9L),   // 3 deep at t=7..8
+      ("b", 0L, 5L), ("b", 5L, 10L),                    // half-open: no touch
+      ("c", 1L, 2L)))
+    assert(m == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("peak concurrency: equal start instants pre-sum with no ambiguity") {
+    // 4 intervals all opening at t=0; one closes before the 5th opens.
+    val m = peaks(Seq(
+      ("k", 0L, 3L), ("k", 0L, 3L), ("k", 0L, 5L), ("k", 0L, 1L),
+      ("k", 3L, 9L)))
+    assert(m == Map("k" -> 4L))
+  }
 }
