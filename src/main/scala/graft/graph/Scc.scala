@@ -1,0 +1,126 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components by forward-coloring + backward
+  * containment (Orzan 2004; the FW-BW family used by every distributed
+  * SCC system — the reference's link graph is analyzed only as an
+  * undirected/forward structure, so this completes the directed side of
+  * its graph toolbox next to PageRank/components/coloring).
+  *
+  * Outer round:
+  *  1. **Color**: propagate the max vertex id FORWARD to fixpoint —
+  *     color(v) = max id over ancestors-or-self. Delta-frontier (only
+  *     labels that changed travel, exactly the [[Components]] argument:
+  *     a max that settled earlier already reached everyone downstream).
+  *  2. **Roots**: v with color(v) = v. No larger id reaches a root, so
+  *     a root is the MAX member of its own SCC — which makes the final
+  *     label engine-portable (no iteration-order dependence).
+  *  3. **Contain**: walk BACKWARD from each root along edges whose tail
+  *     shares the root's color. Everything reached both reaches the
+  *     root (backward walk) and is reached by it (same color ⇒ forward
+  *     path from the root... the root is the max ancestor), i.e. is in
+  *     the root's SCC — the Orzan containment argument.
+  *  4. Extract those vertices, drop their incident edges, repeat on the
+  *     residue.
+  *
+  * Every round extracts at least the global-max remaining vertex's SCC;
+  * random id-to-topology mixes converge in O(log V) outer rounds (each
+  * round removes every current prefix-maximum simultaneously).
+  *
+  * Scale shape: each propagation round is ONE keyed shuffle over the
+  * LIVE subgraph (edges of extracted SCCs are physically removed per
+  * outer round, so late rounds touch only the shrinking residue); score
+  * frames stay plan-constant via lazy localCheckpoint generations. The
+  * driver sees only per-round empty-frontier probes (bounded counts,
+  * never data). Labels are exact BIGINTs end-to-end — the DuckDB oracle
+  * is a transitive-closure pair test, no floats anywhere.
+  */
+object Scc {
+
+  /** edges: (src, dst) long ids, directed. Self-loops are ignored for
+    * connectivity but their endpoints still receive a label. Returns
+    * (id, scc) where scc = max member id of the vertex's SCC. */
+  def run(edges: DataFrame, maxOuterRounds: Int = 40,
+          maxInnerRounds: Int = 200): DataFrame = {
+    val clean = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    var verts = clean.select(col("src").as("id"))
+      .union(clean.select(col("dst").as("id")))
+      .distinct().localCheckpoint(false)
+    var e = clean.filter(col("src") =!= col("dst")).localCheckpoint(false)
+
+    var result: DataFrame = null
+    var outer = 0
+    while (outer < maxOuterRounds && verts.limit(1).count() > 0) {
+      // -- 1. forward max-color fixpoint (delta frontier) --------------
+      var colors = verts.withColumn("color", col("id"))
+        .localCheckpoint(false)
+      var frontier = colors
+      var inner = 0
+      var converged = false
+      while (!converged && inner < maxInnerRounds) {
+        val msgs = frontier
+          .join(e.withColumnRenamed("src", "id"), Seq("id"))
+          .select(col("dst").as("id"), col("color").as("cand"))
+          .groupBy("id").agg(max("cand").as("cand"))
+        val next = colors.join(msgs, Seq("id"), "left")
+          .select(col("id"),
+            greatest(col("color"), coalesce(col("cand"), col("color")))
+              .as("color"),
+            coalesce(col("cand") > col("color"), lit(false)).as("changed"))
+          .localCheckpoint(false)
+        colors = next.select("id", "color")
+        frontier = next.filter(col("changed")).select("id", "color")
+        converged = frontier.limit(1).count() == 0
+        inner += 1
+      }
+      require(converged,
+        s"SCC forward coloring did not converge in $maxInnerRounds rounds")
+
+      // -- 2+3. backward containment walk from the roots ---------------
+      // reached rows are (id, scc); a root's scc is itself.
+      var reached = colors.filter(col("color") === col("id"))
+        .select(col("id"), col("id").as("scc"))
+        .localCheckpoint(false)
+      frontier = reached
+      inner = 0
+      var bwDone = false
+      while (!bwDone && inner < maxInnerRounds) {
+        val cand = frontier
+          .join(e.withColumnRenamed("dst", "id"), Seq("id"))
+          .select(col("src").as("id"), col("scc"))
+          .distinct()
+          // only tails INSIDE the root's color class belong to the SCC
+          .join(colors, Seq("id"))
+          .filter(col("color") === col("scc"))
+          .select("id", "scc")
+        val fresh = cand.join(reached.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint(false)
+        if (fresh.limit(1).count() == 0) bwDone = true
+        else {
+          reached = reached.union(fresh).localCheckpoint(false)
+          frontier = fresh
+        }
+        inner += 1
+      }
+      require(bwDone,
+        s"SCC backward walk did not converge in $maxInnerRounds rounds")
+
+      result = if (result == null) reached else result.union(reached)
+      // -- 4. peel the extracted SCCs out of the residue ---------------
+      verts = verts.join(reached.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(false)
+      val gone = reached.select("id")
+      e = e.join(gone.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(gone.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .select("src", "dst")
+        .localCheckpoint(false)
+      outer += 1
+    }
+    require(verts.limit(1).count() == 0,
+      s"SCC did not finish in $maxOuterRounds outer rounds")
+    result
+  }
+}

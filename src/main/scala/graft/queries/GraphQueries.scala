@@ -16,6 +16,10 @@ object GraphQueries {
   private val PrIters = 5
   private val SpHops = 6
   private val HitsIters = 4
+  private val HbP = 5        // HyperBall register precision (m = 32)
+  private val HbM = 1 << HbP
+  private val HbBits = 60 - HbP
+  private val HbHops = 2
 
   /** Long vertex id (order k → 2k, part k → 2k+1) back to the
     * reference's string name ('o<k>' / 'p<k>'). */
@@ -185,6 +189,68 @@ object GraphQueries {
       LEFT JOIN h$iters h ON v.id = h.id
       LEFT JOIN a$iters a ON v.id = a.id
       ORDER BY v.id"""
+  }
+
+  /** Unrolled HyperBall oracle: register max-merge CTE chain b0 … b{hops}
+    * + per-hop finish through the exact shared estimator arithmetic
+    * (decimal harmonic sums, micros snap per vertex, BIGINT total). */
+  private def hyperBallSql(hops: Int): String = {
+    val hash =
+      "CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val merges = (1 to hops).map { k =>
+      s"""b$k AS MATERIALIZED (
+         SELECT id, idx, max(m_rho) AS m_rho FROM (
+           SELECT id, idx, m_rho FROM b${k - 1}
+           UNION ALL
+           SELECT e.src AS id, b.idx, b.m_rho
+           FROM edges e JOIN b${k - 1} b ON b.id = e.dst)
+         GROUP BY id, idx)"""
+    }.mkString(",\n")
+    val finishes = (0 to hops).map { k =>
+      s"""agg$k AS (
+         SELECT id, count(*) AS present,
+                sum(CAST(power(2.0, 62 - m_rho) AS DECIMAL(38,0))) AS sp
+         FROM b$k GROUP BY id),
+       est$k AS (
+         SELECT id, CAST($HbM - present AS BIGINT) AS zero_regs,
+                ((0.7213 / (1.0 + 1.079 / $HbM.0)) * $HbM.0) * $HbM.0
+                  * power(2.0, 62)
+                  / CAST(sp + ($HbM - present)
+                         * CAST(power(2.0, 62) AS DECIMAL(38,0)) AS DOUBLE)
+                  AS raw
+         FROM agg$k),
+       tot$k AS (
+         SELECT CAST($k AS BIGINT) AS hop,
+                CAST(count(*) AS BIGINT) AS vertices,
+                CAST(sum(${graft.util.Exact.microsSql(
+                  s"CASE WHEN raw <= 2.5 * $HbM.0 AND zero_regs > 0 " +
+                  s"THEN $HbM.0 * ln($HbM.0 / CAST(zero_regs AS DOUBLE)) " +
+                  "ELSE raw END")}) AS BIGINT) AS sum_est_micros
+         FROM est$k)"""
+    }.mkString(",\n")
+    val union = (0 to hops).map(k => s"SELECT * FROM tot$k")
+      .mkString("\nUNION ALL\n")
+    s"""
+      WITH verts AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+          SELECT l_orderkey * 2 AS id FROM lineitem
+          UNION ALL
+          SELECT l_partkey * 2 + 1 FROM lineitem)),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem
+          UNION ALL
+          SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem)),
+      b0 AS MATERIALIZED (
+        SELECT id, h % $HbM AS idx,
+               CASE WHEN h // $HbM = 0 THEN ${HbBits + 1}
+                    ELSE ${HbBits + 1} - length(bin(h // $HbM))
+               END AS m_rho
+        FROM (SELECT id, $hash AS h FROM verts)),
+      $merges,
+      $finishes
+      $union ORDER BY hop"""
   }
 
   /** Unrolled Bellman-Ford oracle: d0 … d{hops} CTE chain. */
@@ -812,6 +878,70 @@ object GraphQueries {
           .select(decodeId(col("id")).as("id"), col("hub"), col("auth"))
           .orderBy("id")
       },
-      Some(hitsSql(HitsIters)))
+      Some(hitsSql(HitsIters))),
+
+    // ------------------------------------------------------------------
+    // Strongly connected components (Orzan FW-BW coloring) over a
+    // CYCLIC directed quotient graph: orderkey%600 → partkey%600 puts
+    // both endpoints in one id space, so opposing incidences create
+    // real cycles — the structure PageRank/components can't see (both
+    // ignore direction). Labels are exact BIGINTs (scc = max member
+    // id); the oracle is the definitional transitive-closure pair test
+    // (v,u mutually reachable), tractable because the quotient graph is
+    // bounded at 600 vertices however large lineitem grows — the
+    // modulus projection IS the scale story: one scan-stage map + one
+    // distinct, then graph work on the bounded quotient.
+    QuerySpec("q121_scc",
+      (s, dir) => {
+        val m = 600
+        val edges = Tables.lineitem(s, dir)
+          .filter(col("l_linenumber") === 1)
+          .select((col("l_orderkey") % m).as("src"),
+            (col("l_partkey") % m).as("dst"))
+        graft.graph.Scc.run(edges).orderBy("id")
+      },
+      Some("""
+        WITH RECURSIVE edges AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % 600 AS src, l_partkey % 600 AS dst
+          FROM lineitem WHERE l_linenumber = 1
+            AND l_orderkey % 600 <> l_partkey % 600),
+        verts AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % 600 AS id FROM lineitem
+            WHERE l_linenumber = 1
+          UNION
+          SELECT DISTINCT l_partkey % 600 FROM lineitem
+            WHERE l_linenumber = 1),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        pairs AS MATERIALIZED (
+          SELECT src, dst FROM reach
+          UNION
+          SELECT id, id FROM verts)
+        SELECT v.id, CAST(max(p.dst) AS BIGINT) AS scc
+        FROM verts v
+        JOIN pairs p ON p.src = v.id
+        JOIN pairs q ON q.src = p.dst AND q.dst = v.id
+        GROUP BY v.id ORDER BY v.id""")),
+
+    // ------------------------------------------------------------------
+    // HyperBall neighborhood function (Boldi & Vigna 2013): the global
+    // ΣN(v, t) for t = 0..2 over the SYMMETRIZED order↔part graph — the
+    // all-sources distance profile ("how much of the graph is within t
+    // hops") that effective-diameter measurements read off, computed as
+    // per-vertex HLL ball sketches merged along edges. Register algebra
+    // and the grouped estimator are replayed verbatim in the oracle;
+    // each vertex's estimate micros-snaps before the exact BIGINT sum.
+    QuerySpec("q122_hyperball",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val fwd = li.select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        val edges = fwd.unionAll(fwd.select(col("dst").as("src"),
+          col("src").as("dst")))
+        graft.graph.HyperBall.run(edges, p = HbP, hops = HbHops)
+      },
+      Some(hyperBallSql(HbHops)))
   )
 }

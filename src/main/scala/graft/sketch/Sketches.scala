@@ -434,21 +434,44 @@ object Sketches {
     * pair. */
   def hllDistinctGrouped(df: DataFrame, keys: Seq[String], value: Column,
                          p: Int = 10): DataFrame = {
+    val keyCols = keys.map(col)
+    val obs = hllObservationsKeyed(df, keyCols, value, p)
+    hllEstimateGrouped(
+      obs.groupBy(keyCols :+ col("idx"): _*).agg(max("rho").as("m_rho")),
+      keys, p)
+  }
+
+  /** Keyed register observations (keys..., idx, rho) — the per-group
+    * form of [[hllObservations]]; rho ≥ 1 for every row. */
+  private[graft] def hllObservationsKeyed(df: DataFrame, keyCols: Seq[Column],
+                                          value: Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1L << p
-    val mD = m.toDouble
     val bits = 60 - p
     val h = Dedup.portableHash(value)
     val w = shiftrightunsigned(h, p)
-    val keyCols = keys.map(col)
-    val obs = df.select(keyCols ++ Seq(
+    df.select(keyCols ++ Seq(
       pmod(h, lit(m)).as("idx"),
       when(w === 0, lit(bits + 1))
         .otherwise(lit(bits + 1) - length(bin(w))).as("rho")): _*)
+  }
+
+  /** Finish per-key estimates from PRE-MAXED register rows
+    * (keys..., idx, m_rho) with m_rho ≥ 1 for every present register —
+    * the silent-register arithmetic documented on
+    * [[hllDistinctGrouped]]. Exposed so any operator that maintains
+    * per-key registers itself (the HyperBall ball merge, a streaming
+    * snapshot) can finish with the exact shared estimator. */
+  def hllEstimateGrouped(regs: DataFrame, keys: Seq[String],
+                         p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1L << p
+    val mD = m.toDouble
+    val keyCols = keys.map(col)
     val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD)) *
       lit(mD) * lit(mD)
     val two62 = pow(lit(2.0), lit(62)).cast("decimal(38,0)")
-    obs.groupBy(keyCols :+ col("idx"): _*).agg(max("rho").as("m_rho"))
+    regs
       .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("nonzero_regs"),
         sum(pow(lit(2.0), lit(62) - col("m_rho")).cast("decimal(38,0)"))
