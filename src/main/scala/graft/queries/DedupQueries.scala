@@ -459,6 +459,60 @@ object DedupQueries {
                  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
           FROM ranked a JOIN ranked b
             ON b.rn > a.rn AND b.rn <= a.rn + 5)
-        SELECT id_a, id_b, dist FROM pairs WHERE dist <= 20"""))
+        SELECT id_a, id_b, dist FROM pairs WHERE dist <= 20""")),
+
+    // ------------------------------------------------------------------
+    // Fellegi-Sunter probabilistic record linkage (1969): lang-blocked
+    // candidate pairs scored by the log-likelihood ratio over three
+    // field comparators (source, length bucket, 40-char prefix);
+    // u-probabilities estimated from the data as the random-pair
+    // agreement rate Σcnt²/n². m = 0.875 so both m and 1−m are exact
+    // binary doubles (identical constants in both engines); every field
+    // weight micros-snaps before the per-pair BIGINT sum. The 4.0
+    // threshold effectively demands prefix agreement — i.e. the planted
+    // near-dup corpus q14/q15 finds by hashing, recovered here by the
+    // classical statistical model instead.
+    QuerySpec("q125_record_linkage",
+      (s, dir) => graft.operators.RecordLinkage.fellegiSunter(
+          Tables.documents(s, dir), "doc_id",
+          blockCols = Seq("lang"),
+          fields = Seq(
+            "source" -> col("source"),
+            "lenb" -> floor(col("n_chars") / lit(100)).cast("long"),
+            "pre" -> substring(lower(col("text")), 1, 40)),
+          m = 0.875, thresholdMicros = 4000000L)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id, lang, source,
+                 n_chars // 100 AS lenb,
+                 substring(lower(text), 1, 40) AS pre
+          FROM documents),
+        us AS (SELECT CAST(sum(cnt * cnt) AS DOUBLE)
+                 / CAST(sum(cnt) * sum(cnt) AS DOUBLE) AS u
+               FROM (SELECT count(*) AS cnt FROM base GROUP BY source)),
+        ul AS (SELECT CAST(sum(cnt * cnt) AS DOUBLE)
+                 / CAST(sum(cnt) * sum(cnt) AS DOUBLE) AS u
+               FROM (SELECT count(*) AS cnt FROM base GROUP BY lenb)),
+        up AS (SELECT CAST(sum(cnt * cnt) AS DOUBLE)
+                 / CAST(sum(cnt) * sum(cnt) AS DOUBLE) AS u
+               FROM (SELECT count(*) AS cnt FROM base GROUP BY pre)),
+        scored AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            (CASE WHEN a.source = b.source
+               THEN ${Exact.microsSql("ln(0.875 / us.u)")}
+               ELSE ${Exact.microsSql("ln(0.125 / (1.0 - us.u))")} END
+           + CASE WHEN a.lenb = b.lenb
+               THEN ${Exact.microsSql("ln(0.875 / ul.u)")}
+               ELSE ${Exact.microsSql("ln(0.125 / (1.0 - ul.u))")} END
+           + CASE WHEN a.pre = b.pre
+               THEN ${Exact.microsSql("ln(0.875 / up.u)")}
+               ELSE ${Exact.microsSql("ln(0.125 / (1.0 - up.u))")} END)
+              AS score_micros
+          FROM base a JOIN base b
+            ON a.lang = b.lang AND a.doc_id < b.doc_id, us, ul, up)
+        SELECT id_a, id_b, score_micros FROM scored
+        WHERE score_micros > 4000000
+        ORDER BY id_a, id_b"""))
   )
 }

@@ -253,6 +253,43 @@ object GraphQueries {
       $union ORDER BY hop"""
   }
 
+  /** Unrolled deterministic-random-walk oracle: w0 … w{steps} CTE chain,
+    * each step the hash-argmin over out-neighbors (row_number ORDER BY
+    * h, dst ≡ Spark's min(struct(h, dst))). */
+  private def randomWalkSql(steps: Int, seed: String): String = {
+    def hash(k: Int) =
+      s"CAST(('0x' || substring(md5('$seed' || '|' || $k || '|' || " +
+        "w.start || '|' || e.src || '|' || e.dst), 1, 15)) AS BIGINT)"
+    val stepCtes = (1 to steps).map { k =>
+      s"""w$k AS MATERIALIZED (
+         SELECT start, dst AS cur FROM (
+           SELECT w.start, e.dst,
+                  row_number() OVER (PARTITION BY w.start
+                    ORDER BY ${hash(k)}, e.dst) AS rn
+           FROM w${k - 1} w JOIN edges e ON e.src = w.cur)
+         WHERE rn = 1)"""
+    }.mkString(",\n")
+    val unions = (0 to steps).map(k => s"SELECT cur FROM w$k")
+      .mkString("\nUNION ALL\n")
+    s"""
+      WITH verts AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+          SELECT l_orderkey * 2 AS id FROM lineitem
+          UNION ALL
+          SELECT l_partkey * 2 + 1 FROM lineitem)),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem
+          UNION ALL
+          SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem)),
+      w0 AS MATERIALIZED (SELECT id AS start, id AS cur FROM verts),
+      $stepCtes
+      SELECT cur AS vertex, count(*) AS visits
+      FROM ($unions)
+      GROUP BY cur ORDER BY vertex"""
+  }
+
   /** Unrolled Bellman-Ford oracle: d0 … d{hops} CTE chain. */
   private def shortestPathSql(hops: Int): String = {
     val steps = (1 to hops).map { k =>
@@ -942,6 +979,27 @@ object GraphQueries {
           col("src").as("dst")))
         graft.graph.HyperBall.run(edges, p = HbP, hops = HbHops)
       },
-      Some(hyperBallSql(HbHops)))
+      Some(hyperBallSql(HbHops))),
+
+    // ------------------------------------------------------------------
+    // Deterministic random-walk sampling (DeepWalk/node2vec corpus
+    // stage): one 4-step walk from every vertex of the symmetrized
+    // order↔part graph, each step a seeded hash-argmin over
+    // out-neighbors — bit-reproducible sampling (resume = regenerate),
+    // which is why a plain SQL oracle can replay every walk. Output is
+    // the per-vertex visit histogram, i.e. the empirical sampling
+    // distribution the embedding trainer would consume.
+    QuerySpec("q124_random_walks",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val fwd = li.select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        val edges = fwd.unionAll(fwd.select(col("dst").as("src"),
+          col("src").as("dst")))
+        graft.graph.RandomWalk.walks(edges, steps = 4, seed = "rw")
+          .groupBy("vertex").agg(count(lit(1)).as("visits"))
+          .orderBy("vertex")
+      },
+      Some(randomWalkSql(4, "rw")))
   )
 }

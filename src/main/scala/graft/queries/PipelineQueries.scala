@@ -893,6 +893,33 @@ object PipelineQueries {
           ON a.partkey = b.partkey AND a.suppkey = b.suppkey
          AND (a.okey < b.okey OR (a.okey = b.okey AND a.lno < b.lno))
          AND a.t0 < b.t1 AND b.t0 < a.t1
-        GROUP BY a.suppkey ORDER BY a.suppkey"""))
+        GROUP BY a.suppkey ORDER BY a.suppkey""")),
+
+    // ------------------------------------------------------------------
+    // Key-skew profile: the top-20 heaviest join-key values with exact
+    // integer ppm shares — the diagnostic that decides between a plain
+    // shuffle join, a broadcast, or salting (q48). One histogram
+    // hash-agg + a WindowGroupLimit top-K over the bounded histogram;
+    // no floats anywhere.
+    QuerySpec("q126_key_skew",
+      (s, dir) => graft.operators.Profile.keySkew(
+          Tables.lineitem(s, dir), "l_partkey", topK = 20)
+        .orderBy("rank"),
+      Some("""
+        WITH c AS (
+          SELECT l_partkey AS key_val, count(*) AS cnt
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        r AS (
+          SELECT key_val, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, key_val) AS rank,
+                 CAST(sum(cnt) OVER (ORDER BY cnt DESC, key_val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM c)
+        SELECT rank, key_val, cnt,
+               cnt * 1000000 // total AS share_ppm,
+               cum * 1000000 // total AS cum_ppm
+        FROM r, t WHERE rank <= 20 ORDER BY rank"""))
   )
 }

@@ -866,6 +866,22 @@ object TextQueries {
           .select(col("rank"), col("left"), col("right"), col("freq"))
           .orderBy("rank")
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // Trigram wildcard search (pg_trgm design): '%merge part%' through
+    // the posting index — candidates must cover ALL pattern trigrams,
+    // then an exact contains() verify on candidates only. The oracle is
+    // the naive full LIKE scan: hash equality proves the index path is
+    // EXACT (no recall loss from the pruning). The pattern spans a word
+    // boundary, which the tokenized search family (q08..) cannot see.
+    QuerySpec("q123_trigram_search",
+      (s, dir) => graft.search.Trigram.wildcardSearch(
+          Tables.documents(s, dir), "doc_id", "text", "merge part")
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id FROM documents
+        WHERE contains(lower(text), 'merge part')
+        ORDER BY doc_id"""))
   )
 }
