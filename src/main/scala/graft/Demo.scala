@@ -286,6 +286,53 @@ object Demo {
         array_join(array_sort(collect_set(lower(col("a.anchor")))), " ")
           .as("terms")).show(false)
 
+    println("== hits hubs/authorities (exact-integer power iteration)")
+    val demoEdges = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst")).distinct()
+    graft.graph.Hits.run(demoEdges, iters = 3)
+      .orderBy(col("auth").desc).show(3, false)
+
+    println("== scc on a cyclic quotient graph")
+    val demoDi = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .filter(col("l_linenumber") === 1)
+      .select((col("l_orderkey") % 600).as("src"),
+        (col("l_partkey") % 600).as("dst"))
+    graft.graph.Scc.run(demoDi)
+      .groupBy("scc").agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc).show(3, false)
+
+    println("== hyperball neighborhood function / random-walk corpus")
+    val demoSym = demoEdges.unionAll(demoEdges.select(
+      col("dst").as("src"), col("src").as("dst")))
+    graft.graph.HyperBall.run(demoSym, p = 5, hops = 2).show(false)
+    graft.graph.RandomWalk.walks(demoSym, steps = 3, seed = "demo")
+      .filter(col("start") === 2).orderBy("step").show(false)
+
+    println("== trigram wildcard search + record linkage + key skew")
+    println("   '%merge part%' docs=" + graft.search.Trigram
+      .wildcardSearch(demoCorpus, "doc_id", "text", "merge part").count())
+    graft.operators.RecordLinkage.fellegiSunter(
+        demoCorpus, "doc_id", Seq("lang"),
+        Seq("source" -> col("source"),
+          "lenb" -> floor(col("n_chars") / lit(100)).cast("long"),
+          "pre" -> substring(lower(col("text")), 1, 40)),
+        thresholdMicros = 4000000L)
+      .orderBy("id_a").show(3, false)
+    graft.operators.Profile.keySkew(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"), "l_partkey", 5)
+      .show(false)
+
+    println("== peak shipment concurrency per supplier (sweep line)")
+    graft.operators.TimeSeries.peakConcurrency(
+        Tables.lineitem(spark, "/root/testdata/sf0.001").select(
+          col("l_suppkey").as("k"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("t0"),
+          (expr("unix_micros(cast(l_shipdate as timestamp))") +
+            col("l_quantity").cast("long") * 86400000000L).as("t1")),
+        Seq("k"), "t0", "t1")
+      .orderBy(col("peak").desc).show(3, false)
+
     spark.stop()
   }
 }

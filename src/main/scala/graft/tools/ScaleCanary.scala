@@ -328,6 +328,56 @@ object ScaleCanary {
         Seq("g"), col("text"), p = 10).count()
     }
     println(s"[canary]   hll-grouped groups=$hg")
+
+    // HITS at 10x: exact-integer power iteration; the overflow guard
+    // derives the safe iteration budget from the measured degree
+    // profile (1k hubs with ~500 in-edges dominate the growth bound)
+    val hits = time("hits (3 iters)") {
+      graft.graph.Hits.run(edges, iters = 3)
+        .agg(max("hub").as("h"), max("auth").as("a")).first()
+    }
+    println(s"[canary]   hits maxHub=${hits.getLong(0)} " +
+      s"maxAuth=${hits.getLong(1)} (BIGINT-exact, no normalization)")
+
+    // SCC at 10x: mean degree ~10 makes one giant SCC plus tendrils —
+    // outer rounds stay in single digits because every round extracts
+    // all current prefix-maximum roots simultaneously
+    val scc = time("scc") {
+      graft.graph.Scc.run(edges)
+        .agg(countDistinct("scc").as("n"), count(lit(1)).as("v")).first()
+    }
+    println(s"[canary]   scc components=${scc.getLong(0)} " +
+      s"over ${scc.getLong(1)} vertices")
+
+    // HyperBall at 10x: per-vertex ball registers (m=16) merged along
+    // 5M edges — register traffic is |E|*<=m rows per hop, state
+    // |V|*<=m; the per-hop totals trace the neighborhood function
+    val hb = time("hyperball (2 hops)") {
+      graft.graph.HyperBall.run(edges, p = 4, hops = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(2) / 1000000L).toMap
+    }
+    println(s"[canary]   hyperball sumN t=1:${hb(1L)} t=2:${hb(2L)} " +
+      "(monotone ball growth)")
+
+    // random walks at 10x: 500k lock-step walks, 4 steps; per-step
+    // fan-out is sum(deg(cur)) ~ |E| — the irreducible uniform-walk
+    // cost; hash-argmin keeps it one join + one combinable agg
+    val rw = time("random walks (4)") {
+      graft.graph.RandomWalk.walks(edges, steps = 4, seed = "canary")
+        .groupBy("vertex").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("visited"), max("n").as("hot")).first()
+    }
+    println(s"[canary]   walks visited=${rw.getLong(0)} " +
+      s"hottest=${rw.getLong(1)} (hubs attract mass, as designed)")
+
+    // trigram index at 10x: posting build over 500k docs (~75M raw
+    // trigrams before the per-doc distinct), then one indexed search —
+    // query cost is the pattern's posting lists, not the corpus
+    val tg = time("trigram build+search") {
+      graft.search.Trigram.wildcardSearch(docs, "doc_id", "text",
+        "w123 w").count()
+    }
+    println(s"[canary]   trigram matches=$tg (index path, exact)")
     spark.stop()
   }
 }
