@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Sampling
+import graft.operators.{Salting, Sampling}
 import graft.util.Exact
 
 /** Dataset-carving queries (q49): deterministic sampling + group-stable
@@ -920,6 +921,190 @@ object PipelineQueries {
         SELECT rank, key_val, cnt,
                cnt * 1000000 // total AS share_ppm,
                cum * 1000000 // total AS cum_ppm
-        FROM r, t WHERE rank <= 20 ORDER BY rank"""))
+        FROM r, t WHERE rank <= 20 ORDER BY rank""")),
+
+    // ------------------------------------------------------------------
+    // Last-touch attribution: every purchase credited to the user's most
+    // recent click/view within a 7-day lookback, else 'organic' — the
+    // standard marketing-attribution model, built on the AsOf operator
+    // (one shuffle, no range blow-up; the lookback is a post-join
+    // predicate, NOT a range join). Touches pre-deduped per (user, ts)
+    // by max(struct) ≡ the oracle's row_number DESC rule; revenue snaps
+    // to cents per row before the exact BIGINT sum.
+    QuerySpec("q127_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("ts_us", expr("ts div 1000"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("value"))
+        val touches = ev.filter(col("event_type").isin("click", "view"))
+          .groupBy(col("user_id"), col("ts_us").as("tts"))
+          .agg(max(struct(col("event_type"), col("event_id"))).as("m"))
+          .select(col("user_id"), col("tts"),
+            col("m.event_type").as("touch"))
+        val lookbackUs = 7L * 86400000000L
+        graft.operators.AsOf.join(purchases, touches, Seq("user_id"),
+            "ts_us", "tts")
+          .select(
+            when(col("r_tts").isNotNull &&
+              col("r_tts") >= col("ts_us") - lit(lookbackUs),
+              col("r_touch")).otherwise(lit("organic")).as("channel"),
+            col("value"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("purchases"),
+            sum(Exact.cents(col("value"))).as("revenue_cents"))
+          .orderBy("channel")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                 value
+          FROM events),
+        purch AS (
+          SELECT user_id, ts_us, value FROM ev
+          WHERE event_type = 'purchase'),
+        touch AS (
+          SELECT user_id, tts, event_type AS touch FROM (
+            SELECT user_id, ts_us AS tts, event_type,
+                   row_number() OVER (PARTITION BY user_id, ts_us
+                     ORDER BY event_type DESC, event_id DESC) AS rn
+            FROM ev WHERE event_type IN ('click', 'view'))
+          WHERE rn = 1),
+        j AS (
+          SELECT p.ts_us, p.value, t.tts, t.touch
+          FROM purch p ASOF LEFT JOIN touch t
+            ON p.user_id = t.user_id AND p.ts_us >= t.tts)
+        SELECT CASE WHEN tts IS NOT NULL
+                     AND tts >= ts_us - 604800000000
+                    THEN touch ELSE 'organic' END AS channel,
+               count(*) AS purchases,
+               CAST(sum(${Exact.centsSql("value")}) AS BIGINT)
+                 AS revenue_cents
+        FROM j GROUP BY channel ORDER BY channel""")),
+
+    // ------------------------------------------------------------------
+    // Multi-step conversion funnel: signup -> view -> click -> purchase,
+    // each step strictly after the user's FIRST completion of the
+    // previous step. The classic product-analytics operator. Shape: one
+    // keyed min-agg per step, each joined to the previous step's
+    // timestamps — every agg and join keys on user_id, so at scale the
+    // exchange is planned once and reused; no window over the full event
+    // stream, no per-user array materialization.
+    QuerySpec("q128_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"))
+        def step(prev: org.apache.spark.sql.DataFrame, et: String,
+                 tPrev: String, tCur: String) =
+          ev.filter(col("event_type") === et)
+            .join(prev.select("user_id", tPrev), Seq("user_id"))
+            .filter(col("ts_us") > col(tPrev))
+            .groupBy("user_id").agg(min("ts_us").as(tCur))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val s2 = step(s1, "view", "t1", "t2")
+        val s3 = step(s2, "click", "t2", "t3")
+        val s4 = step(s3, "purchase", "t3", "t4")
+        def cnt(df: org.apache.spark.sql.DataFrame, n: Int, nm: String) =
+          df.agg(count(lit(1)).as("users"))
+            .select(lit(n).as("stage"), lit(nm).as("step"), col("users"))
+        cnt(s1, 1, "signup").union(cnt(s2, 2, "view"))
+          .union(cnt(s3, 3, "click")).union(cnt(s4, 4, "purchase"))
+          .orderBy("stage")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+               WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e
+               JOIN s1 USING (user_id)
+               WHERE e.event_type = 'view' AND e.ts_us > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM ev e
+               JOIN s2 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts_us > s2.t2 GROUP BY 1),
+        s4 AS (SELECT e.user_id, min(e.ts_us) AS t4 FROM ev e
+               JOIN s3 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_us > s3.t3
+               GROUP BY 1)
+        SELECT stage, step, users FROM (
+          SELECT 1 AS stage, 'signup' AS step,
+                 CAST(count(*) AS BIGINT) AS users FROM s1
+          UNION ALL SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+          UNION ALL SELECT 3, 'click', CAST(count(*) AS BIGINT) FROM s3
+          UNION ALL SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM s4)
+        ORDER BY stage""")),
+
+    // ------------------------------------------------------------------
+    // Slowly-changing-dimension (type 2) history build: collapse each
+    // user's event stream to the intervals over which a derived
+    // attribute (props-digit mod 4, a 4-level "tier") held constant —
+    // lag() change detection, then lead() to close each interval;
+    // valid_to NULL marks the current version. One shuffle by user_id,
+    // two windows over the same partitioning (planned as a single sort).
+    // Tie-break on event_id makes the row order — and thus the whole
+    // history — deterministic under equal timestamps.
+    QuerySpec("q129_scd2",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"),
+            (regexp_extract(col("props"), "[0-9]+", 0).cast("int") % 4)
+              .as("tier"))
+        val chg = ev
+          .withColumn("prev", lag("tier", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("tier"))
+        chg
+          .withColumn("valid_to", lead("ts_us", 1).over(w))
+          .select(col("user_id"), col("tier"),
+            col("ts_us").as("valid_from"), col("valid_to"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CAST(regexp_extract(props, '[0-9]+') AS INT) % 4 AS tier
+          FROM events),
+        c AS (SELECT *, lag(tier) OVER
+                (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+              FROM ev),
+        chg AS (SELECT user_id, event_id, tier, ts_us FROM c
+                WHERE prev IS NULL OR prev <> tier)
+        SELECT user_id, tier, ts_us AS valid_from,
+               lead(ts_us) OVER
+                 (PARTITION BY user_id ORDER BY ts_us, event_id)
+                 AS valid_to
+        FROM chg ORDER BY user_id, valid_from""")),
+
+    // ------------------------------------------------------------------
+    // Skew-salted revenue join: purchases (fact, Zipf-ish user key — the
+    // distribution q126 profiles) joined to customer (dim) through
+    // Salting.saltedEquiJoin with 8 salts and a forced sort-merge join,
+    // then revenue per market segment. The oracle runs the PLAIN join —
+    // salting must be invisible in the result, visible only in the plan
+    // (PlanSpec pins SortMergeJoin + the x8 dim replication).
+    QuerySpec("q130_salted_join",
+      (s, dir) => {
+        val fact = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        Salting.saltedEquiJoin(fact, dim, "user_id", "c_custkey",
+            col("event_id"), salts = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("purchases"),
+            sum(Exact.cents(col("value"))).as("revenue_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS purchases,
+               CAST(sum(${Exact.centsSql("value")}) AS BIGINT)
+                 AS revenue_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
