@@ -381,4 +381,53 @@ object Dedup {
       .select(col(idCol), col("fp"))
       .distinct()
   }
+
+  /** Shingle-CONTAINMENT near-superset pairs: |A∩B| / |A| (and / |B|),
+    * the asymmetric cousin of Jaccard that catches doc-inside-doc
+    * duplication — boilerplate wrappers, quoted articles, appended
+    * tails — where Jaccard dilutes as the superset grows. A pair is
+    * emitted when EITHER direction reaches `minContainmentPpm`; the two
+    * ppm columns tell which side is the subset.
+    *
+    * Candidates come from an inverted shingle index capped at
+    * `maxDf` postings per shingle — a pair is found iff it shares at
+    * least one rare shingle, so candidate volume is bounded by
+    * Σ_rare df² regardless of corpus size (common-boilerplate shingles
+    * never join). The containment arithmetic itself is EXACT for every
+    * candidate (full shingle sets, integer ppm division); the cap only
+    * bounds recall, and the q133 oracle applies the identical cap so
+    * the gate checks the same semantics. Near-supersets by construction
+    * share rare shingles (the subset's whole set is present in both),
+    * so recall loss is confined to pairs made ENTIRELY of
+    * corpus-common shingles.
+    */
+  def containmentPairs(docs: DataFrame, shingleN: Int = 3,
+                       maxDf: Int = 64, minContainmentPpm: Long = 800000L,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val sh = shingleTable(docs, shingleN, idCol, textCol)
+    val rareShingles = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val rare = sh.join(rareShingles, Seq("shingle"))
+    val cand = rare.select(col("shingle"), col(idCol).as("a"))
+      .join(rare.select(col("shingle"), col(idCol).as("b")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("shingle")),
+        Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        expr("shared * 1000000 div sza").as("cont_a_ppm"),
+        expr("shared * 1000000 div szb").as("cont_b_ppm"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm"))
+        >= minContainmentPpm)
+  }
 }

@@ -513,6 +513,46 @@ object DedupQueries {
             ON a.lang = b.lang AND a.doc_id < b.doc_id, us, ul, up)
         SELECT id_a, id_b, score_micros FROM scored
         WHERE score_micros > 4000000
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ------------------------------------------------------------------
+    // Shingle-containment near-supersets: |A∩B|/|A| asymmetric overlap
+    // over the augmented corpus, whose planted `+tail` docs are TRUE
+    // supersets (containment 1.0 one way, diluted Jaccard). Candidates
+    // via a df≤64-capped inverted shingle index (both engines apply the
+    // same cap), containment exact in integer ppm. The direction columns
+    // identify the subset side — what a training-data pipeline keeps
+    // (the superset) vs drops.
+    QuerySpec("q133_containment",
+      (s, dir) => Dedup.containmentPairs(augmented(s, dir), shingleN = 3,
+          maxDf = 64, minContainmentPpm = 800000L)
+        .orderBy("a", "b"),
+      Some(s"""
+        WITH $ShingleCtes,
+        dfs AS MATERIALIZED (
+          SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+        rare AS MATERIALIZED (
+          SELECT s.doc_id, s.shingle FROM shingles s
+          JOIN dfs USING (shingle) WHERE dfs.df <= 64),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT ra.doc_id AS a, rb.doc_id AS b
+          FROM rare ra JOIN rare rb
+            ON ra.shingle = rb.shingle AND ra.doc_id < rb.doc_id),
+        sizes AS MATERIALIZED (
+          SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+        inter AS MATERIALIZED (
+          SELECT c.a, c.b, count(*) AS shared FROM cand c
+          JOIN shingles sa ON sa.doc_id = c.a
+          JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+        SELECT i.a, i.b,
+               i.shared * 1000000 // za.sz AS cont_a_ppm,
+               i.shared * 1000000 // zb.sz AS cont_b_ppm
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a
+        JOIN sizes zb ON zb.doc_id = i.b
+        WHERE greatest(i.shared * 1000000 // za.sz,
+                       i.shared * 1000000 // zb.sz) >= 800000
+        ORDER BY a, b"""))
   )
 }

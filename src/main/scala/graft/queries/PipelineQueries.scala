@@ -1105,6 +1105,54 @@ object PipelineQueries {
                  AS revenue_cents
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         WHERE e.event_type = 'purchase'
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // One-pass column profiler — the data-quality sweep a pipeline runs
+    // before ingesting a new drop: per-column row/null counts, exact
+    // distinct cardinality, lexicographic min/max. ONE scan via
+    // stack() (the oracle's 6-scan UNION ALL is the semantic spec, not
+    // the plan); numerics are zero-padded to width 12 so lexicographic
+    // min/max == numeric min/max. Exact ndv shuffles (col, val) pairs —
+    // the honest cost of exactness; at 100 TB swap the ndv column for
+    // the mergeable HLL path (q103/q132) and keep the rest identical.
+    QuerySpec("q131_column_profile",
+      (s, dir) => Tables.lineitem(s, dir)
+        .selectExpr("""stack(6,
+            'l_orderkey',   lpad(cast(l_orderkey as string), 12, '0'),
+            'l_linenumber', lpad(cast(l_linenumber as string), 12, '0'),
+            'l_quantity_cents',
+              lpad(cast(cast(floor(l_quantity * 100 + 0.5) as bigint)
+                        as string), 12, '0'),
+            'l_returnflag', l_returnflag,
+            'l_linestatus', l_linestatus,
+            'l_shipdate',   date_format(l_shipdate, 'yyyy-MM-dd')
+          ) as (col_name, val)""")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("val")).as("n_nonnull"),
+          countDistinct(col("val")).as("ndv"),
+          min("val").as("min_val"),
+          max("val").as("max_val"))
+        .orderBy("col_name"),
+      Some("""
+        WITH u AS (
+          SELECT 'l_orderkey' AS col_name,
+                 lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS val
+          FROM lineitem
+          UNION ALL SELECT 'l_linenumber',
+                 lpad(CAST(l_linenumber AS VARCHAR), 12, '0') FROM lineitem
+          UNION ALL SELECT 'l_quantity_cents',
+                 lpad(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                           AS VARCHAR), 12, '0') FROM lineitem
+          UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+          UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+          UNION ALL SELECT 'l_shipdate', strftime(l_shipdate, '%Y-%m-%d')
+          FROM lineitem)
+        SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(val) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT val) AS BIGINT) AS ndv,
+               min(val) AS min_val, max(val) AS max_val
+        FROM u GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -324,6 +324,65 @@ object SketchQueries {
                ${Exact.microsSql(
                  "CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE)" +
                  " * CAST(est_union AS DOUBLE)")} AS est_inter_micros
-        FROM est"""))
+        FROM est""")),
+
+    // ------------------------------------------------------------------
+    // HLL ROLLUP — the mergeability property that makes sketches the
+    // 100 TB answer to distinct-count dashboards: per-day register
+    // tables are built ONCE from the raw events, then the all-time
+    // estimate is a register-wise max over the per-day sketches — the
+    // raw data is never rescanned for the rollup, and adding a day is
+    // an 8 KB merge, not a recount. Day -1 row = merged all-time
+    // estimate; per-day rows use the identical estimator (both finish
+    // through Sketches.hllEstimateGrouped, so the SQL twin shares one
+    // tail for both branches).
+    QuerySpec("q132_hll_rollup",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          expr("ts div 86400000000000").as("day"),
+          col("user_id").cast("string").as("uid"))
+        val dayRegs = Sketches
+          .hllObservationsKeyed(ev, Seq(col("day")), col("uid"), HllP)
+          .groupBy("day", "idx").agg(max("rho").as("m_rho"))
+        val perDay = Sketches.hllEstimateGrouped(dayRegs, Seq("day"), HllP)
+        val merged = Sketches.hllEstimateGrouped(
+            dayRegs.groupBy("idx").agg(max("m_rho").as("m_rho")),
+            Seq(), HllP)
+          .select(lit(-1L).as("day"), col("nonzero_regs"),
+            col("zero_regs"), col("est_micros"))
+        perDay.unionByName(merged).orderBy("day")
+      },
+      Some(s"""
+        WITH hs AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            ${hashSql("CAST(user_id AS VARCHAR)")} AS h
+          FROM events),
+        regs AS (SELECT day, h % $HllM AS idx,
+            CASE WHEN h // $HllM = 0 THEN ${HllBits + 1}
+                 ELSE ${HllBits + 1} - length(bin(h // $HllM))
+            END AS rho
+          FROM hs),
+        mx AS (SELECT day, idx, max(rho) AS m_rho
+          FROM regs GROUP BY 1, 2),
+        mm AS (SELECT CAST(-1 AS BIGINT) AS day, idx, max(m_rho) AS m_rho
+          FROM mx GROUP BY 1, 2),
+        allr AS (SELECT * FROM mx UNION ALL SELECT * FROM mm),
+        agg AS (SELECT day, count(*) AS present,
+            sum(CAST(power(2.0, 62 - m_rho) AS DECIMAL(38,0))) AS sp
+          FROM allr GROUP BY 1),
+        est AS (SELECT day,
+            CAST(present AS BIGINT) AS nonzero_regs,
+            CAST($HllM - present AS BIGINT) AS zero_regs,
+            ((0.7213 / (1.0 + 1.079 / $HllM.0)) * $HllM.0) * $HllM.0
+              * power(2.0, 62)
+              / CAST(sp + ($HllM - present)
+                     * CAST(power(2.0, 62) AS DECIMAL(38,0)) AS DOUBLE)
+              AS raw
+          FROM agg)
+        SELECT day, nonzero_regs, zero_regs,
+          ${Exact.microsSql(
+            s"CASE WHEN raw <= 2.5 * $HllM.0 AND zero_regs > 0 " +
+            s"THEN $HllM.0 * ln($HllM.0 / CAST(zero_regs AS DOUBLE)) " +
+            "ELSE raw END")} AS est_micros
+        FROM est ORDER BY day"""))
   )
 }

@@ -188,4 +188,17 @@ class DedupSpec extends SparkSpec {
     // 13-token docs: 11 shingles; doc 2 has 12, sharing all 11
     assert(math.abs(j((1L, 2L)) - 11.0 / 12.0) < 1e-12)
   }
+
+  test("containment: the subset side reports ppm 1000000, superset less") {
+    // doc 2 = doc 1 + one appended token: every doc-1 shingle appears in
+    // doc 2 (containment 1.0 that way), 11 of doc 2's 12 the other way.
+    val c = Dedup.containmentPairs(base, shingleN = 3, maxDf = 64,
+        minContainmentPpm = 800000L)
+      .select("a", "b", "cont_a_ppm", "cont_b_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(c((1L, 2L)) == (1000000L, 11L * 1000000L / 12L))
+    assert(c((1L, 4L)) == (1000000L, 1000000L)) // verbatim dup
+    assert(!c.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
