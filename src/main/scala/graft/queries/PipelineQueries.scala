@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Salting, Sampling}
+import graft.operators.Sampling
 import graft.util.Exact
 
 /** Dataset-carving queries (q49): deterministic sampling + group-stable
@@ -1037,29 +1037,27 @@ object PipelineQueries {
         ORDER BY stage""")),
 
     // ------------------------------------------------------------------
-    // Slowly-changing-dimension (type 2) history build: collapse each
-    // user's event stream to the intervals over which a derived
-    // attribute (props-digit mod 4, a 4-level "tier") held constant —
-    // lag() change detection, then lead() to close each interval;
-    // valid_to NULL marks the current version. One shuffle by user_id,
-    // two windows over the same partitioning (planned as a single sort).
-    // Tie-break on event_id makes the row order — and thus the whole
-    // history — deterministic under equal timestamps.
+    // CDC capture over a RAW observation stream: change-point
+    // compression (StoreOps.changePoints — keep only rows where the
+    // derived 4-level "tier" differs from the user's previous
+    // observation), then the existing StoreOps.scd2 interval build.
+    // Distinct from q75, whose input already IS a change stream — this
+    // is the front end that makes scd2 applicable to noisy repeated
+    // readings. Both windows share one user_id shuffle + sort;
+    // event_id tie-break keeps the history deterministic.
     QuerySpec("q129_scd2",
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         val ev = Tables.events(s, dir)
           .select(col("user_id"), col("event_id"),
             expr("ts div 1000").as("ts_us"),
             (regexp_extract(col("props"), "[0-9]+", 0).cast("int") % 4)
               .as("tier"))
-        val chg = ev
-          .withColumn("prev", lag("tier", 1).over(w))
-          .filter(col("prev").isNull || col("prev") =!= col("tier"))
-        chg
-          .withColumn("valid_to", lead("ts_us", 1).over(w))
+        val chg = graft.store.StoreOps.changePoints(ev, Seq("user_id"),
+          "ts_us", "tier", tieBreak = Seq("event_id"))
+        graft.store.StoreOps.scd2(chg, Seq("user_id"), "ts_us",
+            tieBreak = Seq("event_id"))
           .select(col("user_id"), col("tier"),
-            col("ts_us").as("valid_from"), col("valid_to"))
+            col("valid_from"), col("valid_to"))
           .orderBy("user_id", "valid_from")
       },
       Some("""
@@ -1077,35 +1075,6 @@ object PipelineQueries {
                  (PARTITION BY user_id ORDER BY ts_us, event_id)
                  AS valid_to
         FROM chg ORDER BY user_id, valid_from""")),
-
-    // ------------------------------------------------------------------
-    // Skew-salted revenue join: purchases (fact, Zipf-ish user key — the
-    // distribution q126 profiles) joined to customer (dim) through
-    // Salting.saltedEquiJoin with 8 salts and a forced sort-merge join,
-    // then revenue per market segment. The oracle runs the PLAIN join —
-    // salting must be invisible in the result, visible only in the plan
-    // (PlanSpec pins SortMergeJoin + the x8 dim replication).
-    QuerySpec("q130_salted_join",
-      (s, dir) => {
-        val fact = Tables.events(s, dir)
-          .filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("value"))
-        val dim = Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_mktsegment"))
-        Salting.saltedEquiJoin(fact, dim, "user_id", "c_custkey",
-            col("event_id"), salts = 8)
-          .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("purchases"),
-            sum(Exact.cents(col("value"))).as("revenue_cents"))
-          .orderBy("c_mktsegment")
-      },
-      Some(s"""
-        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS purchases,
-               CAST(sum(${Exact.centsSql("value")}) AS BIGINT)
-                 AS revenue_cents
-        FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        WHERE e.event_type = 'purchase'
-        GROUP BY 1 ORDER BY 1""")),
 
     // ------------------------------------------------------------------
     // One-pass column profiler — the data-quality sweep a pipeline runs

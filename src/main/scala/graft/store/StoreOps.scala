@@ -83,4 +83,30 @@ object StoreOps {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Change-point compression (CDC capture): collapse a RAW observation
+    * stream to only the rows where `attrCol` differs from the key's
+    * previous observation — the run-length front end that turns noisy
+    * repeated readings into the change stream [[scd2]] expects.
+    * (scd2 itself assumes its input rows ARE changes; feeding it raw
+    * observations would emit one zero-information version per reading.)
+    *
+    * Same window shape as scd2 — one shuffle by key, lag() over
+    * (`tsCol`, `tieBreak…`) — so a changePoints |> scd2 pipeline plans
+    * ONE exchange + one sort shared by both windows. NULL-safe: a NULL
+    * attribute following a non-NULL (or vice versa) is a change;
+    * consecutive NULLs are not (eqNullSafe comparison). One edge
+    * follows: a key whose FIRST observation is NULL matches the
+    * lag()'s no-previous-row NULL, so its history starts at the first
+    * non-NULL attribute. */
+  def changePoints(stream: DataFrame, keys: Seq[String], tsCol: String,
+                   attrCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val prev = "__prev_" + attrCol
+    stream
+      .withColumn(prev, lag(col(attrCol), 1).over(w))
+      .filter(!col(prev).eqNullSafe(col(attrCol)))
+      .drop(prev)
+  }
 }

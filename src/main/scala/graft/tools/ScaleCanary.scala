@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** 10× scale canary: a seeded synthetic corpus roughly 10× the sf0.1
@@ -69,7 +69,7 @@ object ScaleCanary {
 
     // Inputs are lineage-truncated checkpoints: their blocks are the
     // ONLY copy, so the per-op cleanup must never drop them.
-    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    var keep = spark.sparkContext.getPersistentRDDs.keySet
 
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -378,6 +378,114 @@ object ScaleCanary {
         "w123 w").count()
     }
     println(s"[canary]   trigram matches=$tg (index path, exact)")
+
+    // ---- synthetic event stream for the q127-q132 operator family:
+    // 5M events over 500k users, 10% concentrated on 1k hot users, ts
+    // monotone in event_id ----
+    val nEv = 5000000L
+    val events = spark.range(nEv).select(
+        col("id").as("event_id"),
+        when(pmod(xxhash64(col("id"), lit(11)), lit(10)) === 0,
+          pmod(xxhash64(col("id"), lit(12)), lit(1000)))
+          .otherwise(pmod(xxhash64(col("id"), lit(12)), lit(500000L)))
+          .as("user_id"),
+        element_at(array(lit("signup"), lit("view"), lit("click"),
+          lit("purchase"), lit("error")),
+          (pmod(xxhash64(col("id"), lit(13)), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (col("id") * 1000L).as("ts_us"))
+      .localCheckpoint()
+    // the event stream feeds several legs — shield its blocks from the
+    // per-op cleanup (the previous leg already swept its own blocks)
+    keep = spark.sparkContext.getPersistentRDDs.keySet
+
+    // funnel at 5M events: 4 keyed min-aggs + 3 joins, ALL keyed on
+    // user_id — the exchange is planned once; no window over the stream
+    val fl = time("funnel (4 steps)") {
+      def step(prev: DataFrame, et: String, tp: String, tc: String) =
+        events.filter(col("event_type") === et)
+          .join(prev.select("user_id", tp), Seq("user_id"))
+          .filter(col("ts_us") > col(tp))
+          .groupBy("user_id").agg(min("ts_us").as(tc))
+      val s1 = events.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      step(step(step(s1, "view", "t1", "t2"), "click", "t2", "t3"),
+        "purchase", "t3", "t4").count()
+    }
+    println(s"[canary]   funnel completions=$fl of 500k users")
+
+    // CDC capture at 5M events: changePoints |> scd2, one shuffle by
+    // user_id, both windows share the sort
+    val sc2 = time("scd2 intervals") {
+      val tiered = events.withColumn("tier",
+        pmod(xxhash64(col("event_id"), lit(31)), lit(4)))
+      val chg = graft.store.StoreOps.changePoints(tiered, Seq("user_id"),
+        "ts_us", "tier", tieBreak = Seq("event_id"))
+      graft.store.StoreOps.scd2(chg, Seq("user_id"), "ts_us",
+        tieBreak = Seq("event_id")).count()
+    }
+    println(s"[canary]   scd2 intervals=$sc2 (~3/4 of events change tier)")
+
+    // as-of attribution at 5M: every purchase matched to the latest
+    // preceding touch — tagged-union + ONE window, no range blow-up
+    val at = time("asof attribution") {
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val touches = events
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts_us").as("tts"),
+          col("event_type").as("touch"))
+      graft.operators.AsOf.join(purchases, touches, Seq("user_id"),
+        "ts_us", "tts").count()
+    }
+    println(s"[canary]   asof rows=$at (1M purchases vs 2M touches)")
+
+    // salted join with a DELIBERATE straggler key: ~20% of 5M fact rows
+    // land on key 0; 32 salts cut the hottest reducer cell to ~31k rows.
+    // The dim x32 replication (16M rows) is far past the broadcast
+    // threshold, so this exercises the shuffled path q48's small-scale
+    // spec cannot.
+    val sj = time("salted join (1M hot key)") {
+      val fact = events.select(col("event_id"),
+        when(pmod(xxhash64(col("event_id"), lit(21)), lit(5)) === 0,
+          lit(0L))
+          .otherwise(pmod(xxhash64(col("event_id"), lit(22)),
+            lit(500000L))).as("k"))
+      val dim = spark.range(500000L)
+        .select(col("id").as("k"), xxhash64(col("id")).as("attr"))
+      graft.operators.Skew.saltedJoin(fact, dim, Seq("k"), salt = 32)
+        .count()
+    }
+    require(sj == nEv, s"salted join emitted $sj of $nEv fact rows")
+    println(s"[canary]   salted-join rows=$sj (lossless, skew spread x32)")
+
+    // HLL rollup at 5M: 50 per-day sketches merged register-wise into
+    // the all-time estimate — merge state is 50x1024 rows, the raw
+    // events are scanned exactly once
+    val hr = time("hll rollup merge") {
+      val ev2 = events.select(
+        (col("event_id") / lit(100000L)).cast("long").as("day"),
+        col("user_id").cast("string").as("u"))
+      val dayRegs = graft.sketch.Sketches
+        .hllObservationsKeyed(ev2, Seq(col("day")), col("u"), 10)
+        .groupBy("day", "idx").agg(max("rho").as("m_rho"))
+      graft.sketch.Sketches.hllEstimateGrouped(
+          dayRegs.groupBy("idx").agg(max("m_rho").as("m_rho")),
+          Seq(), 10)
+        .first().getLong(2) / 1000000L
+    }
+    println(s"[canary]   hll all-time est=$hr (true distinct ~500k)")
+
+    // containment at 500k docs: the planted predecessor copies are
+    // IDENTICAL shingle sets -> containment 1.0 both ways; candidates
+    // ride the df<=64 inverted index, never an all-pairs join
+    val ct = time("containment pairs") {
+      graft.dedup.Dedup.containmentPairs(docs, shingleN = 3,
+        maxDf = 64, minContainmentPpm = 800000L).count()
+    }
+    require(ct >= planted,
+      s"containment found $ct >= $planted planted identical pairs")
+    println(s"[canary]   containment pairs=$ct (>= $planted planted)")
     spark.stop()
   }
 }

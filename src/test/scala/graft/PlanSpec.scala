@@ -229,18 +229,6 @@ class PlanSpec extends SparkSpec {
       "interval containment must ride the (key, bucket) equi-join")
   }
 
-  test("salted join stays a shuffled sort-merge join (salt must matter)") {
-    val p = planOf("q130_salted_join")
-    // A broadcast would make the salt a no-op; the merge hint pins the
-    // shuffled path the operator exists for.
-    assert(p.contains("SortMergeJoin"), p.take(2000))
-    assert(!p.contains("BroadcastHashJoin"), "dim side must not broadcast")
-    // The x8 replication rides one constant-folded explode, and the
-    // shuffle keys on (salt, key) — the whole point of the operator.
-    assert(p.contains("Generate explode"), p.take(2000))
-    assert(p.contains("hashpartitioning(__salt"), p.take(2000))
-  }
-
   test("funnel steps reuse the user_id exchange, never re-scan windows") {
     val p = planOf("q128_funnel")
     assert(!p.contains("Window"), "funnel must be agg+join, not windows")

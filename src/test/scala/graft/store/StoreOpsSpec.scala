@@ -86,4 +86,32 @@ class StoreOpsSpec extends SparkSpec {
       .select("v", "is_current").as[(String, Boolean)].collect().toMap
     assert(rows === Map("first" -> false, "second" -> true))
   }
+
+  test("changePoints keeps first row + attribute changes, NULL-safely") {
+    val stream = Seq(
+      (1L, 10L, Some("a")), (1L, 20L, Some("a")), (1L, 30L, Some("b")),
+      (1L, 40L, None), (1L, 50L, None), (1L, 60L, Some("b")),
+      (2L, 10L, Some("z"))).toDF("key", "ts", "v")
+    val kept = StoreOps.changePoints(stream, Seq("key"), "ts", "v")
+      .select("key", "ts").as[(Long, Long)].collect().toSet
+    // repeats (20) and the second NULL (50) compress away; the
+    // NULL->b flip (60) and the non-NULL->NULL flip (40) are changes
+    assert(kept == Set((1L, 10L), (1L, 30L), (1L, 40L), (1L, 60L),
+      (2L, 10L)))
+  }
+
+  test("changePoints |> scd2 builds the compressed history") {
+    val stream = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "b"))
+      .toDF("key", "ts", "v")
+    val hist = StoreOps.scd2(
+        StoreOps.changePoints(stream, Seq("key"), "ts", "v"),
+        Seq("key"), "ts")
+      .select("v", "valid_from", "valid_to")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2)))))
+      .toMap
+    assert(hist("a") == ((10L, Some(30L))))
+    assert(hist("b") == ((30L, None)))
+  }
 }
