@@ -333,6 +333,23 @@ object Demo {
         Seq("k"), "t0", "t1")
       .orderBy(col("peak").desc).show(3, false)
 
+    println("== event analytics: funnel / attribution / CDC history")
+    val demoDir = "/root/testdata/sf0.001"
+    SparkEntry.queries("q128_funnel")(spark, demoDir).show(false)
+    SparkEntry.queries("q127_attribution")(spark, demoDir).show(false)
+    SparkEntry.queries("q129_scd2")(spark, demoDir).show(3, false)
+
+    println("== basket rules / FK audit / seasonal anomalies / profile")
+    SparkEntry.queries("q130_assoc_rules")(spark, demoDir).show(3, false)
+    SparkEntry.queries("q134_fk_audit")(spark, demoDir).show(false)
+    SparkEntry.queries("q135_seasonal_anomaly")(spark, demoDir)
+      .show(3, false)
+    SparkEntry.queries("q131_column_profile")(spark, demoDir).show(false)
+
+    println("== sketch rollup + containment dedup")
+    SparkEntry.queries("q132_hll_rollup")(spark, demoDir).show(5, false)
+    SparkEntry.queries("q133_containment")(spark, demoDir).show(3, false)
+
     spark.stop()
   }
 }

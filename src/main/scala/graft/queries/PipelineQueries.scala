@@ -1122,6 +1122,149 @@ object PipelineQueries {
                CAST(count(val) AS BIGINT) AS n_nonnull,
                CAST(count(DISTINCT val) AS BIGINT) AS ndv,
                min(val) AS min_val, max(val) AS max_val
-        FROM u GROUP BY 1 ORDER BY 1"""))
+        FROM u GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Association rules (market-basket): part pairs co-occurring in
+    // >=3 orders, with confidence both ways and lift, all in exact
+    // integer ppm. The pair join is keyed on the order — fan-out is
+    // items-per-basket squared (TPC-H: ~4² per order), NEVER corpus-
+    // squared; item supports and the basket total ride broadcastable
+    // aggregates. The 100 TB shape of "frequently bought together".
+    QuerySpec("q130_assoc_rules",
+      (s, dir) => {
+        val it = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey").distinct()
+        val isup = it.groupBy("l_partkey").agg(count(lit(1)).as("isup"))
+        val nOrders = it.agg(
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        it.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(it.select(col("l_orderkey"), col("l_partkey").as("pb")),
+            Seq("l_orderkey"))
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 3)
+          .join(isup.select(col("l_partkey").as("pa"),
+            col("isup").as("sa")), Seq("pa"))
+          .join(isup.select(col("l_partkey").as("pb"),
+            col("isup").as("sb")), Seq("pb"))
+          .crossJoin(nOrders)
+          .select(col("pa"), col("pb"), col("supp"),
+            expr("supp * 1000000 div sa").as("conf_ab_ppm"),
+            expr("supp * 1000000 div sb").as("conf_ba_ppm"),
+            expr("supp * n_orders * 1000000 div (sa * sb)")
+              .as("lift_ppm"))
+          .orderBy("pa", "pb")
+      },
+      Some("""
+        WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        isup AS (SELECT l_partkey, count(*) AS isup FROM it GROUP BY 1),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM it),
+        p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     count(*) AS supp
+              FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT pa, pb, supp,
+               supp * 1000000 // sa.isup AS conf_ab_ppm,
+               supp * 1000000 // sb.isup AS conf_ba_ppm,
+               supp * n_orders * 1000000 // (sa.isup * sb.isup)
+                 AS lift_ppm
+        FROM p JOIN isup sa ON sa.l_partkey = p.pa
+               JOIN isup sb ON sb.l_partkey = p.pb, n
+        ORDER BY pa, pb""")),
+
+    // ------------------------------------------------------------------
+    // Referential-integrity audit — the pre-ingest FK sweep of a
+    // warehouse load: per relation, child rows vs orphans (left anti
+    // join against the parent's key set). One relation audits against a
+    // DELIBERATELY partial parent (every 10th order dropped) so the
+    // orphan path is exercised, the others assert the clean case. The
+    // anti-join build side is just the parent KEY column — at 100 TB
+    // each audit is one broadcast (or one keyed shuffle) per relation,
+    // never a full-row join.
+    QuerySpec("q134_fk_audit",
+      (s, dir) => {
+        def audit(rel: String,
+                  child: org.apache.spark.sql.DataFrame, key: String,
+                  parent: org.apache.spark.sql.DataFrame, pkey: String) = {
+          val orphans = child.select(col(key).as("k"))
+            .join(parent.select(col(pkey).as("k")).distinct(),
+              Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          child.agg(count(lit(1)).as("n_children")).crossJoin(orphans)
+            .select(lit(rel).as("relation"), col("n_children"),
+              col("n_orphans"))
+        }
+        val cust = Tables.customer(s, dir)
+        val ord = Tables.orders(s, dir)
+        audit("events.user_id->customer",
+            Tables.events(s, dir).select("user_id"), "user_id",
+            cust, "c_custkey")
+          .union(audit("lineitem.l_orderkey->orders_partial",
+            Tables.lineitem(s, dir).select("l_orderkey"), "l_orderkey",
+            ord.filter(col("o_orderkey") % 10 =!= 0), "o_orderkey"))
+          .union(audit("orders.o_custkey->customer",
+            ord.select("o_custkey"), "o_custkey", cust, "c_custkey"))
+          .orderBy("relation")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'events.user_id->customer' AS relation,
+            (SELECT count(*) FROM events) AS n_children,
+            (SELECT count(*) FROM events e WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+              AS n_orphans
+          UNION ALL
+          SELECT 'lineitem.l_orderkey->orders_partial',
+            (SELECT count(*) FROM lineitem),
+            (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey % 10 <> 0
+                 AND o.o_orderkey = l.l_orderkey))
+          UNION ALL
+          SELECT 'orders.o_custkey->customer',
+            (SELECT count(*) FROM orders),
+            (SELECT count(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        ORDER BY relation""")),
+
+    // ------------------------------------------------------------------
+    // Seasonal anomaly detection: event volume per (day, hour-of-day)
+    // cell vs that HOUR's cross-day baseline — the traffic-monitoring
+    // shape where 3am and 3pm have different normals. The 2.5-sigma
+    // test runs DIVISION-FREE on exact integer moments (m, S, S²):
+    // (m·n − S)²·(m−1)·4 > 25·m·(m·Sq − S²) ⟺ (n − mean)² > 6.25·var,
+    // so both engines compare identical BIGINTs — no float snapping at
+    // all. Hour extraction is pure integer arithmetic on the ns clock.
+    // (Zero-event cells are absent by construction; compose with
+    // q109's gapFill when silence itself is the anomaly.)
+    QuerySpec("q135_seasonal_anomaly",
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .groupBy(expr("ts div 86400000000000").as("day"),
+            expr("(ts div 3600000000000) % 24").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val stats = cells.groupBy("hr").agg(count(lit(1)).as("m"),
+          sum("n").as("s"), sum(col("n") * col("n")).as("sq"))
+        cells.join(stats, Seq("hr"))
+          .filter(expr("(m * n - s) * (m * n - s) * (m - 1) * 4" +
+            " > 25 * m * (m * sq - s * s)"))
+          .select(col("day"), col("hr"), col("n"))
+          .orderBy("day", "hr")
+      },
+      Some("""
+        WITH cells AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 epoch_us(ts) // 3600000000 % 24 AS hr, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        stats AS (
+          SELECT hr, count(*) AS m, CAST(sum(n) AS BIGINT) AS s,
+                 CAST(sum(n * n) AS BIGINT) AS sq
+          FROM cells GROUP BY 1)
+        SELECT c.day, c.hr, c.n
+        FROM cells c JOIN stats t USING (hr)
+        WHERE (t.m * c.n - t.s) * (t.m * c.n - t.s) * (t.m - 1) * 4
+              > 25 * t.m * (t.m * t.sq - t.s * t.s)
+        ORDER BY day, hr"""))
   )
 }
