@@ -64,6 +64,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // A failing query must surface as an error, not as a fast "time" —
+      // an analysis exception fails in ~0.05s and would otherwise read as
+      // a win on the bench board (this is exactly how the round-5 testdata
+      // regression stayed invisible).
+      var err: Option[String] = None
       val attempts = (1 to 2).map { attempt =>
         val gc0 = gcMillis
         val t0 = System.nanoTime()
@@ -72,7 +77,10 @@ object Bench {
           val tb = (System.nanoTime() - t0) / 1e9
           df.count()
           tb
-        } catch { case _: Throwable => -1d }
+        } catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+          -1d
+        }
         val querySec = (System.nanoTime() - t0) / 1e9
         // Cleanup is NOT charged to the query: it pays for the query's
         // own leftovers, and charging it would mis-attribute block
@@ -87,12 +95,23 @@ object Bench {
             f"cleanup=$cleanupSec%5.2fs")
         querySec
       }
-      name -> attempts.min
+      name -> err.toLeft(attempts.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map {
+      case (k, Right(sec)) => s"\"" + k + "\":" + sec
+      case (k, Left(e))    => s"\"" + k + "\":{\"err\":" + jstr(e) + "}"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) => (k, e) }
+    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errs.size},"queries":$qs,"sf":"$sfDir"}""")
+    errs.foreach { case (k, e) => System.err.println(s"[bench] FAILED $k: $e") }
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

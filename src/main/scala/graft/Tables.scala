@@ -1,14 +1,26 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md).
   *
-  * All tables are plain parquet; `events.ts` is written as parquet
-  * TIMESTAMP(NANOS), which Spark's vectorized reader rejects unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true` — we therefore read it as a
-  * LongType of nanoseconds-since-epoch and keep all time arithmetic integral
-  * (exact and engine-portable).
+  * All tables are plain parquet. `events.ts` has been written two ways across
+  * testdata generations:
+  *
+  *   - parquet `TIMESTAMP(NANOS)` — Spark's vectorized reader rejects it
+  *     unless `spark.sql.legacy.parquet.nanosAsLong=true`, under which it
+  *     resolves as a LongType of ns-since-epoch;
+  *   - parquet `TIMESTAMP(isAdjustedToUTC=false, MICROS)` — resolves as
+  *     TIMESTAMP_NTZ (the `nanosAsLong` conf is a no-op on micros).
+  *
+  * The whole engine works on integral ns-since-epoch (exact, engine-portable,
+  * matches the DuckDB oracles' `epoch_us(ts)` µs exchange), so [[read]]
+  * normalizes either encoding to a LongType ns column named `ts`. The session
+  * timezone is pinned to UTC so the NTZ wall-clock → instant conversion is the
+  * identity the oracles assume (DuckDB's `epoch_us` on a naive TIMESTAMP is
+  * UTC-based).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -16,11 +28,33 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Session-level (safe to set repeatedly); required before the schema of
-    // events.parquet is resolved.
+    // Session-level (safe to set repeatedly); nanosAsLong must be set before
+    // the schema of a NANOS-era events.parquet is resolved, and UTC must be
+    // pinned before any NTZ → instant conversion below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(plans.TsLiteralPushdown))
+      spark.experimental.extraOptimizations = extra :+ plans.TsLiteralPushdown
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** Normalize `ts` to ns-since-epoch LONG regardless of how the parquet
+    * writer encoded it (see class doc). Column order is preserved.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // NANOS-era data via nanosAsLong: already ns
+      case TimestampType | TimestampNTZType =>
+        // NTZ → LTZ cast interprets the wall-clock in the (UTC-pinned)
+        // session zone, so unix_micros yields the same µs the oracle's
+        // epoch_us(ts) produces; scale back up to ns.
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts resolved as unsupported type $other; expected ns LONG or a timestamp type")
+    }
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")

@@ -39,6 +39,79 @@ object Crawl {
         .getOrElse(FetchResult(404, "text/plain", ""))
   }
 
+  /** Live HTTP implementation (reference S13, the real half of
+    * `crawler/link_fetcher.go:48-101`): GET with connect/request
+    * timeouts, NORMAL redirect follow, a private-network guard applied
+    * BEFORE connecting (F2 — the reference consults its privnet detector
+    * first, `crawler/crawler.go:60-67`; here the host is resolved and
+    * every address checked, so `private.example` pointing at 10.0.0.1 is
+    * caught, not just literal IPs), and a hard cap on the body bytes
+    * kept. Network failures surface as status 0 rows — the F3
+    * `fetchedOk` filter drops them downstream, matching the reference's
+    * error-branch behavior (`link_fetcher.go:71-76`).
+    *
+    * The HttpClient is `@transient lazy` — built once per executor task
+    * thread after deserialization; the case class itself carries only
+    * plain config so it ships cleanly into `mapPartitions`.
+    */
+  final case class HttpUrlGetter(
+      connectTimeoutMs: Int = 5000,
+      requestTimeoutMs: Int = 15000,
+      maxBodyBytes: Int = 2 * 1024 * 1024,
+      userAgent: String = "graft-crawler/1.0",
+      blockPrivateHosts: Boolean = true) extends UrlGetter {
+
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs.toLong))
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .build()
+
+    private def hostIsPrivate(host: String): Boolean =
+      if (host.isEmpty) true
+      else if (isPrivateIp(host)) true
+      else
+        try java.net.InetAddress.getAllByName(host).exists { a =>
+          a.isLoopbackAddress || a.isSiteLocalAddress ||
+          a.isLinkLocalAddress || a.isAnyLocalAddress ||
+          isPrivateIp(a.getHostAddress)
+        } catch { case _: java.net.UnknownHostException => true }
+
+    private def charsetOf(contentType: String): java.nio.charset.Charset =
+      try {
+        val m = java.util.regex.Pattern.compile("(?i)charset=([\\w.:-]+)")
+          .matcher(contentType)
+        if (m.find()) java.nio.charset.Charset.forName(m.group(1))
+        else java.nio.charset.StandardCharsets.UTF_8
+      } catch {
+        case _: Exception => java.nio.charset.StandardCharsets.UTF_8
+      }
+
+    def get(url: String): FetchResult = {
+      if (url == null) return FetchResult(0, "", "")
+      if (blockPrivateHosts && hostIsPrivate(hostOf(url)))
+        return FetchResult(403, "", "")
+      try {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(requestTimeoutMs.toLong))
+          .header("User-Agent", userAgent)
+          .GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        val ct = resp.headers().firstValue("Content-Type").orElse("")
+        val raw = resp.body()
+        val capped =
+          if (raw.length > maxBodyBytes)
+            java.util.Arrays.copyOf(raw, maxBodyBytes)
+          else raw
+        FetchResult(resp.statusCode(), ct, new String(capped, charsetOf(ct)))
+      } catch {
+        case _: Exception => FetchResult(0, "", "")
+      }
+    }
+  }
+
   // ------------------------------------------------------------- filters
 
   /** F1: skip obviously-binary resource extensions (case-insensitive) —

@@ -47,24 +47,30 @@ object Communities {
       .distinct()
       .localCheckpoint(false)
 
-    var lab = und.select(col("src").as("id")).distinct()
+    val init = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
       .localCheckpoint(false)
 
-    for (_ <- 1 to rounds) {
-      val nbrVotes = und
+    // Delegated to the generic BSP facade with fixed rounds (earlyStop
+    // off → zero driver actions, one lazy plan): every vertex stays
+    // active every round (`changed` = true — LPA is dense by nature),
+    // so the facade's frontier filter folds away to the full table.
+    Iterate.run(
+      init,
+      sendMsg = lab => und
         .join(lab.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("lab"))
-      val votes = nbrVotes
-        .unionAll(lab.select(col("id"), col("lab"))) // self-vote
+        .unionAll(lab.select(col("id"), col("lab"))), // self-vote
+      mergeMsg = raw => raw
         .groupBy("id", "lab").agg(count(lit(1)).as("cnt"))
-      // Lexicographic struct max: more votes wins, then smaller label
-      // (negated so that max() picks the minimum).
-      lab = votes.groupBy("id")
+        // Lexicographic struct max: more votes wins, then smaller label
+        // (negated so that max() picks the minimum).
+        .groupBy("id")
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("w"))
-        .select(col("id"), (-col("w.nl")).as("lab"))
-        .localCheckpoint(false)
-    }
-    lab.select(col("id"), col("lab").as("community"))
+        .select(col("id"), (-col("w.nl")).as("lab")),
+      vprog = (_, newLab) => newLab.withColumn("changed", lit(true)),
+      maxRounds = rounds,
+      earlyStop = false)
+      .select(col("id"), col("lab").as("community"))
   }
 }

@@ -56,36 +56,28 @@ object Components {
       .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = und.select(col("src").as("id"))
+    val init = und.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(false)
-    // Round 0 frontier = every vertex (its own label is "news").
-    var frontier = labels
 
-    var round = 0
-    var done = false
-    while (round < maxRounds && !done) {
-      // Only frontier labels travel over edges; min per receiver.
-      val msgs = frontier
+    // Delegated to the generic BSP facade (round 0 frontier = every
+    // vertex — its own label is "news"): one join + one checkpoint per
+    // round; `changed` marks the next frontier so it is a free
+    // projection of the same generation, and only frontier labels
+    // travel over edges (min per receiver).
+    Iterate.run(
+      init,
+      sendMsg = frontier => frontier
         .join(und.withColumnRenamed("src", "id"), Seq("id"))
-        .select(col("dst").as("id"), col("component").as("cand"))
-        .groupBy("id").agg(min("cand").as("cand"))
-      // One join + one checkpoint per round; `changed` marks the next
-      // frontier so it is a free projection of the same generation.
-      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("dst").as("id"), col("component").as("cand")),
+      mergeMsg = _.groupBy("id").agg(min("cand").as("cand")),
+      vprog = (labels, msgs) => labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           when(col("cand") < col("component"), col("cand"))
             .otherwise(col("component")).as("component"),
-          coalesce(col("cand") < col("component"), lit(false)).as("changed"))
-        .localCheckpoint(false)
-      labels = next.select("id", "component")
-      frontier = next.filter(col("changed")).select("id", "component")
-      if (earlyStop) {
-        if (frontier.limit(1).count() == 0) done = true
-      }
-      round += 1
-    }
-    labels
+          coalesce(col("cand") < col("component"), lit(false)).as("changed")),
+      maxRounds = maxRounds,
+      earlyStop = earlyStop)
   }
 }

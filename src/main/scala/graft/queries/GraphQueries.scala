@@ -772,18 +772,24 @@ object GraphQueries {
     // feeding the one-pass exact-moment corrMatrix (q91's operator).
     QuerySpec("q92_degree_assortativity",
       (s, dir) => {
+        // Orderkey ids are even and partkey ids odd — DISJOINT endpoint
+        // spaces — so the graph is bipartite by construction: the
+        // symmetrized edge table (2E rows through a wide union+distinct)
+        // is never needed. Degrees split into two E-row aggregations, the
+        // degree join runs once over the forward edges, and the
+        // symmetrization happens as a NARROW unionAll of the joined
+        // (x, y) pairs feeding the exact-moment corr — identical moments
+        // (n=2E, sx=sy, sxx=syy, sxy doubled), ~half the shuffle bytes.
         val eo = Tables.lineitem(s, dir)
           .select((col("l_orderkey") * 2).as("src"),
             (col("l_partkey") * 2 + 1).as("dst"))
           .distinct()
-        val e0 = eo.unionAll(eo.select(col("dst").as("src"),
-          col("src").as("dst"))).distinct()
-        val dg = e0.groupBy("src").agg(count(lit(1)).as("d"))
-          .select(col("src").as("id"), col("d"))
-        val ed = e0
-          .join(dg.select(col("id").as("src"), col("d").as("x")), Seq("src"))
-          .join(dg.select(col("id").as("dst"), col("d").as("y")), Seq("dst"))
-        graft.operators.Stats.corrMatrix(ed,
+        val dgS = eo.groupBy("src").agg(count(lit(1)).as("x"))
+        val dgD = eo.groupBy("dst").agg(count(lit(1)).as("y"))
+        val ed = eo.join(dgS, Seq("src")).join(dgD, Seq("dst"))
+        val edSym = ed.select(col("x"), col("y"))
+          .unionAll(ed.select(col("y").as("x"), col("x").as("y")))
+        graft.operators.Stats.corrMatrix(edSym,
           Seq("dsrc" -> col("x"), "ddst" -> col("y")))
       },
       Some {
@@ -794,46 +800,68 @@ object GraphQueries {
         WITH eo AS MATERIALIZED (
           SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
           FROM lineitem),
-        e0 AS MATERIALIZED (
-          SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
-        dg AS MATERIALIZED (
-          SELECT src AS id, count(*) AS d FROM e0 GROUP BY src),
-        ed AS (SELECT a.d AS x, b.d AS y
-          FROM e0 JOIN dg a ON e0.src = a.id JOIN dg b ON e0.dst = b.id),
+        dgs AS (SELECT src, count(*) AS x FROM eo GROUP BY src),
+        dgd AS (SELECT dst, count(*) AS y FROM eo GROUP BY dst),
+        ed AS MATERIALIZED (SELECT a.x AS x, b.y AS y
+          FROM eo JOIN dgs a ON eo.src = a.src JOIN dgd b ON eo.dst = b.dst),
+        eds AS (SELECT x, y FROM ed UNION ALL SELECT y AS x, x AS y FROM ed),
         agg AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
-          FROM ed)
+          FROM eds)
         SELECT 'dsrc~ddst' AS pair, CAST(n AS BIGINT) AS n,
                ${graft.util.Exact.microsSql(corr)} AS corr_micros
         FROM agg"""
       }),
 
     // G10: greedy coloring with deterministic token symmetry-breaking.
-    // Not SQL-expressible (sequential rounds) → rows-only driver check;
-    // properness is asserted in ColoringSpec.
+    // The palette itself is not SQL-expressible (sequential rounds), but
+    // its defining INVARIANTS are — so the query emits the invariant row
+    // and DuckDB derives the expected one independently: every endpoint
+    // colored (n_vertices from the edge table), zero adjacent-same-color
+    // violations, zero null colors, and the palette grounded at color 0
+    // (the mex rule always keeps 0 somewhere). A broken coloring changes
+    // the Spark row and hash-fails; the full per-palette distribution
+    // stays asserted in ColoringSpec. Uses the O(log V) `speculative`
+    // strategy — deterministic and proper, degree-independent round
+    // count — which is the 100×-scale configuration (the
+    // reference-faithful Jones-Plassmann default sheds only
+    // ~1/(deg+1)/round; see Coloring.run scaladoc).
     QuerySpec("q13_graph_coloring",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-        // The distinct-edges subtree feeds verts (×2 union branches) and
-        // the coloring's undirected table (×2) — Spark re-executes
-        // identical subtrees per reference, so truncate it once. Ids are
-        // dictionary-encoded longs (as in q11/q12/q39): the per-round
-        // aggregations, anti-joins and the driver tail all work on
-        // 8-byte keys. Tokens (and so the palette) follow the encoded
-        // id — fine for a rows-only-checked query whose determinism is
-        // per-encoding.
+        // Ids are dictionary-encoded longs (as in q11/q12/q39): the
+        // per-round aggregations, anti-joins and the driver tail all
+        // work on 8-byte keys.
         val edges = li.select(
             (col("l_orderkey") * 2).as("src"),
             (col("l_partkey") * 2 + 1).as("dst"))
           .distinct()
           .localCheckpoint(false)
-        // Vertex set = edge endpoints, derived inside the operator from
-        // its already-cached undirected table — no second wide distinct.
-        Coloring.runFromEdges(edges)
-          .groupBy("color").agg(count(lit(1)).as("cnt"))
-          .orderBy("color")
+        val colors = Coloring.runFromEdges(edges, speculative = true)
+          .localCheckpoint(false) // truncate the loop lineage; reused 3×
+        val violations = edges
+          .join(colors.select(col("id").as("src"), col("color").as("csrc")),
+            Seq("src"))
+          .join(colors.select(col("id").as("dst"), col("color").as("cdst")),
+            Seq("dst"))
+          .filter(col("csrc") === col("cdst"))
+        val one = colors.agg(
+          count(lit(1)).cast("long").as("n_vertices"),
+          sum(when(col("color").isNull, 1L).otherwise(0L)).as("n_uncolored"),
+          min(col("color")).cast("long").as("min_color"))
+        one.crossJoin(violations.agg(count(lit(1)).as("violations")))
+          .select(col("n_vertices"), col("n_uncolored"), col("min_color"),
+            col("violations"))
       },
-      None),
+      Some("""
+        WITH eo AS (SELECT DISTINCT l_orderkey * 2 AS src,
+                           l_partkey * 2 + 1 AS dst FROM lineitem),
+        verts AS (SELECT src AS id FROM eo UNION SELECT dst FROM eo)
+        SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+               CAST(0 AS BIGINT) AS n_uncolored,
+               CAST(0 AS BIGINT) AS min_color,
+               CAST(0 AS BIGINT) AS violations
+        FROM verts""")),
 
     // ------------------------------------------------------------------
     // Adamic-Adar co-purchase recommendation (link prediction): top part

@@ -852,11 +852,17 @@ object TextQueries {
     // ------------------------------------------------------------------
     // BPE tokenizer training (Sennrich et al. 2016): the first 8 learned
     // merges over the documents corpus. Merge k+1 depends on the argmax
-    // of round k — inherently sequential, like q13's coloring — so this
-    // is a rows-only driver check; BpeSpec pins the canonical
-    // low/lower/newest/widest merge sequence and the leftmost-first
-    // fold semantics. The corpus is read once (vocab pass); each round
-    // is one hash-agg over the vocab + a single collected row.
+    // of round k — inherently sequential, like q13's coloring — but on a
+    // FIXED corpus the merge sequence is deterministic, so the oracle
+    // unrolls the 8 rounds as DuckDB CTEs (the unrolled-PageRank
+    // pattern): the vocab is a separator-encoded string (tokens joined
+    // by double chr(31)), pair stats come from splitting it, and the
+    // leftmost-first non-overlapping merge fold is EXACTLY a sequential
+    // string replace of `a<sep><sep>b` (validated against an
+    // independent reference implementation). BpeSpec additionally pins
+    // the canonical low/lower/newest/widest sequence. The corpus is
+    // read once (vocab pass); each round is one hash-agg over the
+    // vocab + a single collected row.
     QuerySpec("q86_bpe_merges",
       (s, dir) => {
         import s.implicits._
@@ -866,7 +872,43 @@ object TextQueries {
           .select(col("rank"), col("left"), col("right"), col("freq"))
           .orderBy("rank")
       },
-      None),
+      Some {
+        val S = "chr(31)"
+        val SS = s"$S || $S"
+        // Each v_k/m_k is referenced more than once downstream; without
+        // MATERIALIZED the 8-deep CTE chain inlines exponentially.
+        def round(k: Int) = s"""
+        p$k AS (
+          SELECT toks[i] AS a, toks[i + 1] AS b, sum(cnt) AS freq
+          FROM (SELECT unnest(range(1, len(toks))) AS i, toks, cnt
+                FROM (SELECT string_split(trim(enc, $S), $SS) AS toks, cnt
+                      FROM v${k - 1}) s) u
+          GROUP BY a, b),
+        m$k AS MATERIALIZED (SELECT $k AS rank, a, b, freq FROM p$k
+                ORDER BY freq DESC, a, b LIMIT 1),
+        v$k AS MATERIALIZED (SELECT replace(enc,
+                  (SELECT a FROM m$k) || $SS || (SELECT b FROM m$k),
+                  (SELECT a || b FROM m$k)) AS enc, cnt
+                FROM v${k - 1})"""
+        s"""
+        WITH wc AS MATERIALIZED (
+          SELECT word, count(*) AS cnt
+          FROM (SELECT unnest(list_filter(
+                  string_split_regex(lower(trim(text)), '\\s+'),
+                  x -> x <> '')) AS word
+                FROM documents)
+          GROUP BY word),
+        v0 AS MATERIALIZED (
+          SELECT $S || array_to_string(
+                   list_append(string_split(word, ''), '</w>'), $SS) || $S
+                   AS enc,
+                 cnt
+          FROM wc),
+        ${(1 to 8).map(round).mkString(",")}
+        SELECT rank, a AS "left", b AS "right", CAST(freq AS BIGINT) AS freq
+        FROM (${(1 to 8).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")})
+        ORDER BY rank"""
+      }),
 
     // ------------------------------------------------------------------
     // Trigram wildcard search (pg_trgm design): '%merge part%' through
