@@ -249,6 +249,28 @@ object Demo {
     println("   iters=" + graft.graph.PageRank.run(wVerts, wEdges,
       maxIter = 5, stopTol = None, weightCol = Some("w")).iterations)
 
+    println("== user-programmable BSP: BFS hop-depth via graph.Iterate")
+    val bfsEdges = wEdges.select("src", "dst")
+      .unionAll(wEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false)
+    val bfsSrc = bfsEdges.agg(min("src")).head().getLong(0)
+    val bfsInit = bfsEdges.select(col("src").as("id"))
+      .unionAll(bfsEdges.select(col("dst"))).distinct()
+      .withColumn("depth",
+        when(col("id") === bfsSrc, 0L).otherwise(lit(null)))
+      .localCheckpoint(false)
+    graft.graph.Iterate.run(
+        bfsInit,
+        sendMsg = f => f.filter(col("depth").isNotNull)
+          .join(bfsEdges, col("id") === col("src"))
+          .select(col("dst").as("id"), (col("depth") + 1L).as("cand")),
+        mergeMsg = _.groupBy("id").agg(min("cand").as("cand")),
+        vprog = (st, m) => st.join(m, Seq("id"), "left")
+          .select(col("id"), coalesce(col("depth"), col("cand")).as("depth"),
+            (col("depth").isNull && col("cand").isNotNull).as("changed")),
+        maxRounds = 10)
+      .groupBy("depth").count().orderBy("depth").show(5, false)
+
     println("== feature passes: z-score / quartile bins / MAD outliers")
     val demoDocs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("lang"), col("n_chars"))

@@ -79,6 +79,43 @@ object Sampling {
       .limit(k)
   }
 
+  /** Sample toward a TARGET MIXTURE — the domain-reweighting step of a
+    * training-data recipe (cf. Xie et al. 2023, "DoReMi": domain
+    * weights decide how much of each source enters the mix): given
+    * per-stratum target weights and a total row budget, stratum `s`
+    * keeps `rate_s = min(1, budget·w_s / n_s)` of its rows, chosen
+    * deterministically by the portable hash. Oversubscribed strata
+    * (fewer rows than their target share) keep everything — the
+    * standard cap-at-availability rule; strata without a weight are
+    * dropped (a recipe is also a domain filter).
+    *
+    * Scale shape: the per-stratum count table is #domains-sized — one
+    * map-side-combinable agg, broadcast back onto the corpus; the
+    * corpus itself never shuffles and the keep predicate rides in the
+    * scan stage. Rates are computed in double precision on both
+    * engines; keep weights exactly representable in binary (0.25,
+    * 0.1875, …) when hash-exact oracle comparison matters. */
+  def mixtureSample(df: DataFrame, key: Column, stratum: Column,
+                    targetWeights: Map[String, Double], budget: Long,
+                    den: Int = 1000000): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(targetWeights.values.forall(w => w >= 0 && w <= 1),
+      "weights must be in [0, 1]")
+    val w = targetWeights.foldLeft(lit(0.0)) { case (acc, (v, tw)) =>
+      when(col("mx_stratum") === v, lit(tw)).otherwise(acc)
+    }
+    val rates = df.groupBy(stratum.as("mx_stratum"))
+      .agg(count(lit(1)).as("mx_n"))
+      .select(col("mx_stratum"),
+        least(lit(den.toLong),
+          floor(lit(budget.toDouble) * w * lit(den.toDouble) /
+            col("mx_n").cast("double")).cast("long")).as("mx_num"))
+      .filter(col("mx_num") > 0)
+    df.join(broadcast(rates), stratum === col("mx_stratum"))
+      .filter(coord("mixture", key, den) < col("mx_num"))
+      .drop("mx_stratum", "mx_num")
+  }
+
   /** Group-stable split label ("train"/"val"/"test") from the key's
     * hash: the same key always gets the same label, so splitting by
     * user/domain/doc keeps correlated rows on one side of the eval

@@ -1265,6 +1265,44 @@ object PipelineQueries {
         FROM cells c JOIN stats t USING (hr)
         WHERE (t.m * c.n - t.s) * (t.m * c.n - t.s) * (t.m - 1) * 4
               > 25 * t.m * (t.m * t.sq - t.s * t.s)
-        ORDER BY day, hr"""))
+        ORDER BY day, hr""")),
+
+    // ------------------------------------------------------------------
+    // Domain-reweighted mixture sampling (the data-recipe step): target
+    // 25% en / 18.75% each other lang out of a 250-doc budget. `en` is
+    // ~3x over-represented in the corpus, so its keep-rate lands at
+    // ~29% while the minority langs keep ~67% — the engine computes
+    // rate_s = min(1, budget*w_s/n_s) from a #domains-sized broadcast
+    // count table and the corpus never shuffles. Weights are exact
+    // binary fractions so Spark's double and DuckDB's decimal-derived
+    // rates agree bit-for-bit.
+    QuerySpec("q137_mixture_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Sampling.mixtureSample(docs, col("doc_id").cast("string"),
+            col("lang"),
+            targetWeights = Map("en" -> 0.25, "de" -> 0.1875,
+              "es" -> 0.1875, "fr" -> 0.1875, "zh" -> 0.1875),
+            budget = 250L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        rates AS (
+          SELECT lang, least(1000000, CAST(floor(
+              250.0 * (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.1875 END)
+              * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT)) AS num
+          FROM counts),
+        kept AS (
+          SELECT d.lang, d.doc_id
+          FROM documents d JOIN rates r USING (lang)
+          WHERE CAST(('0x'||substring(md5('mixture|' || d.doc_id),1,15))
+                  AS BIGINT) % 1000000 < r.num)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM kept GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -911,6 +911,59 @@ object TextQueries {
       }),
 
     // ------------------------------------------------------------------
+    // BPE ENCODE — the inference half applied end-to-end: learn the 8
+    // merges (as q86), then encode every distinct corpus word with them
+    // (one codegen'd fold per merge, embarrassingly parallel — the shape
+    // a tokenizer-application pass over 100 TB takes). The oracle reuses
+    // q86's separator-encoded CTE chain but keyed by word, so the FINAL
+    // per-word token sequences are hash-checked, not just the merge
+    // table.
+    QuerySpec("q136_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.text.Bpe.learnMerges(docs, "text", numMerges = 8)
+          .map(m => (m._2, m._3))
+        graft.text.Bpe.encode(docs, "text", merges)
+          .select(col("word"), concat_ws(" ", col("toks")).as("toks"))
+          .orderBy("word")
+      },
+      Some {
+        val S = "chr(31)"
+        val SS = s"$S || $S"
+        def round(k: Int) = s"""
+        p$k AS (
+          SELECT toks[i] AS a, toks[i + 1] AS b, sum(cnt) AS freq
+          FROM (SELECT unnest(range(1, len(toks))) AS i, toks, cnt
+                FROM (SELECT string_split(trim(enc, $S), $SS) AS toks, cnt
+                      FROM v${k - 1}) s) u
+          GROUP BY a, b),
+        m$k AS MATERIALIZED (SELECT a, b FROM p$k
+                ORDER BY freq DESC, a, b LIMIT 1),
+        v$k AS MATERIALIZED (SELECT word, replace(enc,
+                  (SELECT a FROM m$k) || $SS || (SELECT b FROM m$k),
+                  (SELECT a || b FROM m$k)) AS enc, cnt
+                FROM v${k - 1})"""
+        s"""
+        WITH wc AS MATERIALIZED (
+          SELECT word, count(*) AS cnt
+          FROM (SELECT unnest(list_filter(
+                  string_split_regex(lower(trim(text)), '\\s+'),
+                  x -> x <> '')) AS word
+                FROM documents)
+          GROUP BY word),
+        v0 AS MATERIALIZED (
+          SELECT word, $S || array_to_string(
+                   list_append(string_split(word, ''), '</w>'), $SS) || $S
+                   AS enc,
+                 cnt
+          FROM wc),
+        ${(1 to 8).map(round).mkString(",")}
+        SELECT word, array_to_string(string_split(trim(enc, $S), $SS), ' ')
+                 AS toks
+        FROM v8 ORDER BY word"""
+      }),
+
+    // ------------------------------------------------------------------
     // Trigram wildcard search (pg_trgm design): '%merge part%' through
     // the posting index — candidates must cover ALL pattern trigrams,
     // then an exact contains() verify on candidates only. The oracle is

@@ -61,15 +61,32 @@ object Bpe {
       .select(charTokens(col("word")).as("toks"), col("cnt"))
 
   /** Learn `numMerges` BPE merges: (rank, left, right, freq), rank 1 =
-    * first (most frequent) merge. */
+    * first (most frequent) merge.
+    *
+    * `batch` bounds the DRIVER-JOB count at scale: classic BPE is one
+    * Spark job per merge (a 32k-merge vocab learn = 32k sequential
+    * jobs). With `batch` = k each round collects the top-k pairs and
+    * applies the maximal RANK-ORDER PREFIX whose pairs are mutually
+    * token-disjoint (and touch no token minted earlier in the same
+    * prefix) in ONE vocab pass — merging (a₁,b₁) cannot change the
+    * adjacency count of a token-disjoint (a₂,b₂), so every batched
+    * merge was a then-current top pair and the learned sequence stays a
+    * valid BPE vocabulary (the standard fast-trainer batching;
+    * deviation from the strict sequential order is possible only when
+    * a pair involving a just-minted token would out-rank a later batch
+    * member at equal frequency). `batch = 1` (default) is EXACTLY the
+    * classic sequential algorithm. */
   def learnMerges(docs: DataFrame, textCol: String,
-                  numMerges: Int): Seq[(Int, String, String, Long)] = {
+                  numMerges: Int,
+                  batch: Int = 1): Seq[(Int, String, String, Long)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var vocab = vocabulary(docs, textCol).localCheckpoint(false)
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - rank + 1)
       val top = vocab
         .filter(size(col("toks")) > 1) // sequence(1,0) would descend
         .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
@@ -79,17 +96,34 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(col("freq").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(want)
         .collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, f) = (top.head.getString(0), top.head.getString(1),
-          top.head.getLong(2))
-        out += ((rank, a, b, f))
+        // Maximal disjoint prefix: stop at the first pair sharing a
+        // token with (or equal to a token minted by) an earlier taken
+        // pair — the remainder re-ranks next round with fresh counts.
+        val taken = Seq.newBuilder[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var open = true
+        top.foreach { r =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (open && !used(a) && !used(b) && !used(a + b)) {
+            taken += ((a, b, r.getLong(2)))
+            used ++= Seq(a, b, a + b)
+          } else open = false
+        }
+        val batchMerges = taken.result()
+        batchMerges.zipWithIndex.foreach { case ((a, b, f), i) =>
+          out += ((rank + i, a, b, f))
+        }
+        val newToks = batchMerges.foldLeft(col("toks")) {
+          case (c, (a, b, _)) => applyMerge(c, a, b)
+        }
         vocab = vocab
-          .select(applyMerge(col("toks"), a, b).as("toks"), col("cnt"))
+          .select(newToks.as("toks"), col("cnt"))
           .localCheckpoint(false)
-        rank += 1
+        rank += batchMerges.size
       }
     }
     out.result()

@@ -29,6 +29,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixture sample reweights toward the target recipe") {
+    // strata sizes: 0 -> 5000, 1..3 -> 5000 each; target 50% stratum 0,
+    // 12.5% for 1 and 2, 0 implicit for 3 (dropped) out of budget 4000:
+    // expected keeps ~2000 / ~500 / ~500 / 0.
+    val mixed = Sampling.mixtureSample(rows, col("k"), col("stratum"),
+      targetWeights = Map("0" -> 0.5, "1" -> 0.125, "2" -> 0.125),
+      budget = 4000L)
+    val by = mixed.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!by.contains("3"), "unweighted stratum must be dropped")
+    assert(math.abs(by("0") - 2000L) < 200, by.toString)
+    assert(math.abs(by("1") - 500L) < 120, by.toString)
+    assert(math.abs(by("2") - 500L) < 120, by.toString)
+    // cap at availability: a stratum whose target exceeds its size
+    // keeps every row
+    val capped = Sampling.mixtureSample(rows, col("k"), col("stratum"),
+      targetWeights = Map("0" -> 1.0), budget = 40000L)
+    assert(capped.count() === 5000L)
+    // partitioning-stable (pure function of the key)
+    assert(mixed.count() ===
+      Sampling.mixtureSample(rows.repartition(17), col("k"),
+        col("stratum"),
+        targetWeights = Map("0" -> 0.5, "1" -> 0.125, "2" -> 0.125),
+        budget = 4000L).count())
+  }
+
   test("split is group-stable and proportioned 80/10/10") {
     val labeled = rows.withColumn("split",
       Sampling.splitLabel(col("k"), 80, 10))

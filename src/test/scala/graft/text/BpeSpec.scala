@@ -54,6 +54,28 @@ class BpeSpec extends SparkSpec {
     assert((m.head._2, m.head._3) == ("a", "b"))
   }
 
+  test("batched learning matches classic when every top pair chains") {
+    // es → est → est</w> all share tokens, so each round's disjoint
+    // prefix collapses to one merge — batch=4 must equal classic.
+    assert(Bpe.learnMerges(canonical, "text", numMerges = 3, batch = 4) ==
+      Bpe.learnMerges(canonical, "text", numMerges = 3))
+  }
+
+  test("batched learning takes a disjoint prefix in one round") {
+    // (a,b)=6 and (c,d)=4 are token-disjoint and outrank everything, so
+    // batch=2 merges both in round 1; the chained tail (abab) still
+    // re-ranks with fresh counts — result identical to classic.
+    val corpus = Seq((Seq.fill(3)("abab") ++ Seq.fill(2)("cdcd"))
+      .mkString(" ")).toDF("text")
+    val classic = Bpe.learnMerges(corpus, "text", numMerges = 4)
+    // round 3 ties (ab,ab)=3 with (ab,</w>)=3 and '<' sorts below 'a',
+    // so the word-final pair wins
+    assert(classic.map(m => (m._2, m._3)) ==
+      Seq(("a", "b"), ("c", "d"), ("ab", "</w>"), ("ab", "ab</w>")))
+    assert(Bpe.learnMerges(corpus, "text", numMerges = 4, batch = 2)
+      == classic)
+  }
+
   test("stops early when no pairs remain") {
     // single-char words: after the (x, </w>) merges nothing is left
     val m = Bpe.learnMerges(Seq("a b a").toDF("text"), "text",
