@@ -405,6 +405,16 @@ object Dedup {
                        maxDf: Int = 64, minContainmentPpm: Long = 800000L,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
+    // The shingle explode feeds five plan references below. Measured
+    // matrix (sf0.1 = 5k long docs / canary = 500k short docs, idle
+    // host): plain strings with per-consumer re-derivation 8.9 s /
+    // 40.2 s; lazy-checkpointed 11.3 s / —; portable-md5-hashed
+    // shingles 7.3 s / 107.6 s; hashed+checkpoint 8.2 s / 62.5 s.
+    // Hash-encoding the shuffle keys — the "obvious" win — LOSES at
+    // the many-docs scale that matters because the md5-hex→conv path
+    // costs more CPU than the narrower exchanges save, so the string
+    // table with Catalyst's own column pruning + exchange reuse is the
+    // kept plan.
     val sh = shingleTable(docs, shingleN, idCol, textCol)
     val rareShingles = sh.groupBy("shingle")
       .agg(count(lit(1)).as("df"))

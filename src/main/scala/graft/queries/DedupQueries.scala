@@ -438,9 +438,14 @@ object DedupQueries {
           substring(lower(trim(col("text"))), 1, 20), "doc_id",
           w = 6, payload = Seq("text"))
         pairs
+          // |len(a) − len(b)| is an exact Levenshtein lower bound: pairs
+          // beyond it cannot pass the ≤20 gate, so the prefilter (and
+          // the banded threshold DP, O(len·20) not O(len²)) prune
+          // without changing the result set.
+          .filter(abs(length(col("text_a")) - length(col("text_b"))) <= 20)
           .withColumn("dist",
-            levenshtein(col("text_a"), col("text_b")).cast("long"))
-          .filter(col("dist") <= 20)
+            levenshtein(col("text_a"), col("text_b"), 20).cast("long"))
+          .filter(col("dist") >= 0 && col("dist") <= 20)
           .select(col("id_a"), col("id_b"), col("dist"))
       },
       Some(s"""

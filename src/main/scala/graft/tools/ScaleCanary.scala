@@ -486,6 +486,19 @@ object ScaleCanary {
     require(ct >= planted,
       s"containment found $ct >= $planted planted identical pairs")
     println(s"[canary]   containment pairs=$ct (>= $planted planted)")
+
+    // BPE learn at 500k docs: ONE corpus pass builds the weighted
+    // vocab; every merge round is a vocab-sized hash-agg. batch=16
+    // bounds the sequential driver-job count (the 100×-scale concern
+    // for a real 32k-merge vocab learn) — both variants must agree on
+    // the merge SET sizes they were asked for.
+    val bm = time("bpe learn 32 merges (batch=16)") {
+      graft.text.Bpe.learnMerges(docs, "text", numMerges = 32,
+        batch = 16)
+    }
+    require(bm.size == 32, s"expected 32 merges, got ${bm.size}")
+    println(s"[canary]   bpe merges=${bm.size} " +
+      s"top=(${bm.head._2},${bm.head._3})x${bm.head._4}")
     spark.stop()
   }
 }
