@@ -405,16 +405,24 @@ object Dedup {
                        maxDf: Int = 64, minContainmentPpm: Long = 800000L,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    // The shingle explode feeds five plan references below. Measured
-    // matrix (sf0.1 = 5k long docs / canary = 500k short docs, idle
-    // host): plain strings with per-consumer re-derivation 8.9 s /
-    // 40.2 s; lazy-checkpointed 11.3 s / —; portable-md5-hashed
-    // shingles 7.3 s / 107.6 s; hashed+checkpoint 8.2 s / 62.5 s.
-    // Hash-encoding the shuffle keys — the "obvious" win — LOSES at
-    // the many-docs scale that matters because the md5-hex→conv path
-    // costs more CPU than the narrower exchanges save, so the string
-    // table with Catalyst's own column pruning + exchange reuse is the
-    // kept plan.
+    // Plan shape: the wide shingle EXPLODE exists only where a
+    // per-shingle key is genuinely needed — the df count and the
+    // rare-postings self-join (candidate generation). Everything
+    // per-DOC stays a per-row array expression: |A| is
+    // `size(shingleArr)` computed in the scan projection (no explode,
+    // no groupBy), and |A∩B| is `size(array_intersect(...))` over the
+    // candidate pairs only — the pair set is blocking-bounded
+    // (Σ_rare df²), so carrying the two token arrays through the
+    // candidate joins is far cheaper than re-exploding the corpus
+    // twice and re-aggregating the expanded pair×shingle rows.
+    // (A measured dead end from the same family: md5-hashing the
+    // shingle join keys — 7.3 s vs 8.9 s at sf0.1 but 107.6 s vs
+    // 40.2 s at the 500k-doc canary; the hex-hash CPU outweighs the
+    // narrower exchanges. Strings kept.)
+    val shingleArr = array_distinct(
+      graft.text.Analyzer.shingles(col(textCol), shingleN))
+    val docArrs = docs.select(col(idCol), shingleArr.as("sharr"),
+      size(shingleArr).as("sz"))
     val sh = shingleTable(docs, shingleN, idCol, textCol)
     val rareShingles = sh.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
@@ -425,15 +433,15 @@ object Dedup {
       .join(rare.select(col("shingle"), col(idCol).as("b")), Seq("shingle"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col(idCol).as("b"), col("shingle")),
-        Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-    inter
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+    cand
+      .join(docArrs.select(col(idCol).as("a"), col("sharr").as("arr_a"),
+        col("sz").as("sza")), Seq("a"))
+      .join(docArrs.select(col(idCol).as("b"), col("sharr").as("arr_b"),
+        col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("arr_a"), col("arr_b")))
+          .cast("long").as("shared"),
+        col("sza"), col("szb"))
       .select(col("a"), col("b"),
         expr("shared * 1000000 div sza").as("cont_a_ppm"),
         expr("shared * 1000000 div szb").as("cont_b_ppm"))
