@@ -125,9 +125,40 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Per-doc distinct shingle ARRAYS + set size as scan projections —
+    * the verify-side companion of [[shingleTable]]: no explode, no
+    * aggregation; sizes and pair intersections become per-row array
+    * expressions (see [[jaccardByArrays]] / [[containmentPairs]]). */
+  def shingleArrays(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val arr = array_distinct(graft.text.Analyzer.shingles(col(textCol), n))
+    docs.select(col(idCol), arr.as("sharr"), size(arr).as("sz"))
+  }
+
+  /** Exact Jaccard over shingle arrays for given (a, b) pairs: the
+    * candidate set is blocking-bounded, so joining the two token arrays
+    * onto each pair and intersecting per-row beats re-exploding the
+    * corpus and aggregating the pair×shingle expansion (measured on the
+    * containment pipeline: 8.9 s → 3.4 s at sf0.1, 40.2 s → 33.4 s at
+    * the 500k-doc canary). */
+  def jaccardByArrays(pairs: DataFrame, docArrs: DataFrame,
+                      idCol: String = "doc_id"): DataFrame =
+    pairs
+      .join(docArrs.select(col(idCol).as("a"), col("sharr").as("arr_a"),
+        col("sz").as("sza")), Seq("a"))
+      .join(docArrs.select(col(idCol).as("b"), col("sharr").as("arr_b"),
+        col("sz").as("szb")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+      .drop("arr_a", "arr_b")
+
   /** Exact Jaccard similarity over shingle sets for given (a, b) pairs.
     * One shuffle keyed by shingle for the intersection, plus a broadcast
-    * of per-doc set sizes. */
+    * of per-doc set sizes. Kept for posting-table callers; pipelines
+    * with access to the docs table use [[jaccardByArrays]]. */
   def jaccard(pairs: DataFrame, shingles: DataFrame,
               idCol: String = "doc_id"): DataFrame = {
     val sizes = shingles.groupBy(idCol)
@@ -167,7 +198,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(bands, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccard(cand, sh, idCol)
+    jaccardByArrays(cand, shingleArrays(docs, shingleN, idCol, textCol),
+        idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -314,7 +346,8 @@ object Dedup {
         Seq("shingle"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    jaccard(cand, sh, idCol)
+    jaccardByArrays(cand, shingleArrays(docs, shingleN, idCol, textCol),
+        idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
