@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension entry point for deployments that configure the engine
+  * at session build time instead of through [[graft.Tables.read]]'s
+  * idempotent `experimental.extraOptimizations` registration.
+  *
+  * Two ways to install:
+  *
+  *   - programmatic: `SparkSession.builder().withExtensions(new
+  *     GraftExtensions)` — library embedding;
+  *   - configuration-only: `--conf spark.sql.extensions=
+  *     graft.plans.GraftExtensions` — no code change on an existing
+  *     application, the standard mechanism for cluster-wide rollout
+  *     (spark-submit / job-server deployments where the engine's jars are
+  *     on the classpath but the session builder isn't ours).
+  *
+  * Injected pieces:
+  *
+  *   - [[TsLiteralPushdown]] as a resolved-plan optimizer rule, so
+  *     event-time range predicates keep parquet row-group pruning after
+  *     the ns-normalization projection (see the rule's doc — at 100 TB
+  *     this is the difference between min/max-skipping and a full scan).
+  *
+  * [[graft.Tables.read]] still self-registers the rule on sessions built
+  * without extensions (local tools, specs), and both paths are idempotent:
+  * the rule is an `object`, `transformAllExpressions` is a no-op once the
+  * pattern no longer matches, and double registration rewrites nothing
+  * twice because the first pass already eliminated the matched shape.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => TsLiteralPushdown)
+  }
+}
