@@ -73,4 +73,62 @@ object Communities {
       earlyStop = false)
       .select(col("id"), col("lab").as("community"))
   }
+
+  /** Newman modularity of a vertex→community assignment over an
+    * undirected graph — the quality score that turns community
+    * detection from "some labels" into a measurable signal (compare
+    * LPA round counts, compare against a null partition):
+    *   Q = Σ_c [ m_c/m − (d_c/2m)² ]
+    *     = Σ_c (4·m·m_c − d_c²) / (4m²)
+    * with m = #undirected edges, m_c = intra-community edges, d_c =
+    * Σ degree over c's members. The second form is EXACT integer
+    * arithmetic end-to-end (DECIMAL(38,0) sums); the single final
+    * divide runs on bit-identical operands, so the micros snap is
+    * engine-portable.
+    *
+    * Shape at scale: degrees = one edge-keyed agg; intra-edges = two
+    * label joins against the (broadcastable-when-small) label table +
+    * one agg; community rollup = |communities| rows. No window, no
+    * all-pairs anything. One summary row out.
+    *
+    * @param edges  one row per undirected edge (either orientation,
+    *               no duplicates — the [[labelPropagation]] input
+    *               contract after its internal symmetrization).
+    * @param labels (id, community) covering every endpoint.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges.select(col("src"), col("dst"))
+    // degree counts both orientations; distinct input rows mean each
+    // undirected edge contributes 1 to both endpoints
+    val deg = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val lab = labels.select(col("id"), col("community"))
+    val dc = deg.join(lab, "id")
+      .groupBy("community").agg(sum(col("deg").cast(dec)).as("d_c"))
+    val intra = e
+      .join(lab.withColumnRenamed("id", "src")
+        .withColumnRenamed("community", "c_src"), Seq("src"))
+      .join(lab.withColumnRenamed("id", "dst")
+        .withColumnRenamed("community", "c_dst"), Seq("dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg(sum(when(col("c_src") === col("c_dst"), 1L).otherwise(0L))
+        .cast(dec).as("m_c"))
+    val m = e.agg(count(lit(1)).cast(dec).as("m"))
+    val perC = dc.join(intra, Seq("community"), "left")
+      .na.fill(0, Seq("m_c"))
+      .crossJoin(m)
+      .select(((lit(4).cast(dec) * col("m") * col("m_c")) -
+        col("d_c") * col("d_c")).as("num"), col("m"))
+    perC.groupBy()
+      .agg(sum("num").as("q_num"), max("m").as("m"),
+        count(lit(1)).as("n_communities"))
+      .select(
+        col("m").cast("long").as("m"),
+        col("n_communities"),
+        graft.util.Exact.micros(col("q_num").cast("double") /
+          (lit(4).cast("decimal(38,0)") * col("m") * col("m"))
+            .cast("double")).as("q_micros"))
+  }
 }

@@ -167,4 +167,46 @@ object Similarity {
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Exact cosine k-nearest-neighbour graph within blocks, plus the
+    * reciprocal (mutual) kNN pairs — the standard-robust edge set for
+    * graph-based dedup/clustering (a hub being in everyone's top-k
+    * doesn't make everyone its neighbour; mutuality filters exactly
+    * that asymmetry).
+    *
+    * Blocking is the scale contract: candidates are an EQUI-join on
+    * `blockCol` (a label, an IVF cluster id, an LSH band — whatever the
+    * pipeline partitioned by), so pair volume is Σ_b |b|², never
+    * corpus². Ranking runs on the µs-snapped cosine with the neighbour
+    * id as tiebreak — integer order, engine-exact, and the per-vector
+    * top-k window is WindowGroupLimit-pruned before any sort spills.
+    * Reciprocity = one self-join of the kNN edge list on the reversed
+    * pair.
+    *
+    * Returns mutual pairs (a < b): (a, b, cos_micros).
+    */
+  def blockedKnnGraph(emb: DataFrame, blockCol: Column, k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = emb.select(blockCol.as("__blk"), col(idCol).as("a"),
+      col(vecCol).as("va"))
+    val r = emb.select(blockCol.as("__blk"), col(idCol).as("b"),
+      col(vecCol).as("vb"))
+    val scored = l.join(r, Seq("__blk"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        graft.util.Exact.micros(cosine(col("va"), col("vb")))
+          .as("cos_micros"))
+    val knn = scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("cos_micros").desc, col("b"))))
+      .filter(col("__rn") <= k)
+      .select("a", "b", "cos_micros")
+    knn.as("x")
+      .join(knn.select(col("a").as("b"), col("b").as("a")).as("y"),
+        Seq("a", "b"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "cos_micros")
+  }
 }

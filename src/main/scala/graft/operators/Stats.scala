@@ -141,6 +141,66 @@ object Stats {
       .drop("__cuts")
   }
 
+  /** Grouped ordinary-least-squares fit y = slope·x + intercept with
+    * R², in the [[corrMatrix]] exact-integer-moment form: ONE map-side-
+    * combinable aggregation accumulates (n, Σx, Σy, Σx², Σy², Σxy) as
+    * DECIMAL(38,0) ≡ HUGEINT, then
+    *   slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   R²        = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    * fall out of casts + IEEE multiply/divide on bit-identical exact
+    * operands — micros-snap stable cross-engine. The trend-line /
+    * drift-detection primitive of every metrics pipeline (bytes vs
+    * docs, loss vs step, price vs quantity), at the cost of a 6-counter
+    * rollup — no window, no second scan, no MLlib dependency.
+    * Degenerate groups (zero x-variance) return NULLs. */
+  def linearFit(df: DataFrame, keys: Seq[String],
+                x: Column, y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(x.cast(dec)).as("__sx"), sum(y.cast(dec)).as("__sy"),
+        sum((x * x).cast(dec)).as("__sxx"),
+        sum((y * y).cast(dec)).as("__syy"),
+        sum((x * y).cast(dec)).as("__sxy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val dny = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    val slope = num / den
+    val intercept = (col("__sy").cast("double") -
+      slope * col("__sx").cast("double")) / col("__n").cast("double")
+    val r2 = num * num / (den * dny)
+    g.select(keys.map(col) ++ Seq(
+      col("__n").cast("long").as("n"),
+      when(den > 0, graft.util.Exact.micros(slope)).as("slope_micros"),
+      when(den > 0, graft.util.Exact.micros(intercept))
+        .as("intercept_micros"),
+      when(den > 0 && dny > 0, graft.util.Exact.micros(r2))
+        .as("r2_micros")): _*)
+  }
+
+  /** Shannon entropy (nats) of a categorical column per group — the
+    * distribution-collapse / diversity probe of data-quality suites
+    * (mode coverage of event types, languages, sources). Two hash-aggs
+    * — (keys, cat) counts then a per-key sum — no window. Per-term
+    * micros snap of p·ln p before the sum keeps the float tail
+    * order-free and engine-portable (the q62/q79 ln discipline):
+    * H_micros = −Σ_cat micros((c/n)·ln(c/n)). */
+  def entropy(df: DataFrame, keys: Seq[String], cat: Column): DataFrame = {
+    val counts = df.groupBy(keys.map(col) :+ cat.as("__cat"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(keys.map(col): _*)
+      .agg(sum("__c").as("__t"))
+    val p = col("__c").cast("double") / col("__t").cast("double")
+    counts.join(totals, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_cats"),
+        (-sum(graft.util.Exact.micros(p * log(p)))).as("entropy_micros"))
+  }
+
   /** Robust per-group outlier detection via the modified z-score
     * (Iglewicz & Hoaglin 1993): flag x when
     * 0.6745·|x − median| > threshold·MAD, with MAD the median absolute

@@ -72,4 +72,47 @@ object TimeSeries {
       .groupBy(keys.map(col): _*)
       .agg(max("__run").as("peak"))
   }
+
+  /** Time-weighted average of an irregularly-sampled integer measure
+    * per key — trapezoidal integration over the key's observed span,
+    * the correct "average sensor reading / average balance / average
+    * queue depth" when samples are NOT equally spaced (a plain avg()
+    * over-weights bursts):
+    *   twa = Σᵢ (vᵢ + vᵢ₊₁)·(tᵢ₊₁ − tᵢ) / (2·(t_n − t₀))
+    * The numerator is EXACT integer arithmetic (value units × µs,
+    * DECIMAL(38,0) sums); the single final divide runs on bit-identical
+    * operands, so the micros snap is engine-portable.
+    *
+    * Shape: one keyed window (lead) + one keyed agg — both on the same
+    * key exchange. Keys with one sample (zero span) return NULL.
+    * Ordering ties break on `tieCol` so duplicate timestamps are
+    * deterministic on both engines.
+    *
+    * @return (keys…, n_samples, span_us, twa_micros)
+    */
+  def timeWeightedAvg(series: DataFrame, keys: Seq[String],
+                      timeUsCol: String, value: Column,
+                      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val stepped = series
+      .select(keys.map(col) ++ Seq(col(timeUsCol).as("__t"),
+        value.as("__v"), col(tieCol).as("__tie")): _*)
+      .withColumn("__tn", lead("__t", 1).over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t"), col("__tie"))))
+      .withColumn("__vn", lead("__v", 1).over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t"), col("__tie"))))
+    stepped.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_samples"),
+        (max("__t") - min("__t")).as("span_us"),
+        sum(((col("__v") + col("__vn")).cast(dec) *
+          (col("__tn") - col("__t")).cast(dec))).as("__num"))
+      .select(keys.map(col) ++ Seq(col("n_samples"), col("span_us"),
+        when(col("span_us") > 0,
+          graft.util.Exact.micros(col("__num").cast("double") /
+            (lit(2).cast(dec) * col("span_us").cast(dec)).cast("double")))
+          .as("twa_micros")): _*)
+  }
 }

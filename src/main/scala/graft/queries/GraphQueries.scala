@@ -714,6 +714,68 @@ object GraphQueries {
         FROM v3 ORDER BY id"""
       }),
 
+    // Modularity of the 3-round LPA partition on the same order↔part
+    // graph as q82 — the community-QUALITY readout (Newman 2002):
+    // Q = Σ_c (4·m·m_c − d_c²) / 4m², exact integers to one divide.
+    // The oracle replays the identical LPA rounds (q82's CTE unroll),
+    // then the identical integer modularity algebra.
+    QuerySpec("q139_modularity",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val labels = graft.graph.Communities
+          .labelPropagation(edges, rounds = 3)
+        graft.graph.Communities.modularity(edges, labels)
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""v$r AS MATERIALIZED (
+             SELECT id, lab FROM (
+               SELECT id, lab,
+                      row_number() OVER (PARTITION BY id
+                                         ORDER BY cnt DESC, lab) AS rn
+               FROM (
+                 SELECT id, lab, count(*) AS cnt FROM (
+                   SELECT e.dst AS id, l.lab
+                   FROM e0 e JOIN v${r - 1} l ON e.src = l.id
+                   UNION ALL
+                   SELECT id, lab FROM v${r - 1}) votes
+                 GROUP BY id, lab) c)
+             WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""
+        WITH eo AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+        v0 AS MATERIALIZED (
+          SELECT DISTINCT src AS id, src AS lab FROM e0),
+        $rounds,
+        deg AS (
+          SELECT id, count(*) AS deg FROM (
+            SELECT src AS id FROM eo UNION ALL SELECT dst FROM eo)
+          GROUP BY 1),
+        dc AS (
+          SELECT v3.lab AS community, sum(deg.deg) AS d_c
+          FROM deg JOIN v3 ON deg.id = v3.id GROUP BY 1),
+        mc AS (
+          SELECT a.lab AS community,
+                 sum(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END) AS m_c
+          FROM eo JOIN v3 a ON eo.src = a.id JOIN v3 b ON eo.dst = b.id
+          GROUP BY 1),
+        mm AS (SELECT count(*) AS m FROM eo)
+        SELECT CAST(mm.m AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS n_communities,
+               ${graft.util.Exact.microsSql(
+          "CAST(sum(4 * mm.m * coalesce(mc.m_c, 0) - dc.d_c * dc.d_c) " +
+            "AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE)")} AS q_micros
+        FROM dc LEFT JOIN mc USING (community) CROSS JOIN mm
+        GROUP BY mm.m"""
+      }),
+
     // Landmark multi-source BFS + harmonic closeness (Potamias et al.
     // 2009 / Boldi & Vigna 2014): one BFS wave from all 7 landmark
     // orders at once (o_orderkey % 2048 = 0), 4 hops, delta-frontier

@@ -403,6 +403,37 @@ object MlQueries {
         WHERE ${Exact.microsSql(
           "(CAST(d.dot_micros AS DOUBLE) / 1000000.0)" +
           " / (na.norm * nb.norm)")} >= 250000
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // Label-blocked exact cosine kNN graph (k=5) + reciprocal-NN pairs
+    // — the mutual-neighbour edge set that graph-based dedup/clustering
+    // builds on (mutuality filters hub asymmetry). Blocking = one
+    // equi-join on the label, so candidates are Σ_b |b|², never
+    // corpus²; ranking is on the µs-snapped cosine (integer order,
+    // engine-exact), ties to the smaller neighbour id.
+    QuerySpec("q140_knn_graph",
+      (s, dir) => {
+        graft.ml.Similarity.blockedKnnGraph(
+            Tables.embeddings(s, dir), col("label"), k = 5)
+          .orderBy("a", "b")
+      },
+      Some(s"""
+        WITH p AS MATERIALIZED (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 ${Exact.microsSql(cosSql("a.embedding", "b.embedding"))}
+                   AS cos_micros
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id <> b.vec_id),
+        r AS MATERIALIZED (
+          SELECT a, b, cos_micros,
+                 row_number() OVER (PARTITION BY a
+                   ORDER BY cos_micros DESC, b) AS rn
+          FROM p),
+        knn AS MATERIALIZED (
+          SELECT a, b, cos_micros FROM r WHERE rn <= 5)
+        SELECT x.a, x.b, x.cos_micros
+        FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a
+        WHERE x.a < x.b
+        ORDER BY x.a, x.b"""))
   )
 }

@@ -1276,6 +1276,142 @@ object PipelineQueries {
     // count table and the corpus never shuffles. Weights are exact
     // binary fractions so Spark's double and DuckDB's decimal-derived
     // rates agree bit-for-bit.
+    // ------------------------------------------------------------------
+    // Grouped OLS trend line (slope/intercept/R²) per return flag:
+    // quantity vs line revenue, via ONE exact-integer-moment rollup
+    // (Stats.linearFit). The float tail is casts + IEEE ops on
+    // bit-identical exact sums, so the micros snap matches DuckDB's.
+    QuerySpec("q138_linear_fit",
+      (s, dir) => {
+        graft.operators.Stats.linearFit(Tables.lineitem(s, dir),
+            Seq("l_returnflag"),
+            col("l_quantity").cast("long"),
+            Exact.cents(col("l_extendedprice")))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val y = Exact.centsSql("l_extendedprice")
+        s"""
+        WITH m AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(CAST(l_quantity AS BIGINT)) AS sx,
+                 sum($y) AS sy,
+                 sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS sxx,
+                 sum($y * $y) AS syy,
+                 sum(CAST(l_quantity AS BIGINT) * $y) AS sxy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+          CASE WHEN n*sxx - sx*sx > 0 THEN ${Exact.microsSql(
+            "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)")}
+          END AS slope_micros,
+          CASE WHEN n*sxx - sx*sx > 0 THEN ${Exact.microsSql(
+            "(CAST(sy AS DOUBLE) - " +
+              "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)" +
+              " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)")}
+          END AS intercept_micros,
+          CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+            THEN ${Exact.microsSql(
+              "CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)" +
+                " / (CAST(n*sxx - sx*sx AS DOUBLE) * " +
+                "CAST(n*syy - sy*sy AS DOUBLE))")}
+          END AS r2_micros
+        FROM m ORDER BY l_returnflag"""
+      }),
+
+    // ------------------------------------------------------------------
+    // Per-user Shannon entropy (nats) of the event-type distribution —
+    // the behavioural-diversity / distribution-collapse probe. Two
+    // hash-aggs; per-term micros snap before the sum (q62/q79 ln rule).
+    QuerySpec("q143_event_entropy",
+      (s, dir) => {
+        graft.operators.Stats.entropy(Tables.events(s, dir),
+            Seq("user_id"), col("event_type"))
+          .orderBy("user_id")
+      },
+      Some {
+        val p = "CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE)"
+        s"""
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS c
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT user_id, sum(c) AS t FROM c GROUP BY 1)
+        SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_cats,
+               CAST(-sum(${Exact.microsSql(s"($p) * ln($p)")}) AS BIGINT)
+                 AS entropy_micros
+        FROM c JOIN t USING (user_id)
+        GROUP BY c.user_id ORDER BY c.user_id"""
+      }),
+
+    // ------------------------------------------------------------------
+    // Per-user time-weighted average event value — trapezoidal
+    // integration over irregular samples (TimeSeries.timeWeightedAvg):
+    // exact integer numerator (cents × µs), one final divide.
+    QuerySpec("q144_time_weighted_avg",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("value"), col("event_id"))
+        graft.operators.TimeSeries.timeWeightedAvg(ev, Seq("user_id"),
+            "ts_us", Exact.cents(col("value")), "event_id")
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t,
+                 ${Exact.centsSql("value")} AS v, event_id
+          FROM events),
+        st AS (
+          SELECT user_id, t, v,
+                 lead(t) OVER w AS tn, lead(v) OVER w AS vn
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(max(t) - min(t) AS BIGINT) AS span_us,
+               CASE WHEN max(t) - min(t) > 0 THEN ${Exact.microsSql(
+          "CAST(sum((v + vn) * (tn - t)) AS DOUBLE) / " +
+            "CAST(2 * (max(t) - min(t)) AS DOUBLE)")}
+               END AS twa_micros
+        FROM st GROUP BY user_id ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q17 shape: revenue from small-quantity lineitems of a part
+    // subset, where "small" is part-relative (quantity < 0.2 × the
+    // part's own average). The correlated scalar subquery becomes a
+    // per-part moments agg joined back — and the 0.2·avg comparison is
+    // DIVISION-FREE exact integers (5·q·n < Σq).
+    QuerySpec("q145_small_qty_revenue",
+      (s, dir) => {
+        val parts = Tables.part(s, dir)
+          .filter(col("p_size") % 7 === 0)
+          .select(col("p_partkey"))
+        val li = Tables.lineitem(s, dir)
+          .join(broadcast(parts),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"),
+            col("l_quantity").cast("long").as("q"),
+            Exact.cents(col("l_extendedprice")).as("cents"))
+        val stats = li.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"), sum("q").as("sx"))
+        li.join(stats, "l_partkey")
+          .filter(lit(5L) * col("q") * col("n") < col("sx"))
+          .agg(count(lit(1)).as("n_lineitems"),
+            sum("cents").as("revenue_cents"))
+      },
+      Some(s"""
+        WITH p AS (SELECT p_partkey FROM part WHERE p_size % 7 = 0),
+        l AS (
+          SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                 ${Exact.centsSql("l_extendedprice")} AS cents
+          FROM lineitem JOIN p ON l_partkey = p_partkey),
+        st AS (
+          SELECT l_partkey, count(*) AS n, sum(q) AS sx
+          FROM l GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+               CAST(sum(l.cents) AS BIGINT) AS revenue_cents
+        FROM l JOIN st USING (l_partkey)
+        WHERE 5 * l.q * st.n < st.sx""")),
+
     QuerySpec("q137_mixture_sample",
       (s, dir) => {
         val docs = Tables.documents(s, dir)

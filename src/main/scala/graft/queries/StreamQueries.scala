@@ -100,6 +100,38 @@ object StreamQueries {
     // snapshot must yield BIT-IDENTICAL estimator output to a batch
     // HLL over the same values — the oracle below is the plain batch
     // twin, so hash equality IS the batch ≡ stream sketch parity.
+    // q141: stream-static join — the canonical streaming-enrichment
+    // shape (per-batch broadcast join of the live stream against a
+    // static dimension, no state). Replayed over two REAL micro-batches;
+    // the complete-mode per-segment rollup must equal the batch join.
+    QuerySpec("q141_stream_static_join",
+      (s, dir) =>
+        Streams.streamStaticJoinReplay(Tables.events(s, dir),
+            Tables.customer(s, dir))
+          .orderBy("segment"),
+      Some(s"""
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(${graft.util.Exact.centsSql("e.value")}) AS BIGINT)
+                 AS value_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    // q142: per-user running totals carried as explicit
+    // mapGroupsWithState GroupState across two REAL micro-batches (the
+    // unbounded per-key state machine); the final Update-mode emission
+    // per user must equal the batch GROUP BY.
+    QuerySpec("q142_running_totals_stream",
+      (s, dir) =>
+        Streams.runningTotalsReplay(Tables.events(s, dir))
+          .orderBy("user_id"),
+      Some(s"""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(${graft.util.Exact.centsSql("value")}) AS BIGINT)
+                 AS value_cents,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     QuerySpec("q93_hll_stream",
       (s, dir) => graft.sketch.Sketches.hllEstimate(
         Streams.hllReplay(Tables.events(s, dir), p = 10), p = 10),

@@ -354,6 +354,102 @@ object Streams {
         .start())
   }
 
+  /** Batch ≡ stream parity for the STREAM-STATIC join (q141): replay
+    * the events table (two REAL micro-batches, split by a portable row
+    * hash so the join runs incrementally) against the static customer
+    * dimension — the canonical streaming-enrichment shape: the static
+    * side is planned per micro-batch as an ordinary broadcast join, no
+    * state, no watermark needed on the join itself. The complete-mode
+    * per-segment rollup snapshot after the final batch must equal the
+    * batch join + GROUP BY. */
+  def streamStaticJoinReplay(events: DataFrame,
+                             dim: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(col("user_id"),
+      graft.util.Exact.cents(col("value")).as("cents"),
+      col("event_id"))
+    val half = pmod(graft.dedup.Dedup.portableHash(
+      col("event_id").cast("string")), lit(2L))
+    def sentinel(n: Int): DataFrame =
+      if (n == 1) rows.filter(half === 1).drop("event_id")
+      else Seq((-1L, 0L)).toDF("user_id", "cents")
+    val statics = broadcast(dim.select(col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("segment")))
+    replayThroughFiles(rows.filter(half === 0).drop("event_id"), sentinel,
+      "user_id BIGINT, cents BIGINT",
+      (src, outDir) => src
+        .join(statics, Seq("user_id")) // stream-static broadcast join
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckptDir())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(outDir)
+        }
+        .start())
+  }
+
+  final case class Tick(userId: Long, cents: Long, tsUs: Long)
+  final case class Running(userId: Long, nEvents: Long, sumCents: Long,
+                           lastUs: Long)
+
+  /** Batch ≡ stream parity for `mapGroupsWithState` (q142): a per-user
+    * running aggregate (event count, exact-cents value sum, last event
+    * time) carried as explicit GroupState across two REAL micro-batches
+    * — the unbounded-lifetime per-key state machine (running balances,
+    * device counters) that `flatMapGroupsWithState` sessionization
+    * bounds by timeout and this surface deliberately does not. Update
+    * mode emits the refreshed state for every key seen in a batch; the
+    * LAST emission per key (event counts are strictly monotone, so
+    * argmax(n) selects it deterministically) must equal the batch
+    * GROUP BY. */
+  def runningTotalsReplay(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(col("user_id").as("userId"),
+      graft.util.Exact.cents(col("value")).as("cents"),
+      expr("ts div 1000").as("tsUs"),
+      col("event_id"))
+    val half = pmod(graft.dedup.Dedup.portableHash(
+      col("event_id").cast("string")), lit(2L))
+    def sentinel(n: Int): DataFrame =
+      if (n == 1) rows.filter(half === 1).drop("event_id")
+      else Seq((-1L, 0L, 0L)).toDF("userId", "cents", "tsUs")
+    val out = replayThroughFiles(rows.filter(half === 0).drop("event_id"),
+      sentinel, "userId BIGINT, cents BIGINT, tsUs BIGINT",
+      (src, outDir) => src.as[Tick]
+        .groupByKey(_.userId)
+        .mapGroupsWithState[Running, Running](
+          GroupStateTimeout.NoTimeout()) {
+          (userId: Long, ticks: Iterator[Tick],
+           state: GroupState[Running]) =>
+            val prev = state.getOption
+              .getOrElse(Running(userId, 0L, 0L, Long.MinValue))
+            val next = ticks.foldLeft(prev) { (s, t) =>
+              Running(userId, s.nEvents + 1, s.sumCents + t.cents,
+                math.max(s.lastUs, t.tsUs))
+            }
+            state.update(next)
+            next
+        }
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Running],
+                         _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start())
+    out.filter(col("userId") >= 0)
+      .groupBy(col("userId").as("user_id"))
+      .agg(max(struct(col("nEvents"), col("sumCents"), col("lastUs")))
+        .as("w"))
+      .select(col("user_id"), col("w.nEvents").as("n_events"),
+        col("w.sumCents").as("value_cents"), col("w.lastUs").as("last_us"))
+  }
+
   def crawlTrigger(spark: SparkSession, intervalSec: Int)(
       passFn: Long => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()

@@ -107,4 +107,34 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.contains(1L))
     assert((exact & approx).nonEmpty)
   }
+
+  test("blocked kNN graph keeps mutual pairs only and respects blocks") {
+    import spark.implicits._
+    // block A: v1 ≈ v2 (mutual top-1); v3's nearest is v2, but v2's
+    // top-1 is v1, so (2,3) is one-sided at k=1 → filtered.
+    // block B: v4 ≈ v5 mutual. Cross-block near-identical vectors
+    // (v1 vs v4) must NOT pair — blocking is the contract.
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.1f, 0.0f), 0),
+      (3L, Seq(0.6f, 0.75f, 0.0f), 0),
+      (4L, Seq(1.0f, 0.0f, 0.0f), 1),
+      (5L, Seq(0.98f, 0.05f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.blockedKnnGraph(rows, col("label"), k = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (4L, 5L)))
+  }
+
+  test("blocked kNN graph at full k is symmetric-complete within a block") {
+    import spark.implicits._
+    // k = block size − 1 makes every pair mutual: C(3,2) pairs
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 7), (2L, Seq(0.9f, 0.1f), 7),
+      (3L, Seq(0.0f, 1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.blockedKnnGraph(rows, col("label"), k = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }

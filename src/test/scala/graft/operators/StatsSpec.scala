@@ -124,4 +124,60 @@ class StatsSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(v => !got(("a", v))))
     assert(!got(("b", 1000L)) && !got(("b", 10L)))
   }
+
+  test("linear fit recovers an exact line with R²=1") {
+    // y = 3x + 7 exactly → slope 3, intercept 7, R² = 1
+    val df = spark.range(1, 101).select(lit("g").as("g"),
+      col("id").as("x"), (col("id") * 3 + 7).as("y"))
+    val r = Stats.linearFit(df, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(r.getLong(1) == 100L)
+    assert(r.getLong(2) == 3000000L, "slope")
+    assert(r.getLong(3) == 7000000L, "intercept")
+    assert(r.getLong(4) == 1000000L, "r2")
+  }
+
+  test("linear fit matches the textbook formula on a hand case") {
+    // x = 1..4, y = 2,4,5,9: slope = (4·61 − 10·20)/(4·30 − 100) = 2.2,
+    // intercept = (20 − 2.2·10)/4 = −0.5, R² = 44²/(20·104) = 0.930769…
+    val df = Seq((1L, 2L), (2L, 4L), (3L, 5L), (4L, 9L)).toDF("x", "y")
+      .withColumn("g", lit("g"))
+    val r = Stats.linearFit(df, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(r.getLong(2) == 2200000L)
+    assert(r.getLong(3) == -500000L)
+    assert(r.getLong(4) == math.floor(44.0 * 44.0 / (20.0 * 104.0) * 1e6 + 0.5).toLong)
+  }
+
+  test("linear fit returns NULLs for zero x-variance groups") {
+    val df = Seq(("c", 5L, 1L), ("c", 5L, 2L), ("ok", 1L, 1L),
+      ("ok", 2L, 3L)).toDF("g", "x", "y")
+    val rows = Stats.linearFit(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("c").isNullAt(2) && rows("c").isNullAt(3) &&
+      rows("c").isNullAt(4))
+    assert(!rows("ok").isNullAt(2))
+  }
+
+  test("entropy: uniform two-way split is ln 2, constant column is 0") {
+    val df = Seq(("u", "a"), ("u", "b"), ("u", "a"), ("u", "b"),
+      ("k", "x"), ("k", "x"), ("k", "x")).toDF("g", "cat")
+    val got = Stats.entropy(df, Seq("g"), col("cat"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // H = −2·micros(0.5·ln 0.5) exactly (per-term snap then sum)
+    val half = math.floor(0.5 * math.log(0.5) * 1e6 + 0.5).toLong
+    assert(got("u") == (2L, -2L * half))
+    assert(got("k") == (1L, 0L))
+  }
+
+  test("entropy of a skewed split matches the hand formula") {
+    // p = 3/4, 1/4: H = −(0.75 ln 0.75 + 0.25 ln 0.25)
+    val df = Seq.fill(3)("a").map(("g", _)) :+ (("g", "b"))
+    val got = Stats.entropy(df.toDF("g", "cat"), Seq("g"), col("cat"))
+      .collect().head
+    val want = -(math.floor(0.75 * math.log(0.75) * 1e6 + 0.5) +
+      math.floor(0.25 * math.log(0.25) * 1e6 + 0.5)).toLong
+    assert(got.getLong(2) == want)
+  }
 }

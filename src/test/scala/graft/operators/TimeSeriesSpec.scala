@@ -66,4 +66,40 @@ class TimeSeriesSpec extends SparkSpec {
       ("k", 3L, 9L)))
     assert(m == Map("k" -> 4L))
   }
+
+  test("time-weighted average: hand trapezoid beats the plain mean") {
+    // k: v=0 for 10 µs then v=100 for 90 µs (samples at t=0,10,100):
+    //   ∫ = (0+0)/2·10 + ... trapezoid: (0+100)/2·10 + (100+100)/2·90
+    //     = 500 + 9000·... → num = Σ(v_i+v_{i+1})Δt = 100·10 + 200·90
+    //     = 19000, twa = 19000/(2·100) = 95.0 — the burst-weighted
+    //     plain mean would say 66.67.
+    val df = Seq(("k", 0L, 0L, 1L), ("k", 10L, 100L, 2L),
+      ("k", 100L, 100L, 3L)).toDF("g", "t", "v", "id")
+    val r = TimeSeries.timeWeightedAvg(df, Seq("g"), "t", col("v"), "id")
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 100L)
+    assert(r.getLong(3) == 95000000L)
+  }
+
+  test("time-weighted average: singletons and zero spans return NULL") {
+    val df = Seq(("solo", 5L, 7L, 1L), ("tie", 3L, 1L, 1L),
+      ("tie", 3L, 9L, 2L)).toDF("g", "t", "v", "id")
+    val rows = TimeSeries.timeWeightedAvg(df, Seq("g"), "t", col("v"), "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("solo").isNullAt(3))
+    assert(rows("tie").getLong(2) == 0L && rows("tie").isNullAt(3))
+  }
+
+  test("time-weighted average: duplicate timestamps contribute zero width") {
+    // duplicate t=10 rows (tie-broken by id) add a zero-width segment;
+    // the integral is unchanged vs the deduped series
+    val df = Seq(("k", 0L, 10L, 1L), ("k", 10L, 20L, 2L),
+      ("k", 10L, 80L, 3L), ("k", 20L, 20L, 4L)).toDF("g", "t", "v", "id")
+    val r = TimeSeries.timeWeightedAvg(df, Seq("g"), "t", col("v"), "id")
+      .collect().head
+    // segments: (10+20)/2·10 (t0→10, v 10→20 via id=2 first), 0-width
+    // (20+80), then (80+20)/2·10 → num = 30·10 + 0 + 100·10 = 1300,
+    // twa = 1300/(2·20) = 32.5
+    assert(r.getLong(3) == 32500000L)
+  }
 }

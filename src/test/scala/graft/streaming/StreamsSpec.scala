@@ -130,4 +130,50 @@ class StreamsSpec extends SparkSpec {
     val est = streamed.getAs[Long]("est_micros").toDouble / 1e6
     assert(math.abs(est - 400) / 400.0 < 0.15, s"est=$est")
   }
+
+  test("stream-static join replay equals the batch join + rollup") {
+    import spark.implicits._
+    // 60 events over 6 users, two of which have no dim row (dropped by
+    // the inner join); replay splits events into two real micro-batches.
+    val ev = spark.range(60).select(
+      (col("id") % 6).as("user_id"),
+      (col("id") * 1.25 + 0.1).as("value"),
+      col("id").as("event_id"),
+      lit(1L).as("ts"))
+    val dim = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val streamed = Streams.streamStaticJoinReplay(ev, dim)
+      .orderBy("segment")
+      .as[(String, Long, Long)].collect().toSeq
+    val batch = ev.join(dim, ev("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.util.Exact.cents(col("value"))).as("value_cents"))
+      .orderBy("segment")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Seq("A", "B"))
+  }
+
+  test("mapGroupsWithState running totals match the batch GROUP BY") {
+    import spark.implicits._
+    // every user appears in BOTH hash-halves with high probability
+    // (40 events / 4 users), so the state genuinely carries across
+    // micro-batches; final per-user emission = batch totals.
+    val ev = spark.range(40).select(
+      (col("id") % 4).as("user_id"),
+      (col("id") * 0.5).as("value"),
+      col("id").as("event_id"),
+      (col("id") * 1000000000L).as("ts"))
+    val streamed = Streams.runningTotalsReplay(ev)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val batch = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.util.Exact.cents(col("value"))).as("value_cents"),
+        max(expr("ts div 1000")).as("last_us"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
 }
