@@ -926,6 +926,50 @@ object GraphQueries {
         FROM verts""")),
 
     // ------------------------------------------------------------------
+    // Maximal independent set (Luby 1986) on the co-purchase graph via
+    // the generic Iterate BSP facade — deterministic hash priorities,
+    // expected O(log V) rounds, message volume tracking the shrinking
+    // undecided frontier. Like q13 coloring, the sequential-round
+    // palette is not SQL-expressible but its defining INVARIANTS are:
+    // independence (no edge inside the set), maximality (every
+    // non-member has a member neighbor), and every vertex decided. A
+    // broken run changes the invariant row and hash-fails; structural
+    // properties are further asserted in MisSpec.
+    QuerySpec("q147_max_independent_set",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val edges = li.select(
+            (col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+          .localCheckpoint(false)
+        val mis = graft.graph.Mis.run(edges).localCheckpoint(false)
+        val flagged = edges
+          .join(mis.select(col("id").as("src"), col("in_mis").as("msrc")),
+            Seq("src"))
+          .join(mis.select(col("id").as("dst"), col("in_mis").as("mdst")),
+            Seq("dst"))
+        val uncovered = mis.filter(!col("in_mis"))
+          .join(flagged.filter(col("mdst")).select("src")
+              .unionAll(flagged.filter(col("msrc")).select(col("dst")))
+              .distinct(),
+            col("id") === col("src"), "left_anti")
+        mis.agg(count(lit(1)).cast("long").as("n_vertices"))
+          .crossJoin(flagged.filter(col("msrc") && col("mdst"))
+            .agg(count(lit(1)).as("violations")))
+          .crossJoin(uncovered.agg(count(lit(1)).as("uncovered")))
+          .select(col("n_vertices"), col("violations"), col("uncovered"))
+      },
+      Some("""
+        WITH eo AS (SELECT DISTINCT l_orderkey * 2 AS src,
+                           l_partkey * 2 + 1 AS dst FROM lineitem),
+        verts AS (SELECT src AS id FROM eo UNION SELECT dst FROM eo)
+        SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+               CAST(0 AS BIGINT) AS violations,
+               CAST(0 AS BIGINT) AS uncovered
+        FROM verts""")),
+
+    // ------------------------------------------------------------------
     // Adamic-Adar co-purchase recommendation (link prediction): top part
     // pairs scored Σ 1/ln(|order|) over shared orders — item-based CF
     // with inverse-log activity weighting. Wedge centers are ORDERS
