@@ -1439,6 +1439,37 @@ object PipelineQueries {
                   AS BIGINT) % 1000000 < r.num)
         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(doc_id) AS BIGINT) AS id_sum
-        FROM kept GROUP BY lang ORDER BY lang"""))
+        FROM kept GROUP BY lang ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // Skyline / Pareto frontier (Börzsönyi 2001): cheapest-price vs
+    // largest-quantity tradeoffs nobody strictly beats. Two-phase
+    // distributed pruning — per-bucket windowed sort-scan skylines
+    // first (safe prune: dominated-in-subset ⇒ dominated-globally),
+    // then the same scan over the surviving candidates only — never an
+    // all-pairs dominance join. The oracle replays the sort-scan rule
+    // as one window over distinct pairs.
+    QuerySpec("q148_skyline_frontier",
+      (s, dir) => graft.operators.Skyline.skyline2d(
+          Tables.lineitem(s, dir),
+          Exact.cents(col("l_extendedprice")),
+          col("l_quantity").cast("long"))
+        .select(col("lo").as("price_cents"), col("hi").as("qty"))
+        .orderBy("price_cents"),
+      Some(s"""
+        WITH pts AS (
+          SELECT DISTINCT ${Exact.centsSql("l_extendedprice")}
+                   AS price_cents,
+                 CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem),
+        w AS (
+          SELECT price_cents, qty,
+                 max(qty) OVER (ORDER BY price_cents ASC, qty DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS runmax
+          FROM pts)
+        SELECT price_cents, qty FROM w
+        WHERE runmax IS NULL OR runmax < qty
+        ORDER BY price_cents"""))
   )
 }

@@ -977,6 +977,58 @@ object TextQueries {
       Some("""
         SELECT doc_id FROM documents
         WHERE contains(lower(text), 'merge part')
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Multinomial Naive Bayes lang-id (McCallum & Nigam 1998),
+    // train-on-corpus / classify-corpus, emitted as the confusion
+    // matrix. Every log term (prior, Laplace likelihood) snaps to
+    // integer micros BEFORE summation so document scores are exact
+    // integer sums in both engines; argmax ties break to the smallest
+    // label. The synthetic corpus draws lang independently of text, so
+    // the matrix shows honest confusion — the pipeline shape (vocab ×
+    // label likelihood table, token-linear scoring join) is what's
+    // under test, and it is the 100 TB shape: no all-pairs, likelihoods
+    // broadcast.
+    QuerySpec("q149_naive_bayes_langid",
+      (s, dir) => graft.ml.NaiveBayes.selfClassify(
+          Tables.documents(s, dir), col("doc_id"), col("lang"),
+          Analyzer.tokenize(col("text")))
+        .groupBy(col("actual").as("lang"), col("predicted"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy("lang", "predicted"),
+      Some(s"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, lang, unnest(${toksSql("text")}) AS word
+          FROM documents),
+        dw AS (SELECT doc_id, lang AS actual, word, count(*) AS cnt
+               FROM toks GROUP BY 1, 2, 3),
+        v AS (SELECT count(DISTINCT word) AS v FROM toks),
+        nd AS (SELECT count(*) AS n FROM documents),
+        priors AS (
+          SELECT lang AS cand, ${Exact.microsSql(
+            "ln(CAST(count(*) AS DOUBLE) / nd.n)")} AS prior_micros
+          FROM documents, nd GROUP BY lang, nd.n),
+        ctot AS (SELECT lang AS cand, count(*) AS ntok
+                 FROM toks GROUP BY 1),
+        wc AS (SELECT word, lang AS cand, count(*) AS wcnt
+               FROM toks GROUP BY 1, 2),
+        sc AS (
+          SELECT dw.doc_id, dw.actual, c.cand,
+                 CAST(sum(dw.cnt * ${Exact.microsSql(
+                   "ln(CAST(COALESCE(wc.wcnt, 0) + 1 AS DOUBLE) / " +
+                     "(c.ntok + v.v))")}) AS BIGINT) AS ll
+          FROM dw CROSS JOIN ctot c CROSS JOIN v
+          LEFT JOIN wc ON wc.word = dw.word AND wc.cand = c.cand
+          GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT doc_id, actual, cand,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY (ll + p.prior_micros) DESC, cand ASC) AS rn
+          FROM sc JOIN priors p USING (cand))
+        SELECT actual AS lang, cand AS predicted,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
