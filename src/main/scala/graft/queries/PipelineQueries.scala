@@ -1470,6 +1470,194 @@ object PipelineQueries {
           FROM pts)
         SELECT price_cents, qty FROM w
         WHERE runmax IS NULL OR runmax < qty
-        ORDER BY price_cents"""))
+        ORDER BY price_cents""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q2 shape (min-cost supplier): per part, the supplier with
+    // the lowest observed unit price (arg-min with supplier-key
+    // tiebreak). The testdata has no partsupp, so unit cost is derived
+    // from lineitem: min over the part×supplier group of the per-row
+    // unit price (IEEE division is exactly rounded → identical in both
+    // engines; snapped to integer cents before any aggregation). The
+    // part filter joins BEFORE the heavy aggregation so the groupBy
+    // only sees qualifying parts — at 100 TB the agg input shrinks 5×
+    // at the scan, not after. The arg-min is one hash aggregation of a
+    // lexicographic struct min — no window, no second shuffle; supplier
+    // and nation ride in as broadcasts.
+    QuerySpec("q150_min_cost_supplier",
+      (s, dir) => {
+        val parts = Tables.part(s, dir)
+          .filter(col("p_size") % 5 === 0)
+          .select("p_partkey", "p_brand")
+        val supp = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name", "n_name")
+        Tables.lineitem(s, dir)
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_brand"), col("l_suppkey"),
+            Exact.cents(col("l_extendedprice") / col("l_quantity"))
+              .as("unit_cents"))
+          .groupBy("p_partkey", "p_brand")
+          .agg(min(struct(col("unit_cents"), col("l_suppkey"))).as("b"))
+          .select(col("p_partkey"), col("p_brand"),
+            col("b.unit_cents").as("cost_cents"),
+            col("b.l_suppkey").as("s_suppkey"))
+          .join(broadcast(supp), "s_suppkey")
+          .select("p_partkey", "p_brand", "s_name", "n_name", "cost_cents")
+          .orderBy("p_partkey")
+      },
+      Some(s"""
+        WITH cost AS (
+          SELECT p_partkey, p_brand, l_suppkey,
+                 min(${Exact.centsSql("l_extendedprice / l_quantity")})
+                   AS cost_cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size % 5 = 0
+          GROUP BY 1, 2, 3),
+        best AS (
+          SELECT p_partkey, p_brand, cost_cents, l_suppkey,
+                 row_number() OVER (PARTITION BY p_partkey
+                   ORDER BY cost_cents, l_suppkey) AS rn
+          FROM cost)
+        SELECT p_partkey, p_brand, s_name, n_name, cost_cents
+        FROM best
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE rn = 1
+        ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q21 shape (suppliers who kept orders waiting): orders with
+    // ≥2 distinct suppliers where EXACTLY ONE supplier shipped late
+    // (> 120 days after the order date) — charge that supplier. Q21's
+    // exists/not-exists pair is re-expressed as one aggregation over
+    // the per-order supplier set (n_supp ≥ 2 AND n_late = 1), which is
+    // both simpler and scale-friendlier than two extra self-joins: one
+    // shuffle on l_orderkey (join + both group-bys share it under AQE)
+    // and one on l_suppkey for the final count.
+    QuerySpec("q151_supplier_wait",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+        val so = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(when(col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 120 DAYS"), 1L)
+            .otherwise(0L)).as("late"))
+        val perOrder = so.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+          .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        so.filter(col("late") === 1)
+          .join(perOrder.select("l_orderkey"), "l_orderkey")
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables.supplier(s, dir)
+            .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select("s_name", "numwait")
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""
+        WITH so AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY
+                     THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        po AS (
+          SELECT l_orderkey
+          FROM so GROUP BY 1
+          HAVING count(*) >= 2 AND sum(late) = 1)
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM so JOIN po USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE so.late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q22 shape (global sales opportunity): customers with an
+    // account balance above the average positive balance who have never
+    // ordered RECENTLY (the testdata has no order-less customers, so
+    // the anti-join predicate is "no order since 2000-07-01" — same
+    // shape, non-empty answer). The scalar subquery is a 1-row
+    // broadcast crossJoin and the comparison stays integer-exact
+    // (bal·n > Σbal avoids the float average); the NOT EXISTS is a
+    // LEFT ANTI join against the distinct recent-order custkeys —
+    // Spark's semi-join infrastructure, no correlated per-row subquery
+    // execution, and the date filter prunes the orders scan first.
+    QuerySpec("q152_cust_no_orders",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            Exact.cents(col("c_acctbal")).as("bal_cents"))
+        val avgPos = cust.filter(col("bal_cents") > 0)
+          .agg(sum("bal_cents").as("s"), count(lit(1)).as("n"))
+        cust.crossJoin(broadcast(avgPos))
+          .filter(col("bal_cents") * col("n") > col("s"))
+          .join(Tables.orders(s, dir)
+              .filter(col("o_orderdate") >= lit("2000-07-01"))
+              .select("o_custkey").distinct(),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("bal_cents").as("bal_cents_sum"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT c_custkey, c_mktsegment,
+                 ${Exact.centsSql("c_acctbal")} AS bal_cents
+          FROM customer),
+        t AS (SELECT sum(bal_cents) AS s, count(*) AS n
+              FROM c WHERE bal_cents > 0)
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(bal_cents) AS BIGINT) AS bal_cents_sum
+        FROM c, t
+        WHERE bal_cents * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-07-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q11 shape (important stock): parts whose discounted revenue
+    // exceeds 1.5× the per-part average — a global-fraction HAVING.
+    // The global total is a second aggregation over the SAME per-part
+    // aggregate (Spark reuses the shuffle under AQE; the 1-row total
+    // rides back as a broadcast crossJoin), and the threshold compare
+    // is integer-exact (2·rev·n > 3·tot ⟺ rev > 1.5·avg).
+    QuerySpec("q153_part_share",
+      (s, dir) => {
+        val perPart = Tables.lineitem(s, dir)
+          .select(col("l_partkey"),
+            Exact.cents(col("l_extendedprice") *
+              (lit(1.0) - col("l_discount"))).as("cents"))
+          .groupBy("l_partkey")
+          .agg(sum("cents").as("rev_cents"))
+          .localCheckpoint(false) // reused by the total AND the filter
+        val tot = perPart.agg(sum("rev_cents").as("tot"),
+          count(lit(1)).as("n"))
+        perPart.crossJoin(broadcast(tot))
+          .filter(col("rev_cents") * 2 * col("n") > col("tot") * 3)
+          .select("l_partkey", "rev_cents")
+          .orderBy(col("rev_cents").desc, col("l_partkey"))
+      },
+      Some(s"""
+        WITH pp AS (
+          SELECT l_partkey,
+                 sum(${Exact.centsSql(
+                   "l_extendedprice * (1 - l_discount)")}) AS rev_cents
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT sum(rev_cents) AS tot, count(*) AS n FROM pp)
+        SELECT l_partkey, CAST(rev_cents AS BIGINT) AS rev_cents
+        FROM pp, t
+        WHERE rev_cents * 2 * n > tot * 3
+        ORDER BY rev_cents DESC, l_partkey"""))
   )
 }

@@ -233,4 +233,22 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q128_funnel")
     assert(!p.contains("Window"), "funnel must be agg+join, not windows")
   }
+
+  test("min-cost supplier arg-min is one agg + broadcasts, no window") {
+    val p = planOf("q150_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      "struct-min arg-min must not fall back to a window rank")
+    assert(!p.contains("SortMergeJoin"),
+      "part/supplier/nation sides must all broadcast")
+  }
+
+  test("cust-no-orders plans a broadcast anti join with a pruned scan") {
+    val p = planOf("q152_cust_no_orders")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      "recent-order date filter must reach the orders scan:\n" +
+        p.linesIterator.filter(_.contains("orders")).mkString("\n"))
+  }
 }
