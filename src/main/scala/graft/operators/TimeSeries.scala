@@ -115,4 +115,120 @@ object TimeSeries {
             (lit(2).cast(dec) * col("span_us").cast(dec)).cast("double")))
           .as("twa_micros")): _*)
   }
+
+  /** Lag-k autocorrelation of a regularly-ticked integer series —
+    * the seasonality / burst-memory probe (does yesterday predict
+    * today?). Pearson r between (x_t, x_{t+lag}) for each requested
+    * lag, in the exact-integer-moment discipline of
+    * [[Stats.corrMatrix]]: the lagged pairing is an EQUI-join
+    * (t + lag = t'), never a window over a global ordering — the
+    * series (already aggregated to ticks) shuffles once on the tick
+    * key with the lag set exploded alongside, so k lags cost one join
+    * and one k-row aggregation, and the float tail is IEEE ops on
+    * bit-identical BIGINT moments.
+    *
+    * @param series one row per tick: (tick: long, x: long)
+    * @return (lag, n_pairs, acf_micros), one row per lag
+    */
+  def autocorr(series: DataFrame, tickCol: String, xCol: String,
+               lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), s"positive lags: $lags")
+    val dec = "decimal(38,0)"
+    val left = series.select(col(tickCol).as("__t"), col(xCol).as("__x"))
+      .withColumn("lag", explode(array(lags.map(lit(_)): _*)))
+      .withColumn("__tj", col("__t") + col("lag"))
+    val right = series.select(col(tickCol).as("__tj"),
+      col(xCol).as("__y"))
+    val m = left.join(right, "__tj")
+      .groupBy("lag")
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
+        sum((col("__y") * col("__y")).cast(dec)).as("__syy"),
+        sum((col("__x") * col("__y")).cast(dec)).as("__sxy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val dx = sqrt((col("__n") * col("__sxx") -
+      col("__sx") * col("__sx")).cast("double"))
+    val dy = sqrt((col("__n") * col("__syy") -
+      col("__sy") * col("__sy")).cast("double"))
+    m.select(col("lag"), col("__n").cast("long").as("n_pairs"),
+      graft.util.Exact.micros(num / (dx * dy)).as("acf_micros"))
+  }
+
+  /** CUSUM change-point statistic over an ordered integer series, in
+    * FULLY integer arithmetic — zero floats anywhere: the classic
+    * centered cumulative sum S_t = Σ_{i≤t}(x_i − x̄) is rescaled by n
+    * to dodge the float mean,
+    *   S'_t = n·P_t − t·T   (P_t = prefix sum, T = total, t = rank),
+    * which preserves the arg-max exactly. The biggest |S'_t| marks the
+    * most likely level-shift boundary (Page 1954 / Taylor's CUSUM
+    * change detection).
+    *
+    * Shape note: the prefix sum is ONE window over the series — which
+    * by contract is already aggregated to ticks (days, hours), so the
+    * window partition is calendar-bounded, the [[peakConcurrency]]
+    * argument, not |rows|-bounded. DECIMAL(38,0) keeps n·P_t exact at
+    * any realistic scale.
+    *
+    * @return one row per tick: (tick, x, cusum_scaled: long)
+    */
+  def cusum(series: DataFrame, tickCol: String, xCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col(tickCol))
+    val totals = series.agg(
+      sum(col(xCol).cast(dec)).as("__tot"),
+      count(lit(1)).cast(dec).as("__n"))
+    series.select(col(tickCol), col(xCol))
+      .withColumn("__p", sum(col(xCol).cast(dec)).over(w))
+      .withColumn("__r", row_number().over(w).cast(dec))
+      .crossJoin(broadcast(totals))
+      .select(col(tickCol), col(xCol),
+        (col("__n") * col("__p") - col("__r") * col("__tot"))
+          .cast("long").as("cusum_scaled"))
+  }
+
+  /** Mann–Kendall trend test over an ordered integer series — the
+    * distribution-free "is this metric drifting?" monitor (no slope
+    * model assumed, outlier-robust):
+    *   S = Σ_{i<j} sign(x_j − x_i),
+    *   Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18,
+    *   Z = (S ∓ 1)/√Var(S)  (continuity-corrected, 0 when S = 0).
+    * S and the tie-corrected variance numerator are EXACT integers
+    * (the pair sum is over sign values; ties group by exact x); the
+    * float tail is one sqrt + one divide on bit-identical operands.
+    *
+    * The i<j pairing is a self-join on the TICK-AGGREGATED series —
+    * O(n²) pairs where n is calendar-bounded (#ticks, not #rows), with
+    * the smaller side broadcast; at 100 TB the raw events never join,
+    * only their per-tick rollup does.
+    *
+    * @return one row: (n_ticks, s_stat, z_micros)
+    */
+  def mannKendall(series: DataFrame, tickCol: String,
+                  xCol: String): DataFrame = {
+    val a = series.select(col(tickCol).as("__ti"), col(xCol).as("__xi"))
+    val b = series.select(col(tickCol).as("__tj"), col(xCol).as("__xj"))
+    val s = a.crossJoin(broadcast(b))
+      .filter(col("__ti") < col("__tj"))
+      .agg(coalesce(sum(signum(col("__xj") - col("__xi")).cast("long")),
+        lit(0L)).as("s_stat"))
+    val ties = series.groupBy(col(xCol).as("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1) *
+        (lit(2) * col("__t") + 5)), lit(0L)).as("tie_num"),
+        sum("__t").as("n_ticks"))
+    val joined = s.crossJoin(broadcast(ties))
+    val n = col("n_ticks")
+    val varS = ((n * (n - 1) * (lit(2) * n + 5) - col("tie_num"))
+      .cast("double")) / 18d
+    val zNum = when(col("s_stat") > 0, col("s_stat") - 1)
+      .when(col("s_stat") < 0, col("s_stat") + 1)
+      .otherwise(lit(0L)).cast("double")
+    joined.select(n.as("n_ticks"), col("s_stat"),
+      when(varS > 0, graft.util.Exact.micros(zNum / sqrt(varS)))
+        .otherwise(lit(0L)).as("z_micros"))
+  }
 }

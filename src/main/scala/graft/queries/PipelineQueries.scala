@@ -1658,6 +1658,115 @@ object PipelineQueries {
         SELECT l_partkey, CAST(rev_cents AS BIGINT) AS rev_cents
         FROM pp, t
         WHERE rev_cents * 2 * n > tot * 3
-        ORDER BY rev_cents DESC, l_partkey"""))
+        ORDER BY rev_cents DESC, l_partkey""")),
+
+    // ------------------------------------------------------------------
+    // Lag-k autocorrelation of the daily event-count series (does
+    // yesterday predict today?) — lags 1..3 through ONE equi-join of
+    // the tick series against itself (lag set exploded alongside, no
+    // global-ordering window) and one exact-integer-moment agg per lag
+    // (TimeSeries.autocorr).
+    QuerySpec("q154_autocorr",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+        graft.operators.TimeSeries.autocorr(daily, "day", "x", Seq(1, 2, 3))
+          .orderBy("lag")
+      },
+      Some("""
+        WITH d AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        p AS (
+          SELECT l.lag, a.x AS xi, b.x AS xj
+          FROM (VALUES (1), (2), (3)) l(lag)
+          JOIN d a ON true
+          JOIN d b ON b.day = a.day + l.lag),
+        m AS (
+          SELECT lag, count(*) AS n, sum(xi) AS sx, sum(xj) AS sy,
+                 sum(xi*xi) AS sxx, sum(xj*xj) AS syy, sum(xi*xj) AS sxy
+          FROM p GROUP BY 1)
+        SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+               CAST(floor(
+                 CAST(n*sxy - sx*sy AS DOUBLE) /
+                 (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                  sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000 + 0.5)
+                 AS BIGINT) AS acf_micros
+        FROM m ORDER BY lag""")),
+
+    // ------------------------------------------------------------------
+    // CUSUM change-point scan over daily revenue from events.value —
+    // the three days where the centered cumulative sum peaks, i.e. the
+    // most likely level-shift boundaries. ZERO floats end to end: the
+    // n-rescaled statistic n·P_t − t·T preserves the arg-max exactly
+    // (TimeSeries.cusum scaladoc).
+    QuerySpec("q155_cusum_changepoint",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(sum(Exact.cents(col("value"))).as("x"))
+        graft.operators.TimeSeries.cusum(daily, "day", "x")
+          .orderBy(abs(col("cusum_scaled")).desc, col("day"))
+          .limit(3)
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(sum(${Exact.centsSql("value")}) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(x) AS HUGEINT) AS tot, count(*) AS n FROM d),
+        c AS (
+          SELECT day, x, sum(x) OVER (ORDER BY day) AS p,
+                 row_number() OVER (ORDER BY day) AS r
+          FROM d)
+        SELECT day, x, CAST(t.n*c.p - c.r*t.tot AS BIGINT) AS cusum_scaled
+        FROM c, t
+        ORDER BY abs(CAST(t.n*c.p - c.r*t.tot AS BIGINT)) DESC, day
+        LIMIT 3""")),
+
+    // ------------------------------------------------------------------
+    // Mann–Kendall trend test on the daily event-count series — the
+    // distribution-free drift monitor: S over all i<j sign pairs of
+    // the CALENDAR-BOUNDED tick rollup (raw events never pair), with
+    // the tie-corrected variance and continuity-corrected Z
+    // (TimeSeries.mannKendall scaladoc).
+    QuerySpec("q156_mann_kendall",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+        graft.operators.TimeSeries.mannKendall(daily, "day", "x")
+      },
+      Some("""
+        WITH d AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        s AS (
+          SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+                                        WHEN b.x < a.x THEN -1
+                                        ELSE 0 END), 0) AS BIGINT) AS s_stat
+          FROM d a JOIN d b ON a.day < b.day),
+        tie AS (
+          SELECT CAST(coalesce(sum(t*(t-1)*(2*t+5)), 0) AS BIGINT)
+                   AS tie_num,
+                 CAST(sum(t) AS BIGINT) AS n_ticks
+          FROM (SELECT count(*) AS t FROM d GROUP BY x)),
+        v AS (
+          SELECT n_ticks, s_stat,
+                 CAST(n_ticks*(n_ticks-1)*(2*n_ticks+5) - tie_num
+                   AS DOUBLE) / 18 AS var_s
+          FROM s, tie)
+        SELECT n_ticks, s_stat,
+               CASE WHEN var_s > 0 THEN
+                 CAST(floor(
+                   (CASE WHEN s_stat > 0 THEN s_stat - 1
+                         WHEN s_stat < 0 THEN s_stat + 1
+                         ELSE 0 END) / sqrt(var_s) * 1000000 + 0.5)
+                   AS BIGINT)
+               ELSE 0 END AS z_micros
+        FROM v"""))
   )
 }

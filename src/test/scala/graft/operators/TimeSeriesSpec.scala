@@ -102,4 +102,50 @@ class TimeSeriesSpec extends SparkSpec {
     // twa = 1300/(2·20) = 32.5
     assert(r.getLong(3) == 32500000L)
   }
+
+  test("autocorr: perfectly periodic series has acf(period) = +1") {
+    // x = 1,2,1,2,... → lag 2 pairs are identical (r = 1); lag 1 pairs
+    // are perfectly anti-phase (r = −1).
+    val df = (1L to 12L).map(t => (t, if (t % 2 == 0) 2L else 1L))
+      .toDF("t", "x")
+    val m = TimeSeries.autocorr(df, "t", "x", Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(m(2) == ((10L, 1000000L)), m)
+    assert(m(1) == ((11L, -1000000L)), m)
+  }
+
+  test("autocorr pairs only overlapping ticks — gaps drop pairs") {
+    val df = Seq((1L, 5L), (2L, 6L), (4L, 9L), (5L, 3L)).toDF("t", "x")
+    val n = TimeSeries.autocorr(df, "t", "x", Seq(1)).collect().head
+    assert(n.getLong(1) == 2L, "only (1,2) and (4,5) are adjacent")
+  }
+
+  test("cusum peaks exactly at a planted level shift") {
+    // 5 ticks at level 10 then 5 at level 30: |S'| max at the boundary.
+    val df = ((1L to 5L).map((_, 10L)) ++ (6L to 10L).map((_, 30L)))
+      .toDF("t", "x")
+    val rows = TimeSeries.cusum(df, "t", "x")
+      .orderBy(abs(col("cusum_scaled")).desc).collect()
+    assert(rows.head.getLong(0) == 5L, rows.mkString(","))
+    // S'_5 = n·P_5 − 5·T = 10·50 − 5·200 = −500
+    assert(rows.head.getLong(2) == -500L)
+    // a constant series is identically zero
+    val flat = (1L to 6L).map((_, 7L)).toDF("t", "x")
+    assert(TimeSeries.cusum(flat, "t", "x").collect()
+      .forall(_.getLong(2) == 0L))
+  }
+
+  test("mann-kendall: monotone up, flat, and tie-corrected variance") {
+    // strictly increasing: S = n(n−1)/2 = 10, z > 0
+    val up = (1L to 5L).map(t => (t, t * 2)).toDF("t", "x")
+    val r = TimeSeries.mannKendall(up, "t", "x").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
+    // Var = 5·4·15/18 = 16.667, z = 9/sqrt(16.667) = 2.204541
+    assert(r.getLong(2) == 2204541L, r.getLong(2))
+    // all-equal series: S = 0, tie term kills the variance → z = 0
+    val flat = (1L to 4L).map((_, 9L)).toDF("t", "x")
+    val f = TimeSeries.mannKendall(flat, "t", "x").collect().head
+    assert(f.getLong(1) == 0L && f.getLong(2) == 0L)
+  }
 }
