@@ -1767,6 +1767,29 @@ object PipelineQueries {
                          ELSE 0 END) / sqrt(var_s) * 1000000 + 0.5)
                    AS BIGINT)
                ELSE 0 END AS z_micros
-        FROM v"""))
+        FROM v""")),
+
+    // ------------------------------------------------------------------
+    // Custom DataSource V2 end-to-end: the graft.sources.Synthetic
+    // connector planned like a real table — the id range predicate is
+    // PUSHED into the source and prunes input partitions at planning
+    // time (SyntheticSourceSpec pins both prunings); the oracle
+    // re-derives the same Lehmer closed form from DuckDB's range().
+    // (fn ignores the sf dir by design — the source IS the data.)
+    QuerySpec("q157_synthetic_source",
+      (s, _) => s.read.format("graft.sources.Synthetic")
+        .option("rows", "100000").option("slices", "32").load()
+        .filter(col("id") >= 25000L && col("id") < 75000L)
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n"), sum("val").as("val_sum"))
+        .orderBy("cat"),
+      Some(s"""
+        WITH g AS (
+          SELECT range AS id, ${graft.sources.Synthetic.valueSql("range")}
+                   AS val
+          FROM range(25000, 75000))
+        SELECT 'c' || (val % 8) AS cat, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(val) AS BIGINT) AS val_sum
+        FROM g GROUP BY 1 ORDER BY 1"""))
   )
 }
