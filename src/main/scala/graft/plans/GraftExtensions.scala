@@ -21,7 +21,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   *   - [[TsLiteralPushdown]] as a resolved-plan optimizer rule, so
   *     event-time range predicates keep parquet row-group pruning after
   *     the ns-normalization projection (see the rule's doc — at 100 TB
-  *     this is the difference between min/max-skipping and a full scan).
+  *     this is the difference between min/max-skipping and a full scan);
+  *   - the [[graft.functions.Registry]] SQL functions (`graft_dot`,
+  *     `graft_jaro_winkler`) backed by the native codegen expressions.
   *
   * [[graft.Tables.read]] still self-registers the rule on sessions built
   * without extensions (local tools, specs), and both paths are idempotent:
@@ -32,5 +34,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TsLiteralPushdown)
+    // Native expressions as SQL functions (graft_dot, graft_jaro_winkler
+    // …): the same descriptions graft.functions.Registry.register
+    // installs post-hoc, here wired at session build time.
+    graft.functions.Registry.functions.foreach(ext.injectFunction)
   }
 }

@@ -434,6 +434,37 @@ object MlQueries {
         SELECT x.a, x.b, x.cos_micros
         FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a
         WHERE x.a < x.b
-        ORDER BY x.a, x.b"""))
+        ORDER BY x.a, x.b""")),
+
+    // ------------------------------------------------------------------
+    // The SQL surface end-to-end: the query text is pure spark.sql(...)
+    // over a temp view, calling the REGISTERED native expression
+    // (graft_dot — graft.functions.Registry) instead of the Column API.
+    // Identical plan and codegen as q18's DataFrame route; the oracle
+    // unrolls the same left-to-right dot product.
+    QuerySpec("q158_sql_surface",
+      (s, dir) => {
+        graft.functions.Registry.register(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("emb_sql158")
+        s.sql("""
+          WITH q AS (SELECT embedding AS qv FROM emb_sql158
+                     WHERE vec_id = 0)
+          SELECT e.vec_id,
+                 CAST(floor(graft_dot(e.embedding, q.qv) * 1000000 + 0.5)
+                   AS BIGINT) AS dot_micros
+          FROM emb_sql158 e CROSS JOIN q
+          WHERE e.vec_id <> 0
+          ORDER BY dot_micros DESC, e.vec_id
+          LIMIT 10""")
+      },
+      Some(s"""
+        WITH q AS MATERIALIZED (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, ${Exact.microsSql(dotSql("e.embedding", "q.qv"))}
+                 AS dot_micros
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY dot_micros DESC, e.vec_id
+        LIMIT 10"""))
   )
 }

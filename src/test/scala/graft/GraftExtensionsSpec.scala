@@ -60,4 +60,28 @@ class GraftExtensionsSpec extends SparkSpec {
         s"control session unexpectedly pushed the rewritten predicate:\n$without")
     }
   }
+
+  test("Registry.register exposes native expressions to spark.sql") {
+    graft.functions.Registry.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d, " +
+        "graft_jaro_winkler('MARTHA', 'MARHTA') AS jw").collect().head
+    assert(r.getDouble(0) == 32.0, r)
+    assert(math.abs(r.getDouble(1) - 0.9611111111111111) < 1e-12, r)
+    // re-registration is a no-op replace, not an error
+    graft.functions.Registry.register(spark)
+    // and the plan stays native codegen — no ScalaUDF wrapper anywhere
+    val p = spark.sql("SELECT graft_jaro_winkler('a', 'b')")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("an extension-built session has the SQL functions pre-installed") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val sess = GraftExtensionsProbe.sessionWith(ext, spark.sparkContext)
+    val r = sess.sql(
+      "SELECT graft_dot(array(2.0), array(8.0)) AS d").collect().head
+    assert(r.getDouble(0) == 16.0, r)
+  }
 }
