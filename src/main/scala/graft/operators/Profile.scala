@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,5 +36,33 @@ object Profile {
       .select(col("rank"), col("key_val"), col("cnt"),
         expr("cnt * 1000000 div total").as("share_ppm"),
         expr("cum * 1000000 div total").as("cum_ppm"))
+  }
+
+  /** Order-independent per-group content checksum — the replica-
+    * reconciliation primitive: two sides each fingerprint their copy
+    * with ONE aggregation pass and exchange |groups| rows instead of
+    * data (drift shows as a (group) whose (n_rows, checksum) differ;
+    * re-sync narrows to that group). Row hash = the first 60 bits of
+    * md5 over a '|'-joined canonical rendering of the named columns
+    * (md5 and integer-cast renderings agree across engines — the q49
+    * discipline), summed per group: commutative, so partition order,
+    * shuffle order and engine never matter, and a single flipped row
+    * flips the sum with probability 1 − 2⁻⁶⁰.
+    *
+    * At 100 TB: map-side-combinable agg, output |groups| rows, zero
+    * joins — the cheapest possible "are these two tables equal" probe.
+    */
+  def fingerprint(df: DataFrame, groupCols: Seq[String],
+                  contentCols: Seq[Column]): DataFrame = {
+    val canonical = concat_ws("|", contentCols: _*)
+    val rowHash = conv(substring(md5(canonical), 1, 15), 16, 10)
+      .cast("long")
+    df.withColumn("__h", rowHash)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        // 60-bit hashes × billions of rows overflow a long; the sum
+        // rides DECIMAL(38,0) (≡ DuckDB HUGEINT) with ~10¹⁸ rows of
+        // headroom per group.
+        sum(col("__h").cast("decimal(38,0)")).as("checksum"))
   }
 }

@@ -1790,6 +1790,28 @@ object PipelineQueries {
           FROM range(25000, 75000))
         SELECT 'c' || (val % 8) AS cat, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(val) AS BIGINT) AS val_sum
-        FROM g GROUP BY 1 ORDER BY 1"""))
+        FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Replica reconciliation: per-returnflag order-independent content
+    // checksums of lineitem (Profile.fingerprint) — each side runs one
+    // commutative-sum agg over 60-bit md5 row hashes and compares
+    // |groups| rows, never the data. The oracle IS "the other replica":
+    // DuckDB fingerprinting its copy with the same canonical rendering.
+    QuerySpec("q159_fingerprint_reconcile",
+      (s, dir) => graft.operators.Profile.fingerprint(
+          Tables.lineitem(s, dir),
+          groupCols = Seq("l_returnflag"),
+          contentCols = Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_quantity").cast("long")))
+        .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               sum(CAST(('0x' || substring(md5(
+                   l_orderkey || '|' || l_linenumber || '|' ||
+                   l_partkey || '|' || CAST(l_quantity AS BIGINT)), 1, 15))
+                 AS BIGINT)) AS checksum
+        FROM lineitem
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
