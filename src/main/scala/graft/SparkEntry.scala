@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, GraphQueries, MlQueries, PipelineQueries, SketchQueries, StreamQueries, TextQueries}
+import graft.queries.{DedupQueries, GraphQueries, MlQueries, PipelineQueries, RelationalQueries, SketchQueries, StreamQueries, TextQueries}
 import graft.search.Search
 import graft.store.StoreOps
 import graft.text.Analyzer
@@ -719,7 +719,7 @@ object SparkEntry {
     specs ++
       (GraphQueries.specs ++ DedupQueries.specs ++ MlQueries.specs ++
         TextQueries.specs ++ StreamQueries.specs ++ SketchQueries.specs ++
-        PipelineQueries.specs)
+        PipelineQueries.specs ++ RelationalQueries.specs)
         .map(q => Q(q.name, q.fn, q.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
