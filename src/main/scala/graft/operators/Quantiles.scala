@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact order statistics WITHOUT a global sort.
+  *
+  * `percentile_disc`-style exact quantiles are usually computed by either
+  * sorting the whole relation (a full range-shuffle — the thing to avoid
+  * at 100 TB) or by an in-memory aggregate that buffers every value per
+  * group (Spark's builtin `percentile`, which OOMs at fact-table scale).
+  * This operator instead runs the classic two-pass rank localization:
+  *
+  *  1. one scan → (count, min, max) — three scalars;
+  *  2. one scan → fixed-width histogram of `buckets` integer-arithmetic
+  *     bins, collected to the driver (bounded by construction: ≤`buckets`
+  *     rows regardless of data size) and cumulated, which pins each
+  *     requested rank to a single bin and a residual rank inside it;
+  *  3. one narrow scan per quantile, filtered to that bin's VALUE RANGE —
+  *     a plain `v BETWEEN lo AND hi` predicate that pushes into the
+  *     parquet scan (row-group min/max pruning, so pass 3 reads a small
+  *     fraction of the files) — followed by a TakeOrdered of the residual
+  *     rank (≈ n/buckets rows, never the relation).
+  *
+  * All bin math is integer-exact (no float widths), so the same ranks are
+  * derivable in any engine. Heavily-skewed value distributions can
+  * overload one bin; the general fix is recursing the histogram inside
+  * the hot bin — a second level multiplies the effective resolution to
+  * `buckets²`, enough for any real distribution, and falls out of the
+  * same code by re-invoking on the filtered frame.
+  */
+object Quantiles {
+
+  /** Exact values at ranks ceil(q·n) of an integral column.
+    *
+    * @param qs  (label, q) pairs, 0 < q ≤ 1
+    * @return one row per label: (ql, rank, val) — deterministic: the
+    *         rank-k order statistic is unique even under ties.
+    */
+  def exact(df: DataFrame, value: Column, qs: Seq[(String, Double)],
+            buckets: Int = 8192): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val vals = df.select(value.cast("long").as("v"))
+    val Array(nRow) = vals
+      .agg(count(lit(1)), min(col("v")), max(col("v"))).collect()
+    val (n, lo, hi) =
+      (nRow.getLong(0), nRow.getLong(1), nRow.getLong(2))
+    require(n > 0, "exact quantiles of an empty relation")
+
+    val width = hi - lo + 1 // value span; bin b covers an exact sub-range
+    // Pass 2: histogram on integer bin ids — ((v-lo)*B) div W is exact
+    // long arithmetic (no float bin widths to disagree over).
+    val hist = vals
+      .groupBy(expr(s"((v - $lo) * $buckets) div $width").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    // Driver-side cumulation over ≤`buckets` rows: rank → (bin, residual
+    // rank within bin, count of rows strictly below the bin).
+    val targets = qs.map { case (label, q) =>
+      require(q > 0 && q <= 1, s"quantile $q out of (0,1]")
+      val rank = math.ceil(q * n).toLong
+      var cum = 0L
+      val (bin, below) = hist.collectFirst {
+        case (bn, c) if { val ok = cum + c >= rank; if (!ok) cum += c; ok } =>
+          (bn, cum)
+      }.get
+      (label, rank, bin, rank - below)
+    }
+
+    // Pass 3: per target, a value-range-filtered TakeOrdered of the
+    // residual rank. The BETWEEN bounds are the bin's exact value range
+    // (inverse of the bin function), so the predicate reaches parquet.
+    targets.map { case (label, rank, bin, kInBin) =>
+      val binLo = lo + ceilDiv(bin * width, buckets)
+      val binHi = lo + ceilDiv((bin + 1) * width, buckets) - 1
+      vals.filter(col("v").between(binLo, binHi))
+        .orderBy("v").limit(kInBin.toInt)
+        .agg(max(col("v")).as("value"))
+        .select(lit(label).as("ql"), lit(rank).as("rank"), col("value"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+}

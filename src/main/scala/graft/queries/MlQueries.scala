@@ -465,6 +465,110 @@ object MlQueries {
         FROM embeddings e CROSS JOIN q
         WHERE e.vec_id <> 0
         ORDER BY dot_micros DESC, e.vec_id
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // Leading principal direction of the embedding corpus (uncentered
+    // PCA) via Gram + power iteration — see [[graft.ml.Pca]] for the
+    // data/model split (one d²-sized mapPartitions combine over the
+    // corpus; the 64×64 eigen-iteration on the collected Gram). The
+    // oracle rebuilds the SAME integer-exact Gram by brute double
+    // explode (n·d² rows — affordable in DuckDB at sf0.01, which is
+    // precisely what the Spark side's partition-local accumulation
+    // avoids) and unrolls the four max-norm-rescaled iterations as
+    // CTEs; `//` truncates like JVM long division, so every iterate
+    // matches bit-for-bit.
+    QuerySpec("q169_pca_direction",
+      (s, dir) => graft.ml.Pca.leadingDirection(
+          Tables.embeddings(s, dir)).orderBy("i"),
+      Some {
+        val iters = (1 to 4).map { t =>
+          s"""w$t AS (
+            SELECT g.i AS i, CAST(sum(g.g * v${t - 1}.v) AS BIGINT) AS w
+            FROM g JOIN v${t - 1} ON g.j = v${t - 1}.i GROUP BY 1),
+          m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+          v$t AS (SELECT i, (w * 1000) // m AS v FROM w$t, m$t)"""
+        }.mkString(",\n")
+        s"""
+        WITH idx AS (SELECT range AS i FROM range(64)),
+        xi AS (
+          SELECT vec_id, idx.i AS i,
+                 CAST(embedding[idx.i + 1] AS DOUBLE) AS x
+          FROM embeddings, idx),
+        g AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(sum(CAST(floor(a.x * b.x * 1000000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS g
+          FROM xi a JOIN xi b USING (vec_id) GROUP BY 1, 2),
+        v0 AS (SELECT i, CAST(1000 AS BIGINT) AS v FROM idx),
+        $iters
+        SELECT i, CAST(v AS BIGINT) AS comp FROM v4 ORDER BY i"""
+      }),
+
+    // ------------------------------------------------------------------
+    // Item-item collaborative filtering (co-occurrence cosine): parts
+    // bought together in the same order, scored cos(u,v) =
+    // |orders(u)∩orders(v)| / √(|orders(u)|·|orders(v)|), top-3
+    // neighbours per target part. The pair generation is order-keyed
+    // (never all-pairs across the catalogue); per-part order counts
+    // ride back in as broadcasts; the per-target top-3 prunes with
+    // WindowGroupLimit, not a global sort. √ on exact integers is one
+    // IEEE op — identical in both engines — then snapped to micros.
+    QuerySpec("q170_item_cf",
+      (s, dir) => {
+        val op = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val cnt = op.groupBy("p").agg(count(lit(1)).as("n"))
+        val pairs = op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        val sym = pairs.unionAll(
+          pairs.select(col("v").as("u"), col("u").as("v"), col("co")))
+        val scored = sym
+          .join(broadcast(cnt.select(col("p").as("u"), col("n").as("nu"))),
+            Seq("u"))
+          .join(broadcast(cnt.select(col("p").as("v"), col("n").as("nv"))),
+            Seq("v"))
+          .select(col("u"), col("v"), col("co"),
+            Exact.micros(col("co").cast("double") /
+              sqrt((col("nu") * col("nv")).cast("double")))
+              .as("cos_micros"))
+        import org.apache.spark.sql.expressions.Window
+        scored
+          .withColumn("rk", row_number().over(Window.partitionBy("u")
+            .orderBy(col("cos_micros").desc, col("v"))))
+          .filter(col("rk") <= 3 && col("u") % 10 === 0)
+          .select(col("u"), col("rk").cast("long").as("rk"), col("v"),
+            col("co"), col("cos_micros"))
+          .orderBy("u", "rk")
+      },
+      Some(s"""
+        WITH op AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        cnt AS (SELECT p, count(*) AS n FROM op GROUP BY 1),
+        pairs AS (
+          SELECT a.p AS u, b.p AS v, count(*) AS co
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        sym AS (SELECT u, v, co FROM pairs
+                UNION ALL SELECT v AS u, u AS v, co FROM pairs),
+        scored AS (
+          SELECT u, v, CAST(co AS BIGINT) AS co,
+                 ${Exact.microsSql("CAST(co AS DOUBLE) / " +
+                   "sqrt(CAST(cu.n * cv.n AS DOUBLE))")} AS cos_micros
+          FROM sym
+          JOIN cnt cu ON sym.u = cu.p
+          JOIN cnt cv ON sym.v = cv.p),
+        ranked AS (
+          SELECT u, v, co, cos_micros,
+                 row_number() OVER (PARTITION BY u
+                   ORDER BY cos_micros DESC, v) AS rk
+          FROM scored)
+        SELECT u, CAST(rk AS BIGINT) AS rk, v, co, cos_micros
+        FROM ranked WHERE rk <= 3 AND u % 10 = 0
+        ORDER BY u, rk"""))
   )
 }

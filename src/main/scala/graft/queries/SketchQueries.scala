@@ -383,6 +383,32 @@ object SketchQueries {
             s"CASE WHEN raw <= 2.5 * $HllM.0 AND zero_regs > 0 " +
             s"THEN $HllM.0 * ln($HllM.0 / CAST(zero_regs AS DOUBLE)) " +
             "ELSE raw END")} AS est_micros
-        FROM est ORDER BY day"""))
+        FROM est ORDER BY day""")),
+
+    // ------------------------------------------------------------------
+    // EXACT p50/p90/p99 without a global sort — the other end of the
+    // quantile spectrum from DDSketch (q89 approximate / mergeable):
+    // histogram rank-localization (Quantiles.exact) runs two scans plus
+    // one value-range-pruned TakeOrdered per quantile, never a
+    // range-shuffle and never an all-values memory buffer. The oracle
+    // derives the same ceil(q·n) order statistics by brute row_number —
+    // affordable for DuckDB at sf0.01, which is exactly why the Spark
+    // side must NOT do it that way.
+    QuerySpec("q168_exact_quantiles",
+      (s, dir) => graft.operators.Quantiles.exact(
+        Tables.lineitem(s, dir),
+        Exact.cents(col("l_extendedprice")),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy("ql"),
+      Some(s"""
+        WITH v AS (
+          SELECT ${Exact.centsSql("l_extendedprice")} AS val FROM lineitem),
+        n AS (SELECT count(*) AS n FROM v),
+        r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+        q(ql, p) AS (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)),
+        k AS (SELECT ql, CAST(ceil(p * n) AS BIGINT) AS rank FROM q, n)
+        SELECT k.ql, k.rank, r.val AS value
+        FROM k JOIN r ON r.rn = k.rank
+        ORDER BY k.ql"""))
   )
 }
