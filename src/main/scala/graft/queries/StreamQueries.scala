@@ -18,6 +18,11 @@ object StreamQueries {
   // Same 30-minute inactivity gap as q36, in microseconds.
   private val GapUs = 30L * 60 * 1000000
 
+  private val DayUs = 86400L * 1000000L
+  // q172 batch split: 2024-01-25T00:00:00Z — on-time flow before it,
+  // stragglers + the rest after (events span Jan 1-31).
+  private val SplitUs = 1706140800000000L
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("q43_sessionize_stream",
       (s, dir) =>
@@ -162,6 +167,35 @@ object StreamQueries {
           CAST(floor((CASE WHEN raw <= 2.5 * 1024.0 AND zero_regs > 0
                 THEN 1024.0 * ln(1024.0 / CAST(zero_regs AS DOUBLE))
                 ELSE raw END) * 1000000 + 0.5) AS BIGINT) AS est_micros
-        FROM est"""))
+        FROM est""")),
+
+    // q172: late-data DROP semantics, exactly — the events table
+    // replays as two micro-batches (on-time flow, then stragglers mixed
+    // with the post-split flow); the daily rollup's watermark after
+    // batch 1 decides which stragglers die before reaching state. The
+    // oracle recomputes that watermark from the same split rule — so
+    // the lateness budget's behaviour is hash-checked, not just
+    // "documented". See Streams.lateDropReplay.
+    QuerySpec("q172_late_drop_stream",
+      (s, dir) =>
+        Streams.lateDropReplay(Tables.events(s, dir), SplitUs, "2 days")
+          .orderBy("day_us", "event_type"),
+      Some(s"""
+        WITH et AS (
+          SELECT epoch_us(ts) AS us, event_type, event_id FROM events),
+        b1 AS (
+          SELECT * FROM et WHERE us < $SplitUs AND event_id % 7 <> 0),
+        wm AS (SELECT max(us) - ${2L * 86400L * 1000000L} AS wm_us FROM b1),
+        b2 AS (
+          SELECT * FROM et WHERE us >= $SplitUs OR event_id % 7 = 0),
+        acc2 AS (
+          SELECT b2.us, b2.event_type FROM b2, wm
+          WHERE ((b2.us // ${DayUs}) + 1) * ${DayUs} > wm.wm_us),
+        surv AS (
+          SELECT us, event_type FROM b1
+          UNION ALL SELECT us, event_type FROM acc2)
+        SELECT (us // ${DayUs}) * ${DayUs} AS day_us, event_type,
+               count(*) AS cnt
+        FROM surv GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -1029,6 +1029,64 @@ object TextQueries {
         SELECT actual AS lang, cand AS predicted,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM pred WHERE rn = 1
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the top-500
+    // term types — the corpus-health scalar (natural text slopes ≈ −1;
+    // template/boilerplate corpora flatten, spam steepens). Rank is a
+    // TakeOrdered top-K (bounded — the window runs over 500 rows, never
+    // the type table), the regression is one exact-integer-moment agg
+    // (Stats.linearFit) over micros-snapped ln coordinates — ln on
+    // identical doubles is bit-identical in both engines (q62/q79 rule).
+    QuerySpec("q171_zipf_fit",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, dir)
+          .select(explode(graft.text.Analyzer.tokenize(col("text")))
+            .as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        val order = Seq(col("cnt").desc, col("term").asc)
+        val top = counts.orderBy(order: _*).limit(500)
+          .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+        graft.operators.Stats.linearFit(top, Nil,
+          Exact.micros(log(col("rank").cast("double"))),
+          Exact.micros(log(col("cnt").cast("double"))))
+      },
+      Some {
+        val corr = "CAST(n*sxy - sx*sy AS DOUBLE)"
+        val den = "CAST(n*sxx - sx*sx AS DOUBLE)"
+        val dny = "CAST(n*syy - sy*sy AS DOUBLE)"
+        s"""
+        WITH tok AS MATERIALIZED (
+          SELECT unnest(${toksSql("text")}) AS term FROM documents),
+        counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        top AS (
+          SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+          FROM counts ORDER BY cnt DESC, term LIMIT 500),
+        pts AS (
+          SELECT ${Exact.microsSql("ln(CAST(rank AS DOUBLE))")} AS x,
+                 ${Exact.microsSql("ln(CAST(cnt AS DOUBLE))")} AS y
+          FROM top),
+        m AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x*x) AS HUGEINT) AS sxx,
+                 CAST(sum(y*y) AS HUGEINT) AS syy,
+                 CAST(sum(x*y) AS HUGEINT) AS sxy
+          FROM pts)
+        SELECT CAST(n AS BIGINT) AS n,
+          CASE WHEN $den > 0 THEN ${Exact.microsSql(s"$corr / $den")}
+          END AS slope_micros,
+          CASE WHEN $den > 0 THEN ${Exact.microsSql(
+            s"(CAST(sy AS DOUBLE) - $corr / $den * CAST(sx AS DOUBLE))" +
+              " / CAST(n AS DOUBLE)")}
+          END AS intercept_micros,
+          CASE WHEN $den > 0 AND $dny > 0 THEN ${Exact.microsSql(
+            s"$corr * $corr / ($den * $dny)")}
+          END AS r2_micros
+        FROM m"""
+      })
   )
 }

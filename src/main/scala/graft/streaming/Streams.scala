@@ -109,8 +109,19 @@ object Streams {
   private def replayThroughFiles(
       real: DataFrame, sentinel: Int => DataFrame, schema: String,
       build: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery)
+      : DataFrame =
+    replayBatches(Seq(real), sentinel, schema, build)
+
+  /** Multi-batch variant: each element of `reals` is staged and fully
+    * processed as its own micro-batch generation before the next is
+    * added — the watermark visible to batch k+1 is the one batch k
+    * finalized, which is what late-arrival semantics (q172) need a
+    * deterministic handle on. */
+  private def replayBatches(
+      reals: Seq[DataFrame], sentinel: Int => DataFrame, schema: String,
+      build: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery)
       : DataFrame = {
-    val spark = real.sparkSession
+    val spark = reals.head.sparkSession
     val stage = java.nio.file.Files.createTempDirectory("replay_stage")
     val outDir = java.nio.file.Files
       .createTempDirectory("replay_out").toString
@@ -138,7 +149,7 @@ object Streams {
       require(moved, s"no parquet part produced for $name")
     }
 
-    addFile(real, "00-real.parquet")
+    addFile(reals.head, "00-real.parquet")
     val src = spark.readStream.schema(schema).parquet(stage.toString)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -146,9 +157,14 @@ object Streams {
       val q = build(src, outDir)
       try {
         q.processAllAvailable()
-        addFile(sentinel(1), "01-sentinel.parquet")
+        reals.tail.zipWithIndex.foreach { case (df, i) =>
+          addFile(df, f"${i + 1}%02d-real.parquet")
+          q.processAllAvailable()
+        }
+        val s0 = reals.size
+        addFile(sentinel(1), f"$s0%02d-sentinel.parquet")
         q.processAllAvailable()
-        addFile(sentinel(2), "02-sentinel.parquet")
+        addFile(sentinel(2), f"${s0 + 1}%02d-sentinel.parquet")
         q.processAllAvailable()
       } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -226,6 +242,60 @@ object Streams {
 
     wins.filter(col("event_type") =!= "__sentinel")
       .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("cnt"))
+  }
+
+  /** Watermark LATE-DATA semantics made deterministic (q172): the events
+    * table replays as two micro-batches — batch 1 is the "on-time" flow
+    * (everything before `splitUs` except each 7th event), batch 2 mixes
+    * the post-split flow with those held-back stragglers. After batch 1
+    * the watermark stands at max(batch-1 event time) − `delay`, so a
+    * straggler survives iff its day-window still ends above that line —
+    * Spark drops the rest before they reach state. The oracle can
+    * recompute the same watermark from the same split rule, making
+    * "which late rows were dropped" an exactly checkable, not just
+    * observable, property.
+    *
+    * Returns finalized daily counts per event type over the surviving
+    * rows. At scale this is the canonical ingest topology: a reordering
+    * transport in front of a windowed rollup, where the lateness budget
+    * (`delay`) IS the correctness/latency trade and needs tests pinning
+    * exactly what it drops. */
+  def lateDropReplay(events: DataFrame, splitUs: Long,
+                     delay: String = "2 days"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("event_type"), col("event_id"))
+    val onTime = rows.filter(col("ts") < timestamp_micros(lit(splitUs)) &&
+      col("event_id") % 7 =!= 0)
+    val lateMix = rows.filter(col("ts") >= timestamp_micros(lit(splitUs)) ||
+      col("event_id") % 7 === 0)
+    val maxUs = events.agg(max(expr("ts div 1000"))).first().getLong(0)
+    def sentinel(n: Int): DataFrame =
+      Seq(maxUs + n * 4L * 86400L * 1000000L).toDF("us")
+        .select(timestamp_micros(col("us")).as("ts"),
+          lit("__sentinel").as("event_type"), lit(-1L).as("event_id"))
+
+    val wins = replayBatches(Seq(onTime, lateMix), sentinel,
+      "ts TIMESTAMP, event_type STRING, event_id BIGINT",
+      (src, outDir) => src
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .count()
+        .select(col("window.start").as("day_start"), col("event_type"),
+          col("count").as("cnt"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start())
+
+    wins.filter(col("event_type") =!= "__sentinel")
+      .select(unix_micros(col("day_start")).as("day_us"),
         col("event_type"), col("cnt"))
   }
 
