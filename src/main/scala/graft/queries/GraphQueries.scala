@@ -827,6 +827,80 @@ object GraphQueries {
         FROM k4 GROUP BY id ORDER BY id"""
       }),
 
+    // Landmark betweenness (Brandes 2001 / Brandes-Pich 2007 pivots):
+    // which vertices sit on the most shortest paths from the landmark
+    // set? Forward BFS-DAG σ counts + backward dependency accumulation,
+    // both level-synchronous keyed shuffles (graph/Betweenness.scala) —
+    // the oracle unrolls BOTH phases (4 forward rounds, 4 backward)
+    // with the same per-edge micros-snap, so the float dependency
+    // cascade is hash-exact. Output: top-100 broker vertices.
+    QuerySpec("q173_betweenness",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val seeds = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 2048 === 0)
+          .select((col("o_orderkey") * 2).as("id"))
+        graft.graph.Betweenness.landmark(edges, seeds, rounds = 4)
+      },
+      Some {
+        val fwd = (1 to 4).map { r =>
+          s"""c$r AS (
+             SELECT e.dst AS id, f.seed, CAST(sum(f.sigma) AS BIGINT)
+               AS sigma
+             FROM e0 e JOIN f${r - 1} f ON e.src = f.id GROUP BY 1, 2),
+           fk$r AS (SELECT id, seed FROM c$r
+                    EXCEPT SELECT id, seed FROM k${r - 1}),
+           f$r AS MATERIALIZED (
+             SELECT c.id, c.seed, c.sigma
+             FROM c$r c JOIN fk$r USING (id, seed)),
+           k$r AS MATERIALIZED (
+             SELECT id, seed FROM k${r - 1}
+             UNION ALL SELECT id, seed FROM fk$r)"""
+        }.mkString(",\n")
+        val term = graft.util.Exact.microsSql(
+          "CAST(u.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) * " +
+            "(1 + CAST(w.dm AS DOUBLE) / 1000000.0)")
+        val bwd = (4 to 1 by -1).map { r =>
+          s"""s$r AS (
+             SELECT u.id, u.seed, CAST(sum($term) AS BIGINT) AS dm
+             FROM e0 e
+             JOIN (SELECT f.id, f.seed, f.sigma, d.dm
+                   FROM f$r f JOIN d$r d USING (id, seed)) w
+               ON e.dst = w.id
+             JOIN f${r - 1} u ON e.src = u.id AND u.seed = w.seed
+             GROUP BY 1, 2),
+           d${r - 1} AS MATERIALIZED (
+             SELECT u.id, u.seed, coalesce(s.dm, 0) AS dm
+             FROM f${r - 1} u LEFT JOIN s$r s USING (id, seed))"""
+        }.mkString(",\n")
+        s"""
+        WITH eo AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+        f0 AS MATERIALIZED (
+          SELECT o_orderkey * 2 AS id, o_orderkey * 2 AS seed,
+                 CAST(1 AS BIGINT) AS sigma
+          FROM orders WHERE o_orderkey % 2048 = 0),
+        k0 AS (SELECT id, seed FROM f0),
+        $fwd,
+        d4 AS (SELECT id, seed, CAST(0 AS BIGINT) AS dm FROM f4),
+        $bwd,
+        alld AS (
+          SELECT id, seed, dm FROM d0
+          UNION ALL SELECT id, seed, dm FROM d1
+          UNION ALL SELECT id, seed, dm FROM d2
+          UNION ALL SELECT id, seed, dm FROM d3
+          UNION ALL SELECT id, seed, dm FROM d4)
+        SELECT id, CAST(sum(dm) AS BIGINT) AS bc_micros
+        FROM alld WHERE id <> seed
+        GROUP BY id ORDER BY bc_micros DESC, id LIMIT 100"""
+      }),
+
     // Degree assortativity (Newman 2002, "Assortative mixing in
     // networks"): Pearson correlation of endpoint degrees across the
     // symmetric edge list — do high-degree orders attach to high-degree
