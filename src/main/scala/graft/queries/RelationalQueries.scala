@@ -401,6 +401,120 @@ object RelationalQueries {
         SELECT s_suppkey, s_name
         FROM supplier
         WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // ------------------------------------------------------------------
+    // Built-in session windows (batch mode): the same 30-minute-gap
+    // sessionization as q36, but through Spark's native
+    // `session_window` aggregation instead of the lag+running-sum
+    // window cascade — one hash-agg with in-partition session merge,
+    // no analytic window at all (the two shapes coexist because the
+    // builtin generalizes to Structured Streaming state merging).
+    // NOTE the builtin's boundary: a gap EQUAL to 30 min starts a NEW
+    // session (merge condition is next < last + gap, strict), which is
+    // the opposite of q36's `> gap` split rule — the oracle encodes
+    // `>=` accordingly, and `end` is last event + gap by definition.
+    QuerySpec("q174_session_window",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"))
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        flagged AS (
+          SELECT user_id, ts_us,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w >= ${30L * 60 * 1000000}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (
+          SELECT user_id, ts_us,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_no
+          FROM flagged)
+        SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us,
+               CAST(max(ts_us) + ${30L * 60 * 1000000} AS BIGINT) AS end_us,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sess_no
+        ORDER BY user_id, start_us""")),
+
+    // ------------------------------------------------------------------
+    // GROUPING SETS: three explicit granularities — (flag, status),
+    // (flag), () — in ONE pass with grouping_id disambiguation (rollup
+    // q34 and CUBE q97 are the fixed-lattice cousins; explicit sets are
+    // what reporting pipelines actually ask for). Spark expands the
+    // sets inside a single Expand + hash-agg — the scan and shuffle are
+    // paid once, not per granularity.
+    QuerySpec("q175_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            count(lit(1)).as("cnt"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+            col("sum_qty"), col("cnt"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""")),
+
+    // ------------------------------------------------------------------
+    // Relational set algebra: customers who bought BOTH Brand#11 and
+    // Brand#15 but NEVER Brand#19 — INTERSECT then EXCEPT over three
+    // filtered key sets derived from one lineitem⋈orders join. Spark
+    // plans set ops as aggregates + joins; the three branches reuse the
+    // same shuffle exchange under AQE.
+    QuerySpec("q176_set_ops",
+      (s, dir) => {
+        val parts = Tables.part(s, dir)
+          .filter(col("p_brand").isin("Brand#11", "Brand#15", "Brand#19"))
+          .select("p_partkey", "p_brand")
+        val bought = Tables.lineitem(s, dir)
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("o_custkey", "p_brand")
+        def buyers(b: String) =
+          bought.filter(col("p_brand") === b).select("o_custkey")
+        buyers("Brand#11").intersect(buyers("Brand#15"))
+          .except(buyers("Brand#19"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        WITH bought AS MATERIALIZED (
+          SELECT o_custkey, p_brand
+          FROM lineitem
+          JOIN part   ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE p_brand IN ('Brand#11', 'Brand#15', 'Brand#19'))
+        SELECT o_custkey FROM (
+          SELECT o_custkey FROM bought WHERE p_brand = 'Brand#11'
+          INTERSECT
+          SELECT o_custkey FROM bought WHERE p_brand = 'Brand#15'
+          EXCEPT
+          SELECT o_custkey FROM bought WHERE p_brand = 'Brand#19')
+        ORDER BY o_custkey"""))
   )
 }
