@@ -499,6 +499,33 @@ object ScaleCanary {
     require(bm.size == 32, s"expected 32 merges, got ${bm.size}")
     println(s"[canary]   bpe merges=${bm.size} " +
       s"top=(${bm.head._2},${bm.head._3})x${bm.head._4}")
+
+    // betweenness from 64 landmarks, 3 hops, on the 5M-edge graph —
+    // (V·seeds)-pair state through forward sigma + backward delta; the
+    // published knob (landmark count) stays fixed as V grows
+    val bw = time("betweenness (64 seeds)") {
+      graft.graph.Betweenness.landmark(edges,
+        verts.filter(col("id") % (nV / 64) === 0), rounds = 3).count()
+    }
+    println(s"[canary]   betweenness top rows=$bw")
+
+    // exact quantiles over 50M longs: two aggregation scans + three
+    // value-pruned TakeOrdereds — no global sort at any size
+    val eq = time("exact quantiles (50M)") {
+      graft.operators.Quantiles.exact(
+          spark.range(50000000L).select(
+            pmod(xxhash64(col("id")), lit(1000000L)).as("v")),
+          col("v"), Seq("p50" -> 0.5, "p99" -> 0.99))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    }
+    println(s"[canary]   exact quantiles p50=${eq("p50")} p99=${eq("p99")}")
+
+    // PCA gram at 500k×64: the d²-per-partition combine is the whole
+    // data-sized cost; the 64×64 eigen-iteration is driver-trivial
+    val pc = time("pca leading dir") {
+      graft.ml.Pca.leadingDirection(emb).count()
+    }
+    println(s"[canary]   pca components=$pc")
     spark.stop()
   }
 }

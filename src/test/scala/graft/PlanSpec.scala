@@ -251,4 +251,45 @@ class PlanSpec extends SparkSpec {
       "recent-order date filter must reach the orders scan:\n" +
         p.linesIterator.filter(_.contains("orders")).mkString("\n"))
   }
+
+  test("volume shipping rides broadcasts only — lineitem never shuffled") {
+    val p = planOf("q160_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the filter cascade must keep every join side broadcast-able")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "ship-date range must reach the lineitem scan")
+  }
+
+  test("large-orders HAVING set drives orders/customer as broadcasts") {
+    val p = planOf("q165_large_orders")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the tiny qty-filtered aggregate must be the build side")
+  }
+
+  test("disjunctive-predicate revenue plans one scan and no exchange " +
+    "beyond the broadcast") {
+    val p = planOf("q166_disjunctive_rev")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("In(p_brand"),
+      "brand IN-list must prune the part scan:\n" +
+        p.linesIterator.filter(_.contains("p_brand")).take(5).mkString("\n"))
+  }
+
+  test("item-cf top-3 per target prunes with WindowGroupLimit") {
+    val p = planOf("q170_item_cf")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("grouping sets expand once — a single shuffle for all " +
+    "granularities") {
+    val p = planOf("q175_grouping_sets")
+    assert(p.contains("Expand"), p.take(2000))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // one shuffle for the agg + one for the final orderBy
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n${p.take(3000)}")
+  }
 }
