@@ -569,6 +569,61 @@ object MlQueries {
           FROM scored)
         SELECT u, CAST(rk AS BIGINT) AS rk, v, co, cos_micros
         FROM ranked WHERE rk <= 3 AND u % 10 = 0
-        ORDER BY u, rk"""))
+        ORDER BY u, rk""")),
+
+    // ------------------------------------------------------------------
+    // Clustering agreement — Adjusted Rand Index (Hubert & Arabie 1985)
+    // between two labelings of the document corpus (lang vs source):
+    // the pair-counting metric every clustering-eval harness ships.
+    // Entirely integer until the last division: the contingency table
+    // is one (lang, source) hash-agg, the three Σ C(n,2) terms are
+    // integer sums over its margins, and only the final ARI ratio
+    // touches floats (then snaps to micros). At 100 TB the contingency
+    // table is |labels₁|·|labels₂| rows — metric-sized, not data-sized.
+    QuerySpec("q177_cluster_ari",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cells = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("nij"))
+        // n·(n−1) is even, so `div 2` is exact — and keeps every sum on
+        // LongType (Column./ would promote to double)
+        val c2 = (c: org.apache.spark.sql.Column) =>
+          ((c * (c - lit(1L))) / lit(2L)).cast("long")
+        val sij = cells.agg(sum(c2(col("nij"))).as("sij"))
+        val sa = cells.groupBy("lang").agg(sum("nij").as("a"))
+          .agg(sum(c2(col("a"))).as("sa"))
+        val sb = cells.groupBy("source").agg(sum("nij").as("b"))
+          .agg(sum(c2(col("b"))).as("sb"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        sij.crossJoin(sa).crossJoin(sb).crossJoin(n)
+          .select(col("n"), col("sij"), col("sa"), col("sb"),
+            Exact.micros(
+              (col("sij").cast("double") -
+                col("sa").cast("double") * col("sb").cast("double") /
+                  c2(col("n")).cast("double")) /
+              ((col("sa").cast("double") + col("sb").cast("double")) / 2d -
+                col("sa").cast("double") * col("sb").cast("double") /
+                  c2(col("n")).cast("double"))).as("ari_micros"))
+      },
+      Some(s"""
+        WITH cells AS (
+          SELECT lang, source, count(*) AS nij
+          FROM documents GROUP BY 1, 2),
+        sij AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sij
+                FROM cells),
+        sa AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS sa FROM
+               (SELECT sum(nij) AS a FROM cells GROUP BY lang)),
+        sb AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sb FROM
+               (SELECT sum(nij) AS b FROM cells GROUP BY source)),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT n, sij, sa, sb,
+          ${Exact.microsSql(
+            "(CAST(sij AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)" +
+              " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2)) / " +
+            "((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2 - " +
+              "CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)" +
+              " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2))")}
+          AS ari_micros
+        FROM sij, sa, sb, n"""))
   )
 }
