@@ -84,6 +84,10 @@ object ScaleCanary {
     }
     println(s"[canary] graph V=$nV E=${edges.count()} docs=$nD")
 
+    // GRAFT_CANARY_TAIL=1 skips straight to the newest legs — clean
+    // re-measures of recent additions without the full 40-leg pass.
+    if (sys.env.get("GRAFT_CANARY_TAIL").isEmpty) {
+
     val pr = time("pagerank") {
       val r = graft.graph.PageRank.run(verts, edges, maxIter = 20,
         stopTol = Some(1e-3))
@@ -499,6 +503,8 @@ object ScaleCanary {
     require(bm.size == 32, s"expected 32 merges, got ${bm.size}")
     println(s"[canary]   bpe merges=${bm.size} " +
       s"top=(${bm.head._2},${bm.head._3})x${bm.head._4}")
+
+    } // end !GRAFT_CANARY_TAIL
 
     // betweenness from 64 landmarks, 3 hops, on the 5M-edge graph —
     // (V·seeds)-pair state through forward sigma + backward delta; the
