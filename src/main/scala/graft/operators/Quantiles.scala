@@ -85,5 +85,68 @@ object Quantiles {
     }.reduce(_ unionAll _)
   }
 
+  /** Per-group exact quantiles — the same histogram rank-localization,
+    * with the per-group narrow pass fused into ONE distributed job:
+    * group stats and histograms collect (bounded by |groups| and
+    * |groups|·buckets respectively — group cardinality must be
+    * metric-sized, which is what per-group reporting means), then a
+    * single broadcast join of (group, bin range, residual rank) targets
+    * against the data + a row_number window whose partitions are
+    * bucket-sized by construction picks every group's order statistic
+    * at once.
+    *
+    * @return (group, ql, rank, value) sorted by (group, ql). */
+  def exactByGroup(df: DataFrame, group: String, value: Column,
+                   qs: Seq[(String, Double)],
+                   buckets: Int = 8192): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val vals = df.select(col(group).as("g"), value.cast("long").as("v"))
+    val stats = vals.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val statsDf = broadcast(stats.toSeq
+      .map { case (g, (_, lo, hi)) => (g, lo, hi - lo + 1) }
+      .toDF("g", "lo", "w"))
+    val hist = vals.join(statsDf, Seq("g"))
+      .groupBy(col("g"), expr(s"((v - lo) * $buckets) div w").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+
+    val targets = stats.keys.toSeq.sorted.flatMap { g =>
+      val (n, lo, hi) = stats(g)
+      val width = hi - lo + 1
+      qs.map { case (label, q) =>
+        require(q > 0 && q <= 1, s"quantile $q out of (0,1]")
+        val rank = math.ceil(q * n).toLong
+        var cum = 0L
+        val (bin, below) = hist(g).collectFirst {
+          case (bn, c) if { val ok = cum + c >= rank; if (!ok) cum += c; ok } =>
+            (bn, cum)
+        }.get
+        val binLo = lo + ceilDiv(bin * width, buckets)
+        val binHi = lo + ceilDiv((bin + 1) * width, buckets) - 1
+        (g, label, rank, rank - below, binLo, binHi)
+      }
+    }.toDF("tg", "ql", "rank", "k_in_bin", "bin_lo", "bin_hi")
+
+    vals.join(broadcast(targets),
+        col("g") === col("tg") &&
+          col("v").between(col("bin_lo"), col("bin_hi")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g"), col("ql")).orderBy(col("v"))))
+      .filter(col("rn") === col("k_in_bin"))
+      .select(col("g").as(group), col("ql"), col("rank"),
+        col("v").as("value"))
+  }
+
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 }

@@ -409,6 +409,36 @@ object SketchQueries {
         k AS (SELECT ql, CAST(ceil(p * n) AS BIGINT) AS rank FROM q, n)
         SELECT k.ql, k.rank, r.val AS value
         FROM k JOIN r ON r.rn = k.rank
-        ORDER BY k.ql"""))
+        ORDER BY k.ql""")),
+
+    // ------------------------------------------------------------------
+    // Per-group exact quantiles (q168's grouped sibling): p50/p95 of
+    // order value per priority class — the histogram localization runs
+    // per group, and the narrow pass is ONE distributed job (broadcast
+    // rank-targets join + a row_number window over bucket-sized
+    // partitions). The brute per-group row_number is exactly what the
+    // oracle does — and exactly what doesn't scale, which is the point.
+    QuerySpec("q178_grouped_quantiles",
+      (s, dir) => graft.operators.Quantiles.exactByGroup(
+        Tables.orders(s, dir), "o_orderpriority",
+        Exact.cents(col("o_totalprice")),
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+        .orderBy("o_orderpriority", "ql"),
+      Some(s"""
+        WITH v AS (
+          SELECT o_orderpriority AS g,
+                 ${Exact.centsSql("o_totalprice")} AS val FROM orders),
+        r AS (
+          SELECT g, val, row_number() OVER (PARTITION BY g ORDER BY val)
+                   AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM v),
+        q(ql, p) AS (VALUES ('p50', 0.5), ('p95', 0.95)),
+        k AS (
+          SELECT DISTINCT g, ql, CAST(ceil(p * n) AS BIGINT) AS rank
+          FROM (SELECT DISTINCT g, n FROM r), q)
+        SELECT k.g AS o_orderpriority, k.ql, k.rank, r.val AS value
+        FROM k JOIN r ON r.g = k.g AND r.rn = k.rank
+        ORDER BY 1, 2"""))
   )
 }

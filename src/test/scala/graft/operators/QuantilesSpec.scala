@@ -34,6 +34,22 @@ class QuantilesSpec extends SparkSpec {
     assert(got("p90") === 11L) // rank 900
   }
 
+  test("grouped variant matches per-group brute-force order statistics") {
+    // gcd(7,300)=1, so each group holds a full permutation of 1..300
+    val df = (for (g <- 0 until 3; i <- 1 to 300)
+        yield (s"g$g", ((i * 7) % 300 + 1).toLong))
+      .toDF("grp", "v").repartition(6)
+    val got = Quantiles.exactByGroup(df, "grp", col("v"),
+        Seq("p10" -> 0.1, "p50" -> 0.5, "max" -> 1.0), buckets = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      assert(got((g, "p10")) === 30L)
+      assert(got((g, "p50")) === 150L)
+      assert(got((g, "max")) === 300L)
+    }
+  }
+
   test("histogram pass aggregates before collect; final take is bounded") {
     // The plan for pass 2 must be a hash aggregate over ≤buckets rows,
     // not a sort; the pass-3 fragment must plan a limit (TakeOrdered).
