@@ -372,6 +372,31 @@ object Demo {
     SparkEntry.queries("q132_hll_rollup")(spark, demoDir).show(5, false)
     SparkEntry.queries("q133_containment")(spark, demoDir).show(3, false)
 
+    println("== TPC-H closing shapes: volume shipping / large orders / " +
+      "disjunctive predicates")
+    SparkEntry.queries("q160_volume_shipping")(spark, demoDir).show(false)
+    SparkEntry.queries("q165_large_orders")(spark, demoDir).show(3, false)
+    SparkEntry.queries("q166_disjunctive_rev")(spark, demoDir).show(false)
+
+    println("== exact quantiles without a global sort (global + grouped)")
+    SparkEntry.queries("q168_exact_quantiles")(spark, demoDir).show(false)
+    SparkEntry.queries("q178_grouped_quantiles")(spark, demoDir)
+      .show(4, false)
+
+    println("== embeddings: PCA leading direction / clustering agreement")
+    SparkEntry.queries("q169_pca_direction")(spark, demoDir).show(4, false)
+    SparkEntry.queries("q177_cluster_ari")(spark, demoDir).show(false)
+
+    println("== graph brokers: landmark betweenness top-5")
+    SparkEntry.queries("q173_betweenness")(spark, demoDir).show(5, false)
+
+    println("== item-item collaborative filtering (co-occurrence cosine)")
+    SparkEntry.queries("q170_item_cf")(spark, demoDir).show(6, false)
+
+    println("== streaming lateness budget: surviving daily counts")
+    SparkEntry.queries("q172_late_drop_stream")(spark, demoDir)
+      .show(3, false)
+
     spark.stop()
   }
 }
