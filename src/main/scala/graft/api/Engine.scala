@@ -51,4 +51,16 @@ object Engine {
                   idCol: String = "doc_id",
                   scoreCol: String = "score"): DataFrame =
     StoreOps.writeScores(docs, scores, idCol, scoreCol)
+
+  /** SQL-first entry: register every testdata table as a temp view
+    * (normalized exactly as [[graft.Tables.read]] does — ns-LONG
+    * `events.ts` included) plus the engine's native SQL functions
+    * (graft_dot, graft_jaro_winkler via [[graft.plans.GraftExtensions]]
+    * when installed), so `spark.sql("SELECT ... FROM lineitem ...")`
+    * works against the same relations every `queries()` entry sees. */
+  def registerTables(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Unit =
+    graft.Tables.names.foreach { t =>
+      graft.Tables.read(spark, dir, t).createOrReplaceTempView(t)
+    }
 }

@@ -73,6 +73,36 @@ object TimeSeries {
       .agg(max("__run").as("peak"))
   }
 
+  /** Total covered duration per key: the LENGTH of the union of the
+    * key's (possibly overlapping) intervals — the SLA-uptime /
+    * busy-time / sensor-coverage measure that a plain Σ(end − start)
+    * over-counts wherever intervals overlap. Same join-free sweep-line
+    * as [[peakConcurrency]]: signed deltas, per-(key, instant) pre-agg,
+    * then one keyed window that both runs the prefix sum and leads to
+    * the next instant — a segment [t, next_t) counts iff the running
+    * open-count is positive. Intervals are half-open [start, end);
+    * zero-length inputs contribute nothing. All integer arithmetic.
+    */
+  def coveredDuration(intervals: DataFrame, keys: Seq[String],
+                      startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltas = intervals
+      .select(keys.map(col) :+ col(startCol).as("__t") :+
+        lit(1L).as("__d"): _*)
+      .unionAll(intervals.select(keys.map(col) :+
+        col(endCol).as("__t") :+ lit(-1L).as("__d"): _*))
+    val perInstant = deltas.groupBy(keys.map(col) :+ col("__t"): _*)
+      .agg(sum("__d").as("__d"))
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"))
+    perInstant
+      .withColumn("__run", sum("__d").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__next", lead(col("__t"), 1).over(byKey))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(col("__run") > 0 && col("__next").isNotNull,
+        col("__next") - col("__t")).otherwise(0L)).as("covered"))
+  }
+
   /** Time-weighted average of an irregularly-sampled integer measure
     * per key — trapezoidal integration over the key's observed span,
     * the correct "average sensor reading / average balance / average

@@ -846,6 +846,51 @@ object PipelineQueries {
         FROM r GROUP BY suppkey ORDER BY suppkey""")),
 
     // ------------------------------------------------------------------
+    // Covered (union-of-intervals) duration per supplier — q119's
+    // complementary measure: not HOW MANY shipments overlap at the
+    // worst instant, but how much wall-clock the supplier's transit
+    // windows cover at all (the SLA-uptime shape, where Σ(end−start)
+    // over-counts every overlap). Same join-free sweep line; one keyed
+    // window runs the prefix sum AND leads to the next instant, and a
+    // segment counts iff its open-count is positive. Exact integer µs.
+    QuerySpec("q179_interval_coverage",
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val iv = Tables.lineitem(s, dir).select(
+          col("l_suppkey").as("suppkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("t0"),
+          (expr("unix_micros(cast(l_shipdate as timestamp))") +
+            col("l_quantity").cast("long") * dayUs).as("t1"))
+        graft.operators.TimeSeries.coveredDuration(iv,
+            Seq("suppkey"), "t0", "t1")
+          .orderBy("suppkey")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT l_suppkey AS suppkey, epoch_us(l_shipdate) AS t0,
+                 epoch_us(l_shipdate) +
+                   CAST(l_quantity AS BIGINT) * 86400000000 AS t1
+          FROM lineitem),
+        d AS (
+          SELECT suppkey, t0 AS t, 1 AS dd FROM iv
+          UNION ALL
+          SELECT suppkey, t1, -1 FROM iv),
+        g AS (
+          SELECT suppkey, t, CAST(sum(dd) AS BIGINT) AS dd
+          FROM d GROUP BY suppkey, t),
+        r AS (
+          SELECT suppkey, t,
+                 sum(dd) OVER (PARTITION BY suppkey ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run,
+                 lead(t) OVER (PARTITION BY suppkey ORDER BY t) AS nt
+          FROM g)
+        SELECT suppkey,
+               CAST(sum(CASE WHEN run > 0 AND nt IS NOT NULL
+                             THEN nt - t ELSE 0 END) AS BIGINT) AS covered
+        FROM r GROUP BY suppkey ORDER BY suppkey""")),
+
+    // ------------------------------------------------------------------
     // Interval-overlap self-join: pairs of shipments of the SAME part
     // from the SAME supplier whose transit windows overlap — the
     // conflicting-concurrent-shipment detector. The join is a plain

@@ -44,4 +44,20 @@ class EngineSpec extends SparkSpec {
     val top = page.rows.select("doc_id").as[String].collect()
     assert(top.head == idOf("http://b.com/"))
   }
+
+  test("registerTables exposes the normalized relations to raw SQL") {
+    Engine.registerTables(spark, "/root/testdata/sf0.001")
+    // events.ts must arrive ns-normalized in SQL-land too
+    val tsType = spark.sql("SELECT ts FROM events").schema("ts").dataType
+    assert(tsType === org.apache.spark.sql.types.LongType)
+    // a raw SQL rollup equals the DataFrame q01 result
+    val sql = spark.sql("""
+      SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1""").collect()
+    val df = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").cast("long").as("sum_qty"))
+      .orderBy("l_returnflag").collect()
+    assert(sql.map(_.toSeq) === df.map(_.toSeq))
+  }
 }

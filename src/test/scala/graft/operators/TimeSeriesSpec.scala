@@ -148,4 +148,24 @@ class TimeSeriesSpec extends SparkSpec {
     val f = TimeSeries.mannKendall(flat, "t", "x").collect().head
     assert(f.getLong(1) == 0L && f.getLong(2) == 0L)
   }
+
+  test("covered duration merges overlaps, keeps gaps, drops zero-length") {
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 15L),   // overlap → union [0,15) = 15
+      ("a", 20L, 25L),                  // gap [15,20) not covered
+      ("b", 3L, 3L),                    // zero-length → 0
+      ("c", 0L, 4L), ("c", 4L, 8L)      // back-to-back → 8, no gap
+    ).toDF("k", "t0", "t1")
+    val got = TimeSeries.coveredDuration(iv, Seq("k"), "t0", "t1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 20L, "b" -> 0L, "c" -> 8L))
+  }
+
+  test("covered duration: containment collapses to the outer interval") {
+    val iv = Seq(("k", 0L, 100L), ("k", 10L, 20L), ("k", 30L, 40L))
+      .toDF("k", "t0", "t1")
+    val got = TimeSeries.coveredDuration(iv, Seq("k"), "t0", "t1")
+      .collect().head.getLong(1)
+    assert(got === 100L)
+  }
 }
