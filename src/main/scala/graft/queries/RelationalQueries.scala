@@ -515,6 +515,275 @@ object RelationalQueries {
           SELECT o_custkey FROM bought WHERE p_brand = 'Brand#15'
           EXCEPT
           SELECT o_custkey FROM bought WHERE p_brand = 'Brand#19')
-        ORDER BY o_custkey"""))
+        ORDER BY o_custkey""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q4 shape (order priority checking): orders per priority in a
+    // quarter that had at least one LATE-shipped line (no l_commitdate /
+    // l_receiptdate in the testdata — "late" = shipped >30 days after
+    // the order date). The EXISTS is a LEFT SEMI join: lineitem is
+    // touched once, never duplicated into the aggregate, and the only
+    // exchange is the genuine fact-to-fact orderkey shuffle (both sides
+    // fact-sized at 100 TB; the 30-day predicate rides the join as a
+    // post-condition, not a separate pass).
+    QuerySpec("q180_priority_late",
+      (s, dir) => {
+        val ords = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        ords.join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q5 shape (local supplier volume): 1996 revenue per ASIA
+    // nation counting only lines where the CUSTOMER's nation equals the
+    // SUPPLIER's nation. The cross-dimension equality is enforced as a
+    // post-broadcast filter: customer-nation rides in through orders,
+    // supplier-nation through supplier, both as broadcasts keyed off the
+    // single lineitem scan — no lineitem exchange before the final
+    // nation-keyed aggregation.
+    QuerySpec("q181_local_supplier_volume",
+      (s, dir) => {
+        val asiaNat = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)
+              .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(asiaNat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey").as("cust_nk"))
+        val ords = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cust_nk"))
+        val supp = Tables.supplier(s, dir)
+          .join(broadcast(asiaNat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey").as("supp_nk"),
+            col("n_name"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(ords), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("cust_nk") === col("supp_nk"))
+          .groupBy("n_name")
+          .agg(sum(Exact.cents(col("l_extendedprice") *
+            (lit(1d) - col("l_discount")))).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("n_name"))
+      },
+      Some(s"""
+        SELECT n_name,
+               CAST(sum(${Exact.centsSql("l_extendedprice * (1 - l_discount)")})
+                 AS BIGINT) AS revenue_cents
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY revenue_cents DESC, n_name""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q6 shape (forecast revenue change): one scan, zero joins,
+    // three range predicates that must ALL reach the parquet reader as
+    // pushed filters — at 100 TB this query is row-group pruning or it
+    // is nothing. Discount bounds are compared on integer basis points
+    // (l_discount is generated on a 0.01 grid; multiplying literals by
+    // 100 avoids float-equality edge effects in BOTH engines).
+    QuerySpec("q182_revenue_forecast",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= lit(0.05d) && col("l_discount") <= lit(0.07d) &&
+            col("l_quantity") < lit(24d))
+          .agg(sum(Exact.cents(col("l_extendedprice") * col("l_discount")))
+              .as("revenue_cents"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""
+        SELECT CAST(sum(${Exact.centsSql("l_extendedprice * l_discount")})
+                 AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    // revenue lost to returns ('R' lines) for orders placed in 1996-Q4.
+    // The quarter-filtered orders ride the lineitem scan as a broadcast;
+    // customer attributes join AFTER the custkey aggregation (aggregate
+    // first, widen later — at 100 TB the post-agg row count is customer-
+    // sized, not lineitem-sized). TakeOrderedAndProject caps the sort.
+    QuerySpec("q183_returned_customers",
+      (s, dir) => {
+        val ords = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val lost = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .join(broadcast(ords), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum(Exact.cents(col("l_extendedprice") *
+            (lit(1d) - col("l_discount")))).as("revenue_cents"))
+        lost
+          .join(broadcast(Tables.customer(s, dir)
+              .join(broadcast(Tables.nation(s, dir)),
+                col("c_nationkey") === col("n_nationkey"))
+              .select(col("c_custkey"), col("c_name"), col("n_name"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(${Exact.centsSql("l_extendedprice * (1 - l_discount)")})
+                 AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_cents DESC, c_custkey LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q13 shape (customer order-count distribution): how many
+    // customers placed exactly k qualifying orders — INCLUDING the
+    // zero-order customers that an inner join would silently drop. The
+    // join predicate (priority filter) lives IN the outer join's ON
+    // clause, not a WHERE (a WHERE would turn the outer join back into
+    // an inner one); count(o_orderkey) counts non-null matches only.
+    // Two aggregations: custkey-keyed (the real shuffle), then the
+    // tiny k-keyed histogram.
+    QuerySpec("q184_order_distribution",
+      (s, dir) => {
+        val perCust = Tables.customer(s, dir).select("c_custkey")
+          .join(Tables.orders(s, dir)
+              .filter(col("o_orderpriority") =!= "1-URGENT")
+              .select("o_orderkey", "o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        WITH per_cust AS (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q15 shape (top supplier): per-supplier revenue for 1996-Q1,
+    // keeping the supplier(s) that hit the maximum. The max is a 1-row
+    // scalar aggregate broadcast back over the supplier-sized revenue
+    // table (NOT an unpartitioned window — at 100 TB "suppliers" can be
+    // millions of rows and a single-partition sort is the wrong plan;
+    // a broadcast scalar compare is shuffle-free either way).
+    QuerySpec("q185_top_supplier",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(sum(Exact.cents(col("l_extendedprice") *
+            (lit(1d) - col("l_discount")))).as("total_cents"))
+        rev.crossJoin(broadcast(rev.agg(max("total_cents").as("max_cents"))))
+          .filter(col("total_cents") === col("max_cents"))
+          .join(broadcast(Tables.supplier(s, dir)
+            .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""
+        WITH rev AS MATERIALIZED (
+          SELECT l_suppkey,
+                 CAST(sum(${Exact.centsSql("l_extendedprice * (1 - l_discount)")})
+                   AS BIGINT) AS total_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_cents
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    // counts per (brand, type, size) bucket over the observed
+    // part-supplier pairs (no partsupp table — the DISTINCT
+    // (l_partkey, l_suppkey) projection of lineitem is the same
+    // relation, built with one hash-agg). "Complaint" suppliers
+    // (negative balance) are removed with a broadcast LEFT ANTI join —
+    // the NOT IN of the original, without the null-semantics trap.
+    QuerySpec("q186_supplier_part_buckets",
+      (s, dir) => {
+        val sizes = Seq(1, 5, 9, 13, 17, 21, 25, 29)
+        val pairs = Tables.lineitem(s, dir)
+          .select("l_partkey", "l_suppkey").distinct()
+        val parts = Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(sizes: _*))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        val bad = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0d).select("s_suppkey")
+        pairs
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
   )
 }

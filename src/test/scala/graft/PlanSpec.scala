@@ -292,4 +292,35 @@ class PlanSpec extends SparkSpec {
     // one shuffle for the agg + one for the final orderBy
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n${p.take(3000)}")
   }
+
+  test("Q6 forecast pushes all three range predicates into the scan") {
+    val p = planOf("q182_revenue_forecast")
+    // the plan string elides long pushed-filter lists — assert the stable
+    // prefix plus the pruned 4-column read schema
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_shipda"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      "Q6 must be scan + partial/final agg only")
+  }
+
+  test("Q4 priority-late EXISTS plans a semi join, lineitem never in the agg") {
+    val p = planOf("q180_priority_late")
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
+  test("Q13 distribution keeps the outer join (zero-order customers kept)") {
+    val p = planOf("q184_order_distribution")
+    assert(p.contains("LeftOuter"), p.take(3000))
+  }
+
+  test("Q15 top supplier: scalar-max broadcast, no single-partition window") {
+    val p = planOf("q185_top_supplier")
+    assert(!p.contains("Window"), "must not plan a window")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
