@@ -1087,6 +1087,60 @@ object TextQueries {
             s"$corr * $corr / ($den * $dny)")}
           END AS r2_micros
         FROM m"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995) —
+    // q116's Jelinek-Mercer filter upgraded to the smoothing real LM
+    // filters (KenLM) use: absolute discount d=0.75, freed mass routed
+    // to the CONTINUATION unigram (distinct left-contexts, not raw
+    // frequency). The corpus shuffles ONCE on doc_id (lag window) and
+    // the per-doc sum reuses that exchange; count tables ride back as
+    // AQE broadcasts. Per-token micros snap keeps the doc sum
+    // associative and engine-exact.
+    QuerySpec("q187_kneser_ney",
+      (s, dir) => {
+        TextStats.knBigramTokenNll(Tables.documents(s, dir))
+          .select(col("doc_id"), Exact.micros(col("tok_nll")).as("m"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum("m").as("nll_sum_micros"))
+          .withColumn("mean_nll_micros",
+            expr("nll_sum_micros div n_toks"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(l) AS tok,
+                 generate_subscripts(l, 1) - 1 AS pos
+          FROM lt),
+        prevd AS (
+          SELECT doc_id, pos, tok,
+                 lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM toks),
+        bi AS (SELECT prev, tok, CAST(count(*) AS DOUBLE) AS cb
+               FROM prevd WHERE prev IS NOT NULL GROUP BY 1, 2),
+        ctx AS (SELECT prev, CAST(sum(cb) AS DOUBLE) AS cp,
+                       CAST(count(*) AS DOUBLE) AS n1p
+                FROM bi GROUP BY prev),
+        n1r AS (SELECT tok, CAST(count(*) AS DOUBLE) AS n1r
+                FROM bi GROUP BY tok),
+        dv AS (SELECT CAST((SELECT count(*) FROM bi) AS DOUBLE) AS dt,
+                      CAST((SELECT count(DISTINCT tok) FROM toks)
+                        AS DOUBLE) AS v),
+        sc AS (SELECT p.doc_id,
+            ${Exact.microsSql(
+              "CASE WHEN p.prev IS NULL " +
+              "THEN -ln((coalesce(r.n1r, 0) + 1) / (dv.dt + dv.v)) " +
+              "ELSE -ln((b.cb - 0.75) / c.cp + 0.75 * c.n1p / c.cp * " +
+              "((coalesce(r.n1r, 0) + 1) / (dv.dt + dv.v))) END")} AS m
+          FROM prevd p LEFT JOIN n1r r USING (tok) CROSS JOIN dv
+          LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+          LEFT JOIN ctx c ON c.prev = p.prev)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+               CAST(sum(m) AS BIGINT) AS nll_sum_micros,
+               CAST(sum(m) // count(*) AS BIGINT) AS mean_nll_micros
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -183,6 +183,66 @@ object TextStats {
           .as("tok_nll"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing behind KenLM-style corpus-quality filters) — absolute
+    * discount d on observed bigrams, with the freed mass backed off to
+    * the CONTINUATION probability (how many distinct contexts a word
+    * follows, not how often it occurs — the "San Francisco" fix):
+    *
+    *   p(w|v)  = (c(vw) − d)/c(v·) + d · N1+(v·)/c(v·) · pc(w)
+    *   pc(w)   = (N1+(·w) + 1) / (D + V)     [+1: doc-initial-only words]
+    *
+    * with D = distinct bigram types, V = vocab size. Doc-initial tokens
+    * score on pc alone. Scoring the training corpus itself means every
+    * non-initial bigram was observed, so c(vw) ≥ 1 > d and every term is
+    * finite.
+    *
+    * Shape mirrors [[bigramTokenNll]]: one cached token stream, one
+    * doc-keyed window for `prev` (the only corpus-sized shuffle — the
+    * same doc_id exchange the downstream per-doc aggregation reuses),
+    * then vocab-/bigram-type-sized count tables joined back; AQE
+    * broadcasts them when they fit. All divisions are single IEEE ops in
+    * the same association order as the DuckDB oracle, so a micros snap
+    * of the per-token NLL is engine-exact.
+    */
+  def knBigramTokenNll(docs: DataFrame, discount: Double = 0.75,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(Analyzer.tokenize(col(textCol))).as(Seq("pos", "tok")))
+    toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val prevd = toks.withColumn("prev", lag("tok", 1).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = prevd.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).cast("double").as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = bi.groupBy("prev")
+      .agg(sum("cb").as("cp"), count(lit(1)).cast("double").as("n1p"))
+    val n1r = bi.groupBy("tok")
+      .agg(count(lit(1)).cast("double").as("n1r"))
+    val consts = bi.agg(count(lit(1)).cast("double").as("__d_types"))
+      .crossJoin(toks.agg(
+        countDistinct(col("tok")).cast("double").as("__v")))
+    val d = lit(discount)
+    // pc in the exact association order of the oracle:
+    // (n1r + 1) / (d_types + v)
+    val pc = (coalesce(col("n1r"), lit(0d)) + lit(1d)) /
+      (col("__d_types") + col("__v"))
+    prevd
+      .join(n1r, Seq("tok"), "left")
+      .crossJoin(broadcast(consts))
+      .join(bi, Seq("prev", "tok"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .select(col(idCol), col("pos"), col("tok"), col("prev"),
+        negate(log(
+          when(col("prev").isNull, pc)
+            .otherwise((col("cb") - d) / col("cp") +
+              d * col("n1p") / col("cp") * pc)))
+          .as("tok_nll"))
+  }
+
   /** Top-k DISCRIMINATIVE terms per group by add-one log-odds keyness
     * (the corpus-linguistics "keyness" measure; the simple-prior form
     * of Monroe et al. 2008's fightin'-words log-odds):

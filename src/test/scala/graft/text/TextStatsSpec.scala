@@ -166,4 +166,26 @@ class TextStatsSpec extends SparkSpec {
     assert(m("a b") == ((3L, "c", 2L)))
     assert(m("b c") == ((2L, "a", 1L)))
   }
+
+  test("knBigramTokenNll: hand-computed Kneser-Ney on a tiny corpus") {
+    // corpus: "a b a b" + "c b" → bigrams: a→b (2), b→a (1), c→b (1)
+    // V = 3, D (bigram types) = 3; N1+(·b)=2 (after a, after c),
+    // N1+(·a)=1, N1+(·c)=0; pc(b)=(2+1)/6, pc(a)=(1+1)/6, pc(c)=1/6.
+    // ctx a: cp=2, n1p=1; ctx b: cp=1, n1p=1; ctx c: cp=1, n1p=1.
+    // p(b|a) = (2-.75)/2 + .75*1/2 * 3/6 = 0.625 + 0.1875 = 0.8125
+    // p(a|b) = (1-.75)/1 + .75*1/1 * 2/6 = 0.25 + 0.25 = 0.5
+    // p(b|c) = (1-.75)/1 + .75*1/1 * 3/6 = 0.25 + 0.375 = 0.625
+    // initials: p(a) = pc(a) = 1/3, p(c) = pc(c) = 1/6.
+    val docs = Seq((1L, "a b a b"), (2L, "c b")).toDF("doc_id", "text")
+    val m = TextStats.knBigramTokenNll(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    def nll(p: Double) = -math.log(p)
+    assert(math.abs(m((1L, 0)) - nll(1.0 / 3)) < 1e-12)   // initial a
+    assert(math.abs(m((1L, 1)) - nll(0.8125)) < 1e-12)    // b | a
+    assert(math.abs(m((1L, 2)) - nll(0.5)) < 1e-12)       // a | b
+    assert(math.abs(m((1L, 3)) - nll(0.8125)) < 1e-12)    // b | a
+    assert(math.abs(m((2L, 0)) - nll(1.0 / 6)) < 1e-12)   // initial c
+    assert(math.abs(m((2L, 1)) - nll(0.625)) < 1e-12)     // b | c
+  }
 }
