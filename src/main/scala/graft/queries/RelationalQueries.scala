@@ -784,6 +784,47 @@ object RelationalQueries {
           AND l_suppkey NOT IN (
             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY 1, 2, 3
-        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // ------------------------------------------------------------------
+    // Bucketed co-located join: lineitem and orders are FIRST written as
+    // bucketBy(16, orderkey) + sortBy tables, then joined on the bucket
+    // key — the catalog-backed layout satisfies the join's distribution
+    // AND ordering requirements from disk, so the fact⋈fact join plans
+    // with ZERO exchanges and zero sorts (asserted in PlanSpec). This is
+    // the storage-side strategy for the one join in this schema that can
+    // never broadcast at 100 TB; the write cost is paid once and every
+    // downstream orderkey-keyed consumer rides the same layout. Result
+    // (revenue by priority band of late-1996 orders) oracle-checks
+    // against the plain join.
+    QuerySpec("q188_bucketed_join",
+      (s, dir) => {
+        val base = "/tmp/graft_bucketed"
+        val li = graft.store.Bucketing.writeBucketed(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          "graft_b_lineitem", s"$base/lineitem", "l_orderkey", 16)
+        val ord = graft.store.Bucketing.writeBucketed(
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+            .select("o_orderkey", "o_orderpriority"),
+          "graft_b_orders", s"$base/orders", "o_orderkey", 16)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(Exact.cents(col("l_extendedprice") *
+            (lit(1d) - col("l_discount")))).as("revenue_cents"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        SELECT o_orderpriority,
+               CAST(sum(${Exact.centsSql("l_extendedprice * (1 - l_discount)")})
+                 AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1,0 +1,49 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout: the storage-side answer to repeated shuffles.
+  *
+  * A `bucketBy(n, key)` + `sortBy(key)` table write hash-partitions rows
+  * into `n` files per partition and sorts within each bucket. Every later
+  * equi-join or aggregation keyed on the bucket column then satisfies its
+  * distribution requirement straight from the file layout — NO Exchange,
+  * and with sorted buckets no Sort either. At 100 TB this converts the
+  * nightly fact⋈fact orderkey shuffle (the single largest wire cost in
+  * the plan) into a one-time write cost amortized across every downstream
+  * consumer; bucket pruning additionally skips `n−1` of `n` files on
+  * point predicates over the bucket key.
+  *
+  * Spark only honors bucket metadata through the catalog, so tables go
+  * through `saveAsTable` with an explicit external `path` (stable across
+  * working directories, safe to overwrite per run).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed + per-bucket-sorted external table and
+    * return the catalog-backed relation (which carries the bucket spec —
+    * reading the parquet path directly would NOT).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    // One file per bucket: repartition on the bucket key (same murmur3
+    // hash as the bucket spec) so each writer task owns whole buckets.
+    // Spark only elides the downstream Sort when a bucket is a single
+    // file (multi-file buckets interleave), and tasks×buckets small
+    // files is the classic bucketed-write scale trap anyway.
+    df.repartition(buckets, df(key))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Drop the catalog entry (data files at `path` are external and
+    * overwritten by the next write). */
+  def drop(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+}

@@ -323,4 +323,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("bucketed fact join satisfies distribution from the file layout " +
+    "— zero exchanges and zero sorts before the join") {
+    // build the bucketed tables, then inspect the JOIN subplan alone
+    // (the final priority agg legitimately shuffles its 5 groups).
+    // At test scale the planner would broadcast the tiny orders side and
+    // skip the bucketed read entirely — disable auto-broadcast to model
+    // the 100 TB case the layout exists for (neither side fits).
+    SparkEntry.queries("q188_bucketed_join")(spark, dir).collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Spark 3+ stopped propagating bucket sort order by default (the
+      // file listing can't cheaply prove one-file-per-bucket); our
+      // writer repartitions to exactly that layout, so opt back in.
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val joined = spark.table("graft_b_lineitem")
+        .join(spark.table("graft_b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${p.take(3000)}")
+      assert(!p.contains("+- Sort "),
+        s"sorted buckets must satisfy the join ordering:\n${p.take(3000)}")
+      assert(p.contains("Bucketed: true"), p.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
 }
