@@ -38,6 +38,23 @@ object Registry {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_jaro_winkler(s1, s2)")
         JaroWinkler(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_hll_distinct"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graftagg.HllSketchAgg].getName,
+        "graft_hll_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2,
+          "graft_hll_distinct(expr[, p])")
+        val p = args.lift(1).map {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"p must be an integer literal, got $other")
+        }.getOrElse(10)
+        org.apache.spark.sql.graftagg.HllSketchAgg(
+          Cast(args(0), org.apache.spark.sql.types.StringType), p)
+          .toAggregateExpression()
       }))
 
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,15 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Engine-facing sketch aggregates backed by native Catalyst
+  * `TypedImperativeAggregate`s (see
+  * `org.apache.spark.sql.graftagg.HllSketchAgg`). */
+object SketchFunctions {
+  /** One-pass mergeable HyperLogLog distinct estimate of a STRING
+    * column; returns struct(nonzero_regs, zero_regs, est_micros),
+    * bit-identical to `Sketches.hllDistinct` and its DuckDB oracle.
+    * Use under `.agg(...)`, grouped or global. */
+  def hllDistinct(c: Column, p: Int = 10): Column =
+    org.apache.spark.sql.graftagg.AggBridge.hllDistinct(c, p)
+}

@@ -439,6 +439,94 @@ object SketchQueries {
           FROM (SELECT DISTINCT g, n FROM r), q)
         SELECT k.g AS o_orderpriority, k.ql, k.rank, r.val AS value
         FROM k JOIN r ON r.g = k.g AND r.rn = k.rank
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Native TypedImperativeAggregate HLL (q83's estimate re-derived by
+    // the Catalyst aggregate `HllSketchAgg`): ONE m-byte register
+    // buffer per group per partition, updated in place, merged
+    // register-wise through partial aggregation — each map task emits
+    // 1 KiB per group instead of up to m rows per group. Bit-identical
+    // hash/register/estimator to the DataFrame formulation, so the
+    // oracle is q83's verbatim. Also the engine's SQL surface:
+    // `SELECT graft_hll_distinct(x) …` plans this same expression.
+    QuerySpec("q189_hll_native",
+      (s, dir) => Tables.lineitem(s, dir)
+        .agg(graft.functions.SketchFunctions.hllDistinct(
+          concat_ws("|", col("l_orderkey"), col("l_partkey")),
+          p = HllP).as("h"))
+        .select(col("h.nonzero_regs"), col("h.zero_regs"),
+          col("h.est_micros")),
+      Some(s"""
+        WITH hs AS (SELECT
+            ${hashSql("l_orderkey || '|' || l_partkey")} AS h
+          FROM lineitem),
+        regs AS (
+          SELECT h % $HllM AS idx,
+                 CASE WHEN h // $HllM = 0 THEN ${HllBits + 1}
+                      ELSE ${HllBits + 1} - length(bin(h // $HllM))
+                 END AS rho
+          FROM hs
+          UNION ALL
+          SELECT range AS idx, 0 AS rho FROM range(0, $HllM)),
+        mx AS (SELECT idx, max(rho) AS m_rho FROM regs GROUP BY idx),
+        agg AS (SELECT
+            count(CASE WHEN m_rho > 0 THEN 1 END) AS nonzero_regs,
+            sum(CAST(power(2.0, 62 - m_rho) AS DECIMAL(38,0))) AS s
+          FROM mx),
+        est AS (SELECT
+            CAST(nonzero_regs AS BIGINT) AS nonzero_regs,
+            CAST($HllM - nonzero_regs AS BIGINT) AS zero_regs,
+            ((0.7213 / (1.0 + 1.079 / $HllM.0)) * $HllM.0) * $HllM.0
+              * power(2.0, 62) / CAST(s AS DOUBLE) AS raw
+          FROM agg)
+        SELECT nonzero_regs, zero_regs,
+          ${Exact.microsSql(
+            s"CASE WHEN raw <= 2.5 * $HllM.0 AND zero_regs > 0 " +
+            s"THEN $HllM.0 * ln($HllM.0 / CAST(zero_regs AS DOUBLE)) " +
+            "ELSE raw END")} AS est_micros
+        FROM est""")),
+
+    // ------------------------------------------------------------------
+    // The native aggregate GROUPED — distinct users per event type in
+    // one pass, no register-row shuffle (plan guard asserts
+    // ObjectHashAggregate). Oracle is q103's register replay.
+    QuerySpec("q190_hll_native_grouped",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.functions.SketchFunctions.hllDistinct(
+          col("user_id").cast("string"), p = HllP).as("h"))
+        .select(col("event_type"), col("h.nonzero_regs"),
+          col("h.zero_regs"), col("h.est_micros"))
+        .orderBy("event_type"),
+      Some(s"""
+        WITH hs AS (SELECT event_type,
+            ${hashSql("CAST(user_id AS VARCHAR)")} AS h
+          FROM events),
+        regs AS (SELECT event_type, h % $HllM AS idx,
+            CASE WHEN h // $HllM = 0 THEN ${HllBits + 1}
+                 ELSE ${HllBits + 1} - length(bin(h // $HllM))
+            END AS rho
+          FROM hs),
+        mx AS (SELECT event_type, idx, max(rho) AS m_rho
+          FROM regs GROUP BY 1, 2),
+        agg AS (SELECT event_type, count(*) AS present,
+            sum(CAST(power(2.0, 62 - m_rho) AS DECIMAL(38,0))) AS sp
+          FROM mx GROUP BY 1),
+        est AS (SELECT event_type,
+            CAST(present AS BIGINT) AS nonzero_regs,
+            CAST($HllM - present AS BIGINT) AS zero_regs,
+            ((0.7213 / (1.0 + 1.079 / $HllM.0)) * $HllM.0) * $HllM.0
+              * power(2.0, 62)
+              / CAST(sp + ($HllM - present)
+                     * CAST(power(2.0, 62) AS DECIMAL(38,0)) AS DOUBLE)
+              AS raw
+          FROM agg)
+        SELECT event_type, nonzero_regs, zero_regs,
+          ${Exact.microsSql(
+            s"CASE WHEN raw <= 2.5 * $HllM.0 AND zero_regs > 0 " +
+            s"THEN $HllM.0 * ln($HllM.0 / CAST(zero_regs AS DOUBLE)) " +
+            "ELSE raw END")} AS est_micros
+        FROM est ORDER BY event_type"""))
   )
 }
