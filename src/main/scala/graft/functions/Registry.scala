@@ -55,6 +55,23 @@ object Registry {
         org.apache.spark.sql.graftagg.HllSketchAgg(
           Cast(args(0), org.apache.spark.sql.types.StringType), p)
           .toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graftagg.KmvSketchAgg].getName,
+        "graft_kmv_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2,
+          "graft_kmv_distinct(expr[, k])")
+        val k = args.lift(1).map {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"k must be an integer literal, got $other")
+        }.getOrElse(1024)
+        org.apache.spark.sql.graftagg.KmvSketchAgg(
+          Cast(args(0), org.apache.spark.sql.types.StringType), k)
+          .toAggregateExpression()
       }))
 
   def register(spark: SparkSession): Unit =

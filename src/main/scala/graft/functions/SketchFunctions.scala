@@ -12,4 +12,10 @@ object SketchFunctions {
     * Use under `.agg(...)`, grouped or global. */
   def hllDistinct(c: Column, p: Int = 10): Column =
     org.apache.spark.sql.graftagg.AggBridge.hllDistinct(c, p)
+
+  /** One-pass mergeable k-minimum-values distinct estimate of a STRING
+    * column; returns struct(k_used, kth_h, est_distinct), bit-identical
+    * to `Sketches.kmvDistinct`. */
+  def kmvDistinct(c: Column, k: Int = 1024): Column =
+    org.apache.spark.sql.graftagg.AggBridge.kmvDistinct(c, k)
 }

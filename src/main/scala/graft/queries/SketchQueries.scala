@@ -527,6 +527,32 @@ object SketchQueries {
             s"CASE WHEN raw <= 2.5 * $HllM.0 AND zero_regs > 0 " +
             s"THEN $HllM.0 * ln($HllM.0 / CAST(zero_regs AS DOUBLE)) " +
             "ELSE raw END")} AS est_micros
-        FROM est ORDER BY event_type"""))
+        FROM est ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Native TypedImperativeAggregate KMV (q45 re-derived by
+    // `KmvSketchAgg`): the k smallest distinct hashes as in-place
+    // TreeSet state, set-union merges through partial aggregation — no
+    // sort anywhere (the DataFrame twin pays a per-partition top-k sort
+    // + a global re-sort), ≤ 8k bytes per partition on the wire.
+    // Oracle is q45's verbatim.
+    QuerySpec("q191_kmv_native",
+      (s, dir) => Tables.lineitem(s, dir)
+        .agg(graft.functions.SketchFunctions.kmvDistinct(
+          concat_ws("|", col("l_orderkey"), col("l_partkey")),
+          k = KmvK).as("h"))
+        .select(col("h.k_used"), col("h.kth_h"), col("h.est_distinct")),
+      Some(s"""
+        WITH h AS (SELECT DISTINCT
+            ${hashSql("l_orderkey || '|' || l_partkey")} AS h
+          FROM lineitem),
+        k AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+        agg AS (SELECT count(*) AS k_used, max(h) AS kth_h FROM k)
+        SELECT k_used, kth_h,
+          CASE WHEN k_used < $KmvK THEN k_used
+               ELSE CAST(floor(${KmvK - 1}.0 * power(2.0, 60)
+                               / CAST(kth_h AS DOUBLE)) AS BIGINT)
+          END AS est_distinct
+        FROM agg"""))
   )
 }

@@ -132,4 +132,6 @@ object AggBridge {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def hllDistinct(c: Column, p: Int): Column =
     column(HllSketchAgg(expression(c), p).toAggregateExpression())
+  def kmvDistinct(c: Column, k: Int): Column =
+    column(KmvSketchAgg(expression(c), k).toAggregateExpression())
 }

@@ -42,6 +42,23 @@ class HllAggSpec extends SparkSpec {
     assert(math.abs(est - 3000000L) < 10000L, s"est_micros = $est")
   }
 
+  test("native KMV matches the DataFrame twin across forced merges") {
+    val rows = (1 to 30000).map(i => s"item_${i % 7321}")
+    val docs = rows.toDF("v").repartition(32)
+    val native = docs
+      .agg(graft.functions.SketchFunctions.kmvDistinct(col("v")).as("h"))
+      .select("h.*").collect().head
+    val twin = Sketches.kmvDistinct(docs, col("v"), k = 1024)
+      .collect().head
+    assert(native.toSeq === twin.toSeq)
+    // sub-k regime is exact
+    val small = (1 to 100).map(i => s"x$i").toDF("v")
+    val exact = small.agg(graft.functions.SketchFunctions
+        .kmvDistinct(col("v")).as("h"))
+      .select("h.k_used", "h.est_distinct").collect().head
+    assert(exact.getLong(0) === 100L && exact.getLong(1) === 100L)
+  }
+
   test("aggregation runs object-hash, not sort-based") {
     val p = Seq(("a", "x")).toDF("g", "v").groupBy("g")
       .agg(graft.functions.SketchFunctions.hllDistinct(col("v")).as("h"))
