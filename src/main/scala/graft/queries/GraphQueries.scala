@@ -1208,6 +1208,63 @@ object GraphQueries {
           .groupBy("vertex").agg(count(lit(1)).as("visits"))
           .orderBy("vertex")
       },
-      Some(randomWalkSql(4, "rw")))
+      Some(randomWalkSql(4, "rw"))),
+
+    // ------------------------------------------------------------------
+    // Time-respecting earliest-arrival reachability (temporal BFS):
+    // seeds = every 512th order starting at its order date; an edge
+    // (shipment, at l_shipdate) is traversable only at or after the
+    // walker's current arrival — supply-chain contagion, not plain
+    // reachability (which a timestamp-blind BFS overstates). Monotone
+    // min-relaxation through the Iterate BSP facade; the oracle unrolls
+    // the 3 dense rounds (idempotent under min, so dense ≡ the engine's
+    // sparse-frontier run). Exact integer µs throughout.
+    QuerySpec("q192_temporal_reach",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_partkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("ts"))
+        val fwd = li.select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"), col("ts"))
+        val edges = fwd.unionAll(li.select(
+          (col("l_partkey") * 2 + 1).as("src"),
+          (col("l_orderkey") * 2).as("dst"), col("ts")))
+        val seeds = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 512 === 0)
+          .select((col("o_orderkey") * 2).as("id"),
+            expr("unix_micros(cast(o_orderdate as timestamp))").as("arr"))
+        graft.graph.TemporalReach.earliestArrival(edges, seeds, rounds = 3)
+          .select(decodeId(col("id")).as("id"),
+            col("arr").as("arrival_us"))
+          .orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""m$k AS MATERIALIZED (
+             SELECT e.dst AS id, min(e.ts) AS arr
+             FROM a${k - 1} a JOIN edges e
+               ON e.src = a.id AND e.ts >= a.arr
+             GROUP BY e.dst),
+           a$k AS MATERIALIZED (
+             SELECT id, min(arr) AS arr FROM (
+               SELECT id, arr FROM a${k - 1}
+               UNION ALL SELECT id, arr FROM m$k)
+             GROUP BY id)"""
+        }.mkString(",\n")
+        s"""
+        WITH edges AS MATERIALIZED (
+          SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst,
+                 epoch_us(l_shipdate) AS ts
+          FROM lineitem
+          UNION ALL
+          SELECT 'p' || l_partkey, 'o' || l_orderkey,
+                 epoch_us(l_shipdate)
+          FROM lineitem),
+        a0 AS MATERIALIZED (
+          SELECT 'o' || o_orderkey AS id, epoch_us(o_orderdate) AS arr
+          FROM orders WHERE o_orderkey % 512 = 0),
+        $rounds
+        SELECT id, arr AS arrival_us FROM a3 ORDER BY id"""
+      })
   )
 }
