@@ -59,8 +59,12 @@ object Engine {
     * when installed), so `spark.sql("SELECT ... FROM lineitem ...")`
     * works against the same relations every `queries()` entry sees. */
   def registerTables(spark: org.apache.spark.sql.SparkSession,
-                     dir: String): Unit =
+                     dir: String): Unit = {
     graft.Tables.names.foreach { t =>
       graft.Tables.read(spark, dir, t).createOrReplaceTempView(t)
     }
+    // the engine's native SQL functions (graft_dot, graft_jaro_winkler,
+    // graft_hll_distinct, graft_kmv_distinct) ride along
+    graft.functions.Registry.register(spark)
+  }
 }

@@ -1,0 +1,50 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** Exact butterfly (bipartite 4-cycle) counting — the bipartite
+  * analogue of triangle counting (Wang et al. 2019, "Vertex priority
+  * based butterfly counting for large-scale bipartite networks"): a
+  * butterfly is two left vertices sharing two right vertices, the unit
+  * of bipartite clustering/cohesion (co-purchase density here).
+  *
+  * The cost driver is wedge enumeration: Σ_side C(d, 2) differs by
+  * orders of magnitude between the two sides when degree distributions
+  * are asymmetric (orders average a handful of parts; parts appear in
+  * hundreds of orders — enumerating from the part side is ~1000× more
+  * wedges at sf0.1 for the SAME final count). [[count]] measures both
+  * wedge sums with two scalar aggregates and enumerates from the
+  * CHEAPER side; the butterfly count is side-independent, so the
+  * choice is invisible to the result (and to the oracle, q193).
+  */
+object Butterflies {
+
+  /** One row (n_edges, wedge_side, wedges, butterflies) over a
+    * bipartite edge set. `wedges` is the enumerated (cheaper-side)
+    * wedge count; `butterflies` = Σ_pairs C(shared, 2). */
+  def count(edges: DataFrame, left: String = "l",
+            right: String = "r"): DataFrame = {
+    val e = edges.select(col(left).as("l"), col(right).as("r"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    def wedgeSum(side: String): Long =
+      e.groupBy(side).agg(F.count(lit(1)).as("d"))
+        .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)))
+        .head().getLong(0)
+    val (wl, wr) = (wedgeSum("l"), wedgeSum("r"))
+    val (s, o, tag) = if (wl <= wr) ("l", "r", "left") else ("r", "l", "right")
+    val pairs = e.as("a").join(e.as("b"),
+        col(s"a.$s") === col(s"b.$s") && col(s"a.$o") < col(s"b.$o"))
+      .groupBy(col(s"a.$o").as("x"), col(s"b.$o").as("y"))
+      .agg(F.count(lit(1)).as("c"))
+    e.agg(F.count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(pairs.agg(
+        coalesce(sum(col("c")), lit(0L)).as("wedges"),
+        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("butterflies"))))
+      .select(col("n_edges"), lit(tag).as("wedge_side"),
+        col("wedges"), col("butterflies"))
+  }
+}

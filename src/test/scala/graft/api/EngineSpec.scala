@@ -59,5 +59,10 @@ class EngineSpec extends SparkSpec {
       .agg(sum("l_quantity").cast("long").as("sum_qty"))
       .orderBy("l_returnflag").collect()
     assert(sql.map(_.toSeq) === df.map(_.toSeq))
+    // native SQL functions ride along with the tables
+    val est = spark.sql(
+      "SELECT graft_hll_distinct(l_orderkey).nonzero_regs FROM lineitem")
+      .collect().head.getLong(0)
+    assert(est > 0L)
   }
 }
