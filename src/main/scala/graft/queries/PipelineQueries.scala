@@ -1857,6 +1857,47 @@ object PipelineQueries {
                    l_partkey || '|' || CAST(l_quantity AS BIGINT)), 1, 15))
                  AS BIGINT)) AS checksum
         FROM lineitem
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Z-order (Morton) clustering key over (user_id, event-day) — the
+    // multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+    // ZORDER; Morton 1966). Pure builtin bit-arithmetic composition
+    // (mask-spread fold), whole-stage-codegen'd, and replayed verbatim
+    // by the oracle's shift/mask CTE chain. The layout win itself
+    // (row-group pruning on BOTH dims after a Z-sorted write) is
+    // measured in LayoutSpec, not here — a SQL oracle can only check
+    // the key arithmetic.
+    QuerySpec("q194_zorder_key",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.select(col("event_id"),
+            graft.store.Layout.zValue2(col("user_id"),
+              expr("ts div 86400000000000")).as("z"))
+          .orderBy("z", "event_id")
+          .limit(100)
+      },
+      Some("""
+        WITH b AS (SELECT event_id,
+            user_id & 2147483647 AS x,
+            (epoch_us(ts) // 86400000000) & 2147483647 AS y
+          FROM events),
+        s1 AS (SELECT event_id,
+            (x | (x << 16)) & 281470681808895 AS x,
+            (y | (y << 16)) & 281470681808895 AS y FROM b),
+        s2 AS (SELECT event_id,
+            (x | (x << 8)) & 71777214294589695 AS x,
+            (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+        s3 AS (SELECT event_id,
+            (x | (x << 4)) & 1085102592571150095 AS x,
+            (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+        s4 AS (SELECT event_id,
+            (x | (x << 2)) & 3689348814741910323 AS x,
+            (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+        s5 AS (SELECT event_id,
+            (x | (x << 1)) & 6148914691236517205 AS x,
+            (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+        SELECT event_id, (x | (y << 1)) AS z FROM s5
+        ORDER BY z, event_id LIMIT 100"""))
   )
 }

@@ -1,0 +1,56 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — multi-dimensional data skipping.
+  *
+  * A single-column sort gives parquet min/max pruning on that column
+  * only; sorting by the bit-interleaved Z-value of two dimensions makes
+  * row groups contiguous in BOTH, so range predicates on EITHER
+  * dimension skip most row groups (the Delta/Iceberg OPTIMIZE ZORDER
+  * layout, from Morton 1966). At 100 TB this is the difference between
+  * scanning a full fact table and reading a few percent of it for
+  * point-in-range queries on a second dimension.
+  *
+  * [[zValue2]] is pure builtin composition (bitwiseAND/OR + shiftleft
+  * fold — the classic mask-spread), so it stays inside whole-stage
+  * codegen with no custom expression; the identical arithmetic is
+  * SQL-expressible for the oracle (q194).
+  */
+object Layout {
+
+  // bit-spread masks: x (31 bits) → even bit positions of a 62-bit word
+  private val steps = Seq(
+    16 -> 281470681808895L,    // 0x0000FFFF0000FFFF
+    8 -> 71777214294589695L,   // 0x00FF00FF00FF00FF
+    4 -> 1085102592571150095L, // 0x0F0F0F0F0F0F0F0F
+    2 -> 3689348814741910323L, // 0x3333333333333333
+    1 -> 6148914691236517205L) // 0x5555555555555555
+
+  private def spread(c: Column): Column =
+    steps.foldLeft(c.bitwiseAND(lit(2147483647L))) {
+      case (acc, (sh, m)) =>
+        acc.bitwiseOR(shiftleft(acc, sh)).bitwiseAND(lit(m))
+    }
+
+  /** Morton Z-value of two non-negative integral columns (low 31 bits
+    * each): x on even bits, y on odd bits. Monotone per dimension when
+    * the other is fixed — the property pruning relies on. */
+  def zValue2(x: Column, y: Column): Column =
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+
+  /** Rewrite `df` z-clustered on two dimensions: range-partition and
+    * sort by the Z-value so row groups are tight in both dims, then
+    * drop the helper column on write. */
+  def zorderWrite(df: DataFrame, x: Column, y: Column, path: String,
+                  partitions: Int = 8,
+                  rowGroupBytes: Long = 1L << 20): Unit =
+    df.withColumn("__z", zValue2(x, y))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+}
