@@ -18,4 +18,11 @@ object SketchFunctions {
     * to `Sketches.kmvDistinct`. */
   def kmvDistinct(c: Column, k: Int = 1024): Column =
     org.apache.spark.sql.graftagg.AggBridge.kmvDistinct(c, k)
+
+  /** One-pass mergeable DDSketch quantiles of a DOUBLE column at
+    * relative-error alpha; returns array<struct(q_pct, bucket,
+    * est_micros)> (explode to rows), bit-identical to
+    * `Sketches.ddQuantiles`. */
+  def ddQuantiles(c: Column, alpha: Double, pcts: Seq[Int]): Column =
+    org.apache.spark.sql.graftagg.AggBridge.ddQuantiles(c, alpha, pcts)
 }

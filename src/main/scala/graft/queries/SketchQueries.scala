@@ -553,6 +553,49 @@ object SketchQueries {
                ELSE CAST(floor(${KmvK - 1}.0 * power(2.0, 60)
                                / CAST(kth_h AS DOUBLE)) AS BIGINT)
           END AS est_distinct
-        FROM agg"""))
+        FROM agg""")),
+
+    // ------------------------------------------------------------------
+    // Native TypedImperativeAggregate DDSketch (q95's grouped quantiles
+    // re-derived by `DdSketchAgg`): the whole sketch is ONE
+    // bucket→count map per group per partition (~couple hundred
+    // entries at alpha=2%), count-sum merged — no (group, bucket) row
+    // shuffle, no window rank-walk stage; the walk runs inside eval on
+    // the bounded map. Same bucket rule/rank/midpoint as the twins, so
+    // the oracle is q95's verbatim.
+    QuerySpec("q195_dd_native_grouped",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(graft.functions.SketchFunctions.ddQuantiles(
+          col("n_chars").cast("double"), alpha = 0.02,
+          pcts = Seq(50, 90)).as("qs"))
+        .select(col("lang"), explode(col("qs")).as("q"))
+        .select(col("lang"), col("q.q_pct"), col("q.bucket"),
+          col("q.est_micros"))
+        .orderBy("lang", "q_pct"),
+      Some {
+        val g = "((1.0 + 0.02) / (1.0 - 0.02))"
+        s"""
+        WITH v AS (SELECT lang, n_chars AS x FROM documents
+          WHERE n_chars > 0),
+        b AS (SELECT lang, CAST(ceil(
+            CAST(${Exact.microsSql(s"ln(x) / ln($g)")} AS DOUBLE)
+            / 1000000.0) AS BIGINT) AS bucket FROM v),
+        sk AS (SELECT lang, bucket, count(*) AS cnt
+          FROM b GROUP BY lang, bucket),
+        c AS (SELECT lang, bucket, cnt,
+            sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum
+          FROM sk),
+        t AS (SELECT lang, sum(cnt) AS n FROM sk GROUP BY lang),
+        q(q_pct) AS (VALUES (50), (90)),
+        sel AS (SELECT c.lang, q_pct, min(bucket) AS bucket
+          FROM c JOIN t ON c.lang = t.lang CROSS JOIN q
+          WHERE cum >= floor(q_pct / 100.0 * (CAST(t.n AS DOUBLE) - 1.0)) + 1
+          GROUP BY c.lang, q_pct)
+        SELECT lang, CAST(q_pct AS INT) AS q_pct, bucket,
+               ${Exact.microsSql(s"2.0 * power($g, bucket) / ($g + 1.0)")}
+                 AS est_micros
+        FROM sel ORDER BY lang, q_pct"""
+      })
   )
 }

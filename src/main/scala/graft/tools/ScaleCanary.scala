@@ -532,6 +532,48 @@ object ScaleCanary {
       graft.ml.Pca.leadingDirection(emb).count()
     }
     println(s"[canary]   pca components=$pc")
+
+    // butterflies over the 5M-edge src/dst incidence viewed bipartite:
+    // the hub side holds 1k vertices of degree ~500 (≈125M wedges);
+    // adaptive side selection must take the uniform side (≈22M) — the
+    // 6× cheaper enumeration for the identical count
+    val bf = time("butterflies (5M edges)") {
+      graft.graph.Butterflies.count(edges, left = "src", right = "dst")
+        .collect().head
+    }
+    println(s"[canary]   butterflies side=${bf.getString(1)} " +
+      s"wedges=${bf.getLong(2)} count=${bf.getLong(3)}")
+    require(bf.getString(1) == "left", "expected the uniform side")
+
+    // temporal earliest-arrival: hash timestamps on the same edges,
+    // 500 seeds, 3 rounds — message volume = active-frontier out-edges
+    val tr = time("temporal reach (3 hops)") {
+      graft.graph.TemporalReach.earliestArrival(
+          edges.withColumn("ts", pmod(xxhash64(col("src"), col("dst")),
+            lit(1000000L))),
+          verts.filter(col("id") % (nV / 500) === 0)
+            .select(col("id"), lit(0L).as("arr")),
+          rounds = 3).count()
+    }
+    println(s"[canary]   temporal reached=$tr")
+
+    // native one-pass HLL vs the register-row DataFrame twin on 50M
+    // values — the same estimate, but the aggregate ships one 1 KiB
+    // buffer per partition instead of shuffling register rows
+    val ids = spark.range(50000000L)
+      .select(concat(lit("u"), pmod(xxhash64(col("id")), lit(20000000L)))
+        .as("u")).localCheckpoint()
+    val hn = time("hll native (50M)") {
+      ids.agg(graft.functions.SketchFunctions.hllDistinct(col("u")).as("h"))
+        .select("h.est_micros").collect().head.getLong(0)
+    }
+    val hd = time("hll dataframe (50M)") {
+      graft.sketch.Sketches.hllDistinct(ids, col("u"), p = 10)
+        .select("est_micros").collect().head.getLong(0)
+    }
+    require(hn == hd, s"native $hn != dataframe $hd")
+    println(s"[canary]   hll est=${hn / 1000000L} (native == dataframe)")
+
     spark.stop()
   }
 }

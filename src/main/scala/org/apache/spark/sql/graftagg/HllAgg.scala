@@ -134,4 +134,6 @@ object AggBridge {
     column(HllSketchAgg(expression(c), p).toAggregateExpression())
   def kmvDistinct(c: Column, k: Int): Column =
     column(KmvSketchAgg(expression(c), k).toAggregateExpression())
+  def ddQuantiles(c: Column, alpha: Double, pcts: Seq[Int]): Column =
+    column(DdSketchAgg(expression(c), alpha, pcts).toAggregateExpression())
 }

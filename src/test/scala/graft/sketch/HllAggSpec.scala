@@ -59,6 +59,35 @@ class HllAggSpec extends SparkSpec {
     assert(exact.getLong(0) === 100L && exact.getLong(1) === 100L)
   }
 
+  test("native DDSketch matches the DataFrame twin, grouped and merged") {
+    val rows = (1 to 20000).map(i =>
+      (s"g${i % 3}", (i % 997).toDouble + 0.5))
+    val docs = rows.toDF("g", "v").repartition(32)
+    val native = docs.groupBy("g")
+      .agg(graft.functions.SketchFunctions.ddQuantiles(
+        col("v"), alpha = 0.01, pcts = Seq(50, 90, 99)).as("qs"))
+      .select(col("g"), explode(col("qs")).as("q"))
+      .select(col("g"), col("q.q_pct"), col("q.bucket"),
+        col("q.est_micros"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val twin = Sketches.ddQuantilesGrouped(docs, Seq("g"), col("v"),
+        alpha = 0.01, pcts = Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(native === twin)
+  }
+
+  test("native DDSketch estimate is within alpha of the exact quantile") {
+    val vals = (1 to 10000).map(_.toDouble)
+    val est = vals.toDF("v")
+      .agg(graft.functions.SketchFunctions.ddQuantiles(
+        col("v"), alpha = 0.01, pcts = Seq(50)).as("qs"))
+      .select(explode(col("qs")).as("q")).select("q.est_micros")
+      .collect().head.getLong(0) / 1e6
+    assert(math.abs(est - 5000.0) / 5000.0 <= 0.01, s"p50 est = $est")
+  }
+
   test("aggregation runs object-hash, not sort-based") {
     val p = Seq(("a", "x")).toDF("g", "v").groupBy("g")
       .agg(graft.functions.SketchFunctions.hllDistinct(col("v")).as("h"))
