@@ -7,9 +7,11 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -78,12 +80,47 @@ private class SyntheticTable(rows: Long, slices: Int)
 
 private class SyntheticScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L           // inclusive
   private var hi = rows         // exclusive
   private var pushed = ArrayBuffer.empty[Filter]
   private var required: StructType = Synthetic.schema
+  private var aggFns: Seq[String] = Nil
+
+  // COUNT(*) / MIN(id) / MAX(id) over the (filter-pruned) id range have
+  // CLOSED FORMS — hi−lo, lo, hi−1 — so the "scan" for a pushed
+  // aggregate is O(1) arithmetic at planning time: a count over a
+  // trillion-row synthetic corpus never iterates a row (the DSv2
+  // analogue of parquet footer-statistics aggregate pushdown, and the
+  // reason pushdown must run AFTER filter pushdown — Spark guarantees
+  // that ordering in V2ScanRelationPushDown).
+  private def supported(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val fns = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => "count"
+      case m: Min => m.column match {
+        case f: NamedReference if f.fieldNames.sameElements(Array("id")) => "min"
+        case _ => return None
+      }
+      case m: Max => m.column match {
+        case f: NamedReference if f.fieldNames.sameElements(Array("id")) => "max"
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(fns)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    supported(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supported(agg) match {
+      case Some(fns) => aggFns = fns; true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
@@ -109,8 +146,45 @@ private class SyntheticScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SyntheticScan(rows, slices, lo, hi,
-    required)
+  override def build(): Scan =
+    if (aggFns.nonEmpty) new SyntheticAggScan(math.max(lo, 0L),
+      math.max(hi, lo), aggFns)
+    else new SyntheticScan(rows, slices, lo, hi, required)
+}
+
+/** Completely-pushed aggregate: one partition, one row, zero row
+  * iteration — every value is closed-form over the pruned [lo, hi). */
+private class SyntheticAggScan(lo: Long, hi: Long, fns: Seq[String])
+    extends Scan with Batch {
+  private val empty = hi <= lo
+  override def readSchema(): StructType = StructType(fns.zipWithIndex.map {
+    case (f, i) => StructField(s"agg_$i", LongType,
+      nullable = f != "count" && empty)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synthetic PUSHED AGG [${fns.mkString(", ")}] range=[$lo,$hi)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val row = InternalRow.fromSeq(fns.map {
+      case "count" => if (empty) 0L else hi - lo
+      case "min"   => if (empty) null else lo
+      case "max"   => if (empty) null else hi - 1
+    })
+    new SingleRowReaderFactory(row)
+  }
+}
+
+private class SingleRowReaderFactory(row: InternalRow)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 private class SyntheticScan(rows: Long, slices: Int, lo: Long, hi: Long,

@@ -563,6 +563,8 @@ object ScaleCanary {
     val ids = spark.range(50000000L)
       .select(concat(lit("u"), pmod(xxhash64(col("id")), lit(20000000L)))
         .as("u")).localCheckpoint()
+    // shared input of the two timed legs — shield it from per-leg cleanup
+    keep = keep ++ spark.sparkContext.getPersistentRDDs.keySet
     val hn = time("hll native (50M)") {
       ids.agg(graft.functions.SketchFunctions.hllDistinct(col("u")).as("h"))
         .select("h.est_micros").collect().head.getLong(0)

@@ -57,4 +57,35 @@ class SyntheticSourceSpec extends SparkSpec {
     assert(p.contains("BatchScan synthetic(1000)[id#"), p)
     assert(!p.contains("val#") && !p.contains("cat#"), p)
   }
+
+  test("COUNT/MIN/MAX push completely — a trillion-row count never " +
+    "iterates a row") {
+    val t0 = System.nanoTime()
+    val df = load(1000000000000L, 32)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    val r = df.collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.getLong(0) === 1000000000000L)
+    assert(r.getLong(1) === 0L && r.getLong(2) === 999999999999L)
+    assert(secs < 30, s"pushed aggregate took $secs s — it iterated")
+    assert(df.queryExecution.executedPlan.toString.contains("PUSHED AGG"),
+      df.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("pushed aggregates compose with pushed id-range filters") {
+    val r = load(1000000000000L, 32)
+      .filter(col("id") >= 100 && col("id") < 2000000000L)
+      .agg(count(lit(1)), min("id"), max("id")).collect().head
+    assert(r.getLong(0) === 2000000000L - 100)
+    assert(r.getLong(1) === 100L && r.getLong(2) === 1999999999L)
+  }
+
+  test("non-pushable aggregates still compute row-by-row correctly") {
+    // sum(val) has no closed form here — the source must DECLINE and
+    // the normal scan path must produce the exact answer
+    val df = load(1000, 4).agg(sum("val").as("s"))
+    assert(!df.queryExecution.executedPlan.toString.contains("PUSHED AGG"))
+    val expected = (0L until 1000L).map(i => i * 48271L % 2147483647L).sum
+    assert(df.collect().head.getLong(0) === expected)
+  }
 }
