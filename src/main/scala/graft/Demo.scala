@@ -397,6 +397,39 @@ object Demo {
     SparkEntry.queries("q172_late_drop_stream")(spark, demoDir)
       .show(3, false)
 
+    println("== TPC-H sweep complete: Q4 semi-join / Q13 outer " +
+      "distribution / Q15 scalar-max")
+    SparkEntry.queries("q180_priority_late")(spark, demoDir).show(false)
+    SparkEntry.queries("q184_order_distribution")(spark, demoDir)
+      .show(5, false)
+    SparkEntry.queries("q185_top_supplier")(spark, demoDir).show(false)
+
+    println("== storage layouts: bucketed zero-exchange join / z-order key")
+    SparkEntry.queries("q188_bucketed_join")(spark, demoDir).show(false)
+    SparkEntry.queries("q194_zorder_key")(spark, demoDir).show(5, false)
+
+    println("== native sketch aggregates (one-pass, mergeable, SQL-able)")
+    SparkEntry.queries("q190_hll_native_grouped")(spark, demoDir)
+      .show(false)
+    SparkEntry.queries("q195_dd_native_grouped")(spark, demoDir)
+      .show(4, false)
+    api.Engine.registerTables(spark, demoDir)
+    spark.sql("SELECT graft_hll_distinct(l_partkey).est_micros div 1000000" +
+      " AS distinct_parts FROM lineitem").show(false)
+
+    println("== pushed-down trillion-row count (closed form, zero rows read)")
+    val t0 = System.nanoTime()
+    spark.read.format("graft.sources.Synthetic")
+      .option("rows", 1000000000000L).option("slices", 32).load()
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")).show(false)
+    println(f"   (took ${(System.nanoTime() - t0) / 1e9}%.2f s)")
+
+    println("== temporal reach + butterflies + Kneser-Ney")
+    SparkEntry.queries("q192_temporal_reach")(spark, demoDir).show(5, false)
+    SparkEntry.queries("q193_butterflies")(spark, demoDir).show(false)
+    SparkEntry.queries("q187_kneser_ney")(spark, demoDir).show(4, false)
+
     spark.stop()
   }
 }
