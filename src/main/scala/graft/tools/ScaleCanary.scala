@@ -533,6 +533,14 @@ object ScaleCanary {
     }
     println(s"[canary]   pca components=$pc")
 
+    // MIS over the 5M-edge hub graph: the shrinking-topology Luby loop
+    // decides the bulk in round 1, so later rounds touch residue only
+    val mis = time("mis (5M edges)") {
+      val r = graft.graph.Mis.run(edges)
+      r.filter(col("in_mis")).count()
+    }
+    println(s"[canary]   mis members=$mis")
+
     // butterflies over the 5M-edge src/dst incidence viewed bipartite:
     // the hub side holds 1k vertices of degree ~500 (≈125M wedges);
     // adaptive side selection must take the uniform side (≈22M) — the
