@@ -599,6 +599,55 @@ object DedupQueries {
             ON a.p_name = b.p_name AND a.descr < b.descr)
         SELECT descr_a, descr_b, jw_micros FROM p
         WHERE jw_micros >= 950000
-        ORDER BY descr_a, descr_b"""))
+        ORDER BY descr_a, descr_b""")),
+
+    // ------------------------------------------------------------------
+    // C4-style LINE-level exact dedup (Raffel et al. 2020 §2.2: "we
+    // discarded all but one of any three-sentence span occurring more
+    // than once", applied at line granularity by most reproductions):
+    // corpus-wide keep-FIRST over 10-token line units, reported per doc
+    // as kept/total counts plus an order-independent integer
+    // fingerprint (sum of surviving line hashes) — finer-grained than
+    // whole-doc dedup (q14), coarser than duplicate n-gram spans
+    // (q66). The only corpus-sized exchange is the line-hash shuffle
+    // that the keep-first window needs — exactly one, and its key
+    // cardinality is the distinct-line count.
+    QuerySpec("q196_line_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lines = graft.text.Pack.tokenChunks(
+            Tables.documents(s, dir), size = 10, stride = 10)
+          .select(col("doc_id"), col("chunk_id").cast("long").as("line_id"),
+            col("chunk_hash"))
+        val w = Window.partitionBy("chunk_hash")
+          .orderBy("doc_id", "line_id")
+        lines.withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") === 1, col("chunk_hash")).otherwise(0L))
+              .as("kept_fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        starts AS (SELECT doc_id, l,
+            unnest(generate_series(0, len(l) - 1, 10)) AS start
+          FROM lt WHERE len(l) > 0),
+        lines AS (SELECT doc_id, CAST(start // 10 AS BIGINT) AS line_id,
+            ${hashSql(
+              "array_to_string(list_slice(l, start + 1, " +
+              "least(start + 10, len(l))), ' ')")} AS h
+          FROM starts),
+        flagged AS (SELECT doc_id, h,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, line_id)
+              AS rn
+          FROM lines)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(CASE WHEN rn = 1 THEN h ELSE 0 END) AS BIGINT)
+                 AS kept_fingerprint
+        FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -1898,6 +1898,68 @@ object PipelineQueries {
             (x | (x << 1)) & 6148914691236517205 AS x,
             (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
         SELECT event_id, (x | (y << 1)) AS z FROM s5
-        ORDER BY z, event_id LIMIT 100"""))
+        ORDER BY z, event_id LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // Pipeline attrition report: the cumulative survivor count through
+    // the canonical corpus-filter cascade (language → length → token
+    // floor → exact-dedup keep-first) — the first table anyone asks for
+    // about a training-data pipeline ("where did my documents go?").
+    // ONE scan computes every flag; the dedup flag is the only
+    // exchange (content-hash keep-min window); the cascade itself is a
+    // single conditional-sum aggregate, then a 5-row unpivot.
+    QuerySpec("q197_filter_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val w = Window
+          .partitionBy(graft.dedup.Dedup.portableHash(col("text")))
+          .orderBy("doc_id")
+        val flagged = docs.select(
+          (col("lang") === "en").as("f1"),
+          col("n_chars").between(100, 500).as("f2"),
+          (size(graft.text.Analyzer.tokenize(col("text"))) >= 30).as("f3"),
+          (row_number().over(w) === 1).as("f4"))
+        flagged.agg(
+            count(lit(1)).as("s0_all"),
+            sum(when(col("f1"), 1L).otherwise(0L)).as("s1_lang"),
+            sum(when(col("f1") && col("f2"), 1L).otherwise(0L))
+              .as("s2_len"),
+            sum(when(col("f1") && col("f2") && col("f3"), 1L)
+              .otherwise(0L)).as("s3_toks"),
+            sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+              .otherwise(0L)).as("s4_dedup"))
+          .select(expr(
+            "stack(5, 's0_all', s0_all, 's1_lang', s1_lang, " +
+              "'s2_len', s2_len, 's3_toks', s3_toks, " +
+              "'s4_dedup', s4_dedup) AS (stage, surviving)"))
+          .orderBy("stage")
+      },
+      Some(s"""
+        WITH f AS (SELECT
+            lang = 'en' AS f1,
+            n_chars BETWEEN 100 AND 500 AS f2,
+            len(list_filter(string_split_regex(lower(trim(text)),
+              '\\s+'), x -> x <> '')) >= 30 AS f3,
+            row_number() OVER (
+              PARTITION BY md5(text) ORDER BY doc_id) = 1 AS f4
+          FROM documents),
+        agg AS (SELECT
+            CAST(count(*) AS BIGINT) AS s0_all,
+            CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1_lang,
+            CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS s2_len,
+            CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS s3_toks,
+            CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END)
+              AS BIGINT) AS s4_dedup
+          FROM f)
+        SELECT stage, surviving FROM (
+          SELECT 's0_all' AS stage, s0_all AS surviving FROM agg
+          UNION ALL SELECT 's1_lang', s1_lang FROM agg
+          UNION ALL SELECT 's2_len', s2_len FROM agg
+          UNION ALL SELECT 's3_toks', s3_toks FROM agg
+          UNION ALL SELECT 's4_dedup', s4_dedup FROM agg)
+        ORDER BY stage"""))
   )
 }
