@@ -624,6 +624,53 @@ object MlQueries {
               "CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)" +
               " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2))")}
           AS ari_micros
-        FROM sij, sa, sb, n"""))
+        FROM sij, sa, sb, n""")),
+
+    // ------------------------------------------------------------------
+    // Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    // representation learning"): how much cosine geometry survives
+    // keeping only the first d dimensions — cos(v, v[1..d] zero-padded)
+    // collapses to ‖v[1..d]‖/‖v‖, so the whole audit is ONE scan
+    // computing four prefix-norm ratios per row (micros-snapped), one
+    // aggregate, and a 4-row unpivot. The decision table for "can we
+    // store/serve 8× smaller vectors" — at 100 TB of embeddings that
+    // is the storage bill.
+    QuerySpec("q198_matryoshka",
+      (s, dir) => {
+        val dims = Seq(8, 16, 32)
+        val v = col("embedding")
+        def normSq(c: org.apache.spark.sql.Column) =
+          graft.functions.VecFunctions.dotFF(c, c)
+        val perRow = Tables.embeddings(s, dir).select(
+          dims.map { d =>
+            Exact.micros(sqrt(normSq(slice(v, 1, d))) / sqrt(normSq(v)))
+              .as(s"m$d")
+          }: _*)
+        val agg = perRow.agg(
+          count(lit(1)).as("n"),
+          dims.flatMap(d => Seq(
+            sum(col(s"m$d")).as(s"sum$d"),
+            min(col(s"m$d")).as(s"min$d"))): _*)
+        agg.select(expr(
+          "stack(3, " + dims.map(d =>
+            s"$d, CAST(sum$d div n AS BIGINT), min$d").mkString(", ") +
+            ") AS (dim, mean_cos_micros, min_cos_micros)"))
+          .orderBy("dim")
+      },
+      Some {
+        def chain(d: Int, a: String) = (1 to d)
+          .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($a[$i] AS DOUBLE)")
+          .mkString(" + ")
+        val rows = Seq(8, 16, 32).map { d =>
+          s"""SELECT $d AS dim,
+             CAST(sum(m) // count(*) AS BIGINT) AS mean_cos_micros,
+             min(m) AS min_cos_micros
+           FROM (SELECT ${Exact.microsSql(
+              s"sqrt(${chain(d, "embedding")}) / " +
+                s"sqrt(${chain(Dim, "embedding")})")} AS m
+                 FROM embeddings)"""
+        }.mkString("\nUNION ALL\n")
+        s"$rows\nORDER BY dim"
+      })
   )
 }
