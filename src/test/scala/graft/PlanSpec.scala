@@ -356,4 +356,27 @@ class PlanSpec extends SparkSpec {
         "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     }
   }
+
+  test("line dedup: exactly one corpus-sized exchange (the line-hash " +
+    "window), no join") {
+    val p = planOf("q196_line_dedup")
+    assert(!p.contains("Join"), p.take(3000))
+    // window exchange + per-doc agg exchange + final sort = 3 ceiling
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n${p.take(3000)}")
+  }
+
+  test("filter funnel: one documents scan feeds every stage flag") {
+    val p = planOf("q197_filter_funnel")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("matryoshka audit: one scan, no join, no window") {
+    val p = planOf("q198_matryoshka")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      p.take(3000))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+  }
 }
