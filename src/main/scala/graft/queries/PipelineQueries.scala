@@ -1960,6 +1960,97 @@ object PipelineQueries {
           UNION ALL SELECT 's2_len', s2_len FROM agg
           UNION ALL SELECT 's3_toks', s3_toks FROM agg
           UNION ALL SELECT 's4_dedup', s4_dedup FROM agg)
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+
+    // ------------------------------------------------------------------
+    // Funnel time-to-convert: exact p50/p90/p99 of the signup→purchase
+    // delay — q128's conversion funnel answered in TIME, the metric the
+    // growth dashboard actually plots. ONE user_id exchange carries
+    // both the running-min-signup window and the per-user min-delay agg
+    // (RANGE frame so equal-timestamp ties are deterministic on both
+    // engines); the quantiles then run through q168's no-global-sort
+    // histogram localization. All integer µs.
+    QuerySpec("q199_funnel_latency",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val delays = Tables.events(s, dir)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("ts0",
+            min(when(col("event_type") === "signup", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase" && col("ts0").isNotNull)
+          .groupBy("user_id")
+          .agg(min(expr("(ts - ts0) div 1000")).as("delay_us"))
+        graft.operators.Quantiles.exact(delays, col("delay_us"),
+            Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+          .orderBy("ql")
+      },
+      Some("""
+        WITH f AS (SELECT user_id, epoch_us(ts) AS us, event_type
+          FROM events WHERE event_type IN ('signup', 'purchase')),
+        g AS (SELECT user_id, us, event_type,
+            min(CASE WHEN event_type = 'signup' THEN us END)
+              OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS ts0
+          FROM f),
+        d AS (SELECT user_id, min(us - ts0) AS val
+          FROM g WHERE event_type = 'purchase' AND ts0 IS NOT NULL
+          GROUP BY user_id),
+        n AS (SELECT count(*) AS n FROM d),
+        r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM d),
+        q(ql, p) AS (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)),
+        k AS (SELECT ql, CAST(ceil(p * n) AS BIGINT) AS rank FROM q, n)
+        SELECT k.ql, k.rank, r.val AS value
+        FROM k JOIN r ON r.rn = k.rank
+        ORDER BY k.ql""")),
+
+    // ------------------------------------------------------------------
+    // Snapshot diff: row-level added/removed/changed/unchanged
+    // classification between two corpus versions (synthetically derived
+    // from documents: v2 drops every 11th doc, adds a marker to every
+    // 5th, and v1 lacks every 7th) — the companion to q159's
+    // group-level fingerprint reconcile: q159 says WHICH partitions
+    // drifted, this says what happened row by row. One full-outer join
+    // on the key, content compared by portable hash, then a 4-row
+    // conditional-count rollup.
+    QuerySpec("q200_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val v1 = docs.filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"),
+            graft.dedup.Dedup.portableHash(col("text")).as("h1"))
+        val v2 = docs.filter(col("doc_id") % 11 =!= 5)
+          .select(col("doc_id"),
+            graft.dedup.Dedup.portableHash(
+              when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))).as("h2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n_docs"))
+          .orderBy("status")
+      },
+      Some("""
+        WITH v1 AS (SELECT doc_id,
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h1
+          FROM documents WHERE doc_id % 7 <> 3),
+        v2 AS (SELECT doc_id,
+            CAST(('0x' || substring(md5(
+              CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+            ), 1, 15)) AS BIGINT) AS h2
+          FROM documents WHERE doc_id % 11 <> 5),
+        j AS (SELECT
+            CASE WHEN h1 IS NULL THEN 'added'
+                 WHEN h2 IS NULL THEN 'removed'
+                 WHEN h1 = h2 THEN 'unchanged'
+                 ELSE 'changed' END AS status
+          FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+        FROM j GROUP BY status ORDER BY status"""))
   )
 }
