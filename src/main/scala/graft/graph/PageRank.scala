@@ -60,7 +60,8 @@ object PageRank {
           gridSnap: Option[Double] = None,
           checkpointEvery: Int = 5,
           seeds: Option[DataFrame] = None,
-          weightCol: Option[String] = None): Result = {
+          weightCol: Option[String] = None,
+          initScores: Option[DataFrame] = None): Result = {
 
     def snap(c: Column): Column =
       gridSnap.map(g => floor(c * g + 0.5) / g).getOrElse(c)
@@ -118,19 +119,33 @@ object PageRank {
     // through the generations: the per-superstep dangling mass becomes
     // a filter + aggregate over the frame each superstep materializes
     // anyway — no per-superstep anti-join.
-    val init0 = v
+    val init00 = v
       .join(outDeg.select(col("src").as("id"), lit(true).as("hasOut")),
         Seq("id"), "left")
+    // Warm start (incremental re-rank): resume the SAME power iteration
+    // from previously-stored scores — running k iterations from an
+    // m-iteration snapshot reproduces the cold (m+k)-iteration
+    // trajectory exactly (snapping included), which is what makes the
+    // crawl cycle's "re-rank after incremental updates" cheap and
+    // oracle-checkable (q201). Vertices absent from the snapshot (newly
+    // crawled) fall back to the cold-start value.
+    val init0 = initScores match {
+      case Some(is) => init00.join(
+        is.select(col("id"), col("score").as("__s0")), Seq("id"), "left")
+      case None => init00.withColumn("__s0", lit(null).cast("double"))
+    }
     var scores = (seedInfo match {
       case Some((s, cnt)) =>
         init0.join(s.select(col("id"), lit(true).as("isSeed")),
             Seq("id"), "left")
           .withColumn("rw",
             when(col("isSeed"), lit(1.0 / cnt)).otherwise(lit(0.0)))
-          .select(col("id"), snap(col("rw")).as("score"),
+          .select(col("id"),
+            snap(coalesce(col("__s0"), col("rw"))).as("score"),
             col("hasOut").isNull.as("dang"), col("rw"))
       case None =>
-        init0.select(col("id"), snap(lit(1.0) / lit(n)).as("score"),
+        init0.select(col("id"),
+          snap(coalesce(col("__s0"), lit(1.0) / lit(n))).as("score"),
           col("hasOut").isNull.as("dang"))
     }).localCheckpoint(false)
     var iter = 0

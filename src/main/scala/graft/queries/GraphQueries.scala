@@ -1290,6 +1290,38 @@ object GraphQueries {
                CAST(coalesce(sum(c), 0) AS BIGINT) AS wedges,
                CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
                  AS butterflies
-        FROM w"""))
+        FROM w""")),
+
+    // ------------------------------------------------------------------
+    // Warm-start (incremental) PageRank — the crawl cycle's "re-rank
+    // after updates" path (reference C1: each crawl pass feeds the next
+    // rank pass): resume the power iteration from a stored snapshot
+    // instead of 1/N. The hard correctness claim: 3 snapshot iterations
+    // + 2 warm iterations ≡ 5 cold iterations EXACTLY (per-iteration
+    // grid snapping included), so this query shares q11's unrolled
+    // 5-round oracle verbatim — the strongest possible check that the
+    // warm path is the same trajectory, not an approximation of it.
+    QuerySpec("q201_warm_pagerank",
+      (s, dir) => {
+        val verts = Tables.orders(s, dir)
+          .select((col("o_orderkey") * 2).as("id"))
+          .unionAll(Tables.part(s, dir)
+            .select((col("p_partkey") * 2 + 1).as("id")))
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val snapshot = PageRank.run(verts, edges, damping = 0.85,
+            maxIter = 3, stopTol = None, gridSnap = Some(1e9))
+          .scores.localCheckpoint(false)
+        PageRank.run(verts, edges, damping = 0.85, maxIter = 2,
+            stopTol = None, gridSnap = Some(1e9),
+            initScores = Some(snapshot))
+          .scores
+          .select(decodeId(col("id")).as("id"),
+            floor(col("score") * 1e9 + 0.5).cast("long").as("score_nanos"))
+          .orderBy("id")
+      },
+      Some(pageRankSql(PrIters)))
   )
 }
