@@ -55,4 +55,33 @@ class SkewSpec extends SparkSpec {
       .agg(sum("v")).first().getLong(0)
     assert(a === b)
   }
+
+  test("AQE splits the skewed partition at runtime (skew=true in the " +
+    "final plan) — the no-code-change alternative to salting") {
+    // one key owns half the fact side; thresholds lowered so the tiny
+    // test relation still crosses AQE's skew bar
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val bigFact = spark.range(400000L).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val bigDim = spark.range(5000L).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = bigFact.join(bigDim, "k")
+      // collect THIS DataFrame so its own QueryExecution reaches the
+      // final adaptive plan (a .count() would plan separately)
+      val n = joined.collect().length.toLong
+      assert(n === 200001L + 2499L) // 200k hits on key 0 + odd ids < 5000
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${p.take(3000)}")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
