@@ -137,6 +137,41 @@ object StreamQueries {
                CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Native-aggregate streaming HLL (q93's twin through
+    // `HllSketchAgg`): the register buffer IS the streaming state, one
+    // 1 KiB object max-merged across the two real micro-batches. Same
+    // oracle as q93 — batch ≡ stream ≡ native.
+    QuerySpec("q202_hll_native_stream",
+      (s, dir) => Streams.hllNativeReplay(Tables.events(s, dir), p = 10),
+      Some("""
+        WITH hs AS (SELECT
+            CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+          FROM events),
+        regs AS (
+          SELECT h % 1024 AS idx,
+                 CASE WHEN h // 1024 = 0 THEN 51
+                      ELSE 51 - length(bin(h // 1024)) END AS rho
+          FROM hs
+          UNION ALL
+          SELECT range AS idx, 0 AS rho FROM range(0, 1024)),
+        mx AS (SELECT idx, max(rho) AS m_rho FROM regs GROUP BY idx),
+        agg AS (SELECT
+            count(CASE WHEN m_rho > 0 THEN 1 END) AS nonzero_regs,
+            sum(CAST(power(2.0, 62 - m_rho) AS DECIMAL(38,0))) AS s
+          FROM mx),
+        est AS (SELECT
+            CAST(nonzero_regs AS BIGINT) AS nonzero_regs,
+            CAST(1024 - nonzero_regs AS BIGINT) AS zero_regs,
+            ((0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0) * 1024.0
+              * power(2.0, 62) / CAST(s AS DOUBLE) AS raw
+          FROM agg)
+        SELECT nonzero_regs, zero_regs,
+          CAST(floor((CASE WHEN raw <= 2.5 * 1024.0 AND zero_regs > 0
+                THEN 1024.0 * ln(1024.0 / CAST(zero_regs AS DOUBLE))
+                ELSE raw END) * 1000000 + 0.5) AS BIGINT) AS est_micros
+        FROM est""")),
+
     QuerySpec("q93_hll_stream",
       (s, dir) => graft.sketch.Sketches.hllEstimate(
         Streams.hllReplay(Tables.events(s, dir), p = 10), p = 10),

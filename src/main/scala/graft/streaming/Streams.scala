@@ -424,6 +424,38 @@ object Streams {
         .start())
   }
 
+  /** [[hllReplay]]'s native-aggregate twin (q202): the same two-real-
+    * micro-batch replay, but the sketch state lives INSIDE the
+    * streaming aggregation as the `HllSketchAgg` register buffer (one
+    * 1 KiB object in the state store, max-merged across batches by the
+    * aggregate's own merge) instead of as (idx, rho) rows. Register
+    * merge is max ⇒ the complete-mode snapshot after the final batch
+    * is batch-identical, so the result shares q93's oracle — and
+    * proves the TypedImperativeAggregate composes with incremental
+    * execution, not just batch. */
+  def hllNativeReplay(events: DataFrame, p: Int = 10): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val vals = events.select(col("user_id").cast("string").as("v"))
+    val half = pmod(graft.dedup.Dedup.portableHash(col("v")), lit(2L))
+    def sentinel(n: Int): DataFrame =
+      if (n == 1) vals.filter(half === 1)
+      else Seq("__sentinel").toDF("v")
+    replayThroughFiles(vals.filter(half === 0), sentinel, "v STRING",
+      (src, outDir) => src.filter(col("v") =!= "__sentinel")
+        .agg(graft.functions.SketchFunctions
+          .hllDistinct(col("v"), p).as("h"))
+        .select(col("h.nonzero_regs"), col("h.zero_regs"),
+          col("h.est_micros"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckptDir())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(outDir)
+        }
+        .start())
+  }
+
   /** Batch ≡ stream parity for the STREAM-STATIC join (q141): replay
     * the events table (two REAL micro-batches, split by a portable row
     * hash so the join runs incrementally) against the static customer
