@@ -39,11 +39,17 @@ object Engine {
     Crawl.pass(links, getter, staleBefore, now)
 
   /** One PageRank pass over the link graph: (id, score) per vertex,
-    * dead-end mass redistributed, SAD-converged. */
+    * dead-end mass redistributed, SAD-converged. Pass the previous
+    * pass's scores as `warmStart` to resume the iteration instead of
+    * restarting from 1/N — the steady-state crawl cycle converges in a
+    * couple of iterations per pass that way (q201: the warm trajectory
+    * is EXACTLY the cold one, not an approximation). */
   def pageRankPass(vertices: DataFrame, edges: DataFrame,
                    damping: Double = 0.85, maxIter: Int = 20,
-                   stopTol: Option[Double] = Some(1e-3)): PageRank.Result =
-    PageRank.run(vertices, edges, damping, maxIter, stopTol)
+                   stopTol: Option[Double] = Some(1e-3),
+                   warmStart: Option[DataFrame] = None): PageRank.Result =
+    PageRank.run(vertices, edges, damping, maxIter, stopTol,
+      initScores = warmStart)
 
   /** Score write-back with placeholder creation for scored-but-unknown
     * docs (reference S9 semantics). */
