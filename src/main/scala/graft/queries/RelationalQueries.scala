@@ -825,6 +825,50 @@ object RelationalQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Incremental ingest into the bucketed layout: the 1996-H2 orders
+    // land first, 1997 arrives as an APPEND batch preserving the bucket
+    // spec — then the fact⋈fact join over BOTH batches still reads
+    // co-located buckets (exchange elision is layout-level; appends
+    // only cost the per-bucket Sort until the next compaction rewrite).
+    // This is q188's missing half: real tables are fed in cycles, not
+    // written once. Oracle = the plain join over the full date range.
+    QuerySpec("q203_bucketed_append",
+      (s, dir) => {
+        val base = "/tmp/graft_bucketed_inc"
+        graft.store.Bucketing.drop(s, "graft_bi_orders")
+        val ordersOf = (lo: String, hi: String) =>
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+              col("o_orderdate") < lit(hi).cast("timestamp"))
+            .select("o_orderkey", "o_orderpriority")
+        graft.store.Bucketing.writeBucketed(
+          ordersOf("1996-07-01", "1997-01-01"),
+          "graft_bi_orders", s"$base/orders", "o_orderkey", 16)
+        val ord = graft.store.Bucketing.appendBucketed(
+          ordersOf("1997-01-01", "1998-01-01"),
+          "graft_bi_orders", "o_orderkey", 16)
+        val li = graft.store.Bucketing.writeBucketed(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          "graft_bi_lineitem", s"$base/lineitem", "l_orderkey", 16)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(Exact.cents(col("l_extendedprice") *
+            (lit(1d) - col("l_discount")))).as("revenue_cents"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        SELECT o_orderpriority,
+               CAST(sum(${Exact.centsSql("l_extendedprice * (1 - l_discount)")})
+                 AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY 1 ORDER BY 1"""))
   )
 }

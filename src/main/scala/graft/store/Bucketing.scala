@@ -42,6 +42,26 @@ object Bucketing {
     spark.table(table)
   }
 
+  /** Append a new batch into an existing bucketed table, preserving
+    * the bucket spec (same column, same count — Spark validates) so
+    * downstream joins stay exchange-free across ingest cycles. Each
+    * append adds one file per bucket; after many cycles run
+    * [[writeBucketed]] again as the compaction pass (sorted-read
+    * elision needs one file per bucket — appends trade that per-bucket
+    * Sort for cheap ingest, the exchange elision is layout-level and
+    * survives). */
+  def appendBucketed(df: DataFrame, table: String,
+                     key: String, buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    df.repartition(buckets, df(key))
+      .write.mode("append")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
   /** Drop the catalog entry (data files at `path` are external and
     * overwritten by the next write). */
   def drop(spark: SparkSession, table: String): Unit =

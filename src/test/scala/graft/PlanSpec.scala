@@ -357,6 +357,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed append keeps the join exchange-free (sorts allowed — " +
+    "multi-file buckets until compaction)") {
+    SparkEntry.queries("q203_bucketed_append")(spark, dir).collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = spark.table("graft_bi_lineitem")
+        .join(spark.table("graft_bi_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        s"appended bucketed join must not shuffle:\n${p.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("line dedup: exactly one corpus-sized exchange (the line-hash " +
     "window), no join") {
     val p = planOf("q196_line_dedup")
