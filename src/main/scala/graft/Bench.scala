@@ -27,6 +27,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // Let AQE keep a few tasks of parallelism on the small V-sized
@@ -75,7 +76,12 @@ object Bench {
         val buildSec = try {
           val df = fn(spark, sfDir)
           val tb = (System.nanoTime() - t0) / 1e9
-          df.count()
+          // Materialize EVERY output row, not count(): count() lets
+          // ColumnPruning delete expensive top-level projections, so a
+          // map-only query (PII scrub, tag strip) was timed as a bare
+          // scan. Executing the physical plan's InternalRow RDD forces
+          // the full projection with zero extra agg/serialization cost.
+          df.queryExecution.toRdd.foreach(_ => ())
           tb
         } catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
@@ -110,6 +116,21 @@ object Bench {
     val errs = results.collect { case (k, Left(e)) => (k, e) }
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errs.size},"queries":$qs,"sf":"$sfDir"}""")
+    // The one-line JSON above gets truncated by log pipelines at ~200
+    // queries; also persist a pretty per-query board so the full set of
+    // timings is reviewable in-repo (override path with GRAFT_BENCH_BOARD).
+    val boardPath = sys.env.getOrElse("GRAFT_BENCH_BOARD", "bench_board_latest.json")
+    try {
+      val rows = results.map {
+        case (k, Right(sec)) => f"""  "$k": $sec%.4f"""
+        case (k, Left(e))    => s"""  "$k": {"err": ${jstr(e)}}"""
+      }.mkString(",\n")
+      val body = f"""{\n  "total_sec": $total%.2f,\n  "n_queries": ${results.size},\n  "errors": ${errs.size},\n  "sf": ${jstr(sfDir)},\n  "cpus": $cpus,\n$rows\n}\n"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(boardPath),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] board write failed: $e")
+    }
     errs.foreach { case (k, e) => System.err.println(s"[bench] FAILED $k: $e") }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * timezone is pinned to UTC so the NTZ wall-clock → instant conversion is the
   * identity the oracles assume (DuckDB's `epoch_us` on a naive TIMESTAMP is
   * UTC-based).
+  *
+  * Event-time literal pushdown ([[plans.TsLiteralPushdown]]) is installed by
+  * [[plans.GraftExtensions]] at session BUILD time (`withExtensions` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`) — every entry
+  * point in this library builds its session that way, so a user session gets
+  * the rule before any table is read.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -33,9 +39,6 @@ object Tables {
     // pinned before any NTZ → instant conversion below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val extra = spark.experimental.extraOptimizations
-    if (!extra.contains(plans.TsLiteralPushdown))
-      spark.experimental.extraOptimizations = extra :+ plans.TsLiteralPushdown
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
   }

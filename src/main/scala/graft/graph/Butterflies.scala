@@ -39,12 +39,18 @@ object Butterflies {
         col(s"a.$s") === col(s"b.$s") && col(s"a.$o") < col(s"b.$o"))
       .groupBy(col(s"a.$o").as("x"), col(s"b.$o").as("y"))
       .agg(F.count(lit(1)).as("c"))
-    e.agg(F.count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(pairs.agg(
-        coalesce(sum(col("c")), lit(0L)).as("wedges"),
-        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
-          .as("butterflies"))))
-      .select(col("n_edges"), lit(tag).as("wedge_side"),
-        col("wedges"), col("butterflies"))
+    // The output is ONE summary row: evaluate it eagerly so the cached
+    // edge set can be released here instead of lingering for the
+    // session (the wedge-sum probes already forced actions anyway).
+    val nEdges = e.count()
+    val agg = pairs.agg(
+      coalesce(sum(col("c")), lit(0L)).as("wedges"),
+      coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+        .as("butterflies")).head()
+    e.unpersist(blocking = false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nEdges, tag, agg.getLong(0), agg.getLong(1)))
+      .toDF("n_edges", "wedge_side", "wedges", "butterflies")
   }
 }

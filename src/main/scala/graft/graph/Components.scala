@@ -37,35 +37,84 @@ object Components {
     * run costs more than the whole propagation). */
   def run(edges: DataFrame, maxRounds: Int = 20,
           earlyStop: Boolean = true): DataFrame = {
-    // Materialize the caller's pair pipeline exactly once: the union
-    // below references it twice and Spark does not dedupe common plan
-    // subtrees, so an unmaterialized upstream would run twice.
+    val und = prepare(edges)
+    val init = und.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(false)
+    // Round 0 frontier = every vertex — its own label is "news".
+    propagate(und, init, None, maxRounds, earlyStop)
+  }
+
+  /** Warm-start (incremental) components — the re-crawl posture: resume
+    * min-label propagation from a CONVERGED label `snapshot` of a prior
+    * graph after `edges` grew by a delta, instead of re-propagating the
+    * whole graph from scratch.
+    *
+    * Soundness: snapshot labels sit between each vertex's id and its
+    * final label on the grown graph (reachability only grows), and a
+    * converged snapshot is a fixpoint of the OLD edges — so the only
+    * vertices holding unsent news are the delta's endpoints. Seeding
+    * the round-0 frontier with exactly those (`Iterate.run`'s
+    * `initActive`) makes round 1's edge join delta-sized, and chaotic-
+    * iteration monotonicity drives the resumed run to the SAME fixpoint
+    * a cold run reaches (q205 checks warm-vs-cold label equality
+    * through the unrolled cold oracle).
+    *
+    * At 100 TB this is the difference between re-clustering the corpus
+    * nightly and touching only the neighborhoods the day's ingest
+    * actually changed — rounds track the delta's reach, not the graph
+    * diameter.
+    *
+    * @param edges    the FULL (grown) pair set (a, b).
+    * @param snapshot (id, component) converged labels of the prior run;
+    *                 vertices the delta introduced may be absent (they
+    *                 start at their own id).
+    * @param delta    the new pairs only (a, b) — seeds the frontier.
+    */
+  def resume(edges: DataFrame, snapshot: DataFrame, delta: DataFrame,
+             maxRounds: Int = 30): DataFrame = {
+    val und = prepare(edges)
+    val init = und.select(col("src").as("id"))
+      .distinct()
+      .join(snapshot.select(col("id"), col("component").as("snap")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("snap"), col("id")).as("component"))
+      .localCheckpoint(false)
+    val frontier = delta.select(col("a").as("id"))
+      .union(delta.select(col("b").as("id")))
+      .distinct()
+    propagate(und, init, Some(frontier), maxRounds, earlyStop = true)
+  }
+
+  /** Materialize the caller's pair pipeline exactly once (the union
+    * references it twice and Spark does not dedupe common plan
+    * subtrees), then lay the undirected edge table out hash-partitioned
+    * AND sorted by the join key, cached in that layout (InMemoryRelation
+    * preserves both): each propagation round then shuffles + sorts only
+    * the frontier — the edge table is never re-shuffled nor re-sorted
+    * by the per-round sort-merge join. Partition-count law as in
+    * PageRank: ~128k undirected edges per partition between 4 and the
+    * cluster parallelism. */
+  private def prepare(edges: DataFrame): DataFrame = {
     val pairs = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
-    // Hash-partitioned by the join key, SORTED by it, and cached in that
-    // layout (InMemoryRelation preserves both): each propagation round
-    // then shuffles + sorts only the frontier — the edge table is never
-    // re-shuffled nor re-sorted by the per-round sort-merge join.
-    // Partition-count law as in PageRank: ~128k undirected edges per
-    // partition between 4 and the cluster parallelism.
     val p = GraphUtil.partitionLaw(2 * nPairs, edges.sparkSession)
-    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .repartition(p, col("src"))
       .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
-    val init = und.select(col("src").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(false)
-
-    // Delegated to the generic BSP facade (round 0 frontier = every
-    // vertex — its own label is "news"): one join + one checkpoint per
-    // round; `changed` marks the next frontier so it is a free
-    // projection of the same generation, and only frontier labels
-    // travel over edges (min per receiver).
+  /** The shared propagation loop on the BSP facade: one join + one
+    * checkpoint per round; `changed` marks the next frontier so it is a
+    * free projection of the same generation, and only frontier labels
+    * travel over edges (min per receiver). */
+  private def propagate(und: DataFrame, init: DataFrame,
+                        initActive: Option[DataFrame], maxRounds: Int,
+                        earlyStop: Boolean): DataFrame =
     Iterate.run(
       init,
       sendMsg = frontier => frontier
@@ -78,6 +127,6 @@ object Components {
             .otherwise(col("component")).as("component"),
           coalesce(col("cand") < col("component"), lit(false)).as("changed")),
       maxRounds = maxRounds,
-      earlyStop = earlyStop)
-  }
+      earlyStop = earlyStop,
+      initActive = initActive)
 }

@@ -49,6 +49,14 @@ object Iterate {
     * @param earlyStop stop when no vertex changed (costs one `limit(1)`
     *                 probe per round); `false` = fixed-round single
     *                 lazy plan.
+    * @param initActive round-0 frontier override (keyed `id`, joined
+    *                 against `init` to pick up state columns). Default =
+    *                 every vertex. A warm start resuming from a
+    *                 CONVERGED snapshot restricts it to the vertices a
+    *                 delta actually touched, so round 1's edge join is
+    *                 delta-sized instead of V-sized — sound only when
+    *                 the rest of `init` is a fixpoint (no other vertex
+    *                 has unsent news by definition).
     * @return final state (without the `changed` column).
     */
   def run(init: DataFrame,
@@ -56,10 +64,13 @@ object Iterate {
           mergeMsg: DataFrame => DataFrame,
           vprog: (DataFrame, DataFrame) => DataFrame,
           maxRounds: Int,
-          earlyStop: Boolean = true): DataFrame = {
+          earlyStop: Boolean = true,
+          initActive: Option[DataFrame] = None): DataFrame = {
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
     var state = init
-    var active = init
+    var active = initActive
+      .map(f => init.join(f.select("id"), Seq("id")))
+      .getOrElse(init)
     var round = 0
     var done = false
     while (round < maxRounds && !done) {

@@ -29,6 +29,10 @@ object TemporalReach {
     */
   def earliestArrival(edges: DataFrame, seeds: DataFrame,
                       rounds: Int): DataFrame = {
+    // Persisted for the per-round joins of the returned LAZY plan, so
+    // it cannot be unpersisted here — the caller/bench's post-action
+    // cleanup (or LRU eviction) releases it, as with Dedup's persisted
+    // pipelines.
     val e = edges.select(col("src"), col("dst"), col("ts"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val init = seeds.select(col("id"), col("arr"))

@@ -45,9 +45,9 @@ object Profile {
     * re-sync narrows to that group). Row hash = the first 60 bits of
     * md5 over a '|'-joined canonical rendering of the named columns
     * (md5 and integer-cast renderings agree across engines — the q49
-    * discipline), summed per group: commutative, so partition order,
-    * shuffle order and engine never matter, and a single flipped row
-    * flips the sum with probability 1 − 2⁻⁶⁰.
+    * discipline), XOR-folded per group: commutative, so partition
+    * order, shuffle order and engine never matter, and a single
+    * flipped row flips the checksum with probability 1 − 2⁻⁶⁰.
     *
     * At 100 TB: map-side-combinable agg, output |groups| rows, zero
     * joins — the cheapest possible "are these two tables equal" probe.
@@ -60,9 +60,9 @@ object Profile {
     df.withColumn("__h", rowHash)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        // 60-bit hashes × billions of rows overflow a long; the sum
-        // rides DECIMAL(38,0) (≡ DuckDB HUGEINT) with ~10¹⁸ rows of
-        // headroom per group.
-        sum(col("__h").cast("decimal(38,0)")).as("checksum"))
+        // XOR, not sum: stays BIGINT at any row count (a decimal sum
+        // becomes HUGEINT on DuckDB and round-trips differently), and
+        // keeps the same commutativity + 1−2⁻⁶⁰ flip sensitivity.
+        expr("bit_xor(__h)").as("checksum"))
   }
 }

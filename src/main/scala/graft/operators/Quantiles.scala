@@ -50,6 +50,12 @@ object Quantiles {
     require(n > 0, "exact quantiles of an empty relation")
 
     val width = hi - lo + 1 // value span; bin b covers an exact sub-range
+    // (v-lo)*buckets must not wrap Long — raw 60-bit-hash-sized spans at
+    // the default 8192 buckets would overflow SILENTLY into wrong bins.
+    // The caller's fix is fewer buckets or pre-scaling the value.
+    require(width > 0 && width <= Long.MaxValue / buckets,
+      s"value span $width * $buckets buckets overflows Long; " +
+        "reduce `buckets` or rescale the value column")
     // Pass 2: histogram on integer bin ids — ((v-lo)*B) div W is exact
     // long arithmetic (no float bin widths to disagree over).
     val hist = vals
@@ -78,6 +84,12 @@ object Quantiles {
     targets.map { case (label, rank, bin, kInBin) =>
       val binLo = lo + ceilDiv(bin * width, buckets)
       val binHi = lo + ceilDiv((bin + 1) * width, buckets) - 1
+      // limit() takes an Int; a residual rank past 2^31 means one bin
+      // holds >2G rows — recurse the histogram into [binLo, binHi]
+      // (doc header) rather than truncate silently.
+      require(kInBin <= Int.MaxValue,
+        s"residual rank $kInBin exceeds Int range in bin $bin; " +
+          "increase `buckets` or recurse into the bin's value range")
       vals.filter(col("v").between(binLo, binHi))
         .orderBy("v").limit(kInBin.toInt)
         .agg(max(col("v")).as("value"))
@@ -110,6 +122,12 @@ object Quantiles {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
 
+    stats.foreach { case (g, (_, lo, hi)) =>
+      val w = hi - lo + 1
+      require(w > 0 && w <= Long.MaxValue / buckets,
+        s"group '$g' value span $w * $buckets buckets overflows Long; " +
+          "reduce `buckets` or rescale the value column")
+    }
     val statsDf = broadcast(stats.toSeq
       .map { case (g, (_, lo, hi)) => (g, lo, hi - lo + 1) }
       .toDF("g", "lo", "w"))
@@ -134,6 +152,11 @@ object Quantiles {
         }.get
         val binLo = lo + ceilDiv(bin * width, buckets)
         val binHi = lo + ceilDiv((bin + 1) * width, buckets) - 1
+        // row_number() is IntegerType — a residual rank past 2^31 can't
+        // be matched; fail loudly instead of never matching the window.
+        require(rank - below <= Int.MaxValue,
+          s"group '$g' residual rank ${rank - below} exceeds Int range; " +
+            "increase `buckets` or recurse into the bin's value range")
         (g, label, rank, rank - below, binLo, binHi)
       }
     }.toDF("tg", "ql", "rank", "k_in_bin", "bin_lo", "bin_hi")

@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-/** Session-extension entry point for deployments that configure the engine
-  * at session build time instead of through [[graft.Tables.read]]'s
-  * idempotent `experimental.extraOptimizations` registration.
+/** THE session-extension entry point — the single place the engine's
+  * optimizer rule and SQL functions are installed (at session build time;
+  * [[graft.Tables.read]] deliberately does NOT self-register anything, so
+  * a user session gets the rule before any table is read).
   *
   * Two ways to install:
   *
@@ -25,11 +26,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   *   - the [[graft.functions.Registry]] SQL functions (`graft_dot`,
   *     `graft_jaro_winkler`) backed by the native codegen expressions.
   *
-  * [[graft.Tables.read]] still self-registers the rule on sessions built
-  * without extensions (local tools, specs), and both paths are idempotent:
-  * the rule is an `object`, `transformAllExpressions` is a no-op once the
-  * pattern no longer matches, and double registration rewrites nothing
-  * twice because the first pass already eliminated the matched shape.
+  * Installation is idempotent: the rule is an `object`,
+  * `transformAllExpressions` is a no-op once the pattern no longer
+  * matches, and double registration rewrites nothing twice because the
+  * first pass already eliminated the matched shape.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

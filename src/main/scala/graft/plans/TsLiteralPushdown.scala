@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * between scanning every row group and min/max-skipping everything outside
   * the query's time range.
   *
-  * Registered idempotently on `spark.experimental.extraOptimizations` by
-  * [[graft.Tables.read]], so every entry point (Verify, Bench, specs) gets it.
+  * Installed by [[GraftExtensions]] at session build time (every entry
+  * point in this library — Verify, Bench, specs, tools — builds its session
+  * `withExtensions`; external deployments use
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`).
   */
 object TsLiteralPushdown extends Rule[LogicalPlan] {
 

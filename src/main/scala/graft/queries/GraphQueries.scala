@@ -1322,6 +1322,68 @@ object GraphQueries {
             floor(col("score") * 1e9 + 0.5).cast("long").as("score_nanos"))
           .orderBy("id")
       },
-      Some(pageRankSql(PrIters)))
+      Some(pageRankSql(PrIters))),
+
+    // ------------------------------------------------------------------
+    // Warm-start (incremental) connected components — q201's re-rank
+    // posture applied to the dedup-clustering operator: the high-quantity
+    // order↔part graph grows by a delta (every 7th key-sum), and instead
+    // of re-propagating the whole graph the run RESUMES from the prior
+    // converged label snapshot with only the delta's endpoints active
+    // (`Components.resume`). Delta edges merge previously-separate
+    // components, so the resumed run must push the smaller label through
+    // entire settled components — the hard incremental case, not just
+    // label lookups. Correctness claim: warm-from-converged-snapshot
+    // reaches EXACTLY the cold fixpoint (chaotic-iteration monotonicity),
+    // so the oracle is the plain cold unrolled propagation on the full
+    // graph (20 rounds ≥ the 16 this graph needs at sf0.01).
+    QuerySpec("q205_warm_components",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_quantity") >= 40)
+          .select((col("l_orderkey") * 2).as("a"),
+            (col("l_partkey") * 2 + 1).as("b"),
+            ((col("l_orderkey") + col("l_partkey")) % 7 === 0)
+              .as("is_delta"))
+          .distinct()
+        val all = li.select("a", "b")
+        val g0 = li.filter(!col("is_delta")).select("a", "b")
+        val delta = li.filter(col("is_delta")).select("a", "b")
+        val snapshot = graft.graph.Components.run(g0, maxRounds = 60)
+          .localCheckpoint(false)
+        graft.graph.Components.resume(all, snapshot, delta, maxRounds = 60)
+          .select(decodeId(col("id")).as("id"),
+            decodeId(col("component")).as("component"))
+          .orderBy("id")
+      },
+      Some {
+        val steps = (1 to 20).map { k =>
+          s"""l$k AS MATERIALIZED (
+             SELECT id, min(component) AS component FROM (
+               SELECT id, component FROM l${k - 1}
+               UNION ALL
+               SELECT u.src AS id, l.component
+               FROM und u JOIN l${k - 1} l ON u.dst = l.id)
+             GROUP BY id)"""
+        }.mkString(",\n")
+        s"""
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b
+          FROM lineitem WHERE l_quantity >= 40),
+        und AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION
+          SELECT b, a FROM pairs),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT src AS id, src AS component FROM und),
+        $steps
+        SELECT CASE WHEN id % 2 = 0 THEN 'o' || CAST(id // 2 AS VARCHAR)
+                    ELSE 'p' || CAST((id - 1) // 2 AS VARCHAR) END AS id,
+               CASE WHEN component % 2 = 0
+                    THEN 'o' || CAST(component // 2 AS VARCHAR)
+                    ELSE 'p' || CAST((component - 1) // 2 AS VARCHAR)
+               END AS component
+        FROM l20 ORDER BY id"""
+      })
   )
 }

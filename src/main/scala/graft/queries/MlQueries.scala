@@ -585,10 +585,12 @@ object MlQueries {
         val docs = Tables.documents(s, dir)
         val cells = docs.groupBy("lang", "source")
           .agg(count(lit(1)).as("nij"))
-        // n·(n−1) is even, so `div 2` is exact — and keeps every sum on
-        // LongType (Column./ would promote to double)
+        // n·(n−1) is even and nonnegative, so halving via shiftright is
+        // the exact integer `// 2` of the oracle — and it stays on
+        // LongType end-to-end (Column./ promotes to double first, which
+        // loses exactness once n·(n−1) exceeds 2^53).
         val c2 = (c: org.apache.spark.sql.Column) =>
-          ((c * (c - lit(1L))) / lit(2L)).cast("long")
+          shiftright(c * (c - lit(1L)), 1)
         val sij = cells.agg(sum(c2(col("nij"))).as("sij"))
         val sa = cells.groupBy("lang").agg(sum("nij").as("a"))
           .agg(sum(c2(col("a"))).as("sa"))

@@ -1840,9 +1840,11 @@ object PipelineQueries {
     // ------------------------------------------------------------------
     // Replica reconciliation: per-returnflag order-independent content
     // checksums of lineitem (Profile.fingerprint) — each side runs one
-    // commutative-sum agg over 60-bit md5 row hashes and compares
+    // commutative bit_xor agg over 60-bit md5 row hashes and compares
     // |groups| rows, never the data. The oracle IS "the other replica":
-    // DuckDB fingerprinting its copy with the same canonical rendering.
+    // DuckDB fingerprinting its copy with the same canonical rendering
+    // (bit_xor keeps the checksum BIGINT on both engines — a decimal
+    // sum rides DuckDB's HUGEINT and hash-mismatches at the driver).
     QuerySpec("q159_fingerprint_reconcile",
       (s, dir) => graft.operators.Profile.fingerprint(
           Tables.lineitem(s, dir),
@@ -1852,7 +1854,7 @@ object PipelineQueries {
         .orderBy("l_returnflag"),
       Some("""
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-               sum(CAST(('0x' || substring(md5(
+               bit_xor(CAST(('0x' || substring(md5(
                    l_orderkey || '|' || l_linenumber || '|' ||
                    l_partkey || '|' || CAST(l_quantity AS BIGINT)), 1, 15))
                  AS BIGINT)) AS checksum

@@ -869,6 +869,57 @@ object RelationalQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Compaction closes q203's ingest loop: three append cycles leave
+    // every bucket multi-file (downstream joins pay a per-bucket Sort —
+    // multi-file buckets interleave key ranges), then Bucketing.compact
+    // rewrites the table to one file per bucket at a NEW path
+    // (compact-then-swap, crash-safe) and the fact⋈fact join is again
+    // exchange-free AND sort-free straight from the layout (PlanSpec
+    // asserts both, plus the sort contrast on the uncompacted table).
+    // Oracle = the plain join over the full date range.
+    QuerySpec("q204_bucketed_compaction",
+      (s, dir) => {
+        val base = "/tmp/graft_bucketed_cmp"
+        graft.store.Bucketing.drop(s, "graft_bc_orders")
+        val ordersOf = (lo: String, hi: String) =>
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+              col("o_orderdate") < lit(hi).cast("timestamp"))
+            .select("o_orderkey", "o_orderpriority")
+        graft.store.Bucketing.writeBucketed(
+          ordersOf("1996-07-01", "1997-01-01"),
+          "graft_bc_orders", s"$base/orders", "o_orderkey", 16)
+        graft.store.Bucketing.appendBucketed(
+          ordersOf("1997-01-01", "1997-07-01"),
+          "graft_bc_orders", "o_orderkey", 16)
+        graft.store.Bucketing.appendBucketed(
+          ordersOf("1997-07-01", "1998-01-01"),
+          "graft_bc_orders", "o_orderkey", 16)
+        val ord = graft.store.Bucketing.compact(s,
+          "graft_bc_orders", "graft_bc_orders_c", s"$base/orders_c",
+          "o_orderkey", 16)
+        val li = graft.store.Bucketing.writeBucketed(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          "graft_bc_lineitem", s"$base/lineitem", "l_orderkey", 16)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(Exact.cents(col("l_extendedprice") *
+            (lit(1d) - col("l_discount")))).as("revenue_cents"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        SELECT o_orderpriority,
+               CAST(sum(${Exact.centsSql("l_extendedprice * (1 - l_discount)")})
+                 AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -62,6 +62,30 @@ object Bucketing {
     spark.table(table)
   }
 
+  /** Compaction pass: rewrite a bucketed table whose buckets have grown
+    * multi-file through [[appendBucketed]] cycles back to one file per
+    * bucket, restoring the sorted-read elision appends traded away (the
+    * exchange elision never left — it's layout-level). The rewrite goes
+    * to a NEW table + path so the pass is crash-safe: the old table
+    * stays readable until the caller swaps consumers over, the standard
+    * compact-then-swap discipline of every LSM/lakehouse OPTIMIZE. Cost
+    * is one read + one clustered write of the table — amortized across
+    * every downstream per-bucket Sort it deletes. */
+  def compact(spark: SparkSession, from: String, to: String, path: String,
+              key: String, buckets: Int): DataFrame = {
+    // Read the source WITHOUT bucket metadata: a bucketed scan claims
+    // hashpartitioning(key, n), which lets the planner elide the
+    // rewrite's repartition exchange — but the scan's actual splits are
+    // per-FILE, so writer tasks would straddle buckets and emit
+    // task×bucket files (observed: 36 files for 16 buckets), defeating
+    // the one-file-per-bucket goal of the pass. A plain scan keeps the
+    // exchange and lands exactly one file per bucket.
+    val prev = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try writeBucketed(spark.table(from), to, path, key, buckets)
+    finally spark.conf.set("spark.sql.sources.bucketing.enabled", prev)
+  }
+
   /** Drop the catalog entry (data files at `path` are external and
     * overwritten by the next write). */
   def drop(spark: SparkSession, table: String): Unit =

@@ -78,7 +78,8 @@ object Bpe {
     * classic sequential algorithm. */
   def learnMerges(docs: DataFrame, textCol: String,
                   numMerges: Int,
-                  batch: Int = 1): Seq[(Int, String, String, Long)] = {
+                  batch: Int = 1,
+                  onRound: Int => Unit = _ => ()): Seq[(Int, String, String, Long)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(batch >= 1, s"batch must be >= 1, got $batch")
     var vocab = vocabulary(docs, textCol).localCheckpoint(false)
@@ -86,6 +87,7 @@ object Bpe {
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
+      onRound(rank)
       val want = math.min(batch, numMerges - rank + 1)
       val top = vocab
         .filter(size(col("toks")) > 1) // sequence(1,0) would descend

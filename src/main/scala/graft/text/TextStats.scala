@@ -210,6 +210,10 @@ object TextStats {
                        textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(Analyzer.tokenize(col(textCol))).as(Seq("pos", "tok")))
+    // These three persists feed multiple consumers of the returned LAZY
+    // frame and so outlive this call by design; the caller/bench's
+    // post-action cleanup (or LRU eviction) releases them, as with
+    // Dedup's persisted pipelines.
     toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")

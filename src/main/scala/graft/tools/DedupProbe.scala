@@ -9,7 +9,7 @@ object DedupProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder().withExtensions(new graft.plans.GraftExtensions).master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

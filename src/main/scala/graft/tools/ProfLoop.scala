@@ -13,7 +13,7 @@ object ProfLoop {
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val qname = args.headOption.getOrElse("q11_pagerank")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = SparkSession.builder().withExtensions(new graft.plans.GraftExtensions).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         "256k")

@@ -89,6 +89,11 @@ case class DdSketchAgg(
     }
     val sorted = entries.sortBy(_._1)
     val n = sorted.map(_._2).sum
+    // A group whose inputs were all null or <= 0 has NO sketch: report
+    // no quantiles (empty array) rather than fabricating bucket-0 rows
+    // at est ~ 2/(gamma+1) — the DuckDB oracle filters x > 0 and omits
+    // such groups entirely.
+    if (n == 0L) return new GenericArrayData(Array.empty[Any])
     val rows = pcts.map { q =>
       val rank = math.floor(q / 100.0 * (n.toDouble - 1.0)).toLong + 1
       var cum = 0L

@@ -373,6 +373,41 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed compaction restores the sort-free join appends traded " +
+    "away (exchange-free throughout)") {
+    SparkEntry.queries("q204_bucketed_compaction")(spark, dir).collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      def joinPlan(orders: String): String =
+        spark.table("graft_bc_lineitem")
+          .join(spark.table(orders),
+            col("l_orderkey") === col("o_orderkey"))
+          .queryExecution.executedPlan.toString
+      // contrast: the 3-append uncompacted table still needs a
+      // per-bucket Sort (multi-file buckets interleave key ranges)…
+      val before = joinPlan("graft_bc_orders")
+      assert(!before.contains("Exchange"),
+        s"append never costs the exchange:\n${before.take(3000)}")
+      assert(before.contains("+- Sort "),
+        s"multi-file buckets should still need the sort:\n${before.take(3000)}")
+      // …and the compacted rewrite is exchange-free AND sort-free.
+      val after = joinPlan("graft_bc_orders_c")
+      assert(after.contains("SortMergeJoin"), after.take(2000))
+      assert(!after.contains("Exchange"),
+        s"compacted join must not shuffle:\n${after.take(3000)}")
+      assert(!after.contains("+- Sort "),
+        s"compaction must restore sorted-read elision:\n${after.take(3000)}")
+      assert(after.contains("Bucketed: true"), after.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+
   test("line dedup: exactly one corpus-sized exchange (the line-hash " +
     "window), no join") {
     val p = planOf("q196_line_dedup")

@@ -13,7 +13,7 @@ class ProfileSpec extends SparkSpec {
   private def fp(df: org.apache.spark.sql.DataFrame) =
     Profile.fingerprint(df, Seq("g"), Seq(col("k"), col("v")))
       .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2))))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
 
   test("fingerprint is row-order independent") {
