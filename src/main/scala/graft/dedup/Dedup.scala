@@ -204,6 +204,52 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Incremental MinHash near-dup — the ingest-cycle form of
+    * [[minHashNearDups]]: only a DELTA batch's band signatures are
+    * computed fresh and probe the existing corpus's band table (at
+    * production, the STORED LSH index — per-doc minhashes are
+    * doc-local, so old signatures never need recomputation), plus a
+    * delta self-join for intra-batch dups. Candidate volume tracks the
+    * delta, not the corpus: at 100 TB a day's ingest probes the index
+    * instead of re-banding the world, the exact posture of q201's warm
+    * PageRank and q205's resumed components.
+    *
+    * Output = verified pairs touching the delta (a < b, exact shingle
+    * Jaccard ≥ `threshold`) — precisely the delta-touching subset of
+    * what a full [[minHashNearDups]] over old ∪ delta returns (same
+    * per-doc signatures ⇒ same buckets ⇒ same candidates restricted to
+    * delta-touching pairs). Old and delta id spaces must be disjoint.
+    */
+  def incrementalNearDups(oldDocs: DataFrame, deltaDocs: DataFrame,
+                          shingleN: Int = 3, numHashes: Int = 12,
+                          rowsPerBand: Int = 3, threshold: Double = 0.6,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    def bandsOf(docs: DataFrame) = lshBandsWide(
+      minHashesWide(shingleTable(docs, shingleN, idCol, textCol),
+        numHashes, idCol),
+      rowsPerBand, numHashes, idCol)
+    // The index side is computed here only because the oracle harness
+    // has no ambient store; the band table is exactly what a bucketed
+    // write would persist between ingest cycles.
+    val index = bandsOf(oldDocs)
+    val dBands = bandsOf(deltaDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = dBands.select(col("band"), col("sig"), col(idCol).as("x"))
+      .join(index.select(col("band"), col("sig"), col(idCol).as("y")),
+        Seq("band", "sig"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+    val cand = probe.unionByName(lshCandidates(dBands, idCol))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardByArrays(cand,
+        shingleArrays(oldDocs.unionByName(deltaDocs), shingleN, idCol,
+          textCol), idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** SimHash fingerprints (60-bit): per-bit majority over token hashes
     * weighted by term frequency. Output: (id, simhash).
     *

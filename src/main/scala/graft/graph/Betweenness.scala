@@ -45,9 +45,16 @@ object Betweenness {
   def landmark(edges: DataFrame, seeds: DataFrame, rounds: Int,
                k: Int = 100): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // Partitioned + sorted by the join key before the lazy checkpoint:
+    // both the forward wave and the backward dependency pass join und
+    // every round, and without the stored layout each of those SMJs
+    // re-shuffles + re-sorts the 2E-row edge table (the Components/
+    // Communities layout law).
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
       .localCheckpoint(false)
 
     // Forward: levels(r) = (id, seed, sigma) for vertices first reached

@@ -42,9 +42,17 @@ object Communities {
     // Lazy checkpoint: the symmetric edge table materializes once at
     // action time and every superstep generation reuses its blocks —
     // the KCore pattern, keeping the whole run a single lazy plan.
+    // Partitioned AND sorted by the join key BEFORE the checkpoint
+    // (LogicalRDD carries both through): each round's sort-merge join
+    // then re-shuffles/re-sorts only the V-row label side — without
+    // this, distinct's (src, dst) partitioning forced a full 2E-row
+    // edge exchange + sort EVERY round (measured 5.5 → 3.5 s on q82's
+    // 1M-edge graph at sf0.1).
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
       .localCheckpoint(false)
 
     val init = und.select(col("src").as("id")).distinct()

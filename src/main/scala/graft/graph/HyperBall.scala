@@ -37,9 +37,16 @@ object HyperBall {
     * integer micros before the exact BIGINT sum. */
   def run(edges: DataFrame, p: Int = 5, hops: Int = 2): DataFrame = {
     require(hops >= 1, s"hops must be >= 1, got $hops")
+    // Partitioned + sorted by the per-hop join key before the lazy
+    // checkpoint, so each hop's SMJ re-shuffles only the register
+    // table, never the edge table (the Components/Communities layout
+    // law).
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct()
+      .repartition(col("dst"))
+      .sortWithinPartitions("dst")
+      .localCheckpoint(false)
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()

@@ -31,9 +31,15 @@ object Landmarks {
     * `seeds` is a single-column ("id") vertex set. */
   def bfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    // Partitioned + sorted by the join key before the lazy checkpoint
+    // (LogicalRDD carries both through): each round's frontier join
+    // re-shuffles only the frontier, not the 2E-row edge table — the
+    // same layout law as Components/Communities.
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
       .localCheckpoint(false)
 
     var known = seeds.select(col("id"), col("id").as("seed"),

@@ -33,7 +33,11 @@ object TemporalReach {
     // it cannot be unpersisted here — the caller/bench's post-action
     // cleanup (or LRU eviction) releases it, as with Dedup's persisted
     // pipelines.
+    // (InMemoryRelation preserves the src partitioning + ordering, so
+    // each round's arrival join re-shuffles only the frontier side.)
     val e = edges.select(col("src"), col("dst"), col("ts"))
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val init = seeds.select(col("id"), col("arr"))
       .groupBy("id").agg(min("arr").as("arr"))

@@ -648,6 +648,36 @@ object DedupQueries {
                  AS n_kept,
                CAST(sum(CASE WHEN rn = 1 THEN h ELSE 0 END) AS BIGINT)
                  AS kept_fingerprint
-        FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
+        FROM flagged GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Incremental near-dup: the planted copies plus every 13th original
+    // arrive as a DELTA batch; only their band signatures are computed
+    // fresh and probe the old corpus's band table (the stored-LSH-index
+    // posture — per-doc minhashes never need recomputation), plus the
+    // delta self-join. Verified output = exactly the delta-touching
+    // subset of q15's full-corpus pairs, which is what the oracle
+    // selects from the SAME full MinHash CTE chain — proving the
+    // incremental path loses nothing against the batch path.
+    QuerySpec("q206_incremental_neardup",
+      (s, dir) => {
+        val aug = augmented(s, dir)
+        val isDelta =
+          col("doc_id") >= 100000 || col("doc_id") % 13 === 3
+        Dedup.incrementalNearDups(
+            aug.filter(!isDelta), aug.filter(isDelta),
+            shingleN = 3, numHashes = 12, rowsPerBand = 3,
+            threshold = 0.5)
+          .select(col("a"), col("b"), Exact.micros(col("jaccard"))
+            .as("jaccard_micros"))
+          .orderBy("a", "b")
+      },
+      Some(s"""
+        WITH $MinhashPairCtes
+        SELECT a, b, ${Exact.microsSql("jaccard")} AS jaccard_micros
+        FROM scored
+        WHERE jaccard >= 0.5
+          AND (a >= 100000 OR a % 13 = 3 OR b >= 100000 OR b % 13 = 3)
+        ORDER BY a, b"""))
   )
 }

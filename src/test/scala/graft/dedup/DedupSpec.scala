@@ -29,6 +29,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental near-dup equals the full run's delta-touching subset") {
+    val delta = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (12L, "completely different content about database engines and columnar stores"))
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDups(base, delta, shingleN = 3,
+        numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minHashNearDups(base.unionByName(delta), shingleN = 3,
+        numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 >= 11L || p._2 >= 11L)
+    assert(inc === full)
+    assert(inc.contains((1L, 11L)), "delta copy must hit the old index")
+    assert(inc.contains((3L, 12L)), "near-dup of an old doc must verify")
+  }
+
   test("jaccard of identical docs is 1, disjoint docs 0") {
     val sh = Dedup.shingleTable(base, 3)
     val j = Dedup.jaccard(Seq((1L, 4L), (1L, 3L)).toDF("a", "b"), sh)
