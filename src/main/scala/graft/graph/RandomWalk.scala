@@ -32,9 +32,16 @@ object RandomWalk {
     * (start, step, vertex), step 0 = the start itself. */
   def walks(edges: DataFrame, steps: Int, seed: String): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
+    // Partitioned + sorted by the per-step join key before the lazy
+    // checkpoint, so each step's SMJ re-shuffles only the |V|-row walk
+    // state, never the edge table (the Components/Communities layout
+    // law).
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct()
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .localCheckpoint(false)
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var state = verts.select(col("id").as("start"), col("id").as("cur"))
