@@ -811,6 +811,44 @@ object TextQueries {
         FROM g ORDER BY term""")),
 
     // ------------------------------------------------------------------
+    // Inverted-index segment merge (the Lucene merge / re-crawl upsert
+    // analog): the planted-copy batch (ids +100000, all greater) is
+    // indexed as its OWN segment and merged into the standing index by
+    // a vocabulary-sized term join — df adds, gap lists concatenate
+    // with one junction re-base, postings never decode. The oracle
+    // builds the full-corpus index from scratch; equality proves the
+    // merged index is indistinguishable from a full rebuild.
+    QuerySpec("q207_index_segment_merge",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val delta = docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" zz9 qq8 extra tail")).as("text"))
+        graft.search.Search.mergeIndexSegments(
+            graft.search.Search.invertedIndex(docs),
+            graft.search.Search.invertedIndex(delta))
+          .select(col("term"), col("df"),
+            array_join(col("doc_gaps"), ",").as("gaps"))
+          .orderBy("term")
+      },
+      Some(s"""
+        WITH aug AS MATERIALIZED (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text || ' zz9 qq8 extra tail'
+          FROM documents WHERE doc_id % 20 = 0),
+        lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM aug),
+        t AS (SELECT doc_id, unnest(list_distinct(l)) AS term FROM lt),
+        g AS (SELECT term, count(*) AS df,
+                     list_sort(list(doc_id)) AS ds
+              FROM t GROUP BY term)
+        SELECT term, CAST(df AS BIGINT) AS df,
+               array_to_string(list_transform(range(1, len(ds) + 1),
+                 i -> ds[i] - coalesce(ds[i - 1], 0)), ',') AS gaps
+        FROM g ORDER BY term""")),
+
+    // ------------------------------------------------------------------
     // PMI collocations (Church & Hanks 1990): adjacent-token bigrams
     // with count ≥ 5 scored by pointwise mutual information. Integer
     // counts off two hash-aggs; one fixed parenthesization

@@ -222,6 +222,44 @@ object Search {
           x - coalesce(get(col("__ds"), i - 1), lit(0L)))
           .as("doc_gaps"))
 
+  /** Merge two [[invertedIndex]] segments — the Lucene/bleve
+    * segment-merge analog for the ingest cycle (the reference re-crawls
+    * and UPSERTS into its index; this is the batch-index equivalent):
+    * df counts add, and because the delta segment's doc ids are all
+    * GREATER than the old segment's (append ingest — ids are mint-time
+    * monotone), the gap-encoded posting lists concatenate with a single
+    * junction re-base — no posting decode, no re-sort, no per-doc work.
+    * Terms new to either side pass through unchanged.
+    *
+    * Cost is one term-keyed join over the two INDEX tables (vocabulary-
+    * sized, not corpus-sized): at 100 TB a day's ingest merges its
+    * segment into the standing index without ever touching the old
+    * corpus — the q201/q205/q206 incremental posture applied to search.
+    *
+    * Contract: min doc id of `delta` > max doc id of `oldIdx`'s
+    * postings (junction gap = delta's first absolute id − sum of the
+    * old gap list = the old segment's last id).
+    */
+  def mergeIndexSegments(oldIdx: DataFrame, delta: DataFrame): DataFrame = {
+    val a = oldIdx.select(col("term"), col("df").as("df_a"),
+      col("doc_gaps").as("g_a"))
+    val b = delta.select(col("term"), col("df").as("df_b"),
+      col("doc_gaps").as("g_b"))
+    a.join(b, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+          .as("df"),
+        when(col("g_a").isNull, col("g_b"))
+          .when(col("g_b").isNull, col("g_a"))
+          .otherwise(concat(
+            col("g_a"),
+            // junction: delta's first gap IS its first absolute id
+            array(element_at(col("g_b"), 1) -
+              aggregate(col("g_a"), lit(0L), _ + _)),
+            slice(col("g_b"), lit(2), size(col("g_b")) - 1)))
+          .as("doc_gaps"))
+  }
+
   /** Bounded ranking: top `n` rows of `scored` by (`scoreCol` DESC,
     * `idCol` ASC) with a dense 1-based `rank` column. The limit runs
     * first (TakeOrderedAndProject — never a global sort), so the

@@ -138,6 +138,24 @@ class SearchSpec extends SparkSpec {
     assert(idx("alpha")._2.scanLeft(0L)(_ + _).tail == Seq(2L, 5L, 9L))
   }
 
+  test("mergeIndexSegments equals a from-scratch index of the union") {
+    val old = Seq((2L, "alpha beta"), (5L, "alpha"), (9L, "gamma"))
+      .toDF("doc_id", "text")
+    val delta = Seq((12L, "alpha delta"), (15L, "delta"))
+      .toDF("doc_id", "text") // all ids > old max — the append contract
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2))))
+      .toMap
+    val merged = m(Search.mergeIndexSegments(
+      Search.invertedIndex(old), Search.invertedIndex(delta)))
+    val scratch = m(Search.invertedIndex(old.unionByName(delta)))
+    assert(merged === scratch)
+    // exercises: both-sides term (alpha: junction re-base + tail),
+    // old-only (beta, gamma), delta-only (delta: pass-through)
+    assert(merged("alpha") == ((3L, Seq(2L, 3L, 7L))))
+    assert(merged("delta") == ((2L, Seq(12L, 3L))))
+  }
+
   test("rrfFuse: reciprocal-rank sum with full-outer id coverage") {
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
