@@ -57,11 +57,39 @@ object Bench {
     // codegen/block-manager initialization that would otherwise be
     // charged to whichever query happens to run first (alphabetically
     // q01). One small scan + shuffle + agg exercises those paths.
+    // Its wall-time is recorded in the board as a coarse load signal.
+    val warmupT0 = System.nanoTime()
     try {
       Tables.nation(spark, sfDir).groupBy("n_regionkey")
         .count().collect()
       spark.range(100000).selectExpr("sum(id * 2)").collect()
     } catch { case _: Throwable => () }
+    val warmupSec = (System.nanoTime() - warmupT0) / 1e9
+
+    // Load calibration: a fixed pure-CPU range+shuffle+agg job, data-
+    // independent, whose idle-host cost is known. Round 7's committed
+    // board was recorded under heavy ambient load and overstated real
+    // times ~3.5x (q77: 125s committed vs 3.1s idle) with nothing in
+    // the artifact to betray it. Running this job before AND after the
+    // board catches load present at either end; a board whose
+    // calibration exceeds 2x the known idle band is stamped
+    // load_suspect so it cannot silently ship as an official artifact.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 97 as k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
+        .queryExecution.toRdd.foreach(_ => ())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Idle-host cost of calibrate() on the reference 32-cpu host:
+    // measured 0.37-0.50s over repeated steady-state runs (see
+    // COVERAGE.md "bench calibration"); 0.45 puts the 2x suspect
+    // threshold at 0.9s - above natural variance, far below the
+    // ~3.5x ambient-load regime that invalidated the round-7 board.
+    val CalibIdleSec = 0.45
+    calibrate() // untimed: pays codegen/JIT for the calibration plan
+    val calibStartSec = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -115,7 +143,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => (k, e) }
     val total = results.collect { case (_, Right(sec)) => sec }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errs.size},"queries":$qs,"sf":"$sfDir"}""")
+    val calibEndSec = calibrate()
+    val loadSuspect =
+      calibStartSec > 2 * CalibIdleSec || calibEndSec > 2 * CalibIdleSec
+    val calibJson = f""""warmup_sec":$warmupSec%.2f,""" +
+      f""""calib_start_sec":$calibStartSec%.3f,""" +
+      f""""calib_end_sec":$calibEndSec%.3f,""" +
+      f""""calib_idle_sec":$CalibIdleSec%.3f,""" +
+      s""""load_suspect":$loadSuspect"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errs.size},$calibJson,"queries":$qs,"sf":"$sfDir"}""")
+    if (loadSuspect)
+      System.err.println(f"[bench] LOAD SUSPECT: calibration " +
+        f"start=$calibStartSec%.2fs end=$calibEndSec%.2fs vs idle " +
+        f"$CalibIdleSec%.2fs - this board is NOT citable; re-run idle.")
     // The one-line JSON above gets truncated by log pipelines at ~200
     // queries; also persist a pretty per-query board so the full set of
     // timings is reviewable in-repo (override path with GRAFT_BENCH_BOARD).
@@ -125,7 +165,7 @@ object Bench {
         case (k, Right(sec)) => f"""  "$k": $sec%.4f"""
         case (k, Left(e))    => s"""  "$k": {"err": ${jstr(e)}}"""
       }.mkString(",\n")
-      val body = f"""{\n  "total_sec": $total%.2f,\n  "n_queries": ${results.size},\n  "errors": ${errs.size},\n  "sf": ${jstr(sfDir)},\n  "cpus": $cpus,\n$rows\n}\n"""
+      val body = f"""{\n  "total_sec": $total%.2f,\n  "n_queries": ${results.size},\n  "errors": ${errs.size},\n  "sf": ${jstr(sfDir)},\n  "cpus": $cpus,\n  $calibJson,\n$rows\n}\n"""
       java.nio.file.Files.write(java.nio.file.Paths.get(boardPath),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>

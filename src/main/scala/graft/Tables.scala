@@ -33,12 +33,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Sessions already warned about a missing TsLiteralPushdown rule
+  // (weak keys: never pins a stopped session in memory).
+  private val pushdownWarned =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Session-level (safe to set repeatedly); nanosAsLong must be set before
     // the schema of a NANOS-era events.parquet is resolved, and UTC must be
     // pinned before any NTZ → instant conversion below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // One-time perf warning per session: without GraftExtensions the
+    // event-time literal pushdown rule is absent, so ts-range scans on
+    // events lose parquet row-group skipping — correct results, full
+    // scans. (Self-registration was removed deliberately; see class doc.)
+    if (!spark.sessionState.optimizer.extendedOperatorOptimizationRules
+          .contains(plans.TsLiteralPushdown)
+        && pushdownWarned.add(spark))
+      System.err.println(
+        "[graft] WARN: TsLiteralPushdown is not installed in this " +
+        "session - event-time range scans will not prune parquet row " +
+        "groups. Build the session with .withExtensions(new " +
+        "graft.plans.GraftExtensions) or --conf spark.sql.extensions=" +
+        "graft.plans.GraftExtensions.")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
   }

@@ -45,16 +45,21 @@ object Betweenness {
   def landmark(edges: DataFrame, seeds: DataFrame, rounds: Int,
                k: Int = 100): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // Partitioned + sorted by the join key before the lazy checkpoint:
-    // both the forward wave and the backward dependency pass join und
-    // every round, and without the stored layout each of those SMJs
-    // re-shuffles + re-sorts the 2E-row edge table (the Components/
-    // Communities layout law).
+    // Partitioned + sorted by each pass's join key before the lazy
+    // checkpoint (the Components/Communities layout law, dual-direction
+    // like Scc's eSrc/eDst): the forward wave joins on src, the
+    // backward dependency pass joins on dst, so each keeps its own
+    // stored layout — otherwise every per-round SMJ re-shuffles +
+    // re-sorts the 2E-row edge table for that pass.
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("src"))
       .sortWithinPartitions("src")
+      .localCheckpoint(false)
+    val undByDst = und
+      .repartition(col("dst"))
+      .sortWithinPartitions("dst")
       .localCheckpoint(false)
 
     // Forward: levels(r) = (id, seed, sigma) for vertices first reached
@@ -89,7 +94,7 @@ object Betweenness {
       val u = levels(r - 1)
         .select(col("id").as("uid"), col("seed").as("useed"),
           col("sigma").as("usigma"))
-      val sums = und
+      val sums = undByDst
         .join(w, col("dst") === col("wid"))
         .join(u, col("src") === col("uid") && col("wseed") === col("useed"))
         .select(col("uid").as("id"), col("useed").as("seed"),

@@ -47,7 +47,9 @@ object Profile {
     * (md5 and integer-cast renderings agree across engines — the q49
     * discipline), XOR-folded per group: commutative, so partition
     * order, shuffle order and engine never matter, and a single
-    * flipped row flips the checksum with probability 1 − 2⁻⁶⁰.
+    * flipped row flips the checksum with probability 1 − 2⁻⁶⁰. A
+    * second `checksum_modsum` component (modular sum of the hashes)
+    * covers XOR's even-multiplicity blind spot.
     *
     * At 100 TB: map-side-combinable agg, output |groups| rows, zero
     * joins — the cheapest possible "are these two tables equal" probe.
@@ -63,6 +65,17 @@ object Profile {
         // XOR, not sum: stays BIGINT at any row count (a decimal sum
         // becomes HUGEINT on DuckDB and round-trips differently), and
         // keeps the same commutativity + 1−2⁻⁶⁰ flip sensitivity.
-        expr("bit_xor(__h)").as("checksum"))
+        expr("bit_xor(__h)").as("checksum"),
+        // Second, independent component: modular sum of the row hashes.
+        // XOR alone is blind to even-multiplicity differences (a row
+        // repeated an even number of times cancels itself, so e.g.
+        // {A,A,B,B} and {C,C,D,D} xor-collide at equal n_rows); the sum
+        // counts multiplicity, so together the pair detects both flip-
+        // and duplication-style drift. Decimal(38) accumulator (never
+        // overflows below ~10³⁸ rows), reduced mod a prime and cast so
+        // the FINAL value is engine-portable BIGINT on both sides
+        // regardless of each engine's intermediate sum type.
+        (sum(col("__h").cast("decimal(38,0)")) % lit(1000000007L))
+          .cast("long").as("checksum_modsum"))
   }
 }

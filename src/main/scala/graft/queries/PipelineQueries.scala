@@ -1853,12 +1853,17 @@ object PipelineQueries {
             col("l_partkey"), col("l_quantity").cast("long")))
         .orderBy("l_returnflag"),
       Some("""
+        WITH h AS (
+          SELECT l_returnflag,
+                 CAST(('0x' || substring(md5(
+                     l_orderkey || '|' || l_linenumber || '|' ||
+                     l_partkey || '|' || CAST(l_quantity AS BIGINT)), 1, 15))
+                   AS BIGINT) AS rh
+          FROM lineitem)
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-               bit_xor(CAST(('0x' || substring(md5(
-                   l_orderkey || '|' || l_linenumber || '|' ||
-                   l_partkey || '|' || CAST(l_quantity AS BIGINT)), 1, 15))
-                 AS BIGINT)) AS checksum
-        FROM lineitem
+               bit_xor(rh) AS checksum,
+               CAST(sum(rh) % 1000000007 AS BIGINT) AS checksum_modsum
+        FROM h
         GROUP BY 1 ORDER BY 1""")),
 
     // ------------------------------------------------------------------

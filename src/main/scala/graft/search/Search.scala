@@ -253,9 +253,19 @@ object Search {
           .when(col("g_b").isNull, col("g_a"))
           .otherwise(concat(
             col("g_a"),
-            // junction: delta's first gap IS its first absolute id
-            array(element_at(col("g_b"), 1) -
-              aggregate(col("g_a"), lit(0L), _ + _)),
+            // junction: delta's first gap IS its first absolute id.
+            // The contract (every delta id > every old id) makes the
+            // junction gap strictly positive; a non-positive junction
+            // means interleaved segments, which would silently corrupt
+            // the merged gap list — fail loudly instead.
+            array {
+              val junction = element_at(col("g_b"), 1) -
+                aggregate(col("g_a"), lit(0L), _ + _)
+              when(junction > 0, junction).otherwise(raise_error(
+                concat(lit("mergeIndexSegments: delta doc ids must all " +
+                  "exceed old segment ids; violated for term "),
+                  col("term"))))
+            },
             slice(col("g_b"), lit(2), size(col("g_b")) - 1)))
           .as("doc_gaps"))
   }

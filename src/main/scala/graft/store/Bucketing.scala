@@ -70,7 +70,15 @@ object Bucketing {
     * stays readable until the caller swaps consumers over, the standard
     * compact-then-swap discipline of every LSM/lakehouse OPTIMIZE. Cost
     * is one read + one clustered write of the table — amortized across
-    * every downstream per-bucket Sort it deletes. */
+    * every downstream per-bucket Sort it deletes.
+    *
+    * Concurrency note: the bucketed-scan toggle below is SESSION-global
+    * for the duration of the rewrite, so a concurrent query on the same
+    * session loses bucketed scans (a perf-only effect) while compaction
+    * runs. This matches the single-writer assumption of the compact-
+    * then-swap discipline; callers sharing a session across threads
+    * should run compaction on its own `spark.newSession()`, which has
+    * independent SQL conf. */
   def compact(spark: SparkSession, from: String, to: String, path: String,
               key: String, buckets: Int): DataFrame = {
     // Read the source WITHOUT bucket metadata: a bucketed scan claims

@@ -31,6 +31,23 @@ class ProfileSpec extends SparkSpec {
     assert(orig("a")._2 != mut("a")._2, "changed group must differ")
   }
 
+  test("modsum catches even-multiplicity drift the xor is blind to") {
+    // Every row appears twice, so each hash xor-cancels itself: both
+    // groups fold to checksum 0 at equal n_rows. The modular sum counts
+    // multiplicity and must still separate them.
+    val left = Seq(("g", "A"), ("g", "A"), ("g", "B"), ("g", "B"))
+      .toDF("g", "x")
+    val right = Seq(("g", "C"), ("g", "C"), ("g", "D"), ("g", "D"))
+      .toDF("g", "x")
+    def one(df: org.apache.spark.sql.DataFrame) =
+      Profile.fingerprint(df, Seq("g"), Seq(col("x"))).collect()(0)
+    val (fl, fr) = (one(left), one(right))
+    assert(fl.getLong(1) == fr.getLong(1), "equal row counts")
+    assert(fl.getLong(2) == 0L && fr.getLong(2) == 0L,
+      "xor collides on even multiplicities")
+    assert(fl.getLong(3) != fr.getLong(3), "modsum must separate")
+  }
+
   test("dropped rows show in both n_rows and checksum") {
     val dropped = base.filter(col("k") =!= 2L)
     val (orig, d) = (fp(base), fp(dropped))

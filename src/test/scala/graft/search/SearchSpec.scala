@@ -156,6 +156,21 @@ class SearchSpec extends SparkSpec {
     assert(merged("delta") == ((2L, Seq(12L, 3L))))
   }
 
+  test("mergeIndexSegments fails loudly when the append contract is violated") {
+    // Delta ids BELOW the old segment's ids: the junction gap would go
+    // non-positive and silently corrupt the merged posting list, so the
+    // merge must raise instead.
+    val old = Seq((10L, "alpha"), (20L, "alpha")).toDF("doc_id", "text")
+    val delta = Seq((5L, "alpha")).toDF("doc_id", "text")
+    val merged = Search.mergeIndexSegments(
+      Search.invertedIndex(old), Search.invertedIndex(delta))
+    val e = intercept[Exception](merged.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mergeIndexSegments")), e.toString)
+  }
+
   test("rrfFuse: reciprocal-rank sum with full-outer id coverage") {
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
