@@ -67,6 +67,26 @@ object StreamQueries {
         GROUP BY win_start_us, event_type
         ORDER BY win_start_us, event_type""")),
 
+    // q208: checkpoint-restart recovery — q44's rollup with the
+    // streaming query stopped after micro-batch 0 and REBUILT on the
+    // same checkpointLocation (offset-log + state-store recovery across
+    // the query-object boundary). Finalized output must equal the
+    // uninterrupted replay, so the oracle is q44's batch GROUP BY
+    // verbatim — windows straddling the restart undercount if state
+    // recovery drops anything, and double-count if the offset log
+    // replays batch 0.
+    QuerySpec("q208_stream_restart_recovery",
+      (s, dir) =>
+        Streams.windowedCountsRestartReplay(Tables.events(s, dir),
+            "1 hour", "2 hours")
+          .orderBy("win_start_us", "event_type"),
+      Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+               event_type, count(*) AS cnt
+        FROM events
+        GROUP BY win_start_us, event_type
+        ORDER BY win_start_us, event_type""")),
+
     // q51: bounded-state streaming dedup — first occurrence per
     // (user_id, event_type) through dropDuplicatesWithinWatermark must
     // equal the batch DISTINCT.

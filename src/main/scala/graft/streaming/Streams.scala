@@ -245,6 +245,102 @@ object Streams {
         col("event_type"), col("cnt"))
   }
 
+  /** Checkpoint-restart recovery (q208): [[windowedCountsReplay]]'s
+    * rollup, but the streaming query is STOPPED after the first
+    * micro-batch and a brand-new query object is rebuilt over the SAME
+    * `checkpointLocation` to finish the replay — the recovery path
+    * every long-running production stream exercises on deploy or crash
+    * (the reference's crawl loop is restart-safe the same way: each
+    * pass re-scans from durable store state,
+    * monolith/service/crawler/crawler.go:50-76).
+    *
+    * What incarnation 2 must prove: it resumes from the OFFSET LOG
+    * (never re-reads batch 0 — the foreachBatch parquet sink would
+    * double-append) and from the STATE STORE (batch 0's partial window
+    * counts must survive the query-object boundary, or windows
+    * straddling the split undercount). The real rows split at the
+    * timestamp midpoint, so batch 1 carries nothing behind the
+    * watermark batch 0 set — finalized output must therefore equal the
+    * uninterrupted replay, and hence q44's batch GROUP BY oracle.
+    */
+  def windowedCountsRestartReplay(events: DataFrame, windowDur: String,
+                                  lateness: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("event_type"))
+    val mm = events.agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
+      .first()
+    val (minUs, maxUs) = (mm.getLong(0), mm.getLong(1))
+    val midUs = minUs + (maxUs - minUs) / 2
+    def sentinel(n: Int): DataFrame =
+      Seq(maxUs + n * 2L * 86400L * 1000000L).toDF("us")
+        .select(timestamp_micros(col("us")).as("ts"),
+          lit("__sentinel").as("event_type"))
+
+    val stage = java.nio.file.Files.createTempDirectory("restart_stage")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("restart_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("restart_ckpt").toString
+    def addFile(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("restart_add")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, stage.resolve(name))
+          moved = true
+        }
+      }
+      require(moved, s"no parquet part produced for $name")
+    }
+    // Both incarnations are built from this one recipe — the production
+    // invariant restart recovery depends on: same source, same plan,
+    // same checkpoint.
+    def incarnation(): org.apache.spark.sql.streaming.StreamingQuery =
+      windowedCounts(
+          spark.readStream.schema("ts TIMESTAMP, event_type STRING")
+            .parquet(stage.toString),
+          windowDur, lateness)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      addFile(rows.filter(unix_micros(col("ts")) <= midUs),
+        "00-real.parquet")
+      val q1 = incarnation()
+      try q1.processAllAvailable() finally q1.stop()
+      // --- process boundary: offset log + state store are all that
+      // --- survives into the second incarnation.
+      addFile(rows.filter(unix_micros(col("ts")) > midUs),
+        "01-real.parquet")
+      val q2 = incarnation()
+      try {
+        q2.processAllAvailable()
+        addFile(sentinel(1), "02-sentinel.parquet")
+        q2.processAllAvailable()
+        addFile(sentinel(2), "03-sentinel.parquet")
+        q2.processAllAvailable()
+      } finally q2.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+
+    spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "__sentinel")
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("cnt"))
+  }
+
   /** Watermark LATE-DATA semantics made deterministic (q172): the events
     * table replays as two micro-batches — batch 1 is the "on-time" flow
     * (everything before `splitUs` except each 7th event), batch 2 mixes

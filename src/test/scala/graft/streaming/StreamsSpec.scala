@@ -28,6 +28,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart resumes offsets and window state exactly") {
+    import spark.implicits._
+    // The replay splits at the timestamp midpoint (here 2h+10µs), so
+    // the 2h window has one event on each side of the restart: its
+    // count is 2 ONLY if batch 0's partial state survives the
+    // query-object boundary, and exactly 2 ONLY if the offset log
+    // prevents incarnation 2 from re-reading batch 0.
+    val hourUs = 3600L * 1000000L
+    val evs = Seq(
+      (1 * hourUs + 10, "click"), (1 * hourUs + 20, "view"),
+      (2 * hourUs + 10, "click"), (2 * hourUs + 30, "click"),
+      (3 * hourUs + 10, "view"))
+      .toDF("us", "event_type")
+      .select((col("us") * 1000L).as("ts"), col("event_type"))
+    val out = Streams
+      .windowedCountsRestartReplay(evs, "1 hour", "30 minutes")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set(
+      (1 * hourUs, "click", 1L), (1 * hourUs, "view", 1L),
+      (2 * hourUs, "click", 2L), (3 * hourUs, "view", 1L)))
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
