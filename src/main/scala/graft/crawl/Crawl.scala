@@ -138,6 +138,35 @@ object Crawl {
     } catch { case _: NumberFormatException => false }
   }
 
+  /** F2 as a pure-builtin COLUMN expression — the same CIDR
+    * classification as [[isPrivateIp]] for literal dotted-quad hosts,
+    * kept inside whole-stage codegen: at frontier scale the private-net
+    * filter runs per candidate URL and must not break the codegen span
+    * for a UDF. The Scala UDF twin stays for live-crawl (DNS) mode;
+    * CrawlSpec pins the two to identical verdicts, q209 pins this one
+    * against the DuckDB oracle. Octets are regex-guarded before the
+    * int cast (ANSI mode: a bare cast on "corp" would throw). */
+  def isPrivateIpCol(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    def oct(i: Int): Column = {
+      // try_element_at: ANSI element_at throws on index > size
+      val s = try_element_at(p, lit(i))
+      when(s.rlike("^[0-9]{1,3}$"), s.cast("int")).otherwise(lit(-1))
+    }
+    val o1 = oct(1)
+    val o2 = oct(2)
+    val validQuad = size(p) === 4 &&
+      (1 to 4).map(i => oct(i).between(0, 255)).reduce(_ && _)
+    validQuad && (
+      o1 === 10 ||
+      (o1 === 172 && o2.between(16, 31)) ||
+      (o1 === 192 && o2 === 168) ||
+      o1 === 127 ||
+      (o1 === 169 && o2 === 254) ||
+      (o1 === 100 && o2.between(64, 127)) ||
+      o1 === 0)
+  }
+
   def hostOf(url: String): String =
     try {
       val h = new java.net.URI(url).getHost

@@ -379,6 +379,72 @@ object TextQueries {
         SELECT url, max(seen_at) AS seen_at, count(*) AS n_seen
         FROM obs GROUP BY url ORDER BY url""")),
 
+    // F2 with a SQL oracle (q209): private-network classification of a
+    // literal-IP URL frontier — a deterministic synthetic corpus built
+    // from orders keys covers RFC1918/loopback/link-local/CGN/0.x hits,
+    // out-of-range octets (o1 runs to 299) and non-IP hostnames (every
+    // 17th row). Spark side = the codegen'd Crawl.isPrivateIpCol over
+    // the regexp-extracted host; the oracle replays the same CIDR math
+    // in DuckDB. (The live-DNS UDF twin stays spec-only — resolution
+    // isn't SQL-expressible; CrawlSpec pins twin agreement.)
+    QuerySpec("q209_privnet_filter",
+      (s, dir) => {
+        val urls = Tables.orders(s, dir).select(col("o_orderkey"),
+          concat(lit("http://"),
+            when(col("o_orderkey") % 17 === 0, lit("intra.corp"))
+              .otherwise(concat_ws(".",
+                (col("o_orderkey") % 300).cast("string"),
+                (expr("o_orderkey div 3") % 256).cast("string"),
+                (expr("o_orderkey div 5") % 256).cast("string"),
+                (expr("o_orderkey div 7") % 256).cast("string"))),
+            lit("/page")).as("url"))
+        urls
+          .select(col("o_orderkey"),
+            regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"))
+          .select(col("o_orderkey"), col("host"),
+            graft.crawl.Crawl.isPrivateIpCol(col("host")).as("is_private"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH urls AS (
+          SELECT o_orderkey,
+                 'http://' ||
+                 CASE WHEN o_orderkey % 17 = 0 THEN 'intra.corp'
+                      ELSE CAST(o_orderkey % 300 AS VARCHAR) || '.' ||
+                           CAST((o_orderkey // 3) % 256 AS VARCHAR) || '.' ||
+                           CAST((o_orderkey // 5) % 256 AS VARCHAR) || '.' ||
+                           CAST((o_orderkey // 7) % 256 AS VARCHAR)
+                 END || '/page' AS url
+          FROM orders),
+        hosts AS (
+          SELECT o_orderkey,
+                 regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 string_split(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                   '.') AS p
+          FROM urls)
+        SELECT o_orderkey, host,
+               len(p) = 4
+               AND regexp_matches(p[1], '^[0-9]{1,3}$')
+               AND regexp_matches(p[2], '^[0-9]{1,3}$')
+               AND regexp_matches(p[3], '^[0-9]{1,3}$')
+               AND regexp_matches(p[4], '^[0-9]{1,3}$')
+               AND TRY_CAST(p[1] AS INT) BETWEEN 0 AND 255
+               AND TRY_CAST(p[2] AS INT) BETWEEN 0 AND 255
+               AND TRY_CAST(p[3] AS INT) BETWEEN 0 AND 255
+               AND TRY_CAST(p[4] AS INT) BETWEEN 0 AND 255
+               AND (TRY_CAST(p[1] AS INT) = 10
+                    OR (TRY_CAST(p[1] AS INT) = 172
+                        AND TRY_CAST(p[2] AS INT) BETWEEN 16 AND 31)
+                    OR (TRY_CAST(p[1] AS INT) = 192
+                        AND TRY_CAST(p[2] AS INT) = 168)
+                    OR TRY_CAST(p[1] AS INT) = 127
+                    OR (TRY_CAST(p[1] AS INT) = 169
+                        AND TRY_CAST(p[2] AS INT) = 254)
+                    OR (TRY_CAST(p[1] AS INT) = 100
+                        AND TRY_CAST(p[2] AS INT) BETWEEN 64 AND 127)
+                    OR TRY_CAST(p[1] AS INT) = 0) AS is_private
+        FROM hosts ORDER BY o_orderkey""")),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata
     // (byte length, content digest) — the schema/partitioning layer the
     // decode stubs in graft.multimodal build on.

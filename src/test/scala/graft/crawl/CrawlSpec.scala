@@ -78,6 +78,25 @@ class CrawlSpec extends SparkSpec {
     assert(!Crawl.isPrivateIp("not-an-ip"))
   }
 
+  test("isPrivateIpCol agrees with the Scala classifier on every branch") {
+    import spark.implicits._
+    val hosts = Seq(
+      "10.0.0.1", "10.255.255.255", "172.16.9.9", "172.31.0.1",
+      "172.15.0.1", "172.32.0.1", "192.168.1.1", "192.167.1.1",
+      "127.0.0.1", "169.254.0.1", "169.253.0.1", "100.64.0.1",
+      "100.127.9.9", "100.128.0.1", "0.1.2.3", "8.8.8.8",
+      "255.255.255.255", "256.1.1.1", "1.2.3.300", "1.2.3",
+      "1.2.3.4.5", "not-an-ip", "intra.corp", "", "a.b.c.d",
+      "01.02.03.04", "1.2.3.", ".1.2.3")
+    val colVerdicts = hosts.toDF("host")
+      .select(col("host"), Crawl.isPrivateIpCol(col("host")).as("p"))
+      .as[(String, Boolean)].collect().toMap
+    hosts.foreach { h =>
+      assert(colVerdicts(h) == Crawl.isPrivateIp(h),
+        s"column vs scala verdict mismatch for '$h'")
+    }
+  }
+
   test("politeness waves cap per-host concurrency, other hosts unaffected") {
     import spark.implicits._
     val links = (1 to 5).map(i => s"http://a.example/p$i")
