@@ -146,4 +146,60 @@ object Scc {
       s"SCC did not finish in $maxOuterRounds outer rounds")
     result
   }
+
+  /** Warm-start (incremental) SCC: relabel a GROWN graph from a prior
+    * converged `snapshot` (id, scc) without re-propagating inside
+    * settled components — the q201/q205 ingest posture for the directed
+    * side of the graph toolbox.
+    *
+    * Why not resume the forward colors directly (the Components.resume
+    * shape): max-color propagation is only monotone WITHIN one peel
+    * round, and a delta edge can merge SCCs that the cold run extracted
+    * in different outer rounds — colors from peel k say nothing about
+    * peel k+1's residue, so a direct color resume is unsound across the
+    * peel boundary. Instead the graph is CONDENSED by the old labels:
+    * quotient nodes are old SCC labels, quotient edges every
+    * (label(u), label(v)) pair induced by the NEW edge set — the old
+    * condensation plus the mapped delta, so the caller never has to
+    * identify the delta explicitly. Contracting a strongly connected
+    * subgraph preserves strong connectivity in both directions, so SCCs
+    * of the new graph correspond 1:1 to SCCs of this quotient; and
+    * because each old label is the MAX member id of its SCC, the max
+    * quotient label of a merged group IS the max vertex id of the
+    * merged SCC — bit-identical to the cold run's labeling. Vertices
+    * new since the snapshot enter as their own (identity) labels.
+    *
+    * Cost shape: one label-join pass over the edge table (map-shaped,
+    * co-partitionable, no iteration) + a full FW-BW run on the
+    * CONDENSATION-sized quotient. At 100 TB the iterative work tracks
+    * the condensation (≪ V for any graph worth condensing), never the
+    * corpus. */
+  def resume(edges: DataFrame, snapshot: DataFrame,
+             maxOuterRounds: Int = 40,
+             maxInnerRounds: Int = 200): DataFrame = {
+    val clean = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+      .localCheckpoint(false)
+    val ids = clean.select(col("src").as("id"))
+      .union(clean.select(col("dst").as("id")))
+      .distinct()
+    val labels = ids.join(snapshot, Seq("id"), "left")
+      .select(col("id"), coalesce(col("scc"), col("id")).as("label"))
+      .localCheckpoint(false)
+    val quotient = clean
+      .join(labels.select(col("id").as("src"), col("label").as("qsrc")),
+        Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("label").as("qdst")),
+        Seq("dst"))
+      .select(col("qsrc").as("src"), col("qdst").as("dst"))
+      .distinct()
+    val merged =
+      if (quotient.limit(1).count() == 0)
+        labels.select(col("label").as("qid"), col("label").as("qscc"))
+          .limit(0)
+      else run(quotient, maxOuterRounds, maxInnerRounds)
+        .select(col("id").as("qid"), col("scc").as("qscc"))
+    labels.join(merged, col("label") === col("qid"), "left")
+      .select(col("id"), coalesce(col("qscc"), col("label")).as("scc"))
+  }
 }

@@ -1171,6 +1171,62 @@ object GraphQueries {
         GROUP BY v.id ORDER BY v.id""")),
 
     // ------------------------------------------------------------------
+    // Warm-start SCC (q210): q121's cyclic quotient graph grows by a
+    // delta (every 9th key-sum); instead of re-running FW-BW on the
+    // full graph, Scc.resume condenses by the staged pre-delta labels
+    // and runs FW-BW on the condensation + mapped delta only (see the
+    // operator doc for why a direct color resume is unsound across
+    // peel boundaries). Correctness claim: warm ≡ cold labeling
+    // exactly, so the oracle is q121's definitional transitive-closure
+    // pair test over the FULL edge set, verbatim. Snapshot staged to
+    // /tmp (mtime-guarded) so the timed plan is the resume, not
+    // cold + resume — the q205 pattern.
+    QuerySpec("q210_warm_scc",
+      (s, dir) => {
+        val m = 600
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_linenumber") === 1)
+          .select((col("l_orderkey") % m).as("src"),
+            (col("l_partkey") % m).as("dst"),
+            ((col("l_orderkey") + col("l_partkey")) % 9 === 0)
+              .as("is_delta"))
+        val all = li.select("src", "dst")
+        val g0 = li.filter(!col("is_delta")).select("src", "dst")
+        val snapDir = s"/tmp/graft_warm_scc_${math.abs(dir.hashCode)}"
+        val marker = new java.io.File(snapDir, "_SUCCESS")
+        val liSrc = new java.io.File(s"$dir/lineitem.parquet")
+        if (!marker.exists() || marker.lastModified() < liSrc.lastModified())
+          graft.graph.Scc.run(g0)
+            .write.mode("overwrite").parquet(snapDir)
+        val snapshot = s.read.parquet(snapDir)
+        graft.graph.Scc.resume(all, snapshot).orderBy("id")
+      },
+      Some("""
+        WITH RECURSIVE edges AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % 600 AS src, l_partkey % 600 AS dst
+          FROM lineitem WHERE l_linenumber = 1
+            AND l_orderkey % 600 <> l_partkey % 600),
+        verts AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % 600 AS id FROM lineitem
+            WHERE l_linenumber = 1
+          UNION
+          SELECT DISTINCT l_partkey % 600 FROM lineitem
+            WHERE l_linenumber = 1),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        pairs AS MATERIALIZED (
+          SELECT src, dst FROM reach
+          UNION
+          SELECT id, id FROM verts)
+        SELECT v.id, CAST(max(p.dst) AS BIGINT) AS scc
+        FROM verts v
+        JOIN pairs p ON p.src = v.id
+        JOIN pairs q ON q.src = p.dst AND q.dst = v.id
+        GROUP BY v.id ORDER BY v.id""")),
+
+    // ------------------------------------------------------------------
     // HyperBall neighborhood function (Boldi & Vigna 2013): the global
     // ΣN(v, t) for t = 0..2 over the SYMMETRIZED order↔part graph — the
     // all-sources distance profile ("how much of the graph is within t

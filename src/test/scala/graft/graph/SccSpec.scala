@@ -33,6 +33,35 @@ class SccSpec extends SparkSpec {
     assert(m == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L))
   }
 
+  test("resume from a snapshot equals the cold run, incl. cross-peel merges") {
+    // Old graph: two separate 2-cycles (1,2) and (5,6) plus DAG tendril
+    // 8→1. The cold run extracts them in DIFFERENT peel rounds (labels
+    // 2 then 6). Delta closes a big loop through both: 2→5 and 6→1 —
+    // the cross-peel merge a direct color resume would get wrong.
+    val old = Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L), (8L, 1L))
+    val delta = Seq((2L, 5L), (6L, 1L), (9L, 8L))
+    val all = old ++ delta
+    val snapshot = Scc.run(old.toDF("src", "dst"))
+    val warm = Scc.resume(all.toDF("src", "dst"), snapshot)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == scc(all), "warm must equal the cold fixpoint")
+    assert(warm == Map(1L -> 6L, 2L -> 6L, 5L -> 6L, 6L -> 6L,
+      8L -> 8L, 9L -> 9L))
+  }
+
+  test("resume on a seeded random digraph split 80/20 equals cold") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .distinct
+    val (g0, delta) = edges.partition(e => (e._1 + e._2) % 5 != 0)
+    assert(delta.nonEmpty && g0.nonEmpty)
+    val snapshot = Scc.run(g0.toDF("src", "dst"))
+    val warm = Scc.resume(edges.toDF("src", "dst"), snapshot)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == scc(edges))
+  }
+
   test("matches brute-force mutual reachability on a seeded random digraph") {
     val rnd = new scala.util.Random(42)
     val n = 40
