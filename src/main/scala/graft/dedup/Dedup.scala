@@ -372,6 +372,40 @@ object Dedup {
                        threshold: Double = 0.5,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
+    // Lazy localCheckpoint, NOT persist: cand feeds two consumers (the
+    // verify join and the touched-ids semi-join), but caching would
+    // compile the candidate subplan WITHOUT AQE — measured 62.6 s vs
+    // 0.8 s for the identical 500k-doc candidate stage at the canary
+    // (the prefix self-join + window need the adaptive plan). The
+    // checkpoint dedupes the two reads and keeps AQE.
+    val cand = prefixCandidates(docs, shingleN, threshold, idCol, textCol)
+      .localCheckpoint(false)
+    // Verify arrays are built ONLY for candidate-touching docs: the
+    // broadcast semi-join restricts the corpus in its scan stage, so
+    // the shingle-array build + its two join exchanges are candidate-
+    // sized, never corpus-sized (at the 500k-doc canary: verify
+    // 33.9 s → array build over ~10k touched docs; at 100 TB the
+    // difference between rescanning the corpus and touching the pairs).
+    val ids = cand.select(col("a").as(idCol))
+      .union(cand.select(col("b").as(idCol))).distinct()
+    // no broadcast hint: AQE broadcasts when ids is small (typical) but
+    // keeps a shuffled semi-join legal when the candidate set is huge
+    val touched = docs.join(ids, Seq(idCol), "left_semi")
+    jaccardByArrays(cand,
+        shingleArrays(touched, shingleN, idCol, textCol), idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** The prefix filter's candidate stage, exposed separately so scale
+    * accounting (ScaleCanary) can measure candidate VOLUME — the
+    * intermediate that determines whether PPJoin scales — without
+    * re-deriving the prefix tables. [[prefixFilterJoin]] = this +
+    * exact-Jaccard verification. */
+  def prefixCandidates(docs: DataFrame, shingleN: Int = 3,
+                       threshold: Double = 0.5,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleTable(docs, shingleN, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -387,15 +421,11 @@ object Dedup {
         col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col(idCol), col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = prefixes.select(col("shingle"), col(idCol).as("a"))
+    prefixes.select(col("shingle"), col(idCol).as("a"))
       .join(prefixes.select(col("shingle"), col(idCol).as("b")),
         Seq("shingle"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    jaccardByArrays(cand, shingleArrays(docs, shingleN, idCol, textCol),
-        idCol)
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Exact duplicate-span detection (the n-gram-position formulation of

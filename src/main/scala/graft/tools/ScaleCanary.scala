@@ -593,6 +593,45 @@ object ScaleCanary {
     require(hn == hd, s"native $hn != dataframe $hd")
     println(s"[canary]   hll est=${hn / 1000000L} (native == dataframe)")
 
+    // exact PPJoin at 500k docs: the prefix filter (q77's operator)
+    // staged so candidate VOLUME — the intermediate that decides
+    // whether PPJoin scales — is recorded next to the verified-pair
+    // count. Candidates ride the global-frequency-ordered shingle
+    // prefixes (12 of 23 shingles/doc at t=0.5): on a mostly-unique
+    // corpus the volume tracks shared-rare-shingle pairs, never
+    // all-pairs. Planted identical neighbours give recall ground truth.
+    // lineage-truncating checkpoint, shielded from the per-leg cleanup
+    // INSIDE the timed block (the cleanup runs at block end and would
+    // otherwise drop the blocks, making the verify leg re-derive the
+    // candidate stage — twice, since ids also reads it)
+    val ppCand = graft.dedup.Dedup.prefixCandidates(docs, shingleN = 3,
+      threshold = 0.5).localCheckpoint(false)
+    val ppCandN = time("ppjoin candidates") {
+      val n = ppCand.count()
+      keep = keep ++ spark.sparkContext.getPersistentRDDs.keySet
+      n
+    }
+    // verify arrays candidate-restricted, as prefixFilterJoin does
+    val ppIds = ppCand.select(col("a").as("doc_id"))
+      .union(ppCand.select(col("b").as("doc_id"))).distinct()
+    val ppPairs = graft.dedup.Dedup.jaccardByArrays(ppCand,
+        graft.dedup.Dedup.shingleArrays(
+          docs.join(ppIds, Seq("doc_id"), "left_semi"), 3), "doc_id")
+      .filter(col("jaccard") >= 0.5)
+    // ONE action inside the timed block computes both counts — no
+    // cross-leg state, so the per-leg cleanup has nothing to break
+    val (ppN, ppPlanted) = time("ppjoin verify") {
+      val r = ppPairs.agg(count(lit(1)).as("n"),
+        sum(when(col("b") === col("a") + 1 &&
+          pmod(col("b"), lit(100)) === 1, 1L).otherwise(0L)).as("pl"))
+        .first()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(ppPlanted >= planted,
+      s"ppjoin found $ppPlanted of $planted planted identical pairs")
+    println(s"[canary]   ppjoin candidates=$ppCandN pairs=$ppN " +
+      s"planted=$ppPlanted/$planted")
+
     spark.stop()
   }
 }
