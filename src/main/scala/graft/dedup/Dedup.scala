@@ -371,7 +371,26 @@ object Dedup {
   def prefixFilterJoin(docs: DataFrame, shingleN: Int = 3,
                        threshold: Double = 0.5,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       restrictVerify: Option[Boolean] = None): DataFrame = {
+    // Size gate (the Scc layout-gate pattern): the candidate-restricted
+    // verify spends a checkpoint + distinct + semi-join to make the
+    // shingle-array build candidate-sized instead of corpus-sized.
+    // Below the gate that overhead exceeds the saving — one fused plan
+    // with corpus-wide arrays wins (measured: restricted verify cost
+    // +2 s at the 66k-doc sf0.1 board but −27 s at the 500k-doc
+    // canary). The count is a no-column scan-agg, cheap at any scale.
+    val restrict = restrictVerify.getOrElse(docs.count() > 150000L)
+    if (!restrict) {
+      // single-consumer candidate stage: no checkpoint needed, the
+      // whole query stays one adaptive plan
+      val cand = prefixCandidates(docs, shingleN, threshold, idCol,
+        textCol)
+      return jaccardByArrays(cand,
+          shingleArrays(docs, shingleN, idCol, textCol), idCol)
+        .filter(col("jaccard") >= threshold)
+        .select(col("a"), col("b"), col("jaccard"))
+    }
     // Lazy localCheckpoint, NOT persist: cand feeds two consumers (the
     // verify join and the touched-ids semi-join), but caching would
     // compile the candidate subplan WITHOUT AQE — measured 62.6 s vs

@@ -206,6 +206,18 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j((1L, 2L)) - 11.0 / 12.0) < 1e-12)
   }
 
+  test("prefixFilterJoin restricted verify ≡ fused verify (both branches)") {
+    // the size gate picks the branch by corpus count; force each branch
+    // explicitly and require identical output — the restriction is a
+    // physical-plan choice, never a semantic one
+    def run(r: Boolean) = Dedup.prefixFilterJoin(base, shingleN = 3,
+        threshold = 0.5, restrictVerify = Some(r))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(run(true) === run(false))
+    assert(run(true).map(p => (p._1, p._2)) ===
+      Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
   test("containment: the subset side reports ppm 1000000, superset less") {
     // doc 2 = doc 1 + one appended token: every doc-1 shingle appears in
     // doc 2 (containment 1.0 that way), 11 of doc 2's 12 the other way.
