@@ -92,9 +92,12 @@ object Dedup {
     * rows per doc, no re-aggregation. Identical sig strings to
     * [[lshBands]] (minhashes joined with "," in j order; a trailing
     * partial band is kept, matching the old `j / rowsPerBand`
-    * grouping). */
+    * grouping). `carry` columns ride through the unpivot unchanged —
+    * the streaming admission probe carries the doc's shingle array so
+    * the later verify never needs a (stream-stream) join back to it. */
   private[graft] def lshBandsWide(wide: DataFrame, rowsPerBand: Int,
-                                  numHashes: Int, idCol: String): DataFrame = {
+                                  numHashes: Int, idCol: String,
+                                  carry: Seq[String] = Nil): DataFrame = {
     val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val sig = md5(concat_ws(",",
@@ -102,8 +105,37 @@ object Dedup {
           .map(j => col(s"mh$j").cast("string")): _*))
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    wide.select(col(idCol), explode(array(bandStructs: _*)).as("s"))
-      .select(col(idCol), col("s.band").as("band"), col("s.sig").as("sig"))
+    wide.select(col(idCol) +: carry.map(col) :+
+        explode(array(bandStructs: _*)).as("s"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("s.band").as("band") :+ col("s.sig").as("sig"): _*)
+  }
+
+  /** Per-row (aggregation-free) twin of [[minHashesWide]]: every
+    * min-hash is an `array_min` over the doc's distinct-shingle array —
+    * same hash family, same constants, value-identical output (DedupSpec
+    * pins rowwise ≡ wide on every doc). Aggregation-free makes it
+    * STREAM-SAFE: a streaming delta can band its docs statelessly — no
+    * groupBy state store, no watermark — which is what
+    * [[graft.streaming.Streams.nearDupAdmissionReplay]] runs in-flight.
+    * Cost shape: each doc touched once, zero shuffle (the wide twin
+    * instead shares its exploded shingle table with other consumers).
+    * `carry` columns pass through untouched. */
+  def minHashesRowwise(docs: DataFrame, shingleN: Int, numHashes: Int,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       carry: Seq[String] = Nil): DataFrame = {
+    val hs = transform(
+      array_distinct(graft.text.Analyzer.shingles(col(textCol), shingleN)),
+      s => pmod(portableHash(s), lit(MinHashP)))
+    // hs staged as its own projection so the 60-bit hash runs once per
+    // shingle, not once per (shingle, hash-function) pair
+    val staged = docs.select(col(idCol) +: carry.map(col) :+
+      hs.as("__hs"): _*)
+    val mins = (0 until numHashes).map { j =>
+      array_min(transform(col("__hs"),
+        h => (h * mixA(j) + mixB(j)) % MinHashP)).as(s"mh$j")
+    }
+    staged.select(col(idCol) +: carry.map(col) ++: mins: _*)
   }
 
   /** LSH band signatures: bands of `rowsPerBand` minhashes; signature =

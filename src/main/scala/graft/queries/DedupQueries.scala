@@ -678,6 +678,38 @@ object DedupQueries {
         FROM scored
         WHERE jaccard >= 0.5
           AND (a >= 100000 OR a % 13 = 3 OR b >= 100000 OR b % 13 = 3)
+        ORDER BY a, b""")),
+
+    // Streaming near-dup admission control: the delta ARRIVES as a
+    // stream (two real micro-batches) and each doc is banded
+    // statelessly (rowwise minhash — no streaming agg, no watermark)
+    // then probed against the stored corpus's band index as a
+    // stream-static join, with per-row exact-Jaccard verification
+    // against the corpus's static shingle arrays. The oracle is the
+    // old×delta (exactly-one-side-delta) slice of the SAME full
+    // MinHash CTE chain — in-flight admission loses nothing against
+    // the batch rebuild, independent of how the stream is
+    // micro-batched.
+    QuerySpec("q211_stream_neardup_admission",
+      (s, dir) => {
+        val aug = augmented(s, dir)
+        val isDelta =
+          col("doc_id") >= 100000 || col("doc_id") % 13 === 3
+        graft.streaming.Streams.nearDupAdmissionReplay(
+            aug.filter(!isDelta), aug.filter(isDelta),
+            shingleN = 3, numHashes = 12, rowsPerBand = 3,
+            threshold = 0.5)
+          .select(col("a"), col("b"), Exact.micros(col("jaccard"))
+            .as("jaccard_micros"))
+          .orderBy("a", "b")
+      },
+      Some(s"""
+        WITH $MinhashPairCtes
+        SELECT a, b, ${Exact.microsSql("jaccard")} AS jaccard_micros
+        FROM scored
+        WHERE jaccard >= 0.5
+          AND ((a >= 100000 OR a % 13 = 3)
+               <> (b >= 100000 OR b % 13 = 3))
         ORDER BY a, b"""))
   )
 }

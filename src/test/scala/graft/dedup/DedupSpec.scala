@@ -206,6 +206,26 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j((1L, 2L)) - 11.0 / 12.0) < 1e-12)
   }
 
+  test("rowwise minhash ≡ wide-aggregation minhash on every doc") {
+    // the stream-safe per-row twin must be value-identical to the
+    // aggregated batch path — band signatures (and therefore LSH
+    // buckets) depend on exact equality, not approximation
+    val wide = Dedup.minHashesWide(
+        Dedup.shingleTable(base, 3), 12, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val row = Dedup.minHashesRowwise(base, 3, 12)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(row === wide)
+    // carry columns pass through untouched
+    val carried = Dedup.minHashesRowwise(
+      base.withColumn("tag", col("doc_id") * 10), 3, 12,
+      carry = Seq("tag"))
+    assert(carried.columns.toSeq ===
+      "doc_id" +: "tag" +: (0 until 12).map(j => s"mh$j"))
+    assert(carried.select("doc_id", "tag").as[(Long, Long)].collect()
+      .forall(p => p._2 == p._1 * 10))
+  }
+
   test("prefixFilterJoin restricted verify ≡ fused verify (both branches)") {
     // the size gate picks the branch by corpus count; force each branch
     // explicitly and require identical output — the restriction is a

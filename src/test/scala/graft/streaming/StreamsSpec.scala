@@ -177,6 +177,32 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.map(_._1) == Seq("A", "B"))
   }
 
+  test("streaming admission pairs = incremental probe's old×delta slice") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about database engines and columnar storage"),
+      (3L, "a third unrelated document mentioning graphs and adjacency structures here"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (13L, "nothing in the corpus resembles this sentence about astronomy and telescopes"))
+      .toDF("doc_id", "text")
+    val streamed = Streams.nearDupAdmissionReplay(old, delta,
+        shingleN = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // batch truth: the incremental probe restricted to cross pairs
+    // (11 and 12 both hit doc 1; 11-12 is a delta-self pair the
+    // admission gate deliberately leaves to the end-of-cycle batch)
+    val inc = graft.dedup.Dedup.incrementalNearDups(old, delta,
+        shingleN = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+      .filter(p => (p._1 > 10) != (p._2 > 10))
+    assert(streamed === inc)
+    assert(streamed === Set((1L, 11L), (1L, 12L)))
+  }
+
   test("mapGroupsWithState running totals match the batch GROUP BY") {
     import spark.implicits._
     // every user appears in BOTH hash-halves with high probability
