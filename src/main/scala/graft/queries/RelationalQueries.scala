@@ -920,6 +920,60 @@ object RelationalQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Time travel over the manifest-versioned store: three append
+    // commits land orders in consecutive date slices, then the query
+    // reads ALL THREE pinned versions side by side — version k after
+    // later commits must still be exactly the version-k snapshot
+    // (manifests pin immutable file lists; commits only ever add) — and
+    // an orphaned half-commit (data files written, no manifest rename)
+    // stays invisible to every reader. Oracle replays the cumulative
+    // date slices. This is the reproducible-training-corpus posture:
+    // "the files model X trained on" is a version number, re-readable
+    // verbatim while ingest keeps committing.
+    QuerySpec("q212_versioned_time_travel",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_versioned").toString
+        val ordersOf = (lo: String, hi: String) =>
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+              col("o_orderdate") < lit(hi).cast("timestamp"))
+            .select(col("o_orderkey"),
+              Exact.cents(col("o_totalprice")).as("cents"))
+        val vs = Seq(
+          graft.store.Versioned.commitAppend(
+            ordersOf("1996-01-01", "1996-07-01"), root),
+          graft.store.Versioned.commitAppend(
+            ordersOf("1996-07-01", "1997-01-01"), root),
+          graft.store.Versioned.commitAppend(
+            ordersOf("1997-01-01", "1998-01-01"), root))
+        // orphaned half-commit: parquet landed, no manifest rename —
+        // must be invisible at every version
+        ordersOf("1992-01-01", "1999-01-01").limit(100).write.parquet(
+          new java.io.File(new java.io.File(root, "data"),
+            "orphan-half-commit").getAbsolutePath)
+        vs.map { v =>
+          graft.store.Versioned.read(s, root, v)
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("cents")).as("total_cents"))
+            .select(lit(v).as("version"), col("n_orders"),
+              col("total_cents"))
+        }.reduce(_.unionByName(_)).orderBy("version")
+      },
+      Some(s"""
+        SELECT CAST(v.version AS BIGINT) AS version,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS total_cents
+        FROM (VALUES (1), (2), (3)) AS v(version)
+        JOIN orders ON o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < (CASE v.version
+            WHEN 1 THEN TIMESTAMP '1996-07-01'
+            WHEN 2 THEN TIMESTAMP '1997-01-01'
+            ELSE TIMESTAMP '1998-01-01' END)
         GROUP BY 1 ORDER BY 1"""))
   )
 }
