@@ -974,6 +974,59 @@ object RelationalQueries {
             WHEN 1 THEN TIMESTAMP '1996-07-01'
             WHEN 2 THEN TIMESTAMP '1997-01-01'
             ELSE TIMESTAMP '1998-01-01' END)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Vacuum closes the versioned-store lifecycle: two append commits,
+    // then an overwrite-commit (the compaction rewrite — v3's manifest
+    // lists only the rewritten files), an orphaned half-commit, and
+    // vacuum(keepFrom = 3). The sweep deletes exactly what no retained
+    // manifest can reach — v1/v2's originals AND the orphan — and the
+    // retained snapshot must read byte-identically before and after
+    // (same rollup in both phases), with reclaimed > 0 proving the
+    // sweep actually bit. Deletion is set arithmetic over manifests
+    // (disk − union(retained files)), never bookkeeping.
+    QuerySpec("q213_versioned_vacuum",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_vacuum").toString
+        val ordersOf = (lo: String, hi: String) =>
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+              col("o_orderdate") < lit(hi).cast("timestamp"))
+            .select(col("o_orderkey"),
+              Exact.cents(col("o_totalprice")).as("cents"))
+        graft.store.Versioned.commitAppend(
+          ordersOf("1996-01-01", "1996-07-01"), root)
+        graft.store.Versioned.commitAppend(
+          ordersOf("1996-07-01", "1997-01-01"), root)
+        // compaction rewrite: same logical content as v2, one clean
+        // file set — v1/v2's physical files become retirable history
+        val v3 = graft.store.Versioned.commitOverwrite(
+          ordersOf("1996-01-01", "1997-01-01"), root)
+        ordersOf("1992-01-01", "1999-01-01").limit(100).write.parquet(
+          new java.io.File(new java.io.File(root, "data"),
+            "orphan-half-commit").getAbsolutePath)
+        def rollup(phase: String) =
+          graft.store.Versioned.read(s, root, v3)
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("cents")).as("total_cents"))
+            .select(lit(phase).as("phase"), col("n_orders"),
+              col("total_cents"))
+        val pre = rollup("1_pre_vacuum")
+        val (nDel, bytes) = graft.store.Versioned.vacuum(root, v3)
+        pre.unionByName(rollup("2_post_vacuum"))
+          .withColumn("reclaimed", lit(nDel > 0 && bytes > 0))
+          .orderBy("phase")
+      },
+      Some(s"""
+        SELECT p.phase, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS total_cents,
+               TRUE AS reclaimed
+        FROM (VALUES ('1_pre_vacuum'), ('2_post_vacuum')) AS p(phase)
+        JOIN orders ON o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY 1 ORDER BY 1"""))
   )
 }

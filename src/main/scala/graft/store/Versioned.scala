@@ -78,17 +78,11 @@ object Versioned {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Append-commit `df` as the next version; returns the new version
-    * number. The parquet write lands in an isolated `data/<uuid>/`
-    * directory first; the table only advances when the manifest rename
-    * succeeds. */
-  def commitAppend(df: DataFrame, root: String): Long = {
+  private def commit(df: DataFrame, root: String,
+                     baseOf: Long => Seq[String]): Long = {
     fs(root).mkdirs()
     val parent = latestVersion(root)
-    val base = parent match {
-      case 0L => Nil
-      case v  => readManifest(root, v)
-    }
+    val base = if (parent == 0L) Nil else baseOf(parent)
     val dir = new java.io.File(new java.io.File(fs(root), "data"),
       java.util.UUID.randomUUID().toString)
     df.write.parquet(dir.getAbsolutePath)
@@ -98,6 +92,21 @@ object Versioned {
     writeManifest(root, parent + 1, base ++ added)
     parent + 1
   }
+
+  /** Append-commit `df` as the next version; returns the new version
+    * number. The parquet write lands in an isolated `data/<uuid>/`
+    * directory first; the table only advances when the manifest rename
+    * succeeds. */
+  def commitAppend(df: DataFrame, root: String): Long =
+    commit(df, root, readManifest(root, _))
+
+  /** Overwrite-commit: the new version's manifest lists ONLY this
+    * batch's files — the compaction / full-rewrite commit. Older
+    * versions keep reading their pinned files untouched until
+    * [[vacuum]] retires them; this is what makes history reclaimable
+    * in an otherwise append-only store. */
+  def commitOverwrite(df: DataFrame, root: String): Long =
+    commit(df, root, _ => Nil)
 
   /** Read the snapshot at `version` (latest when 0) — exactly the
     * manifest's files, never a directory listing, so concurrent
@@ -109,5 +118,47 @@ object Versioned {
       s"no committed version $v at $root")
     val files = readManifest(root, v)
     spark.read.parquet(files: _*)
+  }
+
+  /** Garbage-collect history: retire versions < `keepFrom` and delete
+    * every data file not reachable from any RETAINED manifest — which
+    * also sweeps orphaned half-commits. Returns (files deleted, bytes
+    * reclaimed).
+    *
+    * Safety is set arithmetic, not bookkeeping: the delete set is
+    * (all files on disk) − (union of retained manifests' files), so a
+    * file shared by a retired and a retained version survives — append
+    * manifests overlap heavily, and this is why vacuum reclaims only
+    * what NO retained snapshot can ever read. Retired manifest files
+    * are removed after the data sweep; reads at retained versions are
+    * byte-identical before/after (VersionedSpec pins it). Driver-side
+    * and manifest-sized, like every other metadata op here; production
+    * note: run under the same single-writer lock as commits, and age-
+    * guard orphans if writers can be mid-commit (the replay harness is
+    * single-threaded, so the sweep here is unconditional). */
+  def vacuum(root: String, keepFrom: Long): (Long, Long) = {
+    val latest = latestVersion(root)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"keepFrom $keepFrom outside committed range 1..$latest")
+    val keep = (keepFrom to latest)
+      .flatMap(v => readManifest(root, v)).toSet
+    val dataDir = new java.io.File(fs(root), "data")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val (nDel, bytes) = walk(dataDir)
+      .filter(f => !keep.contains(f.getAbsolutePath))
+      .foldLeft((0L, 0L)) { case ((n, b), f) =>
+        val sz = f.length()
+        if (f.delete()) (n + 1, b + sz) else (n, b)
+      }
+    // drop now-empty commit directories, then the retired manifests
+    Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        Option(d.listFiles()).forall(_.isEmpty))
+      .foreach(_.delete())
+    (1L until keepFrom).map(manifestFile(root, _)).foreach(_.delete())
+    (nDel, bytes)
   }
 }

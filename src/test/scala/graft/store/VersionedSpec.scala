@@ -48,6 +48,41 @@ class VersionedSpec extends SparkSpec {
       .collect().toSet == Set((1L, "a")))
   }
 
+  test("vacuum deletes only what no retained manifest reaches") {
+    val root = freshRoot()
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    Versioned.commitAppend(Seq((2L, "b")).toDF("k", "s"), root)
+    // overwrite-commit: v3 pins only its own files
+    val v3 = Versioned.commitOverwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), root)
+    // orphan from a crashed writer
+    Seq((99L, "x")).toDF("k", "s").write.parquet(
+      new java.io.File(new java.io.File(root, "data"), "half")
+        .getAbsolutePath)
+    val (nDel, bytes) = Versioned.vacuum(root, v3)
+    assert(nDel > 0 && bytes > 0)
+    assert(Versioned.read(spark, root, v3).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // retired versions now fail loudly
+    intercept[IllegalArgumentException] {
+      Versioned.read(spark, root, 1)
+    }
+  }
+
+  test("vacuum keeps files shared between retired and retained versions") {
+    val root = freshRoot()
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    val v2 = Versioned.commitAppend(Seq((2L, "b")).toDF("k", "s"), root)
+    // v2's manifest includes v1's files (append) — retiring v1 must
+    // delete NOTHING from the data path
+    val (nDel, _) = Versioned.vacuum(root, v2)
+    assert(Versioned.read(spark, root, v2).count() == 2)
+    // only _SUCCESS/.crc side files are sweepable; every parquet file
+    // survives because v2 still reaches them
+    assert(Versioned.read(spark, root, v2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("read of an uncommitted version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
