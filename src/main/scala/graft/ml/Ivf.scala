@@ -87,6 +87,22 @@ object Ivf {
     Index(assignments, centroids)
   }
 
+  /** Incremental index maintenance: assign ONLY the delta batch to the
+    * index's FROZEN centroids and append — the q203-q207 incremental-
+    * ingest posture extended to the ANN index. Assignment is a pure
+    * per-row function of (vector, centroids), so append ≡ rebuild with
+    * the same quantizer exactly (IvfSpec pins it); cost tracks the
+    * delta (delta × k distance evaluations, zero corpus work). The
+    * standard IVF production cycle: appends between re-trainings,
+    * centroid refresh only when drift warrants a [[build]] — at which
+    * point old probes stay servable from the prior index, the
+    * Versioned-store swap discipline. */
+  def append(index: Index, delta: DataFrame,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): Index =
+    Index(index.assignments.unionByName(
+      assign(delta, index.centroids, idCol, vecCol)), index.centroids)
+
   /** Approximate top-k by cosine: scan only the `nprobe` clusters whose
     * centroids are closest to the query. */
   def topK(index: Index, query: Seq[Float], k: Int, nprobe: Int = 2,

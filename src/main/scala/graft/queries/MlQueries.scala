@@ -144,6 +144,52 @@ object MlQueries {
         ORDER BY ${cosSql("a.embedding", "q.qv")} DESC, a.vec_id
         LIMIT 10""")),
 
+    // IVF incremental append — ANN index maintenance, the q203-q207
+    // ingest posture for the vector side: the corpus index is built
+    // once (old vectors assigned to the 8 fixed centroids), a delta
+    // batch arrives and is assigned to the FROZEN quantizer only
+    // (delta × k distance evaluations, zero corpus work), and a probe
+    // of the appended index must equal the probe of a full rebuild
+    // with the same quantizer — assignment is a pure per-row function
+    // of (vector, centroids), so append ≡ rebuild exactly. Oracle =
+    // the full-corpus assignment probe (q41's formulation, nprobe 3).
+    QuerySpec("q214_ivf_append",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cluster"),
+            transform(col("embedding"), _.cast("double")).as("centroid"))
+        val isDelta = col("vec_id") % 7 === 2
+        val idx = graft.ml.Ivf.Index(
+          graft.ml.Ivf.assign(emb.filter(!isDelta), cents), cents)
+        val appended = graft.ml.Ivf.append(idx, emb.filter(isDelta))
+        graft.ml.Ivf.topK(appended, queryVec(s, dir), 10, nprobe = 3)
+          .select(col("vec_id"), Exact.micros(col("cos")).as("cos_micros"))
+      },
+      Some(s"""
+        WITH cents AS MATERIALIZED (
+          SELECT vec_id AS cluster, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probed AS MATERIALIZED (
+          SELECT cluster FROM (
+            SELECT c.cluster, ${sqDistSql("q.qv", "c.cvec")} AS d
+            FROM cents c CROSS JOIN q
+            ORDER BY d, cluster LIMIT 3)),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqDistSql("e.embedding", "c.cvec")},
+                              c.cluster) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1)
+        SELECT a.vec_id, ${Exact.microsSql(cosSql("a.embedding", "q.qv"))}
+                 AS cos_micros
+        FROM assigned a JOIN probed USING (cluster) CROSS JOIN q
+        ORDER BY ${cosSql("a.embedding", "q.qv")} DESC, a.vec_id
+        LIMIT 10""")),
+
     // Embedding-cosine near-dup detection, banded sign-LSH: the corpus
     // has no organic near-dups (max pairwise cos ≈ 0.51), so perturbed
     // copies are planted at vec_id+100000 (element 1 replaced by a

@@ -50,4 +50,22 @@ class IvfSpec extends SparkSpec {
     assert(idx.assignments.select("vec_id").distinct().count()
       == emb.count())
   }
+
+  test("append to a frozen quantizer ≡ rebuild assignment") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val isDelta = col("vec_id") % 5 === 1
+    val appended = Ivf.append(
+      Ivf.Index(Ivf.assign(emb.filter(!isDelta), cents), cents),
+      emb.filter(isDelta))
+    val rebuilt = Ivf.assign(emb, cents)
+    val a = appended.assignments.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toSet
+    val r = rebuilt.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toSet
+    assert(a === r)
+  }
 }
