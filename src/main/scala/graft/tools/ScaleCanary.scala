@@ -632,6 +632,59 @@ object ScaleCanary {
     println(s"[canary]   ppjoin candidates=$ppCandN pairs=$ppN " +
       s"planted=$ppPlanted/$planted")
 
+    // streaming admission at corpus scale: the q211 ingest gate with
+    // the full 500k-doc corpus as the stored side and a 5k-doc delta
+    // arriving in two micro-batches (every even-id delta doc is a
+    // verbatim copy of corpus doc id-1 → planted truth). Measures the
+    // end-to-end gate latency — static band-index build + two
+    // stream-static probe batches — the number that prices per-batch
+    // admission at ingest time.
+    val admN = time("stream admission (5k delta)") {
+      val delta = spark.range(nD, nD + 5000).select(
+          col("id").as("doc_id"),
+          array_join(transform(sequence(lit(0), lit(24)),
+            i => concat(lit("w"), pmod(xxhash64(
+              when(pmod(col("id"), lit(2)) === 0,
+                pmod((col("id") - nD) * 100, lit(nD)))
+                .otherwise(col("id")) * 131 + i, lit(7)), lit(5000)))),
+            " ").as("text"))
+      val pairs = graft.streaming.Streams.nearDupAdmissionReplay(
+        docs, delta, shingleN = 3, numHashes = 12, rowsPerBand = 3,
+        threshold = 0.5)
+      val n = pairs.filter(col("jaccard") >= 0.999).count()
+      keep = keep ++ spark.sparkContext.getPersistentRDDs.keySet
+      n
+    }
+    require(admN >= 2500,
+      s"stream admission matched $admN of 2500 planted corpus copies")
+    println(s"[canary]   admission exact-dup matches=$admN/2500")
+
+    // versioned-store metadata scaling: 60 append commits, a pinned
+    // mid-history read, an overwrite + vacuum — all manifest-sized
+    // driver ops; the leg bounds the METADATA cost of the commit
+    // protocol (the data path is ordinary parquet I/O measured
+    // everywhere else).
+    val verN = time("versioned store (60 commits)") {
+      val root = java.nio.file.Files
+        .createTempDirectory("canary_versioned").toString
+      (1 to 60).foreach { i =>
+        graft.store.Versioned.commitAppend(
+          spark.range((i - 1) * 1000L, i * 1000L)
+            .select(col("id"), (col("id") * 7).as("v")), root)
+      }
+      val mid = graft.store.Versioned.read(spark, root, 30).count()
+      require(mid == 30000L, s"v30 snapshot has $mid rows, want 30000")
+      graft.store.Versioned.commitOverwrite(
+        graft.store.Versioned.read(spark, root).repartition(4), root)
+      val (nDel, _) = graft.store.Versioned.vacuum(root, 61L)
+      require(nDel > 0, "vacuum reclaimed nothing after overwrite")
+      val n = graft.store.Versioned.read(spark, root).count()
+      keep = keep ++ spark.sparkContext.getPersistentRDDs.keySet
+      n
+    }
+    require(verN == 60000L, s"post-vacuum snapshot has $verN rows")
+    println(s"[canary]   versioned store rows=$verN after 61 commits + vacuum")
+
     spark.stop()
   }
 }
