@@ -20,6 +20,14 @@ import org.apache.spark.sql.SparkSession
   *    contention and first-attempt JIT/codegen/parquet-footer effects.
   *    Steady-state throughput is the number that predicts cluster cost;
   *    a transient stall almost never hits both attempts.
+  *  - a fixed pure-CPU calibration job runs before the board, after it,
+  *    AND every ~25 queries in between (the probe series ships in the
+  *    board JSON): sustained mid-run ambient load once inflated a
+  *    contiguous stretch of a board 4-12x while both ENDPOINT
+  *    calibrations read clean. Any breaching probe taints its window;
+  *    tainted queries are retried once under a verified-clean
+  *    calibration, and an unhealed breach stamps the board
+  *    `load_suspect` so it cannot ship as an official artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -87,16 +95,21 @@ object Bench {
     // COVERAGE.md "bench calibration"); 0.45 puts the 2x suspect
     // threshold at 0.9s - above natural variance, far below the
     // ~3.5x ambient-load regime that invalidated the round-7 board.
-    val CalibIdleSec = 0.45
+    // Overridable per host (GRAFT_BENCH_CALIB_IDLE): a slower machine
+    // would otherwise stamp every board suspect, a faster one would
+    // let a genuinely loaded run pass as clean.
+    val CalibIdleSec = sys.env.get("GRAFT_BENCH_CALIB_IDLE")
+      .map(_.toDouble).getOrElse(0.45)
+    def calibClean(sec: Double): Boolean = sec <= 2 * CalibIdleSec
     calibrate() // untimed: pays codegen/JIT for the calibration plan
     val calibStartSec = calibrate()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // A failing query must surface as an error, not as a fast "time" —
-      // an analysis exception fails in ~0.05s and would otherwise read as
-      // a win on the bench board (this is exactly how the round-5 testdata
-      // regression stayed invisible).
+
+    // A failing query must surface as an error, not as a fast "time" —
+    // an analysis exception fails in ~0.05s and would otherwise read as
+    // a win on the bench board (this is exactly how the round-5 testdata
+    // regression stayed invisible).
+    def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 tag: String): Either[String, Double] = {
       var err: Option[String] = None
       val attempts = (1 to 2).map { attempt =>
         val gc0 = gcMillis
@@ -124,12 +137,67 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         val cleanupSec = (System.nanoTime() - t0) / 1e9 - querySec
         if (debug)
-          println(f"[bench] $name%-28s #$attempt ${querySec}%7.2fs  " +
+          println(f"[bench] $name%-28s $tag#$attempt ${querySec}%7.2fs  " +
             f"build=$buildSec%5.2fs  gc=${(gcMillis - gc0) / 1e3}%5.2fs  " +
             f"cleanup=$cleanupSec%5.2fs")
         querySec
       }
-      name -> err.toLeft(attempts.min)
+      err.toLeft(attempts.min)
+    }
+
+    // Interleaved load sentinels: the round-8 driver board was
+    // contaminated by SUSTAINED MID-RUN ambient load (a contiguous
+    // alphabetical stretch ran 4-12x slow) while both ENDPOINT
+    // calibrations read clean — start/end probes bound only the first
+    // and last instants of a 5-25 minute run. So the calibration probe
+    // now also runs every `probeEvery` queries; the full probe series
+    // ships in the board, and ANY breaching probe stamps the board.
+    val probeEvery = sys.env.get("GRAFT_BENCH_PROBE_EVERY")
+      .map(_.toInt).getOrElse(25)
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val firstPass = queryList.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx > 0 && idx % probeEvery == 0) {
+        val p = calibrate()
+        probes += ((idx, p))
+        if (debug) println(f"[bench] calib probe @q$idx: $p%.3fs" +
+          (if (calibClean(p)) "" else "  ** LOAD **"))
+      }
+      (name, fn, idx, runQuery(name, fn, ""))
+    }
+    val calibMidEndSec = calibrate() // probe closing the last window
+    probes += ((queryList.size, calibMidEndSec))
+
+    // Auto-retry of load-contaminated windows: a breaching probe at
+    // index p taints every query between the adjacent probes (the load
+    // was live somewhere inside that window). Retry each tainted query
+    // once, gated on a fresh CLEAN calibration — if the host is still
+    // loaded the retry pass aborts and the board stays load_suspect.
+    // min(original, retry) is sound for the same reason best-of-2 is:
+    // ambient load only ever inflates a measurement.
+    val probePoints = ((0, calibStartSec) +: probes.toSeq).sortBy(_._1)
+    val taintedWindows = probePoints.sliding(2).collect {
+      case Seq((a, pa), (b, pb)) if !calibClean(pa) || !calibClean(pb) =>
+        (a, b)
+    }.toSeq
+    val tainted = taintedWindows.flatMap { case (a, b) => a until b }.toSet
+    var retryAborted = false
+    var retried = 0
+    val results = firstPass.map { case (name, fn, idx, first) =>
+      val finalRes =
+        if (tainted.contains(idx) && !retryAborted) {
+          if (!calibClean(calibrate())) { retryAborted = true; first }
+          else {
+            retried += 1
+            (first, runQuery(name, fn, "retry")) match {
+              case (Right(a), Right(b)) => Right(math.min(a, b))
+              case (Left(_), r @ Right(_)) => r
+              case (f, _) => f
+            }
+          }
+        } else first
+      name -> finalRes
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -144,12 +212,25 @@ object Bench {
     val errs = results.collect { case (k, Left(e)) => (k, e) }
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val calibEndSec = calibrate()
-    val loadSuspect =
-      calibStartSec > 2 * CalibIdleSec || calibEndSec > 2 * CalibIdleSec
+    val anyBreach = !calibClean(calibStartSec) || !calibClean(calibEndSec) ||
+      probes.exists { case (_, p) => !calibClean(p) }
+    // A breach that was fully healed (every tainted query re-timed under
+    // a clean calibration) no longer invalidates the board, but the
+    // probe series and load_recovered stay in the artifact as evidence.
+    val loadRecovered = anyBreach && tainted.nonEmpty && !retryAborted &&
+      calibClean(calibEndSec)
+    val loadSuspect = anyBreach && !loadRecovered
+    val probeJson = probes.toSeq.sortBy(_._1)
+      .map { case (at, p) => f"""{"at":$at,"sec":$p%.3f}""" }
+      .mkString("[", ",", "]")
     val calibJson = f""""warmup_sec":$warmupSec%.2f,""" +
       f""""calib_start_sec":$calibStartSec%.3f,""" +
       f""""calib_end_sec":$calibEndSec%.3f,""" +
       f""""calib_idle_sec":$CalibIdleSec%.3f,""" +
+      s""""calib_probes":$probeJson,""" +
+      s""""probe_every":$probeEvery,""" +
+      s""""retried":$retried,""" +
+      s""""load_recovered":$loadRecovered,""" +
       s""""load_suspect":$loadSuspect"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errs.size},$calibJson,"queries":$qs,"sf":"$sfDir"}""")
     if (loadSuspect)
