@@ -1,5 +1,7 @@
 package graft.store
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Manifest-versioned parquet store: snapshot isolation + time travel
@@ -8,20 +10,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout under `root`:
   * {{{
   *   data/<commit-uuid>/part-*.parquet   -- immutable once written
-  *   manifest-v<N>.json                  -- {"version",N files...}
+  *   manifest-v<N>.json                  -- {"version",N "writer",id files...}
   * }}}
   *
   * A table VERSION is a manifest: the explicit list of data files that
-  * make up that snapshot. Commit protocol: (1) write the batch's
-  * parquet files into a fresh `data/<uuid>/` directory; (2) compose the
-  * new manifest = parent manifest's files + the new files; (3) write it
-  * to a temp name and ATOMIC-RENAME it to `manifest-v<N>.json`. The
-  * rename is the only visibility event — a crash before it leaves
-  * orphaned data files (harmless, GC-able) but NEVER a torn table, and
-  * readers that pinned version k keep a consistent file list forever
-  * (files are immutable and never deleted by commits). This is the
-  * core argument of every lakehouse log (Delta/Iceberg): correctness
-  * lives in one atomic metadata operation, not in the data path.
+  * make up that snapshot, stored ROOT-RELATIVE (`data/<uuid>/part-…`)
+  * so the table can be reached through any alias of its root — symlink,
+  * bind mount, relocated directory, `file://` URI vs bare path — and
+  * vacuum's reachability arithmetic never depends on how a caller
+  * spelled the root (Delta/Iceberg store relative paths for the same
+  * reason). Commit protocol: (1) write the batch's parquet files into a
+  * fresh `data/<uuid>/` directory; (2) compose the new manifest =
+  * parent manifest's files + the new files; (3) publish it atomically
+  * as `manifest-v<N>.json`. Publication is the only visibility event —
+  * a crash before it leaves orphaned data files (harmless, GC-able) but
+  * NEVER a torn table, and readers that pinned version k keep a
+  * consistent file list forever (files are immutable and never deleted
+  * by commits). This is the core argument of every lakehouse log
+  * (Delta/Iceberg): correctness lives in one atomic metadata operation,
+  * not in the data path.
+  *
+  * Concurrency is OPTIMISTIC, not single-writer: each writer publishes
+  * under a create-exclusive primitive, so two writers racing the same
+  * version number cannot silently overwrite each other — the loser
+  * detects the collision and retries on top of the winner's commit
+  * (its staged data files are re-listed in the retried manifest, so
+  * no committed row is ever lost). On a POSIX `file://` store the
+  * exclusive publish is a hard link (link(2) is atomic and fails with
+  * EEXIST); on HDFS-like stores it is `FileSystem.rename`, whose
+  * contract fails when the destination exists, followed by a re-read
+  * of the published manifest's writer token as a second check. Object
+  * stores without atomic rename (S3) need a conditional-put or a
+  * commit-coordination service for this step — the documented caveat
+  * of every rename-based lakehouse log; everything else here (data
+  * writes, pinned reads, vacuum set arithmetic) is already safe on
+  * eventually-renamed stores because data files are immutable and
+  * manifests are the only mutation point.
   *
   * Why it matters at 100 TB: readers never LIST the data directory —
   * the manifest IS the listing, so planning cost tracks the manifest
@@ -29,76 +53,164 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * of files; appends cost O(delta) with zero read-side disruption; and
   * time travel / reproducible training runs are "pin version k" — the
   * exact corpus a model trained on is re-readable verbatim while
-  * ingest keeps committing. Concurrency: single-writer (version
-  * numbers race otherwise) — the standard lakehouse assumption absent
-  * a coordination service; readers are lock-free at any version.
+  * ingest keeps committing.
   *
-  * Scala-side I/O is driver-only and manifest-sized; the data path is
-  * ordinary `spark.read.parquet(files*)`, so pushdown, pruning and
-  * split planning are unchanged. */
+  * All metadata I/O goes through `org.apache.hadoop.fs.FileSystem`, so
+  * a root of `/local/path`, `file:///…` or `hdfs://nn/…` behaves
+  * identically; the data path is ordinary `spark.read.parquet(files*)`,
+  * so pushdown, pruning and split planning are unchanged. Driver-side
+  * work is manifest-sized. */
 object Versioned {
 
-  private def fs(root: String) = new java.io.File(root)
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 
-  private def manifestFile(root: String, v: Long) =
-    new java.io.File(fs(root), s"manifest-v$v.json")
+  /** FileSystem handle + fully-qualified root path for any scheme. */
+  private def fsRoot(root: String): (FileSystem, Path) = {
+    val raw = new Path(root)
+    val fs = raw.getFileSystem(hadoopConf)
+    (fs, fs.makeQualified(raw))
+  }
+
+  private def manifestPath(rootPath: Path, v: Long): Path =
+    new Path(rootPath, s"manifest-v$v.json")
 
   /** Highest committed version at `root`, or 0 if none. */
   def latestVersion(root: String): Long = {
-    val names = Option(fs(root).list()).getOrElse(Array.empty[String])
-    val vs = names.collect {
+    val (fs, rootPath) = fsRoot(root)
+    if (!fs.exists(rootPath)) return 0L
+    val vs = fs.listStatus(rootPath).toSeq.map(_.getPath.getName).collect {
       case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
         n.stripPrefix("manifest-v").stripSuffix(".json").toLong
     }
     if (vs.isEmpty) 0L else vs.max
   }
 
-  private def readManifest(root: String, v: Long): Seq[String] = {
-    val src = scala.io.Source.fromFile(manifestFile(root, v), "UTF-8")
-    try {
-      // one quoted file path per line between header and footer — no
-      // JSON parser dependency needed for a list-of-strings manifest
-      src.getLines().map(_.trim).filter(_.startsWith("\""))
-        .map(_.stripPrefix("\"").stripSuffix(",").stripSuffix("\""))
-        .toList
-    } finally src.close()
+  /** (writer token, root-relative file list) of manifest v. Pre-r9
+    * manifests carried absolute paths; [[resolve]] accepts both. */
+  private def readManifest(fs: FileSystem, rootPath: Path, v: Long)
+      : (String, Seq[String]) = {
+    val in = fs.open(manifestPath(rootPath, v))
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val writer = "\"writer\":\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    // one quoted file path per line between header and footer — no
+    // JSON parser dependency needed for a list-of-strings manifest
+    val files = text.linesIterator.map(_.trim).filter(_.startsWith("\""))
+      .filterNot(_.startsWith("\"writer\""))
+      .map(_.stripPrefix("\"").stripSuffix(",").stripSuffix("\"")).toList
+    (writer, files)
   }
 
-  private def writeManifest(root: String, v: Long,
-                            files: Seq[String]): Unit = {
-    val tmp = java.io.File.createTempFile(s"manifest-v$v", ".tmp",
-      fs(root))
-    val body = (s"""{"version": $v, "files": [""" ::
-      files.map("\"" + _ + "\"" + ",").toList).mkString("\n")
-        .stripSuffix(",") + "\n]}"
-    java.nio.file.Files.write(tmp.toPath,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // atomic rename = the commit point
-    java.nio.file.Files.move(tmp.toPath, manifestFile(root, v).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  private def resolve(rootPath: Path, f: String): Path =
+    if (f.contains("://") || f.startsWith("/")) new Path(f)
+    else new Path(rootPath, f)
+
+  private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  private def commit(df: DataFrame, root: String,
-                     baseOf: Long => Seq[String]): Long = {
-    fs(root).mkdirs()
-    val parent = latestVersion(root)
-    val base = if (parent == 0L) Nil else baseOf(parent)
-    val dir = new java.io.File(new java.io.File(fs(root), "data"),
-      java.util.UUID.randomUUID().toString)
-    df.write.parquet(dir.getAbsolutePath)
-    val added = Option(dir.listFiles()).getOrElse(Array.empty)
-      .collect { case f if f.getName.endsWith(".parquet") =>
-        f.getAbsolutePath }.sorted.toSeq
-    writeManifest(root, parent + 1, base ++ added)
-    parent + 1
+  /** Atomically publish a fully-written `tmp` as `target`, failing —
+    * never replacing — if `target` already exists. Returns true on
+    * success, false on a detected version collision. */
+  private def publishExclusive(fs: FileSystem, tmp: Path, target: Path,
+                               writer: String, rootPath: Path,
+                               v: Long): Boolean = {
+    val won =
+      if ("file".equalsIgnoreCase(target.toUri.getScheme)) {
+        // POSIX link(2) is atomic create-exclusive: the one primitive a
+        // local FS gives us where rename(2) silently REPLACES.
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false); false
+        }
+      } else {
+        // HDFS-contract rename fails when the destination exists.
+        val renamed =
+          try fs.rename(tmp, target)
+          catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            false }
+        if (!renamed) { fs.delete(tmp, false); false } else true
+      }
+    // Second check: re-read the published manifest's writer token. On a
+    // store whose rename is not strictly exclusive, a racer may have
+    // replaced us between publish and here — treat that as a loss and
+    // retry rather than silently orphaning the other writer's commit.
+    won && readManifest(fs, rootPath, v)._1 == writer
+  }
+
+  /** Stage `df`'s parquet files into a fresh `data/<uuid>/` directory;
+    * returns their root-relative paths. Nothing is visible until
+    * [[commitFiles]] publishes a manifest listing them. */
+  private[store] def stage(df: DataFrame, root: String): Seq[String] = {
+    val (fs, rootPath) = fsRoot(root)
+    fs.mkdirs(rootPath)
+    val uuid = java.util.UUID.randomUUID().toString
+    val dir = new Path(new Path(rootPath, "data"), uuid)
+    df.write.parquet(dir.toString)
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.endsWith(".parquet") => s"data/$uuid/$n" }
+      .sorted
+  }
+
+  /** Metadata-only commit step: publish `added` (root-relative paths)
+    * as the next version, retrying on version collisions. `beforePublish`
+    * is a test seam fired between manifest composition and publication —
+    * the window a racing writer exploits. */
+  private[store] def commitFiles(root: String, added: Seq[String],
+                                 appendBase: Boolean,
+                                 beforePublish: Long => Unit = _ => ())
+      : Long = {
+    require(added.nonEmpty,
+      s"refusing to commit an empty batch to $root: the staged write " +
+        "produced no parquet files and a version listing no files is " +
+        "unreadable (filter empty micro-batches out before committing)")
+    val (fs, rootPath) = fsRoot(root)
+    val writer = java.util.UUID.randomUUID().toString
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val parent = latestVersion(root)
+      val base =
+        if (!appendBase || parent == 0L) Nil
+        else readManifest(fs, rootPath, parent)._2
+      val v = parent + 1
+      val body = (s"""{"version": $v, "writer": "$writer", "files": [""" ::
+        (base ++ added).map("\"" + _ + "\"" + ",").toList).mkString("\n")
+          .stripSuffix(",") + "\n]}"
+      val tmp = new Path(rootPath, s".manifest-v$v-$writer.tmp")
+      writeFile(fs, tmp, body)
+      beforePublish(v)
+      if (publishExclusive(fs, tmp, manifestPath(rootPath, v), writer,
+          rootPath, v))
+        return v
+      // lost the race: another writer published this version first —
+      // recompose on top of THEIR manifest and try the next number
+    }
+    throw new IllegalStateException(
+      s"gave up committing to $root after 20 version-collision retries")
   }
 
   /** Append-commit `df` as the next version; returns the new version
     * number. The parquet write lands in an isolated `data/<uuid>/`
-    * directory first; the table only advances when the manifest rename
-    * succeeds. */
+    * directory first; the table only advances when the manifest
+    * publishes. Safe under concurrent writers (optimistic retry). */
   def commitAppend(df: DataFrame, root: String): Long =
-    commit(df, root, readManifest(root, _))
+    commitFiles(root, stage(df, root), appendBase = true)
 
   /** Overwrite-commit: the new version's manifest lists ONLY this
     * batch's files — the compaction / full-rewrite commit. Older
@@ -106,18 +218,21 @@ object Versioned {
     * [[vacuum]] retires them; this is what makes history reclaimable
     * in an otherwise append-only store. */
   def commitOverwrite(df: DataFrame, root: String): Long =
-    commit(df, root, _ => Nil)
+    commitFiles(root, stage(df, root), appendBase = false)
 
   /** Read the snapshot at `version` (latest when 0) — exactly the
     * manifest's files, never a directory listing, so concurrent
     * commits and orphaned half-written data are invisible. */
   def read(spark: SparkSession, root: String, version: Long = 0L)
       : DataFrame = {
+    val (fs, rootPath) = fsRoot(root)
     val v = if (version == 0L) latestVersion(root) else version
-    require(v > 0 && manifestFile(root, v).exists(),
+    require(v > 0 && fs.exists(manifestPath(rootPath, v)),
       s"no committed version $v at $root")
-    val files = readManifest(root, v)
-    spark.read.parquet(files: _*)
+    val files = readManifest(fs, rootPath, v)._2
+    require(files.nonEmpty,
+      s"version $v at $root lists no data files - corrupt or empty commit")
+    spark.read.parquet(files.map(resolve(rootPath, _).toString): _*)
   }
 
   /** Garbage-collect history: retire versions < `keepFrom` and delete
@@ -129,36 +244,51 @@ object Versioned {
     * (all files on disk) − (union of retained manifests' files), so a
     * file shared by a retired and a retained version survives — append
     * manifests overlap heavily, and this is why vacuum reclaims only
-    * what NO retained snapshot can ever read. Retired manifest files
-    * are removed after the data sweep; reads at retained versions are
-    * byte-identical before/after (VersionedSpec pins it). Driver-side
-    * and manifest-sized, like every other metadata op here; production
-    * note: run under the same single-writer lock as commits, and age-
-    * guard orphans if writers can be mid-commit (the replay harness is
-    * single-threaded, so the sweep here is unconditional). */
+    * what NO retained snapshot can ever read. Both sides of the
+    * comparison are ROOT-RELATIVE paths derived from the same qualified
+    * root handle, so aliased spellings of the root (symlinks, //,
+    * `file://` vs bare) can never empty the keep set and over-delete.
+    * Retired manifest files are removed after the data sweep; reads at
+    * retained versions are byte-identical before/after (VersionedSpec
+    * pins it). Driver-side and manifest-sized, like every other
+    * metadata op here; production note: run under the same writer
+    * identity as commits, and age-guard orphans if writers can be
+    * mid-commit (the replay harness is single-threaded, so the sweep
+    * here is unconditional). */
   def vacuum(root: String, keepFrom: Long): (Long, Long) = {
+    val (fs, rootPath) = fsRoot(root)
     val latest = latestVersion(root)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom $keepFrom outside committed range 1..$latest")
-    val keep = (keepFrom to latest)
-      .flatMap(v => readManifest(root, v)).toSet
-    val dataDir = new java.io.File(fs(root), "data")
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    val (nDel, bytes) = walk(dataDir)
-      .filter(f => !keep.contains(f.getAbsolutePath))
-      .foldLeft((0L, 0L)) { case ((n, b), f) =>
-        val sz = f.length()
-        if (f.delete()) (n + 1, b + sz) else (n, b)
+    val rootPrefix = rootPath.toString + "/"
+    def rel(p: Path): String =
+      fs.makeQualified(p).toString.stripPrefix(rootPrefix)
+    val keep = (keepFrom to latest).flatMap { v =>
+      readManifest(fs, rootPath, v)._2.map { f =>
+        if (f.contains("://") || f.startsWith("/")) rel(new Path(f)) else f
       }
-    // drop now-empty commit directories, then the retired manifests
-    Option(dataDir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory &&
-        Option(d.listFiles()).forall(_.isEmpty))
-      .foreach(_.delete())
-    (1L until keepFrom).map(manifestFile(root, _)).foreach(_.delete())
+    }.toSet
+    val dataDir = new Path(rootPath, "data")
+    var nDel = 0L
+    var bytes = 0L
+    if (fs.exists(dataDir)) {
+      val onDisk = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (!keep.contains(rel(st.getPath)))
+          onDisk += ((st.getPath, st.getLen))
+      }
+      onDisk.foreach { case (p, sz) =>
+        if (fs.delete(p, false)) { nDel += 1; bytes += sz }
+      }
+      // drop now-empty commit directories, then the retired manifests
+      fs.listStatus(dataDir).filter(_.isDirectory)
+        .filter(d => fs.listStatus(d.getPath).isEmpty)
+        .foreach(d => fs.delete(d.getPath, false))
+    }
+    (1L until keepFrom)
+      .foreach(v => fs.delete(manifestPath(rootPath, v), false))
     (nDel, bytes)
   }
 }

@@ -83,6 +83,97 @@ class VersionedSpec extends SparkSpec {
       .collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("racing commits: loser detects the collision and retries on the " +
+      "new parent; both batches survive, versions stay linear") {
+    val root = freshRoot()
+    val filesA = Versioned.stage(Seq((1L, "a")).toDF("k", "s"), root)
+    val filesB = Versioned.stage(Seq((2L, "b")).toDF("k", "s"), root)
+    // Writer A composes manifest-v1, and in the window between
+    // composition and publication writer B commits v1 first — the
+    // exact interleave a naive replace-rename silently loses.
+    var fired = false
+    val vA = Versioned.commitFiles(root, filesA, appendBase = true,
+      beforePublish = _ => {
+        if (!fired) {
+          fired = true
+          assert(Versioned.commitFiles(root, filesB,
+            appendBase = true) == 1L)
+        }
+      })
+    assert(vA == 2L) // A lost v1, retried on top of B's commit
+    assert(Versioned.latestVersion(root) == 2L)
+    // v1 is B alone; v2 is B's base plus A's re-listed files — no
+    // committed row was orphaned by the race
+    assert(Versioned.read(spark, root, 1).as[(Long, String)]
+      .collect().toSet == Set((2L, "b")))
+    assert(Versioned.read(spark, root, 2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("concurrent threaded commits all land, versions linear") {
+    val root = freshRoot()
+    val dfs = (1 to 4).map(i => Seq((i.toLong, s"w$i")).toDF("k", "s"))
+    val threads = dfs.map { df =>
+      new Thread(() => { Versioned.commitAppend(df, root); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Versioned.latestVersion(root) == 4L)
+    assert(Versioned.read(spark, root).as[(Long, String)]
+      .collect().toSet ==
+      (1 to 4).map(i => (i.toLong, s"w$i")).toSet)
+  }
+
+  test("empty batches: a 0-row parquet commit stays readable; a " +
+      "file-less commit is rejected loudly") {
+    val root = freshRoot()
+    // Spark's writer emits a schema-bearing 0-row part file for an
+    // empty DF, so this commit is benign and the version readable
+    val empty = Seq((1L, "a")).toDF("k", "s").filter("k < 0")
+    val v1 = Versioned.commitAppend(empty, root)
+    assert(Versioned.read(spark, root, v1).count() == 0)
+    // a write that produced NO parquet files (e.g. only _SUCCESS) would
+    // brick the version with an uninferable schema — rejected at commit
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commitFiles(root, Nil, appendBase = true)
+    }
+    assert(e.getMessage.contains("empty batch"))
+    assert(Versioned.latestVersion(root) == v1)
+  }
+
+  test("file:// scheme root works end-to-end through the FileSystem API") {
+    val dir = freshRoot()
+    val root = "file://" + dir
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    val v2 = Versioned.commitAppend(Seq((2L, "b")).toDF("k", "s"), root)
+    assert(Versioned.read(spark, root, v2).count() == 2)
+    // the same table is reachable through the bare-path spelling too
+    assert(Versioned.read(spark, dir, v2).count() == 2)
+    val (nDel, _) = Versioned.vacuum(root, v2)
+    assert(Versioned.read(spark, dir, v2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("manifests are root-relative; vacuum through an aliased root " +
+      "spelling deletes nothing a retained manifest reaches") {
+    val dir = freshRoot()
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), dir)
+    val v2 = Versioned.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    // manifest carries no absolute paths (nothing mentions the root)
+    val m = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, s"manifest-v$v2.json")), "UTF-8")
+    assert(!m.contains(dir), "manifest should store root-relative paths")
+    assert(m.contains("data/"))
+    // vacuum via a SYMLINK alias of the root: with absolute-path
+    // manifests the keep set matches nothing and this deletes the
+    // whole table; with relative paths it is alias-proof
+    val alias = java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir + "_alias"),
+      java.nio.file.Paths.get(dir)).toString
+    Versioned.vacuum(alias, v2)
+    assert(Versioned.read(spark, dir, v2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("read of an uncommitted version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
