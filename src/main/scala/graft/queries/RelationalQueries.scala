@@ -935,8 +935,7 @@ object RelationalQueries {
     // verbatim while ingest keeps committing.
     QuerySpec("q212_versioned_time_travel",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_versioned").toString
+        val root = graft.util.TempDirs.scratch("graft_versioned")
         val ordersOf = (lo: String, hi: String) =>
           Tables.orders(s, dir)
             .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
@@ -988,8 +987,7 @@ object RelationalQueries {
     // (disk − union(retained files)), never bookkeeping.
     QuerySpec("q213_versioned_vacuum",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_vacuum").toString
+        val root = graft.util.TempDirs.scratch("graft_vacuum")
         val ordersOf = (lo: String, hi: String) =>
           Tables.orders(s, dir)
             .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&

@@ -122,9 +122,8 @@ object Streams {
       build: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery)
       : DataFrame = {
     val spark = reals.head.sparkSession
-    val stage = java.nio.file.Files.createTempDirectory("replay_stage")
-    val outDir = java.nio.file.Files
-      .createTempDirectory("replay_out").toString
+    val stage = java.nio.file.Paths.get(graft.util.TempDirs.scratch("replay_stage"))
+    val outDir = graft.util.TempDirs.scratch("replay_out")
 
     // A streaming query's stateful-operator partition count is frozen
     // from spark.sql.shuffle.partitions at query start (AQE never
@@ -135,7 +134,7 @@ object Streams {
     // production the state partition count is sized to key cardinality ×
     // throughput, not inherited from the batch default — same principle.
     def addFile(df: DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("replay_add")
+      val tmp = java.nio.file.Paths.get(graft.util.TempDirs.scratch("replay_add"))
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator()
       var moved = false
@@ -172,7 +171,7 @@ object Streams {
   }
 
   private def ckptDir(): String =
-    java.nio.file.Files.createTempDirectory("replay_ckpt").toString
+    graft.util.TempDirs.scratch("replay_ckpt")
 
   def sessionizeReplay(events: DataFrame, gapUs: Long): DataFrame = {
     val spark = events.sparkSession
@@ -279,13 +278,11 @@ object Streams {
         .select(timestamp_micros(col("us")).as("ts"),
           lit("__sentinel").as("event_type"))
 
-    val stage = java.nio.file.Files.createTempDirectory("restart_stage")
-    val outDir = java.nio.file.Files
-      .createTempDirectory("restart_out").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("restart_ckpt").toString
+    val stage = java.nio.file.Paths.get(graft.util.TempDirs.scratch("restart_stage"))
+    val outDir = graft.util.TempDirs.scratch("restart_out")
+    val ckpt = graft.util.TempDirs.scratch("restart_ckpt")
     def addFile(df: DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("restart_add")
+      val tmp = java.nio.file.Paths.get(graft.util.TempDirs.scratch("restart_add"))
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator()
       var moved = false

@@ -665,8 +665,7 @@ object ScaleCanary {
     // protocol (the data path is ordinary parquet I/O measured
     // everywhere else).
     val verN = time("versioned store (60 commits)") {
-      val root = java.nio.file.Files
-        .createTempDirectory("canary_versioned").toString
+      val root = graft.util.TempDirs.scratch("canary_versioned")
       (1 to 60).foreach { i =>
         graft.store.Versioned.commitAppend(
           spark.range((i - 1) * 1000L, i * 1000L)
