@@ -282,6 +282,101 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Stage the STORED admission index: the corpus's LSH band table and
+    * exact-verify shingle-array sidecar written once as bucketed
+    * external tables — `(bkey = band:sig, y)` bucketed+sorted on `bkey`
+    * and `(y, arr_y, sz_y)` bucketed+sorted on `y` — then re-registered
+    * from their paths on later sessions (the staleness marker is the
+    * source table's mtime, the q205 warm-snapshot discipline). This is
+    * the production handoff [[incrementalNearDups]] footnotes: between
+    * ingest cycles the index LIVES as a table, and an arriving delta's
+    * probe join satisfies its distribution from the file layout — the
+    * only exchange in the timed plan is the delta-sized one. Returns
+    * the (band table, sidecar table) catalog names. */
+  def stageAdmissionIndex(oldDocs: DataFrame, tag: String,
+                          sourceMtime: Long, shingleN: Int = 3,
+                          numHashes: Int = 12, rowsPerBand: Int = 3,
+                          buckets: Int = 16): (String, String) = {
+    val spark = oldDocs.sparkSession
+    val root = s"/tmp/graft_admission_$tag"
+    val bandsT = s"graft_adm_bands_$tag"
+    val arrsT = s"graft_adm_arrs_$tag"
+    val marker = new java.io.File(root, "_STAGED")
+    if (!marker.exists() || marker.lastModified() < sourceMtime) {
+      graft.store.Bucketing.drop(spark, bandsT)
+      graft.store.Bucketing.drop(spark, arrsT)
+      // (band, sig) fused into ONE bucket key: Spark only co-partitions
+      // a join from a bucketed layout when the bucket columns cover ALL
+      // join keys (requireAllClusterKeysForCoPartition), so a composite
+      // key bucketed on its sig half alone reads "Bucketed: false
+      // (disabled by query planner)" and shuffles corpus-side anyway.
+      // bkey equality ⟺ (band, sig) equality (':' is unambiguous).
+      val bands = lshBandsWide(
+          minHashesRowwise(oldDocs, shingleN, numHashes),
+          rowsPerBand, numHashes, "doc_id")
+        .select(concat_ws(":", col("band"), col("sig")).as("bkey"),
+          col("doc_id").as("y"))
+      graft.store.Bucketing.writeBucketed(bands, bandsT,
+        s"$root/bands", "bkey", buckets)
+      val arrs = shingleArrays(oldDocs, shingleN)
+        .select(col("doc_id").as("y"), col("sharr").as("arr_y"),
+          col("sz").as("sz_y"))
+      graft.store.Bucketing.writeBucketed(arrs, arrsT,
+        s"$root/arrs", "y", buckets)
+      new java.io.File(root).mkdirs()
+      marker.createNewFile()
+      marker.setLastModified(System.currentTimeMillis())
+    } else {
+      // staged data is fresh on disk but this session's catalog (the
+      // default in-memory one) has never seen it: re-register the
+      // bucket spec over the existing files — metadata-only
+      if (!spark.catalog.tableExists(bandsT))
+        spark.sql(s"""CREATE TABLE $bandsT (bkey STRING, y BIGINT)
+          USING parquet CLUSTERED BY (bkey) SORTED BY (bkey)
+          INTO $buckets BUCKETS LOCATION '$root/bands'""")
+      if (!spark.catalog.tableExists(arrsT))
+        spark.sql(s"""CREATE TABLE $arrsT (y BIGINT,
+          arr_y ARRAY<STRING>, sz_y INT) USING parquet
+          CLUSTERED BY (y) SORTED BY (y)
+          INTO $buckets BUCKETS LOCATION '$root/arrs'""")
+    }
+    (bandsT, arrsT)
+  }
+
+  /** Probe-only admission plan against a STORED index (the timed path
+    * of stored-index streaming admission): band the arriving docs
+    * statelessly (rowwise minhash, zero shuffle), equi-join the band
+    * table on (band, sig) — the index side reads its distribution from
+    * the bucket layout, no corpus-sized exchange — and exact-verify
+    * candidates per-row against the bucketed shingle sidecar. Output =
+    * (a, b, jaccard ≥ threshold) pairs with a < b, exactly the
+    * old×delta half of [[incrementalNearDups]]. */
+  def probeAdmissionIndex(bandIndex: DataFrame, arrSidecar: DataFrame,
+                          delta: DataFrame, shingleN: Int = 3,
+                          numHashes: Int = 12, rowsPerBand: Int = 3,
+                          threshold: Double = 0.5): DataFrame = {
+    val arr = array_distinct(
+      graft.text.Analyzer.shingles(col("text"), shingleN))
+    val staged = delta.select(col("doc_id"), arr.as("sharr"),
+      size(arr).as("sz"), col("text"))
+    val bands = lshBandsWide(
+      minHashesRowwise(staged, shingleN, numHashes,
+        carry = Seq("sharr", "sz")),
+      rowsPerBand, numHashes, "doc_id", carry = Seq("sharr", "sz"))
+      .select(col("doc_id"), col("sharr"), col("sz"),
+        concat_ws(":", col("band"), col("sig")).as("bkey"))
+    bands
+      .join(bandIndex, Seq("bkey"))
+      .join(arrSidecar, Seq("y"))
+      .withColumn("inter", size(array_intersect(col("sharr"),
+        col("arr_y"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz") + col("sz_y") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("doc_id"), col("y")).as("a"),
+        greatest(col("doc_id"), col("y")).as("b"), col("jaccard"))
+  }
+
   /** SimHash fingerprints (60-bit): per-bit majority over token hashes
     * weighted by term frequency. Output: (id, simhash).
     *

@@ -710,6 +710,41 @@ object DedupQueries {
         WHERE jaccard >= 0.5
           AND ((a >= 100000 OR a % 13 = 3)
                <> (b >= 100000 OR b % 13 = 3))
+        ORDER BY a, b""")),
+
+    // Stored-index streaming admission: q211 with the index handoff
+    // closed. The corpus's band table + shingle sidecar are staged ONCE
+    // as bucketed external tables (mtime-guarded; metadata-only
+    // re-registration on later sessions) and the arriving micro-batches
+    // probe THOSE — the timed plan is probe-only, its index side reads
+    // distribution from the bucket layout (PlanSpec pins the probe
+    // exchange-free on the index side), and the only shuffle is
+    // delta-sized. Same oracle contract as q211: the old×delta slice
+    // of the full MinHash CTE chain — the stored handoff loses nothing
+    // against the in-query index build.
+    QuerySpec("q215_stored_admission",
+      (s, dir) => {
+        val aug = augmented(s, dir)
+        val isDelta =
+          col("doc_id") >= 100000 || col("doc_id") % 13 === 3
+        graft.streaming.Streams.nearDupAdmissionStoredReplay(
+            aug.filter(!isDelta), aug.filter(isDelta),
+            tag = math.abs(dir.hashCode).toString,
+            sourceMtime = new java.io.File(s"$dir/documents.parquet")
+              .lastModified(),
+            shingleN = 3, numHashes = 12, rowsPerBand = 3,
+            threshold = 0.5)
+          .select(col("a"), col("b"), Exact.micros(col("jaccard"))
+            .as("jaccard_micros"))
+          .orderBy("a", "b")
+      },
+      Some(s"""
+        WITH $MinhashPairCtes
+        SELECT a, b, ${Exact.microsSql("jaccard")} AS jaccard_micros
+        FROM scored
+        WHERE jaccard >= 0.5
+          AND ((a >= 100000 OR a % 13 = 3)
+               <> (b >= 100000 OR b % 13 = 3))
         ORDER BY a, b"""))
   )
 }

@@ -675,6 +675,50 @@ object Streams {
     out
   }
 
+  /** Stored-index streaming admission — [[nearDupAdmissionReplay]] with
+    * the index handoff CLOSED: the corpus's band table and shingle-array
+    * sidecar are staged ONCE as bucketed external tables
+    * ([[graft.dedup.Dedup.stageAdmissionIndex]], q205's warm-snapshot
+    * discipline: mtime-guarded, re-registered metadata-only on later
+    * sessions) and every micro-batch probes THOSE — so the timed plan is
+    * probe-only: band the arrivals statelessly, equi-join the stored
+    * band table on (band, sig) with the index side's distribution read
+    * from the bucket layout (no corpus-sized exchange anywhere), and
+    * exact-verify against the bucketed sidecar. This is the production
+    * ingest gate at 100 TB: the corpus is banded once at rest, arrival
+    * cost tracks the delta, and the probe's only shuffle is
+    * delta-sized. Output contract identical to
+    * [[nearDupAdmissionReplay]] (the old×delta slice). */
+  def nearDupAdmissionStoredReplay(oldDocs: DataFrame,
+                                   deltaDocs: DataFrame, tag: String,
+                                   sourceMtime: Long, shingleN: Int = 3,
+                                   numHashes: Int = 12,
+                                   rowsPerBand: Int = 3,
+                                   threshold: Double = 0.5): DataFrame = {
+    import graft.dedup.Dedup
+    val spark = oldDocs.sparkSession
+    import spark.implicits._
+    val (bandsT, arrsT) = Dedup.stageAdmissionIndex(oldDocs, tag,
+      sourceMtime, shingleN, numHashes, rowsPerBand)
+    val index = spark.table(bandsT)
+    val arrs = spark.table(arrsT)
+    val halves = (0 to 1).map(h =>
+      deltaDocs.filter(pmod(col("doc_id"), lit(2L)) === h))
+    def sentinel(n: Int): DataFrame =
+      Seq((-n.toLong, "")).toDF("doc_id", "text")
+    replayBatches(halves, sentinel, "doc_id BIGINT, text STRING",
+      (src, outDir) =>
+        Dedup.probeAdmissionIndex(index, arrs, src, shingleN,
+            numHashes, rowsPerBand, threshold)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.distinct().write.mode("append").parquet(outDir)
+          }
+          .start())
+  }
+
   /** Batch ≡ stream parity for `mapGroupsWithState` (q142): a per-user
     * running aggregate (event count, exact-cents value sum, last event
     * time) carried as explicit GroupState across two REAL micro-batches

@@ -357,6 +357,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stored admission probe: no exchange above either stored-index " +
+    "scan — the only shuffles are delta-sized") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val (bandsT, arrsT) = graft.dedup.Dedup.stageAdmissionIndex(
+      docs.filter(col("doc_id") % 13 =!= 3), tag = "planspec",
+      sourceMtime = Long.MaxValue) // always restage: tiny at sf0.001
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // model the 100 TB case: the delta is NOT broadcastable and AQE
+      // can't collapse the test-scale plan — the layout must carry it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = graft.dedup.Dedup.probeAdmissionIndex(
+        spark.table(bandsT), spark.table(arrsT),
+        docs.filter(col("doc_id") % 13 === 3))
+      val plan = probe.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def scans(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case s: FileSourceScanExec => s }
+      def isIndex(s: FileSourceScanExec) = s.relation.location
+        .rootPaths.exists(_.toString.contains("graft_admission"))
+      assert(scans(plan).count(isIndex) == 2,
+        s"expected band + sidecar scans:\n${plan.toString.take(3000)}")
+      // an exchange whose subtree is PURELY an index scan re-shuffles
+      // the corpus-sized side — the violation; shuffles over mixed
+      // subtrees are the delta-sized candidate stream and are expected
+      val shuffledIndex = plan.collect {
+        case e: ShuffleExchangeExec
+          if scans(e.child).nonEmpty && scans(e.child).forall(isIndex) =>
+          e
+      }
+      assert(shuffledIndex.isEmpty,
+        s"stored index must satisfy distribution from the bucket " +
+          s"layout:\n${plan.toString.take(3000)}")
+      assert(plan.toString.contains("Bucketed: true"),
+        plan.toString.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("bucketed append keeps the join exchange-free (sorts allowed — " +
     "multi-file buckets until compaction)") {
     SparkEntry.queries("q203_bucketed_append")(spark, dir).collect()
