@@ -103,6 +103,32 @@ object Ivf {
     Index(index.assignments.unionByName(
       assign(delta, index.centroids, idCol, vecCol)), index.centroids)
 
+  /** Centroid refresh — the retraining half of the IVF production
+    * cycle ([[append]] is the accumulation half): one Lloyd round over
+    * the CURRENT assignment of the grown corpus — each cluster's new
+    * centroid is the element-wise mean of its members, then the whole
+    * corpus reassigns to the refreshed quantizer. Swapped in through
+    * the versioned store (q216): old probes stay servable at the
+    * pinned pre-refresh version while new probes rank against the
+    * refreshed centroids — retraining never blocks serving. Cost is
+    * one corpus pass for the means + one for reassignment; run it when
+    * [[append]] drift warrants, not per batch. */
+  def refresh(index: Index, idCol: String = "vec_id",
+              vecCol: String = "embedding"): Index = {
+    val newCents = index.assignments
+      .select(col("cluster"),
+        posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("cluster", "i")
+      .agg(avg("x").as("m"))
+      .groupBy("cluster")
+      .agg(transform(
+        sort_array(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+      .localCheckpoint() // tiny: k rows, eager
+    Index(assign(index.assignments.select(col(idCol), col(vecCol)),
+      newCents, idCol, vecCol), newCents)
+  }
+
   /** Approximate top-k by cosine: scan only the `nprobe` clusters whose
     * centroids are closest to the query. */
   def topK(index: Index, query: Seq[Float], k: Int, nprobe: Int = 2,

@@ -190,6 +190,106 @@ object MlQueries {
         ORDER BY ${cosSql("a.embedding", "q.qv")} DESC, a.vec_id
         LIMIT 10""")),
 
+    // IVF centroid-refresh cycle — closes the production loop q214's
+    // frozen quantizer leaves open, composing q212 (versioned commits)
+    // with q214 (append): the grown corpus's index (old + delta on the
+    // frozen quantizer) is committed as VERSION 1 of a versioned store,
+    // then RETRAINED — one Lloyd round over the grown corpus: new
+    // centroid = element-wise member mean, full reassignment — and the
+    // refreshed index is committed as VERSION 2. The probe phases prove
+    // the swap discipline: a probe pinned to version 1 AFTER the
+    // refresh commit returns exactly the pre-refresh ranking (old
+    // probes stay servable while retraining lands), and the version-2
+    // probe ranks against the refreshed quantizer (both its nprobe
+    // cluster choice and its candidate sets move). Oracle replays both
+    // chains: q214's assignment probe verbatim for phase 1, and the
+    // mean → reassign → probe chain for phase 2.
+    QuerySpec("q216_ivf_refresh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cluster"),
+            transform(col("embedding"), _.cast("double")).as("centroid"))
+        val isDelta = col("vec_id") % 7 === 2
+        val grown = graft.ml.Ivf.append(
+          graft.ml.Ivf.Index(
+            graft.ml.Ivf.assign(emb.filter(!isDelta), cents), cents),
+          emb.filter(isDelta))
+        val aroot = graft.util.TempDirs.scratch("ivf_assign")
+        val croot = graft.util.TempDirs.scratch("ivf_cents")
+        graft.store.Versioned.commitAppend(grown.assignments, aroot)
+        graft.store.Versioned.commitAppend(grown.centroids, croot)
+        val refreshed = graft.ml.Ivf.refresh(graft.ml.Ivf.Index(
+          graft.store.Versioned.read(s, aroot, 1),
+          graft.store.Versioned.read(s, croot, 1)))
+        graft.store.Versioned.commitOverwrite(refreshed.assignments, aroot)
+        graft.store.Versioned.commitOverwrite(refreshed.centroids, croot)
+        def probe(v: Long, phase: String) =
+          graft.ml.Ivf.topK(graft.ml.Ivf.Index(
+              graft.store.Versioned.read(s, aroot, v),
+              graft.store.Versioned.read(s, croot, v)),
+            queryVec(s, dir), 10, nprobe = 3)
+            .select(lit(phase).as("phase"), col("vec_id"),
+              Exact.micros(col("cos")).as("cos_micros"))
+        probe(1, "1_pinned_old").unionByName(probe(2, "2_refreshed"))
+          .orderBy("phase", "vec_id")
+      },
+      Some(s"""
+        WITH cents AS MATERIALIZED (
+          SELECT vec_id AS cluster, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        q AS MATERIALIZED (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqDistSql("e.embedding", "c.cvec")},
+                              c.cluster) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1),
+        probed AS MATERIALIZED (
+          SELECT cluster FROM (
+            SELECT c.cluster, ${sqDistSql("q.qv", "c.cvec")} AS d
+            FROM cents c CROSS JOIN q
+            ORDER BY d, cluster LIMIT 3)),
+        ref_cents AS MATERIALIZED (
+          SELECT cluster, list(m ORDER BY i) AS cvec FROM (
+            SELECT cluster, i, avg(x) AS m FROM (
+              SELECT cluster, generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM assigned)
+            GROUP BY cluster, i)
+          GROUP BY cluster),
+        reassigned AS MATERIALIZED (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqDistSql("e.embedding", "c.cvec")},
+                              c.cluster) AS rn
+            FROM embeddings e CROSS JOIN ref_cents c)
+          WHERE rn = 1),
+        probed2 AS MATERIALIZED (
+          SELECT cluster FROM (
+            SELECT c.cluster, ${sqDistSql("q.qv", "c.cvec")} AS d
+            FROM ref_cents c CROSS JOIN q
+            ORDER BY d, cluster LIMIT 3)),
+        p1 AS (
+          SELECT '1_pinned_old' AS phase, a.vec_id,
+                 ${Exact.microsSql(cosSql("a.embedding", "q.qv"))}
+                   AS cos_micros
+          FROM assigned a JOIN probed USING (cluster) CROSS JOIN q
+          ORDER BY ${cosSql("a.embedding", "q.qv")} DESC, a.vec_id
+          LIMIT 10),
+        p2 AS (
+          SELECT '2_refreshed' AS phase, a.vec_id,
+                 ${Exact.microsSql(cosSql("a.embedding", "q.qv"))}
+                   AS cos_micros
+          FROM reassigned a JOIN probed2 USING (cluster) CROSS JOIN q
+          ORDER BY ${cosSql("a.embedding", "q.qv")} DESC, a.vec_id
+          LIMIT 10)
+        SELECT * FROM p1 UNION ALL SELECT * FROM p2""")),
+
     // Embedding-cosine near-dup detection, banded sign-LSH: the corpus
     // has no organic near-dups (max pairwise cos ≈ 0.51), so perturbed
     // copies are planted at vec_id+100000 (element 1 replaced by a

@@ -68,4 +68,52 @@ class IvfSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(a === r)
   }
+
+  test("centroid refresh through the versioned store: the pinned " +
+      "pre-refresh probe is immune to the refresh commit; the new " +
+      "version probes the refreshed quantizer") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .as[Seq[Float]].head()
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val idx = Ivf.Index(Ivf.assign(emb, cents), cents)
+    val aroot = graft.util.TempDirs.scratch("ivfspec_assign")
+    val croot = graft.util.TempDirs.scratch("ivfspec_cents")
+    graft.store.Versioned.commitAppend(idx.assignments, aroot)
+    graft.store.Versioned.commitAppend(idx.centroids, croot)
+    def probeAt(v: Long) = Ivf.topK(Ivf.Index(
+        graft.store.Versioned.read(spark, aroot, v),
+        graft.store.Versioned.read(spark, croot, v)),
+      q, 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val pre = probeAt(1)
+    val refreshed = Ivf.refresh(Ivf.Index(
+      graft.store.Versioned.read(spark, aroot, 1),
+      graft.store.Versioned.read(spark, croot, 1)))
+    graft.store.Versioned.commitOverwrite(refreshed.assignments, aroot)
+    graft.store.Versioned.commitOverwrite(refreshed.centroids, croot)
+    // the quantizer actually moved (means ≠ the seed member vectors)
+    val oldC = cents.as[(Long, Seq[Double])].collect().toMap
+    val newC = refreshed.centroids.select("cluster", "centroid")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(newC.exists { case (k, v) => oldC(k) != v },
+      "refresh must move at least one centroid")
+    // pinned old version reads exactly the pre-refresh ranking
+    assert(probeAt(1) == pre)
+    // the new version's probe is the refreshed index's probe
+    val direct = Ivf.topK(refreshed, q, 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probeAt(2) == direct)
+    // and the refreshed assignment is consistent with its quantizer
+    val reassigned = Ivf.assign(refreshed.assignments
+        .select("vec_id", "embedding"), refreshed.centroids)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toSet
+    val stored = refreshed.assignments.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toSet
+    assert(reassigned === stored)
+  }
 }
