@@ -32,6 +32,24 @@ object Demo {
     r.documents.select("url", "title", "content").orderBy("url")
       .show(10, false)
 
+    // --- crawl LOOP: ProcessingTime cadence + versioned index ---------
+    // each trigger firing runs one pass and overwrite-commits the index
+    // snapshot — "the index after pass k" is a pinned version number
+    val loopSite = site + ("http://c.com/" ->
+      "<html><head><title>Page C</title></head><body>gamma</body></html>")
+    val vroot = graft.util.TempDirs.scratch("demo_crawl_versions")
+    val latest = graft.streaming.Streams.crawlLoopVersioned(seeds,
+      graft.crawl.Crawl.TableUrlGetter(loopSite +
+        ("http://a.com/" -> (loopSite("http://a.com/")
+          .replace("</body>", "<a href=\"http://c.com/\">c</a></body>"))),
+      ), vroot, passes = 2)
+    println(s"== crawl loop: $latest versioned passes")
+    (1L to latest).foreach { v =>
+      val urls = graft.store.Versioned.read(spark, vroot, v)
+        .select("url").orderBy("url").collect().map(_.getString(0))
+      println(s"   index@v$v: ${urls.mkString(", ")}")
+    }
+
     // --- rank the crawled graph and write scores back -----------------
     val pr = graft.api.Engine.pageRankPass(
       r.links.select(col("id")), r.edges)

@@ -781,4 +781,47 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(s"$intervalSec seconds"))
       .foreachBatch { (_: DataFrame, batchId: Long) => passFn(batchId) }
+
+  /** The reference's crawl ORCHESTRATION cadence — a periodic pass over
+    * the frontier (the monolith re-runs its crawl on an interval,
+    * `monolith/main.go:94-97`) — driven as a `Trigger.ProcessingTime`
+    * query whose every firing runs one [[graft.crawl.Crawl.pass]] and
+    * commits the resulting document index to the versioned store:
+    * "what did the index contain after pass k" becomes a PINNED version
+    * number, re-readable verbatim while crawling keeps committing —
+    * q212's reproducible-corpus posture applied to the crawl loop
+    * itself. Links carry across passes keep-newest (discovered URLs
+    * join the frontier and are fetched on the NEXT firing, the
+    * reference's frontier-growth behavior); the committed index is the
+    * keep-newest upsert of every pass's documents, overwrite-committed
+    * so version k IS the index snapshot after pass k. Returns the
+    * store's latest version (== passes run). */
+  def crawlLoopVersioned(links0: DataFrame,
+                         getter: graft.crawl.Crawl.UrlGetter,
+                         docsRoot: String, passes: Int,
+                         intervalSec: Int = 1): Long = {
+    val spark = links0.sparkSession
+    var links = links0.localCheckpoint()
+    var docs: DataFrame = null
+    val done = new java.util.concurrent.CountDownLatch(passes)
+    val q = crawlTrigger(spark, intervalSec) { batchId =>
+      if (done.getCount > 0) {
+        val now = 42L + batchId
+        val r = graft.crawl.Crawl.pass(links, getter,
+          staleBefore = now, now = now)
+        links = r.links.localCheckpoint()
+        docs =
+          if (docs == null) r.documents.localCheckpoint()
+          else graft.store.StoreOps.latestByKey(
+            docs.unionByName(r.documents), Seq("link_id"), "indexed_at")
+            .localCheckpoint()
+        graft.store.Versioned.commitOverwrite(docs, docsRoot)
+        done.countDown()
+      }
+    }.option("checkpointLocation", ckptDir()).start()
+    done.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    q.stop()
+    q.awaitTermination()
+    graft.store.Versioned.latestVersion(docsRoot)
+  }
 }

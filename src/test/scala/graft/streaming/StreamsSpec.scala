@@ -224,4 +224,33 @@ class StreamsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(streamed == batch)
   }
+
+  test("crawl loop on a ProcessingTime trigger commits each pass's " +
+      "index as a pinned version") {
+    import spark.implicits._
+    // page C is only discoverable through A, so it is fetched on the
+    // SECOND firing — version 1 and version 2 must differ, and version
+    // 1 must stay re-readable verbatim after version 2 commits
+    val site = Map(
+      "http://a.com/" -> ("<html><head><title>A</title></head><body>" +
+        "<a href=\"http://c.com/\">c</a> alpha</body></html>"),
+      "http://b.com/" -> ("<html><head><title>B</title></head><body>" +
+        "beta</body></html>"),
+      "http://c.com/" -> ("<html><head><title>C</title></head><body>" +
+        "gamma</body></html>"))
+    val seeds = Seq(("http://a.com/", 0L), ("http://b.com/", 0L))
+      .toDF("url", "retrieved_at")
+    val root = graft.util.TempDirs.scratch("crawl_versions")
+    val latest = Streams.crawlLoopVersioned(seeds,
+      graft.crawl.Crawl.TableUrlGetter(site), root, passes = 2)
+    assert(latest == 2L)
+    val v1 = graft.store.Versioned.read(spark, root, 1)
+      .select("url").as[String].collect().toSet
+    val v2 = graft.store.Versioned.read(spark, root, 2)
+      .select("url").as[String].collect().toSet
+    assert(v1 == Set("http://a.com/", "http://b.com/"))
+    assert(v2 == v1 + "http://c.com/")
+    // the pinned pass-1 snapshot is immune to the pass-2 commit
+    assert(graft.store.Versioned.read(spark, root, 1).count() == 2)
+  }
 }
