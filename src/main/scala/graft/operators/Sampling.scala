@@ -67,6 +67,28 @@ object Sampling {
     * Returns the selected rows plus their `ws_score_micros`. Rows with
     * weight <= 0 are excluded (zero-weight items are never sampled).
     */
+  /** Deterministic global training shuffle: every row gets a shard
+    * (key-hash mod `nShards`) and a reproducible POSITION within it
+    * (hash order, key tie-break) — the pre-training "global shuffle +
+    * fixed shards" step. The permutation is a pure function of the
+    * keys: identical run-to-run, across engines, and under retries —
+    * no RNG, no seed plumbing — so a training run's data order is an
+    * auditable artifact (q218 fingerprints it cross-engine). Plan
+    * shape: the hash and shard ride the scan stage; ONE exchange on
+    * shard; position is an in-partition sort — no global sort, no
+    * single-partition window, each shard orders independently, so the
+    * op scales to any corpus. Output adds (shuffle_h, shard, pos).
+    * The domain prefix decorrelates from sample/split hashing. */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("shuffle_h",
+        Dedup.portableHash(concat_ws("|", lit("shuffle"), key)))
+      .withColumn("shard", pmod(col("shuffle_h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(Window.partitionBy("shard")
+        .orderBy(col("shuffle_h"), key)).cast("long"))
+  }
+
   def weightedSample(df: DataFrame, key: Column, weight: Column,
                      k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

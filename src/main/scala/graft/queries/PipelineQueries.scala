@@ -20,6 +20,47 @@ object PipelineQueries {
     // 80/10/10 split, both pure hash predicates inside the scan stage.
     // Sampling and splitting hash DISJOINT domains ("sample|", "split|"),
     // so the sample doesn't bias the split (SamplingSpec pins this).
+    // ------------------------------------------------------------------
+    // Deterministic global training shuffle into fixed shards: shard =
+    // key-hash mod 32 (rides the scan), position = hash order within
+    // the shard (one exchange + in-partition sort — no global sort, no
+    // single-partition window). The per-shard ORDER-SENSITIVE checksum
+    // Σ (h mod p)·pos pins the exact permutation cross-engine: any
+    // reordering, dropped row, or partition-dependent tie-break changes
+    // it, which is what makes a 100 TB training run's data order an
+    // auditable artifact rather than an RNG side effect.
+    QuerySpec("q218_training_shuffle",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+        Sampling.shuffleShards(docs, col("doc_id").cast("string"), 32)
+          .withColumn("hm", pmod(col("shuffle_h"), lit(2147483647L)))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("chars"),
+            sum(col("hm") * col("pos")).as("order_fingerprint"),
+            min("shuffle_h").as("h_min"), max("shuffle_h").as("h_max"))
+          .orderBy("shard")
+      },
+      Some("""
+        WITH sh AS (
+          SELECT doc_id, n_chars,
+                 CAST(('0x'||substring(md5('shuffle|' || doc_id),1,15))
+                   AS BIGINT) AS h
+          FROM documents),
+        pos AS (
+          SELECT shard, n_chars, h, h % 2147483647 AS hm,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY h, doc_id) AS rn
+          FROM (SELECT *, h % 32 AS shard FROM sh))
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(sum(hm * rn) AS BIGINT) AS order_fingerprint,
+               CAST(min(h) AS BIGINT) AS h_min,
+               CAST(max(h) AS BIGINT) AS h_max
+        FROM pos GROUP BY 1 ORDER BY 1""")),
+
     QuerySpec("q49_sample_split",
       (s, dir) => {
         val key = col("doc_id").cast("string")

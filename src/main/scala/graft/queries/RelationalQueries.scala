@@ -1025,6 +1025,53 @@ object RelationalQueries {
         FROM (VALUES ('1_pre_vacuum'), ('2_post_vacuum')) AS p(phase)
         JOIN orders ON o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Incremental consumption (CDC-read) over the versioned store:
+    // three append commits land consecutive date slices, then a
+    // downstream consumer asks "what changed since version k" — which
+    // the store answers from the MANIFEST SET DIFFERENCE alone, reading
+    // only the delta files (data files are immutable, so the answer is
+    // exact). changes-since-1 must be exactly slices 2+3 and
+    // changes-since-2 exactly slice 3 — the oracle replays the date
+    // arithmetic. This is how index refresh / stats maintenance /
+    // shard top-up consume a 100 TB ingest stream: cost tracks the
+    // delta, never the table.
+    QuerySpec("q217_versioned_changes",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_changes")
+        val ordersOf = (lo: String, hi: String) =>
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+              col("o_orderdate") < lit(hi).cast("timestamp"))
+            .select(col("o_orderkey"),
+              Exact.cents(col("o_totalprice")).as("cents"))
+        graft.store.Versioned.commitAppend(
+          ordersOf("1996-01-01", "1996-07-01"), root)
+        graft.store.Versioned.commitAppend(
+          ordersOf("1996-07-01", "1997-01-01"), root)
+        graft.store.Versioned.commitAppend(
+          ordersOf("1997-01-01", "1998-01-01"), root)
+        def changesSince(v: Long) =
+          graft.store.Versioned.readChanges(s, root, v, 3L)
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("cents")).as("total_cents"))
+            .select(lit(v).as("since_version"), col("n_orders"),
+              col("total_cents"))
+        changesSince(1L).unionByName(changesSince(2L))
+          .orderBy("since_version")
+      },
+      Some(s"""
+        SELECT CAST(v.since_version AS BIGINT) AS since_version,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS total_cents
+        FROM (VALUES (1), (2)) AS v(since_version)
+        JOIN orders ON o_orderdate < TIMESTAMP '1998-01-01'
+          AND o_orderdate >= (CASE v.since_version
+            WHEN 1 THEN TIMESTAMP '1996-07-01'
+            ELSE TIMESTAMP '1997-01-01' END)
         GROUP BY 1 ORDER BY 1"""))
   )
 }

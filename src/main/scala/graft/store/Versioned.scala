@@ -235,6 +235,38 @@ object Versioned {
     spark.read.parquet(files.map(resolve(rootPath, _).toString): _*)
   }
 
+  /** Incremental consumption (the CDC-read of every lakehouse log):
+    * the rows ADDED between `fromVersion` (exclusive) and `toVersion`
+    * (inclusive) of an append lineage are exactly the files in
+    * manifest(to) − manifest(from) — a METADATA set difference, so a
+    * downstream consumer (index refresh, stats maintenance, training-
+    * shard top-up) reads only the delta files and its cost tracks the
+    * delta, never the table. Data files are immutable, so this is
+    * exact, not approximate. Overwrite commits rewrite history (their
+    * files can carry rows that already existed), so a non-append
+    * lineage — any `from` file missing at `to` — fails loudly instead
+    * of returning changes that silently double-count. */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+                  toVersion: Long): DataFrame = {
+    val (fs, rootPath) = fsRoot(root)
+    require(fromVersion >= 1 && toVersion > fromVersion &&
+      fs.exists(manifestPath(rootPath, fromVersion)) &&
+      fs.exists(manifestPath(rootPath, toVersion)),
+      s"need committed versions $fromVersion < $toVersion at $root")
+    val fromFiles = readManifest(fs, rootPath, fromVersion)._2.toSet
+    val toFiles = readManifest(fs, rootPath, toVersion)._2
+    val missing = fromFiles -- toFiles.toSet
+    require(missing.isEmpty,
+      s"versions $fromVersion..$toVersion of $root are not an append " +
+        s"lineage (an overwrite commit rewrote ${missing.size} files); " +
+        "incremental reads are only exact over appends - re-read the " +
+        "full snapshot instead")
+    val delta = toFiles.filterNot(fromFiles)
+    require(delta.nonEmpty,
+      s"no files added between $fromVersion and $toVersion at $root")
+    spark.read.parquet(delta.map(resolve(rootPath, _).toString): _*)
+  }
+
   /** Garbage-collect history: retire versions < `keepFrom` and delete
     * every data file not reachable from any RETAINED manifest — which
     * also sweeps orphaned half-commits. Returns (files deleted, bytes

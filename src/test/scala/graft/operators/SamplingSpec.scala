@@ -133,4 +133,22 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("shuffle shards: every row exactly once, positions contiguous " +
+      "per shard, permutation invariant under repartitioning") {
+    val df = spark.range(500).select(col("id"))
+    def shuffled(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShards(d, col("id").cast("string"), 8)
+        .select("id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val a = shuffled(df).toMap
+    assert(a.size == 500) // every row placed exactly once
+    // positions are 1..n within each shard, no gaps or dups
+    a.values.groupBy(_._1).foreach { case (_, ps) =>
+      val seq = ps.map(_._2).toSeq.sorted
+      assert(seq == (1L to seq.size))
+    }
+    // the permutation is a pure function of the keys
+    assert(shuffled(df.repartition(13)).toMap == a)
+  }
 }

@@ -174,6 +174,28 @@ class VersionedSpec extends SparkSpec {
       .collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("readChanges returns exactly the files added between two " +
+      "versions; overwrite lineages fail loudly") {
+    val root = freshRoot()
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    Versioned.commitAppend(Seq((2L, "b"), (3L, "c")).toDF("k", "s"), root)
+    Versioned.commitAppend(Seq((4L, "d")).toDF("k", "s"), root)
+    assert(Versioned.readChanges(spark, root, 1, 2).as[(Long, String)]
+      .collect().toSet == Set((2L, "b"), (3L, "c")))
+    assert(Versioned.readChanges(spark, root, 1, 3).as[(Long, String)]
+      .collect().toSet == Set((2L, "b"), (3L, "c"), (4L, "d")))
+    assert(Versioned.readChanges(spark, root, 2, 3).as[(Long, String)]
+      .collect().toSet == Set((4L, "d")))
+    // an overwrite commit rewrites history: incremental reads across
+    // it would double-count, so they must refuse
+    val v4 = Versioned.commitOverwrite(
+      Seq((9L, "z")).toDF("k", "s"), root)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.readChanges(spark, root, 2, v4)
+    }
+    assert(e.getMessage.contains("append lineage"))
+  }
+
   test("read of an uncommitted version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
