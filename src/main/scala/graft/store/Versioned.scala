@@ -67,10 +67,19 @@ object Versioned {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  /** FileSystem handle + fully-qualified root path for any scheme. */
+  /** FileSystem handle + fully-qualified root path for any scheme.
+    * `file://` resolves to the CHECKSUMMED LocalFileSystem by default,
+    * which shadows every manifest/data op with .crc sidecar bookkeeping
+    * — measurable pure overhead at lakehouse file counts (the canary's
+    * 1900-file vacuum leg), and no integrity win here (HDFS/object
+    * stores carry their own checksums; local is a test/dev path).
+    * Unwrap to the raw filesystem. */
   private def fsRoot(root: String): (FileSystem, Path) = {
     val raw = new Path(root)
-    val fs = raw.getFileSystem(hadoopConf)
+    val fs = raw.getFileSystem(hadoopConf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
     (fs, fs.makeQualified(raw))
   }
 
@@ -304,15 +313,20 @@ object Versioned {
     var nDel = 0L
     var bytes = 0L
     if (fs.exists(dataDir)) {
-      val onDisk = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
-      val it = fs.listFiles(dataDir, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (!keep.contains(rel(st.getPath)))
-          onDisk += ((st.getPath, st.getLen))
-      }
-      onDisk.foreach { case (p, sz) =>
-        if (fs.delete(p, false)) { nDel += 1; bytes += sz }
+      // recursive listStatus, NOT listFiles: located statuses force
+      // permission loading, which RawLocalFileSystem implements by
+      // SHELLING OUT per file (~4 ms each — 16 s for a 4k-file store);
+      // the plain walk touches only path/length/isDirectory and runs
+      // the same listing in ~0.2 s
+      def walk(p: Path): Seq[(Path, Long)] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath, st.getLen))
+        }
+      walk(dataDir).foreach { case (p, sz) =>
+        if (!keep.contains(rel(p)) && fs.delete(p, false)) {
+          nDel += 1; bytes += sz
+        }
       }
       // drop now-empty commit directories, then the retired manifests
       fs.listStatus(dataDir).filter(_.isDirectory)

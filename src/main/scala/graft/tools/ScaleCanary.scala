@@ -639,17 +639,17 @@ object ScaleCanary {
     // end-to-end gate latency — static band-index build + two
     // stream-static probe batches — the number that prices per-batch
     // admission at ingest time.
+    def admDelta = spark.range(nD, nD + 5000).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(24)),
+        i => concat(lit("w"), pmod(xxhash64(
+          when(pmod(col("id"), lit(2)) === 0,
+            pmod((col("id") - nD) * 100, lit(nD)))
+            .otherwise(col("id")) * 131 + i, lit(7)), lit(5000)))),
+        " ").as("text"))
     val admN = time("stream admission (5k delta)") {
-      val delta = spark.range(nD, nD + 5000).select(
-          col("id").as("doc_id"),
-          array_join(transform(sequence(lit(0), lit(24)),
-            i => concat(lit("w"), pmod(xxhash64(
-              when(pmod(col("id"), lit(2)) === 0,
-                pmod((col("id") - nD) * 100, lit(nD)))
-                .otherwise(col("id")) * 131 + i, lit(7)), lit(5000)))),
-            " ").as("text"))
       val pairs = graft.streaming.Streams.nearDupAdmissionReplay(
-        docs, delta, shingleN = 3, numHashes = 12, rowsPerBand = 3,
+        docs, admDelta, shingleN = 3, numHashes = 12, rowsPerBand = 3,
         threshold = 0.5)
       val n = pairs.filter(col("jaccard") >= 0.999).count()
       keep = keep ++ spark.sparkContext.getPersistentRDDs.keySet
@@ -658,6 +658,29 @@ object ScaleCanary {
     require(admN >= 2500,
       s"stream admission matched $admN of 2500 planted corpus copies")
     println(s"[canary]   admission exact-dup matches=$admN/2500")
+
+    // stored-index admission at corpus scale (the q215 handoff): the
+    // band index + shingle sidecar staged ONCE as bucketed tables — the
+    // at-rest cost, amortized over every later ingest batch — then the
+    // SAME 5k delta probes the stored tables. The probe leg is the
+    // per-batch admission price once the corpus is banded at rest;
+    // compare with the end-to-end leg above, which rebuilds the index
+    // inside the gate.
+    time("stored admission staging (500k)") {
+      graft.dedup.Dedup.stageAdmissionIndex(docs, tag = "canary",
+        sourceMtime = Long.MaxValue) // force a fresh stage each run
+    }
+    val admSN = time("stored admission probe (5k delta)") {
+      val pairs = graft.streaming.Streams.nearDupAdmissionStoredReplay(
+        docs, admDelta, tag = "canary", sourceMtime = 0L,
+        shingleN = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+      val n = pairs.filter(col("jaccard") >= 0.999).count()
+      keep = keep ++ spark.sparkContext.getPersistentRDDs.keySet
+      n
+    }
+    require(admSN >= 2500,
+      s"stored admission matched $admSN of 2500 planted corpus copies")
+    println(s"[canary]   stored admission exact-dup matches=$admSN/2500")
 
     // versioned-store metadata scaling: 60 append commits, a pinned
     // mid-history read, an overwrite + vacuum — all manifest-sized
