@@ -1072,6 +1072,52 @@ object RelationalQueries {
           AND o_orderdate >= (CASE v.since_version
             WHEN 1 THEN TIMESTAMP '1996-07-01'
             ELSE TIMESTAMP '1997-01-01' END)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Schema evolution across an append lineage: version 1 commits
+    // (o_orderkey, cents); version 2 appends a batch that ALSO carries
+    // o_orderpriority. The merged read unions the file schemas —
+    // pre-evolution rows surface the new column as NULL, grouped here
+    // under an explicit label with exact counts/sums, so "old data
+    // readable through the widened schema" is hash-checked, not
+    // assumed. A pinned version-1 read keeps its original narrow
+    // schema untouched (VersionedSpec pins that); schema widening
+    // never rewrites committed files — the lakehouse evolution
+    // contract.
+    QuerySpec("q220_schema_evolution",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_evolve")
+        val base = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        val widened = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"),
+            col("o_orderpriority"))
+        graft.store.Versioned.commitAppend(base, root)
+        graft.store.Versioned.commitAppend(widened, root)
+        graft.store.Versioned.read(s, root, mergeSchema = true)
+          .groupBy(coalesce(col("o_orderpriority"),
+            lit("(pre-evolution)")).as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("total_cents"))
+          .orderBy("priority")
+      },
+      Some(s"""
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-07-01'
+                 THEN '(pre-evolution)' ELSE o_orderpriority END
+                 AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -251,6 +251,32 @@ object StreamQueries {
           UNION ALL SELECT us, event_type FROM acc2)
         SELECT (us // ${DayUs}) * ${DayUs} AS day_us, event_type,
                count(*) AS cnt
-        FROM surv GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM surv GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Exactly-once streaming ingest into the versioned store: each
+    // micro-batch commits through a manifest-level (appId, batchId)
+    // transaction, and the sink then RE-DELIVERS the identical batch —
+    // the at-least-once failure foreachBatch exposes when a sink
+    // crashes after committing but before its checkpoint advances. The
+    // redelivery must be a no-op, so the committed table holds every
+    // event exactly once — proven by the oracle's plain batch rollup
+    // over the input (any duplicate doubles the sums; the per-user
+    // count would betray even one).
+    QuerySpec("q219_exactly_once_ingest",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_ingest")
+        Streams.exactlyOnceIngestReplay(
+            Tables.events(s, dir).filter(col("user_id") < 50), root)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("value_cents"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(${graft.util.Exact.centsSql("value")}) AS BIGINT)
+                 AS value_cents
+        FROM events WHERE user_id < 50
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -176,13 +176,32 @@ object Versioned {
       .sorted
   }
 
+  /** Latest transaction batch id committed at `root` by `appId`, or
+    * None. Scans manifest headers newest-first — driver-side and
+    * manifest-sized like every metadata op here. */
+  def latestTxnBatch(root: String, appId: String): Option[Long] = {
+    val (fs, rootPath) = fsRoot(root)
+    val re = ("\"txn\":\\s*\"" + java.util.regex.Pattern.quote(appId) +
+      ":(\\d+)\"").r
+    (latestVersion(root) to 1L by -1L).iterator.flatMap { v =>
+      val in = fs.open(manifestPath(rootPath, v))
+      val header = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in,
+          java.nio.charset.StandardCharsets.UTF_8)).readLine()
+      finally in.close()
+      re.findFirstMatchIn(String.valueOf(header)).map(_.group(1).toLong)
+    }.nextOption()
+  }
+
   /** Metadata-only commit step: publish `added` (root-relative paths)
     * as the next version, retrying on version collisions. `beforePublish`
     * is a test seam fired between manifest composition and publication —
-    * the window a racing writer exploits. */
+    * the window a racing writer exploits. `txn` stamps the manifest
+    * with an (appId, batchId) transaction for idempotent sinks. */
   private[store] def commitFiles(root: String, added: Seq[String],
                                  appendBase: Boolean,
-                                 beforePublish: Long => Unit = _ => ())
+                                 beforePublish: Long => Unit = _ => (),
+                                 txn: Option[(String, Long)] = None)
       : Long = {
     require(added.nonEmpty,
       s"refusing to commit an empty batch to $root: the staged write " +
@@ -193,12 +212,21 @@ object Versioned {
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
+      // a racing twin (a restarted sink re-delivering this batch) may
+      // have committed our transaction while we retried — re-check
+      // every attempt, not just at the API entry
+      val alreadyCommitted = txn.exists { case (appId, batchId) =>
+        latestTxnBatch(root, appId).exists(_ >= batchId) }
+      if (alreadyCommitted) return latestVersion(root)
       val parent = latestVersion(root)
       val base =
         if (!appendBase || parent == 0L) Nil
         else readManifest(fs, rootPath, parent)._2
       val v = parent + 1
-      val body = (s"""{"version": $v, "writer": "$writer", "files": [""" ::
+      val txnField = txn
+        .map { case (a, b) => s""" "txn": "$a:$b",""" }.getOrElse("")
+      val body = (s"""{"version": $v, "writer": "$writer",$txnField """ +
+        s""""files": [""" ::
         (base ++ added).map("\"" + _ + "\"" + ",").toList).mkString("\n")
           .stripSuffix(",") + "\n]}"
       val tmp = new Path(rootPath, s".manifest-v$v-$writer.tmp")
@@ -221,6 +249,27 @@ object Versioned {
   def commitAppend(df: DataFrame, root: String): Long =
     commitFiles(root, stage(df, root), appendBase = true)
 
+  /** Idempotent append for EXACTLY-ONCE streaming sinks: the manifest
+    * records the (appId, batchId) transaction, and a commit whose
+    * batch id is ≤ the appId's latest recorded one is a no-op — so a
+    * `foreachBatch` sink that crashed after committing but before the
+    * checkpoint advanced can be re-delivered the same micro-batch and
+    * the store still contains it ONCE. This is the lakehouse txn-action
+    * idempotence (Delta's `txn`/`appId` mechanism) that upgrades
+    * Structured Streaming's at-least-once `foreachBatch` redelivery to
+    * exactly-once table contents; batch ids must be monotone per appId,
+    * which Spark's `foreachBatch` guarantees. The duplicate check runs
+    * again inside the optimistic-commit retry loop, so two racing
+    * re-deliveries of the same batch commit it exactly once too. */
+  def commitAppendTxn(df: DataFrame, root: String, appId: String,
+                      batchId: Long): Long = {
+    if (latestTxnBatch(root, appId).exists(_ >= batchId))
+      latestVersion(root) // known duplicate: skip even the data write
+    else
+      commitFiles(root, stage(df, root), appendBase = true,
+        txn = Some((appId, batchId)))
+  }
+
   /** Overwrite-commit: the new version's manifest lists ONLY this
     * batch's files — the compaction / full-rewrite commit. Older
     * versions keep reading their pinned files untouched until
@@ -231,9 +280,17 @@ object Versioned {
 
   /** Read the snapshot at `version` (latest when 0) — exactly the
     * manifest's files, never a directory listing, so concurrent
-    * commits and orphaned half-written data are invisible. */
-  def read(spark: SparkSession, root: String, version: Long = 0L)
-      : DataFrame = {
+    * commits and orphaned half-written data are invisible.
+    *
+    * `mergeSchema` = schema EVOLUTION across an append lineage: a
+    * later batch may add columns, and the merged read unions the file
+    * schemas — pre-evolution rows surface the new columns as null.
+    * Off by default because merging reads every file's footer at
+    * planning time; a version whose commits all share one schema
+    * doesn't need it, and a pinned pre-evolution version keeps its
+    * original narrower schema either way. */
+  def read(spark: SparkSession, root: String, version: Long = 0L,
+           mergeSchema: Boolean = false): DataFrame = {
     val (fs, rootPath) = fsRoot(root)
     val v = if (version == 0L) latestVersion(root) else version
     require(v > 0 && fs.exists(manifestPath(rootPath, v)),
@@ -241,7 +298,8 @@ object Versioned {
     val files = readManifest(fs, rootPath, v)._2
     require(files.nonEmpty,
       s"version $v at $root lists no data files - corrupt or empty commit")
-    spark.read.parquet(files.map(resolve(rootPath, _).toString): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(resolve(rootPath, _).toString): _*)
   }
 
   /** Incremental consumption (the CDC-read of every lakehouse log):

@@ -719,6 +719,49 @@ object Streams {
           .start())
   }
 
+  /** EXACTLY-ONCE ingest into the versioned store: events stream in as
+    * two real micro-batches and a `foreachBatch` sink commits each via
+    * [[graft.store.Versioned.commitAppendTxn]] — and then, inside the
+    * same firing, RE-DELIVERS the identical batch with the identical
+    * batch id. That is precisely the at-least-once failure Structured
+    * Streaming exposes (sink committed, crash before the checkpoint
+    * advanced, batch replayed on restart); the store's manifest-level
+    * (appId, batchId) transaction makes the redelivery a no-op, so the
+    * final table holds every event exactly once — which the oracle's
+    * plain batch aggregation over the input proves (any duplicate
+    * would double the sums). Returns the committed snapshot. */
+  def exactlyOnceIngestReplay(events: DataFrame, root: String)
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(col("event_id").cast("string").as("event_id"),
+      col("user_id"), graft.util.Exact.cents(col("value")).as("cents"))
+    val half = pmod(graft.dedup.Dedup.portableHash(col("event_id")),
+      lit(2L))
+    val halves = (0 to 1).map(h => rows.filter(half === h))
+    def sentinel(n: Int): DataFrame =
+      Seq((s"__s$n", -1L, 0L)).toDF("event_id", "user_id", "cents")
+    val harness = replayBatches(halves, sentinel,
+      "event_id STRING, user_id BIGINT, cents BIGINT",
+      (src, outDir) => src.writeStream
+        .option("checkpointLocation", ckptDir())
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val real = b.filter(col("user_id") >= 0)
+          if (real.take(1).nonEmpty) {
+            graft.store.Versioned.commitAppendTxn(real, root,
+              "ingest", batchId)
+            // redelivery of the SAME batch id — must be a no-op
+            graft.store.Versioned.commitAppendTxn(real, root,
+              "ingest", batchId)
+          }
+          Seq(batchId).toDF("batch_id")
+            .write.mode("append").parquet(outDir)
+        }
+        .start())
+    harness.queryExecution.toRdd.count() // drain harness bookkeeping
+    graft.store.Versioned.read(spark, root)
+  }
+
   /** Batch ≡ stream parity for `mapGroupsWithState` (q142): a per-user
     * running aggregate (event count, exact-cents value sum, last event
     * time) carried as explicit GroupState across two REAL micro-batches

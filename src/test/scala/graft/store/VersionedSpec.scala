@@ -196,6 +196,48 @@ class VersionedSpec extends SparkSpec {
     assert(e.getMessage.contains("append lineage"))
   }
 
+  test("txn commits are idempotent per (appId, batchId); apps are " +
+      "independent; stale redeliveries skip even after later batches") {
+    val root = freshRoot()
+    val v1 = Versioned.commitAppendTxn(
+      Seq((1L, "a")).toDF("k", "s"), root, "sinkA", 0L)
+    // immediate redelivery of the same batch: no new version, no rows
+    val v1b = Versioned.commitAppendTxn(
+      Seq((1L, "a")).toDF("k", "s"), root, "sinkA", 0L)
+    assert((v1, v1b) == (1L, 1L))
+    assert(Versioned.read(spark, root).count() == 1)
+    // another app's batch 0 is a DIFFERENT transaction
+    Versioned.commitAppendTxn(Seq((2L, "b")).toDF("k", "s"), root,
+      "sinkB", 0L)
+    // sinkA's next batch lands; then a LATE redelivery of its batch 0
+    // (restart long after) must still be recognized and skipped
+    Versioned.commitAppendTxn(Seq((3L, "c")).toDF("k", "s"), root,
+      "sinkA", 1L)
+    val vLate = Versioned.commitAppendTxn(
+      Seq((1L, "a")).toDF("k", "s"), root, "sinkA", 0L)
+    assert(vLate == Versioned.latestVersion(root))
+    assert(Versioned.read(spark, root).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Versioned.latestTxnBatch(root, "sinkA").contains(1L))
+    assert(Versioned.latestTxnBatch(root, "sinkB").contains(0L))
+    assert(Versioned.latestTxnBatch(root, "sinkC").isEmpty)
+  }
+
+  test("schema evolution: merged read widens, old rows null-filled; " +
+      "the pinned pre-evolution version keeps its narrow schema") {
+    val root = freshRoot()
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    Versioned.commitAppend(
+      Seq((2L, "b", 7L)).toDF("k", "s", "extra"), root)
+    val merged = Versioned.read(spark, root, mergeSchema = true)
+    assert(merged.columns.toSet == Set("k", "s", "extra"))
+    assert(merged.select("k", "extra").as[(Long, Option[Long])]
+      .collect().toSet == Set((1L, None), (2L, Some(7L))))
+    // the pinned pre-evolution snapshot never widens
+    assert(Versioned.read(spark, root, 1, mergeSchema = true)
+      .columns.toSet == Set("k", "s"))
+  }
+
   test("read of an uncommitted version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
