@@ -290,6 +290,78 @@ object MlQueries {
           LIMIT 10)
         SELECT * FROM p1 UNION ALL SELECT * FROM p2""")),
 
+    // Product quantization with asymmetric distance (q221): each 64-dim
+    // vector is stored as 8 codeword ids (one per 8-dim subspace; the
+    // codebooks here are the 16 seed vectors' subvectors, fixed so the
+    // oracle can replay them — Lloyd-refined codebooks are PqSpec's
+    // recall test). The probe never decodes: the query's distance to
+    // every codeword is computed ONCE driver-side (an 8×16 table baked
+    // into the plan as array literals), so scoring a row is 8 lookups +
+    // adds in codegen and top-k is TakeOrderedAndProject. This is the
+    // 32× memory-compression path that puts a billion-vector index in
+    // RAM; the oracle replays encode (per-subspace argmin) and the ADC
+    // chain exactly.
+    QuerySpec("q221_pq_adc",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val m = 8; val subDim = 8
+        val books = graft.ml.Pq.collectBooks(
+          (0 until m).map { sub =>
+            emb.filter(col("vec_id") < 16)
+              .select(lit(sub).as("sub"), col("vec_id").as("cluster"),
+                transform(graft.ml.Pq.subvector(col("embedding"), sub,
+                  subDim), _.cast("double")).as("centroid"))
+          }.reduce(_.unionByName(_)), m)
+        val encoded = graft.ml.Pq.encode(emb, books, subDim)
+        graft.ml.Pq.adcTopK(encoded, books, queryVec(s, dir), 10, subDim)
+          .select(col("vec_id"), Exact.micros(col("adc")).as("adc_micros"))
+      },
+      Some {
+        def sub(a: String, b: String, s: Int): String =
+          (s * 8 + 1 to s * 8 + 8).map { i =>
+            s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE)) * " +
+              s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
+          }.mkString(" + ")
+        val subs = 0 until 8
+        s"""
+        WITH cb AS MATERIALIZED (
+          SELECT vec_id AS cluster, embedding AS cvec
+          FROM embeddings WHERE vec_id < 16),
+        q AS MATERIALIZED (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        dists AS (
+          SELECT e.vec_id, c.cluster,
+                 ${subs.map(s => sub("e.embedding", "c.cvec", s) +
+                     s" AS d$s").mkString(",\n                 ")}
+          FROM embeddings e CROSS JOIN cb c),
+        ranked AS (
+          SELECT vec_id, cluster,
+                 ${subs.map(s => "row_number() OVER (PARTITION BY " +
+                     s"vec_id ORDER BY d$s, cluster) AS rn$s")
+                   .mkString(",\n                 ")}
+          FROM dists),
+        codes AS (
+          SELECT vec_id,
+                 ${subs.map(s => s"max(CASE WHEN rn$s = 1 THEN " +
+                     s"cluster END) AS c$s")
+                   .mkString(",\n                 ")}
+          FROM ranked GROUP BY vec_id),
+        qd AS MATERIALIZED (
+          SELECT c.cluster,
+                 ${subs.map(s => sub("q.qv", "c.cvec", s) +
+                     s" AS qd$s").mkString(",\n                 ")}
+          FROM cb c CROSS JOIN q)
+        SELECT codes.vec_id,
+               ${Exact.microsSql(
+                 subs.map(s => s"j$s.qd$s").mkString(" + "))} AS adc_micros
+        FROM codes
+        ${subs.map(s => s"JOIN qd j$s ON j$s.cluster = codes.c$s")
+            .mkString("\n        ")}
+        ORDER BY ${subs.map(s => s"j$s.qd$s").mkString(" + ")},
+                 codes.vec_id
+        LIMIT 10"""
+      }),
+
     // Embedding-cosine near-dup detection, banded sign-LSH: the corpus
     // has no organic near-dups (max pairwise cos ≈ 0.51), so perturbed
     // copies are planted at vec_id+100000 (element 1 replaced by a
