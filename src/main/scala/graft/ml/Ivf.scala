@@ -129,16 +129,25 @@ object Ivf {
       newCents, idCol, vecCol), newCents)
   }
 
+  /** The `nprobe` clusters whose centroids are nearest the query —
+    * the coarse pruning step shared by [[topK]] and [[Pq.ivfPqTopK]].
+    * k rows in, nprobe rows out: driver-scale by construction. */
+  def probeClusters(centroids: DataFrame, query: Seq[Float],
+                    nprobe: Int): DataFrame = {
+    val q = array(query.map(lit(_)): _*)
+    centroids
+      .withColumn("d", sqDist(q, col("centroid")))
+      .orderBy(col("d"), col("cluster")).limit(nprobe)
+      .select("cluster")
+  }
+
   /** Approximate top-k by cosine: scan only the `nprobe` clusters whose
     * centroids are closest to the query. */
   def topK(index: Index, query: Seq[Float], k: Int, nprobe: Int = 2,
            idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame = {
     val q = array(query.map(lit(_)): _*)
-    val probed = index.centroids
-      .withColumn("d", sqDist(q, col("centroid")))
-      .orderBy(col("d"), col("cluster")).limit(nprobe)
-      .select("cluster")
+    val probed = probeClusters(index.centroids, query, nprobe)
     index.assignments
       .join(broadcast(probed), Seq("cluster"), "left_semi")
       .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cos"))

@@ -73,6 +73,27 @@ object Pq {
     emb.select(col(idCol), array(codes: _*).as("codes"))
   }
 
+  /** IVF-PQ — the production ANN composition: the coarse quantizer
+    * prunes WHICH vectors get scored (~nprobe/k of the corpus, the
+    * [[Ivf]] half) and PQ compresses HOW each survivor is scored (m
+    * codeword lookups, no float-vector math — this object's half). At
+    * 100 TB the codes are precomputed alongside the assignments (one
+    * encode pass at ingest; 8 B/vector rides in memory) so a probe
+    * touches only its clusters' code blocks; here the candidate batch
+    * is encoded inline because the harness stores nothing ambient —
+    * same plan shape, the encode input is already pruned. */
+  def ivfPqTopK(index: Ivf.Index,
+                books: Array[(Array[Long], Array[Array[Double]])],
+                query: Seq[Float], k: Int, nprobe: Int, subDim: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val probed = Ivf.probeClusters(index.centroids, query, nprobe)
+    val cand = index.assignments
+      .join(broadcast(probed), Seq("cluster"), "left_semi")
+    adcTopK(encode(cand, books, subDim, idCol, vecCol), books, query,
+      k, subDim, idCol)
+  }
+
   /** Approximate top-k by ADC: squared-L2 from the EXACT query to each
     * row's codeword chain. The query→codeword distance table (m×k
     * doubles) is computed once driver-side and baked in as array

@@ -362,6 +362,98 @@ object MlQueries {
         LIMIT 10"""
       }),
 
+    // IVF-PQ (q222): the production ANN composition — the coarse
+    // quantizer (q41's fixed 8 centroids) prunes the corpus to the
+    // nprobe=3 nearest clusters, and the survivors are scored by PQ
+    // asymmetric distance (q221's 16-seed codebooks): ~3/8 of the
+    // corpus touched, each survivor costing 8 codeword lookups instead
+    // of 64-dim float math. The oracle chains both replays — coarse
+    // assignment + probe, then encode + ADC over the pruned set only.
+    QuerySpec("q222_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val m = 8; val subDim = 8
+        val coarse = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cluster"),
+            transform(col("embedding"), _.cast("double")).as("centroid"))
+        val idx = graft.ml.Ivf.Index(
+          graft.ml.Ivf.assign(emb, coarse), coarse)
+        val books = graft.ml.Pq.collectBooks(
+          (0 until m).map { sub =>
+            emb.filter(col("vec_id") < 16)
+              .select(lit(sub).as("sub"), col("vec_id").as("cluster"),
+                transform(graft.ml.Pq.subvector(col("embedding"), sub,
+                  subDim), _.cast("double")).as("centroid"))
+          }.reduce(_.unionByName(_)), m)
+        graft.ml.Pq.ivfPqTopK(idx, books, queryVec(s, dir), 10,
+            nprobe = 3, subDim = subDim)
+          .select(col("vec_id"), Exact.micros(col("adc")).as("adc_micros"))
+      },
+      Some {
+        def sub(a: String, b: String, s: Int): String =
+          (s * 8 + 1 to s * 8 + 8).map { i =>
+            s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE)) * " +
+              s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
+          }.mkString(" + ")
+        val subs = 0 until 8
+        s"""
+        WITH coarse AS MATERIALIZED (
+          SELECT vec_id AS cluster, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        q AS MATERIALIZED (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probed AS MATERIALIZED (
+          SELECT cluster FROM (
+            SELECT c.cluster, ${sqDistSql("q.qv", "c.cvec")} AS d
+            FROM coarse c CROSS JOIN q
+            ORDER BY d, cluster LIMIT 3)),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqDistSql("e.embedding", "c.cvec")},
+                              c.cluster) AS rn
+            FROM embeddings e CROSS JOIN coarse c)
+          WHERE rn = 1),
+        cand AS MATERIALIZED (
+          SELECT a.vec_id, a.embedding
+          FROM assigned a JOIN probed USING (cluster)),
+        cb AS MATERIALIZED (
+          SELECT vec_id AS cluster, embedding AS cvec
+          FROM embeddings WHERE vec_id < 16),
+        dists AS (
+          SELECT e.vec_id, c.cluster,
+                 ${subs.map(s => sub("e.embedding", "c.cvec", s) +
+                     s" AS d$s").mkString(",\n                 ")}
+          FROM cand e CROSS JOIN cb c),
+        ranked AS (
+          SELECT vec_id, cluster,
+                 ${subs.map(s => "row_number() OVER (PARTITION BY " +
+                     s"vec_id ORDER BY d$s, cluster) AS rn$s")
+                   .mkString(",\n                 ")}
+          FROM dists),
+        codes AS (
+          SELECT vec_id,
+                 ${subs.map(s => s"max(CASE WHEN rn$s = 1 THEN " +
+                     s"cluster END) AS c$s")
+                   .mkString(",\n                 ")}
+          FROM ranked GROUP BY vec_id),
+        qd AS MATERIALIZED (
+          SELECT c.cluster,
+                 ${subs.map(s => sub("q.qv", "c.cvec", s) +
+                     s" AS qd$s").mkString(",\n                 ")}
+          FROM cb c CROSS JOIN q)
+        SELECT codes.vec_id,
+               ${Exact.microsSql(
+                 subs.map(s => s"j$s.qd$s").mkString(" + "))} AS adc_micros
+        FROM codes
+        ${subs.map(s => s"JOIN qd j$s ON j$s.cluster = codes.c$s")
+            .mkString("\n        ")}
+        ORDER BY ${subs.map(s => s"j$s.qd$s").mkString(" + ")},
+                 codes.vec_id
+        LIMIT 10"""
+      }),
+
     // Embedding-cosine near-dup detection, banded sign-LSH: the corpus
     // has no organic near-dups (max pairwise cos ≈ 0.51), so perturbed
     // copies are planted at vec_id+100000 (element 1 replaced by a

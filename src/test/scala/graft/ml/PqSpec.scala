@@ -36,6 +36,37 @@ class PqSpec extends SparkSpec {
     assert(top == (0 until 30 by 3).map(_.toLong).toSet)
   }
 
+  test("ivf-pq: coarse probe prunes to the query's cluster, ADC ranks " +
+      "inside it") {
+    def jitter(base: Seq[Float], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 31 + d * 7) % 5) - 2)
+      }
+    val rows = (0 until 30).map { i =>
+      val base = (i % 3) match {
+        case 0 => Seq(1f, 0f, 0f, 0f)
+        case 1 => Seq(0f, 1f, 0f, 0f)
+        case _ => Seq(0f, 0f, 1f, 0f)
+      }
+      (i.toLong, jitter(base, i))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val coarse = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("cluster", "centroid")
+    val idx = Ivf.Index(Ivf.assign(emb, coarse), coarse)
+    val books: Array[(Array[Long], Array[Array[Double]])] = Array(
+      (Array(0L, 1L, 2L), Array(Array(1.0, 0.0), Array(0.0, 1.0),
+        Array(0.0, 0.0))),
+      (Array(0L, 1L), Array(Array(0.0, 0.0), Array(1.0, 0.0))))
+    // nprobe=1: ONLY the x-axis cluster is even scored
+    val top = Pq.ivfPqTopK(idx, books, Seq(1f, 0f, 0f, 0f), 20,
+        nprobe = 1, subDim = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top == (0 until 30 by 3).map(_.toLong).toSet)
+  }
+
   test("codes are m small ids (the 32x compression) and encoding is " +
       "partition-invariant") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
