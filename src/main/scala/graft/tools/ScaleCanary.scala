@@ -148,6 +148,33 @@ object ScaleCanary {
     }
     println(s"[canary]   ivf probe rows=$ivf")
 
+    // PQ at corpus scale: 8×16 codebooks (2 Lloyd rounds/subspace),
+    // ONE encode pass over all vectors — the 32× compression event —
+    // then an ADC probe for a vector with a PLANTED perturbed copy
+    // (+0.01/component at id+1): the copy must survive quantization
+    // into the top-10, the recall ground truth at this scale.
+    val pqQ = emb.filter(col("vec_id") === 100)
+      .select("embedding").first().getSeq[Float](0)
+    var pqBooks: Array[(Array[Long], Array[Array[Double]])] = null
+    var pqEnc: org.apache.spark.sql.DataFrame = null
+    val pqN = time("pq train+encode (8x16)") {
+      pqBooks = graft.ml.Pq.collectBooks(
+        graft.ml.Pq.train(emb, m = 8, k = 16, iters = 2), m = 8)
+      pqEnc = graft.ml.Pq.encode(emb, pqBooks, subDim = 8)
+        .localCheckpoint(false)
+      val n = pqEnc.count()
+      keep = keep ++ spark.sparkContext.getPersistentRDDs.keySet
+      n
+    }
+    val pqTop = time("pq adc probe") {
+      graft.ml.Pq.adcTopK(pqEnc, pqBooks, pqQ, 10, subDim = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    require(pqTop.contains(100L) && pqTop.contains(101L),
+      s"pq probe lost the planted copy: $pqTop")
+    println(s"[canary]   pq encoded=$pqN top10 has 100+101=" +
+      s"${pqTop.contains(100L) && pqTop.contains(101L)}")
+
     // The true distinct text count is known by construction: planted
     // copies collapse, so distinct = nD - planted.
     val kmv = time("kmv distinct") {
