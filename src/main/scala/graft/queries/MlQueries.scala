@@ -983,6 +983,195 @@ object MlQueries {
                  FROM embeddings)"""
         }.mkString("\nUNION ALL\n")
         s"$rows\nORDER BY dim"
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Trainable quality classifier: full-batch GD logistic regression
+    // over micro fixed-point document features (length, en-marker
+    // ratio, mean token length) predicting lang='en'. Three unrolled
+    // iterations; gradients are exact integer sums, so the oracle
+    // replays the whole descent as a CTE chain. One collected row per
+    // iteration (inherently sequential, cf. BPE).
+    QuerySpec("q225_logreg_quality",
+      (s, dir) => {
+        val f = logRegFeatures(s, dir)
+        val w = graft.ml.LogReg.fit(f, Seq("x1", "x2", "x3"), "y",
+          iters = 3, lr = 0.5)
+        f.select(col("doc_id"), col("y"),
+            graft.ml.LogReg.probMicros(w, Seq("x1", "x2", "x3"))
+              .as("p_micros"))
+          .orderBy("doc_id")
+      },
+      Some(logRegOracleSql(iters = 3))),
+
+    // ------------------------------------------------------------------
+    // Classifier evaluation: exact tie-corrected ROC-AUC per source
+    // (Mann-Whitney rank-sum — never materializes the pos×neg pair
+    // space). Score = n_chars, label = lang='en'.
+    QuerySpec("q226_auc",
+      (s, dir) => {
+        graft.ml.Eval.groupedAuc(
+            Tables.documents(s, dir)
+              .select(col("source"), col("n_chars").as("score"),
+                (col("lang") === "en").cast("long").as("y")),
+            "source", "score", "y")
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source, n_chars AS score,
+                 CAST(lang = 'en' AS BIGINT) AS y
+          FROM documents),
+        r AS (
+          SELECT source, y,
+                 2 * rank() OVER (PARTITION BY source ORDER BY score)
+                   + count(*) OVER (PARTITION BY source, score) - 1 AS r2
+          FROM d),
+        a AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
+                   AS s2,
+                 CAST(sum(y) AS BIGINT) AS npos,
+                 CAST(count(*) - sum(y) AS BIGINT) AS nneg
+          FROM r GROUP BY source)
+        SELECT source, ${Exact.microsSql(
+          "CAST(s2 - npos * (npos + 1) AS DOUBLE) / " +
+          "(2.0 * CAST(npos * nneg AS DOUBLE))")} AS auc_micros
+        FROM a WHERE npos > 0 AND nneg > 0
+        ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // MMR diversity re-rank (Carbonell & Goldstein 1998) of the
+    // brute-force top-20 ANN page: greedy k=5 at λ=0.7, every score in
+    // exact integer micros (λ as an integer weight), min-id ties. The
+    // corpus-scale work (candidate probe, pairwise page sims) stays in
+    // plans; the greedy loop runs on the collected page — page-sized by
+    // construction, like Search.paginate.
+    QuerySpec("q227_mmr_diverse",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cands = Similarity.bruteForceTopK(emb, queryVec(s, dir), 20)
+          .join(emb.select("vec_id", "embedding"), "vec_id")
+          .select(col("vec_id"), Exact.micros(col("cos")).as("rel_micros"),
+            col("embedding"))
+        graft.ml.Mmr.select(s, cands, k = 5, lambdaMicros = 700000L)
+          .orderBy("step")
+      },
+      Some(mmrOracleSql(n = 20, k = 5, lam = 700000L)))
   )
+
+  /** Integer-micros document features for q225: x1 = tokens/50,
+    * x2 = en-marker ratio, x3 = mean token length / 10. */
+  private def logRegFeatures(s: org.apache.spark.sql.SparkSession,
+                             dir: String) = {
+    val enMarkers = graft.text.TextStats.LangMarkers.head._2
+    val toks = graft.text.Analyzer.tokenize(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
+        toks.as("t"))
+      .select(col("doc_id"), col("y"),
+        size(col("t")).cast("long").as("n"),
+        aggregate(transform(col("t"), x => length(x).cast("long")),
+          lit(0L), _ + _).as("slen"),
+        size(filter(col("t"), x => x.isin(enMarkers: _*))).cast("long")
+          .as("mk"))
+      .select(col("doc_id"), col("y"),
+        Exact.micros(col("n").cast("double") / 50.0).as("x1"),
+        Exact.micros(col("mk").cast("double") /
+          greatest(col("n"), lit(1L)).cast("double")).as("x2"),
+        Exact.micros(col("slen").cast("double") /
+          (greatest(col("n"), lit(1L)).cast("double") * 10.0)).as("x3"))
+  }
+
+  /** Unrolled GD chain: w(i) CTEs over the feature frame, replaying
+    * LogReg.fit's integer-gradient updates exactly. */
+  private def logRegOracleSql(iters: Int): String = {
+    def pExpr(w: String): String =
+      s"CAST(floor(1.0 / (1.0 + exp(-(CAST($w.w0 * 1000000 + " +
+        s"$w.wa * x1 + $w.wb * x2 + $w.wc * x3 AS DOUBLE) / 1e12))) " +
+        "* 1000000 + 0.5) AS BIGINT)"
+    val enList = graft.text.TextStats.LangMarkers.head._2
+      .map(w => s"'$w'").mkString(", ")
+    val steps = (1 to iters).map { i =>
+      val pw = s"w${i - 1}t"
+      s"""g$i AS (SELECT
+          CAST(sum((p - y * 1000000) * 1000000) AS BIGINT) AS g0,
+          CAST(sum((p - y * 1000000) * x1) AS BIGINT) AS ga,
+          CAST(sum((p - y * 1000000) * x2) AS BIGINT) AS gb,
+          CAST(sum((p - y * 1000000) * x3) AS BIGINT) AS gc
+        FROM (SELECT f.*, ${pExpr(pw)} AS p FROM f CROSS JOIN $pw)),
+      w${i}t AS (SELECT
+          w.w0 - CAST(floor(0.5 * CAST(g.g0 AS DOUBLE) /
+            (nn.n * 1000000.0) + 0.5) AS BIGINT) AS w0,
+          w.wa - CAST(floor(0.5 * CAST(g.ga AS DOUBLE) /
+            (nn.n * 1000000.0) + 0.5) AS BIGINT) AS wa,
+          w.wb - CAST(floor(0.5 * CAST(g.gb AS DOUBLE) /
+            (nn.n * 1000000.0) + 0.5) AS BIGINT) AS wb,
+          w.wc - CAST(floor(0.5 * CAST(g.gc AS DOUBLE) /
+            (nn.n * 1000000.0) + 0.5) AS BIGINT) AS wc
+        FROM $pw w CROSS JOIN g$i g CROSS JOIN nn)"""
+    }.mkString(",\n")
+    s"""
+      WITH lt AS (SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            x -> x <> '') AS l
+        FROM documents),
+      f AS MATERIALIZED (
+        SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+          ${Exact.microsSql("CAST(len(l) AS DOUBLE) / 50.0")} AS x1,
+          ${Exact.microsSql(
+            s"CAST(len(list_filter(l, x -> list_contains([$enList], x))) " +
+            "AS DOUBLE) / CAST(greatest(len(l), 1) AS DOUBLE)")} AS x2,
+          ${Exact.microsSql(
+            "CAST(coalesce(list_sum(list_transform(l, x -> length(x))), 0) " +
+            "AS DOUBLE) / (CAST(greatest(len(l), 1) AS DOUBLE) * 10.0)")}
+            AS x3
+        FROM lt),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+      w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS wa,
+                     CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS wc),
+      $steps
+      SELECT f.doc_id, f.y, ${pExpr(s"w${iters}t")} AS p_micros
+      FROM f CROSS JOIN w${iters}t
+      ORDER BY f.doc_id"""
+  }
+
+  /** Unrolled MMR greedy chain over the top-`n` candidate page. */
+  private def mmrOracleSql(n: Int, k: Int, lam: Long): String = {
+    val muLam = 1000000L - lam
+    def selAll(i: Int): String =
+      (1 to i).map(j => s"SELECT vec_id FROM sel$j").mkString(" UNION ALL ")
+    val steps = (2 to k).map { i =>
+      s"""sel$i AS MATERIALIZED (
+        SELECT c.vec_id, $lam * c.rel - $muLam * max(s.sim) AS sc
+        FROM cand c JOIN sims s ON s.va = c.vec_id
+        WHERE s.vb IN (${selAll(i - 1)})
+          AND c.vec_id NOT IN (${selAll(i - 1)})
+        GROUP BY c.vec_id, c.rel
+        ORDER BY sc DESC, c.vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, vec_id, sc AS mmr_p12 " +
+        s"FROM sel$i").mkString(" UNION ALL ")
+    s"""
+      WITH q AS MATERIALIZED (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cand AS MATERIALIZED (
+        SELECT e.vec_id,
+               ${Exact.microsSql(cosSql("e.embedding", "q.qv"))} AS rel,
+               e.embedding
+        FROM embeddings e CROSS JOIN q
+        ORDER BY ${cosSql("e.embedding", "q.qv")} DESC, e.vec_id
+        LIMIT $n),
+      sims AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               ${Exact.microsSql(cosSql("a.embedding", "b.embedding"))}
+                 AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+      sel1 AS MATERIALIZED (
+        SELECT vec_id, $lam * rel AS sc FROM cand
+        ORDER BY rel DESC, vec_id LIMIT 1),
+      $steps
+      SELECT * FROM ($out) ORDER BY step"""
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.text.{Analyzer, Html, TextStats}
+import graft.text.{Analyzer, Html, Quality, TextStats}
 import graft.util.Exact
 
 /** Text-analysis and HTML-operator queries. The HTML family (T1–T6)
@@ -1245,6 +1245,84 @@ object TextQueries {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
                CAST(sum(m) AS BIGINT) AS nll_sum_micros,
                CAST(sum(m) // count(*) AS BIGINT) AS mean_nll_micros
-        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Gopher-style quality rules (Rae et al. 2021 App. A): per-rule
+    // accounting + conjunctive keep, all ratio thresholds
+    // cross-multiplied into integer arithmetic — zero FP, one narrow
+    // scan-fused projection (no shuffle at any corpus size).
+    QuerySpec("q223_gopher_rules",
+      (s, dir) => Quality.gopherRules(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        base AS (
+          SELECT doc_id,
+            CAST(len(l) AS BIGINT) AS n_tokens,
+            CAST(coalesce(list_sum(list_transform(l, x -> length(x))), 0)
+              AS BIGINT) AS sum_len,
+            CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+            CAST(len(list_filter(l, x -> regexp_matches(x, '[#…]')))
+              AS BIGINT) AS n_symbol,
+            CAST(len(list_filter(
+              ['the','a','to','in','of','and','is','with'],
+              s -> list_contains(l, s))) AS BIGINT) AS n_stop
+          FROM lt)
+        SELECT doc_id, n_tokens, sum_len,
+          CAST(n_tokens >= 10 AND n_tokens <= 100000 AS INT) AS r_count,
+          CAST(sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens
+            AS INT) AS r_meanlen,
+          CAST(10 * n_alpha >= 8 * n_tokens AS INT) AS r_alpha,
+          CAST(10 * n_symbol <= n_tokens AS INT) AS r_symbol,
+          CAST(n_stop >= 2 AS INT) AS r_stop,
+          CAST((n_tokens >= 10 AND n_tokens <= 100000)
+            AND (sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens)
+            AND (10 * n_alpha >= 8 * n_tokens)
+            AND (10 * n_symbol <= n_tokens)
+            AND (n_stop >= 2) AS INT) AS keep
+        FROM base ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // DSIR importance weights (Xie et al. 2023): rank raw documents by
+    // target-likeness under smoothed unigram log-ratios. The ratio
+    // table is vocabulary-sized and broadcast; per-token ln is snapped
+    // once so document weights are exact integer dot products.
+    QuerySpec("q224_dsir_weights",
+      (s, dir) => {
+        graft.ml.Dsir.importanceWeights(
+            Tables.documents(s, dir), col("lang") === "en")
+          .orderBy(col("weight_p6").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some(s"""
+        WITH lt AS (
+          SELECT doc_id, (lang = 'en') AS is_t,
+                 unnest(${toksSql("text")}) AS token
+          FROM documents),
+        counts AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS rc,
+                 CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tc
+          FROM lt GROUP BY token),
+        tot AS (
+          SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+                 CAST(sum(tc) AS BIGINT) AS ttot,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM counts),
+        lr AS (
+          SELECT token, ${Exact.microsSql(
+            "ln((CAST(tc + 1 AS DOUBLE) / CAST(ttot + v AS DOUBLE)) / " +
+            "(CAST(rc + 1 AS DOUBLE) / CAST(rtot + v AS DOUBLE)))")}
+            AS lr_micros
+          FROM counts CROSS JOIN tot),
+        dt AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+          FROM lt GROUP BY doc_id, token)
+        SELECT doc_id, CAST(sum(c * lr_micros) AS BIGINT) AS weight_p6
+        FROM dt JOIN lr USING (token)
+        GROUP BY doc_id
+        ORDER BY weight_p6 DESC, doc_id LIMIT 100"""))
   )
 }

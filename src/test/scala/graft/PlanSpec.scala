@@ -474,4 +474,35 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
     assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
   }
+
+  test("gopher rules: scan-fused projection — no exchange, no join") {
+    val p = planOf("q223_gopher_rules")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    // the only allowed exchange is the output orderBy's range partition
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
+
+  test("dsir: the vocabulary-sized ratio table broadcasts back — the " +
+    "corpus never sort-merge-joins its own model") {
+    val p = planOf("q224_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("logreg scoring: model rides the plan as literals — one scan, " +
+    "no join") {
+    val p = planOf("q225_logreg_quality")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("grouped AUC: rank-sum windows, never the pos-times-neg pair join") {
+    val p = planOf("q226_auc")
+    assert(!p.contains("Join"), p.take(3000))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 4, s"too many exchanges ($exchanges):\n${p.take(3000)}")
+  }
 }
