@@ -1451,6 +1451,68 @@ object GraphQueries {
                     ELSE 'p' || CAST((component - 1) // 2 AS VARCHAR)
                END AS component
         FROM l20 ORDER BY id"""
+      }),
+
+    // ------------------------------------------------------------------
+    // Synchronized Louvain move phase (Blondel et al. 2008), two rounds
+    // from singletons on the q139 order↔part graph. The modularity-gain
+    // argmax is exact integer arithmetic (gains scaled by 2m²), so the
+    // oracle replays both rounds as CTE chains; output = community size
+    // profile (community identity pinned by its label value).
+    QuerySpec("q228_louvain_move",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.graph.Louvain.run(edges, rounds = 2)
+          .groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("community")
+      },
+      Some {
+        val rounds = (1 to 2).map { r =>
+          s"""tot$r AS MATERIALIZED (
+            SELECT l.lab AS c, CAST(sum(d.k) AS BIGINT) AS tot
+            FROM v${r - 1} l JOIN deg d USING (id) GROUP BY 1),
+          kvc$r AS MATERIALIZED (
+            SELECT e.src AS id, l.lab AS c, CAST(count(*) AS BIGINT) AS kvc
+            FROM e2 e JOIN v${r - 1} l ON e.dst = l.id GROUP BY 1, 2),
+          cand$r AS (
+            SELECT id, c, CAST(sum(kvc) AS BIGINT) AS kvc FROM (
+              SELECT id, c, kvc FROM kvc$r
+              UNION ALL SELECT id, lab AS c, 0 AS kvc FROM v${r - 1})
+            GROUP BY id, c),
+          sc$r AS (
+            SELECT cd.id, cd.c,
+                   m2.m2 * cd.kvc - d.k *
+                     (t.tot - CASE WHEN cd.c = l.lab THEN d.k ELSE 0 END)
+                     AS s
+            FROM cand$r cd JOIN v${r - 1} l USING (id)
+            JOIN deg d USING (id)
+            JOIN tot$r t ON t.c = cd.c CROSS JOIN m2
+            WHERE cd.c ${if (r % 2 == 0) ">=" else "<="} l.lab),
+          v$r AS MATERIALIZED (
+            SELECT id, c AS lab FROM (
+              SELECT id, c, row_number() OVER (PARTITION BY id
+                ORDER BY s DESC, c) AS rn
+              FROM sc$r) WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""
+        WITH eo AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        e2 AS MATERIALIZED (
+          SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+        deg AS MATERIALIZED (
+          SELECT src AS id, CAST(count(*) AS BIGINT) AS k
+          FROM e2 GROUP BY 1),
+        m2 AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2 FROM eo),
+        v0 AS MATERIALIZED (
+          SELECT DISTINCT src AS id, src AS lab FROM e2),
+        $rounds
+        SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+        FROM v2 GROUP BY 1 ORDER BY 1"""
       })
   )
 }

@@ -734,6 +734,62 @@ object ScaleCanary {
     require(verN == 60000L, s"post-vacuum snapshot has $verN rows")
     println(s"[canary]   versioned store rows=$verN after 61 commits + vacuum")
 
+    // Gopher quality rules at 500k docs: one scan-fused integer
+    // projection — the rule pass prices at scan throughput. The
+    // synthetic w-token corpus fails the stop rule by design, so the
+    // keep count doubles as a correctness pin.
+    val gq = time("gopher rules (500k)") {
+      graft.text.Quality.gopherRules(docs)
+        .agg(count(lit(1)).as("n"), sum(col("keep")).as("k")).first()
+    }
+    require(gq.getLong(0) == nD, s"gopher scanned ${gq.getLong(0)} of $nD")
+    require(gq.getLong(1) == 0L, "w-token corpus cannot pass the stop rule")
+    println(s"[canary]   gopher rules keep=${gq.getLong(1)}/$nD")
+
+    // DSIR importance weights at 500k docs: the ratio table is
+    // vocabulary-sized (5k synthetic tokens) and broadcasts back — the
+    // corpus pays two token-keyed aggs plus one broadcast join, never
+    // a corpus-sized model shuffle.
+    val dsirMax = time("dsir weights (500k)") {
+      val r = graft.ml.Dsir.importanceWeights(docs,
+          pmod(col("doc_id"), lit(10)) === 0)
+        .agg(count(lit(1)).as("n"), max(col("weight_p6")).as("m")).first()
+      require(r.getLong(0) == nD, s"dsir weighted ${r.getLong(0)} of $nD")
+      r.getLong(1)
+    }
+    println(s"[canary]   dsir max weight_p6=$dsirMax")
+
+    // LogReg 3-iteration fit at 500k rows + grouped AUC of the learned
+    // score: each GD iteration is one map-side-combinable agg pass;
+    // the evaluation is one group-keyed window + hash agg. y follows
+    // x1 > 0.5 on 75% of rows (hash noise on the rest), so the learned
+    // monotone score must beat random in EVERY group — a correctness
+    // pin on the whole fit → score → evaluate chain at scale.
+    val feats = spark.range(nD).select(col("id"),
+        pmod(xxhash64(col("id"), lit(7)), lit(1000000L)).as("x1"),
+        when(pmod(xxhash64(col("id"), lit(8)), lit(4)) =!= 0,
+          (pmod(xxhash64(col("id"), lit(7)), lit(1000000L)) > 500000L)
+            .cast("long"))
+          .otherwise(pmod(xxhash64(col("id"), lit(9)), lit(2)))
+          .as("y"),
+        pmod(col("id"), lit(16)).as("g"))
+      .localCheckpoint()
+    val aucRow = time("logreg fit + auc (500k)") {
+      val w = graft.ml.LogReg.fit(feats, Seq("x1"), "y", iters = 3,
+        lr = 1.0)
+      val scored = feats.select(col("g"),
+        graft.ml.LogReg.probMicros(w, Seq("x1")).as("p"), col("y"))
+      graft.ml.Eval.groupedAuc(scored, "g", "p", "y")
+        .agg(min(col("auc_micros")).as("lo"),
+          max(col("auc_micros")).as("hi"), count(lit(1)).as("n")).first()
+    }
+    require(aucRow.getLong(2) == 16L,
+      s"auc groups=${aucRow.getLong(2)}, want 16")
+    require(aucRow.getLong(0) > 600000L,
+      s"learned score must beat random everywhere: min auc=${aucRow.getLong(0)}")
+    println(s"[canary]   logreg auc range=[${aucRow.getLong(0)}, " +
+      s"${aucRow.getLong(1)}] micros over 16 groups")
+
     spark.stop()
   }
 }
