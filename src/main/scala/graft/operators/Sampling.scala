@@ -138,6 +138,46 @@ object Sampling {
       .drop("mx_stratum", "mx_num")
   }
 
+  /** Temperature-flattened mixing allocation (T5's §3.4.3 temperature
+    * mixing / the multilingual-sampling rule of Conneau & Lample 2019):
+    * split a row budget across strata proportionally to n_s^τ — τ < 1
+    * upweights rare domains — with EXACT integer apportionment by the
+    * largest-remainder (Hamilton) method: base_s = ⌊B·x_s / X⌋, then
+    * the L = B − Σ base largest remainders get one extra (ties to the
+    * smaller stratum label). x_s = micros(n_s^τ) is the only FP step,
+    * snapped once; the apportionment itself is integer division and an
+    * integer remainder rank — bit-reproducible, and Σ alloc = B always.
+    *
+    * alloc_s may exceed n_s for rare strata: that IS the temperature
+    * semantics (rare domains repeat for multiple epochs — cf.
+    * data-constrained scaling); cap at availability downstream if
+    * repeats are unwanted.
+    *
+    * Scale: everything after the one corpus-sized count agg is
+    * #strata-sized, including the remainder-rank window. */
+  def temperatureAllocation(df: DataFrame, stratum: Column, budget: Long,
+                            tau: Double): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val x = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("stratum"), col("n"),
+        graft.util.Exact.micros(pow(col("n").cast("double"), lit(tau)))
+          .as("x"))
+    val tot = x.agg(sum("x").as("xt"))
+    val based = x.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n"),
+        expr(s"($budget * x) div xt").as("base"),
+        pmod(lit(budget) * col("x"), col("xt")).as("rem"))
+    val leftover = based.agg((lit(budget) - sum("base")).as("lft"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("stratum"))
+    based.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(leftover))
+      .select(col("stratum"), col("n"),
+        (col("base") + when(col("rk") <= col("lft"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Group-stable split label ("train"/"val"/"test") from the key's
     * hash: the same key always gets the same label, so splitting by
     * user/domain/doc keeps correlated rows on one side of the eval

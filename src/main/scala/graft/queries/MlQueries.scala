@@ -1057,7 +1057,35 @@ object MlQueries {
         graft.ml.Mmr.select(s, cands, k = 5, lambdaMicros = 700000L)
           .orderBy("step")
       },
-      Some(mmrOracleSql(n = 20, k = 5, lam = 700000L)))
+      Some(mmrOracleSql(n = 20, k = 5, lam = 700000L))),
+
+    // ------------------------------------------------------------------
+    // Calibration (reliability) table of the q225 classifier: fixed-
+    // width probability bins (p div 10000) → count, exact Σp, observed
+    // positives — the "is a 0.46 really a 0.46" readout that pairs with
+    // q226's ranking AUC. Fixed bins, not ntile: a pure hash-agg with
+    // no rank window, so the readout is one map-side-combinable pass at
+    // any corpus size.
+    QuerySpec("q229_calibration",
+      (s, dir) => {
+        val f = logRegFeatures(s, dir)
+        val w = graft.ml.LogReg.fit(f, Seq("x1", "x2", "x3"), "y",
+          iters = 3, lr = 0.5)
+        f.select(col("y"),
+            graft.ml.LogReg.probMicros(w, Seq("x1", "x2", "x3")).as("p"))
+          .groupBy(expr("p div 10000").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p_micros"),
+            sum(col("y")).as("n_pos"))
+          .orderBy("bin")
+      },
+      Some(s"""${logRegChainSql(iters = 3)},
+        scored AS (
+          SELECT f.y, ${logRegPExpr("w3t")} AS p
+          FROM f CROSS JOIN w3t)
+        SELECT p // 10000 AS bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS sum_p_micros,
+               CAST(sum(y) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Integer-micros document features for q225: x1 = tokens/50,
@@ -1085,11 +1113,20 @@ object MlQueries {
 
   /** Unrolled GD chain: w(i) CTEs over the feature frame, replaying
     * LogReg.fit's integer-gradient updates exactly. */
-  private def logRegOracleSql(iters: Int): String = {
-    def pExpr(w: String): String =
-      s"CAST(floor(1.0 / (1.0 + exp(-(CAST($w.w0 * 1000000 + " +
-        s"$w.wa * x1 + $w.wb * x2 + $w.wc * x3 AS DOUBLE) / 1e12))) " +
-        "* 1000000 + 0.5) AS BIGINT)"
+  private def logRegOracleSql(iters: Int): String =
+    s"""${logRegChainSql(iters)}
+      SELECT f.doc_id, f.y, ${logRegPExpr(s"w${iters}t")} AS p_micros
+      FROM f CROSS JOIN w${iters}t
+      ORDER BY f.doc_id"""
+
+  private def logRegPExpr(w: String): String =
+    s"CAST(floor(1.0 / (1.0 + exp(-(CAST($w.w0 * 1000000 + " +
+      s"$w.wa * x1 + $w.wb * x2 + $w.wc * x3 AS DOUBLE) / 1e12))) " +
+      "* 1000000 + 0.5) AS BIGINT)"
+
+  /** The WITH-prefix of the GD replay (features, n, w0t..w{iters}t). */
+  private def logRegChainSql(iters: Int): String = {
+    def pExpr(w: String): String = logRegPExpr(w)
     val enList = graft.text.TextStats.LangMarkers.head._2
       .map(w => s"'$w'").mkString(", ")
     val steps = (1 to iters).map { i =>
@@ -1130,10 +1167,7 @@ object MlQueries {
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
       w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS wa,
                      CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS wc),
-      $steps
-      SELECT f.doc_id, f.y, ${pExpr(s"w${iters}t")} AS p_micros
-      FROM f CROSS JOIN w${iters}t
-      ORDER BY f.doc_id"""
+      $steps"""
   }
 
   /** Unrolled MMR greedy chain over the top-`n` candidate page. */

@@ -2099,6 +2099,44 @@ object PipelineQueries {
                  ELSE 'changed' END AS status
           FROM v1 FULL OUTER JOIN v2 USING (doc_id))
         SELECT status, CAST(count(*) AS BIGINT) AS n_docs
-        FROM j GROUP BY status ORDER BY status"""))
+        FROM j GROUP BY status ORDER BY status""")),
+
+    // ------------------------------------------------------------------
+    // Temperature-flattened mixing allocation (T5 §3.4.3 / multilingual
+    // sampling): budget split ∝ n_lang^0.5 with EXACT largest-remainder
+    // apportionment — one snapped pow per stratum, then pure integer
+    // division + remainder rank; Σ alloc = budget exactly. Rare
+    // languages get upweighted (alloc may exceed n: epoch repeats).
+    QuerySpec("q230_temperature_mix",
+      (s, dir) => {
+        Sampling.temperatureAllocation(Tables.documents(s, dir),
+            col("lang"), budget = 1000L, tau = 0.5)
+          .withColumnRenamed("stratum", "lang")
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH cnt AS (
+          SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1),
+        x AS (
+          SELECT stratum, n,
+                 ${graft.util.Exact.microsSql(
+                   "pow(CAST(n AS DOUBLE), 0.5)")} AS x
+          FROM cnt),
+        t AS (SELECT CAST(sum(x) AS BIGINT) AS xt FROM x),
+        b AS (
+          SELECT stratum, n,
+                 CAST((1000 * x) // xt AS BIGINT) AS base,
+                 CAST((1000 * x) % xt AS BIGINT) AS rem
+          FROM x CROSS JOIN t),
+        l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS lft FROM b),
+        r AS (
+          SELECT stratum, n, base, rem,
+                 row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+          FROM b)
+        SELECT stratum AS lang, n,
+               CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc
+        FROM r CROSS JOIN l ORDER BY lang"""))
   )
 }

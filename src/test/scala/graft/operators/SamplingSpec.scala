@@ -151,4 +151,41 @@ class SamplingSpec extends SparkSpec {
     // the permutation is a pure function of the keys
     assert(shuffled(df.repartition(13)).toMap == a)
   }
+
+  test("temperature allocation: exact Hamilton apportionment, budget " +
+    "conserved") {
+    import spark.implicits._
+    // counts a:1, b:4 — quotas at tau=1 are 1.8 / 7.2 → Hamilton 2 / 7
+    val df = (Seq.fill(1)("a") ++ Seq.fill(4)("b")).toDF("s")
+    def alloc(tau: Double, b: Long) =
+      Sampling.temperatureAllocation(df, col("s"), b, tau)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(alloc(1.0, 9L) === Map("a" -> 2L, "b" -> 7L))
+    // tau=0.5: x = (1e6, 2e6) → exact thirds, no remainder
+    assert(alloc(0.5, 9L) === Map("a" -> 3L, "b" -> 6L))
+    // tau=0: uniform flattening (x equal) — 9 = 5 + 4, extra to 'a'
+    assert(alloc(0.0, 9L) === Map("a" -> 5L, "b" -> 4L))
+  }
+
+  test("temperature allocation: sums to budget and flattens " +
+    "monotonically in tau") {
+    import spark.implicits._
+    val df = (Seq.fill(80)("big") ++ Seq.fill(15)("mid") ++
+      Seq.fill(5)("tiny")).toDF("s")
+    def alloc(tau: Double) =
+      Sampling.temperatureAllocation(df, col("s"), 1000L, tau)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    Seq(0.0, 0.3, 0.5, 0.7, 1.0).foreach { t =>
+      assert(alloc(t).values.sum === 1000L, s"tau=$t budget conservation")
+    }
+    // lower temperature gives the tiny stratum a larger share
+    assert(alloc(0.3)("tiny") > alloc(0.7)("tiny"))
+    assert(alloc(0.7)("tiny") > alloc(1.0)("tiny"))
+    // and the big stratum a smaller one
+    assert(alloc(0.3)("big") < alloc(1.0)("big"))
+    // partitioning invariance
+    val a = Sampling.temperatureAllocation(df.repartition(7), col("s"),
+      1000L, 0.5).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a === alloc(0.5))
+  }
 }
