@@ -48,8 +48,16 @@ object Louvain {
                 allowUp: Boolean): DataFrame = {
     val e2 = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = e2.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
-    val m2 = edges.agg((count(lit(1)) * 2).as("m2"))
+    core(e2,
+      e2.groupBy(col("src").as("id")).agg(count(lit(1)).as("k")),
+      e2.agg(count(lit(1)).as("m2")), // e2 holds both orientations = 2m
+      labels, allowUp)
+  }
+
+  /** Round body over precomputed round-invariants (both-orientation
+    * edge list, degrees, the 2m scalar). */
+  private def core(e2: DataFrame, deg: DataFrame, m2: DataFrame,
+                   labels: DataFrame, allowUp: Boolean): DataFrame = {
     val lab = labels.select(col("id"), col("lab"))
     val tot = lab.join(deg, "id")
       .groupBy(col("lab").as("c")).agg(sum("k").as("tot"))
@@ -80,13 +88,26 @@ object Louvain {
   }
 
   /** `rounds` synchronized move rounds from singleton communities,
-    * alternating down/up (odd rounds move down). */
+    * alternating down/up (odd rounds move down). Each generation is a
+    * lazy localCheckpoint: moveRound references the previous labels
+    * four times (totals, neighbor counts, candidates, current), so an
+    * un-cut lineage re-executes every earlier round 4× per reference —
+    * exponential in round count (the q228 A/B: 19.0 s lazy-chained vs
+    * 4.1 s checkpointed at sf0.1 for two rounds). */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
-    var lab = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct().select(col("id"), col("id").as("lab"))
+    // round-invariants computed once: e2 is the only consumer of the
+    // caller's (possibly expensive) edge derivation, and deg/m2 read
+    // the checkpointed e2, never the source again
+    val e2 = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false)
+    val deg = e2.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(false)
+    val m2 = e2.agg(count(lit(1)).as("m2"))
+    var lab = deg.select(col("id"), col("id").as("lab"))
     for (r <- 1 to rounds)
-      lab = moveRound(edges, lab, allowUp = r % 2 == 0)
+      lab = core(e2, deg, m2, lab, allowUp = r % 2 == 0)
+        .localCheckpoint(false)
     lab
   }
 }
