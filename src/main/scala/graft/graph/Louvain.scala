@@ -3,18 +3,21 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Synchronized Louvain move phase (Blondel et al. 2008 §2): every
-  * vertex evaluates the modularity gain of joining each neighboring
-  * community and moves to the best one. Comparing ΔQ across target
-  * communities only needs the c-dependent numerators —
+/** Synchronized Louvain (Blondel et al. 2008): the modularity-gain MOVE
+  * phase and the community-contraction (COARSEN) phase, both in exact
+  * integer arithmetic. Comparing ΔQ across target communities only
+  * needs the c-dependent numerators —
   *
-  *   S(v, c) = 2m·k_{v,c} − k_v·(Σtot_c − [c = cur(v)]·k_v)
+  *   S(v, c) = 2W·k_{v,c} − k_v·(Σtot_c − [c = cur(v)]·k_v)
   *
-  * (ΔQ scaled by 2m² and shifted by terms constant in c; the [c = cur]
-  * correction removes v's own degree from its community total, i.e. the
-  * standard "remove v, then re-insert" bookkeeping) — so the argmax +
-  * move decision is exact integer arithmetic, engine-reproducible and
-  * SQL-replayable. Ties break to the smaller community label.
+  * (ΔQ scaled by 2W² and shifted by terms constant in c; the [c = cur]
+  * correction removes v's own degree from its community total — the
+  * standard "remove v, then re-insert" bookkeeping; W = total edge
+  * weight, k = weighted degree with self-loops counted twice, k_{v,c} =
+  * weight from v into c excluding v's self-loop, which moves with v) —
+  * so the argmax + move decision is exact long arithmetic,
+  * engine-reproducible and SQL-replayable. Ties break to the smaller
+  * community label.
   *
   * Synchronized semantics: all vertices decide on the PREVIOUS round's
   * labels (sequential Louvain is visit-order-dependent — unreplayable
@@ -29,43 +32,70 @@ import org.apache.spark.sql.functions._
   * move, so convergence quality is preserved while every round stays
   * deterministic.
   *
+  * [[coarsen]] closes the cycle: contract each community to a
+  * super-vertex, intra-community weight becoming its self-loop;
+  * modularity of a partition of the coarse graph equals modularity of
+  * the lifted partition of the original (the Louvain invariant), so
+  * move rounds on the condensation keep optimizing the same objective
+  * at community-count scale instead of vertex-count scale.
+  *
   * Scale: one neighbor-label join (keyed on the edge endpoint), one
   * (vertex, community) hash-agg, one community-total hash-agg per
-  * round; the 2m scalar rides as a broadcast one-row frame. No
-  * all-pairs stage. Overflow headroom: S is bounded by 2m·deg_max —
-  * past ~2^62 (m ≳ 10^12 with large hubs) the scaled gain needs
-  * DECIMAL(38,0); at that point switch the two products to decimal,
-  * the algebra is unchanged.
+  * round; the 2W scalar rides as a broadcast one-row frame. No
+  * all-pairs stage. Overflow headroom: S is bounded by 2W·k_max —
+  * past ~2^62 the scaled gain needs DECIMAL(38,0); the algebra is
+  * unchanged.
   */
 object Louvain {
 
-  /** One synchronized move round. `edges`: canonical undirected edge
-    * list (src, dst), no duplicates, no self-loops. `labels`:
-    * (id, lab) covering every endpoint. `allowUp = false` permits only
-    * targets with smaller labels than the current community (plus
-    * staying), `true` only larger. Returns the new (id, lab). */
+  /** One synchronized move round on an UNWEIGHTED graph. `edges`:
+    * canonical undirected edge list (src, dst), no duplicates, no
+    * self-loops. `labels`: (id, lab) covering every endpoint.
+    * `allowUp = false` permits only targets with smaller labels than
+    * the current community (plus staying), `true` only larger. */
   def moveRound(edges: DataFrame, labels: DataFrame,
-                allowUp: Boolean): DataFrame = {
-    val e2 = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    core(e2,
-      e2.groupBy(col("src").as("id")).agg(count(lit(1)).as("k")),
-      e2.agg(count(lit(1)).as("m2")), // e2 holds both orientations = 2m
+                allowUp: Boolean): DataFrame =
+    moveRoundWeighted(
+      edges.select(col("src"), col("dst"), lit(1L).as("w")),
       labels, allowUp)
+
+  /** Weighted move round. `wedges`: canonical undirected weighted edge
+    * list (src, dst, w) — self-loop rows (src = dst) carry a
+    * community's internal weight and count twice in its degree. */
+  def moveRoundWeighted(wedges: DataFrame, labels: DataFrame,
+                        allowUp: Boolean): DataFrame = {
+    val e2 = bothWays(wedges)
+    val deg = degrees(wedges)
+    core(e2, deg, deg.agg(sum("k").as("m2")), labels, allowUp)
   }
 
+  /** Both-orientation non-self edges (src, dst, w). */
+  private def bothWays(wedges: DataFrame): DataFrame = {
+    val ns = wedges.filter(col("src") =!= col("dst"))
+    ns.select(col("src"), col("dst"), col("w"))
+      .union(ns.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+  }
+
+  /** Weighted degrees: incident non-self weight + 2× self-loop. */
+  private def degrees(wedges: DataFrame): DataFrame =
+    bothWays(wedges).select(col("src").as("id"), col("w"))
+      .union(wedges.filter(col("src") === col("dst"))
+        .select(col("src").as("id"), (col("w") * 2).as("w")))
+      .groupBy("id").agg(sum("w").as("k"))
+
   /** Round body over precomputed round-invariants (both-orientation
-    * edge list, degrees, the 2m scalar). */
+    * non-self edges, weighted degrees, the 2W one-row scalar). */
   private def core(e2: DataFrame, deg: DataFrame, m2: DataFrame,
                    labels: DataFrame, allowUp: Boolean): DataFrame = {
     val lab = labels.select(col("id"), col("lab"))
     val tot = lab.join(deg, "id")
       .groupBy(col("lab").as("c")).agg(sum("k").as("tot"))
-    // edges from v into each neighboring community under OLD labels
+    // weight from v into each neighboring community under OLD labels
     val kvc = e2
       .join(lab.select(col("id").as("dst"), col("lab").as("c")), "dst")
       .groupBy(col("src").as("id"), col("c"))
-      .agg(count(lit(1)).as("kvc"))
+      .agg(sum("w").as("kvc"))
     // candidate set = neighbor communities ∪ the current community
     // (kvc = 0 when v has no neighbor at home)
     val cand = kvc
@@ -87,23 +117,41 @@ object Louvain {
       .select(col("id"), (-col("b.nc")).as("lab"))
   }
 
+  /** Contract a partition: communities become super-vertices, edge
+    * weights sum, intra-community weight becomes the super-vertex's
+    * self-loop. Returns canonical weighted edges (src ≤ dst, w).
+    * Input edges are unweighted (w = 1 each); coarsening an
+    * already-weighted graph is the same shape with sum(w). */
+  def coarsen(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("lab"))
+    edges
+      .join(lab.select(col("id").as("src"), col("lab").as("la")), "src")
+      .join(lab.select(col("id").as("dst"), col("lab").as("lb")), "dst")
+      .select(least(col("la"), col("lb")).as("src"),
+        greatest(col("la"), col("lb")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
   /** `rounds` synchronized move rounds from singleton communities,
     * alternating down/up (odd rounds move down). Each generation is a
-    * lazy localCheckpoint: moveRound references the previous labels
-    * four times (totals, neighbor counts, candidates, current), so an
-    * un-cut lineage re-executes every earlier round 4× per reference —
+    * lazy localCheckpoint: a round references the previous labels four
+    * times (totals, neighbor counts, candidates, current), so an un-cut
+    * lineage re-executes every earlier round 4× per reference —
     * exponential in round count (the q228 A/B: 19.0 s lazy-chained vs
-    * 4.1 s checkpointed at sf0.1 for two rounds). */
+    * 4.1 s checkpointed at sf0.1 for two rounds). Round-invariants
+    * (e2, degrees, 2W) are computed once against the checkpointed e2,
+    * never the caller's edge expression. */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
-    // round-invariants computed once: e2 is the only consumer of the
-    // caller's (possibly expensive) edge derivation, and deg/m2 read
-    // the checkpointed e2, never the source again
-    val e2 = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // checkpoint the source once: bothWays references its input twice
+    // (the two union branches), which would re-run an expensive caller
+    // edge derivation per branch
+    val we = edges.select(col("src"), col("dst"), lit(1L).as("w"))
       .localCheckpoint(false)
-    val deg = e2.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    val e2 = bothWays(we).localCheckpoint(false)
+    val deg = e2.select(col("src").as("id"), col("w"))
+      .groupBy("id").agg(sum("w").as("k"))
       .localCheckpoint(false)
-    val m2 = e2.agg(count(lit(1)).as("m2"))
+    val m2 = deg.agg(sum("k").as("m2"))
     var lab = deg.select(col("id"), col("id").as("lab"))
     for (r <- 1 to rounds)
       lab = core(e2, deg, m2, lab, allowUp = r % 2 == 0)

@@ -1470,9 +1470,95 @@ object GraphQueries {
           .agg(count(lit(1)).as("n_members"))
           .orderBy("community")
       },
-      Some {
-        val rounds = (1 to 2).map { r =>
-          s"""tot$r AS MATERIALIZED (
+      Some(s"""
+        ${louvainPrefixSql(2)}
+        SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+        FROM v2 GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Full Louvain cycle (q228's two move rounds → community
+    // contraction → one WEIGHTED move round on the condensation):
+    // intra-community weight becomes the super-vertex self-loop
+    // (counted twice in its degree), and the weighted gain algebra
+    // runs at community-count scale. Output = original-vertex census
+    // of the final communities (labels lifted back through the
+    // contraction).
+    QuerySpec("q231_louvain_coarse",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+          .localCheckpoint(false) // consumed by run() AND coarsen()
+        val lab2 = graft.graph.Louvain.run(edges, rounds = 2)
+        val wed = graft.graph.Louvain.coarsen(edges, lab2)
+          .localCheckpoint(false)
+        val init = wed.select(col("src").as("id"))
+          .union(wed.select(col("dst").as("id")))
+          .distinct().select(col("id"), col("id").as("lab"))
+          .localCheckpoint(false) // referenced 4x inside the round
+        val lab3 = graft.graph.Louvain
+          .moveRoundWeighted(wed, init, allowUp = false)
+        lab2.select(col("id"), col("lab").as("c2"))
+          .join(lab3.select(col("id").as("c2"), col("lab").as("c3")),
+            "c2")
+          .groupBy(col("c3").as("community"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("community")
+      },
+      Some(s"""
+        ${louvainPrefixSql(2)},
+        wed AS MATERIALIZED (
+          SELECT least(a.lab, b.lab) AS src,
+                 greatest(a.lab, b.lab) AS dst,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM eo JOIN v2 a ON eo.src = a.id JOIN v2 b ON eo.dst = b.id
+          GROUP BY 1, 2),
+        we2 AS MATERIALIZED (
+          SELECT src, dst, w FROM wed WHERE src <> dst
+          UNION ALL SELECT dst, src, w FROM wed WHERE src <> dst),
+        wdeg AS MATERIALIZED (
+          SELECT id, CAST(sum(w) AS BIGINT) AS k FROM (
+            SELECT src AS id, w FROM we2
+            UNION ALL
+            SELECT src AS id, 2 * w AS w FROM wed WHERE src = dst)
+          GROUP BY 1),
+        wm2 AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM wdeg),
+        u0 AS (SELECT id, id AS lab FROM wdeg),
+        wtot AS (
+          SELECT l.lab AS c, CAST(sum(d.k) AS BIGINT) AS tot
+          FROM u0 l JOIN wdeg d USING (id) GROUP BY 1),
+        wkvc AS (
+          SELECT e.src AS id, l.lab AS c, CAST(sum(e.w) AS BIGINT) AS kvc
+          FROM we2 e JOIN u0 l ON e.dst = l.id GROUP BY 1, 2),
+        wcand AS (
+          SELECT id, c, CAST(sum(kvc) AS BIGINT) AS kvc FROM (
+            SELECT id, c, kvc FROM wkvc
+            UNION ALL SELECT id, lab AS c, 0 AS kvc FROM u0)
+          GROUP BY id, c),
+        wsc AS (
+          SELECT cd.id, cd.c,
+                 m.m2 * cd.kvc - d.k *
+                   (t.tot - CASE WHEN cd.c = l.lab THEN d.k ELSE 0 END)
+                   AS s
+          FROM wcand cd JOIN u0 l USING (id) JOIN wdeg d USING (id)
+          JOIN wtot t ON t.c = cd.c CROSS JOIN wm2 m
+          WHERE cd.c <= l.lab),
+        u1 AS (
+          SELECT id, c AS lab FROM (
+            SELECT id, c, row_number() OVER (PARTITION BY id
+              ORDER BY s DESC, c) AS rn
+            FROM wsc) WHERE rn = 1)
+        SELECT u1.lab AS community, CAST(count(*) AS BIGINT) AS n_members
+        FROM v2 JOIN u1 ON v2.lab = u1.id
+        GROUP BY 1 ORDER BY 1"""))
+  )
+
+  /** WITH-prefix replaying `rounds` alternating-direction Louvain move
+    * rounds on the order↔part graph (v0 … v`rounds`). */
+  private def louvainPrefixSql(nRounds: Int): String = {
+    val rounds = (1 to nRounds).map { r =>
+      s"""tot$r AS MATERIALIZED (
             SELECT l.lab AS c, CAST(sum(d.k) AS BIGINT) AS tot
             FROM v${r - 1} l JOIN deg d USING (id) GROUP BY 1),
           kvc$r AS MATERIALIZED (
@@ -1498,7 +1584,7 @@ object GraphQueries {
                 ORDER BY s DESC, c) AS rn
               FROM sc$r) WHERE rn = 1)"""
         }.mkString(",\n")
-        s"""
+    s"""
         WITH eo AS MATERIALIZED (
           SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
           FROM lineitem),
@@ -1510,9 +1596,6 @@ object GraphQueries {
         m2 AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2 FROM eo),
         v0 AS MATERIALIZED (
           SELECT DISTINCT src AS id, src AS lab FROM e2),
-        $rounds
-        SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
-        FROM v2 GROUP BY 1 ORDER BY 1"""
-      })
-  )
+        $rounds"""
+  }
 }
