@@ -141,6 +141,36 @@ object Ivf {
       .select("cluster")
   }
 
+  /** Batched approximate top-k: one plan answers a whole query table.
+    * `queries`: (qid, qv). Each query probes its `nprobe` nearest
+    * clusters; the corpus joins the broadcast (qid, cluster, qv) probe
+    * table on cluster, so a corpus row is scored only for the queries
+    * that probe its cluster. Per-query top-k is a WindowGroupLimit-
+    * pruned rank — no global sort. The probe table is
+    * #queries × nprobe; for page-sized query batches it broadcasts,
+    * for huge batches repartition both sides by cluster instead. */
+  def topKBatch(index: Index, queries: DataFrame, k: Int,
+                nprobe: Int = 2, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("d"), col("cluster"))
+    val probed = queries.crossJoin(index.centroids)
+      .withColumn("d", sqDist(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "qv", "cluster")
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col(idCol))
+    index.assignments
+      .join(broadcast(probed), Seq("cluster"))
+      .select(col("qid"), col(idCol),
+        Similarity.cosine(col(vecCol), col("qv")).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select("qid", idCol, "cos")
+  }
+
   /** Approximate top-k by cosine: scan only the `nprobe` clusters whose
     * centroids are closest to the query. */
   def topK(index: Index, query: Seq[Float], k: Int, nprobe: Int = 2,

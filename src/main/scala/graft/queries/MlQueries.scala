@@ -1085,7 +1085,83 @@ object MlQueries {
         SELECT p // 10000 AS bin, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(p) AS BIGINT) AS sum_p_micros,
                CAST(sum(y) AS BIGINT) AS n_pos
-        FROM scored GROUP BY 1 ORDER BY 1"""))
+        FROM scored GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // ANN recall@10 harness: 10 queries probe the IVF index in ONE
+    // batched plan (Ivf.topKBatch — per-query WindowGroupLimit top-k,
+    // corpus rows scored only for queries probing their cluster) and
+    // are scored against batched brute-force ground truth. hits ≥ 1
+    // always (a corpus query finds itself), so the per-query census is
+    // total. The recall readout every ANN deployment publishes.
+    QuerySpec("q232_ann_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cluster"),
+            transform(col("embedding"), _.cast("double")).as("centroid"))
+        val idx = graft.ml.Ivf.Index(
+          graft.ml.Ivf.assign(emb, cents), cents)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val approx = graft.ml.Ivf.topKBatch(idx, queries, k = 10,
+          nprobe = 2)
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))
+        val exact = emb.crossJoin(broadcast(queries))
+          .select(col("qid"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 10)
+        exact.select("qid", "vec_id")
+          .join(approx.select("qid", "vec_id"), Seq("qid", "vec_id"),
+            "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH qs AS MATERIALIZED (
+          SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 10),
+        cents AS MATERIALIZED (
+          SELECT vec_id AS cluster, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        probed AS MATERIALIZED (
+          SELECT qid, qv, cluster FROM (
+            SELECT q.qid, q.qv, c.cluster,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY ${sqDistSql("q.qv", "c.cvec")},
+                              c.cluster) AS rn
+            FROM qs q CROSS JOIN cents c)
+          WHERE rn <= 2),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqDistSql("e.embedding", "c.cvec")},
+                              c.cluster) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1),
+        approx AS MATERIALIZED (
+          SELECT qid, vec_id FROM (
+            SELECT p.qid, a.vec_id,
+                   row_number() OVER (PARTITION BY p.qid
+                     ORDER BY ${cosSql("a.embedding", "p.qv")} DESC,
+                              a.vec_id) AS rn
+            FROM assigned a JOIN probed p USING (cluster))
+          WHERE rn <= 10),
+        exact AS MATERIALIZED (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY ${cosSql("e.embedding", "q.qv")} DESC,
+                              e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qs q)
+          WHERE rn <= 10)
+        SELECT x.qid, CAST(count(*) AS BIGINT) AS hits
+        FROM exact x JOIN approx USING (qid, vec_id)
+        GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Integer-micros document features for q225: x1 = tokens/50,

@@ -43,6 +43,24 @@ class IvfSpec extends SparkSpec {
       s"recall too low: ${(exact & approx).size}/10")
   }
 
+  test("batched probe ≡ per-query topK, row for row") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = Ivf.build(emb, k = 8, iters = 3)
+    val qids = Seq(1L, 3L, 7L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Ivf.topKBatch(idx, queries, k = 5, nprobe = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    qids.foreach { q =>
+      val qv = emb.filter(col("vec_id") === q).select("embedding")
+        .as[Seq[Float]].head()
+      val single = Ivf.topK(idx, qv, 5, nprobe = 2)
+        .select("vec_id").as[Long].collect().toSet
+      assert(batch(q) === single, s"qid $q")
+    }
+  }
+
   test("assignments cover every vector exactly once") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = Ivf.build(emb, k = 8, iters = 2)
