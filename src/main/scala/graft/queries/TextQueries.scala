@@ -1323,6 +1323,49 @@ object TextQueries {
         SELECT doc_id, CAST(sum(c * lr_micros) AS BIGINT) AS weight_p6
         FROM dt JOIN lr USING (token)
         GROUP BY doc_id
-        ORDER BY weight_p6 DESC, doc_id LIMIT 100"""))
+        ORDER BY weight_p6 DESC, doc_id LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // DSIR scoring at ARRIVAL time: the log-ratio model derives from
+    // the at-rest corpus only (vocab-sized, broadcast), the delta
+    // streams in as two real micro-batches and each doc pays one token
+    // explode + one broadcast join + a delta-sized sum — zero streaming
+    // state, no watermark. Oracle pins the model to the old corpus and
+    // replays the weight algebra over the delta: scoring at arrival
+    // loses nothing vs batch rescoring, independent of micro-batching.
+    QuerySpec("q234_stream_dsir",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isDelta = col("doc_id") % 10 === 3
+        graft.streaming.Streams.dsirAdmissionReplay(
+            docs.filter(!isDelta), docs.filter(isDelta),
+            col("lang") === "en")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lt AS (
+          SELECT doc_id, lang, unnest(${toksSql("text")}) AS token
+          FROM documents),
+        old AS (SELECT * FROM lt WHERE doc_id % 10 <> 3),
+        counts AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS rc,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tc
+          FROM old GROUP BY token),
+        tot AS (
+          SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+                 CAST(sum(tc) AS BIGINT) AS ttot,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM counts),
+        lr AS (
+          SELECT token, ${Exact.microsSql(
+            "ln((CAST(tc + 1 AS DOUBLE) / CAST(ttot + v AS DOUBLE)) / " +
+            "(CAST(rc + 1 AS DOUBLE) / CAST(rtot + v AS DOUBLE)))")}
+            AS lr_micros
+          FROM counts CROSS JOIN tot)
+        SELECT doc_id, CAST(sum(lr_micros) AS BIGINT) AS weight_p6
+        FROM lt JOIN lr USING (token)
+        WHERE doc_id % 10 = 3
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -719,6 +719,52 @@ object Streams {
           .start())
   }
 
+  /** DSIR importance scoring at ARRIVAL time (q224's scorer as an
+    * ingest gate): the smoothed log-ratio model derives from the
+    * AT-REST corpus only — vocabulary-sized and broadcast; in
+    * production the stored model table — and an arriving doc pays one
+    * token explode, one broadcast join, and a delta-sized sum. Zero
+    * streaming state, no watermark: per-doc weights aggregate inside
+    * `foreachBatch` (each doc lives in exactly one micro-batch, so the
+    * per-batch sum IS the doc's weight). Tokens unseen in the corpus
+    * vocabulary contribute 0 (inner join) — the hashed-feature DSIR
+    * variant would bucket them; either way the model never grows with
+    * the stream. Oracle = q224's weight algebra with the model pinned
+    * to the old corpus, applied to the delta: scoring at arrival loses
+    * nothing against batch rescoring. */
+  def dsirAdmissionReplay(oldDocs: DataFrame, deltaDocs: DataFrame,
+                          isTarget: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val spark = oldDocs.sparkSession
+    import spark.implicits._
+    val lr = graft.ml.Dsir.logRatios(oldDocs, isTarget)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val halves = (0 to 1).map(h =>
+      deltaDocs.filter(pmod(col("doc_id"), lit(2L)) === h))
+    def sentinel(n: Int): DataFrame =
+      Seq((-n.toLong, "")).toDF("doc_id", "text")
+    val out = replayBatches(halves, sentinel,
+      "doc_id BIGINT, text STRING",
+      (src, outDir) => {
+        val toks = src.select(col("doc_id"),
+          explode(graft.text.Analyzer.tokenize(col("text")))
+            .as("token"))
+        toks.join(broadcast(lr), Seq("token"))
+          .select(col("doc_id"), col("lr_micros"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.groupBy("doc_id")
+              .agg(sum(col("lr_micros")).as("weight_p6"))
+              .write.mode("append").parquet(outDir)
+          }
+          .start()
+      })
+    lr.unpersist(blocking = false)
+    out
+  }
+
   /** EXACTLY-ONCE ingest into the versioned store: events stream in as
     * two real micro-batches and a `foreachBatch` sink commits each via
     * [[graft.store.Versioned.commitAppendTxn]] — and then, inside the
