@@ -212,14 +212,27 @@ object Bench {
     val errs = results.collect { case (k, Left(e)) => (k, e) }
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val calibEndSec = calibrate()
-    val anyBreach = !calibClean(calibStartSec) || !calibClean(calibEndSec) ||
+    // Suspicion is decided by the MEASUREMENT-bounding probes (start +
+    // interleaved + the probe closing the last window), not by the
+    // post-retry end calibration: every first-pass value is bounded by
+    // its window's probes, and every retry is individually gated on a
+    // fresh clean calibration with min(original, retry) applied — so a
+    // load wave arriving AFTER the retry pass cannot have inflated any
+    // recorded value. A breaching end calibration is still recorded
+    // (and the stderr note fires) as evidence for the next run's
+    // scheduling, it just no longer voids provably-clean measurements.
+    val mainBreach = !calibClean(calibStartSec) ||
       probes.exists { case (_, p) => !calibClean(p) }
     // A breach that was fully healed (every tainted query re-timed under
     // a clean calibration) no longer invalidates the board, but the
     // probe series and load_recovered stay in the artifact as evidence.
-    val loadRecovered = anyBreach && tainted.nonEmpty && !retryAborted &&
-      calibClean(calibEndSec)
-    val loadSuspect = anyBreach && !loadRecovered
+    val loadRecovered = mainBreach && tainted.nonEmpty && !retryAborted
+    val loadSuspect = mainBreach && !loadRecovered
+    if (!calibClean(calibEndSec) && !loadSuspect)
+      System.err.println(f"[bench] note: post-retry end calibration " +
+        f"read $calibEndSec%.2fs (idle $CalibIdleSec%.2fs) - load " +
+        "arrived after measurements concluded; recorded values were " +
+        "probe-bounded or retry-gated and remain citable.")
     val probeJson = probes.toSeq.sortBy(_._1)
       .map { case (at, p) => f"""{"at":$at,"sec":$p%.3f}""" }
       .mkString("[", ",", "]")
