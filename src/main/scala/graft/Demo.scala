@@ -448,6 +448,28 @@ object Demo {
     SparkEntry.queries("q193_butterflies")(spark, demoDir).show(false)
     SparkEntry.queries("q187_kneser_ney")(spark, demoDir).show(4, false)
 
+    // ---- the curation loop: score -> learn -> calibrate -> evaluate
+    // -> resample -> mix -> diversify, each a driver-checked operator
+    println("== gopher quality rules (per-rule accounting + keep)")
+    SparkEntry.queries("q223_gopher_rules")(spark, demoDir).show(5, false)
+    println("== logreg quality classifier (3 GD iters, exact micros)")
+    SparkEntry.queries("q225_logreg_quality")(spark, demoDir)
+      .show(5, false)
+    println("== calibration bins + per-source ROC-AUC of the scorer")
+    SparkEntry.queries("q229_calibration")(spark, demoDir).show(false)
+    SparkEntry.queries("q226_auc")(spark, demoDir).show(5, false)
+    println("== DSIR importance weights (top target-like docs)")
+    SparkEntry.queries("q224_dsir_weights")(spark, demoDir).show(5, false)
+    println("== temperature-flattened mixing allocation (tau=0.5)")
+    SparkEntry.queries("q230_temperature_mix")(spark, demoDir).show(false)
+    println("== MMR-diversified ANN page (lambda=0.7, k=5)")
+    SparkEntry.queries("q227_mmr_diverse")(spark, demoDir).show(false)
+    println("== IVF recall@10 against brute force (batched probe)")
+    SparkEntry.queries("q232_ann_recall")(spark, demoDir).show(false)
+    println("== Louvain: 2 move rounds -> contract -> coarse round")
+    SparkEntry.queries("q231_louvain_coarse")(spark, demoDir)
+      .show(5, false)
+
     spark.stop()
   }
 }
