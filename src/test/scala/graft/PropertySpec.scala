@@ -124,4 +124,90 @@ class PropertySpec extends SparkSpec {
       .map(e => (e._1, e._2, 0L)), seeds.map { case (k, _) => k -> 0L }, 3)
     assert(got.keySet.subsetOf(blind.keySet))
   }
+
+  test("groupedAuc laws on generated data: bounds, label-flip " +
+    "antisymmetry, rank-sum reference") {
+    val g = Gen.zip(Gen.chooseNum(0L, 40L), Gen.oneOf(0L, 1L))
+    val rows = cases(g, 240, 23L).zipWithIndex
+      .map { case ((s, y), i) => (s"g${i % 4}", s, y) }
+    // each group must carry both classes for AUC to be defined
+    val padded = rows ++ Seq(("g0", 0L, 0L), ("g0", 1L, 1L),
+      ("g1", 0L, 0L), ("g1", 1L, 1L), ("g2", 0L, 0L), ("g2", 1L, 1L),
+      ("g3", 0L, 0L), ("g3", 1L, 1L))
+    val df = padded.toDF("g", "score", "y")
+    val auc = ml.Eval.groupedAuc(df, "g", "score", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: tie-corrected pairwise comparison, O(n²) in-test
+    def ref(gr: String): Long = {
+      val xs = padded.filter(_._1 == gr)
+      val pos = xs.filter(_._3 == 1L).map(_._2)
+      val neg = xs.filter(_._3 == 0L).map(_._2)
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      math.floor(wins / (pos.size.toDouble * neg.size) * 1e6 + 0.5).toLong
+    }
+    (0 until 4).map(i => s"g$i").foreach { gr =>
+      assert(auc(gr) === ref(gr), gr)
+      assert(auc(gr) >= 0L && auc(gr) <= 1000000L)
+    }
+    // flipping the labels reflects AUC around 1/2 (up to the snap)
+    val flipped = ml.Eval.groupedAuc(
+        df.select(col("g"), col("score"), (lit(1L) - col("y")).as("y")),
+        "g", "score", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 4).map(i => s"g$i").foreach { gr =>
+      assert(math.abs(auc(gr) + flipped(gr) - 1000000L) <= 1L, gr)
+    }
+  }
+
+  test("temperatureAllocation laws: budget conservation, tau=1 " +
+    "matches Hamilton on raw counts, tau=0 near-uniform") {
+    val g = Gen.chooseNum(1, 60)
+    val sizes = cases(g, 12, 31L)
+    val rows = sizes.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(s"s$i")
+    }
+    val df = rows.toDF("s")
+    def alloc(tau: Double, b: Long): Map[String, Long] =
+      operators.Sampling.temperatureAllocation(df, col("s"), b, tau)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    Seq(0.0, 0.5, 1.0).foreach { t =>
+      val a = alloc(t, 997L)
+      assert(a.values.sum === 997L, s"tau=$t")
+      assert(a.values.forall(_ >= 0L))
+    }
+    // tau=1: exact Hamilton apportionment of the raw counts
+    def hamilton(counts: Seq[(String, Long)], b: Long): Map[String, Long] = {
+      val tot = counts.map(_._2).sum
+      val base = counts.map { case (s, n) => (s, b * n / tot, b * n % tot) }
+      val left = b - base.map(_._2).sum
+      val bump = base.sortBy { case (s, _, r) => (-r, s) }
+        .take(left.toInt).map(_._1).toSet
+      base.map { case (s, q, _) =>
+        s -> (q + (if (bump(s)) 1L else 0L))
+      }.toMap
+    }
+    val counts = sizes.zipWithIndex.map { case (n, i) => s"s$i" -> n.toLong }
+    // micros(n^1.0) = n·1e6 exactly, so the scaled quotas reduce
+    assert(alloc(1.0, 997L) === hamilton(counts, 997L))
+    // tau=0: every stratum within 1 of budget/k
+    val u = alloc(0.0, 997L)
+    val per = 997.0 / sizes.size
+    u.values.foreach(v => assert(math.abs(v - per) <= 1.0))
+  }
+
+  test("gopherRules: keep is exactly the conjunction of its rule flags") {
+    val texts = cases(Gen.listOfN(25, Gen.oneOf(
+        "the", "a", "of", "lorem", "ipsum", "ab", "x" * 12, "##",
+        "12345", "word")), 40, 41L)
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val out = text.Quality.gopherRules(texts.toDF("doc_id", "text"))
+      .collect()
+    out.foreach { r =>
+      val flags = Seq("r_count", "r_meanlen", "r_alpha", "r_symbol",
+        "r_stop").map(r.getAs[Int])
+      assert(flags.forall(f => f == 0 || f == 1))
+      assert(r.getAs[Int]("keep") === flags.product)
+    }
+  }
 }
