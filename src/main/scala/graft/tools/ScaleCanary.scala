@@ -790,6 +790,41 @@ object ScaleCanary {
     println(s"[canary]   logreg auc range=[${aucRow.getLong(0)}, " +
       s"${aucRow.getLong(1)}] micros over 16 groups")
 
+    // Two synchronized Louvain rounds on the 5M-edge skew graph: per
+    // round ~6 keyed shuffles over the 10M-row both-orientation list;
+    // the correctness pin is structural — every vertex labeled exactly
+    // once and real consolidation happened (communities << vertices).
+    val louv = time("louvain (2 rounds, 5M edges)") {
+      val lab = graft.graph.Louvain.run(
+        edges.select(col("src"), col("dst"))
+          .filter(col("src") =!= col("dst")).distinct(), rounds = 2)
+      val r = lab.agg(count(lit(1)).as("n"),
+        countDistinct(col("lab")).as("c")).first()
+      keep = keep ++ spark.sparkContext.getPersistentRDDs.keySet
+      (r.getLong(0), r.getLong(1))
+    }
+    require(louv._2 < louv._1 / 2,
+      s"louvain did not consolidate: ${louv._2} communities of ${louv._1}")
+    println(s"[canary]   louvain vertices=${louv._1} communities=${louv._2}")
+
+    // Batched IVF probe + planted recall at 500k vectors: queries are
+    // the ORIGINALS of ten planted perturbed copies (id%100==1 copies
+    // id-1 + 0.01 nudge), so ground truth per query contains its copy
+    // at cosine ~1. The probe must recover >= 8/10 copies in top-10 at
+    // nprobe=4/16 — a recall floor the random-vector tail can't game.
+    val rec = time("ivf batched recall (500k)") {
+      val idx = graft.ml.Ivf.build(emb, k = 16, iters = 2)
+      val qids = (0 until 10).map(i => (i * 100).toLong) // originals
+      val queries = emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val top = graft.ml.Ivf.topKBatch(idx, queries, k = 10, nprobe = 4)
+      val hits = top.filter(col("vec_id") === col("qid") + 1).count()
+      keep = keep ++ spark.sparkContext.getPersistentRDDs.keySet
+      hits
+    }
+    require(rec >= 8, s"planted-copy recall $rec/10 below floor 8")
+    println(s"[canary]   ivf batched probe planted-copy recall=$rec/10")
+
     spark.stop()
   }
 }
