@@ -226,13 +226,41 @@ object Bench {
     // A breach that was fully healed (every tainted query re-timed under
     // a clean calibration) no longer invalidates the board, but the
     // probe series and load_recovered stay in the artifact as evidence.
-    val loadRecovered = mainBreach && tainted.nonEmpty && !retryAborted
+    // calibEndSec runs AFTER the retry pass, so requiring it clean keeps
+    // the retries probe-bounded at BOTH ends: each retry is gated on a
+    // clean calibration at its start, and the end calibration bounds the
+    // last retry's finish — without it, load arriving mid-final-retry
+    // would leave min(original, retry) as the min of two inflated values
+    // while the board still stamped load_recovered.
+    val loadRecovered = mainBreach && tainted.nonEmpty && !retryAborted &&
+      calibClean(calibEndSec)
     val loadSuspect = mainBreach && !loadRecovered
     if (!calibClean(calibEndSec) && !loadSuspect)
       System.err.println(f"[bench] note: post-retry end calibration " +
         f"read $calibEndSec%.2fs (idle $CalibIdleSec%.2fs) - load " +
         "arrived after measurements concluded; recorded values were " +
         "probe-bounded or retry-gated and remain citable.")
+    // Floor normalization: cross-SESSION host drift (not mid-run waves —
+    // the probes bound those) moved whole boards ±25% on unchanged code
+    // between rounds (r8 judge floor 0.32-0.40s vs r9's 0.46-0.86s →
+    // +10.8% on 214 untouched queries). The probe series measures this
+    // session's ambient floor directly: calib_floor = median(all probes,
+    // start + interleaved + closing), and sec_norm = sec × (calib_idle /
+    // calib_floor) rescales every query to the reference idle host, so
+    // round-over-round comparisons read sec_norm and stop confusing
+    // tenancy with regressions. Raw seconds stay the primary series —
+    // normalization is a linear model of CPU-bound contention and is
+    // shipped ALONGSIDE, never instead.
+    val calibFloor = {
+      val s = probePoints.map(_._2).sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val normFactor = CalibIdleSec / calibFloor
+    val qsNorm = results.collect {
+      case (k, Right(sec)) => f""""$k":${sec * normFactor}%.4f"""
+    }.mkString("{", ",", "}")
+    val totalNorm = total * normFactor
     val probeJson = probes.toSeq.sortBy(_._1)
       .map { case (at, p) => f"""{"at":$at,"sec":$p%.3f}""" }
       .mkString("[", ",", "]")
@@ -240,12 +268,15 @@ object Bench {
       f""""calib_start_sec":$calibStartSec%.3f,""" +
       f""""calib_end_sec":$calibEndSec%.3f,""" +
       f""""calib_idle_sec":$CalibIdleSec%.3f,""" +
+      f""""calib_floor_sec":$calibFloor%.3f,""" +
+      f""""norm_factor":$normFactor%.4f,""" +
+      f""""total_norm_sec":$totalNorm%.2f,""" +
       s""""calib_probes":$probeJson,""" +
       s""""probe_every":$probeEvery,""" +
       s""""retried":$retried,""" +
       s""""load_recovered":$loadRecovered,""" +
       s""""load_suspect":$loadSuspect"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errs.size},$calibJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errs.size},$calibJson,"queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir"}""")
     if (loadSuspect)
       System.err.println(f"[bench] LOAD SUSPECT: calibration " +
         f"start=$calibStartSec%.2fs end=$calibEndSec%.2fs vs idle " +
@@ -256,7 +287,9 @@ object Bench {
     val boardPath = sys.env.getOrElse("GRAFT_BENCH_BOARD", "bench_board_latest.json")
     try {
       val rows = results.map {
-        case (k, Right(sec)) => f"""  "$k": $sec%.4f"""
+        case (k, Right(sec)) =>
+          f"""  "$k": $sec%.4f""" + (
+            f""", "${k}__norm": ${sec * normFactor}%.4f""")
         case (k, Left(e))    => s"""  "$k": {"err": ${jstr(e)}}"""
       }.mkString(",\n")
       val body = f"""{\n  "total_sec": $total%.2f,\n  "n_queries": ${results.size},\n  "errors": ${errs.size},\n  "sf": ${jstr(sfDir)},\n  "cpus": $cpus,\n  $calibJson,\n$rows\n}\n"""

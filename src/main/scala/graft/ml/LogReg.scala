@@ -49,13 +49,17 @@ object LogReg {
     var w = Array.fill(xCols.size + 1)(0L)
     for (_ <- 1 to iters) {
       val r = probMicros(w, xCols) - col(yCol).cast("long") * lit(1000000L)
+      // per-row product r·x is ≤ ~1e14 (fits a long with headroom), but
+      // the SUM grows with row count and would wrap silently past
+      // ~1e6-1e7 rows with ANSI off — accumulate in DECIMAL(38,0) so
+      // the gradient stays exact at any corpus size
       val gradCols = (lit(1000000L) +: xCols.map(col)).zipWithIndex.map {
-        case (x, j) => sum(r * x).as(s"g$j")
+        case (x, j) => sum((r * x).cast("decimal(38,0)")).as(s"g$j")
       }
       val row = df.agg(gradCols.head, gradCols.tail: _*).head()
       w = w.indices.map { j =>
-        w(j) - math.floor(lr * row.getLong(j).toDouble / (n * 1.0e6) + 0.5)
-          .toLong
+        val g = row.getDecimal(j).doubleValue()
+        w(j) - math.floor(lr * g / (n * 1.0e6) + 0.5).toLong
       }.toArray
     }
     w

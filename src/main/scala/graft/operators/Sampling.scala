@@ -164,10 +164,15 @@ object Sampling {
         graft.util.Exact.micros(pow(col("n").cast("double"), lit(tau)))
           .as("x"))
     val tot = x.agg(sum("x").as("xt"))
+    // budget·x in DECIMAL(38,0): x is micros(n^τ) (up to ~1e6·n^τ), so a
+    // production-scale token budget would overflow the LongType product
+    // silently with ANSI off; decimal keeps base/rem exact at any scale
+    // (div on decimals is still integral division → base stays BIGINT)
     val based = x.crossJoin(broadcast(tot))
       .select(col("stratum"), col("n"),
-        expr(s"($budget * x) div xt").as("base"),
-        pmod(lit(budget) * col("x"), col("xt")).as("rem"))
+        expr(s"CAST($budget AS DECIMAL(38,0)) * x div xt").as("base"),
+        pmod(lit(budget).cast("decimal(38,0)") * col("x"), col("xt"))
+          .as("rem"))
     val leftover = based.agg((lit(budget) - sum("base")).as("lft"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("stratum"))

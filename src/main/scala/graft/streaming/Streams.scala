@@ -739,8 +739,12 @@ object Streams {
     import spark.implicits._
     val lr = graft.ml.Dsir.logRatios(oldDocs, isTarget)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // split on doc_id div 10 parity, NOT doc_id parity: q234's delta
+    // predicate (doc_id % 10 == 3) selects only odd ids, so an id-parity
+    // split would leave one micro-batch empty and never exercise the
+    // claimed batching-independence property across two REAL batches
     val halves = (0 to 1).map(h =>
-      deltaDocs.filter(pmod(col("doc_id"), lit(2L)) === h))
+      deltaDocs.filter(pmod(expr("doc_id div 10"), lit(2L)) === h))
     def sentinel(n: Int): DataFrame =
       Seq((-n.toLong, "")).toDF("doc_id", "text")
     val out = replayBatches(halves, sentinel,
