@@ -1118,6 +1118,127 @@ object RelationalQueries {
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Row-level MERGE (upsert) as a copy-on-write commit: v1 commits the
+    // 1996-H1 slice; one merge then REPLACES the rows whose key ≡ 3
+    // (mod 10) with bumped amounts AND inserts the 1996-H2 slice — the
+    // reference's URL-keyed `ON CONFLICT … DO UPDATE` upsert
+    // (`linkgraph/store/cdb/cdb.go:16-22`) as a STORAGE operation
+    // instead of read-time latestByKey: superseded rows physically
+    // leave the new version (n_keys = n_orders proves key-uniqueness
+    // post-merge), only matched files were rewritten, and the PINNED
+    // parent still reads the unmodified H1 slice — both phases
+    // hash-checked against the oracle's replay of the same arithmetic.
+    QuerySpec("q235_versioned_merge",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_merge_q")
+        val ordersOf = (lo: String, hi: String) =>
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+              col("o_orderdate") < lit(hi).cast("timestamp"))
+            .select(col("o_orderkey"),
+              Exact.cents(col("o_totalprice")).as("cents"))
+        val v1 = graft.store.Versioned.commitAppend(
+          ordersOf("1996-01-01", "1996-07-01"), root)
+        val updates = ordersOf("1996-01-01", "1996-07-01")
+          .filter(pmod(col("o_orderkey"), lit(10L)) === 3)
+          .select(col("o_orderkey"), (col("cents") + 1000L).as("cents"))
+          .unionByName(ordersOf("1996-07-01", "1997-01-01"))
+        val v2 = graft.store.Versioned.commitMerge(updates, root,
+          Seq("o_orderkey"))
+        def roll(phase: String, v: Long) =
+          graft.store.Versioned.read(s, root, v)
+            .agg(count(lit(1)).as("n_orders"),
+              countDistinct(col("o_orderkey")).as("n_keys"),
+              sum(col("cents")).as("total_cents"))
+            .select(lit(phase).as("phase"), col("n_orders"),
+              col("n_keys"), col("total_cents"))
+        roll("1_merged", v2).unionByName(roll("2_pinned_parent", v1))
+          .orderBy("phase")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey,
+                 ${Exact.centsSql("o_totalprice")} AS cents, o_orderdate
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'),
+        merged AS (
+          SELECT o_orderkey,
+                 cents + CASE WHEN o_orderdate < TIMESTAMP '1996-07-01'
+                               AND o_orderkey % 10 = 3
+                              THEN 1000 ELSE 0 END AS cents
+          FROM base),
+        pinned AS (
+          SELECT o_orderkey, cents FROM base
+          WHERE o_orderdate < TIMESTAMP '1996-07-01')
+        SELECT '1_merged' AS phase,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM merged
+        UNION ALL
+        SELECT '2_pinned_parent', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT o_orderkey) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
+        FROM pinned
+        ORDER BY phase""")),
+
+    // ------------------------------------------------------------------
+    // Row-level DELETE as a copy-on-write commit (the GDPR-delete
+    // path): two append commits, then one delete physically removes
+    // every key ≡ 0 (mod 7) from the new version — n_matching = 0
+    // post-delete proves the rows are GONE from the snapshot, not
+    // filtered at read time — while the pinned pre-delete version
+    // still carries them (history is reclaimed by vacuum under
+    // retention, not by the delete). Only files containing a match
+    // were rewritten.
+    QuerySpec("q236_versioned_delete",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_delete_q")
+        val ordersOf = (lo: String, hi: String) =>
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+              col("o_orderdate") < lit(hi).cast("timestamp"))
+            .select(col("o_orderkey"),
+              Exact.cents(col("o_totalprice")).as("cents"))
+        graft.store.Versioned.commitAppend(
+          ordersOf("1996-01-01", "1996-07-01"), root)
+        val v2 = graft.store.Versioned.commitAppend(
+          ordersOf("1996-07-01", "1997-01-01"), root)
+        val v3 = graft.store.Versioned.commitDelete(s, root,
+          pmod(col("o_orderkey"), lit(7L)) === 0)
+        def roll(phase: String, v: Long) =
+          graft.store.Versioned.read(s, root, v)
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("cents")).as("total_cents"),
+              sum(when(pmod(col("o_orderkey"), lit(7L)) === 0, 1L)
+                .otherwise(0L)).as("n_matching"))
+            .select(lit(phase).as("phase"), col("n_orders"),
+              col("total_cents"), col("n_matching"))
+        roll("1_post_delete", v3).unionByName(roll("2_pinned_pre", v2))
+          .orderBy("phase")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey,
+                 ${Exact.centsSql("o_totalprice")} AS cents
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT '1_post_delete' AS phase,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(0 AS BIGINT) AS n_matching
+        FROM base WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT '2_pinned_pre', CAST(count(*) AS BIGINT),
+               CAST(sum(cents) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT)
+        FROM base
+        ORDER BY phase"""))
   )
 }

@@ -197,11 +197,19 @@ object Versioned {
     * as the next version, retrying on version collisions. `beforePublish`
     * is a test seam fired between manifest composition and publication —
     * the window a racing writer exploits. `txn` stamps the manifest
-    * with an (appId, batchId) transaction for idempotent sinks. */
+    * with an (appId, batchId) transaction for idempotent sinks.
+    * `expectedParent` turns collision-retry into CONFLICT DETECTION for
+    * rewrite commits (merge/delete): their file list was composed
+    * against a specific snapshot, so retrying on top of a different
+    * parent would silently drop the concurrent commit's rows — fail
+    * loudly instead and let the caller re-run against the new snapshot
+    * (Delta/Iceberg raise the same ConcurrentModification for
+    * conflicting rewrites; blind appends stay freely retryable). */
   private[store] def commitFiles(root: String, added: Seq[String],
                                  appendBase: Boolean,
                                  beforePublish: Long => Unit = _ => (),
-                                 txn: Option[(String, Long)] = None)
+                                 txn: Option[(String, Long)] = None,
+                                 expectedParent: Option[Long] = None)
       : Long = {
     require(added.nonEmpty,
       s"refusing to commit an empty batch to $root: the staged write " +
@@ -219,6 +227,13 @@ object Versioned {
         latestTxnBatch(root, appId).exists(_ >= batchId) }
       if (alreadyCommitted) return latestVersion(root)
       val parent = latestVersion(root)
+      expectedParent.filter(_ != parent).foreach { p =>
+        throw new java.util.ConcurrentModificationException(
+          s"rewrite commit to $root was composed against version $p " +
+            s"but the table is now at $parent: a concurrent commit " +
+            "landed during the copy-on-write rewrite - re-run the " +
+            "merge/delete against the new snapshot")
+      }
       val base =
         if (!appendBase || parent == 0L) Nil
         else readManifest(fs, rootPath, parent)._2
@@ -277,6 +292,118 @@ object Versioned {
     * in an otherwise append-only store. */
   def commitOverwrite(df: DataFrame, root: String): Long =
     commitFiles(root, stage(df, root), appendBase = false)
+
+  /** Which of `parentFiles` contain at least one row `matches` selects,
+    * discovered by scanning the snapshot WITH file provenance
+    * (`_metadata.file_path`) — the copy-on-write planning step shared
+    * by merge and delete. The scan is column-pruned to whatever
+    * `matches` references (keys or predicate columns), and parquet
+    * stats/dictionary pruning skip row groups that cannot match; only
+    * the distinct FILE list returns to the driver, so driver memory is
+    * manifest-sized regardless of match count. Returns (touched,
+    * untouched) as root-relative manifest entries. */
+  private def touchedFiles(spark: SparkSession, fs: FileSystem,
+                           rootPath: Path, parentFiles: Seq[String],
+                           matches: DataFrame => DataFrame)
+      : (Seq[String], Seq[String]) = {
+    // keyed scheme-less so `_metadata.file_path`'s URI spelling
+    // (file:///x vs file:/x) can never miss a manifest entry
+    val byPath = parentFiles.map { f =>
+      fs.makeQualified(resolve(rootPath, f)).toUri.getPath -> f
+    }.toMap
+    val snap = spark.read
+      .parquet(parentFiles.map(resolve(rootPath, _).toString): _*)
+    import org.apache.spark.sql.functions.col
+    val touched = matches(
+        snap.withColumn("__fp", col("_metadata.file_path")))
+      .select("__fp").distinct().collect()
+      .map(r => byPath(new Path(r.getString(0)).toUri.getPath))
+      .toSeq.sorted
+    val t = touched.toSet
+    (touched, parentFiles.filterNot(t))
+  }
+
+  /** Row-level MERGE (upsert) as a COPY-ON-WRITE commit — the lakehouse
+    * primitive that physically retires superseded rows instead of
+    * reconciling them at read time: rows of the current snapshot whose
+    * `keys` appear in `updates` are REPLACED by the matching `updates`
+    * row, unmatched `updates` rows are INSERTED, and only the data
+    * files that actually contain a matched key are rewritten — the new
+    * manifest carries every untouched file VERBATIM plus the rewritten
+    * survivors + updates. History stays time-travelable (the parent
+    * version still lists the original files untouched) and [[vacuum]]
+    * reclaims the superseded files once the parent retires.
+    *
+    * This makes the reference's URL-keyed `ON CONFLICT … DO UPDATE`
+    * upsert (`linkgraph/store/cdb/cdb.go:16-22`) a STORAGE-level
+    * operation; its keep-newest tie rule is the caller pre-reducing
+    * `updates` (e.g. [[StoreOps.latestByKey]] against the snapshot)
+    * before committing. `updates` must be key-unique and share the
+    * table schema.
+    *
+    * Cost model at 100 TB: one column-pruned scan of the key columns to
+    * find touched files (parquet min/max prunes most), one rewrite of
+    * ONLY those files, one metadata publish. A merge touching 0.1% of
+    * files rewrites 0.1% of the table — never a full overwrite.
+    * Concurrency: rewrites conflict-detect rather than blind-retry — a
+    * commit landing mid-rewrite raises ConcurrentModificationException
+    * instead of silently dropping it. */
+  def commitMerge(updates: DataFrame, root: String,
+                  keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val spark = updates.sparkSession
+    val (fs, rootPath) = fsRoot(root)
+    val parent = latestVersion(root)
+    if (parent == 0L) // merging into an empty table is a plain insert
+      return commitFiles(root, stage(updates, root), appendBase = false)
+    import org.apache.spark.sql.functions.col
+    val updKeys = updates.select(keys.map(col): _*).distinct()
+    val parentFiles = readManifest(fs, rootPath, parent)._2
+    val (touched, untouched) = touchedFiles(spark, fs, rootPath,
+      parentFiles, _.join(updKeys, keys, "left_semi"))
+    val staged =
+      if (touched.isEmpty) stage(updates, root) // pure insert
+      else {
+        val survivors = spark.read
+          .parquet(touched.map(resolve(rootPath, _).toString): _*)
+          .join(updKeys, keys, "left_anti")
+        stage(survivors.unionByName(updates), root)
+      }
+    commitFiles(root, untouched ++ staged, appendBase = false,
+      expectedParent = Some(parent))
+  }
+
+  /** Row-level DELETE as a copy-on-write commit: rows matching
+    * `predicate` are physically removed from the new version — only
+    * the files containing a matching row are rewritten (minus the
+    * matches), every other file rides into the new manifest verbatim.
+    * The GDPR-delete path: history still holds the rows until
+    * [[vacuum]] retires the pre-delete versions, which is exactly the
+    * retention semantics regulators expect a lakehouse to document.
+    * A predicate matching nothing is a metadata no-op (returns the
+    * current version, no new commit). Same conflict detection as
+    * [[commitMerge]]. */
+  def commitDelete(spark: SparkSession, root: String,
+                   predicate: org.apache.spark.sql.Column): Long = {
+    val (fs, rootPath) = fsRoot(root)
+    val parent = latestVersion(root)
+    require(parent > 0, s"no committed version at $root")
+    val parentFiles = readManifest(fs, rootPath, parent)._2
+    val (touched, untouched) = touchedFiles(spark, fs, rootPath,
+      parentFiles, _.filter(predicate))
+    if (touched.isEmpty) return parent
+    // SQL DELETE semantics: remove rows where the predicate is TRUE;
+    // a null-evaluating predicate keeps its row (bare !predicate would
+    // drop those too)
+    val keep = org.apache.spark.sql.functions
+      .not(org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
+    val survivors = spark.read
+      .parquet(touched.map(resolve(rootPath, _).toString): _*)
+      .filter(keep)
+    commitFiles(root, untouched ++ stage(survivors, root),
+      appendBase = false, expectedParent = Some(parent))
+  }
 
   /** Read the snapshot at `version` (latest when 0) — exactly the
     * manifest's files, never a directory listing, so concurrent

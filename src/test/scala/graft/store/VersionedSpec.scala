@@ -238,6 +238,103 @@ class VersionedSpec extends SparkSpec {
       .columns.toSet == Set("k", "s"))
   }
 
+  test("merge upserts: matched keys replaced, new keys inserted, the " +
+      "pinned parent snapshot unchanged") {
+    val root = freshRoot()
+    Versioned.commitAppend(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), root)
+    val v2 = Versioned.commitMerge(
+      Seq((2L, 99L), (4L, 40L)).toDF("k", "v"), root, Seq("k"))
+    assert(v2 == 2L)
+    assert(Versioned.read(spark, root, v2).as[(Long, Long)]
+      .collect().toSet ==
+      Set((1L, 10L), (2L, 99L), (3L, 30L), (4L, 40L)))
+    // time travel: the parent still reads the pre-merge rows
+    assert(Versioned.read(spark, root, 1).as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("merge is copy-on-write: untouched files ride into the new " +
+      "manifest verbatim; only matched files are rewritten") {
+    val root = freshRoot()
+    Versioned.commitAppend(Seq((1L, 10L)).toDF("k", "v"), root)
+    Versioned.commitAppend(Seq((2L, 20L)).toDF("k", "v"), root)
+    def manifest(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, s"manifest-v$v.json")), "UTF-8")
+    def files(v: Long) = manifest(v).linesIterator.map(_.trim)
+      .filter(s => s.startsWith("\"data/"))
+      .map(_.stripPrefix("\"").stripSuffix(",").stripSuffix("\"")).toSet
+    val v1Files = files(1) // the file holding only k=1
+    // merge touches only k=2 → k=1's file must NOT be rewritten
+    val v3 = Versioned.commitMerge(
+      Seq((2L, 99L)).toDF("k", "v"), root, Seq("k"))
+    assert(v1Files.subsetOf(files(v3)),
+      "untouched file should be carried verbatim, not rewritten")
+    assert((files(2) -- files(v3)).nonEmpty,
+      "the matched file should have been replaced")
+    assert(Versioned.read(spark, root, v3).as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 99L)))
+  }
+
+  test("merge into an empty table is a plain insert; merge then vacuum " +
+      "reclaims the superseded files and keeps the merged snapshot") {
+    val root = freshRoot()
+    val v1 = Versioned.commitMerge(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root, Seq("k"))
+    assert(v1 == 1L)
+    val v2 = Versioned.commitMerge(
+      Seq((2L, 99L)).toDF("k", "v"), root, Seq("k"))
+    val (nDel, bytes) = Versioned.vacuum(root, v2)
+    assert(nDel > 0 && bytes > 0,
+      "vacuum after merge should reclaim the superseded rewrite input")
+    assert(Versioned.read(spark, root, v2).as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 99L)))
+    intercept[IllegalArgumentException] {
+      Versioned.read(spark, root, 1)
+    }
+  }
+
+  test("delete removes matching rows copy-on-write; a no-match delete " +
+      "is a metadata no-op; null predicates keep their rows") {
+    val root = freshRoot()
+    Versioned.commitAppend(
+      Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+        .toDF("k", "v"), root)
+    // v = 10 deletes k=1 only; k=2's NULL v evaluates the predicate to
+    // null and must SURVIVE (SQL DELETE removes only TRUE matches)
+    val v2 = Versioned.commitDelete(spark, root, col("v") === 10L)
+    assert(v2 == 2L)
+    assert(Versioned.read(spark, root, v2).as[(Long, Option[Long])]
+      .collect().toSet == Set((2L, None), (3L, Some(30L))))
+    // pre-delete history still readable until vacuumed
+    assert(Versioned.read(spark, root, 1).count() == 3)
+    // nothing matches → no new version
+    assert(Versioned.commitDelete(spark, root, col("v") === 777L) == v2)
+    assert(Versioned.latestVersion(root) == v2)
+  }
+
+  test("a commit landing mid-rewrite raises ConcurrentModification " +
+      "instead of silently dropping it") {
+    val root = freshRoot()
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    val staged = Versioned.stage(Seq((9L, "z")).toDF("k", "s"), root)
+    var fired = false
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.commitFiles(root, staged, appendBase = false,
+        beforePublish = _ => {
+          if (!fired) {
+            fired = true
+            // concurrent append between rewrite composition and publish
+            Versioned.commitAppend(Seq((2L, "b")).toDF("k", "s"), root)
+          }
+        },
+        expectedParent = Some(1L))
+    }
+    // the concurrent append survived untouched
+    assert(Versioned.read(spark, root).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("read of an uncommitted version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
