@@ -282,29 +282,39 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** Stage the STORED admission index: the corpus's LSH band table and
-    * exact-verify shingle-array sidecar written once as bucketed
-    * external tables — `(bkey = band:sig, y)` bucketed+sorted on `bkey`
-    * and `(y, arr_y, sz_y)` bucketed+sorted on `y` — then re-registered
-    * from their paths on later sessions (the staleness marker is the
-    * source table's mtime, the q205 warm-snapshot discipline). This is
+  /** Versioned-store root of the tag's admission index. */
+  private def admissionRoot(tag: String): String =
+    s"/tmp/graft_admission_$tag"
+
+  /** Stage the STORED admission index THROUGH the versioned store: the
+    * corpus's LSH band table and exact-verify shingle-array sidecar
+    * written as bucketed layouts — `(bkey = band:sig, y)`
+    * bucketed+sorted on `bkey` and `(y, arr_y, sz_y)` bucketed+sorted
+    * on `y` — into ONE [[graft.store.Versioned]] staging directory and
+    * published as ONE overwrite commit, so band table and sidecar flip
+    * atomically and a refresh is an OBSERVABLE new version: probes pin
+    * a version ([[admissionIndexAt]]), superseded index generations
+    * retire via `Versioned.vacuum`, and the staleness fingerprint (the
+    * source table's mtime) lives in the commit manifest via the store's
+    * `FileSystem`-API metadata — no local-FS mtime marker, so the
+    * discipline holds on any scheme the store itself supports. This is
     * the production handoff [[incrementalNearDups]] footnotes: between
-    * ingest cycles the index LIVES as a table, and an arriving delta's
-    * probe join satisfies its distribution from the file layout — the
-    * only exchange in the timed plan is the delta-sized one. Returns
-    * the (band table, sidecar table) catalog names. */
+    * ingest cycles the index LIVES as versioned tables, and an arriving
+    * delta's probe join satisfies its distribution from the bucket
+    * layout — the only exchange in the timed plan is the delta-sized
+    * one. Returns the version-pinned (band table, sidecar table)
+    * catalog names. */
   def stageAdmissionIndex(oldDocs: DataFrame, tag: String,
                           sourceMtime: Long, shingleN: Int = 3,
                           numHashes: Int = 12, rowsPerBand: Int = 3,
                           buckets: Int = 16): (String, String) = {
     val spark = oldDocs.sparkSession
-    val root = s"/tmp/graft_admission_$tag"
-    val bandsT = s"graft_adm_bands_$tag"
-    val arrsT = s"graft_adm_arrs_$tag"
-    val marker = new java.io.File(root, "_STAGED")
-    if (!marker.exists() || marker.lastModified() < sourceMtime) {
-      graft.store.Bucketing.drop(spark, bandsT)
-      graft.store.Bucketing.drop(spark, arrsT)
+    import graft.store.Versioned
+    val root = admissionRoot(tag)
+    val stale = Versioned.latestVersion(root) == 0L ||
+      Versioned.latestTxnBatch(root, "source").forall(_ < sourceMtime)
+    if (stale) {
+      val stage = Versioned.newStageDir(root)
       // (band, sig) fused into ONE bucket key: Spark only co-partitions
       // a join from a bucketed layout when the bucket columns cover ALL
       // join keys (requireAllClusterKeysForCoPartition), so a composite
@@ -316,30 +326,57 @@ object Dedup {
           rowsPerBand, numHashes, "doc_id")
         .select(concat_ws(":", col("band"), col("sig")).as("bkey"),
           col("doc_id").as("y"))
-      graft.store.Bucketing.writeBucketed(bands, bandsT,
-        s"$root/bands", "bkey", buckets)
       val arrs = shingleArrays(oldDocs, shingleN)
         .select(col("doc_id").as("y"), col("sharr").as("arr_y"),
           col("sz").as("sz_y"))
-      graft.store.Bucketing.writeBucketed(arrs, arrsT,
-        s"$root/arrs", "y", buckets)
-      new java.io.File(root).mkdirs()
-      marker.createNewFile()
-      marker.setLastModified(System.currentTimeMillis())
-    } else {
-      // staged data is fresh on disk but this session's catalog (the
-      // default in-memory one) has never seen it: re-register the
-      // bucket spec over the existing files — metadata-only
-      if (!spark.catalog.tableExists(bandsT))
-        spark.sql(s"""CREATE TABLE $bandsT (bkey STRING, y BIGINT)
-          USING parquet CLUSTERED BY (bkey) SORTED BY (bkey)
-          INTO $buckets BUCKETS LOCATION '$root/bands'""")
-      if (!spark.catalog.tableExists(arrsT))
-        spark.sql(s"""CREATE TABLE $arrsT (y BIGINT,
-          arr_y ARRAY<STRING>, sz_y INT) USING parquet
-          CLUSTERED BY (y) SORTED BY (y)
-          INTO $buckets BUCKETS LOCATION '$root/arrs'""")
+      // write the bucketed layouts under throwaway catalog names (the
+      // bucket spec only registers through saveAsTable), then drop the
+      // entries — the files are external and about to be committed
+      val wb = s"graft_adm_stage_bands_$tag"
+      val wa = s"graft_adm_stage_arrs_$tag"
+      graft.store.Bucketing.drop(spark, wb)
+      graft.store.Bucketing.drop(spark, wa)
+      graft.store.Bucketing.writeBucketed(bands, wb, s"$stage/bands",
+        "bkey", buckets)
+      graft.store.Bucketing.writeBucketed(arrs, wa, s"$stage/arrs",
+        "y", buckets)
+      graft.store.Bucketing.drop(spark, wb)
+      graft.store.Bucketing.drop(spark, wa)
+      Versioned.commitStagedDir(root, stage,
+        txn = Some(("source", sourceMtime)))
     }
+    admissionIndexAt(spark, tag, 0L, buckets)
+  }
+
+  /** Register this session's catalog tables over the admission index at
+    * a PINNED committed version of its store (latest when 0) —
+    * metadata-only. A probe against version v keeps its co-partitioned
+    * bucket scans AND byte-identical candidates while a concurrent
+    * re-stage publishes v+1; `Versioned.vacuum` then retires
+    * superseded index generations under the store's retention. */
+  def admissionIndexAt(spark: org.apache.spark.sql.SparkSession,
+                       tag: String, version: Long = 0L,
+                       buckets: Int = 16): (String, String) = {
+    import graft.store.Versioned
+    val root = admissionRoot(tag)
+    val v = if (version == 0L) Versioned.latestVersion(root) else version
+    val fileList = Versioned.files(root, v)
+    def dirOf(sub: String): String = {
+      val fs = fileList.filter(_.contains(s"/$sub/"))
+      require(fs.nonEmpty, s"version $v at $root has no $sub layout")
+      fs.head.substring(0, fs.head.lastIndexOf('/'))
+    }
+    val bandsT = s"graft_adm_bands_${tag}_v$v"
+    val arrsT = s"graft_adm_arrs_${tag}_v$v"
+    if (!spark.catalog.tableExists(bandsT))
+      spark.sql(s"""CREATE TABLE $bandsT (bkey STRING, y BIGINT)
+        USING parquet CLUSTERED BY (bkey) SORTED BY (bkey)
+        INTO $buckets BUCKETS LOCATION '${dirOf("bands")}'""")
+    if (!spark.catalog.tableExists(arrsT))
+      spark.sql(s"""CREATE TABLE $arrsT (y BIGINT,
+        arr_y ARRAY<STRING>, sz_y INT) USING parquet
+        CLUSTERED BY (y) SORTED BY (y)
+        INTO $buckets BUCKETS LOCATION '${dirOf("arrs")}'""")
     (bandsT, arrsT)
   }
 

@@ -714,8 +714,10 @@ object DedupQueries {
 
     // Stored-index streaming admission: q211 with the index handoff
     // closed. The corpus's band table + shingle sidecar are staged ONCE
-    // as bucketed external tables (mtime-guarded; metadata-only
-    // re-registration on later sessions) and the arriving micro-batches
+    // as bucketed layouts committed through the VERSIONED store (the
+    // source-mtime fingerprint lives in the commit manifest; the probe
+    // pins a committed index version, re-registered metadata-only on
+    // later sessions) and the arriving micro-batches
     // probe THOSE — the timed plan is probe-only, its index side reads
     // distribution from the bucket layout (PlanSpec pins the probe
     // exchange-free on the index side), and the only shuffle is

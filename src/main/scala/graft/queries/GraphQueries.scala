@@ -1561,8 +1561,10 @@ object GraphQueries {
     * so resuming round 3 on the stored round-2 labels is EXACTLY the
     * cold 3-round run — the q201/q205/q210 warm-start argument, now for
     * community detection. The timed plan is ONE move round; the
-    * snapshot stages to /tmp once per input (mtime-guarded, the q205
-    * pattern) because in production it is yesterday's converged labels
+    * snapshot lives in a VERSIONED store (refresh = an observable
+    * overwrite commit carrying the source fingerprint in its manifest,
+    * pinned reads, vacuum-able history — no local-FS mtime marker)
+    * because in production it is yesterday's converged labels
     * already on disk. Oracle = the cold 3-round unroll. */
   private val q233 = QuerySpec("q233_warm_louvain",
     (s, dir) => {
@@ -1571,13 +1573,16 @@ object GraphQueries {
           (col("l_partkey") * 2 + 1).as("dst"))
         .distinct()
         .localCheckpoint(false) // moveRound reads it from both union sides
-      val snapDir = s"/tmp/graft_warm_louvain_${math.abs(dir.hashCode)}"
-      val marker = new java.io.File(snapDir, "_SUCCESS")
-      val liSrc = new java.io.File(s"$dir/lineitem.parquet")
-      if (!marker.exists() || marker.lastModified() < liSrc.lastModified())
-        graft.graph.Louvain.run(edges, rounds = 2)
-          .write.mode("overwrite").parquet(snapDir)
-      val snapshot = s.read.parquet(snapDir)
+      import graft.store.Versioned
+      val root = s"/tmp/graft_warm_louvain_${math.abs(dir.hashCode)}"
+      val srcMtime = new java.io.File(s"$dir/lineitem.parquet")
+        .lastModified()
+      if (Versioned.latestVersion(root) == 0L ||
+          Versioned.latestTxnBatch(root, "source").forall(_ < srcMtime))
+        Versioned.commitOverwrite(
+          graft.graph.Louvain.run(edges, rounds = 2), root,
+          txn = Some(("source", srcMtime)))
+      val snapshot = Versioned.read(s, root)
       graft.graph.Louvain.moveRound(edges, snapshot, allowUp = false)
         .groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("n_members"))

@@ -209,7 +209,8 @@ object Versioned {
                                  appendBase: Boolean,
                                  beforePublish: Long => Unit = _ => (),
                                  txn: Option[(String, Long)] = None,
-                                 expectedParent: Option[Long] = None)
+                                 expectedParent: Option[Long] = None,
+                                 txnDedupe: Boolean = true)
       : Long = {
     require(added.nonEmpty,
       s"refusing to commit an empty batch to $root: the staged write " +
@@ -223,8 +224,9 @@ object Versioned {
       // a racing twin (a restarted sink re-delivering this batch) may
       // have committed our transaction while we retried — re-check
       // every attempt, not just at the API entry
-      val alreadyCommitted = txn.exists { case (appId, batchId) =>
-        latestTxnBatch(root, appId).exists(_ >= batchId) }
+      val alreadyCommitted = txnDedupe && txn.exists {
+        case (appId, batchId) =>
+          latestTxnBatch(root, appId).exists(_ >= batchId) }
       if (alreadyCommitted) return latestVersion(root)
       val parent = latestVersion(root)
       expectedParent.filter(_ != parent).foreach { p =>
@@ -289,9 +291,14 @@ object Versioned {
     * batch's files — the compaction / full-rewrite commit. Older
     * versions keep reading their pinned files untouched until
     * [[vacuum]] retires them; this is what makes history reclaimable
-    * in an otherwise append-only store. */
-  def commitOverwrite(df: DataFrame, root: String): Long =
-    commitFiles(root, stage(df, root), appendBase = false)
+    * in an otherwise append-only store. `txn` optionally stamps the
+    * manifest with a caller fingerprint (source mtime / input version)
+    * for [[latestTxnBatch]] staleness checks — stamp-only, no
+    * exactly-once dedupe (an equal fingerprint still commits). */
+  def commitOverwrite(df: DataFrame, root: String,
+                      txn: Option[(String, Long)] = None): Long =
+    commitFiles(root, stage(df, root), appendBase = false, txn = txn,
+      txnDedupe = false)
 
   /** Which of `parentFiles` contain at least one row `matches` selects,
     * discovered by scanning the snapshot WITH file provenance
@@ -403,6 +410,57 @@ object Versioned {
       .filter(keep)
     commitFiles(root, untouched ++ stage(survivors, root),
       appendBase = false, expectedParent = Some(parent))
+  }
+
+  /** Absolute data-file paths of the snapshot at `version` (latest
+    * when 0) — for callers whose READ path needs more than a plain
+    * parquet scan of the file list (e.g. registering a bucketed
+    * catalog table over a committed version's directory, which is how
+    * the admission index pins its probe to a version). Manifest-sized,
+    * driver-side. */
+  def files(root: String, version: Long = 0L): Seq[String] = {
+    val (fs, rootPath) = fsRoot(root)
+    val v = if (version == 0L) latestVersion(root) else version
+    require(v > 0 && fs.exists(manifestPath(rootPath, v)),
+      s"no committed version $v at $root")
+    readManifest(fs, rootPath, v)._2.map(resolve(rootPath, _).toString)
+  }
+
+  /** Fresh, isolated staging directory under the store's data path,
+    * for callers that write their OWN file layout (bucketed tables,
+    * multi-subdirectory stages) instead of going through [[stage]];
+    * publish it with [[commitStagedDir]]. Nothing under it is visible
+    * until that commit — an abandoned stage is an orphan, swept by
+    * [[vacuum]] like any crashed half-commit. */
+  def newStageDir(root: String): String = {
+    val (fs, rootPath) = fsRoot(root)
+    val dir = new Path(new Path(rootPath, "data"),
+      java.util.UUID.randomUUID().toString)
+    fs.mkdirs(dir)
+    dir.toString
+  }
+
+  /** Overwrite-commit every parquet file under a caller-written
+    * staging directory (recursive — one stage may hold several
+    * sub-layouts, e.g. a band table AND its sidecar so both flip
+    * atomically in ONE manifest). `txn` stamps the manifest with a
+    * caller fingerprint (e.g. the source table's mtime) readable back
+    * via [[latestTxnBatch]] — a staleness check with no dedupe
+    * semantics: re-staging the same fingerprint still commits a new
+    * version (unlike [[commitAppendTxn]]'s exactly-once skip). */
+  def commitStagedDir(root: String, stageDir: String,
+                      txn: Option[(String, Long)] = None): Long = {
+    val (fs, rootPath) = fsRoot(root)
+    val prefix = rootPath.toString + "/"
+    def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+      else Nil
+    }
+    val rel = walk(fs.makeQualified(new Path(stageDir)))
+      .map(p => fs.makeQualified(p).toString.stripPrefix(prefix)).sorted
+    commitFiles(root, rel, appendBase = false, txn = txn,
+      txnDedupe = false)
   }
 
   /** Read the snapshot at `version` (latest when 0) — exactly the

@@ -41,6 +41,9 @@ object AdmBench {
     time("stored staging") {
       graft.dedup.Dedup.stageAdmissionIndex(docs, "admbench", Long.MaxValue)
     }
+    // forced restage per run: retire superseded index generations
+    graft.store.Versioned.vacuum("/tmp/graft_admission_admbench",
+      graft.store.Versioned.latestVersion("/tmp/graft_admission_admbench"))
     val n2 = time("stored probe (q215 shape)") {
       graft.streaming.Streams.nearDupAdmissionStoredReplay(docs, admDelta,
         "admbench", 0L, 3, 12, 3, 0.5)

@@ -697,6 +697,10 @@ object ScaleCanary {
       graft.dedup.Dedup.stageAdmissionIndex(docs, tag = "canary",
         sourceMtime = Long.MaxValue) // force a fresh stage each run
     }
+    // forced restage = a new index generation per run; retire history
+    // so repeated canary runs don't accumulate 500k-doc generations
+    graft.store.Versioned.vacuum("/tmp/graft_admission_canary",
+      graft.store.Versioned.latestVersion("/tmp/graft_admission_canary"))
     val admSN = time("stored admission probe (5k delta)") {
       val pairs = graft.streaming.Streams.nearDupAdmissionStoredReplay(
         docs, admDelta, tag = "canary", sourceMtime = 0L,

@@ -46,6 +46,42 @@ class DedupSpec extends SparkSpec {
     assert(inc.contains((3L, 12L)), "near-dup of an old doc must verify")
   }
 
+  test("admission index is versioned: same fingerprint re-registers, a " +
+      "refresh commits a new version, a pinned probe is stable across " +
+      "the refresh, and vacuum retires old generations") {
+    val tag = "dspec" + System.nanoTime()
+    val root = s"/tmp/graft_admission_$tag"
+    val delta = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    def probe(t: (String, String)) =
+      Dedup.probeAdmissionIndex(spark.table(t._1), spark.table(t._2),
+        delta).select("a", "b").as[(Long, Long)].collect().toSet
+    val t1 = Dedup.stageAdmissionIndex(base, tag, sourceMtime = 1L)
+    assert(t1._1.endsWith("_v1"), t1._1)
+    val p1 = probe(t1)
+    assert(p1.contains((1L, 21L)))
+    // unchanged fingerprint: metadata-only, same version
+    assert(Dedup.stageAdmissionIndex(base, tag, 1L) == t1)
+    assert(graft.store.Versioned.latestVersion(root) == 1L)
+    // corpus grew → refresh = an OBSERVABLE new commit
+    val grown = base.unionByName(Seq((5L,
+      "the quick brown fox jumps over the lazy dog near the river bank today too"))
+      .toDF("doc_id", "text"))
+    val t2 = Dedup.stageAdmissionIndex(grown, tag, sourceMtime = 2L)
+    assert(t2._1.endsWith("_v2"), t2._1)
+    assert(probe(t2).contains((5L, 21L)), "latest sees the new member")
+    // a probe PINNED to generation 1 is untouched by the refresh
+    assert(probe(Dedup.admissionIndexAt(spark, tag, 1L)) == p1)
+    // retention: vacuum retires generation 1; generation 2 survives
+    val (nDel, _) = graft.store.Versioned.vacuum(root, 2L)
+    assert(nDel > 0)
+    intercept[IllegalArgumentException] {
+      graft.store.Versioned.files(root, 1L)
+    }
+    assert(probe(t2).contains((5L, 21L)))
+  }
+
   test("jaccard of identical docs is 1, disjoint docs 0") {
     val sh = Dedup.shingleTable(base, 3)
     val j = Dedup.jaccard(Seq((1L, 4L), (1L, 3L)).toDF("a", "b"), sh)
