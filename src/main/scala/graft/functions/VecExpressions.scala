@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, TypeCollection}
 
 /** Native Catalyst expression for the similarity hot path: the dot
   * product of two `array<float>` columns, accumulated in double,
@@ -176,13 +176,20 @@ case class NearestCentroid(child: Expression,
                            centroids: Array[Array[Double]])
     extends UnaryExpression with ExpectsInputTypes {
 
+  // accepts float vectors (raw embeddings) AND double vectors (PQ
+  // residuals / pre-widened frames); floats widen per element exactly,
+  // so both paths accumulate in double with identical ordering
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType))
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = LongType
   override def prettyName: String = "nearest_centroid"
 
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val f = isFloat
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -191,7 +198,8 @@ case class NearestCentroid(child: Expression,
       var acc = 0.0
       var d = 0
       while (d < row.length) {
-        val diff = x.getFloat(d).toDouble - row(d)
+        val xi = if (f) x.getFloat(d).toDouble else x.getDouble(d)
+        val diff = xi - row(d)
         acc += diff * diff
         d += 1
       }
@@ -205,6 +213,7 @@ case class NearestCentroid(child: Expression,
                                    ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("centroids", centroids, "double[][]")
     val ids = ctx.addReferenceObj("clusterIds", clusterIds, "long[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, x => {
       val c = ctx.freshName("c")
       val d = ctx.freshName("d")
@@ -220,7 +229,7 @@ case class NearestCentroid(child: Expression,
          |  double[] $row = $m[$c];
          |  double $acc = 0.0;
          |  for (int $d = 0; $d < $row.length; $d++) {
-         |    double $diff = (double) $x.getFloat($d) - $row[$d];
+         |    double $diff = (double) $x.$get($d) - $row[$d];
          |    $acc += $diff * $diff;
          |  }
          |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }

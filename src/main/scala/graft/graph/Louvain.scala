@@ -121,15 +121,150 @@ object Louvain {
     * weights sum, intra-community weight becomes the super-vertex's
     * self-loop. Returns canonical weighted edges (src ≤ dst, w).
     * Input edges are unweighted (w = 1 each); coarsening an
-    * already-weighted graph is the same shape with sum(w). */
-  def coarsen(edges: DataFrame, labels: DataFrame): DataFrame = {
+    * already-weighted graph is [[coarsenWeighted]]. */
+  def coarsen(edges: DataFrame, labels: DataFrame): DataFrame =
+    coarsenWeighted(
+      edges.select(col("src"), col("dst"), lit(1L).as("w")), labels)
+
+  /** Contract a WEIGHTED partition — the level ≥ 2 coarsening of the
+    * hierarchy: weights sum, prior self-loops fold into the new
+    * super-vertex self-loops (same lift invariant). */
+  def coarsenWeighted(wedges: DataFrame, labels: DataFrame): DataFrame = {
     val lab = labels.select(col("id"), col("lab"))
-    edges
+    wedges
       .join(lab.select(col("id").as("src"), col("lab").as("la")), "src")
       .join(lab.select(col("id").as("dst"), col("lab").as("lb")), "dst")
       .select(least(col("la"), col("lb")).as("src"),
-        greatest(col("la"), col("lb")).as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        greatest(col("la"), col("lb")).as("dst"), col("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+  }
+
+  /** Exact integer modularity numerator of a weighted partition:
+    * qnum = Σ_c (m2·in_c − tot_c²), with m2 = Σ degrees (= 2W, the
+    * Louvain-invariant total weight), in_c = intra-community weight
+    * counting both orientations + self-loops twice, tot_c = Σ degrees
+    * over c. Q = qnum / m2² — for an unweighted graph this is EXACTLY
+    * q139's Σ(4m·m_c − d_c²) integer (m2 = 2m, in_c = 2m_c), so the
+    * convergence criterion below measures with the same stick, and its
+    * value is comparable ACROSS LEVELS because coarsening preserves
+    * both total weight and lifted modularity. DECIMAL(38,0) sums; one
+    * driver scalar. */
+  private def qNum(wedges: DataFrame, e2: DataFrame, deg: DataFrame,
+                   labels: DataFrame): java.math.BigDecimal = {
+    val dec = "decimal(38,0)"
+    val lab = labels.select(col("id"), col("lab"))
+    val tot = lab.join(deg, "id").groupBy(col("lab").as("c"))
+      .agg(sum(col("k").cast(dec)).as("tot"))
+    val intra = e2
+      .join(lab.select(col("id").as("src"), col("lab").as("ls")), "src")
+      .join(lab.select(col("id").as("dst"), col("lab").as("ld")), "dst")
+      .filter(col("ls") === col("ld"))
+      .select(col("ls").as("c"), col("w"))
+      .unionByName(wedges.filter(col("src") === col("dst"))
+        .join(lab.select(col("id").as("src"), col("lab").as("c")), "src")
+        .select(col("c"), (col("w") * 2).as("w")))
+      .groupBy("c").agg(sum(col("w").cast(dec)).as("in"))
+    val m2 = deg.agg(sum(col("k").cast(dec)).as("m2"))
+    tot.join(intra, Seq("c"), "left").na.fill(0, Seq("in"))
+      .crossJoin(broadcast(m2))
+      .agg(sum(col("m2") * col("in") - col("tot") * col("tot"))
+        .as("qnum"))
+      .first().getDecimal(0)
+  }
+
+  /** One level's move phase run UNTIL CONVERGED — by EXACT modularity
+    * stability, not zero moves: stop when a full down+up round pair
+    * leaves the integer modularity numerator unchanged (or at
+    * `roundCap`, the runaway guard). Zero-moves is the textbook
+    * sequential criterion but is unreachable under synchronized
+    * alternating-direction semantics: at EQUAL gain the tie-break
+    * prefers the smaller label (that determinism is what makes rounds
+    * replayable), so symmetric structures ping-pong equal-modularity
+    * labelings forever — the probe fixture: an 8-vertex path keeps
+    * swapping boundary vertices at ΔQ = 0 for any round budget. Q is
+    * what the moves optimize, Q is integer-exact here (no ε needed),
+    * so "no Q change across one pair" IS convergence of the objective;
+    * q139's operator is the measuring stick, weighted-generalized.
+    *
+    * Returns (labels, rounds run, vertices moved, final qnum). The
+    * convergence test costs one label-join aggregation + ONE driver
+    * scalar per round — the same cardinality discipline as PageRank's
+    * convergence driver (G5); labels are per-round localCheckpoints
+    * for the same 4×-reference lineage reason as [[run]]. */
+  def moveUntilConverged(wedges: DataFrame, roundCap: Int)
+      : (DataFrame, Int, Long, java.math.BigDecimal) = {
+    require(roundCap >= 2, s"need >= 2 rounds for a down+up pair")
+    val we = wedges.transform(graft.util.Ckpt.lean)
+    val e2 = bothWays(we).transform(graft.util.Ckpt.lean)
+    val deg = degrees(we).transform(graft.util.Ckpt.lean)
+    val m2 = deg.agg(sum("k").as("m2"))
+    var lab = deg.select(col("id"), col("id").as("lab"))
+    var q = qNum(we, e2, deg, lab)
+    var r = 0
+    var stableStreak = 0
+    var totalMoved = 0L
+    while (r < roundCap && stableStreak < 2) {
+      r += 1
+      val next = core(e2, deg, m2, lab, allowUp = r % 2 == 0)
+        .transform(graft.util.Ckpt.lean)
+      val moved = next
+        .join(lab.select(col("id"), col("lab").as("prev")), "id")
+        .filter(col("lab") =!= col("prev")).count()
+      totalMoved += moved
+      val nextQ = if (moved == 0L) q else qNum(we, e2, deg, next)
+      stableStreak =
+        if (nextQ.compareTo(q) == 0) stableStreak + 1 else 0
+      q = nextQ
+      lab = next
+    }
+    (lab, r, totalMoved, q)
+  }
+
+  /** Per-level convergence record of [[runConverged]]: rounds run,
+    * vertices moved, communities at the level's close, and the level's
+    * closing modularity in micros (qnum / m2² — comparable across
+    * levels by the Louvain lift invariant). */
+  final case class LevelTrace(level: Int, rounds: Int, moved: Long,
+                              comms: Long, qMicros: Long)
+
+  /** Hierarchical Louvain with CONVERGED move phases: each level runs
+    * [[moveUntilConverged]] (modularity-stable down+up pair or
+    * `roundCap`), then contracts and continues on the condensation —
+    * the standard production termination (Blondel et al. 2008 iterate
+    * "while gain") instead of [[run]]'s fixed round count. The
+    * hierarchy stops early when a level improves nothing (further
+    * contraction is a fixpoint). Returns the ORIGINAL-vertex labels
+    * lifted through every level plus the per-level trace. */
+  def runConverged(edges: DataFrame, levels: Int, roundCap: Int = 10)
+      : (DataFrame, Seq[LevelTrace]) = {
+    var wedges = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+      .transform(graft.util.Ckpt.lean)
+    val m2 = bothWays(wedges).agg(sum("w")).first().getLong(0)
+    def micros(q: java.math.BigDecimal): Long =
+      math.floor(q.doubleValue() / (m2.toDouble * m2.toDouble) * 1e6
+        + 0.5).toLong
+    var lifted: DataFrame = null
+    val trace = scala.collection.mutable.ArrayBuffer[LevelTrace]()
+    var lv = 0
+    var fixpoint = false
+    var prevQ: java.math.BigDecimal = null
+    while (lv < levels && !fixpoint) {
+      lv += 1
+      val (lab, r, moved, q) = moveUntilConverged(wedges, roundCap)
+      trace += LevelTrace(lv, r, moved,
+        lab.select("lab").distinct().count(), micros(q))
+      lifted =
+        if (lifted == null) lab
+        else lifted.select(col("id"), col("lab").as("mid"))
+          .join(lab.select(col("id").as("mid"), col("lab")), "mid")
+          .drop("mid").transform(graft.util.Ckpt.lean)
+      fixpoint = moved == 0L ||
+        (prevQ != null && q.compareTo(prevQ) == 0)
+      prevQ = q
+      if (lv < levels && !fixpoint)
+        wedges = coarsenWeighted(wedges, lab).transform(graft.util.Ckpt.lean)
+    }
+    (lifted, trace.toSeq)
   }
 
   /** `rounds` synchronized move rounds from singleton communities,
@@ -146,16 +281,16 @@ object Louvain {
     // (the two union branches), which would re-run an expensive caller
     // edge derivation per branch
     val we = edges.select(col("src"), col("dst"), lit(1L).as("w"))
-      .localCheckpoint(false)
-    val e2 = bothWays(we).localCheckpoint(false)
+      .transform(graft.util.Ckpt.lean)
+    val e2 = bothWays(we).transform(graft.util.Ckpt.lean)
     val deg = e2.select(col("src").as("id"), col("w"))
       .groupBy("id").agg(sum("w").as("k"))
-      .localCheckpoint(false)
+      .transform(graft.util.Ckpt.lean)
     val m2 = deg.agg(sum("k").as("m2"))
     var lab = deg.select(col("id"), col("id").as("lab"))
     for (r <- 1 to rounds)
       lab = core(e2, deg, m2, lab, allowUp = r % 2 == 0)
-        .localCheckpoint(false)
+        .transform(graft.util.Ckpt.lean)
     lab
   }
 }

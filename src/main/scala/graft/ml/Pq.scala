@@ -73,6 +73,94 @@ object Pq {
     emb.select(col(idCol), array(codes: _*).as("codes"))
   }
 
+  /** Residuals against the coarse quantizer: (id, cluster,
+    * res = vector − centroid(cluster)) — the representation IVFADC
+    * (Jégou 2011 §IV) actually quantizes. Residuals concentrate near
+    * zero (the coarse quantizer removed the between-cluster variance),
+    * so a codebook of the SAME size spends its codewords on a much
+    * smaller cell — the accuracy-critical half of the composition that
+    * raw-vector IVF-PQ ([[ivfPqTopK]]) leaves on the table. Broadcast
+    * join + zip_with: one narrow pass, no shuffle. */
+  def residuals(index: Ivf.Index, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    index.assignments
+      .join(broadcast(index.centroids), "cluster")
+      .select(col(idCol), col("cluster"),
+        zip_with(transform(col(vecCol), _.cast("double")),
+          col("centroid"), (x, c) => x - c).as("res"))
+
+  /** Encode residuals as codeword ids, KEEPING the coarse cluster —
+    * ADC over residuals needs it, because the query-side residual (and
+    * so the distance table) differs per probed cluster. Input: the
+    * [[residuals]] frame. Output: (id, cluster, codes). */
+  def encodeResidual(res: DataFrame,
+                     books: Array[(Array[Long], Array[Array[Double]])],
+                     subDim: Int, idCol: String = "vec_id"): DataFrame = {
+    val codes = books.zipWithIndex.map { case ((ids, cents), s) =>
+      graft.functions.VecFunctions.nearestCentroid(
+        subvector(col("res"), s, subDim), ids, cents)
+    }
+    res.select(col(idCol), col("cluster"), array(codes: _*).as("codes"))
+  }
+
+  /** Residual IVF-PQ top-k — full IVFADC: candidates from the nprobe
+    * nearest coarse cells, each scored by ADC in RESIDUAL space. The
+    * query's residual differs per probed cluster (q − c_i), so there
+    * are nprobe query→codeword tables instead of one; they ride into
+    * codegen as ONE map-of-arrays literal per subspace keyed by
+    * cluster id (nprobe × m × k doubles, driver-sized by
+    * construction), and a candidate's per-subspace cost stays two
+    * `element_at`s + an add. Top-k is TakeOrderedAndProject. At 100 TB
+    * the residual codes are precomputed at ingest next to the
+    * assignments (same one-pass argument as [[encode]]); here the
+    * pruned candidate batch encodes inline, same plan shape. */
+  def ivfPqResidualTopK(index: Ivf.Index,
+                        books: Array[(Array[Long], Array[Array[Double]])],
+                        query: Seq[Float], k: Int, nprobe: Int,
+                        subDim: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val probed = Ivf.probeClusters(index.centroids, query, nprobe)
+    val pc = index.centroids.join(broadcast(probed), "cluster")
+      .select("cluster", "centroid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    // per probed cluster: its query residual's distance to every
+    // codeword of every subspace (nprobe small maps, driver-side)
+    val qd: Map[Long, Array[Array[Double]]] = pc.map { case (cid, cent) =>
+      val qres = q.indices.map(i => q(i) - cent(i)).toArray
+      cid -> books.zipWithIndex.map { case ((ids, cents), s) =>
+        val table = new Array[Double](ids.max.toInt + 1)
+        ids.zip(cents).foreach { case (id, c) =>
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val diff = qres(s * subDim + i) - c(i)
+            d += diff * diff
+            i += 1
+          }
+          table(id.toInt) = d
+        }
+        table
+      }
+    }.toMap
+    val clusters = pc.map(_._1)
+    val cand = Ivf.Index(
+      index.assignments.join(broadcast(probed), Seq("cluster"),
+        "left_semi"),
+      index.centroids)
+    val encoded = encodeResidual(residuals(cand, idCol, vecCol), books,
+      subDim, idCol)
+    val adc = books.indices.map { s =>
+      val mapS = map_from_arrays(lit(clusters),
+        array(clusters.map(c => lit(qd(c)(s))): _*))
+      element_at(element_at(mapS, col("cluster")),
+        col("codes").getItem(s).cast("int") + 1)
+    }.reduce(_ + _)
+    encoded.select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF-PQ — the production ANN composition: the coarse quantizer
     * prunes WHICH vectors get scored (~nprobe/k of the corpus, the
     * [[Ivf]] half) and PQ compresses HOW each survivor is scored (m
@@ -81,7 +169,9 @@ object Pq {
     * encode pass at ingest; 8 B/vector rides in memory) so a probe
     * touches only its clusters' code blocks; here the candidate batch
     * is encoded inline because the harness stores nothing ambient —
-    * same plan shape, the encode input is already pruned. */
+    * same plan shape, the encode input is already pruned.
+    * [[ivfPqResidualTopK]] is the accuracy-preferred residual
+    * (IVFADC) variant. */
   def ivfPqTopK(index: Ivf.Index,
                 books: Array[(Array[Long], Array[Array[Double]])],
                 query: Seq[Float], k: Int, nprobe: Int, subDim: Int,

@@ -1553,8 +1553,128 @@ object GraphQueries {
         FROM v2 JOIN u1 ON v2.lab = u1.id
         GROUP BY 1 ORDER BY 1""")),
 
-    q233
+    q233,
+
+    q237
   )
+
+  /** Until-converged hierarchical Louvain (q237): move rounds iterate
+    * per level until a down+up pair leaves the EXACT integer
+    * modularity unchanged (zero-moves is unreachable under
+    * synchronized alternating-direction semantics — equal-gain
+    * tie-breaks ping-pong labels at constant Q, LouvainSpec pins the
+    * path fixture), with a round cap as the runaway guard; q139's
+    * modularity operator is the measuring stick. Fixture: planted K5
+    * cliques over supplier keys (groups of 5) with single weak bridge
+    * edges between consecutive groups — communities Louvain should and
+    * does recover: level 1 converges in 4 rounds to exactly the
+    * cliques, level 2 is a detected fixpoint (2 rounds, zero moves).
+    * Output = the per-level trace (level, rounds_run, moved,
+    * n_communities, q_micros); the oracle replays the 4-round unroll,
+    * the per-round move census, and the exact modularity algebra, and
+    * pins the convergence-dependent round counts as constants. */
+  private val q237 = QuerySpec("q237_louvain_converged",
+    (s, dir) => {
+      import s.implicits._
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").cast("long").as("k"))
+      val cliques = sup.select(col("k").as("src"))
+        .join(sup.select(col("k").as("dst")),
+          col("src") < col("dst") &&
+            expr("src div 5") === expr("dst div 5"))
+      val bridges = sup
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .filter(pmod(col("src"), lit(5L)) === 4)
+        .join(sup.select(col("k").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      val edges = cliques.unionByName(bridges)
+      val (_, trace) = graft.graph.Louvain.runConverged(edges,
+        levels = 2, roundCap = 12)
+      trace.map(t => (t.level.toLong, t.rounds.toLong, t.moved,
+          t.comms, t.qMicros))
+        .toDF("level", "rounds_run", "moved", "n_communities",
+          "q_micros")
+        .orderBy("level")
+    },
+    Some {
+      val rounds = (1 to 4).map { r =>
+        s"""tt$r AS MATERIALIZED (
+              SELECT l.lab AS c, CAST(sum(d.k) AS BIGINT) AS tot
+              FROM v${r - 1} l JOIN deg d USING (id) GROUP BY 1),
+            kv$r AS MATERIALIZED (
+              SELECT e.src AS id, l.lab AS c,
+                     CAST(count(*) AS BIGINT) AS kvc
+              FROM e2 e JOIN v${r - 1} l ON e.dst = l.id GROUP BY 1, 2),
+            cd$r AS (
+              SELECT id, c, CAST(sum(kvc) AS BIGINT) AS kvc FROM (
+                SELECT id, c, kvc FROM kv$r
+                UNION ALL SELECT id, lab AS c, 0 AS kvc FROM v${r - 1})
+              GROUP BY id, c),
+            sc$r AS (
+              SELECT cd.id, cd.c,
+                     m2.m2 * cd.kvc - d.k *
+                       (tt.tot - CASE WHEN cd.c = l.lab THEN d.k
+                                      ELSE 0 END) AS s
+              FROM cd$r cd JOIN v${r - 1} l USING (id)
+              JOIN deg d USING (id)
+              JOIN tt$r tt ON tt.c = cd.c CROSS JOIN m2
+              WHERE cd.c ${if (r % 2 == 0) ">=" else "<="} l.lab),
+            v$r AS MATERIALIZED (
+              SELECT id, c AS lab FROM (
+                SELECT id, c, row_number() OVER (PARTITION BY id
+                  ORDER BY s DESC, c) AS rn
+                FROM sc$r) WHERE rn = 1)"""
+      }.mkString(",\n")
+      val movedSum = (1 to 4).map { r =>
+        s"""(SELECT count(*) FROM v$r a JOIN v${r - 1} b USING (id)
+             WHERE a.lab <> b.lab)"""
+      }.mkString(" + ")
+      s"""
+        WITH sup AS MATERIALIZED (
+          SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+        eo AS MATERIALIZED (
+          SELECT a.k AS src, b.k AS dst
+          FROM sup a JOIN sup b
+            ON a.k < b.k AND a.k // 5 = b.k // 5
+          UNION ALL
+          SELECT a.k, a.k + 1 FROM sup a
+          JOIN sup b ON b.k = a.k + 1
+          WHERE a.k % 5 = 4),
+        e2 AS MATERIALIZED (
+          SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+        deg AS MATERIALIZED (
+          SELECT src AS id, CAST(count(*) AS BIGINT) AS k
+          FROM e2 GROUP BY 1),
+        m2 AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2 FROM eo),
+        v0 AS MATERIALIZED (SELECT id, id AS lab FROM deg),
+        $rounds,
+        ttf AS (
+          SELECT l.lab AS c, CAST(sum(d.k) AS BIGINT) AS tot
+          FROM v4 l JOIN deg d USING (id) GROUP BY 1),
+        inf AS (
+          SELECT a.lab AS c, CAST(count(*) AS BIGINT) AS inw
+          FROM e2 e JOIN v4 a ON e.src = a.id JOIN v4 b ON e.dst = b.id
+          WHERE a.lab = b.lab GROUP BY 1),
+        qn AS (
+          SELECT CAST(floor(
+                   CAST(sum(m2.m2 * COALESCE(i.inw, 0) - t.tot * t.tot)
+                     AS DOUBLE)
+                   / (CAST(any_value(m2.m2) AS DOUBLE)
+                      * CAST(any_value(m2.m2) AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS q
+          FROM ttf t LEFT JOIN inf i USING (c) CROSS JOIN m2),
+        nc AS (SELECT CAST(count(DISTINCT lab) AS BIGINT) AS n FROM v4),
+        mv AS (SELECT CAST($movedSum AS BIGINT) AS moved)
+        SELECT CAST(1 AS BIGINT) AS level,
+               CAST(4 AS BIGINT) AS rounds_run,
+               mv.moved, nc.n AS n_communities, qn.q AS q_micros
+        FROM mv, nc, qn
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+               nc.n, qn.q
+        FROM nc, qn
+        ORDER BY level"""
+    })
 
   /** Warm-start Louvain: resume the move schedule from a stored label
     * snapshot. Rounds are pure functions of (edges, labels, direction),

@@ -454,6 +454,118 @@ object MlQueries {
         LIMIT 10"""
       }),
 
+    // Residual IVF-PQ (q238) — full IVFADC (Jégou 2011 §IV): q222's
+    // composition, but PQ quantizes RESIDUALS (vector − coarse
+    // centroid) instead of raw vectors — the accuracy-critical half
+    // the raw variant omits (residuals concentrate near zero, so the
+    // same codebook budget covers a far smaller cell). The query-side
+    // table is now PER PROBED CLUSTER (q − c_i differs per cell); it
+    // rides into codegen as one map-of-arrays literal per subspace and
+    // scoring stays two lookups + an add per subspace. Codebooks =
+    // residuals of seed vectors 16..31 (fixed, so the oracle replays
+    // encode + ADC end-to-end: residual argmin per subspace, then the
+    // cluster-keyed table chain).
+    QuerySpec("q238_ivfpq_residual",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val m = 8; val subDim = 8
+        val coarse = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cluster"),
+            transform(col("embedding"), _.cast("double")).as("centroid"))
+        val idx = graft.ml.Ivf.Index(
+          graft.ml.Ivf.assign(emb, coarse), coarse)
+        val seedRes = graft.ml.Pq.residuals(idx)
+          .filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        val books = graft.ml.Pq.collectBooks(
+          (0 until m).map { sub =>
+            seedRes.select(lit(sub).as("sub"),
+              col("vec_id").as("cluster"),
+              graft.ml.Pq.subvector(col("res"), sub, subDim)
+                .as("centroid"))
+          }.reduce(_.unionByName(_)), m)
+        graft.ml.Pq.ivfPqResidualTopK(idx, books, queryVec(s, dir), 10,
+            nprobe = 3, subDim = subDim)
+          .select(col("vec_id"), Exact.micros(col("adc")).as("adc_micros"))
+      },
+      Some {
+        // ((a[i]−ac[i]) − (b[i]−bc[i]))² summed over subspace s — the
+        // residual-space squared distance, parenthesized exactly as
+        // the Spark side (residual first, then the difference)
+        def resSub(a: String, ac: String, b: String, bc: String,
+                   s: Int): String =
+          (s * 8 + 1 to s * 8 + 8).map { i =>
+            val d = s"((CAST($a[$i] AS DOUBLE) - CAST($ac[$i] AS DOUBLE))" +
+              s" - (CAST($b[$i] AS DOUBLE) - CAST($bc[$i] AS DOUBLE)))"
+            s"$d * $d"
+          }.mkString(" + ")
+        val subs = 0 until 8
+        s"""
+        WITH coarse AS MATERIALIZED (
+          SELECT vec_id AS cluster, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+        q AS MATERIALIZED (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probed AS MATERIALIZED (
+          SELECT cluster FROM (
+            SELECT c.cluster, ${sqDistSql("q.qv", "c.cvec")} AS d
+            FROM coarse c CROSS JOIN q
+            ORDER BY d, cluster LIMIT 3)),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqDistSql("e.embedding", "c.cvec")},
+                              c.cluster) AS rn
+            FROM embeddings e CROSS JOIN coarse c)
+          WHERE rn = 1),
+        cb AS MATERIALIZED (
+          SELECT a.vec_id AS cluster, a.embedding AS svec,
+                 co.cvec AS scent
+          FROM assigned a JOIN coarse co USING (cluster)
+          WHERE a.vec_id >= 16 AND a.vec_id < 32),
+        cand AS MATERIALIZED (
+          SELECT a.vec_id, a.embedding, a.cluster, co.cvec AS ccent
+          FROM assigned a JOIN probed USING (cluster)
+          JOIN coarse co ON co.cluster = a.cluster),
+        dists AS (
+          SELECT e.vec_id, e.cluster AS ecl, c.cluster,
+                 ${subs.map(s =>
+                     resSub("e.embedding", "e.ccent", "c.svec",
+                       "c.scent", s) + s" AS d$s")
+                   .mkString(",\n                 ")}
+          FROM cand e CROSS JOIN cb c),
+        ranked AS (
+          SELECT vec_id, ecl, cluster,
+                 ${subs.map(s => "row_number() OVER (PARTITION BY " +
+                     s"vec_id ORDER BY d$s, cluster) AS rn$s")
+                   .mkString(",\n                 ")}
+          FROM dists),
+        codes AS (
+          SELECT vec_id, any_value(ecl) AS ecl,
+                 ${subs.map(s => s"max(CASE WHEN rn$s = 1 THEN " +
+                     s"cluster END) AS c$s")
+                   .mkString(",\n                 ")}
+          FROM ranked GROUP BY vec_id),
+        qd AS MATERIALIZED (
+          SELECT p.cluster AS pcluster, c.cluster,
+                 ${subs.map(s =>
+                     resSub("q.qv", "p.cvec", "c.svec", "c.scent", s) +
+                       s" AS qd$s")
+                   .mkString(",\n                 ")}
+          FROM (SELECT co.cluster, co.cvec
+                FROM coarse co JOIN probed USING (cluster)) p
+          CROSS JOIN cb c CROSS JOIN q)
+        SELECT codes.vec_id,
+               ${Exact.microsSql(
+                 subs.map(s => s"j$s.qd$s").mkString(" + "))} AS adc_micros
+        FROM codes
+        ${subs.map(s => s"JOIN qd j$s ON j$s.pcluster = codes.ecl " +
+            s"AND j$s.cluster = codes.c$s").mkString("\n        ")}
+        ORDER BY ${subs.map(s => s"j$s.qd$s").mkString(" + ")},
+                 codes.vec_id
+        LIMIT 10"""
+      }),
+
     // Embedding-cosine near-dup detection, banded sign-LSH: the corpus
     // has no organic near-dups (max pairwise cos ≈ 0.51), so perturbed
     // copies are planted at vec_id+100000 (element 1 replaced by a

@@ -120,4 +120,56 @@ class LouvainSpec extends SparkSpec {
     val b = labelsOf(Louvain.run(edges.repartition(5), rounds = 3))
     assert(a === b)
   }
+
+  private def qOf(edges: org.apache.spark.sql.DataFrame,
+                  labels: org.apache.spark.sql.DataFrame): Long =
+    graft.graph.Communities.modularity(edges,
+        labels.select(col("id"), col("lab").as("community")))
+      .select("q_micros").first().getLong(0)
+
+  test("until-converged disagrees with fixed-2-rounds on a path and " +
+      "wins on modularity") {
+    // P8: pairwise merges keep paying off past round 2 — the fixture
+    // where a fixed budget stops early and the converged run does not
+    val p8 = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labC, trace) = Louvain.runConverged(p8, levels = 1,
+      roundCap = 12)
+    val lab2 = Louvain.run(p8, rounds = 2)
+    assert(trace.head.rounds > 2 && trace.head.rounds < 12,
+      s"expected genuine convergence below the cap, got $trace")
+    assert(qOf(p8, labC) > qOf(p8, lab2),
+      "converged labels must beat the fixed-2-round labels on Q")
+    assert(trace.head.qMicros === qOf(p8, labC),
+      "trace modularity must equal q139's operator on the labels")
+  }
+
+  test("zero-moves never fires on the path fixture (equal-gain " +
+      "ping-pong at constant Q) - Q-stability is what terminates") {
+    // the last two rounds of the converged run change NO modularity
+    // but may still move labels; run 2 extra rounds from the converged
+    // labels and pin that Q stays put while moves can continue
+    val p8 = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labC, trace) = Louvain.runConverged(p8, levels = 1,
+      roundCap = 12)
+    val r = trace.head.rounds
+    val next = Louvain.moveRound(p8, labC, allowUp = r % 2 == 1)
+    assert(qOf(p8, next) === trace.head.qMicros,
+      "post-convergence rounds must not change Q")
+  }
+
+  test("runConverged detects the level-2 fixpoint on planted cliques " +
+      "and stops the hierarchy") {
+    // two K4s joined by one weak bridge: level 1 recovers the cliques,
+    // level 2 has nothing left to merge (bridge too weak) -> fixpoint
+    val k4s = ((for {a <- 1 to 4; b <- 1 to 4 if a < b}
+        yield (a.toLong, b.toLong)) ++
+      (for {a <- 11 to 14; b <- 11 to 14 if a < b}
+        yield (a.toLong, b.toLong)) :+ (4L, 11L)).toDF("src", "dst")
+    val (lab, trace) = Louvain.runConverged(k4s, levels = 3,
+      roundCap = 12)
+    assert(trace.head.comms === 2L, s"cliques not recovered: $trace")
+    assert(trace.size <= 2, s"fixpoint should stop the hierarchy: $trace")
+    assert(trace.last.moved === 0L || trace.size == 1)
+    assert(labelsOf(lab).values.toSet.size === 2)
+  }
 }
