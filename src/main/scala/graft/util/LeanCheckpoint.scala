@@ -30,7 +30,23 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Physical `outputPartitioning`/`outputOrdering` are preserved like
   * the stock checkpoint (exchange/sort elision downstream is a
   * correctness-of-plan property, not a statistics one). Lazy, like
-  * `localCheckpoint(false)`: blocks materialize at first use. */
+  * `localCheckpoint(false)`: blocks materialize at first use.
+  *
+  * Scope — measured, not assumed (sf0.1 iterative-band A/B, clean
+  * calibration floors): this is a targeted fix for MULTI-REFERENCE
+  * loops (Louvain references its predecessor 4×/round → 4^r estimate
+  * growth → the hang), NOT a blanket replacement. Sweeping it across
+  * the whole graph band REGRESSED it 2-5× (q11 4.1→11.4s, q122
+  * 7.1→39.6s, q56 8.0→19.6s): those loops reference their state ~2×,
+  * their compounded stats stay cheap to multiply, and the huge
+  * estimates act as a de-facto "don't broadcast" that matches the
+  * best plan — while the default-stat leaf changes OTHER planning
+  * decisions around them. A clamp-at-Long.MaxValue variant (propagate
+  * realistic estimates, bound the digits) was also tried and lost on
+  * Louvain itself (12s → 16s: realistic stats re-enable per-round
+  * broadcast builds that cost more than the SMJ they replace). Stock
+  * checkpoints stay in the 2-reference loops; lean goes where
+  * reference fan-out compounds. */
 object LeanCheckpointBridge {
   def lean(df: DataFrame): DataFrame = {
     val session = df.sparkSession

@@ -335,6 +335,42 @@ class VersionedSpec extends SparkSpec {
       .collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("mockhdfs:// scheme: exclusive publish goes through the RENAME " +
+      "branch; the loser detects the collision and retries — race " +
+      "coverage for the non-POSIX path of publishExclusive") {
+    // HDFS-contract double: rename fails when the destination exists
+    // (RawLocalFileSystem would silently replace). file:// tests cover
+    // only the link(2) branch; this covers the other one.
+    spark.sparkContext.hadoopConfiguration.set("fs.mockhdfs.impl",
+      classOf[MockHdfsFileSystem].getName)
+    val root = "mockhdfs://" + freshRoot()
+    val filesA = Versioned.stage(Seq((1L, "a")).toDF("k", "s"), root)
+    val filesB = Versioned.stage(Seq((2L, "b")).toDF("k", "s"), root)
+    var fired = false
+    val vA = Versioned.commitFiles(root, filesA, appendBase = true,
+      beforePublish = _ => {
+        if (!fired) {
+          fired = true
+          // B publishes v1 inside A's compose→publish window: A's
+          // rename must FAIL (dest exists), never replace B's manifest
+          assert(Versioned.commitFiles(root, filesB,
+            appendBase = true) == 1L)
+        }
+      })
+    assert(vA == 2L, "A must lose v1 to B and land v2 on retry")
+    assert(Versioned.read(spark, root, 1).as[(Long, String)]
+      .collect().toSet == Set((2L, "b")))
+    assert(Versioned.read(spark, root, 2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the rest of the protocol works over the scheme too
+    val v3 = Versioned.commitOverwrite(
+      Seq((9L, "z")).toDF("k", "s"), root)
+    val (nDel, _) = Versioned.vacuum(root, v3)
+    assert(nDel > 0)
+    assert(Versioned.read(spark, root).as[(Long, String)]
+      .collect().toSet == Set((9L, "z")))
+  }
+
   test("read of an uncommitted version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
