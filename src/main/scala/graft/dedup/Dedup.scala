@@ -307,11 +307,18 @@ object Dedup {
   def stageAdmissionIndex(oldDocs: DataFrame, tag: String,
                           sourceMtime: Long, shingleN: Int = 3,
                           numHashes: Int = 12, rowsPerBand: Int = 3,
-                          buckets: Int = 16): (String, String) = {
+                          buckets: Int = 16,
+                          force: Boolean = false): (String, String) = {
     val spark = oldDocs.sparkSession
     import graft.store.Versioned
     val root = admissionRoot(tag)
-    val stale = Versioned.latestVersion(root) == 0L ||
+    // `force` restages unconditionally — benchmarks/canaries that
+    // re-run the SAME tag over a DIFFERENT corpus need it, because the
+    // fingerprint check below is a monotone staleness test against the
+    // source table's identity, not a corpus-content hash: a stale store
+    // stamped with an equal-or-newer fingerprint (e.g. a previous
+    // forced run) reads as fresh no matter what corpus built it.
+    val stale = force || Versioned.latestVersion(root) == 0L ||
       Versioned.latestTxnBatch(root, "source").forall(_ < sourceMtime)
     if (stale) {
       val stage = Versioned.newStageDir(root)

@@ -39,7 +39,8 @@ object AdmBench {
         3, 12, 3, 0.5).filter(col("jaccard") >= 0.999).count()
     }
     time("stored staging") {
-      graft.dedup.Dedup.stageAdmissionIndex(docs, "admbench", Long.MaxValue)
+      graft.dedup.Dedup.stageAdmissionIndex(docs, "admbench",
+        Long.MaxValue, force = true)
     }
     // forced restage per run: retire superseded index generations
     graft.store.Versioned.vacuum("/tmp/graft_admission_admbench",

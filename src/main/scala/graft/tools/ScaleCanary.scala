@@ -695,7 +695,7 @@ object ScaleCanary {
     // inside the gate.
     time("stored admission staging (500k)") {
       graft.dedup.Dedup.stageAdmissionIndex(docs, tag = "canary",
-        sourceMtime = Long.MaxValue) // force a fresh stage each run
+        sourceMtime = Long.MaxValue, force = true) // THIS corpus, always
     }
     // forced restage = a new index generation per run; retire history
     // so repeated canary runs don't accumulate 500k-doc generations

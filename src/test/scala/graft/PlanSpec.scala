@@ -362,7 +362,7 @@ class PlanSpec extends SparkSpec {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val (bandsT, arrsT) = graft.dedup.Dedup.stageAdmissionIndex(
       docs.filter(col("doc_id") % 13 =!= 3), tag = "planspec",
-      sourceMtime = Long.MaxValue) // always restage: tiny at sf0.001
+      sourceMtime = Long.MaxValue, force = true) // tiny at sf0.001
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevA = spark.conf.get("spark.sql.adaptive.enabled")
     try {
