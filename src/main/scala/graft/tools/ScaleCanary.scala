@@ -829,6 +829,30 @@ object ScaleCanary {
     require(rec >= 8, s"planted-copy recall $rec/10 below floor 8")
     println(s"[canary]   ivf batched probe planted-copy recall=$rec/10")
 
+    // Residual IVF-PQ (full IVFADC) at 500k: codebooks trained on
+    // RESIDUALS (vector − coarse centroid), probe scored by the
+    // cluster-keyed ADC tables. The planted perturbed copy (+0.01 at
+    // id+1) must survive coarse pruning AND residual quantization into
+    // the top-10 — the same ground-truth floor as the raw-PQ leg, now
+    // through the accuracy-preferred composition.
+    val resTop = time("ivf-pq residual train+probe (500k)") {
+      val rq = emb.filter(col("vec_id") === 100)
+        .select("embedding").first().getSeq[Float](0)
+      val idx = graft.ml.Ivf.build(emb, k = 16, iters = 2)
+      val resBooks = graft.ml.Pq.collectBooks(
+        graft.ml.Pq.train(graft.ml.Pq.residuals(idx), m = 8, k = 16,
+          iters = 2, vecCol = "res"), m = 8)
+      val top = graft.ml.Pq.ivfPqResidualTopK(idx, resBooks, rq, 10,
+          nprobe = 4, subDim = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      keep = keep ++ spark.sparkContext.getPersistentRDDs.keySet
+      top
+    }
+    require(resTop.contains(100L) && resTop.contains(101L),
+      s"residual ivf-pq lost the planted copy: $resTop")
+    println(s"[canary]   ivf-pq residual top10 has 100+101=" +
+      s"${resTop.contains(100L) && resTop.contains(101L)}")
+
     spark.stop()
   }
 }

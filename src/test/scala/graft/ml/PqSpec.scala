@@ -106,4 +106,43 @@ class PqSpec extends SparkSpec {
     assert((exact & approx).size >= 3,
       s"pq recall too low: ${(exact & approx).size}/10 in top-20")
   }
+
+  test("residual ivf-pq recall@10 >= raw ivf-pq on the real " +
+      "embeddings (Jégou 2011: residuals concentrate, same codebook " +
+      "budget covers a smaller cell)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val idx = Ivf.build(emb, k = 8, iters = 2)
+    val rawBooks = Pq.collectBooks(
+      Pq.train(emb, m = 8, k = 16, iters = 2), m = 8)
+    val resBooks = Pq.collectBooks(
+      Pq.train(Pq.residuals(idx), m = 8, k = 16, iters = 2,
+        vecCol = "res"), m = 8)
+    // probe ALL clusters so both variants score the full corpus and
+    // the comparison isolates QUANTIZATION quality, not coarse pruning
+    def recall(qid: Long,
+               topOf: Seq[Float] => org.apache.spark.sql.DataFrame)
+        : Int = {
+      val q = emb.filter(col("vec_id") === qid).select("embedding")
+        .as[Seq[Float]].head()
+      val qCol = array(q.map(x => lit(x.toDouble)): _*)
+      val exact = emb.select(col("vec_id"),
+          aggregate(zip_with(
+            transform(col("embedding"), _.cast("double")), qCol,
+            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      (exact & topOf(q).select("vec_id").as[Long].collect().toSet).size
+    }
+    val qids = Seq(3L, 17L, 42L, 77L, 101L)
+    val raw = qids.map(recall(_,
+      q => Pq.ivfPqTopK(idx, rawBooks, q, 10, nprobe = 8,
+        subDim = 8))).sum
+    val res = qids.map(recall(_,
+      q => Pq.ivfPqResidualTopK(idx, resBooks, q, 10, nprobe = 8,
+        subDim = 8))).sum
+    assert(res >= raw,
+      s"residual recall $res < raw recall $raw (summed over 5 queries)")
+    assert(res >= 15, s"residual recall floor: $res/50 too low")
+  }
 }
