@@ -470,6 +470,29 @@ object Demo {
     SparkEntry.queries("q231_louvain_coarse")(spark, demoDir)
       .show(5, false)
 
+    // ---- the same curation operators composed as ONE versioned
+    // lineage: every stage reads the previous version from the store
+    // and commits the next, so the training corpus is a version number
+    println("== versioned curation lineage (raw -> gopher -> score ->")
+    println("   gate -> temperature-mix -> semantic-dedup -> train)")
+    val lineageRoot = java.nio.file.Files
+      .createTempDirectory("graft_demo_lineage").toString + "/corpus"
+    val stages = ml.Curation.lineage(spark, demoDir, lineageRoot)
+    stages.foreach { s =>
+      println(f"   v${s.version}%-2d ${s.name}%-16s ${s.rows}%5d rows")
+    }
+    val trained = stages.last
+    println(s"== the corpus the model trained on is version " +
+      s"${trained.version} (${trained.rows} rows) — pinned, " +
+      "re-derivable, vacuum-able")
+    println("   QA sidecars: calibration v" +
+      store.Versioned.latestVersion(lineageRoot + "_qa/calibration") +
+      ", MMR showcase v" +
+      store.Versioned.latestVersion(lineageRoot + "_qa/showcase"))
+    store.Versioned.read(spark, lineageRoot, trained.version)
+      .select("doc_id", "source", "p_micros", "shard", "split")
+      .orderBy("shard", "pos").show(5, false)
+
     spark.stop()
   }
 }

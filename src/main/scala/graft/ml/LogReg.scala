@@ -39,6 +39,32 @@ object LogReg {
     floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1000000d + 0.5).cast("long")
   }
 
+  /** Integer-micros document features (the q225 feature recipe): from
+    * (doc_id, lang, text) rows, x1 = tokens/50, x2 = English-marker
+    * ratio, x3 = mean token length / 10, y = (lang = 'en'). Shared by
+    * the standalone classifier queries and the curation lineage so both
+    * train on the SAME exact-micros feature space. */
+  def docFeatures(docs: DataFrame): DataFrame = {
+    import graft.util.Exact
+    val enMarkers = graft.text.TextStats.LangMarkers.head._2
+    val toks = graft.text.Analyzer.tokenize(col("text"))
+    docs
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
+        toks.as("t"))
+      .select(col("doc_id"), col("y"),
+        size(col("t")).cast("long").as("n"),
+        aggregate(transform(col("t"), x => length(x).cast("long")),
+          lit(0L), _ + _).as("slen"),
+        size(filter(col("t"), x => x.isin(enMarkers: _*))).cast("long")
+          .as("mk"))
+      .select(col("doc_id"), col("y"),
+        Exact.micros(col("n").cast("double") / 50.0).as("x1"),
+        Exact.micros(col("mk").cast("double") /
+          greatest(col("n"), lit(1L)).cast("double")).as("x2"),
+        Exact.micros(col("slen").cast("double") /
+          (greatest(col("n"), lit(1L)).cast("double") * 10.0)).as("x3"))
+  }
+
   /** `iters` full-batch GD steps at rate `lr` from w = 0. `xCols` are
     * integer-micros feature columns; `yCol` is a 0/1 label. Returns the
     * learned weights in micros (bias first). */

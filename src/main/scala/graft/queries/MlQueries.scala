@@ -1279,25 +1279,8 @@ object MlQueries {
   /** Integer-micros document features for q225: x1 = tokens/50,
     * x2 = en-marker ratio, x3 = mean token length / 10. */
   private def logRegFeatures(s: org.apache.spark.sql.SparkSession,
-                             dir: String) = {
-    val enMarkers = graft.text.TextStats.LangMarkers.head._2
-    val toks = graft.text.Analyzer.tokenize(col("text"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
-        toks.as("t"))
-      .select(col("doc_id"), col("y"),
-        size(col("t")).cast("long").as("n"),
-        aggregate(transform(col("t"), x => length(x).cast("long")),
-          lit(0L), _ + _).as("slen"),
-        size(filter(col("t"), x => x.isin(enMarkers: _*))).cast("long")
-          .as("mk"))
-      .select(col("doc_id"), col("y"),
-        Exact.micros(col("n").cast("double") / 50.0).as("x1"),
-        Exact.micros(col("mk").cast("double") /
-          greatest(col("n"), lit(1L)).cast("double")).as("x2"),
-        Exact.micros(col("slen").cast("double") /
-          (greatest(col("n"), lit(1L)).cast("double") * 10.0)).as("x3"))
-  }
+                             dir: String) =
+    graft.ml.LogReg.docFeatures(Tables.documents(s, dir))
 
   /** Unrolled GD chain: w(i) CTEs over the feature frame, replaying
     * LogReg.fit's integer-gradient updates exactly. */
