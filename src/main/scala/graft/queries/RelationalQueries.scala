@@ -1239,6 +1239,97 @@ object RelationalQueries {
                CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
                  AS BIGINT)
         FROM base
-        ORDER BY phase"""))
+        ORDER BY phase""")),
+
+    // ------------------------------------------------------------------
+    // File-level data skipping over a z-ordered versioned table: the
+    // fact table is rewritten Morton-clustered on (l_partkey,
+    // l_suppkey) and committed with per-file min/max stats in the
+    // manifest sidecar; a two-column range query then PLANS only the
+    // files whose intervals overlap the box — the require() proves the
+    // sidecar actually pruned the file list (z-order makes BOTH
+    // dimensions' per-file intervals tight, so a 1/10-ish box keeps a
+    // minority of the 16 files) — and the aggregate over the pruned
+    // scan hash-matches the oracle's full-table filter, proving
+    // skipping lost nothing. At 100 TB this is the difference between
+    // opening every footer and opening the admitted handful.
+    QuerySpec("q239_versioned_skipping",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_skip_q")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"),
+            Exact.cents(col("l_extendedprice")).as("cents"))
+        graft.store.Versioned.commitOverwrite(
+          graft.store.Layout.zorder2(li, col("l_partkey"),
+            col("l_suppkey"), nFiles = 16), root,
+          statsCols = Seq("l_partkey", "l_suppkey"))
+        val bounds = Map("l_partkey" -> (100L, 300L),
+          "l_suppkey" -> (10L, 40L))
+        val (kept, total) = graft.store.Versioned.prunedFiles(root, bounds)
+        require(kept.size < total,
+          s"stats sidecar pruned nothing: ${kept.size} of $total files")
+        graft.store.Versioned.readPruned(s, root, bounds)
+          .filter(col("l_partkey").between(100L, 300L) &&
+            col("l_suppkey").between(10L, 40L))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("total_cents"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+      },
+      Some(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT)
+                 AS total_cents,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem
+        WHERE l_partkey BETWEEN 100 AND 300
+          AND l_suppkey BETWEEN 10 AND 40""")),
+
+    // ------------------------------------------------------------------
+    // Compaction (OPTIMIZE) as a copy-on-write commit: six small
+    // append commits, then one bin-pack rewrites ONLY the small files —
+    // the require() proves the file count physically dropped — while
+    // the compacted snapshot's contents stay bit-identical (phase 1
+    // hash-matches the oracle) and the pinned pre-compaction parent
+    // still reads the original layout (phase 2, same rows). The
+    // maintenance move that keeps a high-frequency-append table's file
+    // count, manifest size and footer-open cost bounded at 100 TB.
+    QuerySpec("q240_versioned_compact",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_compact_q")
+        (0 until 6).foreach { i =>
+          graft.store.Versioned.commitAppend(
+            Tables.orders(s, dir)
+              .filter(pmod(col("o_orderkey"), lit(6L)) === i.toLong)
+              .select(col("o_orderkey"),
+                Exact.cents(col("o_totalprice")).as("cents"))
+              .coalesce(1), root, statsCols = Seq("o_orderkey"))
+        }
+        val parent = graft.store.Versioned.latestVersion(root)
+        val nBefore = graft.store.Versioned.files(root).size
+        val v = graft.store.Versioned.commitCompact(s, root,
+          smallBytes = 8L << 20)
+        val nAfter = graft.store.Versioned.files(root).size
+        require(v == parent + 1 && nAfter < nBefore,
+          s"compaction did not shrink the file list: $nBefore -> $nAfter")
+        def roll(phase: String, ver: Long) =
+          graft.store.Versioned.read(s, root, ver)
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("cents")).as("total_cents"),
+              countDistinct(col("o_orderkey")).as("n_keys"))
+            .select(lit(phase).as("phase"), col("n_orders"),
+              col("total_cents"), col("n_keys"))
+        roll("1_compacted", v).unionByName(roll("2_pinned_parent", parent))
+          .orderBy("phase")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey, ${Exact.centsSql("o_totalprice")} AS cents
+          FROM orders)
+        SELECT phase, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+        FROM base CROSS JOIN (VALUES ('1_compacted'),
+          ('2_pinned_parent')) AS p(phase)
+        GROUP BY phase ORDER BY phase"""))
   )
 }

@@ -40,6 +40,23 @@ object Layout {
   def zValue2(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
+  /** `df` z-clustered on two dimensions as a DataFrame: range-partition
+    * and sort by the Z-value, helper column dropped. One output
+    * partition = one file when committed through [[Versioned]], so a
+    * stats-enabled commit (`Versioned.commitOverwrite(zorder2(df, x, y,
+    * n), root, statsCols = Seq(...))`) gets per-FILE min/max intervals
+    * that are tight in BOTH dimensions — file-level data skipping
+    * ([[Versioned.prunedFiles]]) one layer above the row-group pruning
+    * [[zorderWrite]] targets. */
+  def zorder2(df: DataFrame, x: Column, y: Column,
+              nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    df.withColumn("__z", zValue2(x, y))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Rewrite `df` z-clustered on two dimensions: range-partition and
     * sort by the Z-value so row groups are tight in both dims, then
     * drop the helper column on write. */

@@ -263,8 +263,12 @@ object Versioned {
     * number. The parquet write lands in an isolated `data/<uuid>/`
     * directory first; the table only advances when the manifest
     * publishes. Safe under concurrent writers (optimistic retry). */
-  def commitAppend(df: DataFrame, root: String): Long =
-    commitFiles(root, stage(df, root), appendBase = true)
+  def commitAppend(df: DataFrame, root: String,
+                   statsCols: Seq[String] = Nil): Long = {
+    val v = commitFiles(root, stage(df, root), appendBase = true)
+    maintainStats(df.sparkSession, root, v, statsCols)
+    v
+  }
 
   /** Idempotent append for EXACTLY-ONCE streaming sinks: the manifest
     * records the (appId, batchId) transaction, and a commit whose
@@ -282,9 +286,12 @@ object Versioned {
                       batchId: Long): Long = {
     if (latestTxnBatch(root, appId).exists(_ >= batchId))
       latestVersion(root) // known duplicate: skip even the data write
-    else
-      commitFiles(root, stage(df, root), appendBase = true,
+    else {
+      val v = commitFiles(root, stage(df, root), appendBase = true,
         txn = Some((appId, batchId)))
+      maintainStats(df.sparkSession, root, v, Nil)
+      v
+    }
   }
 
   /** Overwrite-commit: the new version's manifest lists ONLY this
@@ -296,9 +303,13 @@ object Versioned {
     * for [[latestTxnBatch]] staleness checks — stamp-only, no
     * exactly-once dedupe (an equal fingerprint still commits). */
   def commitOverwrite(df: DataFrame, root: String,
-                      txn: Option[(String, Long)] = None): Long =
-    commitFiles(root, stage(df, root), appendBase = false, txn = txn,
-      txnDedupe = false)
+                      txn: Option[(String, Long)] = None,
+                      statsCols: Seq[String] = Nil): Long = {
+    val v = commitFiles(root, stage(df, root), appendBase = false,
+      txn = txn, txnDedupe = false)
+    maintainStats(df.sparkSession, root, v, statsCols)
+    v
+  }
 
   /** Which of `parentFiles` contain at least one row `matches` selects,
     * discovered by scanning the snapshot WITH file provenance
@@ -376,8 +387,10 @@ object Versioned {
           .join(updKeys, keys, "left_anti")
         stage(survivors.unionByName(updates), root)
       }
-    commitFiles(root, untouched ++ staged, appendBase = false,
+    val v = commitFiles(root, untouched ++ staged, appendBase = false,
       expectedParent = Some(parent))
+    maintainStats(spark, root, v, Nil)
+    v
   }
 
   /** Row-level DELETE as a copy-on-write commit: rows matching
@@ -408,8 +421,10 @@ object Versioned {
     val survivors = spark.read
       .parquet(touched.map(resolve(rootPath, _).toString): _*)
       .filter(keep)
-    commitFiles(root, untouched ++ stage(survivors, root),
+    val v = commitFiles(root, untouched ++ stage(survivors, root),
       appendBase = false, expectedParent = Some(parent))
+    maintainStats(spark, root, v, Nil)
+    v
   }
 
   /** Absolute data-file paths of the snapshot at `version` (latest
@@ -519,6 +534,186 @@ object Versioned {
     spark.read.parquet(delta.map(resolve(rootPath, _).toString): _*)
   }
 
+  // ------------------------------------------------------------------
+  // File-level data skipping: per-file column min/max in a stats
+  // sidecar (`stats-v<N>.json` next to the manifest), so a reader with
+  // a range predicate plans ONLY the files whose interval overlaps —
+  // the manifest-level half of Delta/Iceberg data skipping, one layer
+  // above parquet's own row-group pruning. At 100 TB the win is in the
+  // PLANNING economics: a z-ordered table + file skipping turns a
+  // selective two-column range scan from "open every footer" into
+  // "open the handful of files the sidecar admits", and the sidecar
+  // rides the same manifest-sized driver-side metadata discipline as
+  // everything else here.
+  //
+  // Stats are OPTIONAL metadata, never correctness: a missing sidecar,
+  // a file without an entry, or a column without stats simply keeps the
+  // file in the scan. Crash window: the sidecar is written AFTER its
+  // manifest publishes, so a crash between the two leaves a version
+  // that reads fine and prunes nothing. Columns must be integer-typed
+  // (the repo's exact-micros discipline); min/max ignore nulls, which
+  // is correct for range predicates (a NULL never satisfies one).
+
+  private def statsPath(rootPath: Path, v: Long): Path =
+    new Path(rootPath, s"stats-v$v.json")
+
+  /** (stat columns, file → flattened [min0,max0,min1,max1,…]) of the
+    * sidecar at version v, or (Nil, empty) when absent. */
+  private def readStatsSidecar(fs: FileSystem, rootPath: Path, v: Long)
+      : (Seq[String], Map[String, Seq[Long]]) = {
+    val p = statsPath(rootPath, v)
+    if (!fs.exists(p)) return (Nil, Map.empty)
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val cols = "\"cols\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val entry = "\"([^\"]+)\":\\s*\\[([^\\]]*)\\]".r
+    val files = text.linesIterator.flatMap { line =>
+      entry.findFirstMatchIn(line.trim).collect {
+        case m if m.group(1) != "cols" =>
+          m.group(1) -> m.group(2).split(',').map(_.trim.toLong).toSeq
+      }
+    }.toMap
+    (cols, files)
+  }
+
+  /** Maintain the stats sidecar for freshly committed version `v`:
+    * entries for files already covered by the parent's sidecar carry
+    * over verbatim (append/merge/delete/compaction keep untouched files
+    * untouched); entries for new files come from ONE column-pruned scan
+    * of just those files. `statsCols` empty = continue the parent's
+    * columns (stats enabled once at the first commit stay maintained
+    * by every later commit on the lineage). */
+  private def maintainStats(spark: SparkSession, root: String, v: Long,
+                            statsCols: Seq[String]): Unit = {
+    val (fs, rootPath) = fsRoot(root)
+    val (parentCols, parentFiles) =
+      if (v > 1) readStatsSidecar(fs, rootPath, v - 1)
+      else (Nil, Map.empty[String, Seq[Long]])
+    val cols = if (statsCols.nonEmpty) statsCols else parentCols
+    if (cols.isEmpty) return
+    val manifestFiles = readManifest(fs, rootPath, v)._2
+    val carried =
+      if (cols == parentCols)
+        manifestFiles.flatMap(f => parentFiles.get(f).map(f -> _)).toMap
+      else Map.empty[String, Seq[Long]]
+    val missing = manifestFiles.filterNot(carried.contains)
+    val computed: Map[String, Seq[Long]] =
+      if (missing.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, min, max}
+        val byPath = missing.map { f =>
+          fs.makeQualified(resolve(rootPath, f)).toUri.getPath -> f
+        }.toMap
+        val aggs = cols.flatMap(c => Seq(min(col(c).cast("long")),
+          max(col(c).cast("long"))))
+        spark.read.parquet(missing.map(resolve(rootPath, _).toString): _*)
+          .groupBy(col("_metadata.file_path").as("__fp"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().flatMap { r =>
+            val vals = (1 until r.length).map(i =>
+              if (r.isNullAt(i)) null else java.lang.Long.valueOf(r.getLong(i)))
+            // any null min/max (all-null or non-integral column in this
+            // file) -> no entry; the file is simply never pruned
+            if (vals.contains(null)) None
+            else byPath.get(new Path(r.getString(0)).toUri.getPath)
+              .map(_ -> vals.map(_.longValue()).toSeq)
+          }.toMap
+      }
+    val all = carried ++ computed
+    val body = (s"""{"version": $v, "cols": [""" +
+      cols.map("\"" + _ + "\"").mkString(", ") + "],") ::
+      all.toSeq.sortBy(_._1).map { case (f, s) =>
+        "\"" + f + "\": [" + s.mkString(", ") + "],"
+      }.toList
+    writeFile(fs, statsPath(rootPath, v),
+      body.mkString("\n").stripSuffix(",") + "\n}")
+  }
+
+  /** The snapshot's data files that can possibly satisfy `bounds`
+    * (col → inclusive [lo, hi]), plus the snapshot's total file count.
+    * A file survives unless SOME bounded column has stats proving its
+    * interval disjoint from the bound; files or columns without stats
+    * always survive. Absolute paths, ready for a parquet scan. */
+  def prunedFiles(root: String, bounds: Map[String, (Long, Long)],
+                  version: Long = 0L): (Seq[String], Long) = {
+    val (fs, rootPath) = fsRoot(root)
+    val v = if (version == 0L) latestVersion(root) else version
+    require(v > 0 && fs.exists(manifestPath(rootPath, v)),
+      s"no committed version $v at $root")
+    val manifestFiles = readManifest(fs, rootPath, v)._2
+    val (cols, stats) = readStatsSidecar(fs, rootPath, v)
+    val idx = cols.zipWithIndex.toMap
+    val kept = manifestFiles.filter { f =>
+      stats.get(f).forall { s =>
+        bounds.forall { case (c, (lo, hi)) =>
+          idx.get(c).forall { i =>
+            s(2 * i) <= hi && s(2 * i + 1) >= lo
+          }
+        }
+      }
+    }
+    (kept.map(resolve(rootPath, _).toString), manifestFiles.size.toLong)
+  }
+
+  /** Read the snapshot at `version` planning ONLY the files that can
+    * satisfy `bounds` — file-level data skipping. The caller still
+    * applies its real predicate (bounds prune FILES; the filter prunes
+    * rows and parquet row groups); any predicate at least as strict as
+    * `bounds` reads identical results to a full [[read]]. */
+  def readPruned(spark: SparkSession, root: String,
+                 bounds: Map[String, (Long, Long)],
+                 version: Long = 0L): DataFrame = {
+    val (kept, _) = prunedFiles(root, bounds, version)
+    require(kept.nonEmpty,
+      // an empty parquet scan needs a schema; give the caller a crisp
+      // signal instead of an analysis error
+      s"every file of $root was pruned by $bounds - the result is " +
+        "empty; guard with prunedFiles if an empty match is expected")
+    spark.read.parquet(kept: _*)
+  }
+
+  /** Bin-pack COMPACTION as a copy-on-write commit: every data file of
+    * the current snapshot smaller than `smallBytes` is rewritten into
+    * ~`smallBytes`-sized files; every other file rides into the new
+    * manifest verbatim. Contents are bit-identical by construction
+    * (read → coalesce → rewrite, no row changes) — this is the OPTIMIZE
+    * of lakehouse tables, the maintenance move that keeps a 100 TB
+    * table's file count (and therefore manifest size, footer-open cost
+    * and scheduler overhead) bounded under high-frequency small
+    * appends. History is untouched: the parent version still lists the
+    * small files until [[vacuum]] retires it. Stats sidecar entries
+    * carry over for untouched files and recompute for the packed ones.
+    * Returns the new version, or the current one when fewer than two
+    * files qualify (nothing to pack). Conflict-detects like merge. */
+  def commitCompact(spark: SparkSession, root: String,
+                    smallBytes: Long = 64L << 20): Long = {
+    val (fs, rootPath) = fsRoot(root)
+    val parent = latestVersion(root)
+    require(parent > 0, s"no committed version at $root")
+    val parentFiles = readManifest(fs, rootPath, parent)._2
+    val sized = parentFiles.map { f =>
+      f -> fs.getFileStatus(resolve(rootPath, f)).getLen
+    }
+    val (small, big) = sized.partition(_._2 < smallBytes)
+    if (small.size < 2) return parent
+    val totalSmall = small.map(_._2).sum
+    val nOut = math.max(1L, (totalSmall + smallBytes - 1) / smallBytes)
+      .toInt
+    val packed = spark.read
+      .parquet(small.map(p => resolve(rootPath, p._1).toString): _*)
+      .coalesce(nOut)
+    val v = commitFiles(root, big.map(_._1) ++ stage(packed, root),
+      appendBase = false, expectedParent = Some(parent))
+    maintainStats(spark, root, v, Nil)
+    v
+  }
+
   /** Garbage-collect history: retire versions < `keepFrom` and delete
     * every data file not reachable from any RETAINED manifest — which
     * also sweeps orphaned half-commits. Returns (files deleted, bytes
@@ -576,8 +771,10 @@ object Versioned {
         .filter(d => fs.listStatus(d.getPath).isEmpty)
         .foreach(d => fs.delete(d.getPath, false))
     }
-    (1L until keepFrom)
-      .foreach(v => fs.delete(manifestPath(rootPath, v), false))
+    (1L until keepFrom).foreach { v =>
+      fs.delete(manifestPath(rootPath, v), false)
+      fs.delete(statsPath(rootPath, v), false)
+    }
     (nDel, bytes)
   }
 }

@@ -381,4 +381,103 @@ class VersionedSpec extends SparkSpec {
       Versioned.read(spark, root, 7)
     }
   }
+
+  test("file-level data skipping: stats enabled once maintain " +
+      "themselves across appends, bounds prune files, results match " +
+      "an unpruned read") {
+    val root = freshRoot()
+    // three appends of disjoint key ranges, each 1 file; stats enabled
+    // at the first commit and auto-continued by the later two
+    Versioned.commitAppend(
+      spark.range(0L, 100L).select(col("id").as("k"),
+        (col("id") * 2).as("v")).coalesce(1), root,
+      statsCols = Seq("k"))
+    Versioned.commitAppend(
+      spark.range(100L, 200L).select(col("id").as("k"),
+        (col("id") * 2).as("v")).coalesce(1), root)
+    Versioned.commitAppend(
+      spark.range(200L, 300L).select(col("id").as("k"),
+        (col("id") * 2).as("v")).coalesce(1), root)
+    val (kept, total) = Versioned.prunedFiles(root,
+      Map("k" -> (120L, 130L)))
+    assert(total == 3L && kept.size == 1, s"kept ${kept.size} of $total")
+    val pruned = Versioned.readPruned(spark, root,
+        Map("k" -> (120L, 130L)))
+      .filter(col("k").between(120L, 130L))
+      .as[(Long, Long)].collect().toSet
+    val full = Versioned.read(spark, root)
+      .filter(col("k").between(120L, 130L))
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == full && full.size == 11)
+    // a store without stats never prunes
+    val bare = freshRoot()
+    Versioned.commitAppend(spark.range(5).select(col("id").as("k"))
+      .coalesce(1), bare)
+    assert(Versioned.prunedFiles(bare, Map("k" -> (99L, 99L)))._1
+      .size == 1)
+  }
+
+  test("z-ordered overwrite + stats prune on BOTH dimensions; delete " +
+      "keeps the sidecar maintained") {
+    val root = freshRoot()
+    val grid = spark.range(0L, 4096L).select(
+      (col("id") % 64L).as("x"), expr("id div 64").as("y"))
+    Versioned.commitOverwrite(
+      Layout.zorder2(grid, col("x"), col("y"), nFiles = 16), root,
+      statsCols = Seq("x", "y"))
+    val (kept, total) = Versioned.prunedFiles(root,
+      Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+    assert(total == 16L && kept.size <= 4,
+      s"z-order skipping kept ${kept.size}/16 files for a 1/64 box")
+    val got = Versioned.readPruned(spark, root,
+        Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+      .filter(col("x") <= 7L && col("y") <= 7L).count()
+    assert(got == 64L)
+    // copy-on-write delete recomputes stats only for rewritten files
+    val v = Versioned.commitDelete(spark, root, col("x") === 0L)
+    val (fs, _) = (new org.apache.hadoop.fs.Path(root))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) -> ()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+      s"stats-v$v.json")), "delete dropped the stats sidecar")
+    val (kept2, _) = Versioned.prunedFiles(root,
+      Map("x" -> (0L, 7L), "y" -> (0L, 7L)), v)
+    assert(Versioned.readPruned(spark, root,
+        Map("x" -> (0L, 7L), "y" -> (0L, 7L)), v)
+      .filter(col("x") <= 7L && col("y") <= 7L).count() == 56L)
+    assert(kept2.nonEmpty)
+  }
+
+  test("compaction bin-packs small files copy-on-write: identical " +
+      "content, fewer files, pinned parent intact, vacuum reclaims") {
+    val root = freshRoot()
+    (0 until 6).foreach { i =>
+      Versioned.commitAppend(
+        spark.range(i * 10L, i * 10L + 10L).select(col("id").as("k"))
+          .coalesce(1), root, statsCols = Seq("k"))
+    }
+    val parent = Versioned.latestVersion(root)
+    val before = Versioned.read(spark, root).as[Long].collect().toSet
+    val nBefore = Versioned.files(root).size
+    val v = Versioned.commitCompact(spark, root, smallBytes = 1L << 20)
+    assert(v == parent + 1)
+    val nAfter = Versioned.files(root).size
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter files")
+    assert(Versioned.read(spark, root).as[Long].collect().toSet == before)
+    // parent still reads the pre-compaction layout
+    assert(Versioned.read(spark, root, parent).as[Long]
+      .collect().toSet == before)
+    assert(Versioned.files(root, parent).size == nBefore)
+    // stats carried into the packed version: pruning still works
+    val (kept, total) = Versioned.prunedFiles(root, Map("k" -> (0L, 5L)))
+    assert(kept.size <= total)
+    assert(Versioned.readPruned(spark, root, Map("k" -> (0L, 5L)))
+      .filter(col("k") <= 5L).count() == 6L)
+    // nothing small left: compacting again is a metadata no-op
+    assert(Versioned.commitCompact(spark, root, 1L << 20) == v ||
+      Versioned.files(root).size <= nAfter)
+    val (nDel, _) = Versioned.vacuum(root, v)
+    assert(nDel >= nBefore.toLong - 1,
+      s"vacuum reclaimed only $nDel of the $nBefore superseded files")
+    assert(Versioned.read(spark, root).as[Long].collect().toSet == before)
+  }
 }
