@@ -1285,6 +1285,118 @@ object TextQueries {
         FROM base ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // Gopher repetition rules (Rae et al. 2021 Table A1's repetition
+    // band): duplicate-line fractions + top-2/3/4-gram character
+    // fractions + duplicate-2-gram occurrence fraction, every threshold
+    // an integer cross-multiplication. The heavy lifting is three
+    // (doc, gram) hash-aggs — map-side combinable, token-explode-sized,
+    // the same scale class as the shingle operators.
+    QuerySpec("q241_gopher_repetition",
+      (s, dir) => Quality.repetitionRules(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        base AS (
+          SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n_tokens,
+            CAST(coalesce(list_sum(list_transform(l, x -> length(x))), 0)
+              AS BIGINT) AS n_chars
+          FROM lt),
+        ${Seq(2, 3, 4).map { n => s"""
+        g$n AS (
+          SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id,
+                  unnest(CASE WHEN len(l) >= $n THEN list_transform(
+                    generate_series(1, len(l)-${n - 1}),
+                    i -> array_to_string(l[i:i+${n - 1}], ' '))
+                  ELSE [] END) AS g
+                FROM base)
+          GROUP BY doc_id, g),
+        s$n AS (
+          SELECT doc_id,
+            CAST(max(c * (length(g) - ${n - 1})) AS BIGINT) AS top$n,
+            CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+              AS dup$n,
+            CAST(sum(c) AS BIGINT) AS occ$n
+          FROM g$n GROUP BY doc_id)""" }.mkString(",")},
+        lines AS (
+          SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id,
+                  unnest(list_filter(list_transform(
+                    string_split(text, chr(10)), x -> trim(x)),
+                    x -> x <> '')) AS line
+                FROM documents)
+          GROUP BY doc_id, line),
+        ls AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+            CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+              AS dup_lines,
+            CAST(sum(c * length(line)) AS BIGINT) AS line_chars,
+            CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
+              AS BIGINT) AS dup_line_chars
+          FROM lines GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens, b.n_chars,
+          CAST(100 * coalesce(dup_lines, 0) <=
+            30 * coalesce(n_lines, 0) AS INT) AS r_dupline,
+          CAST(100 * coalesce(dup_line_chars, 0) <=
+            20 * coalesce(line_chars, 0) AS INT) AS r_duplinechar,
+          CAST(100 * coalesce(top2, 0) <= 20 * b.n_chars AS INT)
+            AS r_top2,
+          CAST(100 * coalesce(top3, 0) <= 18 * b.n_chars AS INT)
+            AS r_top3,
+          CAST(100 * coalesce(top4, 0) <= 16 * b.n_chars AS INT)
+            AS r_top4,
+          CAST(100 * coalesce(dup2, 0) <= 10 * coalesce(occ2, 0) AS INT)
+            AS r_dupgram,
+          CAST((100 * coalesce(dup_lines, 0) <= 30 * coalesce(n_lines, 0))
+            AND (100 * coalesce(dup_line_chars, 0) <=
+              20 * coalesce(line_chars, 0))
+            AND (100 * coalesce(top2, 0) <= 20 * b.n_chars)
+            AND (100 * coalesce(top3, 0) <= 18 * b.n_chars)
+            AND (100 * coalesce(top4, 0) <= 16 * b.n_chars)
+            AND (100 * coalesce(dup2, 0) <= 10 * coalesce(occ2, 0))
+            AS INT) AS keep
+        FROM base b
+        LEFT JOIN ls USING (doc_id)
+        LEFT JOIN s2 USING (doc_id)
+        LEFT JOIN s3 USING (doc_id)
+        LEFT JOIN s4 USING (doc_id)
+        ORDER BY b.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Sliding-window token chunking (width 32, stride 24 — 8-token
+    // overlap): the context-window preparation step every training/RAG
+    // pipeline runs before embedding or packing. Pure per-row map work
+    // (posexplode of a per-doc expression) — scan-speed at any corpus
+    // size; the oracle replays the window arithmetic with DuckDB list
+    // slicing.
+    QuerySpec("q242_token_chunks",
+      (s, dir) => {
+        val t = graft.text.Analyzer.tokenize(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(
+            graft.text.Analyzer.chunksOf(t, width = 32, stride = 24)))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+            col("col").as("chunk"),
+            (size(split(col("col"), " ")).cast("long")).as("n_chunk_toks"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""
+        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
+        c AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(0, CAST(floor(
+              (greatest(len(l) - 32, 0) + 23) / 24) AS INT)),
+            k -> {'cid': k,
+                  'chunk': array_to_string(l[k*24+1:k*24+32], ' ')}))
+            AS u
+          FROM lt WHERE len(l) > 0)
+        SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+               u.chunk AS chunk,
+               CAST(len(string_split(u.chunk, ' ')) AS BIGINT)
+                 AS n_chunk_toks
+        FROM c ORDER BY doc_id, chunk_id""")),
+
+    // ------------------------------------------------------------------
     // DSIR importance weights (Xie et al. 2023): rank raw documents by
     // target-likeness under smoothed unigram log-ratios. The ratio
     // table is vocabulary-sized and broadcast; per-token ln is snapped

@@ -66,4 +66,53 @@ class QualitySpec extends SparkSpec {
     df.schema.fields.foreach(f =>
       assert(!f.dataType.typeName.contains("double"), f.name))
   }
+
+  private def rep(texts: (Long, String)*) =
+    Quality.repetitionRules(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("repetition rules: duplicated lines trip the line rules, " +
+      "varied lines pass") {
+    val m = rep(
+      (1L, "the same boilerplate line\n" * 5 +
+        "one actual content line here"),
+      (2L, "first unique line of text\nsecond unique line of text\n" +
+        "third unique line entirely"))
+    assert(m(1L).getAs[Int]("r_dupline") === 0)
+    assert(m(1L).getAs[Int]("r_duplinechar") === 0)
+    assert(m(1L).getAs[Int]("keep") === 0)
+    assert(m(2L).getAs[Int]("r_dupline") === 1)
+    assert(m(2L).getAs[Int]("r_duplinechar") === 1)
+  }
+
+  test("repetition rules: a degenerate token loop trips the top-ngram " +
+      "rules; varied text passes all") {
+    val loop = (1L, ("buy now click here " * 12).trim)
+    // long enough that a single n-gram occurrence is a small char
+    // fraction (the published rules target page-sized documents)
+    val clean = (2L, "a reasonably varied sentence mentions many " +
+      "different interesting things and never repeats any phrase " +
+      "pattern at all during its span because each clause introduces " +
+      "fresh vocabulary while older words return only in new " +
+      "combinations keeping every bigram trigram and quadgram unique " +
+      "across the whole passage until the closing remark lands")
+    val m = rep(loop, clean)
+    Seq("r_top2", "r_top3", "r_top4", "r_dupgram").foreach { c =>
+      assert(m(1L).getAs[Int](c) === 0, s"loop should fail $c")
+      assert(m(2L).getAs[Int](c) === 1, s"clean should pass $c")
+    }
+    assert(m(1L).getAs[Int]("keep") === 0)
+    assert(m(2L).getAs[Int]("keep") === 1)
+  }
+
+  test("repetition rules: empty and single-token docs pass vacuously " +
+      "(0 <= 0), no nulls leak") {
+    val m = rep((1L, ""), (2L, "word"))
+    Seq(1L, 2L).foreach { id =>
+      Seq("r_dupline", "r_duplinechar", "r_top2", "r_top3", "r_top4",
+        "r_dupgram").foreach(c => assert(m(id).getAs[Int](c) === 1,
+        s"doc $id rule $c"))
+      assert(m(id).getAs[Int]("keep") === 1)
+    }
+  }
 }
