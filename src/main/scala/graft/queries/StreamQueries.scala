@@ -277,6 +277,60 @@ object StreamQueries {
                CAST(sum(${graft.util.Exact.centsSql("value")}) AS BIGINT)
                  AS value_cents
         FROM events WHERE user_id < 50
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Store-to-store streaming replication through the VersionedStream
+    // SOURCE: the input store's commit log IS the stream (offsets =
+    // versions, micro-batch = the committed delta's files), and the
+    // foreachBatch sink lands each batch in a second versioned store
+    // through an exactly-once (appId, batchId) txn — the full
+    // lakehouse ingest loop, commit log to commit log. Three input
+    // commits interleaved with drains force three micro-batches; the
+    // require pins the 1:1 commit↔batch mapping, and the per-version
+    // rollup of the OUTPUT store replays the input's slices exactly
+    // (version v holds keys with o_orderkey % 3 < v).
+    QuerySpec("q243_versioned_stream_pipe",
+      (s, dir) => {
+        import graft.store.Versioned
+        val in = graft.util.TempDirs.scratch("graft_vs_in")
+        val out = graft.util.TempDirs.scratch("graft_vs_out")
+        val ckpt = graft.util.TempDirs.scratch("graft_vs_ckpt")
+        def slice(k: Int) = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(3L)) === k.toLong)
+          .select(col("o_orderkey"),
+            graft.util.Exact.cents(col("o_totalprice")).as("cents"))
+        Versioned.commitAppend(slice(0), in)
+        val q = s.readStream.format("graft.sources.VersionedStream")
+          .option("root", in).load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (!b.isEmpty) {
+              Versioned.commitAppendTxn(b, out, "q243_pipe", id); ()
+            }
+          }.start()
+        try {
+          q.processAllAvailable()
+          Versioned.commitAppend(slice(1), in); q.processAllAvailable()
+          Versioned.commitAppend(slice(2), in); q.processAllAvailable()
+        } finally q.stop()
+        val latest = Versioned.latestVersion(out)
+        require(latest == 3L,
+          s"expected 3 streamed output commits, got $latest")
+        (1L to 3L).map { v =>
+          Versioned.read(s, out, v)
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("cents")).as("total_cents"))
+            .select(lit(v).as("version"), col("n_orders"),
+              col("total_cents"))
+        }.reduce(_.unionByName(_)).orderBy("version")
+      },
+      Some((1 to 3).map { v =>
+        s"""SELECT CAST($v AS BIGINT) AS version,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(${graft.util.Exact.centsSql("o_totalprice")})
+                 AS BIGINT) AS total_cents
+            FROM orders WHERE o_orderkey % 3 < $v"""
+      }.mkString("\nUNION ALL\n") + "\nORDER BY version"))
   )
 }

@@ -1,0 +1,27 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Main-source bridge for DSv1 streaming sources: MicroBatchExecution
+  * asserts that a `Source.getBatch` DataFrame is flagged
+  * `isStreaming = true`, but the flag lives on `private[sql]` leaf
+  * nodes — Spark's own FileStreamSource sets it by constructing its
+  * LogicalRelation with `isStreaming = true`. Same sanctioned
+  * package-seam as [[GraftFunctionBridge]]: re-flag the batch plan's
+  * leaves so a source can hand Spark an ordinary planned parquet scan
+  * as a micro-batch (pushdown/pruning intact) instead of reimplementing
+  * a parquet reader inside a PartitionReader. */
+object GraftStreamBridge {
+
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val session = cdf.sparkSession
+    val plan = cdf.queryExecution.analyzed.transform {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+      case r: LogicalRDD =>
+        r.copy(isStreaming = true)(session, None, None)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(cdf.sparkSession, plan)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.store.Versioned
+import org.apache.spark.sql.DataFrame
+
+class VersionedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String) = java.nio.file.Files
+    .createTempDirectory(tag).toString
+
+  private def readVersioned(root: String, opts: (String, String)*) =
+    opts.foldLeft(spark.readStream
+        .format("graft.sources.VersionedStream").option("root", root)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  // run a query draining everything currently available into a
+  // per-batch collector (foreachBatch supports checkpoint recovery,
+  // unlike the memory sink)
+  private def drain(df: DataFrame, ckpt: String,
+                    batches: scala.collection.mutable.ArrayBuffer[Set[Long]])
+      : Unit = {
+    val q = df.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("k").as[Long].collect().toSet
+        batches.synchronized { if (rows.nonEmpty) batches += rows }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("initial batch = full snapshot; later commits arrive as deltas; " +
+      "a restart resumes from the checkpoint, not from scratch") {
+    val root = freshDir("vstream") + "/t"
+    val ckpt = freshDir("vstream_ckpt")
+    Versioned.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
+    Versioned.commitAppend(Seq((3L, "c")).toDF("k", "s"), root)
+
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root), ckpt, batches)
+    assert(batches.toSeq == Seq(Set(1L, 2L, 3L)),
+      s"initial snapshot batches: $batches")
+
+    // two more commits, then RESUME from the same checkpoint: only the
+    // delta arrives
+    Versioned.commitAppend(Seq((4L, "d")).toDF("k", "s"), root)
+    Versioned.commitAppend(Seq((5L, "e")).toDF("k", "s"), root)
+    val batches2 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root), ckpt, batches2)
+    assert(batches2.flatten.toSet == Set(4L, 5L),
+      s"resumed batches: $batches2")
+  }
+
+  test("startingVersion skips history; maxVersionsPerBatch paces " +
+      "steady-state batches one commit at a time") {
+    val root = freshDir("vstream_sv") + "/t"
+    (1 to 4).foreach { i =>
+      Versioned.commitAppend(Seq((i.toLong, s"v$i")).toDF("k", "s"), root)
+    }
+    val sv = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root, "startingVersion" -> "3"),
+      freshDir("vs_sv_ckpt"), sv)
+    assert(sv.flatten.toSet == Set(3L, 4L), s"startingVersion=3 got $sv")
+
+    // pacing: catch-up batch drains versions 1..2 (uncapped by design),
+    // then commits 3..5 arrive one micro-batch per version
+    val root2 = freshDir("vstream_mx") + "/t"
+    (1 to 2).foreach { i =>
+      Versioned.commitAppend(Seq((i.toLong, i.toLong)).toDF("k", "v"),
+        root2)
+    }
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = readVersioned(root2, "maxVersionsPerBatch" -> "1")
+      .writeStream.option("checkpointLocation", freshDir("vs_mx_ckpt"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("k").as[Long].collect().toSet
+        batches.synchronized { if (rows.nonEmpty) batches += rows }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      (3 to 5).foreach { i =>
+        Versioned.commitAppend(Seq((i.toLong, i.toLong)).toDF("k", "v"),
+          root2)
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches.head == Set(1L, 2L), s"catch-up batch was ${batches.head}")
+    assert(batches.tail.toSeq == Seq(Set(3L), Set(4L), Set(5L)),
+      s"paced batches were ${batches.tail}")
+  }
+
+  test("an overwrite commit mid-stream fails the query loudly instead " +
+      "of double-counting rewritten history") {
+    val root = freshDir("vstream_ow") + "/t"
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    val q = readVersioned(root)
+      .writeStream.option("checkpointLocation", freshDir("vs_ow_ckpt"))
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    try {
+      q.processAllAvailable()
+      Versioned.commitOverwrite(Seq((9L, "z")).toDF("k", "s"), root)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val full = ex.getMessage +
+        Iterator.iterate(ex.getCause)(c =>
+          if (c == null) null else c.getCause)
+          .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(full.contains("append lineage"), s"unexpected failure: $full")
+    } finally if (q.isActive) q.stop()
+  }
+}
