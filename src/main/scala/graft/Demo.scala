@@ -470,6 +470,44 @@ object Demo {
     SparkEntry.queries("q231_louvain_coarse")(spark, demoDir)
       .show(5, false)
 
+    // ---- the store's commit log AS a stream: offsets are versions,
+    // micro-batches are committed deltas, sink txns are exactly-once
+    println("== versioned store -> stream -> versioned store")
+    val pipeIn = graft.util.TempDirs.scratch("demo_pipe_in")
+    val pipeOut = graft.util.TempDirs.scratch("demo_pipe_out")
+    store.Versioned.commitAppend(
+      spark.range(3).select(col("id").as("k")), pipeIn)
+    val pipeQ = spark.readStream
+      .format("graft.sources.VersionedStream").option("root", pipeIn)
+      .load()
+      .writeStream.option("checkpointLocation",
+        graft.util.TempDirs.scratch("demo_pipe_ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          store.Versioned.commitAppendTxn(b, pipeOut, "demo_pipe", id); ()
+        }
+      }.start()
+    try {
+      pipeQ.processAllAvailable()
+      store.Versioned.commitAppend(
+        spark.range(3, 5).select(col("id").as("k")), pipeIn)
+      pipeQ.processAllAvailable()
+    } finally pipeQ.stop()
+    println(s"   ${store.Versioned.latestVersion(pipeOut)} replicated " +
+      s"commits, ${store.Versioned.read(spark, pipeOut).count()} rows")
+
+    // ---- z-order + manifest stats: plan only the files a box can hit
+    val zroot = graft.util.TempDirs.scratch("demo_zorder")
+    store.Versioned.commitOverwrite(
+      store.Layout.zorder2(spark.range(4096).select(
+        (col("id") % 64L).as("x"), expr("id div 64").as("y")),
+        col("x"), col("y"), nFiles = 16),
+      zroot, statsCols = Seq("x", "y"))
+    val (zk, zt) = store.Versioned.prunedFiles(zroot,
+      Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+    println(s"== z-order file skipping: an 8x8 box plans ${zk.size} of " +
+      s"$zt files")
+
     // ---- the same curation operators composed as ONE versioned
     // lineage: every stage reads the previous version from the store
     // and commits the next, so the training corpus is a version number

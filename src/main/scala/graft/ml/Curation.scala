@@ -77,10 +77,13 @@ object Curation {
       graft.Tables.documents(spark, dir)
         .select("doc_id", "source", "lang", "text"))
 
-    // v2: Gopher rule gate (conjunctive keep; the flags themselves are
-    // reviewable via q223 on the pinned v1)
+    // v2: Gopher gate — quality rules AND repetition rules, both
+    // conjunctive (the flags themselves are reviewable via q223/q241
+    // on the pinned v1)
     val gated = commit("gopher_gate",
       raw.join(Quality.gopherRules(raw).filter(col("keep") === 1)
+          .select("doc_id"), "doc_id")
+        .join(Quality.repetitionRules(raw).filter(col("keep") === 1)
           .select("doc_id"), "doc_id"))
 
     // v3: score — train the GD logreg quality classifier ON the gated

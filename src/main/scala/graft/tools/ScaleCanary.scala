@@ -738,6 +738,41 @@ object ScaleCanary {
     require(verN == 60000L, s"post-vacuum snapshot has $verN rows")
     println(s"[canary]   versioned store rows=$verN after 61 commits + vacuum")
 
+    // z-order + file-level data skipping at 5M rows / 64 files: a
+    // two-column box that covers ~1/64 of the value space must plan a
+    // small minority of the files from the stats sidecar alone, and the
+    // pruned scan must return exactly what the full scan's filter does.
+    val zroot = graft.util.TempDirs.scratch("canary_zorder")
+    val zN = 5000000L
+    val zdf = spark.range(zN).select(
+      pmod(col("id") * 2654435761L, lit(4096L)).as("x"),
+      pmod(col("id") * 40503L, lit(4096L)).as("y"),
+      col("id").as("payload"))
+    time("z-order rewrite + stats commit (5M)") {
+      graft.store.Versioned.commitOverwrite(
+        graft.store.Layout.zorder2(zdf, col("x"), col("y"), nFiles = 64),
+        zroot, statsCols = Seq("x", "y"))
+    }
+    val bounds = Map("x" -> (0L, 511L), "y" -> (0L, 511L))
+    val (zKept, zTotal) =
+      graft.store.Versioned.prunedFiles(zroot, bounds)
+    require(zTotal == 64L && zKept.size <= 16,
+      s"z-order skipping kept ${zKept.size}/$zTotal for a 1/64 box")
+    val zPruned = time("pruned box scan (skipped files)") {
+      graft.store.Versioned.readPruned(spark, zroot, bounds)
+        .filter(col("x") <= 511L && col("y") <= 511L).count()
+    }
+    val zFull = time("full box scan (no skipping)") {
+      graft.store.Versioned.read(spark, zroot)
+        .filter(col("x") <= 511L && col("y") <= 511L).count()
+    }
+    require(zPruned == zFull,
+      s"file skipping lost rows: $zPruned != $zFull")
+    graft.store.Versioned.vacuum(zroot,
+      graft.store.Versioned.latestVersion(zroot))
+    println(s"[canary]   z-order skipping kept ${zKept.size}/$zTotal " +
+      s"files, box rows=$zPruned (pruned == full)")
+
     // Gopher quality rules at 500k docs: one scan-fused integer
     // projection — the rule pass prices at scan throughput. The
     // synthetic w-token corpus fails the stop rule by design, so the
