@@ -1288,9 +1288,13 @@ object TextQueries {
     // Gopher repetition rules (Rae et al. 2021 Table A1's repetition
     // band): duplicate-line fractions + top-2/3/4-gram character
     // fractions + duplicate-2-gram occurrence fraction, every threshold
-    // an integer cross-multiplication. The heavy lifting is three
-    // (doc, gram) hash-aggs — map-side combinable, token-explode-sized,
-    // the same scale class as the shingle operators.
+    // an integer cross-multiplication. The RULES layer over q58's raw
+    // signals: q58 reports occurrence-fraction diagnostics; this gates
+    // on char-weighted fractions + line rules with thresholds and a
+    // conjunctive keep — the form a pipeline filters with. The heavy
+    // lifting is three (doc, gram) hash-aggs — map-side combinable,
+    // token-explode-sized, the same scale class as the shingle
+    // operators.
     QuerySpec("q241_gopher_repetition",
       (s, dir) => Quality.repetitionRules(Tables.documents(s, dir))
         .orderBy("doc_id"),
@@ -1361,40 +1365,6 @@ object TextQueries {
         LEFT JOIN s3 USING (doc_id)
         LEFT JOIN s4 USING (doc_id)
         ORDER BY b.doc_id""")),
-
-    // ------------------------------------------------------------------
-    // Sliding-window token chunking (width 32, stride 24 — 8-token
-    // overlap): the context-window preparation step every training/RAG
-    // pipeline runs before embedding or packing. Pure per-row map work
-    // (posexplode of a per-doc expression) — scan-speed at any corpus
-    // size; the oracle replays the window arithmetic with DuckDB list
-    // slicing.
-    QuerySpec("q242_token_chunks",
-      (s, dir) => {
-        val t = graft.text.Analyzer.tokenize(col("text"))
-        Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(
-            graft.text.Analyzer.chunksOf(t, width = 32, stride = 24)))
-          .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
-            col("col").as("chunk"),
-            (size(split(col("col"), " ")).cast("long")).as("n_chunk_toks"))
-          .orderBy("doc_id", "chunk_id")
-      },
-      Some(s"""
-        WITH lt AS (SELECT doc_id, ${toksSql("text")} AS l FROM documents),
-        c AS (
-          SELECT doc_id, unnest(list_transform(
-            generate_series(0, CAST(floor(
-              (greatest(len(l) - 32, 0) + 23) / 24) AS INT)),
-            k -> {'cid': k,
-                  'chunk': array_to_string(l[k*24+1:k*24+32], ' ')}))
-            AS u
-          FROM lt WHERE len(l) > 0)
-        SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
-               u.chunk AS chunk,
-               CAST(len(string_split(u.chunk, ' ')) AS BIGINT)
-                 AS n_chunk_toks
-        FROM c ORDER BY doc_id, chunk_id""")),
 
     // ------------------------------------------------------------------
     // DSIR importance weights (Xie et al. 2023): rank raw documents by

@@ -39,29 +39,6 @@ object Analyzer {
   def shingles(text: Column, n: Int): Column =
     shinglesOf(tokenize(text), n)
 
-  /** Sliding-window token chunks with overlap — the context-window
-    * preparation step of training/RAG pipelines: chunk k covers tokens
-    * [k·stride, k·stride + size); the final chunk may be shorter, every
-    * token is covered, and consecutive chunks overlap by size − stride
-    * tokens. Returns an array of space-joined chunk strings (index =
-    * chunk id); empty array for an empty document. Pure per-row
-    * expression — chunking a 100 TB corpus is scan-speed map work. */
-  def chunksOf(tokens: Column, width: Int, stride: Int): Column = {
-    require(width > 0 && stride > 0 && stride <= width,
-      s"need 0 < stride <= width, got width=$width stride=$stride")
-    flatten(transform(array(tokens), toks => {
-      // ceil((n - width)⁺ / stride) + 1 chunks; sequence() would count
-      // DOWN for an empty doc, so guard the n = 0 case explicitly
-      val extra = greatest(size(toks) - width, lit(0))
-      // exact: operands are array-size ints, far inside double precision
-      val nChunks = floor((extra + (stride - 1)) / stride).cast("int") + 1
-      when(size(toks) > 0,
-        transform(sequence(lit(0), nChunks - 1),
-          k => array_join(slice(toks, k * stride + 1, lit(width)), " ")))
-        .otherwise(array().cast("array<string>"))
-    }))
-  }
-
   /** Shingles over an already-tokenized array — for callers that reuse
     * one tokenization across several gram sizes. */
   def shinglesOf(tokens: Column, n: Int): Column =

@@ -56,34 +56,4 @@ class AnalyzerSpec extends SparkSpec {
     }
   }
 
-  test("chunksOf: full coverage, fixed overlap, short tail, and the " +
-      "empty/short-doc guards") {
-    def chunksFor(nToks: Int, width: Int, stride: Int): Seq[Seq[String]] = {
-      val text = (1 to nToks).map(i => s"t$i").mkString(" ")
-      Seq(text).toDF("t")
-        .select(Analyzer.chunksOf(Analyzer.tokenize(col("t")),
-          width, stride).as("c"))
-        .as[Seq[String]].head().map(_.split(" ").toSeq)
-    }
-    // 10 tokens, width 4, stride 3 -> starts 0,3,6 cover 1..10; the
-    // last chunk is the 4-token tail 7..10 (start 6 reaches the end)
-    val c = chunksFor(10, 4, 3)
-    assert(c.map(_.length) == Seq(4, 4, 4),
-      s"chunk sizes ${c.map(_.length)}")
-    assert(c.head == Seq("t1", "t2", "t3", "t4"))
-    assert(c(1).take(1) == Seq("t4"), "stride-3 overlap of width-4")
-    assert(c.last == Seq("t7", "t8", "t9", "t10"))
-    assert(c.flatten.distinct.length == 10, "every token covered")
-    // ragged tail: 11 tokens -> 4th chunk holds only t10 t11
-    val r = chunksFor(11, 4, 3)
-    assert(r.map(_.length) == Seq(4, 4, 4, 2))
-    // doc shorter than the window -> exactly one (short) chunk
-    assert(chunksFor(2, 32, 24) == Seq(Seq("t1", "t2")))
-    // empty doc -> no chunks (the descending-sequence guard)
-    assert(Seq("").toDF("t")
-      .select(Analyzer.chunksOf(Analyzer.tokenize(col("t")), 4, 3))
-      .as[Seq[String]].head().isEmpty)
-    // non-overlapping when stride == width
-    assert(chunksFor(8, 4, 4).map(_.length) == Seq(4, 4))
-  }
 }
