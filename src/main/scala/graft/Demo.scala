@@ -480,13 +480,10 @@ object Demo {
     val pipeQ = spark.readStream
       .format("graft.sources.VersionedStream").option("root", pipeIn)
       .load()
-      .writeStream.option("checkpointLocation",
-        graft.util.TempDirs.scratch("demo_pipe_ckpt"))
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        if (!b.isEmpty) {
-          store.Versioned.commitAppendTxn(b, pipeOut, "demo_pipe", id); ()
-        }
-      }.start()
+      .writeStream.format("graft.sources.VersionedStream")
+      .option("root", pipeOut).option("appId", "demo_pipe")
+      .option("checkpointLocation",
+        graft.util.TempDirs.scratch("demo_pipe_ckpt")).start()
     try {
       pipeQ.processAllAvailable()
       store.Versioned.commitAppend(

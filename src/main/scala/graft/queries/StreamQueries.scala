@@ -280,16 +280,16 @@ object StreamQueries {
         GROUP BY 1 ORDER BY 1""")),
 
     // ------------------------------------------------------------------
-    // Store-to-store streaming replication through the VersionedStream
-    // SOURCE: the input store's commit log IS the stream (offsets =
+    // Store-to-store streaming replication, SOURCE to SINK of the same
+    // provider: the input store's commit log IS the stream (offsets =
     // versions, micro-batch = the committed delta's files), and the
-    // foreachBatch sink lands each batch in a second versioned store
-    // through an exactly-once (appId, batchId) txn — the full
-    // lakehouse ingest loop, commit log to commit log. Three input
-    // commits interleaved with drains force three micro-batches; the
-    // require pins the 1:1 commit↔batch mapping, and the per-version
-    // rollup of the OUTPUT store replays the input's slices exactly
-    // (version v holds keys with o_orderkey % 3 < v).
+    // format sink lands each batch in a second versioned store through
+    // an exactly-once (appId, batchId) txn — the full lakehouse ingest
+    // loop, commit log to commit log, zero foreachBatch boilerplate.
+    // Three input commits interleaved with drains force three
+    // micro-batches; the require pins the 1:1 commit↔batch mapping,
+    // and the per-version rollup of the OUTPUT store replays the
+    // input's slices exactly (version v holds o_orderkey % 3 < v).
     QuerySpec("q243_versioned_stream_pipe",
       (s, dir) => {
         import graft.store.Versioned
@@ -303,12 +303,9 @@ object StreamQueries {
         Versioned.commitAppend(slice(0), in)
         val q = s.readStream.format("graft.sources.VersionedStream")
           .option("root", in).load()
-          .writeStream.option("checkpointLocation", ckpt)
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-            if (!b.isEmpty) {
-              Versioned.commitAppendTxn(b, out, "q243_pipe", id); ()
-            }
-          }.start()
+          .writeStream.format("graft.sources.VersionedStream")
+          .option("root", out).option("appId", "q243_pipe")
+          .option("checkpointLocation", ckpt).start()
         try {
           q.processAllAvailable()
           Versioned.commitAppend(slice(1), in); q.processAllAvailable()

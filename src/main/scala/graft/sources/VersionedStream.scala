@@ -1,14 +1,20 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.store.Versioned
 
-/** Structured-Streaming SOURCE over a [[graft.store.Versioned]] table —
-  * the store's commit log AS a stream (Delta's streaming-source shape):
+/** Structured-Streaming SOURCE and SINK over a
+  * [[graft.store.Versioned]] table. The sink side
+  * (`writeStream.format("graft.sources.VersionedStream")`) append-
+  * commits each micro-batch through the store's (appId, batchId)
+  * transaction — exactly-once table contents under addBatch
+  * redelivery, no foreachBatch boilerplate. The source side streams
+  * the store's commit log (Delta's streaming-source shape):
   * offsets are version numbers, a micro-batch is exactly the data files
   * added between two committed versions (the [[Versioned.readChanges]]
   * metadata set-difference, so batch cost tracks the delta, never the
@@ -45,7 +51,8 @@ import graft.store.Versioned
   * reimplementing a columnar parquet reader inside PartitionReader —
   * the same trade Spark's own FileStreamSource makes.
   */
-class VersionedStream extends StreamSourceProvider with DataSourceRegister {
+class VersionedStream extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
 
@@ -79,6 +86,51 @@ class VersionedStream extends StreamSourceProvider with DataSourceRegister {
         .map(_.toLong).getOrElse(1L),
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch")
         .map(_.toLong).getOrElse(Long.MaxValue))
+
+  /** EXACTLY-ONCE streaming sink: each micro-batch append-commits
+    * through the store's (appId, batchId) manifest transaction, so
+    * Spark's documented addBatch redelivery (a sink crash after commit
+    * but before the checkpoint advances re-delivers the same batchId)
+    * is a manifest-level no-op — the table holds every batch ONCE.
+    * `appId` defaults to the query's checkpoint metadata path, which is
+    * stable across restarts of the same query and distinct between
+    * queries — exactly the identity the txn needs. Optional `statsCols`
+    * (comma-separated) enables data skipping on the sunk table from the
+    * first batch. Empty micro-batches are skipped (a version listing no
+    * files is unreadable by design). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-versioned sink is append-only (got $outputMode): the " +
+        "store's txn protocol dedupes whole appended batches; updates " +
+        "belong to commitMerge, not a streaming sink")
+    require(partitionColumns.isEmpty,
+      "graft-versioned sink does not partition by columns; use " +
+        "Layout.zorder2 + statsCols for layout")
+    val root = rootOf(parameters)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    new VersionedSink(root,
+      appId = parameters.getOrElse("appId", s"sink:$root"), statsCols)
+  }
+}
+
+private class VersionedSink(root: String, appId: String,
+                            statsCols: Seq[String]) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // addBatch hands a streaming-flagged frame; re-wrap before batch
+    // actions (the ForeachBatchSink move)
+    val batch = org.apache.spark.sql.GraftStreamBridge.asBatch(data)
+    if (!batch.isEmpty) {
+      Versioned.commitAppendTxn(batch, root, appId, batchId, statsCols)
+      ()
+    }
+  }
+  override def name(): String = s"graft-versioned-sink[$root]"
+  override def toString: String = name()
 }
 
 /** Version-number offset; json is just the number. */

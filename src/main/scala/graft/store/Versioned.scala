@@ -283,13 +283,13 @@ object Versioned {
     * again inside the optimistic-commit retry loop, so two racing
     * re-deliveries of the same batch commit it exactly once too. */
   def commitAppendTxn(df: DataFrame, root: String, appId: String,
-                      batchId: Long): Long = {
+                      batchId: Long, statsCols: Seq[String] = Nil): Long = {
     if (latestTxnBatch(root, appId).exists(_ >= batchId))
       latestVersion(root) // known duplicate: skip even the data write
     else {
       val v = commitFiles(root, stage(df, root), appendBase = true,
         txn = Some((appId, batchId)))
-      maintainStats(df.sparkSession, root, v, Nil)
+      maintainStats(df.sparkSession, root, v, statsCols)
       v
     }
   }
@@ -557,8 +557,8 @@ object Versioned {
   private def statsPath(rootPath: Path, v: Long): Path =
     new Path(rootPath, s"stats-v$v.json")
 
-  /** (stat columns, file → flattened [min0,max0,min1,max1,…]) of the
-    * sidecar at version v, or (Nil, empty) when absent. */
+  /** (stat columns, file → flattened [rows,min0,max0,min1,max1,…]) of
+    * the sidecar at version v, or (Nil, empty) when absent. */
   private def readStatsSidecar(fs: FileSystem, rootPath: Path, v: Long)
       : (Seq[String], Map[String, Seq[Long]]) = {
     val p = statsPath(rootPath, v)
@@ -606,12 +606,12 @@ object Versioned {
     val computed: Map[String, Seq[Long]] =
       if (missing.isEmpty) Map.empty
       else {
-        import org.apache.spark.sql.functions.{col, min, max}
+        import org.apache.spark.sql.functions.{col, count, lit, min, max}
         val byPath = missing.map { f =>
           fs.makeQualified(resolve(rootPath, f)).toUri.getPath -> f
         }.toMap
-        val aggs = cols.flatMap(c => Seq(min(col(c).cast("long")),
-          max(col(c).cast("long"))))
+        val aggs = count(lit(1)) +: cols.flatMap(c =>
+          Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
         spark.read.parquet(missing.map(resolve(rootPath, _).toString): _*)
           .groupBy(col("_metadata.file_path").as("__fp"))
           .agg(aggs.head, aggs.tail: _*)
@@ -653,13 +653,52 @@ object Versioned {
       stats.get(f).forall { s =>
         bounds.forall { case (c, (lo, hi)) =>
           idx.get(c).forall { i =>
-            s(2 * i) <= hi && s(2 * i + 1) >= lo
+            // entry layout: [rows, min0, max0, min1, max1, …]
+            s(1 + 2 * i) <= hi && s(2 + 2 * i) >= lo
           }
         }
       }
     }
     (kept.map(resolve(rootPath, _).toString), manifestFiles.size.toLong)
   }
+
+  /** COUNT(*) of the snapshot from METADATA alone (the stats sidecar's
+    * per-file row counts) — no scan, no job; None when any file of the
+    * version lacks a stats entry (caller falls back to
+    * `read(...).count()`). The Delta-style metadata-only aggregate:
+    * at 100 TB a row count is a manifest read, not a table pass. */
+  def metadataCount(root: String, version: Long = 0L): Option[Long] = {
+    val (fs, rootPath) = fsRoot(root)
+    val v = if (version == 0L) latestVersion(root) else version
+    require(v > 0 && fs.exists(manifestPath(rootPath, v)),
+      s"no committed version $v at $root")
+    val files = readManifest(fs, rootPath, v)._2
+    val (_, stats) = readStatsSidecar(fs, rootPath, v)
+    val counts = files.map(stats.get(_).map(_.head))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
+  /** Highest version whose manifest was PUBLISHED at or before
+    * `tsMillis` (epoch millis) — timestamp time travel (Delta's
+    * `timestampAsOf`). Publication time is the manifest file's own
+    * modification time: the atomic visibility event IS the timestamp.
+    * Fails loudly when the store's first commit is after `tsMillis`. */
+  def versionAt(root: String, tsMillis: Long): Long = {
+    val (fs, rootPath) = fsRoot(root)
+    val latest = latestVersion(root)
+    require(latest > 0, s"no committed version at $root")
+    val v = (latest to 1L by -1L).find { v =>
+      fs.getFileStatus(manifestPath(rootPath, v))
+        .getModificationTime <= tsMillis
+    }
+    v.getOrElse(throw new IllegalArgumentException(
+      s"no version of $root existed at $tsMillis (first commit is newer)"))
+  }
+
+  /** Read the snapshot as of a wall-clock instant. */
+  def readAsOf(spark: SparkSession, root: String,
+               tsMillis: Long): DataFrame =
+    read(spark, root, versionAt(root, tsMillis))
 
   /** Read the snapshot at `version` planning ONLY the files that can
     * satisfy `bounds` — file-level data skipping. The caller still
@@ -730,11 +769,18 @@ object Versioned {
     * Retired manifest files are removed after the data sweep; reads at
     * retained versions are byte-identical before/after (VersionedSpec
     * pins it). Driver-side and manifest-sized, like every other
-    * metadata op here; production note: run under the same writer
-    * identity as commits, and age-guard orphans if writers can be
-    * mid-commit (the replay harness is single-threaded, so the sweep
-    * here is unconditional). */
-  def vacuum(root: String, keepFrom: Long): (Long, Long) = {
+    * metadata op here.
+    *
+    * `orphanGraceMs` is the concurrent-writer guard: a file reachable
+    * from NO manifest at all (a true orphan — possibly another writer's
+    * staged-but-not-yet-published commit) survives unless it is at
+    * least this old; files reachable only from RETIRED manifests are
+    * provably dead history and always reclaim regardless of age. The
+    * replay harness is single-threaded, so 0 (sweep everything) is its
+    * correct default; production vacuums against live writers should
+    * pass a grace comfortably above the longest staging write. */
+  def vacuum(root: String, keepFrom: Long,
+             orphanGraceMs: Long = 0L): (Long, Long) = {
     val (fs, rootPath) = fsRoot(root)
     val latest = latestVersion(root)
     require(keepFrom >= 1 && keepFrom <= latest,
@@ -742,11 +788,22 @@ object Versioned {
     val rootPrefix = rootPath.toString + "/"
     def rel(p: Path): String =
       fs.makeQualified(p).toString.stripPrefix(rootPrefix)
+    def relOf(f: String): String =
+      if (f.contains("://") || f.startsWith("/")) rel(new Path(f)) else f
     val keep = (keepFrom to latest).flatMap { v =>
-      readManifest(fs, rootPath, v)._2.map { f =>
-        if (f.contains("://") || f.startsWith("/")) rel(new Path(f)) else f
-      }
+      readManifest(fs, rootPath, v)._2.map(relOf)
     }.toSet
+    // files reachable only from retired manifests are dead HISTORY
+    // (always reclaimable); anything in neither set is a true orphan
+    // and gets the grace window. A retired manifest may already be
+    // gone (an earlier vacuum removed it) — its files then read as
+    // orphans, which only DELAYS their sweep by the grace, never
+    // resurrects them
+    val retired = (1L until keepFrom)
+      .filter(v => fs.exists(manifestPath(rootPath, v)))
+      .flatMap(v => readManifest(fs, rootPath, v)._2.map(relOf))
+      .toSet
+    val now = System.currentTimeMillis()
     val dataDir = new Path(rootPath, "data")
     var nDel = 0L
     var bytes = 0L
@@ -754,15 +811,18 @@ object Versioned {
       // recursive listStatus, NOT listFiles: located statuses force
       // permission loading, which RawLocalFileSystem implements by
       // SHELLING OUT per file (~4 ms each — 16 s for a 4k-file store);
-      // the plain walk touches only path/length/isDirectory and runs
-      // the same listing in ~0.2 s
-      def walk(p: Path): Seq[(Path, Long)] =
+      // the plain walk touches only path/length/isDirectory/mtime and
+      // runs the same listing in ~0.2 s
+      def walk(p: Path): Seq[(Path, Long, Long)] =
         fs.listStatus(p).toSeq.flatMap { st =>
           if (st.isDirectory) walk(st.getPath)
-          else Seq((st.getPath, st.getLen))
+          else Seq((st.getPath, st.getLen, st.getModificationTime))
         }
-      walk(dataDir).foreach { case (p, sz) =>
-        if (!keep.contains(rel(p)) && fs.delete(p, false)) {
+      walk(dataDir).foreach { case (p, sz, mtime) =>
+        val r = rel(p)
+        val sweepable = !keep.contains(r) &&
+          (retired.contains(r) || now - mtime >= orphanGraceMs)
+        if (sweepable && fs.delete(p, false)) {
           nDel += 1; bytes += sz
         }
       }

@@ -24,4 +24,16 @@ object GraftStreamBridge {
     }
     org.apache.spark.sql.classic.Dataset.ofRows(cdf.sparkSession, plan)
   }
+
+  /** The inverse seam, for DSv1 SINKS: the DataFrame handed to
+    * `Sink.addBatch` is streaming-flagged, so direct batch actions on
+    * it throw "must be executed with writeStream.start()". Re-wrap its
+    * executed RDD as a batch frame — the exact move Spark's own
+    * ForeachBatchSink makes before handing users their batch view. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val node = LogicalRDD.fromDataset(cdf.queryExecution.toRdd, cdf,
+      isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(cdf.sparkSession, node)
+  }
 }

@@ -90,6 +90,43 @@ class VersionedStreamSpec extends SparkSpec {
       s"paced batches were ${batches.tail}")
   }
 
+  test("sink side: micro-batches append-commit exactly-once; a restart " +
+      "from the same checkpoint adds nothing; stats seed from batch 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = freshDir("vsink") + "/t"
+    val ckpt = freshDir("vsink_ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    def run(): Unit = {
+      val q = in.toDF().toDF("k")
+        .writeStream.format("graft.sources.VersionedStream")
+        .option("root", out).option("statsCols", "k")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    in.addData(1L, 2L)
+    run()
+    in.addData(3L)
+    run()
+    assert(Versioned.read(spark, out).as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // replaying the SAME checkpoint with no new data commits nothing
+    val vBefore = Versioned.latestVersion(out)
+    run()
+    assert(Versioned.latestVersion(out) == vBefore)
+    // stats seeded by the sink: pruning + metadata count work
+    assert(Versioned.metadataCount(out).contains(3L))
+    assert(Versioned.prunedFiles(out, Map("k" -> (99L, 99L)))._1.isEmpty)
+    // append-only: complete mode is rejected loudly
+    val ex = intercept[Exception] {
+      in.toDF().toDF("k").groupBy("k").count()
+        .writeStream.format("graft.sources.VersionedStream")
+        .option("root", out).outputMode("complete")
+        .option("checkpointLocation", freshDir("vsink_bad")).start()
+    }
+    assert(ex.getMessage.contains("append-only"))
+  }
+
   test("an overwrite commit mid-stream fails the query loudly instead " +
       "of double-counting rewritten history") {
     val root = freshDir("vstream_ow") + "/t"

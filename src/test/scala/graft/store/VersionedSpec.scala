@@ -447,6 +447,50 @@ class VersionedSpec extends SparkSpec {
     assert(kept2.nonEmpty)
   }
 
+  test("metadata-only count, timestamp time travel, and the vacuum " +
+      "orphan grace window") {
+    val root = freshRoot()
+    Versioned.commitAppend(spark.range(0L, 10L).select(col("id").as("k"))
+      .coalesce(1), root, statsCols = Seq("k"))
+    // v2 OVERWRITES so v1's file becomes dead history once v1 retires
+    Versioned.commitOverwrite(spark.range(0L, 15L).select(col("id").as("k"))
+      .coalesce(1), root)
+    // counts come from the sidecar, no scan; a stats-less store says None
+    assert(Versioned.metadataCount(root).contains(15L))
+    assert(Versioned.metadataCount(root, 1L).contains(10L))
+    val bare = freshRoot()
+    Versioned.commitAppend(spark.range(3).toDF("k"), bare)
+    assert(Versioned.metadataCount(bare).isEmpty)
+
+    // timestamp travel: pin manifest publication times explicitly
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRaw
+    def setT(v: Long, t: Long) = fs.setTimes(
+      new org.apache.hadoop.fs.Path(root, s"manifest-v$v.json"), t, -1)
+    setT(1, 1000000L); setT(2, 2000000L)
+    assert(Versioned.versionAt(root, 1500000L) == 1L)
+    assert(Versioned.versionAt(root, 2000000L) == 2L)
+    assert(Versioned.readAsOf(spark, root, 1500000L).count() == 10L)
+    intercept[IllegalArgumentException] {
+      Versioned.versionAt(root, 999999L)
+    }
+
+    // orphan grace: a freshly staged-but-unpublished file (another
+    // writer mid-commit) survives a graced vacuum; dead history and
+    // aged orphans are swept
+    val orphanDir = new org.apache.hadoop.fs.Path(root, "data/orphan")
+    fs.mkdirs(orphanDir)
+    val orphan = new org.apache.hadoop.fs.Path(orphanDir, "part-0.parquet")
+    val os = fs.create(orphan); os.write(Array[Byte](1, 2, 3)); os.close()
+    val (d1, _) = Versioned.vacuum(root, 2L, orphanGraceMs = 3600000L)
+    assert(fs.exists(orphan), "graced vacuum deleted a fresh orphan")
+    assert(d1 >= 1L, "graced vacuum skipped retired history")
+    assert(Versioned.read(spark, root).count() == 15L)
+    val (d2, _) = Versioned.vacuum(root, 2L, orphanGraceMs = 0L)
+    assert(!fs.exists(orphan), "ungraced vacuum kept the orphan")
+    assert(d2 >= 1L)
+  }
+
   test("compaction bin-packs small files copy-on-write: identical " +
       "content, fewer files, pinned parent intact, vacuum reclaims") {
     val root = freshRoot()
