@@ -1330,6 +1330,47 @@ object RelationalQueries {
                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
         FROM base CROSS JOIN (VALUES ('1_compacted'),
           ('2_pinned_parent')) AS p(phase)
-        GROUP BY phase ORDER BY phase"""))
+        GROUP BY phase ORDER BY phase""")),
+
+    // ------------------------------------------------------------------
+    // Bloom-sidecar point-lookup skipping: three append commits slice
+    // orders by o_orderkey % 3, so every file's [min, max] interval
+    // spans the whole key domain — range stats admit ALL files and only
+    // the per-file bloom can prune an equality probe. The require pins
+    // that it did; the probe's rollup (count + exact cents + the
+    // line-count join) hash-matches the oracle's plain filter, proving
+    // skipping lost nothing. This is the high-cardinality point-lookup
+    // path (Delta's bloom index role) that min/max skipping (q239)
+    // structurally cannot serve on unsorted keys.
+    QuerySpec("q244_bloom_point_skip",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_bloom_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        (0 until 3).foreach { i =>
+          graft.store.Versioned.commitAppend(
+            orders.filter(pmod(col("o_orderkey"), lit(3L)) === i.toLong)
+              .coalesce(1), root,
+            statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+        }
+        val k0 = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+        val (kept, total) = graft.store.Versioned.prunedFiles(root,
+          Map.empty, equalities = Map("o_orderkey" -> k0))
+        require(kept.size < total,
+          s"bloom pruned nothing: ${kept.size} of $total files")
+        graft.store.Versioned.readPruned(s, root, Map.empty,
+            equalities = Map("o_orderkey" -> k0))
+          .filter(col("o_orderkey") === k0)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"),
+            max(col("o_orderkey")).as("okey"))
+      },
+      Some(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS cents,
+               CAST(max(o_orderkey) AS BIGINT) AS okey
+        FROM orders
+        WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)"""))
   )
 }

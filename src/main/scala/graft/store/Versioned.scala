@@ -264,9 +264,12 @@ object Versioned {
     * directory first; the table only advances when the manifest
     * publishes. Safe under concurrent writers (optimistic retry). */
   def commitAppend(df: DataFrame, root: String,
-                   statsCols: Seq[String] = Nil): Long = {
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil,
+                   bloomBits: Int = 65536): Long = {
     val v = commitFiles(root, stage(df, root), appendBase = true)
     maintainStats(df.sparkSession, root, v, statsCols)
+    maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
     v
   }
 
@@ -290,6 +293,7 @@ object Versioned {
       val v = commitFiles(root, stage(df, root), appendBase = true,
         txn = Some((appId, batchId)))
       maintainStats(df.sparkSession, root, v, statsCols)
+      maintainBlooms(df.sparkSession, root, v, Nil, 0)
       v
     }
   }
@@ -304,10 +308,13 @@ object Versioned {
     * exactly-once dedupe (an equal fingerprint still commits). */
   def commitOverwrite(df: DataFrame, root: String,
                       txn: Option[(String, Long)] = None,
-                      statsCols: Seq[String] = Nil): Long = {
+                      statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil,
+                      bloomBits: Int = 65536): Long = {
     val v = commitFiles(root, stage(df, root), appendBase = false,
       txn = txn, txnDedupe = false)
     maintainStats(df.sparkSession, root, v, statsCols)
+    maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
     v
   }
 
@@ -390,6 +397,7 @@ object Versioned {
     val v = commitFiles(root, untouched ++ staged, appendBase = false,
       expectedParent = Some(parent))
     maintainStats(spark, root, v, Nil)
+    maintainBlooms(spark, root, v, Nil, 0)
     v
   }
 
@@ -424,6 +432,7 @@ object Versioned {
     val v = commitFiles(root, untouched ++ stage(survivors, root),
       appendBase = false, expectedParent = Some(parent))
     maintainStats(spark, root, v, Nil)
+    maintainBlooms(spark, root, v, Nil, 0)
     v
   }
 
@@ -582,6 +591,129 @@ object Versioned {
     (cols, files)
   }
 
+  // Per-file BLOOM sidecar (`bloom-v<N>.json`) — point-lookup skipping
+  // for high-cardinality columns where min/max intervals span the whole
+  // domain (an unsorted id column prunes nothing by range, but a 64 Kib
+  // bloom per file answers "can key X live here?" at planning time —
+  // Delta's bloom-filter-index role). Same discipline as the stats
+  // sidecar: optional metadata, missing anything keeps the file; FP
+  // saturation (too many distinct values for the bit budget) degrades
+  // pruning, never correctness.
+
+  private def bloomPath(rootPath: Path, v: Long): Path =
+    new Path(rootPath, s"bloom-v$v.json")
+
+  private val BloomHashes = 4
+
+  /** Bit positions of `value` in an m-bit bloom (m = 64·words) —
+    * evaluated through the IDENTICAL Catalyst expression the writer's
+    * plan runs, so reader and writer can never drift. */
+  private def bloomBitsOf(value: Long, mBits: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until BloomHashes).map { i =>
+      val h = XxHash64(Seq(Literal(value), Literal(i.toLong)), 42L)
+        .eval(null).asInstanceOf[Long]
+      (((h % mBits) + mBits) % mBits).toInt
+    }
+  }
+
+  /** (bloom columns, "col|file" → words) at version v. */
+  private def readBloomSidecar(fs: FileSystem, rootPath: Path, v: Long)
+      : (Seq[String], Map[String, Seq[Long]]) = {
+    val p = bloomPath(rootPath, v)
+    if (!fs.exists(p)) return (Nil, Map.empty)
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val cols = "\"bloomcols\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val entry = "\"([^\"]+)\":\\s*\\[([^\\]]*)\\]".r
+    val entries = text.linesIterator.flatMap { line =>
+      entry.findFirstMatchIn(line.trim).collect {
+        case m if m.group(1) != "bloomcols" =>
+          m.group(1) -> m.group(2).split(',').map(_.trim.toLong).toSeq
+      }
+    }.toMap
+    (cols, entries)
+  }
+
+  /** Maintain the bloom sidecar for version `v` — the stats carry/
+    * compute pattern, one scan per bloom column over only the files
+    * the parent doesn't cover. Word count per entry encodes m. */
+  private def maintainBlooms(spark: SparkSession, root: String, v: Long,
+                             bloomCols: Seq[String],
+                             bloomBits: Int): Unit = {
+    val (fs, rootPath) = fsRoot(root)
+    val (parentCols, parentEntries) =
+      if (v > 1) readBloomSidecar(fs, rootPath, v - 1)
+      else (Nil, Map.empty[String, Seq[Long]])
+    val cols = if (bloomCols.nonEmpty) bloomCols else parentCols
+    if (cols.isEmpty) return
+    // continuing a lineage (no explicit cols) inherits the parent's bit
+    // width from its entry length, so every generation stays uniform
+    val mBits =
+      if (bloomCols.nonEmpty) bloomBits
+      else parentEntries.headOption.map(_._2.size * 64).getOrElse(return)
+    require(mBits % 64 == 0 && mBits > 0,
+      s"bloomBits must be a positive multiple of 64, got $mBits")
+    val manifestFiles = readManifest(fs, rootPath, v)._2
+    val carriedKeys = if (cols == parentCols) parentEntries.keySet
+      else Set.empty[String]
+    val carried = manifestFiles.flatMap { f =>
+      cols.flatMap { c =>
+        val key = s"$c|$f"
+        if (carriedKeys(key)) Some(key -> parentEntries(key)) else None
+      }
+    }.toMap
+    import org.apache.spark.sql.functions.{array, col, explode, expr, lit, pmod, xxhash64}
+    val computed = cols.flatMap { c =>
+      val missing = manifestFiles.filter(f => !carried.contains(s"$c|$f"))
+      if (missing.isEmpty) Nil
+      else {
+        val byPath = missing.map { f =>
+          fs.makeQualified(resolve(rootPath, f)).toUri.getPath -> f
+        }.toMap
+        val positions = (0 until BloomHashes).map(i =>
+          pmod(xxhash64(col(c).cast("long"), lit(i.toLong)),
+            lit(mBits.toLong)))
+        val words = spark.read
+          .parquet(missing.map(resolve(rootPath, _).toString): _*)
+          .filter(col(c).isNotNull)
+          .select(col("_metadata.file_path").as("__fp"),
+            explode(array(positions: _*)).as("pos"))
+          .groupBy(col("__fp"), expr("pos div 64").as("w"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(pos % 64 AS INT)))").as("bits"))
+          .collect()
+          .groupBy(r => byPath(new Path(r.getString(0)).toUri.getPath))
+          .map { case (f, rows) =>
+            val arr = Array.fill(mBits / 64)(0L)
+            rows.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+            s"$c|$f" -> arr.toSeq
+          }
+        // a file whose column is entirely null gets an all-zero bloom
+        // naturally (no rows survive the isNotNull filter → no entry →
+        // synthesize zeros so equality probes on it CAN prune)
+        missing.map { f =>
+          val key = s"$c|$f"
+          key -> words.getOrElse(key, Seq.fill(mBits / 64)(0L))
+        }
+      }
+    }.toMap
+    val all = carried ++ computed
+    val body = (s"""{"version": $v, "bloomcols": [""" +
+      cols.map("\"" + _ + "\"").mkString(", ") + "],") ::
+      all.toSeq.sortBy(_._1).map { case (k, s) =>
+        "\"" + k + "\": [" + s.mkString(", ") + "],"
+      }.toList
+    writeFile(fs, bloomPath(rootPath, v),
+      body.mkString("\n").stripSuffix(",") + "\n}")
+  }
+
   /** Maintain the stats sidecar for freshly committed version `v`:
     * entries for files already covered by the parent's sidecar carry
     * over verbatim (append/merge/delete/compaction keep untouched files
@@ -636,28 +768,45 @@ object Versioned {
   }
 
   /** The snapshot's data files that can possibly satisfy `bounds`
-    * (col → inclusive [lo, hi]), plus the snapshot's total file count.
-    * A file survives unless SOME bounded column has stats proving its
-    * interval disjoint from the bound; files or columns without stats
-    * always survive. Absolute paths, ready for a parquet scan. */
+    * (col → inclusive [lo, hi]) AND `equalities` (col → exact value),
+    * plus the snapshot's total file count. A file survives unless some
+    * bounded column's min/max interval is provably disjoint, or some
+    * equality's bloom filter provably excludes the value; files or
+    * columns without metadata always survive. Equalities also apply as
+    * degenerate [v, v] bounds, so a column carrying BOTH stats and a
+    * bloom prunes by whichever is tighter. Absolute paths, ready for a
+    * parquet scan. */
   def prunedFiles(root: String, bounds: Map[String, (Long, Long)],
-                  version: Long = 0L): (Seq[String], Long) = {
+                  version: Long = 0L,
+                  equalities: Map[String, Long] = Map.empty)
+      : (Seq[String], Long) = {
     val (fs, rootPath) = fsRoot(root)
     val v = if (version == 0L) latestVersion(root) else version
     require(v > 0 && fs.exists(manifestPath(rootPath, v)),
       s"no committed version $v at $root")
     val manifestFiles = readManifest(fs, rootPath, v)._2
     val (cols, stats) = readStatsSidecar(fs, rootPath, v)
+    val (bloomCols, blooms) = readBloomSidecar(fs, rootPath, v)
     val idx = cols.zipWithIndex.toMap
+    val allBounds = bounds ++
+      equalities.view.mapValues(x => (x, x)).toMap
     val kept = manifestFiles.filter { f =>
-      stats.get(f).forall { s =>
-        bounds.forall { case (c, (lo, hi)) =>
+      val statsAdmit = stats.get(f).forall { s =>
+        allBounds.forall { case (c, (lo, hi)) =>
           idx.get(c).forall { i =>
             // entry layout: [rows, min0, max0, min1, max1, …]
             s(1 + 2 * i) <= hi && s(2 + 2 * i) >= lo
           }
         }
       }
+      val bloomAdmit = equalities.forall { case (c, value) =>
+        !bloomCols.contains(c) || blooms.get(s"$c|$f").forall { words =>
+          bloomBitsOf(value, words.size * 64).forall { pos =>
+            (words(pos / 64) & (1L << (pos % 64))) != 0L
+          }
+        }
+      }
+      statsAdmit && bloomAdmit
     }
     (kept.map(resolve(rootPath, _).toString), manifestFiles.size.toLong)
   }
@@ -707,13 +856,15 @@ object Versioned {
     * `bounds` reads identical results to a full [[read]]. */
   def readPruned(spark: SparkSession, root: String,
                  bounds: Map[String, (Long, Long)],
-                 version: Long = 0L): DataFrame = {
-    val (kept, _) = prunedFiles(root, bounds, version)
+                 version: Long = 0L,
+                 equalities: Map[String, Long] = Map.empty): DataFrame = {
+    val (kept, _) = prunedFiles(root, bounds, version, equalities)
     require(kept.nonEmpty,
       // an empty parquet scan needs a schema; give the caller a crisp
       // signal instead of an analysis error
-      s"every file of $root was pruned by $bounds - the result is " +
-        "empty; guard with prunedFiles if an empty match is expected")
+      s"every file of $root was pruned by $bounds/$equalities - the " +
+        "result is empty; guard with prunedFiles if an empty match is " +
+        "expected")
     spark.read.parquet(kept: _*)
   }
 
@@ -750,6 +901,7 @@ object Versioned {
     val v = commitFiles(root, big.map(_._1) ++ stage(packed, root),
       appendBase = false, expectedParent = Some(parent))
     maintainStats(spark, root, v, Nil)
+    maintainBlooms(spark, root, v, Nil, 0)
     v
   }
 
@@ -834,6 +986,7 @@ object Versioned {
     (1L until keepFrom).foreach { v =>
       fs.delete(manifestPath(rootPath, v), false)
       fs.delete(statsPath(rootPath, v), false)
+      fs.delete(bloomPath(rootPath, v), false)
     }
     (nDel, bytes)
   }

@@ -491,6 +491,40 @@ class VersionedSpec extends SparkSpec {
     assert(d2 >= 1L)
   }
 
+  test("bloom sidecar prunes point lookups where min/max cannot; " +
+      "absent keys prune everything; rewrites keep the lineage") {
+    val root = freshRoot()
+    // 3 files with fully-overlapping [min, max] ranges but disjoint
+    // key sets (k % 3 = i) — range stats admit every file, so only the
+    // bloom can prune an equality probe
+    (0 until 3).foreach { i =>
+      Versioned.commitAppend(
+        spark.range(1000).select((col("id") * 3L + i).as("k"))
+          .coalesce(1), root,
+        statsCols = Seq("k"), bloomCols = Seq("k"))
+    }
+    val (kept, total) = Versioned.prunedFiles(root, Map.empty,
+      equalities = Map("k" -> 300L))
+    assert(total == 3 && kept.size == 1,
+      s"bloom kept ${kept.size}/3 files for a single-residue key")
+    assert(Versioned.readPruned(spark, root, Map.empty,
+        equalities = Map("k" -> 300L))
+      .filter(col("k") === 300L).count() == 1L)
+    // a key in no file prunes the whole list (no false "must scan")
+    assert(Versioned.prunedFiles(root, Map.empty,
+      equalities = Map("k" -> -5L))._1.isEmpty)
+    // copy-on-write delete recomputes blooms only for rewritten files
+    // and the probe still answers correctly at the new version
+    val v = Versioned.commitDelete(spark, root, col("k") === 300L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRaw
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+      s"bloom-v$v.json")), "delete dropped the bloom sidecar")
+    assert(Versioned.readPruned(spark, root, Map.empty, v,
+        equalities = Map("k" -> 303L))
+      .filter(col("k") === 303L).count() == 1L)
+  }
+
   test("compaction bin-packs small files copy-on-write: identical " +
       "content, fewer files, pinned parent intact, vacuum reclaims") {
     val root = freshRoot()
