@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Exact
@@ -20,6 +20,52 @@ import graft.util.Exact
   * hash-based. Groups with a missing class are dropped (AUC undefined).
   */
 object Eval {
+
+  /** ROUGE-N-style n-gram overlap between (candidate, reference) text
+    * pairs (Lin 2004) — the summarization/caption/near-copy eval
+    * metric, and at corpus scale the "how much of the eval set leaked
+    * into this candidate" readout that pairs with q59's decontaminate
+    * gate. Per pair: clipped overlap = Σ_g min(count_cand(g),
+    * count_ref(g)) — exact integers — then precision = clip/|cand
+    * grams|, recall = clip/|ref grams|, and the Dice/F1
+    * 2·clip/(|cand|+|ref|), each ONE double divide snapped to micros.
+    *
+    * Scale shape: two token-explode hash-aggs keyed (pair, gram) and a
+    * full-outer gram join INSIDE the pair key — per-pair work tracks
+    * the pair's own text, never the corpus; everything is map-side
+    * combinable and no state outlives a pair.
+    *
+    * Output: (idCol, clip, cand_grams, ref_grams, p_micros, r_micros,
+    * f_micros); a pair whose side has no grams scores 0 (guarded
+    * divides), matching the metric's convention. */
+  def rougeN(pairs: DataFrame, n: Int, idCol: String = "pair_id",
+             candCol: String = "cand", refCol: String = "ref")
+      : DataFrame = {
+    def grams(c: String, out: String) = pairs
+      .select(col(idCol),
+        explode(graft.text.Analyzer.shingles(col(c), n)).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as(out))
+    val joined = grams(candCol, "cc")
+      .join(grams(refCol, "rc"), Seq(idCol, "g"), "full_outer")
+      .groupBy(idCol).agg(
+        sum(least(coalesce(col("cc"), lit(0L)),
+          coalesce(col("rc"), lit(0L)))).as("clip"),
+        sum(coalesce(col("cc"), lit(0L))).as("cand_grams"),
+        sum(coalesce(col("rc"), lit(0L))).as("ref_grams"))
+    // re-join onto the pair table so gram-less pairs still report a row
+    val ratio = (num: Column, den: Column) =>
+      when(den > 0, Exact.micros(num.cast("double") / den.cast("double")))
+        .otherwise(0L)
+    pairs.select(col(idCol)).join(joined, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clip"), lit(0L)).as("clip"),
+        coalesce(col("cand_grams"), lit(0L)).as("cand_grams"),
+        coalesce(col("ref_grams"), lit(0L)).as("ref_grams"))
+      .withColumn("p_micros", ratio(col("clip"), col("cand_grams")))
+      .withColumn("r_micros", ratio(col("clip"), col("ref_grams")))
+      .withColumn("f_micros", ratio(lit(2L) * col("clip"),
+        col("cand_grams") + col("ref_grams")))
+  }
 
   /** Per-group AUC of `scoreCol` predicting binary `labelCol`:
     * (groupCol, auc_micros). */

@@ -1120,6 +1120,69 @@ object MlQueries {
     // Classifier evaluation: exact tie-corrected ROC-AUC per source
     // (Mann-Whitney rank-sum — never materializes the pos×neg pair
     // space). Score = n_chars, label = lang='en'.
+    // ------------------------------------------------------------------
+    // ROUGE-2 overlap between paired documents (Lin 2004): candidate =
+    // doc d, reference = doc (d+250) mod 500-ish via a half-rotation
+    // join — the eval-suite metric for summarization/caption quality
+    // and eval-set leakage audits. Clipped counts are exact integers;
+    // P/R/Dice are one snapped divide each. Work is two (pair, gram)
+    // hash-aggs + a pair-local full-outer gram join — never
+    // corpus-quadratic.
+    QuerySpec("q245_rouge_overlap",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val nDocs = 500L // pinned by TablesSpec for sf0.01
+        val pairs = d.select(col("doc_id").as("pair_id"),
+            col("text").as("cand"),
+            pmod(col("doc_id") + lit(nDocs / 2), lit(nDocs)).as("rid"))
+          .join(d.select(col("doc_id").as("rid"),
+            col("text").as("ref")), "rid")
+          .drop("rid")
+        graft.ml.Eval.rougeN(pairs, n = 2).orderBy("pair_id")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                       '\\s+'), x -> x <> '') AS l
+                   FROM documents),
+        g AS (SELECT doc_id,
+                unnest(CASE WHEN len(l) >= 2 THEN list_transform(
+                  generate_series(1, len(l) - 1),
+                  i -> l[i] || ' ' || l[i+1]) ELSE [] END) AS g
+              FROM d),
+        c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+              FROM g GROUP BY 1, 2),
+        pairs AS (SELECT doc_id AS pair_id, (doc_id + 250) % 500 AS rid
+                  FROM d),
+        cand AS (SELECT p.pair_id, c.g, c.c AS cc
+                 FROM pairs p JOIN c ON c.doc_id = p.pair_id),
+        refc AS (SELECT p.pair_id, c.g, c.c AS rc
+                 FROM pairs p JOIN c ON c.doc_id = p.rid),
+        u AS (SELECT pair_id, g, cc, rc
+              FROM cand FULL JOIN refc USING (pair_id, g)),
+        agg AS (SELECT pair_id,
+                  CAST(sum(least(coalesce(cc, 0), coalesce(rc, 0)))
+                    AS BIGINT) AS clip,
+                  CAST(sum(coalesce(cc, 0)) AS BIGINT) AS cand_grams,
+                  CAST(sum(coalesce(rc, 0)) AS BIGINT) AS ref_grams
+                FROM u GROUP BY 1),
+        j AS (SELECT p.pair_id, coalesce(clip, 0) AS clip,
+                coalesce(cand_grams, 0) AS cand_grams,
+                coalesce(ref_grams, 0) AS ref_grams
+              FROM pairs p LEFT JOIN agg USING (pair_id))
+        SELECT pair_id, clip, cand_grams, ref_grams,
+          CASE WHEN cand_grams > 0 THEN ${Exact.microsSql(
+            "CAST(clip AS DOUBLE) / CAST(cand_grams AS DOUBLE)")}
+            ELSE 0 END AS p_micros,
+          CASE WHEN ref_grams > 0 THEN ${Exact.microsSql(
+            "CAST(clip AS DOUBLE) / CAST(ref_grams AS DOUBLE)")}
+            ELSE 0 END AS r_micros,
+          CASE WHEN cand_grams + ref_grams > 0 THEN ${Exact.microsSql(
+            "CAST(2 * clip AS DOUBLE) / " +
+              "CAST(cand_grams + ref_grams AS DOUBLE)")}
+            ELSE 0 END AS f_micros
+        FROM j ORDER BY pair_id""")),
+
     QuerySpec("q226_auc",
       (s, dir) => {
         graft.ml.Eval.groupedAuc(
