@@ -92,9 +92,14 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
     * Spark's documented addBatch redelivery (a sink crash after commit
     * but before the checkpoint advances re-delivers the same batchId)
     * is a manifest-level no-op — the table holds every batch ONCE.
-    * `appId` defaults to the query's checkpoint metadata path, which is
-    * stable across restarts of the same query and distinct between
-    * queries — exactly the identity the txn needs. Optional `statsCols`
+    * `appId` defaults to the query's `checkpointLocation` option, which
+    * is stable across restarts of the same query and distinct between
+    * queries — exactly the identity the txn needs. It must NOT default
+    * to anything query-independent (like the root): batchIds restart at
+    * 0 with a fresh checkpoint, so a shared appId would make the dedupe
+    * check silently skip every batch of the new query as a "duplicate"
+    * of the old one's. No checkpoint and no explicit appId is therefore
+    * a loud error, not a guess. Optional `statsCols`
     * (comma-separated) enables data skipping on the sunk table from the
     * first batch. Empty micro-batches are skipped (a version listing no
     * files is unreadable by design). */
@@ -113,8 +118,14 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    new VersionedSink(root,
-      appId = parameters.getOrElse("appId", s"sink:$root"), statsCols)
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation").map(c => s"sink@$c"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-versioned sink needs an exactly-once identity: pass " +
+          ".option(\"appId\", ...) or a checkpointLocation (the txn " +
+          "dedupe keys on (appId, batchId); a root-derived default " +
+          "would skip batches of any NEW query whose ids restart at 0)"))
+    new VersionedSink(root, appId, statsCols)
   }
 }
 

@@ -184,11 +184,17 @@ object Versioned {
     val re = ("\"txn\":\\s*\"" + java.util.regex.Pattern.quote(appId) +
       ":(\\d+)\"").r
     (latestVersion(root) to 1L by -1L).iterator.flatMap { v =>
-      val in = fs.open(manifestPath(rootPath, v))
-      val header = try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in,
-          java.nio.charset.StandardCharsets.UTF_8)).readLine()
-      finally in.close()
+      // vacuum removes retired manifests below keepFrom: a version gap
+      // means "no surviving stamp there", not an error — skip it so a
+      // txn lookup over vacuumed history terminates with None instead
+      // of crashing on the first reclaimed manifest
+      val header = try {
+        val in = fs.open(manifestPath(rootPath, v))
+        try new java.io.BufferedReader(
+          new java.io.InputStreamReader(in,
+            java.nio.charset.StandardCharsets.UTF_8)).readLine()
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => null }
       re.findFirstMatchIn(String.valueOf(header)).map(_.group(1).toLong)
     }.nextOption()
   }
@@ -348,6 +354,153 @@ object Versioned {
     (touched, parentFiles.filterNot(t))
   }
 
+  /** How many distinct per-column key values a merge will collect for
+    * bloom pre-pruning before giving up on that column (bounds pruning
+    * still applies). Driver cost is ≤ this many longs per key column —
+    * k-bounded by construction. */
+  private val MergeBloomProbeMax = 1024
+
+  /** Pre-prune a rewrite's match-scan list with the sidecars the table
+    * already maintains: split `parentFiles` into (candidates, provably
+    * unmatched) using per-key min/max derived from `updates` (one
+    * driver-sized agg) plus, for key columns carrying a bloom sidecar
+    * with ≤ [[MergeBloomProbeMax]] distinct update values, a per-file
+    * bloom probe of those values. Without this, the copy-on-write
+    * planning scan reads EVERY parent file's key columns — the probe is
+    * a semi join with no literal predicate, so neither file skipping
+    * nor parquet row-group pruning applies on its own; with it, a merge
+    * touching 0.1% of a z-ordered table's files also SCANS ~0.1%.
+    * Files the sidecars can't vouch for (missing entries, non-integral
+    * keys) stay candidates — pruning is an optimization, never a
+    * correctness gate. */
+  private[store] def pruneMergeScan(updates: DataFrame, root: String,
+                                    parent: Long, parentFiles: Seq[String],
+                                    keys: Seq[String])
+      : (Seq[String], Seq[String]) = {
+    val (fs, rootPath) = fsRoot(root)
+    import org.apache.spark.sql.functions.{col, max, min}
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k).cast("long")), max(col(k).cast("long"))))
+    val row = updates.agg(aggs.head, aggs.tail: _*).collect().head
+    val bounds = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+      else Some(k -> (row.getLong(2 * i), row.getLong(2 * i + 1)))
+    }.toMap
+    val bloomCols = readBloomSidecar(fs, rootPath, parent)._1
+    val equalitySets = keys.filter(bloomCols.contains).flatMap { k =>
+      val distinctVals = updates.select(col(k).cast("long"))
+        .filter(col(k).isNotNull).distinct()
+        .limit(MergeBloomProbeMax + 1).collect().map(_.getLong(0)).toSeq
+      if (distinctVals.size > MergeBloomProbeMax) None
+      else Some(k -> distinctVals)
+    }.toMap
+    val candidates = admittedFiles(fs, rootPath, parent, parentFiles,
+      bounds, equalitySets)
+    val c = candidates.toSet
+    (candidates, parentFiles.filterNot(c))
+  }
+
+  /** Best-effort (bounds, equality-sets) on integral columns implied by
+    * a DELETE predicate: analyze the predicate against `probe` (any
+    * schema-bearing sample of the table — planning only, no job runs)
+    * and read the resolved filter condition's conjuncts that compare an
+    * attribute against an integer literal. Any conjunct this can't
+    * read is simply ignored: under AND semantics every recognized
+    * comparison is a NECESSARY condition for a row to match, so pruning
+    * files that provably fail one is safe no matter what the unread
+    * conjuncts do. A top-level OR yields no conjuncts and therefore no
+    * pruning. */
+  private[store] def predicateKeyStats(probe: DataFrame,
+      predCol: org.apache.spark.sql.Column)
+      : (Map[String, (Long, Long)], Map[String, Seq[Long]]) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val pred: Expression = probe.filter(predCol).queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(return (Map.empty, Map.empty))
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      // analysis widens the narrow side of a mixed-width comparison;
+      // an integral upcast preserves order and value, so the bound
+      // still applies to the underlying column (whose sidecar stats
+      // are long-cast the same way)
+      case Cast(a: AttributeReference, dt, _, _)
+          if integral(dt) && integral(a.dataType) =>
+        Some(a.name)
+      case _ => None
+    }
+    def litOf(e: Expression): Option[Long] =
+      if (!e.foldable) None
+      else e.eval(null) match {
+        case v: java.lang.Long => Some(v.longValue)
+        case v: java.lang.Integer => Some(v.toLong)
+        case v: java.lang.Short => Some(v.toLong)
+        case v: java.lang.Byte => Some(v.toLong)
+        case _ => None
+      }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    var bounds = Map.empty[String, (Long, Long)]
+    var eqs = Map.empty[String, Seq[Long]]
+    def tighten(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bounds += c -> (math.max(l0, lo), math.min(h0, hi))
+    }
+    conjuncts(pred).foreach {
+      case EqualTo(a, l) if attrOf(a).isDefined && litOf(l).isDefined =>
+        val (c, v) = (attrOf(a).get, litOf(l).get)
+        tighten(c, v, v); eqs += c -> Seq(v)
+      case EqualTo(l, a) if attrOf(a).isDefined && litOf(l).isDefined =>
+        val (c, v) = (attrOf(a).get, litOf(l).get)
+        tighten(c, v, v); eqs += c -> Seq(v)
+      case In(a, vs) if attrOf(a).isDefined && vs.nonEmpty &&
+          vs.forall(litOf(_).isDefined) =>
+        val c = attrOf(a).get
+        val values = vs.flatMap(litOf)
+        tighten(c, values.min, values.max)
+        eqs += c -> values
+      case GreaterThan(a, l) if attrOf(a).isDefined && litOf(l).isDefined
+          && litOf(l).get < Long.MaxValue =>
+        tighten(attrOf(a).get, litOf(l).get + 1, Long.MaxValue)
+      case GreaterThanOrEqual(a, l)
+          if attrOf(a).isDefined && litOf(l).isDefined =>
+        tighten(attrOf(a).get, litOf(l).get, Long.MaxValue)
+      case LessThan(a, l) if attrOf(a).isDefined && litOf(l).isDefined
+          && litOf(l).get > Long.MinValue =>
+        tighten(attrOf(a).get, Long.MinValue, litOf(l).get - 1)
+      case LessThanOrEqual(a, l)
+          if attrOf(a).isDefined && litOf(l).isDefined =>
+        tighten(attrOf(a).get, Long.MinValue, litOf(l).get)
+      // reversed comparisons (lit OP attr) flip the inequality
+      case GreaterThan(l, a) if attrOf(a).isDefined && litOf(l).isDefined
+          && litOf(l).get > Long.MinValue =>
+        tighten(attrOf(a).get, Long.MinValue, litOf(l).get - 1)
+      case GreaterThanOrEqual(l, a)
+          if attrOf(a).isDefined && litOf(l).isDefined =>
+        tighten(attrOf(a).get, Long.MinValue, litOf(l).get)
+      case LessThan(l, a) if attrOf(a).isDefined && litOf(l).isDefined
+          && litOf(l).get < Long.MaxValue =>
+        tighten(attrOf(a).get, litOf(l).get + 1, Long.MaxValue)
+      case LessThanOrEqual(l, a)
+          if attrOf(a).isDefined && litOf(l).isDefined =>
+        tighten(attrOf(a).get, litOf(l).get, Long.MaxValue)
+      case _ => () // unrecognized conjunct: contributes no pruning
+    }
+    (bounds.filterNot { case (_, (lo, hi)) =>
+      lo == Long.MinValue && hi == Long.MaxValue }, eqs)
+  }
+
   /** Row-level MERGE (upsert) as a COPY-ON-WRITE commit — the lakehouse
     * primitive that physically retires superseded rows instead of
     * reconciling them at read time: rows of the current snapshot whose
@@ -379,13 +532,27 @@ object Versioned {
     val spark = updates.sparkSession
     val (fs, rootPath) = fsRoot(root)
     val parent = latestVersion(root)
-    if (parent == 0L) // merging into an empty table is a plain insert
-      return commitFiles(root, stage(updates, root), appendBase = false)
+    if (parent == 0L)
+      // merging into an empty table is a plain insert — but STILL a
+      // rewrite commit composed against a specific snapshot (the empty
+      // one), so it conflict-detects like every other merge: a racing
+      // first append landing between latestVersion() and publish raises
+      // instead of being silently overwritten by this manifest
+      return commitFiles(root, stage(updates, root), appendBase = false,
+        expectedParent = Some(0L))
     import org.apache.spark.sql.functions.col
     val updKeys = updates.select(keys.map(col): _*).distinct()
     val parentFiles = readManifest(fs, rootPath, parent)._2
-    val (touched, untouched) = touchedFiles(spark, fs, rootPath,
-      parentFiles, _.join(updKeys, keys, "left_semi"))
+    // sidecar pre-pruning: only files whose stats/bloom metadata admits
+    // the update keys enter the match scan — the rest provably hold no
+    // matched row and ride into the new manifest verbatim, unscanned
+    val (candidates, skipped) =
+      pruneMergeScan(updates, root, parent, parentFiles, keys)
+    val (touched, unmatchedScanned) =
+      if (candidates.isEmpty) (Nil, Nil)
+      else touchedFiles(spark, fs, rootPath, candidates,
+        _.join(updKeys, keys, "left_semi"))
+    val untouched = skipped ++ unmatchedScanned
     val staged =
       if (touched.isEmpty) stage(updates, root) // pure insert
       else {
@@ -417,8 +584,22 @@ object Versioned {
     val parent = latestVersion(root)
     require(parent > 0, s"no committed version at $root")
     val parentFiles = readManifest(fs, rootPath, parent)._2
-    val (touched, untouched) = touchedFiles(spark, fs, rootPath,
-      parentFiles, _.filter(predicate))
+    // sidecar pre-pruning from the predicate's own literal conjuncts:
+    // files whose stats/bloom metadata provably fails a necessary
+    // comparison never enter the match scan
+    val (predBounds, predEqs) = predicateKeyStats(
+      spark.read.parquet(resolve(rootPath, parentFiles.head).toString),
+      predicate)
+    val candidates =
+      if (predBounds.isEmpty && predEqs.isEmpty) parentFiles
+      else admittedFiles(fs, rootPath, parent, parentFiles, predBounds,
+        predEqs)
+    val skipped = { val c = candidates.toSet
+      parentFiles.filterNot(c) }
+    if (candidates.isEmpty) return parent
+    val (touched, unmatchedScanned) = touchedFiles(spark, fs, rootPath,
+      candidates, _.filter(predicate))
+    val untouched = skipped ++ unmatchedScanned
     if (touched.isEmpty) return parent
     // SQL DELETE semantics: remove rows where the predicate is TRUE;
     // a null-evaluating predicate keeps its row (bare !predicate would
@@ -566,6 +747,16 @@ object Versioned {
   private def statsPath(rootPath: Path, v: Long): Path =
     new Path(rootPath, s"stats-v$v.json")
 
+  /** Newest version ≤ `from` whose sidecar (per `pathOf`) exists, or 0.
+    * Sidecars are optional metadata written AFTER the manifest publish,
+    * so a crash (or a concurrent writer's late sidecar) can leave one
+    * version without one; continuing the lineage from the newest
+    * EXISTING sidecar means that gap degrades pruning for that one
+    * version's files only — not for every version after it. */
+  private def newestSidecarVersion(fs: FileSystem, from: Long,
+                                   pathOf: Long => Path): Long =
+    (from to 1L by -1L).find(x => fs.exists(pathOf(x))).getOrElse(0L)
+
   /** (stat columns, file → flattened [rows,min0,max0,min1,max1,…]) of
     * the sidecar at version v, or (Nil, empty) when absent. */
   private def readStatsSidecar(fs: FileSystem, rootPath: Path, v: Long)
@@ -648,9 +839,11 @@ object Versioned {
                              bloomCols: Seq[String],
                              bloomBits: Int): Unit = {
     val (fs, rootPath) = fsRoot(root)
-    val (parentCols, parentEntries) =
-      if (v > 1) readBloomSidecar(fs, rootPath, v - 1)
+    val (parentCols, parentEntries) = {
+      val pv = newestSidecarVersion(fs, v - 1, bloomPath(rootPath, _))
+      if (pv > 0) readBloomSidecar(fs, rootPath, pv)
       else (Nil, Map.empty[String, Seq[Long]])
+    }
     val cols = if (bloomCols.nonEmpty) bloomCols else parentCols
     if (cols.isEmpty) return
     // continuing a lineage (no explicit cols) inherits the parent's bit
@@ -724,9 +917,11 @@ object Versioned {
   private def maintainStats(spark: SparkSession, root: String, v: Long,
                             statsCols: Seq[String]): Unit = {
     val (fs, rootPath) = fsRoot(root)
-    val (parentCols, parentFiles) =
-      if (v > 1) readStatsSidecar(fs, rootPath, v - 1)
+    val (parentCols, parentFiles) = {
+      val pv = newestSidecarVersion(fs, v - 1, statsPath(rootPath, _))
+      if (pv > 0) readStatsSidecar(fs, rootPath, pv)
       else (Nil, Map.empty[String, Seq[Long]])
+    }
     val cols = if (statsCols.nonEmpty) statsCols else parentCols
     if (cols.isEmpty) return
     val manifestFiles = readManifest(fs, rootPath, v)._2
@@ -785,12 +980,30 @@ object Versioned {
     require(v > 0 && fs.exists(manifestPath(rootPath, v)),
       s"no committed version $v at $root")
     val manifestFiles = readManifest(fs, rootPath, v)._2
+    val kept = admittedFiles(fs, rootPath, v, manifestFiles, bounds,
+      equalities.view.mapValues(Seq(_)).toMap)
+    (kept.map(resolve(rootPath, _).toString), manifestFiles.size.toLong)
+  }
+
+  /** Core of file-level skipping over ROOT-RELATIVE manifest entries:
+    * the subset of `files` that can possibly satisfy `bounds` AND, per
+    * column of `equalitySets`, contain at least ONE of the listed
+    * values (the bloom test a point lookup needs with a single value,
+    * and the safe per-column relaxation a MERGE key-set needs — a file
+    * can hold a matching row only if every key column's bloom admits
+    * some update value). Missing sidecars/entries/columns admit. */
+  private def admittedFiles(fs: FileSystem, rootPath: Path, v: Long,
+                            files: Seq[String],
+                            bounds: Map[String, (Long, Long)],
+                            equalitySets: Map[String, Seq[Long]])
+      : Seq[String] = {
     val (cols, stats) = readStatsSidecar(fs, rootPath, v)
     val (bloomCols, blooms) = readBloomSidecar(fs, rootPath, v)
     val idx = cols.zipWithIndex.toMap
-    val allBounds = bounds ++
-      equalities.view.mapValues(x => (x, x)).toMap
-    val kept = manifestFiles.filter { f =>
+    val allBounds = bounds ++ equalitySets.collect {
+      case (c, vs) if vs.nonEmpty => c -> (vs.min, vs.max)
+    }
+    files.filter { f =>
       val statsAdmit = stats.get(f).forall { s =>
         allBounds.forall { case (c, (lo, hi)) =>
           idx.get(c).forall { i =>
@@ -799,16 +1012,18 @@ object Versioned {
           }
         }
       }
-      val bloomAdmit = equalities.forall { case (c, value) =>
-        !bloomCols.contains(c) || blooms.get(s"$c|$f").forall { words =>
-          bloomBitsOf(value, words.size * 64).forall { pos =>
-            (words(pos / 64) & (1L << (pos % 64))) != 0L
+      val bloomAdmit = equalitySets.forall { case (c, values) =>
+        !bloomCols.contains(c) || values.isEmpty ||
+          blooms.get(s"$c|$f").forall { words =>
+            values.exists { value =>
+              bloomBitsOf(value, words.size * 64).forall { pos =>
+                (words(pos / 64) & (1L << (pos % 64))) != 0L
+              }
+            }
           }
-        }
       }
       statsAdmit && bloomAdmit
     }
-    (kept.map(resolve(rootPath, _).toString), manifestFiles.size.toLong)
   }
 
   /** COUNT(*) of the snapshot from METADATA alone (the stats sidecar's

@@ -127,6 +127,30 @@ class VersionedStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("append-only"))
   }
 
+  test("a NEW query (fresh checkpoint) sinking the same root is not " +
+      "txn-deduped against the old one: appId derives from the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = freshDir("vsink_fresh") + "/t"
+    def runOnce(ckpt: String, data: Long*): Unit = {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      in.addData(data: _*)
+      val q = in.toDF().toDF("k")
+        .writeStream.format("graft.sources.VersionedStream")
+        .option("root", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // query 1 commits its batch 0; query 2 is a DIFFERENT query (fresh
+    // checkpoint) whose batchIds also start at 0 — with a root-derived
+    // shared appId its batch would read as a duplicate and silently
+    // vanish; with checkpoint-derived identity both land
+    runOnce(freshDir("vsink_ckpt_a"), 1L, 2L)
+    runOnce(freshDir("vsink_ckpt_b"), 3L)
+    assert(Versioned.read(spark, out).as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+  }
+
   test("an overwrite commit mid-stream fails the query loudly instead " +
       "of double-counting rewritten history") {
     val root = freshDir("vstream_ow") + "/t"

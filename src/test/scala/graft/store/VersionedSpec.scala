@@ -223,6 +223,71 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.latestTxnBatch(root, "sinkC").isEmpty)
   }
 
+  test("latestTxnBatch over vacuumed history returns None instead of " +
+      "crashing on reclaimed manifests") {
+    val root = freshRoot()
+    Versioned.commitAppendTxn(Seq((1L, "a")).toDF("k", "s"), root,
+      "sinkA", 0L)
+    Versioned.commitAppend(Seq((2L, "b")).toDF("k", "s"), root)
+    // v3 rewrites history, then vacuum retires v1..v2 — sinkA's only
+    // txn stamp is on a reclaimed manifest
+    Versioned.commitOverwrite(Seq((9L, "z")).toDF("k", "s"), root)
+    Versioned.vacuum(root, keepFrom = 3L)
+    assert(Versioned.latestTxnBatch(root, "sinkA").isEmpty)
+    // and a surviving stamp on a retained manifest still reads
+    Versioned.commitAppendTxn(Seq((3L, "c")).toDF("k", "s"), root,
+      "sinkB", 5L)
+    assert(Versioned.latestTxnBatch(root, "sinkB").contains(5L))
+  }
+
+  test("a rewrite composed against the EMPTY table conflict-detects a " +
+      "racing first commit (the empty-merge branch's expectedParent)") {
+    val root = freshRoot()
+    // the exact parameters commitMerge's parent==0 branch passes; the
+    // race lands through the beforePublish seam
+    var raced = false
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Versioned.commitFiles(root,
+        Versioned.stage(Seq((1L, "a")).toDF("k", "s"), root),
+        appendBase = false,
+        beforePublish = { _ =>
+          if (!raced) {
+            raced = true
+            Versioned.commitAppend(Seq((9L, "z")).toDF("k", "s"), root)
+          }
+        },
+        expectedParent = Some(0L))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    // the racing first commit is intact, not overwritten
+    assert(Versioned.read(spark, root).as[(Long, String)]
+      .collect().toSet == Set((9L, "z")))
+  }
+
+  test("a missing sidecar (crash between manifest and sidecar write) " +
+      "degrades pruning for that version's files only, not the lineage") {
+    val root = freshRoot()
+    def append(lo: Long, hi: Long): Long = Versioned.commitAppend(
+      spark.range(lo, hi).select(col("id").as("k")).coalesce(1), root,
+      statsCols = Seq("k"))
+    append(0L, 100L)
+    append(100L, 200L)
+    // simulate the crash window: v2's sidecar vanishes
+    val gone = new java.io.File(root, "stats-v2.json")
+    assert(gone.delete(), s"fixture: $gone should exist")
+    val v3 = append(200L, 300L)
+    assert(v3 == 3L)
+    // the v3 sidecar continued the lineage from v1's column list AND
+    // self-healed: v2's file had no carried entry, so it was recomputed
+    // alongside v3's — every file prunes again, only v3's survives
+    val (kept, total) = Versioned.prunedFiles(root,
+      Map("k" -> (250L, 260L)))
+    assert(total == 3L && kept.size == 1, s"kept ${kept.size} of $total")
+    // correctness unaffected either way
+    assert(Versioned.readPruned(spark, root, Map("k" -> (250L, 260L)))
+      .filter(col("k").between(250L, 260L)).count() == 11L)
+  }
+
   test("schema evolution: merged read widens, old rows null-filled; " +
       "the pinned pre-evolution version keeps its narrow schema") {
     val root = freshRoot()
@@ -311,6 +376,66 @@ class VersionedSpec extends SparkSpec {
     // nothing matches → no new version
     assert(Versioned.commitDelete(spark, root, col("v") === 777L) == v2)
     assert(Versioned.latestVersion(root) == v2)
+  }
+
+  test("merge/delete pre-prune the match scan with the sidecars they " +
+      "maintain: a one-file merge scans one file, skipped files ride " +
+      "verbatim, delete predicates prune too") {
+    val root = freshRoot()
+    def append(lo: Long, hi: Long): Unit = { Versioned.commitAppend(
+      spark.range(lo, hi).select(col("id").as("k"),
+        (col("id") * 10).as("v")).coalesce(1), root,
+      statsCols = Seq("k"), bloomCols = Seq("k")); () }
+    append(0L, 100L); append(100L, 200L); append(200L, 300L)
+    def rels(v: Long) = Versioned.files(root, v)
+      .map(p => p.substring(p.indexOf("data/")))
+    val parent = Versioned.latestVersion(root)
+    val parentRels = rels(parent)
+
+    // bounds pruning: updates keyed inside the middle file's range
+    val upd = Seq((150L, -1L), (151L, -2L)).toDF("k", "v")
+    val (cands, skipped) =
+      Versioned.pruneMergeScan(upd, root, parent, parentRels, Seq("k"))
+    assert(cands.size == 1 && skipped.size == 2,
+      s"bounds pruned to ${cands.size} candidates of ${parentRels.size}")
+
+    // bloom pruning where bounds cannot: keys {5, 295} span the whole
+    // domain, only the bloom knows the middle file holds neither
+    val updSpan = Seq((5L, -3L), (295L, -4L)).toDF("k", "v")
+    val (cands2, _) = Versioned.pruneMergeScan(updSpan, root, parent,
+      parentRels, Seq("k"))
+    assert(cands2.size == 2,
+      s"bloom should exclude the middle file, kept ${cands2.size}")
+
+    // end-to-end merge: the two skipped files' entries ride VERBATIM
+    // into the new manifest, contents match a full-scan merge
+    val vm = Versioned.commitMerge(upd, root, Seq("k"))
+    assert(rels(vm).toSet.intersect(parentRels.toSet) == skipped.toSet)
+    val merged = Versioned.read(spark, root, vm)
+      .filter(col("k").isin(150L, 151L, 152L))
+      .as[(Long, Long)].collect().toSet
+    assert(merged == Set((150L, -1L), (151L, -2L), (152L, 1520L)))
+
+    // delete with a literal predicate: conjunct extraction prunes the
+    // scan to the one admitted file, others carry verbatim
+    val probe = spark.read.parquet(Versioned.files(root, vm).head)
+    val (bounds, eqs) = Versioned.predicateKeyStats(probe,
+      col("k") === 250L && col("v") =!= 0L)
+    assert(bounds == Map("k" -> (250L, 250L)) && eqs == Map("k" -> Seq(250L)))
+    val beforeDel = rels(vm)
+    val vd = Versioned.commitDelete(spark, root, col("k") === 250L)
+    assert(rels(vd).toSet.intersect(beforeDel.toSet).size ==
+      beforeDel.size - 1, "delete should rewrite exactly one file")
+    assert(Versioned.read(spark, root, vd).filter(col("k") === 250L)
+      .isEmpty)
+    // an OR predicate yields no conjuncts — no pruning, still correct
+    val (b2, e2) = Versioned.predicateKeyStats(probe,
+      col("k") === 1L || col("k") === 299L)
+    assert(b2.isEmpty && e2.isEmpty)
+    val vd2 = Versioned.commitDelete(spark, root,
+      col("k") === 1L || col("k") === 299L)
+    assert(Versioned.read(spark, root, vd2)
+      .filter(col("k").isin(1L, 299L)).isEmpty)
   }
 
   test("a commit landing mid-rewrite raises ConcurrentModification " +
