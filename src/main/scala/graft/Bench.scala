@@ -245,18 +245,32 @@ object Bench {
     // between rounds (r8 judge floor 0.32-0.40s vs r9's 0.46-0.86s →
     // +10.8% on 214 untouched queries). The probe series measures this
     // session's ambient floor directly: calib_floor = median(all probes,
-    // start + interleaved + closing), and sec_norm = sec × (calib_idle /
-    // calib_floor) rescales every query to the reference idle host, so
-    // round-over-round comparisons read sec_norm and stop confusing
-    // tenancy with regressions. Raw seconds stay the primary series —
+    // start + interleaved + closing), and sec_norm rescales every query
+    // to the reference idle host, so round-over-round comparisons read
+    // sec_norm and stop confusing tenancy with regressions.
+    //
+    // The normalization REFERENCE is the idle-host MID-RUN probe level,
+    // NOT the fresh-JVM idle constant: interleaved probes run inside the
+    // bench's own warm SparkSession mid-board and read ~0.70s on a
+    // provably idle host (r9/r10 judge boards: fresh start/end
+    // calibrations 0.41-0.42s, mid-run probes 0.50-0.88s, median ~0.70)
+    // because they measure the bench JVM's own steady-state pressure
+    // (heap occupancy, code-cache, block-manager residue) on top of
+    // ambient tenancy. Dividing a ~0.70s floor by the 0.45s fresh-JVM
+    // constant made norm_factor read 0.63 on an idle run — a ~37%
+    // flattery on every normalized number (round-10 verdict). With the
+    // mid-run reference, an idle board's norm_factor lands ≈1.0 and the
+    // series means what it claims. Raw seconds stay the primary series —
     // normalization is a linear model of CPU-bound contention and is
     // shipped ALONGSIDE, never instead.
+    val CalibIdleMidrunSec = sys.env.get("GRAFT_BENCH_CALIB_IDLE_MIDRUN")
+      .map(_.toDouble).getOrElse(0.70)
     val calibFloor = {
       val s = probePoints.map(_._2).sorted
       val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
-    val normFactor = CalibIdleSec / calibFloor
+    val normFactor = CalibIdleMidrunSec / calibFloor
     val qsNorm = results.collect {
       case (k, Right(sec)) => f""""$k":${sec * normFactor}%.4f"""
     }.mkString("{", ",", "}")
@@ -268,6 +282,7 @@ object Bench {
       f""""calib_start_sec":$calibStartSec%.3f,""" +
       f""""calib_end_sec":$calibEndSec%.3f,""" +
       f""""calib_idle_sec":$CalibIdleSec%.3f,""" +
+      f""""calib_idle_midrun_sec":$CalibIdleMidrunSec%.3f,""" +
       f""""calib_floor_sec":$calibFloor%.3f,""" +
       f""""norm_factor":$normFactor%.4f,""" +
       f""""total_norm_sec":$totalNorm%.2f,""" +
