@@ -386,7 +386,8 @@ object Versioned {
       if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
       else Some(k -> (row.getLong(2 * i), row.getLong(2 * i + 1)))
     }.toMap
-    val bloomCols = readBloomSidecar(fs, rootPath, parent)._1
+    val bloomCols = readBloomMeta(fs, rootPath, parent)
+      .map(_.cols).getOrElse(Nil)
     val equalitySets = keys.filter(bloomCols.contains).flatMap { k =>
       val distinctVals = updates.select(col(k).cast("long"))
         .filter(col(k).isNotNull).distinct()
@@ -782,17 +783,184 @@ object Versioned {
     (cols, files)
   }
 
-  // Per-file BLOOM sidecar (`bloom-v<N>.json`) — point-lookup skipping
-  // for high-cardinality columns where min/max intervals span the whole
-  // domain (an unsorted id column prunes nothing by range, but a 64 Kib
-  // bloom per file answers "can key X live here?" at planning time —
-  // Delta's bloom-filter-index role). Same discipline as the stats
-  // sidecar: optional metadata, missing anything keeps the file; FP
-  // saturation (too many distinct values for the bit budget) degrades
-  // pruning, never correctness.
+  // Per-file BLOOM sidecar — point-lookup skipping for high-cardinality
+  // columns where min/max intervals span the whole domain (an unsorted
+  // id column prunes nothing by range, but a 64 Kib bloom per file
+  // answers "can key X live here?" at planning time — Delta's
+  // bloom-filter-index role). Same discipline as the stats sidecar:
+  // optional metadata, missing anything keeps the file; FP saturation
+  // (too many distinct values for the bit budget) degrades pruning,
+  // never correctness.
+  //
+  // FORMAT v2 (sharded): `bloom-v<N>.json` is a small INDEX — columns,
+  // bit width, and the list of binary SHARD files (`meta/bloom-*.bin`)
+  // whose entries make up the version. Each commit writes at most one
+  // new shard holding ONLY the entries its new files need; every other
+  // shard is carried BY REFERENCE, so per-commit metadata cost is
+  // O(delta files) at any table size. The v1 format inlined every
+  // file's full bit array as decimal JSON and rewrote the whole thing
+  // each commit — ~100 KB of text per file per version, which at
+  // millions of files dwarfs the manifest by three orders of magnitude
+  // and makes commit metadata O(table); v1 sidecars remain readable,
+  // and the first commit on top of one migrates its live entries into
+  // a shard. Shards are immutable like data files; vacuum reclaims the
+  // ones no retained version's index references. A shard's key table
+  // sits in its header, so maintenance reads headers only, and the
+  // fixed-size bit arrays after it are SEEKABLE, so an equality probe
+  // reads just the admitted files' arrays, not the whole sidecar.
+  //
+  // Shard layout: magic "GBLM2" | int mBits | int nEntries |
+  //   nEntries × (int keyLen | utf8 "col|file") |
+  //   nEntries × (mBits/64 longs), same order as the key table.
 
   private def bloomPath(rootPath: Path, v: Long): Path =
     new Path(rootPath, s"bloom-v$v.json")
+
+  private val BloomShardMagic = "GBLM2"
+    .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Bloom metadata of one version: the column list, bit width, shard
+    * references (v2) and inline entries (v1 back-compat). */
+  private case class BloomMeta(cols: Seq[String], mBits: Int,
+                               shards: Seq[String],
+                               inline: Map[String, Seq[Long]])
+
+  /** Write one immutable shard under `meta/`; returns its root-relative
+    * path. Entries are (key, words) with words.length == mBits/64. */
+  private def writeBloomShard(fs: FileSystem, rootPath: Path, mBits: Int,
+                              entries: Seq[(String, Seq[Long])])
+      : String = {
+    val rel = s"meta/bloom-${java.util.UUID.randomUUID()}.bin"
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(
+        fs.create(new Path(rootPath, rel), true), 1 << 16))
+    try {
+      out.write(BloomShardMagic)
+      out.writeInt(mBits)
+      out.writeInt(entries.size)
+      entries.foreach { case (k, _) =>
+        val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+      }
+      entries.foreach { case (_, words) =>
+        require(words.size == mBits / 64,
+          s"shard entry width ${words.size} != ${mBits / 64}")
+        words.foreach(out.writeLong)
+      }
+    } finally out.close()
+    rel
+  }
+
+  /** (mBits, key table, byte offset of the first word block) from a
+    * shard's header — the cheap read maintenance does. */
+  private def readBloomShardHeader(fs: FileSystem, p: Path)
+      : (Int, Seq[String], Long) = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p), 1 << 16))
+    try {
+      val magic = new Array[Byte](BloomShardMagic.length)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, BloomShardMagic),
+        s"$p is not a bloom shard")
+      val mBits = in.readInt()
+      val n = in.readInt()
+      var offset = (BloomShardMagic.length + 8).toLong
+      val keys = (0 until n).map { _ =>
+        val len = in.readInt()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        offset += 4 + len
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      (mBits, keys, offset)
+    } finally in.close()
+  }
+
+  /** Load `needed` entries (all when null) from one shard. Small needed
+    * sets SEEK to their fixed-size word blocks instead of streaming the
+    * shard — a point lookup's planning cost tracks the files probed,
+    * not the table's entry count. */
+  private def readBloomShardEntries(fs: FileSystem, p: Path,
+                                    needed: Set[String])
+      : Map[String, Seq[Long]] = {
+    val (mBits, keys, dataOff) = readBloomShardHeader(fs, p)
+    val nWords = mBits / 64
+    val wanted = keys.zipWithIndex
+      .filter { case (k, _) => needed == null || needed(k) }
+    if (wanted.isEmpty) return Map.empty
+    val in = fs.open(p)
+    try {
+      if (wanted.size * 2 >= keys.size) {
+        // bulk: stream every block, keep the wanted ones
+        in.seek(dataOff)
+        val d = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(in, 1 << 16))
+        val wantedIdx = wanted.map(_._2).toSet
+        val all = keys.indices.map { i =>
+          val arr = new Array[Long](nWords)
+          var w = 0
+          while (w < nWords) { arr(w) = d.readLong(); w += 1 }
+          i -> arr
+        }.toMap
+        wanted.map { case (k, i) => k -> all(i).toSeq }.toMap
+      } else {
+        wanted.map { case (k, i) =>
+          in.seek(dataOff + i.toLong * nWords * 8)
+          val buf = new Array[Byte](nWords * 8)
+          in.readFully(buf)
+          val bb = java.nio.ByteBuffer.wrap(buf)
+          k -> Seq.tabulate(nWords)(_ => bb.getLong)
+        }.toMap
+      }
+    } finally in.close()
+  }
+
+  /** Parse the bloom sidecar of version v in either format. */
+  private def readBloomMeta(fs: FileSystem, rootPath: Path, v: Long)
+      : Option[BloomMeta] = {
+    val p = bloomPath(rootPath, v)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val cols = "\"bloomcols\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val shards = "\"shards\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+    shards match {
+      case Some(sh) => // v2 index
+        val mBits = "\"mbits\":\\s*(\\d+)".r.findFirstMatchIn(text)
+          .map(_.group(1).toInt).getOrElse(0)
+        Some(BloomMeta(cols, mBits, sh, Map.empty))
+      case None => // v1 inline
+        val entry = "\"([^\"]+)\":\\s*\\[([^\\]]*)\\]".r
+        val entries = text.linesIterator.flatMap { line =>
+          entry.findFirstMatchIn(line.trim).collect {
+            case m if m.group(1) != "bloomcols" =>
+              m.group(1) -> m.group(2).split(',').map(_.trim.toLong).toSeq
+          }
+        }.toMap
+        Some(BloomMeta(cols,
+          entries.headOption.map(_._2.size * 64).getOrElse(0),
+          Nil, entries))
+    }
+  }
+
+  /** Load the `needed` bloom entries of a version (later shards win
+    * over earlier ones and over inline v1 entries). */
+  private def bloomEntriesFor(fs: FileSystem, rootPath: Path,
+                              meta: BloomMeta, needed: Set[String])
+      : Map[String, Seq[Long]] =
+    meta.shards.foldLeft(
+      meta.inline.view.filterKeys(k => needed == null || needed(k)).toMap
+    ) { (acc, s) =>
+      acc ++ readBloomShardEntries(fs, resolve(rootPath, s), needed)
+    }
 
   private val BloomHashes = 4
 
@@ -808,63 +976,62 @@ object Versioned {
     }
   }
 
-  /** (bloom columns, "col|file" → words) at version v. */
-  private def readBloomSidecar(fs: FileSystem, rootPath: Path, v: Long)
-      : (Seq[String], Map[String, Seq[Long]]) = {
-    val p = bloomPath(rootPath, v)
-    if (!fs.exists(p)) return (Nil, Map.empty)
-    val in = fs.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    val cols = "\"bloomcols\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
-      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"")
-        .stripSuffix("\"")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val entry = "\"([^\"]+)\":\\s*\\[([^\\]]*)\\]".r
-    val entries = text.linesIterator.flatMap { line =>
-      entry.findFirstMatchIn(line.trim).collect {
-        case m if m.group(1) != "bloomcols" =>
-          m.group(1) -> m.group(2).split(',').map(_.trim.toLong).toSeq
-      }
-    }.toMap
-    (cols, entries)
-  }
-
   /** Maintain the bloom sidecar for version `v` — the stats carry/
-    * compute pattern, one scan per bloom column over only the files
-    * the parent doesn't cover. Word count per entry encodes m. */
+    * compute pattern, one scan per bloom column over only the files the
+    * parent doesn't cover. Writes at most ONE new shard (the delta's
+    * entries, plus a one-time migration of a v1 parent's live inline
+    * entries) and a small index referencing it alongside the parent's
+    * carried shards. */
   private def maintainBlooms(spark: SparkSession, root: String, v: Long,
                              bloomCols: Seq[String],
                              bloomBits: Int): Unit = {
     val (fs, rootPath) = fsRoot(root)
-    val (parentCols, parentEntries) = {
+    val parentMeta = {
       val pv = newestSidecarVersion(fs, v - 1, bloomPath(rootPath, _))
-      if (pv > 0) readBloomSidecar(fs, rootPath, pv)
-      else (Nil, Map.empty[String, Seq[Long]])
+      if (pv > 0) readBloomMeta(fs, rootPath, pv) else None
     }
+    val parentCols = parentMeta.map(_.cols).getOrElse(Nil)
     val cols = if (bloomCols.nonEmpty) bloomCols else parentCols
     if (cols.isEmpty) return
-    // continuing a lineage (no explicit cols) inherits the parent's bit
-    // width from its entry length, so every generation stays uniform
+    // continuing a lineage (no explicit cols) inherits the parent's
+    // bit width, so every generation stays uniform
     val mBits =
       if (bloomCols.nonEmpty) bloomBits
-      else parentEntries.headOption.map(_._2.size * 64).getOrElse(return)
+      else parentMeta.map(_.mBits).filter(_ > 0).getOrElse(return)
     require(mBits % 64 == 0 && mBits > 0,
       s"bloomBits must be a positive multiple of 64, got $mBits")
     val manifestFiles = readManifest(fs, rootPath, v)._2
-    val carriedKeys = if (cols == parentCols) parentEntries.keySet
-      else Set.empty[String]
-    val carried = manifestFiles.flatMap { f =>
-      cols.flatMap { c =>
-        val key = s"$c|$f"
-        if (carriedKeys(key)) Some(key -> parentEntries(key)) else None
-      }
-    }.toMap
+    val sameLineage = parentMeta.isDefined && cols == parentCols
+    val live = manifestFiles.toSet
+    def liveKey(k: String): Boolean =
+      live(k.substring(k.indexOf('|') + 1))
+    // carry parent shards BY REFERENCE — except ones whose every entry
+    // points at a rewritten file (merge/delete/compact churn): dropping
+    // fully-dead shards here bounds the index's shard list by live
+    // coverage, not by commit count, and lets vacuum reclaim them once
+    // the old versions retire. Header reads only.
+    val parentShardKeys: Seq[(String, Seq[String])] =
+      if (sameLineage)
+        parentMeta.get.shards.map(s =>
+          s -> readBloomShardHeader(fs, resolve(rootPath, s))._2)
+      else Nil
+    val carriedShards = parentShardKeys.collect {
+      case (s, ks) if ks.exists(liveKey) => s
+    }
+    // one-time v1 migration: the parent's inline entries still covering
+    // live files move into this commit's shard; dead entries drop
+    val migrated: Seq[(String, Seq[Long])] =
+      if (sameLineage && parentMeta.get.inline.nonEmpty)
+        parentMeta.get.inline.toSeq.collect {
+          case (k, words) if liveKey(k) => k -> words
+        }
+      else Nil
+    val covered: Set[String] = parentShardKeys
+      .filter { case (s, _) => carriedShards.contains(s) }
+      .flatMap(_._2).toSet ++ migrated.map(_._1)
     import org.apache.spark.sql.functions.{array, col, explode, expr, lit, pmod, xxhash64}
     val computed = cols.flatMap { c =>
-      val missing = manifestFiles.filter(f => !carried.contains(s"$c|$f"))
+      val missing = manifestFiles.filter(f => !covered(s"$c|$f"))
       if (missing.isEmpty) Nil
       else {
         val byPath = missing.map { f =>
@@ -896,15 +1063,17 @@ object Versioned {
           key -> words.getOrElse(key, Seq.fill(mBits / 64)(0L))
         }
       }
-    }.toMap
-    val all = carried ++ computed
-    val body = (s"""{"version": $v, "bloomcols": [""" +
-      cols.map("\"" + _ + "\"").mkString(", ") + "],") ::
-      all.toSeq.sortBy(_._1).map { case (k, s) =>
-        "\"" + k + "\": [" + s.mkString(", ") + "],"
-      }.toList
-    writeFile(fs, bloomPath(rootPath, v),
-      body.mkString("\n").stripSuffix(",") + "\n}")
+    }
+    val newEntries = (migrated ++ computed).sortBy(_._1)
+    val shards = carriedShards ++
+      (if (newEntries.nonEmpty)
+        Seq(writeBloomShard(fs, rootPath, mBits, newEntries))
+      else Nil)
+    val body = s"""{"version": $v, "bloomcols": [""" +
+      cols.map("\"" + _ + "\"").mkString(", ") +
+      s"""], "mbits": $mBits, "shards": [""" + "\n" +
+      shards.map("\"" + _ + "\"").mkString(",\n") + "\n]}"
+    writeFile(fs, bloomPath(rootPath, v), body)
   }
 
   /** Maintain the stats sidecar for freshly committed version `v`:
@@ -998,13 +1167,14 @@ object Versioned {
                             equalitySets: Map[String, Seq[Long]])
       : Seq[String] = {
     val (cols, stats) = readStatsSidecar(fs, rootPath, v)
-    val (bloomCols, blooms) = readBloomSidecar(fs, rootPath, v)
     val idx = cols.zipWithIndex.toMap
     val allBounds = bounds ++ equalitySets.collect {
       case (c, vs) if vs.nonEmpty => c -> (vs.min, vs.max)
     }
-    files.filter { f =>
-      val statsAdmit = stats.get(f).forall { s =>
+    // stats pass first: cheap interval tests over the already-parsed
+    // sidecar narrow the survivor set before any bloom bits are read
+    val statsAdmitted = files.filter { f =>
+      stats.get(f).forall { s =>
         allBounds.forall { case (c, (lo, hi)) =>
           idx.get(c).forall { i =>
             // entry layout: [rows, min0, max0, min1, max1, …]
@@ -1012,17 +1182,32 @@ object Versioned {
           }
         }
       }
-      val bloomAdmit = equalitySets.forall { case (c, values) =>
-        !bloomCols.contains(c) || values.isEmpty ||
-          blooms.get(s"$c|$f").forall { words =>
-            values.exists { value =>
-              bloomBitsOf(value, words.size * 64).forall { pos =>
-                (words(pos / 64) & (1L << (pos % 64))) != 0L
+    }
+    val probeCols = readBloomMeta(fs, rootPath, v) match {
+      case Some(meta) => equalitySets.keySet.filter(meta.cols.contains)
+      case None => Set.empty[String]
+    }
+    if (probeCols.isEmpty || statsAdmitted.isEmpty ||
+        equalitySets.forall(_._2.isEmpty)) statsAdmitted
+    else {
+      // bloom pass: load ONLY the stats-survivors' bit arrays (seeked
+      // out of the immutable shards), probe each equality value
+      val meta = readBloomMeta(fs, rootPath, v).get
+      val needed = statsAdmitted.flatMap(f =>
+        probeCols.map(c => s"$c|$f")).toSet
+      val blooms = bloomEntriesFor(fs, rootPath, meta, needed)
+      statsAdmitted.filter { f =>
+        equalitySets.forall { case (c, values) =>
+          !probeCols(c) || values.isEmpty ||
+            blooms.get(s"$c|$f").forall { words =>
+              values.exists { value =>
+                bloomBitsOf(value, words.size * 64).forall { pos =>
+                  (words(pos / 64) & (1L << (pos % 64))) != 0L
+                }
               }
             }
-          }
+        }
       }
-      statsAdmit && bloomAdmit
     }
   }
 
@@ -1197,6 +1382,26 @@ object Versioned {
       fs.listStatus(dataDir).filter(_.isDirectory)
         .filter(d => fs.listStatus(d.getPath).isEmpty)
         .foreach(d => fs.delete(d.getPath, false))
+    }
+    // bloom shards under meta/ follow the same set arithmetic as data
+    // files: referenced by a retained index → keep; referenced only by
+    // retired indexes → dead history, reclaim; referenced by nothing →
+    // orphan (possibly a concurrent writer's staged shard), grace-gated
+    val keepShards = (keepFrom to latest).flatMap(v =>
+      readBloomMeta(fs, rootPath, v).map(_.shards).getOrElse(Nil)).toSet
+    val retiredShards = (1L until keepFrom).flatMap(v =>
+      readBloomMeta(fs, rootPath, v).map(_.shards).getOrElse(Nil)).toSet
+    val metaDir = new Path(rootPath, "meta")
+    if (fs.exists(metaDir)) {
+      fs.listStatus(metaDir).filterNot(_.isDirectory).foreach { st =>
+        val r = rel(st.getPath)
+        val sweepable = !keepShards.contains(r) &&
+          (retiredShards.contains(r) ||
+            now - st.getModificationTime >= orphanGraceMs)
+        if (sweepable && fs.delete(st.getPath, false)) {
+          nDel += 1; bytes += st.getLen
+        }
+      }
     }
     (1L until keepFrom).foreach { v =>
       fs.delete(manifestPath(rootPath, v), false)

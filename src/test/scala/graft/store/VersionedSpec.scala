@@ -650,6 +650,93 @@ class VersionedSpec extends SparkSpec {
       .filter(col("k") === 303L).count() == 1L)
   }
 
+  test("bloom sidecar v2 is sharded: each commit writes one delta " +
+      "shard + a small index carrying parents by reference; vacuum " +
+      "reclaims shards no retained index lists") {
+    val root = freshRoot()
+    (0 until 3).foreach { i =>
+      Versioned.commitAppend(
+        spark.range(1000).select((col("id") * 3L + i).as("k"))
+          .coalesce(1), root,
+        statsCols = Seq("k"), bloomCols = Seq("k"))
+    }
+    def indexText(v: Long) = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(root, s"bloom-v$v.json")))
+    def shardsOf(v: Long) = "meta/bloom-[0-9a-f-]+\\.bin".r
+      .findAllIn(indexText(v)).toSeq
+    // v3's index lists exactly 3 shards: v1's and v2's by reference +
+    // one new; the per-commit write is the delta shard + index only
+    assert(shardsOf(3).size == 3 && shardsOf(3).distinct.size == 3)
+    assert(shardsOf(2).toSet.subsetOf(shardsOf(3).toSet),
+      "parent shards must carry by reference, not rewrite")
+    // the index itself stays small (no inline bit arrays)
+    assert(indexText(3).length < 1000,
+      s"v2 index unexpectedly large: ${indexText(3).length}B")
+    // an overwrite starts a fresh generation: its shard list has ONE
+    // shard and none of the old ones (their files are all dead)
+    val vNew = Versioned.commitOverwrite(
+      spark.range(50).select(col("id").as("k")).coalesce(1), root,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    assert(shardsOf(vNew).size == 1 &&
+      !shardsOf(vNew).exists(shardsOf(3).toSet))
+    // vacuum retires v1..v3; their shards are dead history, reclaimed;
+    // the retained generation's shard survives and still prunes
+    val metaDir = java.nio.file.Paths.get(root, "meta")
+    val before = java.nio.file.Files.list(metaDir).count()
+    assert(before == 4)
+    Versioned.vacuum(root, keepFrom = vNew)
+    assert(java.nio.file.Files.list(metaDir).count() == 1)
+    assert(Versioned.prunedFiles(root, Map.empty,
+      equalities = Map("k" -> 10L))._1.size == 1)
+    assert(Versioned.prunedFiles(root, Map.empty,
+      equalities = Map("k" -> 999999L))._1.isEmpty)
+  }
+
+  test("bloom sidecar v1 (inline JSON) stays readable and migrates " +
+      "into a shard on the next commit") {
+    val root = freshRoot()
+    // fileA: k entirely null → all-zero bloom (prunes every probe);
+    // fileB: admit-everything bloom (all ones) — hand-written in the
+    // legacy v1 inline format
+    Versioned.commitAppend(spark.range(10)
+      .select(lit(null).cast("long").as("k"), col("id").as("x"))
+      .coalesce(1), root, statsCols = Seq("x"))
+    Versioned.commitAppend(spark.range(10)
+      .select(col("id").as("k"), col("id").as("x")).coalesce(1), root)
+    def rels(v: Long) = Versioned.files(root, v)
+      .map(p => p.substring(p.indexOf("data/")))
+    val Seq(fileA, fileB) = rels(2L)
+    val words = 1024 // 64 Kib / 64
+    val v1Json = s"""{"version": 2, "bloomcols": ["k"],
+      |"k|$fileA": [${Seq.fill(words)("0").mkString(", ")}],
+      |"k|$fileB": [${Seq.fill(words)("-1").mkString(", ")}]
+      |}""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "bloom-v2.json"),
+      v1Json.getBytes("UTF-8"))
+    // v1 read path: the all-zero bloom prunes fileA on any equality
+    val (kept, total) = Versioned.prunedFiles(root, Map.empty, 2L,
+      equalities = Map("k" -> 5L))
+    assert(total == 2 && kept.size == 1 && kept.head.contains(
+      fileB.substring(fileB.lastIndexOf('/') + 1)))
+    // next commit migrates the live inline entries into a shard and
+    // writes a v2 index; pruning behavior is unchanged
+    Versioned.commitAppend(spark.range(10, 20)
+      .select(col("id").as("k"), col("id").as("x")).coalesce(1), root)
+    val idx3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "bloom-v3.json")))
+    assert(idx3.contains("\"shards\"") && !idx3.contains("[0, 0"))
+    // k=5 lives only in fileB (the new file holds 10..19, its real
+    // bloom prunes it); k=15 only in the new file
+    val (kept3, total3) = Versioned.prunedFiles(root, Map.empty, 3L,
+      equalities = Map("k" -> 5L))
+    assert(total3 == 3 && kept3 == kept,
+      s"post-migration probe kept ${kept3.size}/3")
+    assert(Versioned.prunedFiles(root, Map.empty, 3L,
+      equalities = Map("k" -> 15L))._1.size == 2,
+      "k=15 should admit fileB (all-ones) + the new file")
+  }
+
   test("compaction bin-packs small files copy-on-write: identical " +
       "content, fewer files, pinned parent intact, vacuum reclaims") {
     val root = freshRoot()
