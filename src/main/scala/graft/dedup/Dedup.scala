@@ -282,9 +282,13 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** Versioned-store root of the tag's admission index. */
-  private def admissionRoot(tag: String): String =
-    s"/tmp/graft_admission_$tag"
+  /** Versioned-store root of the tag's admission index: the caller's
+    * explicit `root` when given (any scheme the store supports —
+    * production indexes live next to the corpus, not on local /tmp),
+    * else a local scratch root derived from the tag (the harness
+    * default). */
+  private def admissionRoot(tag: String, root: Option[String]): String =
+    root.getOrElse(s"/tmp/graft_admission_$tag")
 
   /** Stage the STORED admission index THROUGH the versioned store: the
     * corpus's LSH band table and exact-verify shingle-array sidecar
@@ -308,10 +312,12 @@ object Dedup {
                           sourceMtime: Long, shingleN: Int = 3,
                           numHashes: Int = 12, rowsPerBand: Int = 3,
                           buckets: Int = 16,
-                          force: Boolean = false): (String, String) = {
+                          force: Boolean = false,
+                          storeRoot: Option[String] = None)
+      : (String, String) = {
     val spark = oldDocs.sparkSession
     import graft.store.Versioned
-    val root = admissionRoot(tag)
+    val root = admissionRoot(tag, storeRoot)
     // `force` restages unconditionally — benchmarks/canaries that
     // re-run the SAME tag over a DIFFERENT corpus need it, because the
     // fingerprint check below is a monotone staleness test against the
@@ -352,7 +358,7 @@ object Dedup {
       Versioned.commitStagedDir(root, stage,
         txn = Some(("source", sourceMtime)))
     }
-    admissionIndexAt(spark, tag, 0L, buckets)
+    admissionIndexAt(spark, tag, 0L, buckets, storeRoot)
   }
 
   /** Register this session's catalog tables over the admission index at
@@ -363,9 +369,11 @@ object Dedup {
     * superseded index generations under the store's retention. */
   def admissionIndexAt(spark: org.apache.spark.sql.SparkSession,
                        tag: String, version: Long = 0L,
-                       buckets: Int = 16): (String, String) = {
+                       buckets: Int = 16,
+                       storeRoot: Option[String] = None)
+      : (String, String) = {
     import graft.store.Versioned
-    val root = admissionRoot(tag)
+    val root = admissionRoot(tag, storeRoot)
     val v = if (version == 0L) Versioned.latestVersion(root) else version
     val fileList = Versioned.files(root, v)
     def dirOf(sub: String): String = {

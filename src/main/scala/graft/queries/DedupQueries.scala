@@ -732,8 +732,8 @@ object DedupQueries {
         graft.streaming.Streams.nearDupAdmissionStoredReplay(
             aug.filter(!isDelta), aug.filter(isDelta),
             tag = math.abs(dir.hashCode).toString,
-            sourceMtime = new java.io.File(s"$dir/documents.parquet")
-              .lastModified(),
+            sourceMtime = graft.util.FsMeta.mtime(
+              s"$dir/documents.parquet"),
             shingleN = 3, numHashes = 12, rowsPerBand = 3,
             threshold = 0.5)
           .select(col("a"), col("b"), Exact.micros(col("jaccard"))

@@ -1178,9 +1178,11 @@ object GraphQueries {
     // operator doc for why a direct color resume is unsound across
     // peel boundaries). Correctness claim: warm ≡ cold labeling
     // exactly, so the oracle is q121's definitional transitive-closure
-    // pair test over the FULL edge set, verbatim. Snapshot staged to
-    // /tmp (mtime-guarded) so the timed plan is the resume, not
-    // cold + resume — the q205 pattern.
+    // pair test over the FULL edge set, verbatim. Snapshot staged
+    // through the VERSIONED store (refresh = an observable overwrite
+    // commit stamped with the source fingerprint, pinned reads,
+    // vacuum-able history — the q233 pattern) so the timed plan is the
+    // resume, not cold + resume.
     QuerySpec("q210_warm_scc",
       (s, dir) => {
         val m = 600
@@ -1192,13 +1194,14 @@ object GraphQueries {
               .as("is_delta"))
         val all = li.select("src", "dst")
         val g0 = li.filter(!col("is_delta")).select("src", "dst")
-        val snapDir = s"/tmp/graft_warm_scc_${math.abs(dir.hashCode)}"
-        val marker = new java.io.File(snapDir, "_SUCCESS")
-        val liSrc = new java.io.File(s"$dir/lineitem.parquet")
-        if (!marker.exists() || marker.lastModified() < liSrc.lastModified())
-          graft.graph.Scc.run(g0)
-            .write.mode("overwrite").parquet(snapDir)
-        val snapshot = s.read.parquet(snapDir)
+        import graft.store.Versioned
+        val root = s"/tmp/graft_warm_scc_${math.abs(dir.hashCode)}"
+        val srcMtime = graft.util.FsMeta.mtime(s"$dir/lineitem.parquet")
+        if (Versioned.latestVersion(root) == 0L ||
+            Versioned.latestTxnBatch(root, "source").forall(_ < srcMtime))
+          Versioned.commitOverwrite(graft.graph.Scc.run(g0), root,
+            txn = Some(("source", srcMtime)))
+        val snapshot = Versioned.read(s, root)
         graft.graph.Scc.resume(all, snapshot).orderBy("id")
       },
       Some("""
@@ -1405,19 +1408,23 @@ object GraphQueries {
         val all = li.select("a", "b")
         val g0 = li.filter(!col("is_delta")).select("a", "b")
         val delta = li.filter(col("is_delta")).select("a", "b")
-        // Stage the converged pre-delta snapshot to /tmp once per
-        // input: in production the snapshot is yesterday's converged
-        // output already on disk, so building it inside the timed plan
-        // would charge the warm path the cold cost it exists to avoid
-        // (round-7 verdict item 2). Staleness guard: rebuild whenever
-        // the input table is newer than the staged _SUCCESS marker.
-        val snapDir = s"/tmp/graft_warm_comp_${math.abs(dir.hashCode)}"
-        val marker = new java.io.File(snapDir, "_SUCCESS")
-        val liSrc = new java.io.File(s"$dir/lineitem.parquet")
-        if (!marker.exists() || marker.lastModified() < liSrc.lastModified())
-          graft.graph.Components.run(g0, maxRounds = 60)
-            .write.mode("overwrite").parquet(snapDir)
-        val snapshot = s.read.parquet(snapDir)
+        // Stage the converged pre-delta snapshot ONCE per input, in the
+        // versioned store: in production the snapshot is yesterday's
+        // converged output already on disk, so building it inside the
+        // timed plan would charge the warm path the cold cost it exists
+        // to avoid (round-7 verdict item 2). Staleness guard: rebuild
+        // whenever the input table's fingerprint is newer than the one
+        // stamped in the snapshot's commit manifest (the q233 pattern —
+        // refresh is an observable commit, probes pin a version).
+        import graft.store.Versioned
+        val root = s"/tmp/graft_warm_comp_${math.abs(dir.hashCode)}"
+        val srcMtime = graft.util.FsMeta.mtime(s"$dir/lineitem.parquet")
+        if (Versioned.latestVersion(root) == 0L ||
+            Versioned.latestTxnBatch(root, "source").forall(_ < srcMtime))
+          Versioned.commitOverwrite(
+            graft.graph.Components.run(g0, maxRounds = 60), root,
+            txn = Some(("source", srcMtime)))
+        val snapshot = Versioned.read(s, root)
         graft.graph.Components.resume(all, snapshot, delta, maxRounds = 60)
           .select(decodeId(col("id")).as("id"),
             decodeId(col("component")).as("component"))
@@ -1695,8 +1702,7 @@ object GraphQueries {
         .localCheckpoint(false) // moveRound reads it from both union sides
       import graft.store.Versioned
       val root = s"/tmp/graft_warm_louvain_${math.abs(dir.hashCode)}"
-      val srcMtime = new java.io.File(s"$dir/lineitem.parquet")
-        .lastModified()
+      val srcMtime = graft.util.FsMeta.mtime(s"$dir/lineitem.parquet")
       if (Versioned.latestVersion(root) == 0L ||
           Versioned.latestTxnBatch(root, "source").forall(_ < srcMtime))
         Versioned.commitOverwrite(

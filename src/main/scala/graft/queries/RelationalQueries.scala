@@ -952,8 +952,7 @@ object RelationalQueries {
         // orphaned half-commit: parquet landed, no manifest rename —
         // must be invisible at every version
         ordersOf("1992-01-01", "1999-01-01").limit(100).write.parquet(
-          new java.io.File(new java.io.File(root, "data"),
-            "orphan-half-commit").getAbsolutePath)
+          s"$root/data/orphan-half-commit")
         vs.map { v =>
           graft.store.Versioned.read(s, root, v)
             .agg(count(lit(1)).as("n_orders"),
@@ -1003,8 +1002,7 @@ object RelationalQueries {
         val v3 = graft.store.Versioned.commitOverwrite(
           ordersOf("1996-01-01", "1997-01-01"), root)
         ordersOf("1992-01-01", "1999-01-01").limit(100).write.parquet(
-          new java.io.File(new java.io.File(root, "data"),
-            "orphan-half-commit").getAbsolutePath)
+          s"$root/data/orphan-half-commit")
         def rollup(phase: String) =
           graft.store.Versioned.read(s, root, v3)
             .agg(count(lit(1)).as("n_orders"),
