@@ -58,6 +58,56 @@ object Engine {
                   scoreCol: String = "score"): DataFrame =
     StoreOps.writeScores(docs, scores, idCol, scoreCol)
 
+  /** The reference's universal read path (S1/S2: id ∈ [from, to) AND
+    * ts < t, `linkgraph/store/cdb/cdb.go:25-28`) over a VERSIONED
+    * links/edges table, with FILE SKIPPING: the scan plans only the
+    * files whose stats-sidecar intervals overlap the range — on a
+    * z-ordered table the id×ts rectangle maps to a handful of files,
+    * so planning cost tracks the selection, not the table. The real
+    * predicate is applied on top (sidecar bounds prune FILES; the
+    * filter prunes rows and parquet row groups), so results are
+    * identical to an unpruned scan + filter. An all-pruned range
+    * returns an empty frame with the table's schema. */
+  def scanRange(spark: org.apache.spark.sql.SparkSession, root: String,
+                idFrom: Long, idTo: Long, tsBefore: Long,
+                idCol: String = "src", tsCol: String = "ts",
+                version: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pred = col(idCol) >= idFrom && col(idCol) < idTo &&
+      col(tsCol) < tsBefore
+    val bounds = Map(idCol -> (idFrom, idTo - 1),
+      tsCol -> (Long.MinValue, tsBefore - 1))
+    val (kept, _) = graft.store.Versioned.prunedFiles(root, bounds,
+      version)
+    if (kept.isEmpty)
+      graft.store.Versioned.read(spark, root, version).filter(pred)
+        .limit(0)
+    else spark.read.parquet(kept: _*).filter(pred)
+  }
+
+  /** S3/S4 point lookup over a versioned table: bloom + stats sidecars
+    * admit only the files that can contain the key, then the equality
+    * filter (and parquet dictionary/stats pruning inside the admitted
+    * files) does the rest. */
+  def lookup(spark: org.apache.spark.sql.SparkSession, root: String,
+             key: Long, keyCol: String = "src",
+             version: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) = graft.store.Versioned.prunedFiles(root, Map.empty,
+      version, equalities = Map(keyCol -> key))
+    if (kept.isEmpty)
+      graft.store.Versioned.read(spark, root, version)
+        .filter(col(keyCol) === key).limit(0)
+    else spark.read.parquet(kept: _*).filter(col(keyCol) === key)
+  }
+
+  /** COUNT(*) of a versioned table: metadata-only when the stats
+    * sidecar covers every file (no job runs), scan fallback otherwise. */
+  def tableCount(spark: org.apache.spark.sql.SparkSession, root: String,
+                 version: Long = 0L): Long =
+    graft.store.Versioned.metadataCount(root, version).getOrElse(
+      graft.store.Versioned.read(spark, root, version).count())
+
   /** SQL-first entry: register every testdata table as a temp view
     * (normalized exactly as [[graft.Tables.read]] does — ns-LONG
     * `events.ts` included) plus the engine's native SQL functions

@@ -19,6 +19,11 @@ import graft.util.Exact
   */
 object RelationalQueries {
 
+  // events.ts spans 2024-01-01 .. 2024-01-31; mid-range cutoff
+  // (2024-01-16T00:00:00Z) in epoch MICROS — the µs exchange precision
+  // every events timestamp uses (see SparkEntry's TsCutoff notes).
+  private val TsMidUs = 1705363200000000L
+
   def specs: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -1369,6 +1374,63 @@ object RelationalQueries {
                  AS cents,
                CAST(max(o_orderkey) AS BIGINT) AS okey
         FROM orders
-        WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)"""))
+        WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""")),
+
+    // ------------------------------------------------------------------
+    // The FACADE read path (api.Engine.scanRange/lookup/tableCount)
+    // over a z-ordered versioned links table — the reference's S1-S4
+    // scans actually USING file skipping, not just the skipping
+    // machinery exercised in isolation (q239/q244): events become a
+    // (src=user_id, ts) link table, z-ordered and committed with stats
+    // + bloom sidecars; the range+time scan plans only the files the
+    // sidecar admits (require pins it), the point lookup plans the
+    // bloom-admitted subset, and the count is metadata-only. The rollup
+    // over all three phases hash-matches the oracle's plain filters —
+    // skipping changed the PLAN, never the rows.
+    QuerySpec("q245_facade_pruned_scan",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_facade_q")
+        val links = Tables.events(s, dir).select(
+          col("user_id").as("src"), col("event_id").as("dst"),
+          expr("ts div 1000").as("ts_us"))
+        // z-order on (src, HOUR-of-month): zValue2 interleaves low
+        // 31 bits, so the time key must be scaled to a comparable
+        // cardinality as src (raw epoch-µs would wrap every ~36 min
+        // and destroy the clustering); the STORED ts_us column keeps
+        // full precision and its sidecar intervals stay tight because
+        // the sort clusters it
+        val hourKey = ((col("ts_us") - lit(1704067200000000L))
+          / lit(3600000000L)).cast("long")
+        graft.store.Versioned.commitOverwrite(
+          graft.store.Layout.zorder2(links, col("src"), hourKey,
+            nFiles = 16), root,
+          statsCols = Seq("src", "ts_us"), bloomCols = Seq("src"))
+        val scan = graft.api.Engine.scanRange(s, root,
+          idFrom = 10L, idTo = 20L, tsBefore = TsMidUs,
+          idCol = "src", tsCol = "ts_us")
+        require(scan.inputFiles.length <
+          graft.store.Versioned.files(root).size,
+          s"facade range scan pruned nothing")
+        val hit = graft.api.Engine.lookup(s, root, key = 42L,
+          keyCol = "src")
+        val metaCount = graft.api.Engine.tableCount(s, root)
+        scan.agg(count(lit(1)).as("n_range"),
+            sum(col("ts_us")).as("ts_sum"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit"),
+            sum(col("dst")).as("dst_sum")))
+          .withColumn("n_total", lit(metaCount))
+      },
+      Some(s"""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM events
+                WHERE user_id >= 10 AND user_id < 20
+                  AND epoch_us(ts) < $TsMidUs) AS n_range,
+               (SELECT CAST(sum(epoch_us(ts)) AS BIGINT) FROM events
+                WHERE user_id >= 10 AND user_id < 20
+                  AND epoch_us(ts) < $TsMidUs) AS ts_sum,
+               (SELECT CAST(count(*) AS BIGINT) FROM events
+                WHERE user_id = 42) AS n_hit,
+               (SELECT CAST(sum(event_id) AS BIGINT) FROM events
+                WHERE user_id = 42) AS dst_sum,
+               (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total"""))
   )
 }

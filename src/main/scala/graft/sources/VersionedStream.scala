@@ -180,7 +180,27 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
     known = math.max(known, endV)
     val spark = sqlContext.sparkSession
     org.apache.spark.sql.GraftStreamBridge.asStreaming(
-      batchFrame(spark, start, endV))
+      guardSchema(batchFrame(spark, start, endV), endV))
+  }
+
+  /** Fail LOUDLY when a delta batch's parquet schema drifts from the
+    * stream's declared schema — the schema is fixed at stream start, so
+    * a schema-evolution append (a later commit adding columns) landing
+    * mid-stream would otherwise surface as a confusing analysis error
+    * (or silently missing columns) somewhere downstream. Name+type
+    * comparison, nullability ignored (parquet scans tighten it freely);
+    * the remedy mirrors the overwrite guard: restart the query so it
+    * re-infers the widened schema, with mergeSchema on its own batch
+    * reads if pre-evolution files must surface the new columns. */
+  private def guardSchema(df: DataFrame, endV: Long): DataFrame = {
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType))
+    if (!shape(df.schema).sameElements(shape(schema)))
+      throw new IllegalStateException(
+        s"schema drift in versioned stream over $root at version $endV: " +
+          s"the stream declared ${schema.simpleString} but the batch " +
+          s"reads ${df.schema.simpleString} - a schema-evolution commit " +
+          "landed mid-stream; restart the query to adopt the new schema")
+    df
   }
 
   private def batchFrame(spark: org.apache.spark.sql.SparkSession,

@@ -505,4 +505,41 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 4, s"too many exchanges ($exchanges):\n${p.take(3000)}")
   }
+
+  test("facade range+time link scan over a z-ordered versioned table " +
+      "plans a PRUNED file list; point lookup plans bloom-admitted " +
+      "files; counts are metadata-only") {
+    import graft.store.{Layout, Versioned}
+    val root = graft.util.TempDirs.scratch("plan_links") + "/links"
+    // links-shaped table: (src, dst, ts) over a 64×64 id×time grid,
+    // z-ordered into 16 files so an id×ts rectangle maps to few files
+    val links = spark.range(0L, 4096L).select(
+      (col("id") % 64L).as("src"), (col("id") * 7 % 64L).as("dst"),
+      expr("id div 64").as("ts"))
+    Versioned.commitOverwrite(Layout.zorder2(links, col("src"),
+        col("ts"), nFiles = 16), root,
+      statsCols = Seq("src", "ts"), bloomCols = Seq("src"))
+    val scan = graft.api.Engine.scanRange(spark, root,
+      idFrom = 0L, idTo = 8L, tsBefore = 8L)
+    val total = Versioned.files(root).size
+    assert(total == 16, s"fixture expected 16 files, got $total")
+    assert(scan.inputFiles.length <= 4,
+      s"range scan planned ${scan.inputFiles.length}/$total files")
+    // identical results to the unpruned scan + filter
+    val full = Versioned.read(spark, root)
+      .filter(col("src") < 8L && col("ts") < 8L)
+    assert(scan.count() == full.count() && scan.count() > 0)
+    // the real predicate also reaches the parquet scan (pushed filters)
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(src,8)"),
+      p.take(2000))
+    // point lookup: bloom admits a subset of files
+    val hit = graft.api.Engine.lookup(spark, root, key = 5L)
+    assert(hit.inputFiles.length < total && hit.count() == 64L)
+    // an all-pruned probe returns an empty frame, schema intact
+    val miss = graft.api.Engine.lookup(spark, root, key = 999L)
+    assert(miss.isEmpty && miss.columns.toSeq == Seq("src", "dst", "ts"))
+    // metadata-only count: no scan needed
+    assert(graft.api.Engine.tableCount(spark, root) == 4096L)
+  }
 }

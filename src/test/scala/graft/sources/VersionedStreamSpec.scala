@@ -151,6 +151,29 @@ class VersionedStreamSpec extends SparkSpec {
       Set(1L, 2L, 3L))
   }
 
+  test("a schema-evolution commit mid-stream fails the query loudly " +
+      "instead of surfacing a downstream mismatch") {
+    val root = freshDir("vstream_ev") + "/t"
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    val q = readVersioned(root)
+      .writeStream.option("checkpointLocation", freshDir("vs_ev_ckpt"))
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    try {
+      q.processAllAvailable()
+      // q220-style evolution append: a later batch adds a column
+      Versioned.commitAppend(Seq((2L, "b", 7L)).toDF("k", "s", "extra"),
+        root)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val full = ex.getMessage +
+        Iterator.iterate(ex.getCause)(c =>
+          if (c == null) null else c.getCause)
+          .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(full.contains("schema drift"), s"unexpected failure: $full")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("an overwrite commit mid-stream fails the query loudly instead " +
       "of double-counting rewritten history") {
     val root = freshDir("vstream_ow") + "/t"
