@@ -127,14 +127,49 @@ object Versioned {
     finally out.close()
   }
 
+  /** Schemes whose `rename` is copy+delete and silently REPLACES the
+    * destination (object stores): exclusive publish must go through the
+    * conditional-put branch instead of trusting rename. Extendable via
+    * `graft.versioned.condput.schemes` (comma-separated) in the Hadoop
+    * conf; `mocks3` is the deterministic test double. */
+  private def condPutSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "mocks3") ++
+      Option(hadoopConf.get("graft.versioned.condput.schemes"))
+        .map(_.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+
   /** Atomically publish a fully-written `tmp` as `target`, failing —
     * never replacing — if `target` already exists. Returns true on
     * success, false on a detected version collision. */
   private def publishExclusive(fs: FileSystem, tmp: Path, target: Path,
                                writer: String, rootPath: Path,
                                v: Long): Boolean = {
+    val scheme = String.valueOf(target.toUri.getScheme).toLowerCase
     val won =
-      if ("file".equalsIgnoreCase(target.toUri.getScheme)) {
+      if (condPutSchemes(scheme)) {
+        // Object stores: rename is copy+delete and silently replaces,
+        // so the exclusive primitive is the CONDITIONAL PUT
+        // (If-None-Match), surfaced through the FileSystem contract as
+        // create(path, overwrite = false). On S3A the object
+        // materializes whole at close() (one PUT), so publication
+        // stays atomic; a racer's create of the same manifest fails
+        // with FileAlreadyExistsException and retries the next version.
+        val success = try {
+          val out = fs.create(target, false)
+          try {
+            val in = fs.open(tmp)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536,
+              false)
+            finally in.close()
+          } finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+        fs.delete(tmp, false)
+        success
+      } else if ("file" == scheme) {
         // POSIX link(2) is atomic create-exclusive: the one primitive a
         // local FS gives us where rename(2) silently REPLACES.
         try {

@@ -496,6 +496,41 @@ class VersionedSpec extends SparkSpec {
       .collect().toSet == Set((9L, "z")))
   }
 
+  test("mocks3:// scheme: exclusive publish goes through the " +
+      "CONDITIONAL-PUT branch; rename would silently replace, the " +
+      "loser detects the collision and retries — race coverage for " +
+      "the object-store path of publishExclusive") {
+    spark.sparkContext.hadoopConfiguration.set("fs.mocks3.impl",
+      classOf[MockS3FileSystem].getName)
+    val root = "mocks3://" + freshRoot()
+    val filesA = Versioned.stage(Seq((1L, "a")).toDF("k", "s"), root)
+    val filesB = Versioned.stage(Seq((2L, "b")).toDF("k", "s"), root)
+    var fired = false
+    val vA = Versioned.commitFiles(root, filesA, appendBase = true,
+      beforePublish = _ => {
+        if (!fired) {
+          fired = true
+          // B publishes v1 inside A's compose→publish window: A's
+          // conditional put must FAIL (object exists) — this scheme's
+          // rename would have silently replaced B's manifest
+          assert(Versioned.commitFiles(root, filesB,
+            appendBase = true) == 1L)
+        }
+      })
+    assert(vA == 2L, "A must lose v1 to B and land v2 on retry")
+    assert(Versioned.read(spark, root, 1).as[(Long, String)]
+      .collect().toSet == Set((2L, "b")))
+    assert(Versioned.read(spark, root, 2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the rest of the protocol works over the scheme too
+    val v3 = Versioned.commitOverwrite(
+      Seq((9L, "z")).toDF("k", "s"), root)
+    val (nDel, _) = Versioned.vacuum(root, v3)
+    assert(nDel > 0)
+    assert(Versioned.read(spark, root).as[(Long, String)]
+      .collect().toSet == Set((9L, "z")))
+  }
+
   test("read of an uncommitted version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
