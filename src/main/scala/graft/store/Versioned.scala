@@ -774,7 +774,11 @@ object Versioned {
   //
   // Stats are OPTIONAL metadata, never correctness: a missing sidecar,
   // a file without an entry, or a column without stats simply keeps the
-  // file in the scan. Crash window: the sidecar is written AFTER its
+  // file in the scan. Since format v2 the per-version stats-v<N>.json
+  // is a small index over binary shards (the bloom sidecar's exact
+  // sharding — see its comment below), so per-commit stats cost is
+  // O(delta files) too; v1 inline sidecars stay readable and migrate
+  // on the next commit. Crash window: the sidecar is written AFTER its
   // manifest publishes, so a crash between the two leaves a version
   // that reads fine and prunes nothing. Columns must be integer-typed
   // (the repo's exact-micros discipline); min/max ignore nulls, which
@@ -793,30 +797,65 @@ object Versioned {
                                    pathOf: Long => Path): Long =
     (from to 1L by -1L).find(x => fs.exists(pathOf(x))).getOrElse(0L)
 
-  /** (stat columns, file → flattened [rows,min0,max0,min1,max1,…]) of
-    * the sidecar at version v, or (Nil, empty) when absent. */
-  private def readStatsSidecar(fs: FileSystem, rootPath: Path, v: Long)
-      : (Seq[String], Map[String, Seq[Long]]) = {
-    val p = statsPath(rootPath, v)
-    if (!fs.exists(p)) return (Nil, Map.empty)
+  /** Parsed sidecar metadata of one version, either format: column
+    * list, shard references + entry word width (v2), inline entries
+    * (v1 back-compat). Shared by the stats and bloom sidecars — both
+    * are maps of fixed-width long vectors keyed by strings. */
+  private case class SidecarMeta(cols: Seq[String], words: Int,
+                                 shards: Seq[String],
+                                 inline: Map[String, Seq[Long]])
+
+  private def readSidecarMeta(fs: FileSystem, p: Path, colsKey: String)
+      : Option[SidecarMeta] = {
+    if (!fs.exists(p)) return None
     val in = fs.open(p)
     val text = try {
       val buf = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
       new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    val cols = "\"cols\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+    val cols = ("\"" + colsKey + "\":\\s*\\[([^\\]]*)\\]").r
+      .findFirstMatchIn(text)
       .map(_.group(1).split(',').map(_.trim.stripPrefix("\"")
         .stripSuffix("\"")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val entry = "\"([^\"]+)\":\\s*\\[([^\\]]*)\\]".r
-    val files = text.linesIterator.flatMap { line =>
-      entry.findFirstMatchIn(line.trim).collect {
-        case m if m.group(1) != "cols" =>
-          m.group(1) -> m.group(2).split(',').map(_.trim.toLong).toSeq
-      }
-    }.toMap
-    (cols, files)
+    val shards = "\"shards\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+    shards match {
+      case Some(sh) => // v2 index
+        val words = "\"words\":\\s*(\\d+)".r.findFirstMatchIn(text)
+          .map(_.group(1).toInt).getOrElse(0)
+        Some(SidecarMeta(cols, words, sh, Map.empty))
+      case None => // v1 inline
+        val entry = "\"([^\"]+)\":\\s*\\[([^\\]]*)\\]".r
+        val entries = text.linesIterator.flatMap { line =>
+          entry.findFirstMatchIn(line.trim).collect {
+            case m if m.group(1) != colsKey =>
+              m.group(1) -> m.group(2).split(',').map(_.trim.toLong).toSeq
+          }
+        }.toMap
+        Some(SidecarMeta(cols,
+          entries.headOption.map(_._2.size).getOrElse(0), Nil, entries))
+    }
   }
+
+  private def readStatsMeta(fs: FileSystem, rootPath: Path, v: Long)
+      : Option[SidecarMeta] =
+    readSidecarMeta(fs, statsPath(rootPath, v), "cols")
+
+  /** (stat columns, file → flattened [rows,min0,max0,min1,max1,…]) of
+    * the sidecar at version v, or (Nil, empty) when absent — the bulk
+    * loader for interval pruning and metadata counts, which consult
+    * every manifest file's entry anyway. */
+  private def readStatsSidecar(fs: FileSystem, rootPath: Path, v: Long)
+      : (Seq[String], Map[String, Seq[Long]]) =
+    readStatsMeta(fs, rootPath, v) match {
+      case None => (Nil, Map.empty)
+      case Some(meta) =>
+        (meta.cols, meta.shards.foldLeft(meta.inline) { (acc, s) =>
+          acc ++ readMetaShardEntries(fs, resolve(rootPath, s), null)
+        })
+    }
 
   // Per-file BLOOM sidecar — point-lookup skipping for high-cardinality
   // columns where min/max intervals span the whole domain (an unsorted
@@ -844,62 +883,62 @@ object Versioned {
   // fixed-size bit arrays after it are SEEKABLE, so an equality probe
   // reads just the admitted files' arrays, not the whole sidecar.
   //
-  // Shard layout: magic "GBLM2" | int mBits | int nEntries |
-  //   nEntries × (int keyLen | utf8 "col|file") |
-  //   nEntries × (mBits/64 longs), same order as the key table.
+  // Shard layout (shared with the stats sidecar — both are fixed-width
+  // long-vector maps): magic "GMSH2" | int words | int nEntries |
+  //   nEntries × (int keyLen | utf8 key) |
+  //   nEntries × (words longs), same order as the key table.
 
   private def bloomPath(rootPath: Path, v: Long): Path =
     new Path(rootPath, s"bloom-v$v.json")
 
-  private val BloomShardMagic = "GBLM2"
+  private val MetaShardMagic = "GMSH2"
     .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** Bloom metadata of one version: the column list, bit width, shard
-    * references (v2) and inline entries (v1 back-compat). */
-  private case class BloomMeta(cols: Seq[String], mBits: Int,
-                               shards: Seq[String],
-                               inline: Map[String, Seq[Long]])
-
-  /** Write one immutable shard under `meta/`; returns its root-relative
-    * path. Entries are (key, words) with words.length == mBits/64. */
-  private def writeBloomShard(fs: FileSystem, rootPath: Path, mBits: Int,
-                              entries: Seq[(String, Seq[Long])])
+  /** Write one immutable fixed-width shard under `meta/`; returns its
+    * root-relative path. Entries are (key, vector) with
+    * vector.length == words. Shared by the bloom sidecar (words =
+    * mBits/64 bloom words keyed "col|file") and the stats sidecar
+    * (words = 1 + 2·|cols| keyed by file). Layout: magic | int words |
+    * int n | n × (int keyLen | utf8 key) | n × (words longs). */
+  private def writeMetaShard(fs: FileSystem, rootPath: Path,
+                             prefix: String, words: Int,
+                             entries: Seq[(String, Seq[Long])])
       : String = {
-    val rel = s"meta/bloom-${java.util.UUID.randomUUID()}.bin"
+    val rel = s"meta/$prefix-${java.util.UUID.randomUUID()}.bin"
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(
         fs.create(new Path(rootPath, rel), true), 1 << 16))
     try {
-      out.write(BloomShardMagic)
-      out.writeInt(mBits)
+      out.write(MetaShardMagic)
+      out.writeInt(words)
       out.writeInt(entries.size)
       entries.foreach { case (k, _) =>
         val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         out.writeInt(b.length); out.write(b)
       }
-      entries.foreach { case (_, words) =>
-        require(words.size == mBits / 64,
-          s"shard entry width ${words.size} != ${mBits / 64}")
-        words.foreach(out.writeLong)
+      entries.foreach { case (_, vec) =>
+        require(vec.size == words,
+          s"shard entry width ${vec.size} != $words")
+        vec.foreach(out.writeLong)
       }
     } finally out.close()
     rel
   }
 
-  /** (mBits, key table, byte offset of the first word block) from a
+  /** (words, key table, byte offset of the first vector block) from a
     * shard's header — the cheap read maintenance does. */
-  private def readBloomShardHeader(fs: FileSystem, p: Path)
+  private def readMetaShardHeader(fs: FileSystem, p: Path)
       : (Int, Seq[String], Long) = {
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fs.open(p), 1 << 16))
     try {
-      val magic = new Array[Byte](BloomShardMagic.length)
+      val magic = new Array[Byte](MetaShardMagic.length)
       in.readFully(magic)
-      require(java.util.Arrays.equals(magic, BloomShardMagic),
-        s"$p is not a bloom shard")
-      val mBits = in.readInt()
+      require(java.util.Arrays.equals(magic, MetaShardMagic),
+        s"$p is not a metadata shard")
+      val words = in.readInt()
       val n = in.readInt()
-      var offset = (BloomShardMagic.length + 8).toLong
+      var offset = (MetaShardMagic.length + 8).toLong
       val keys = (0 until n).map { _ =>
         val len = in.readInt()
         val b = new Array[Byte](len)
@@ -907,19 +946,18 @@ object Versioned {
         offset += 4 + len
         new String(b, java.nio.charset.StandardCharsets.UTF_8)
       }
-      (mBits, keys, offset)
+      (words, keys, offset)
     } finally in.close()
   }
 
   /** Load `needed` entries (all when null) from one shard. Small needed
-    * sets SEEK to their fixed-size word blocks instead of streaming the
-    * shard — a point lookup's planning cost tracks the files probed,
-    * not the table's entry count. */
-  private def readBloomShardEntries(fs: FileSystem, p: Path,
-                                    needed: Set[String])
+    * sets SEEK to their fixed-size vector blocks instead of streaming
+    * the shard — a point lookup's planning cost tracks the files
+    * probed, not the table's entry count. */
+  private def readMetaShardEntries(fs: FileSystem, p: Path,
+                                   needed: Set[String])
       : Map[String, Seq[Long]] = {
-    val (mBits, keys, dataOff) = readBloomShardHeader(fs, p)
-    val nWords = mBits / 64
+    val (nWords, keys, dataOff) = readMetaShardHeader(fs, p)
     val wanted = keys.zipWithIndex
       .filter { case (k, _) => needed == null || needed(k) }
     if (wanted.isEmpty) return Map.empty
@@ -930,7 +968,6 @@ object Versioned {
         in.seek(dataOff)
         val d = new java.io.DataInputStream(
           new java.io.BufferedInputStream(in, 1 << 16))
-        val wantedIdx = wanted.map(_._2).toSet
         val all = keys.indices.map { i =>
           val arr = new Array[Long](nWords)
           var w = 0
@@ -950,51 +987,21 @@ object Versioned {
     } finally in.close()
   }
 
-  /** Parse the bloom sidecar of version v in either format. */
+  /** Parse the bloom sidecar of version v in either format. For v1
+    * inline entries, `words` is the bloom word count (mBits/64). */
   private def readBloomMeta(fs: FileSystem, rootPath: Path, v: Long)
-      : Option[BloomMeta] = {
-    val p = bloomPath(rootPath, v)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    val cols = "\"bloomcols\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
-      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"")
-        .stripSuffix("\"")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val shards = "\"shards\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
-      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"")
-        .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
-    shards match {
-      case Some(sh) => // v2 index
-        val mBits = "\"mbits\":\\s*(\\d+)".r.findFirstMatchIn(text)
-          .map(_.group(1).toInt).getOrElse(0)
-        Some(BloomMeta(cols, mBits, sh, Map.empty))
-      case None => // v1 inline
-        val entry = "\"([^\"]+)\":\\s*\\[([^\\]]*)\\]".r
-        val entries = text.linesIterator.flatMap { line =>
-          entry.findFirstMatchIn(line.trim).collect {
-            case m if m.group(1) != "bloomcols" =>
-              m.group(1) -> m.group(2).split(',').map(_.trim.toLong).toSeq
-          }
-        }.toMap
-        Some(BloomMeta(cols,
-          entries.headOption.map(_._2.size * 64).getOrElse(0),
-          Nil, entries))
-    }
-  }
+      : Option[SidecarMeta] =
+    readSidecarMeta(fs, bloomPath(rootPath, v), "bloomcols")
 
   /** Load the `needed` bloom entries of a version (later shards win
     * over earlier ones and over inline v1 entries). */
   private def bloomEntriesFor(fs: FileSystem, rootPath: Path,
-                              meta: BloomMeta, needed: Set[String])
+                              meta: SidecarMeta, needed: Set[String])
       : Map[String, Seq[Long]] =
     meta.shards.foldLeft(
       meta.inline.view.filterKeys(k => needed == null || needed(k)).toMap
     ) { (acc, s) =>
-      acc ++ readBloomShardEntries(fs, resolve(rootPath, s), needed)
+      acc ++ readMetaShardEntries(fs, resolve(rootPath, s), needed)
     }
 
   private val BloomHashes = 4
@@ -1032,7 +1039,7 @@ object Versioned {
     // bit width, so every generation stays uniform
     val mBits =
       if (bloomCols.nonEmpty) bloomBits
-      else parentMeta.map(_.mBits).filter(_ > 0).getOrElse(return)
+      else parentMeta.map(_.words * 64).filter(_ > 0).getOrElse(return)
     require(mBits % 64 == 0 && mBits > 0,
       s"bloomBits must be a positive multiple of 64, got $mBits")
     val manifestFiles = readManifest(fs, rootPath, v)._2
@@ -1048,7 +1055,7 @@ object Versioned {
     val parentShardKeys: Seq[(String, Seq[String])] =
       if (sameLineage)
         parentMeta.get.shards.map(s =>
-          s -> readBloomShardHeader(fs, resolve(rootPath, s))._2)
+          s -> readMetaShardHeader(fs, resolve(rootPath, s))._2)
       else Nil
     val carriedShards = parentShardKeys.collect {
       case (s, ks) if ks.exists(liveKey) => s
@@ -1102,11 +1109,11 @@ object Versioned {
     val newEntries = (migrated ++ computed).sortBy(_._1)
     val shards = carriedShards ++
       (if (newEntries.nonEmpty)
-        Seq(writeBloomShard(fs, rootPath, mBits, newEntries))
+        Seq(writeMetaShard(fs, rootPath, "bloom", mBits / 64, newEntries))
       else Nil)
     val body = s"""{"version": $v, "bloomcols": [""" +
       cols.map("\"" + _ + "\"").mkString(", ") +
-      s"""], "mbits": $mBits, "shards": [""" + "\n" +
+      s"""], "words": ${mBits / 64}, "shards": [""" + "\n" +
       shards.map("\"" + _ + "\"").mkString(",\n") + "\n]}"
     writeFile(fs, bloomPath(rootPath, v), body)
   }
@@ -1121,19 +1128,35 @@ object Versioned {
   private def maintainStats(spark: SparkSession, root: String, v: Long,
                             statsCols: Seq[String]): Unit = {
     val (fs, rootPath) = fsRoot(root)
-    val (parentCols, parentFiles) = {
+    val parentMeta = {
       val pv = newestSidecarVersion(fs, v - 1, statsPath(rootPath, _))
-      if (pv > 0) readStatsSidecar(fs, rootPath, pv)
-      else (Nil, Map.empty[String, Seq[Long]])
+      if (pv > 0) readStatsMeta(fs, rootPath, pv) else None
     }
+    val parentCols = parentMeta.map(_.cols).getOrElse(Nil)
     val cols = if (statsCols.nonEmpty) statsCols else parentCols
     if (cols.isEmpty) return
     val manifestFiles = readManifest(fs, rootPath, v)._2
-    val carried =
-      if (cols == parentCols)
-        manifestFiles.flatMap(f => parentFiles.get(f).map(f -> _)).toMap
-      else Map.empty[String, Seq[Long]]
-    val missing = manifestFiles.filterNot(carried.contains)
+    val sameLineage = parentMeta.isDefined && cols == parentCols
+    val live = manifestFiles.toSet
+    // carry parent shards BY REFERENCE, dropping fully-dead ones (the
+    // bloom sidecar's exact pattern — stats entries are keyed by file)
+    val parentShardKeys: Seq[(String, Seq[String])] =
+      if (sameLineage)
+        parentMeta.get.shards.map(sh =>
+          sh -> readMetaShardHeader(fs, resolve(rootPath, sh))._2)
+      else Nil
+    val carriedShards = parentShardKeys.collect {
+      case (sh, ks) if ks.exists(live) => sh
+    }
+    // one-time v1 migration of live inline entries into this shard
+    val migrated: Seq[(String, Seq[Long])] =
+      if (sameLineage && parentMeta.get.inline.nonEmpty)
+        parentMeta.get.inline.toSeq.filter(e => live(e._1))
+      else Nil
+    val covered: Set[String] = parentShardKeys
+      .filter { case (sh, _) => carriedShards.contains(sh) }
+      .flatMap(_._2).toSet ++ migrated.map(_._1)
+    val missing = manifestFiles.filterNot(covered)
     val computed: Map[String, Seq[Long]] =
       if (missing.isEmpty) Map.empty
       else {
@@ -1156,14 +1179,17 @@ object Versioned {
               .map(_ -> vals.map(_.longValue()).toSeq)
           }.toMap
       }
-    val all = carried ++ computed
-    val body = (s"""{"version": $v, "cols": [""" +
-      cols.map("\"" + _ + "\"").mkString(", ") + "],") ::
-      all.toSeq.sortBy(_._1).map { case (f, s) =>
-        "\"" + f + "\": [" + s.mkString(", ") + "],"
-      }.toList
-    writeFile(fs, statsPath(rootPath, v),
-      body.mkString("\n").stripSuffix(",") + "\n}")
+    val newEntries = (migrated ++ computed.toSeq).sortBy(_._1)
+    val words = 1 + 2 * cols.size
+    val shards = carriedShards ++
+      (if (newEntries.nonEmpty)
+        Seq(writeMetaShard(fs, rootPath, "stats", words, newEntries))
+      else Nil)
+    val body = s"""{"version": $v, "cols": [""" +
+      cols.map("\"" + _ + "\"").mkString(", ") +
+      s"""], "words": $words, "shards": [""" + "\n" +
+      shards.map("\"" + _ + "\"").mkString(",\n") + "\n]}"
+    writeFile(fs, statsPath(rootPath, v), body)
   }
 
   /** The snapshot's data files that can possibly satisfy `bounds`
@@ -1418,14 +1444,16 @@ object Versioned {
         .filter(d => fs.listStatus(d.getPath).isEmpty)
         .foreach(d => fs.delete(d.getPath, false))
     }
-    // bloom shards under meta/ follow the same set arithmetic as data
-    // files: referenced by a retained index → keep; referenced only by
-    // retired indexes → dead history, reclaim; referenced by nothing →
-    // orphan (possibly a concurrent writer's staged shard), grace-gated
-    val keepShards = (keepFrom to latest).flatMap(v =>
-      readBloomMeta(fs, rootPath, v).map(_.shards).getOrElse(Nil)).toSet
-    val retiredShards = (1L until keepFrom).flatMap(v =>
-      readBloomMeta(fs, rootPath, v).map(_.shards).getOrElse(Nil)).toSet
+    // stats/bloom shards under meta/ follow the same set arithmetic as
+    // data files: referenced by a retained index → keep; referenced
+    // only by retired indexes → dead history, reclaim; referenced by
+    // nothing → orphan (possibly a concurrent writer's staged shard),
+    // grace-gated
+    def shardsAt(v: Long): Seq[String] =
+      readBloomMeta(fs, rootPath, v).map(_.shards).getOrElse(Nil) ++
+        readStatsMeta(fs, rootPath, v).map(_.shards).getOrElse(Nil)
+    val keepShards = (keepFrom to latest).flatMap(shardsAt).toSet
+    val retiredShards = (1L until keepFrom).flatMap(shardsAt).toSet
     val metaDir = new Path(rootPath, "meta")
     if (fs.exists(metaDir)) {
       fs.listStatus(metaDir).filterNot(_.isDirectory).foreach { st =>

@@ -714,17 +714,47 @@ class VersionedSpec extends SparkSpec {
       statsCols = Seq("k"), bloomCols = Seq("k"))
     assert(shardsOf(vNew).size == 1 &&
       !shardsOf(vNew).exists(shardsOf(3).toSet))
-    // vacuum retires v1..v3; their shards are dead history, reclaimed;
-    // the retained generation's shard survives and still prunes
+    // vacuum retires v1..v3; their shards (bloom AND stats — statsCols
+    // were set, so each commit wrote one of each) are dead history,
+    // reclaimed; the retained generation's two shards survive and the
+    // probe still prunes
     val metaDir = java.nio.file.Paths.get(root, "meta")
     val before = java.nio.file.Files.list(metaDir).count()
-    assert(before == 4)
+    assert(before == 8, s"expected 8 shards (4 bloom + 4 stats), $before")
     Versioned.vacuum(root, keepFrom = vNew)
-    assert(java.nio.file.Files.list(metaDir).count() == 1)
+    assert(java.nio.file.Files.list(metaDir).count() == 2)
     assert(Versioned.prunedFiles(root, Map.empty,
       equalities = Map("k" -> 10L))._1.size == 1)
     assert(Versioned.prunedFiles(root, Map.empty,
       equalities = Map("k" -> 999999L))._1.isEmpty)
+  }
+
+  test("stats sidecar v1 (inline JSON) stays readable and migrates " +
+      "into a shard on the next commit") {
+    val root = freshRoot()
+    def append(lo: Long, hi: Long) = { Versioned.commitAppend(
+      spark.range(lo, hi).select(col("id").as("k")).coalesce(1), root); () }
+    append(0L, 100L); append(100L, 200L)
+    val Seq(fileA, fileB) = Versioned.files(root, 2L)
+      .map(p => p.substring(p.indexOf("data/")))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "stats-v2.json"),
+      s"""{"version": 2, "cols": ["k"],
+         |"$fileA": [100, 0, 99],
+         |"$fileB": [100, 100, 199]
+         |}""".stripMargin.getBytes("UTF-8"))
+    // v1 read path: interval pruning + metadata count work
+    assert(Versioned.prunedFiles(root, Map("k" -> (150L, 160L)), 2L)
+      ._1.size == 1)
+    assert(Versioned.metadataCount(root, 2L).contains(200L))
+    // next commit migrates inline entries into a shard; index is v2
+    append(200L, 300L)
+    val idx3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "stats-v3.json")))
+    assert(idx3.contains("\"shards\"") && !idx3.contains("[100, 0, 99]"))
+    assert(Versioned.prunedFiles(root, Map("k" -> (50L, 60L)), 3L)
+      ._1.size == 1)
+    assert(Versioned.metadataCount(root, 3L).contains(300L))
   }
 
   test("bloom sidecar v1 (inline JSON) stays readable and migrates " +
