@@ -1431,6 +1431,68 @@ object RelationalQueries {
                 WHERE user_id = 42) AS n_hit,
                (SELECT CAST(sum(event_id) AS BIGINT) FROM events
                 WHERE user_id = 42) AS dst_sum,
-               (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total"""))
+               (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total""")),
+
+    // ------------------------------------------------------------------
+    // RESTORE + shallow CLONE close the lakehouse lifecycle: a bad
+    // overwrite is rolled back by a FORWARD metadata-only commit (v4
+    // lists v2's files verbatim — zero data bytes move, history stays
+    // linear and the bad v3 stays time-travelable until vacuum), and a
+    // zero-copy clone forks the table for experimentation, evolving
+    // independently of the source. Three phases hash the lifecycle:
+    // restored latest ≡ the pre-overwrite contents, the bad version
+    // still readable at its pin, the clone = source + its own append
+    // while the source is untouched.
+    QuerySpec("q246_versioned_restore_clone",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_restore_q")
+        val ordersOf = (lo: String, hi: String) =>
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+              col("o_orderdate") < lit(hi).cast("timestamp"))
+            .select(col("o_orderkey"),
+              Exact.cents(col("o_totalprice")).as("cents"))
+        graft.store.Versioned.commitAppend(
+          ordersOf("1996-01-01", "1996-07-01"), root)
+        graft.store.Versioned.commitAppend(
+          ordersOf("1996-07-01", "1997-01-01"), root)
+        // the "bad" commit rewrites the table with the wrong year
+        graft.store.Versioned.commitOverwrite(
+          ordersOf("1997-01-01", "1997-07-01"), root)
+        val vr = graft.store.Versioned.commitRestore(root, 2L)
+        require(vr == 4L, s"restore must be a forward commit, got $vr")
+        val clone = graft.util.TempDirs.scratch("graft_clone_q") + "/t"
+        graft.store.Versioned.cloneShallow(root, clone)
+        graft.store.Versioned.commitAppend(
+          ordersOf("1997-07-01", "1998-01-01"), clone)
+        def rollup(phase: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_orders"),
+              sum(col("cents")).as("total_cents"))
+            .select(lit(phase).as("phase"), col("n_orders"),
+              col("total_cents"))
+        rollup("1_restored", graft.store.Versioned.read(s, root))
+          .unionByName(rollup("2_bad_pinned",
+            graft.store.Versioned.read(s, root, 3L)))
+          .unionByName(rollup("3_clone_evolved",
+            graft.store.Versioned.read(s, clone)))
+          .orderBy("phase")
+      },
+      Some(s"""
+        SELECT p.phase,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS total_cents
+        FROM (VALUES ('1_restored'), ('2_bad_pinned'),
+                     ('3_clone_evolved')) AS p(phase)
+        JOIN orders ON CASE p.phase
+          WHEN '1_restored' THEN o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          WHEN '2_bad_pinned' THEN o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-07-01'
+          ELSE (o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+            OR (o_orderdate >= TIMESTAMP '1997-07-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01') END
+        GROUP BY p.phase ORDER BY p.phase"""))
   )
 }

@@ -1366,6 +1366,62 @@ object Versioned {
     v
   }
 
+  /** ROLLBACK as a forward commit (Delta's RESTORE): publish a NEW
+    * version whose manifest lists exactly the files of `toVersion` —
+    * history stays linear and auditable (the bad versions remain
+    * time-travelable until [[vacuum]] retires them), readers of the
+    * latest snapshot see the old contents again, and the operation is
+    * metadata-only: zero data bytes move. Sidecars carry/recompute
+    * through the normal maintenance path (entries for the restored
+    * files usually carry from the restored version's own sidecar
+    * lineage). Restoring to the current version is a no-op. */
+  def commitRestore(root: String, toVersion: Long): Long = {
+    val (fs, rootPath) = fsRoot(root)
+    val latest = latestVersion(root)
+    require(toVersion >= 1 && toVersion <= latest &&
+      fs.exists(manifestPath(rootPath, toVersion)),
+      s"no committed version $toVersion at $root to restore to")
+    if (toVersion == latest) return latest
+    val files = readManifest(fs, rootPath, toVersion)._2
+    val v = commitFiles(root, files, appendBase = false,
+      expectedParent = Some(latest))
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach { spark =>
+        maintainStats(spark, root, v, Nil)
+        maintainBlooms(spark, root, v, Nil, 0)
+      }
+    v
+  }
+
+  /** SHALLOW CLONE (zero-copy fork): commit a new table at
+    * `targetRoot` whose v1 manifest references the SOURCE table's data
+    * files by absolute path — no bytes copied, planning metadata only.
+    * The clone then evolves independently: its own appends/merges land
+    * under its own root, its history never touches the source. The dev/
+    * experimentation move of every lakehouse (Delta shallow clone):
+    * fork a 100 TB table in milliseconds, try the migration, throw the
+    * clone away. Caveat (same as Delta's): the clone borrows the
+    * source's files, so a SOURCE-side vacuum that retires the
+    * referenced versions breaks the clone — pin or retain the source
+    * version for the clone's lifetime. The clone's own vacuum is safe:
+    * borrowed absolute paths live outside `targetRoot/data` and its
+    * sweep walks only its own data directory. */
+  def cloneShallow(root: String, targetRoot: String,
+                   version: Long = 0L): Long = {
+    val (fs, rootPath) = fsRoot(root)
+    val v = if (version == 0L) latestVersion(root) else version
+    require(v > 0 && fs.exists(manifestPath(rootPath, v)),
+      s"no committed version $v at $root")
+    require(latestVersion(targetRoot) == 0L,
+      s"clone target $targetRoot already has commits")
+    val absolute = readManifest(fs, rootPath, v)._2
+      .map(f => fs.makeQualified(resolve(rootPath, f)).toString)
+    val (tfs, tRootPath) = fsRoot(targetRoot)
+    tfs.mkdirs(tRootPath)
+    commitFiles(targetRoot, absolute, appendBase = false,
+      expectedParent = Some(0L))
+  }
+
   /** Garbage-collect history: retire versions < `keepFrom` and delete
     * every data file not reachable from any RETAINED manifest — which
     * also sweeps orphaned half-commits. Returns (files deleted, bytes

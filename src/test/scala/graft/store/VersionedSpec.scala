@@ -531,6 +531,52 @@ class VersionedSpec extends SparkSpec {
       .collect().toSet == Set((9L, "z")))
   }
 
+  test("restore publishes an old snapshot as a NEW version (metadata " +
+      "only, history stays linear); clone forks a zero-copy table " +
+      "that evolves independently") {
+    val root = freshRoot()
+    Versioned.commitAppend(
+      spark.range(0L, 10L).select(col("id").as("k")).coalesce(1), root,
+      statsCols = Seq("k"))
+    Versioned.commitAppend(
+      spark.range(10L, 20L).select(col("id").as("k")).coalesce(1), root)
+    // "bad" commit rewrites everything; restore rolls forward to v2
+    Versioned.commitOverwrite(
+      spark.range(90L, 95L).select(col("id").as("k")).coalesce(1), root)
+    val vr = Versioned.commitRestore(root, 2L)
+    assert(vr == 4L, "restore must be a forward commit")
+    assert(Versioned.read(spark, root).as[Long].collect().toSet ==
+      (0L until 20L).toSet)
+    // metadata-only: the restored manifest lists v2's files verbatim
+    assert(Versioned.files(root, 4L).toSet ==
+      Versioned.files(root, 2L).toSet)
+    // the bad version stays time-travelable until vacuumed
+    assert(Versioned.read(spark, root, 3L).count() == 5L)
+    // sidecar lineage survived the round trip: stats still prune
+    assert(Versioned.prunedFiles(root, Map("k" -> (15L, 16L)))._1
+      .size == 1)
+    // restoring to the current version is a no-op
+    assert(Versioned.commitRestore(root, 4L) == 4L)
+
+    // shallow clone: v1 of the clone references the SOURCE's files
+    val clone = freshRoot() + "/clone"
+    assert(Versioned.cloneShallow(root, clone) == 1L)
+    assert(Versioned.read(spark, clone).as[Long].collect().toSet ==
+      (0L until 20L).toSet)
+    // the clone evolves independently of the source...
+    Versioned.commitAppend(Seq(100L).toDF("k"), clone)
+    assert(Versioned.read(spark, clone).count() == 21L)
+    assert(Versioned.read(spark, root).count() == 20L)
+    // ...and its own vacuum never touches borrowed source files
+    Versioned.commitOverwrite(Seq(200L).toDF("k"), clone)
+    Versioned.vacuum(clone, keepFrom = Versioned.latestVersion(clone))
+    assert(Versioned.read(spark, root).count() == 20L)
+    // a second clone into a non-empty target fails loudly
+    intercept[IllegalArgumentException] {
+      Versioned.cloneShallow(root, clone)
+    }
+  }
+
   test("read of an uncommitted version fails loudly") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
