@@ -493,6 +493,23 @@ object Demo {
     println(s"   ${store.Versioned.latestVersion(pipeOut)} replicated " +
       s"commits, ${store.Versioned.read(spark, pipeOut).count()} rows")
 
+    // ---- lifecycle closers: a bad overwrite rolled back by a FORWARD
+    // metadata-only RESTORE, and a zero-copy CLONE forked for a
+    // throwaway experiment
+    println("== restore (metadata-only rollback) + shallow clone")
+    store.Versioned.commitOverwrite(
+      spark.range(99, 100).select(col("id").as("k")), pipeOut)
+    val restored = store.Versioned.commitRestore(pipeOut,
+      store.Versioned.latestVersion(pipeOut) - 1)
+    val demoClone = graft.util.TempDirs.scratch("demo_clone") + "/t"
+    store.Versioned.cloneShallow(pipeOut, demoClone)
+    store.Versioned.commitAppend(
+      spark.range(100, 103).select(col("id").as("k")), demoClone)
+    println(s"   restored v$restored " +
+      s"(${store.Versioned.read(spark, pipeOut).count()} rows), clone " +
+      s"evolved to ${store.Versioned.read(spark, demoClone).count()} " +
+      s"rows, source untouched")
+
     // ---- z-order + manifest stats: plan only the files a box can hit
     val zroot = graft.util.TempDirs.scratch("demo_zorder")
     store.Versioned.commitOverwrite(

@@ -408,11 +408,15 @@ object Versioned {
     * Files the sidecars can't vouch for (missing entries, non-integral
     * keys) stay candidates — pruning is an optimization, never a
     * correctness gate. */
-  private[store] def pruneMergeScan(updates: DataFrame, root: String,
+  private[graft] def pruneMergeScan(updates: DataFrame, root: String,
                                     parent: Long, parentFiles: Seq[String],
                                     keys: Seq[String])
       : (Seq[String], Seq[String]) = {
     val (fs, rootPath) = fsRoot(root)
+    // pruning can't pay for its own planning jobs on a handful of
+    // files — scan them all (at 100 TB file counts this branch never
+    // takes; at spec/test scale it keeps merge latency flat)
+    if (parentFiles.size < 4) return (parentFiles, Nil)
     import org.apache.spark.sql.functions.{col, max, min}
     val aggs = keys.flatMap(k =>
       Seq(min(col(k).cast("long")), max(col(k).cast("long"))))
@@ -421,8 +425,14 @@ object Versioned {
       if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
       else Some(k -> (row.getLong(2 * i), row.getLong(2 * i + 1)))
     }.toMap
-    val bloomCols = readBloomMeta(fs, rootPath, parent)
-      .map(_.cols).getOrElse(Nil)
+    // stage 1: bounds alone (stats sidecar, no extra jobs)
+    val byBounds = admittedFiles(fs, rootPath, parent, parentFiles,
+      bounds, Map.empty)
+    // stage 2: the per-column bloom probe pays one distinct-collect
+    // job per key column — only worth it while many candidates remain
+    val bloomCols =
+      if (byBounds.size < 8) Nil
+      else readBloomMeta(fs, rootPath, parent).map(_.cols).getOrElse(Nil)
     val equalitySets = keys.filter(bloomCols.contains).flatMap { k =>
       val distinctVals = updates.select(col(k).cast("long"))
         .filter(col(k).isNotNull).distinct()
@@ -430,8 +440,10 @@ object Versioned {
       if (distinctVals.size > MergeBloomProbeMax) None
       else Some(k -> distinctVals)
     }.toMap
-    val candidates = admittedFiles(fs, rootPath, parent, parentFiles,
-      bounds, equalitySets)
+    val candidates =
+      if (equalitySets.isEmpty) byBounds
+      else admittedFiles(fs, rootPath, parent, byBounds, Map.empty,
+        equalitySets)
     val c = candidates.toSet
     (candidates, parentFiles.filterNot(c))
   }
@@ -792,10 +804,16 @@ object Versioned {
     * so a crash (or a concurrent writer's late sidecar) can leave one
     * version without one; continuing the lineage from the newest
     * EXISTING sidecar means that gap degrades pruning for that one
-    * version's files only — not for every version after it. */
+    * version's files only — not for every version after it. The
+    * lookback is BOUNDED (each crash window loses at most one version,
+    * so a handful covers any realistic pile-up): an unbounded scan
+    * would cost O(versions) exists() calls per commit on stores that
+    * never enabled the sidecar — quadratic FS metadata traffic over a
+    * streaming sink's lifetime for nothing. */
   private def newestSidecarVersion(fs: FileSystem, from: Long,
                                    pathOf: Long => Path): Long =
-    (from to 1L by -1L).find(x => fs.exists(pathOf(x))).getOrElse(0L)
+    (from to math.max(1L, from - 7L) by -1L)
+      .find(x => fs.exists(pathOf(x))).getOrElse(0L)
 
   /** Parsed sidecar metadata of one version, either format: column
     * list, shard references + entry word width (v2), inline entries

@@ -768,10 +768,44 @@ object ScaleCanary {
     }
     require(zPruned == zFull,
       s"file skipping lost rows: $zPruned != $zFull")
-    graft.store.Versioned.vacuum(zroot,
-      graft.store.Versioned.latestVersion(zroot))
     println(s"[canary]   z-order skipping kept ${zKept.size}/$zTotal " +
       s"files, box rows=$zPruned (pruned == full)")
+
+    // Sidecar-pruned MERGE at 5M rows / 64 files: upserting keys inside
+    // ONE z-cell's box must pre-prune the copy-on-write match scan to
+    // the sidecar-admitted minority (the whole point — before, the
+    // semi-join probe scanned all 64 files' key columns), rewrite only
+    // the files that really hold matches, and carry every skipped file
+    // verbatim into the new manifest.
+    val zParentFiles = graft.store.Versioned.files(zroot)
+      .map(p => p.substring(p.indexOf("data/")))
+    val updates = zdf.filter(col("x") <= 63L && col("y") <= 63L)
+      .select(col("x"), col("y"), (col("payload") + 1000000000L)
+        .as("payload"))
+      .groupBy("x", "y").agg(max(col("payload")).as("payload"))
+    val (mCand, mSkip) = time("merge pre-prune plan (5M)") {
+      graft.store.Versioned.pruneMergeScan(updates, zroot,
+        graft.store.Versioned.latestVersion(zroot), zParentFiles,
+        Seq("x", "y"))
+    }
+    require(mCand.size <= 8 && mCand.size + mSkip.size == 64,
+      s"merge pre-prune admitted ${mCand.size}/64 files for a 1/64 box")
+    val preMergeCount = graft.store.Versioned.read(spark, zroot).count()
+    val vm = time("sidecar-pruned merge commit (5M)") {
+      graft.store.Versioned.commitMerge(updates, zroot, Seq("x", "y"))
+    }
+    val postFiles = graft.store.Versioned.files(zroot, vm)
+      .map(p => p.substring(p.indexOf("data/"))).toSet
+    require(mSkip.forall(postFiles.contains),
+      "a sidecar-skipped file was rewritten by the merge")
+    val merged = graft.store.Versioned.read(spark, zroot, vm)
+    val upCount = updates.count()
+    require(merged.filter(col("payload") >= 1000000000L).count()
+      == upCount, "merge lost upserted rows")
+    println(s"[canary]   merge pre-prune ${mCand.size}/64 candidate " +
+      s"files, $upCount keys upserted, skipped files carried verbatim")
+    graft.store.Versioned.vacuum(zroot,
+      graft.store.Versioned.latestVersion(zroot))
 
     // Gopher quality rules at 500k docs: one scan-fused integer
     // projection — the rule pass prices at scan throughput. The

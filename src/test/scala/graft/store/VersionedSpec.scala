@@ -386,26 +386,37 @@ class VersionedSpec extends SparkSpec {
       spark.range(lo, hi).select(col("id").as("k"),
         (col("id") * 10).as("v")).coalesce(1), root,
       statsCols = Seq("k"), bloomCols = Seq("k")); () }
-    append(0L, 100L); append(100L, 200L); append(200L, 300L)
+    // 8 disjoint-range files: enough that both pruning stages engage
+    // (tiny tables short-circuit — pruning can't pay for its planning
+    // jobs on a handful of files)
+    (0 until 8).foreach(i => append(i * 100L, (i + 1) * 100L))
     def rels(v: Long) = Versioned.files(root, v)
       .map(p => p.substring(p.indexOf("data/")))
     val parent = Versioned.latestVersion(root)
     val parentRels = rels(parent)
 
-    // bounds pruning: updates keyed inside the middle file's range
+    // bounds pruning: updates keyed inside ONE file's range
     val upd = Seq((150L, -1L), (151L, -2L)).toDF("k", "v")
     val (cands, skipped) =
       Versioned.pruneMergeScan(upd, root, parent, parentRels, Seq("k"))
-    assert(cands.size == 1 && skipped.size == 2,
+    assert(cands.size == 1 && skipped.size == 7,
       s"bounds pruned to ${cands.size} candidates of ${parentRels.size}")
 
-    // bloom pruning where bounds cannot: keys {5, 295} span the whole
-    // domain, only the bloom knows the middle file holds neither
-    val updSpan = Seq((5L, -3L), (295L, -4L)).toDF("k", "v")
+    // bloom pruning where bounds cannot: keys {5, 795} span the whole
+    // domain (bounds admit all 8), only the blooms know the middle
+    // files hold neither
+    val updSpan = Seq((5L, -3L), (795L, -4L)).toDF("k", "v")
     val (cands2, _) = Versioned.pruneMergeScan(updSpan, root, parent,
       parentRels, Seq("k"))
     assert(cands2.size == 2,
-      s"bloom should exclude the middle file, kept ${cands2.size}")
+      s"bloom should exclude the middle files, kept ${cands2.size}")
+
+    // a tiny table never pays the pruning jobs: all files candidates
+    val tiny = freshRoot()
+    Versioned.commitAppend(Seq((1L, 1L)).toDF("k", "v"), tiny,
+      statsCols = Seq("k"))
+    assert(Versioned.pruneMergeScan(upd, tiny, 1L,
+      rels(parent).take(1), Seq("k"))._2.isEmpty)
 
     // end-to-end merge: the two skipped files' entries ride VERBATIM
     // into the new manifest, contents match a full-scan merge
