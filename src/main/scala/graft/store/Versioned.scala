@@ -1465,9 +1465,14 @@ object Versioned {
     * provably dead history and always reclaim regardless of age. The
     * replay harness is single-threaded, so 0 (sweep everything) is its
     * correct default; production vacuums against live writers should
-    * pass a grace comfortably above the longest staging write. */
+    * pass a grace comfortably above the longest staging write.
+    *
+    * `dryRun` reports what WOULD be reclaimed (count, bytes) without
+    * deleting anything — the answer to "how much history am I about to
+    * lose?" before an irreversible sweep (Delta's VACUUM DRY RUN). */
   def vacuum(root: String, keepFrom: Long,
-             orphanGraceMs: Long = 0L): (Long, Long) = {
+             orphanGraceMs: Long = 0L,
+             dryRun: Boolean = false): (Long, Long) = {
     val (fs, rootPath) = fsRoot(root)
     val latest = latestVersion(root)
     require(keepFrom >= 1 && keepFrom <= latest,
@@ -1509,14 +1514,15 @@ object Versioned {
         val r = rel(p)
         val sweepable = !keep.contains(r) &&
           (retired.contains(r) || now - mtime >= orphanGraceMs)
-        if (sweepable && fs.delete(p, false)) {
+        if (sweepable && (dryRun || fs.delete(p, false))) {
           nDel += 1; bytes += sz
         }
       }
       // drop now-empty commit directories, then the retired manifests
-      fs.listStatus(dataDir).filter(_.isDirectory)
-        .filter(d => fs.listStatus(d.getPath).isEmpty)
-        .foreach(d => fs.delete(d.getPath, false))
+      if (!dryRun)
+        fs.listStatus(dataDir).filter(_.isDirectory)
+          .filter(d => fs.listStatus(d.getPath).isEmpty)
+          .foreach(d => fs.delete(d.getPath, false))
     }
     // stats/bloom shards under meta/ follow the same set arithmetic as
     // data files: referenced by a retained index → keep; referenced
@@ -1535,12 +1541,12 @@ object Versioned {
         val sweepable = !keepShards.contains(r) &&
           (retiredShards.contains(r) ||
             now - st.getModificationTime >= orphanGraceMs)
-        if (sweepable && fs.delete(st.getPath, false)) {
+        if (sweepable && (dryRun || fs.delete(st.getPath, false))) {
           nDel += 1; bytes += st.getLen
         }
       }
     }
-    (1L until keepFrom).foreach { v =>
+    if (!dryRun) (1L until keepFrom).foreach { v =>
       fs.delete(manifestPath(rootPath, v), false)
       fs.delete(statsPath(rootPath, v), false)
       fs.delete(bloomPath(rootPath, v), false)

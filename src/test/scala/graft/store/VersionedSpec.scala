@@ -69,6 +69,23 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("vacuum dry-run reports what the sweep would reclaim without " +
+      "deleting anything") {
+    val root = freshRoot()
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    Versioned.commitAppend(Seq((2L, "b")).toDF("k", "s"), root)
+    val v3 = Versioned.commitOverwrite(
+      Seq((9L, "z")).toDF("k", "s"), root)
+    val (wouldDel, wouldBytes) = Versioned.vacuum(root, v3, dryRun = true)
+    assert(wouldDel > 0 && wouldBytes > 0)
+    // nothing was touched: every version still reads
+    assert(Versioned.read(spark, root, 1).count() == 1)
+    assert(Versioned.read(spark, root, 2).count() == 2)
+    // the real sweep reclaims exactly what the dry run predicted
+    assert(Versioned.vacuum(root, v3) == ((wouldDel, wouldBytes)))
+    assert(Versioned.read(spark, root, v3).count() == 1)
+  }
+
   test("vacuum keeps files shared between retired and retained versions") {
     val root = freshRoot()
     Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
