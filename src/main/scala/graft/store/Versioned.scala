@@ -1262,16 +1262,16 @@ object Versioned {
         }
       }
     }
-    val probeCols = readBloomMeta(fs, rootPath, v) match {
-      case Some(meta) => equalitySets.keySet.filter(meta.cols.contains)
-      case None => Set.empty[String]
-    }
+    val bloomMeta = readBloomMeta(fs, rootPath, v)
+    val probeCols = bloomMeta.map(m =>
+      equalitySets.keySet.filter(m.cols.contains))
+      .getOrElse(Set.empty[String])
     if (probeCols.isEmpty || statsAdmitted.isEmpty ||
         equalitySets.forall(_._2.isEmpty)) statsAdmitted
     else {
       // bloom pass: load ONLY the stats-survivors' bit arrays (seeked
       // out of the immutable shards), probe each equality value
-      val meta = readBloomMeta(fs, rootPath, v).get
+      val meta = bloomMeta.get
       val needed = statsAdmitted.flatMap(f =>
         probeCols.map(c => s"$c|$f")).toSet
       val blooms = bloomEntriesFor(fs, rootPath, meta, needed)
