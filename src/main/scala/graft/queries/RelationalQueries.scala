@@ -1493,6 +1493,52 @@ object RelationalQueries {
             AND o_orderdate < TIMESTAMP '1997-01-01')
             OR (o_orderdate >= TIMESTAMP '1997-07-01'
             AND o_orderdate < TIMESTAMP '1998-01-01') END
-        GROUP BY p.phase ORDER BY p.phase"""))
+        GROUP BY p.phase ORDER BY p.phase""")),
+
+    // ------------------------------------------------------------------
+    // Three-dimensional z-order: the reference's link table is
+    // (src, dst, ts), and its read paths filter on ANY of the three —
+    // a 2-dim layout leaves the third dimension unprunable. zValueN
+    // interleaves all three into ⌊63/3⌋ bits each; the stats-enabled
+    // commit then gives per-file intervals tight in all three, so a
+    // 3-dim box plans a minority of files (require pins it) and the
+    // rollup hash-matches the oracle's plain filter.
+    QuerySpec("q247_zorder3_box",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_z3_q")
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("src"), col("l_partkey").as("dst"),
+          col("l_suppkey").as("ts3"))
+        graft.store.Versioned.commitOverwrite(
+          graft.store.Layout.zorderN(li,
+            Seq(col("src"), col("dst"), col("ts3")), nFiles = 32),
+          root, statsCols = Seq("src", "dst", "ts3"))
+        // SF-proportional box: the lower quarter of each dimension's
+        // domain (a fixed box covers the whole table at small SFs and
+        // nothing could prune)
+        val mx = li.agg(max(col("src")), max(col("dst")),
+          max(col("ts3"))).head()
+        val bounds = Map("src" -> (0L, mx.getLong(0) / 4),
+          "dst" -> (0L, mx.getLong(1) / 4),
+          "ts3" -> (0L, mx.getLong(2) / 4))
+        val (kept, total) = graft.store.Versioned.prunedFiles(root,
+          bounds)
+        require(kept.size < total,
+          s"3-dim z skipping pruned nothing: ${kept.size} of $total")
+        graft.store.Versioned.readPruned(s, root, bounds)
+          .filter(col("src") <= mx.getLong(0) / 4 &&
+            col("dst") <= mx.getLong(1) / 4 &&
+            col("ts3") <= mx.getLong(2) / 4)
+          .agg(count(lit(1)).as("n_rows"), sum(col("src")).as("src_sum"),
+            sum(col("dst")).as("dst_sum"))
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(l_orderkey) AS BIGINT) AS src_sum,
+               CAST(sum(l_partkey) AS BIGINT) AS dst_sum
+        FROM lineitem
+        WHERE l_orderkey <= (SELECT max(l_orderkey) // 4 FROM lineitem)
+          AND l_partkey <= (SELECT max(l_partkey) // 4 FROM lineitem)
+          AND l_suppkey <= (SELECT max(l_suppkey) // 4 FROM lineitem)"""))
   )
 }

@@ -40,6 +40,38 @@ object Layout {
   def zValue2(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
+  /** Morton Z-value of k ≥ 2 non-negative integral columns: column j
+    * contributes its low ⌊63/k⌋ bits to positions i·k + j. Values must
+    * be pre-scaled into that bit budget (21 bits each for three
+    * columns, 15 for four) — the same caveat as [[zValue2]]'s 31 bits,
+    * just tighter; a reference-shaped `(src, dst, ts)` link table
+    * z-ordered on all three gets file-level skipping on any of the
+    * three predicates at once. Built from shift/and/or folds only —
+    * ~63 codegen'd integer ops regardless of k, no custom expression,
+    * SQL-expressible for oracles. */
+  def zValueN(cols: Seq[Column]): Column = {
+    val k = cols.size
+    require(k >= 2, s"zValueN needs at least 2 columns, got $k")
+    val bits = 63 / k
+    cols.zipWithIndex.map { case (x, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)),
+          i * k + j)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** k-dimensional [[zorder2]]: range-partition and sort by
+    * [[zValueN]], helper dropped. */
+  def zorderN(df: DataFrame, cols: Seq[Column], nFiles: Int)
+      : DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    df.withColumn("__z", zValueN(cols))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** `df` z-clustered on two dimensions as a DataFrame: range-partition
     * and sort by the Z-value, helper column dropped. One output
     * partition = one file when committed through [[Versioned]], so a

@@ -65,4 +65,59 @@ class LayoutSpec extends SparkSpec {
       assert(zDay < total, s"z layout scanned $zDay of $total on ts range")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("zValueN: hand-computed 3-way interleave; agrees with zValue2 " +
+      "at k=2 on the shared bit budget") {
+    import spark.implicits._
+    // k=3: bit i of column j lands at position 3i+j
+    // x=1 (j=0) -> bit 0; y=1 (j=1) -> bit 1; z=1 (j=2) -> bit 2
+    val row = Seq((1L, 1L, 1L)).toDF("x", "y", "z")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("z")))
+        .as("zv")).as[Long].head()
+    assert(row == 7L, s"(1,1,1) -> $row, expected 0b111")
+    val row2 = Seq((2L, 0L, 1L)).toDF("x", "y", "z")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("z")))
+        .as("zv")).as[Long].head()
+    // x=2 -> bit 1 of j=0 -> position 3; z=1 -> position 2
+    assert(row2 == 12L, s"(2,0,1) -> $row2, expected 0b1100")
+    // k=2 zValueN ≡ zValue2 on values inside both budgets (31 bits)
+    val both = spark.range(1000).select(
+        (col("id") * 2654435761L % 1000000L).as("a"),
+        (col("id") * 40503L % 1000000L).as("b"))
+      .select(Layout.zValueN(Seq(col("a"), col("b"))).as("n"),
+        Layout.zValue2(col("a"), col("b")).as("two"))
+      .filter(col("n") =!= col("two")).count()
+    assert(both == 0L, s"$both rows diverge between zValueN and zValue2")
+  }
+
+  test("3-dim z-order + versioned stats prune a box on ANY of the " +
+      "three link-table dimensions") {
+    val root = java.nio.file.Files
+      .createTempDirectory("layout_z3").toString + "/links"
+    // (src, dst, ts) in a 256^3 cube, 5 bits of entropy per dim used
+    val links = spark.range(0L, 65536L).select(
+      (col("id") * 2654435761L % 256L).as("src"),
+      (col("id") * 40503L % 256L).as("dst"),
+      (col("id") % 256L).as("ts"))
+    Versioned.commitOverwrite(
+      Layout.zorderN(links, Seq(col("src"), col("dst"), col("ts")),
+        nFiles = 64), root,
+      statsCols = Seq("src", "dst", "ts"))
+    def keptFor(b: Map[String, (Long, Long)]) =
+      Versioned.prunedFiles(root, b)._1.size
+    // a 1/8-per-dim box must plan a small minority of the 64 files
+    assert(keptFor(Map("src" -> (0L, 31L), "dst" -> (0L, 31L),
+      "ts" -> (0L, 31L))) <= 8)
+    // single-dimension ranges prune on EACH dimension independently
+    assert(keptFor(Map("src" -> (0L, 31L))) < 64)
+    assert(keptFor(Map("dst" -> (0L, 31L))) < 64)
+    assert(keptFor(Map("ts" -> (0L, 31L))) < 64)
+    // correctness: pruned scan ≡ full scan under the real predicate
+    val pred = col("src") <= 31L && col("dst") <= 31L && col("ts") <= 31L
+    val pruned = Versioned.readPruned(spark, root,
+        Map("src" -> (0L, 31L), "dst" -> (0L, 31L), "ts" -> (0L, 31L)))
+      .filter(pred).count()
+    val full = Versioned.read(spark, root).filter(pred).count()
+    assert(pruned == full && full > 0)
+  }
 }
