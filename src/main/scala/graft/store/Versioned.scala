@@ -918,7 +918,7 @@ object Versioned {
     * mBits/64 bloom words keyed "col|file") and the stats sidecar
     * (words = 1 + 2·|cols| keyed by file). Layout: magic | int words |
     * int n | n × (int keyLen | utf8 key) | n × (words longs). */
-  private def writeMetaShard(fs: FileSystem, rootPath: Path,
+  private[store] def writeMetaShard(fs: FileSystem, rootPath: Path,
                              prefix: String, words: Int,
                              entries: Seq[(String, Seq[Long])])
       : String = {
@@ -972,7 +972,7 @@ object Versioned {
     * sets SEEK to their fixed-size vector blocks instead of streaming
     * the shard — a point lookup's planning cost tracks the files
     * probed, not the table's entry count. */
-  private def readMetaShardEntries(fs: FileSystem, p: Path,
+  private[store] def readMetaShardEntries(fs: FileSystem, p: Path,
                                    needed: Set[String])
       : Map[String, Seq[Long]] = {
     val (nWords, keys, dataOff) = readMetaShardHeader(fs, p)

@@ -803,6 +803,45 @@ class VersionedSpec extends SparkSpec {
       equalities = Map("k" -> 999999L))._1.isEmpty)
   }
 
+  test("metadata shard format roundtrips randomized entries — bulk " +
+      "read, selective seek read, header-only key table") {
+    val root = freshRoot()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRaw
+    val rootPath = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val words = 1 + rnd.nextInt(16)
+      val n = 1 + rnd.nextInt(200)
+      val entries = (0 until n).map { i =>
+        // keys with unicode + the col|path shape the sidecars use
+        val k = s"col$i|data/ü${rnd.alphanumeric.take(rnd.nextInt(40))
+          .mkString}/part-$i.parquet"
+        k -> Seq.fill(words)(rnd.nextLong())
+      }
+      val rel = Versioned.writeMetaShard(fs, rootPath, s"t$trial",
+        words, entries)
+      val p = new org.apache.hadoop.fs.Path(rootPath, rel)
+      // bulk read (needed = null) returns every entry verbatim
+      assert(Versioned.readMetaShardEntries(fs, p, null) ==
+        entries.toMap, s"trial $trial bulk roundtrip")
+      // selective read seeks only a minority subset, still verbatim
+      val subset = entries.indices.filter(_ % 7 == 0)
+        .map(entries(_)._1).toSet
+      val sel = Versioned.readMetaShardEntries(fs, p, subset)
+      assert(sel == entries.filter(e => subset(e._1)).toMap,
+        s"trial $trial selective roundtrip")
+      // unknown keys read as absent, never as garbage
+      assert(Versioned.readMetaShardEntries(fs, p,
+        Set("col0|no/such/file")).isEmpty)
+    }
+    // width mismatch is a loud writer-side error
+    intercept[IllegalArgumentException] {
+      Versioned.writeMetaShard(fs, rootPath, "bad", 4,
+        Seq("k" -> Seq(1L, 2L)))
+    }
+  }
+
   test("stats sidecar v1 (inline JSON) stays readable and migrates " +
       "into a shard on the next commit") {
     val root = freshRoot()
