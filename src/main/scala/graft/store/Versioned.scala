@@ -1359,9 +1359,16 @@ object Versioned {
     * small files until [[vacuum]] retires it. Stats sidecar entries
     * carry over for untouched files and recompute for the packed ones.
     * Returns the new version, or the current one when fewer than two
-    * files qualify (nothing to pack). Conflict-detects like merge. */
+    * files qualify (nothing to pack). Conflicts RESOLVE rather than
+    * fail where that is provably safe: a concurrent blind append is
+    * compatible with a rewrite that changes no row, so the commit
+    * recomposes on the new snapshot and retries; a concurrent commit
+    * that removed one of the files being packed (merge/delete/another
+    * compaction) still raises ConcurrentModificationException.
+    * `beforePublish` is the test seam for exactly that window. */
   def commitCompact(spark: SparkSession, root: String,
-                    smallBytes: Long = 64L << 20): Long = {
+                    smallBytes: Long = 64L << 20,
+                    beforePublish: Long => Unit = _ => ()): Long = {
     val (fs, rootPath) = fsRoot(root)
     val parent = latestVersion(root)
     require(parent > 0, s"no committed version at $root")
@@ -1377,11 +1384,37 @@ object Versioned {
     val packed = spark.read
       .parquet(small.map(p => resolve(rootPath, p._1).toString): _*)
       .coalesce(nOut)
-    val v = commitFiles(root, big.map(_._1) ++ stage(packed, root),
-      appendBase = false, expectedParent = Some(parent))
-    maintainStats(spark, root, v, Nil)
-    maintainBlooms(spark, root, v, Nil, 0)
-    v
+    val packedRels = stage(packed, root)
+    // Compaction-specific conflict RESOLUTION (Delta's "blind appends
+    // don't conflict with OPTIMIZE"): the rewrite changes no row, so a
+    // concurrent commit that merely ADDED files is compatible — on a
+    // version collision, recompose against the new snapshot (its files
+    // minus the packed smalls plus the packed replacements) and retry,
+    // as long as every rewritten small file is still listed there. A
+    // concurrent commit that REMOVED one of them (merge/delete/another
+    // compaction touched the same files) re-raises: retrying would
+    // resurrect superseded rows.
+    val smallSet = small.map(_._1).toSet
+    var base = parent
+    var untouched = big.map(_._1)
+    while (true) {
+      try {
+        val v = commitFiles(root, untouched ++ packedRels,
+          appendBase = false, beforePublish = beforePublish,
+          expectedParent = Some(base))
+        maintainStats(spark, root, v, Nil)
+        maintainBlooms(spark, root, v, Nil, 0)
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          val newParent = latestVersion(root)
+          val newFiles = readManifest(fs, rootPath, newParent)._2
+          if (!smallSet.subsetOf(newFiles.toSet)) throw e
+          base = newParent
+          untouched = newFiles.filterNot(smallSet)
+      }
+    }
+    -1L // unreachable: the loop returns or throws
   }
 
   /** ROLLBACK as a forward commit (Delta's RESTORE): publish a NEW

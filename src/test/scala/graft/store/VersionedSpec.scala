@@ -559,6 +559,51 @@ class VersionedSpec extends SparkSpec {
       .collect().toSet == Set((9L, "z")))
   }
 
+  test("compaction RESOLVES a concurrent blind append (recompose + " +
+      "retry, both commits survive) but still fails when a racing " +
+      "commit removed a file being packed") {
+    val root = freshRoot()
+    (1 to 4).foreach(i => Versioned.commitAppend(
+      Seq((i.toLong, s"v$i")).toDF("k", "s"), root))
+    // append lands inside compaction's compose→publish window: the
+    // rewrite changes no row, so compaction must recompose and succeed
+    var fired = false
+    val v = Versioned.commitCompact(spark, root, smallBytes = 1L << 20,
+      beforePublish = { _ =>
+        if (!fired) {
+          fired = true
+          Versioned.commitAppend(Seq((99L, "raced")).toDF("k", "s"),
+            root)
+        }
+      })
+    assert(Versioned.read(spark, root, v).as[(Long, String)]
+      .collect().toSet ==
+      ((1 to 4).map(i => (i.toLong, s"v$i")).toSet + ((99L, "raced"))),
+      "both the compaction and the racing append must survive")
+    // the packed rewrite + the racer's file
+    assert(Versioned.files(root, v).size == 2)
+
+    // a racing commit that REMOVED a packed file is NOT compatible
+    val root2 = freshRoot()
+    (1 to 4).foreach(i => Versioned.commitAppend(
+      Seq((i.toLong, s"v$i")).toDF("k", "s"), root2))
+    var fired2 = false
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.commitCompact(spark, root2, smallBytes = 1L << 20,
+        beforePublish = { _ =>
+          if (!fired2) {
+            fired2 = true
+            // rewrites the file holding k=2 — packing it would
+            // resurrect the deleted row
+            Versioned.commitDelete(spark, root2, col("k") === 2L)
+            ()
+          }
+        })
+    }
+    assert(Versioned.read(spark, root2).filter(col("k") === 2L).isEmpty,
+      "the racing delete must win")
+  }
+
   test("restore publishes an old snapshot as a NEW version (metadata " +
       "only, history stays linear); clone forks a zero-copy table " +
       "that evolves independently") {
