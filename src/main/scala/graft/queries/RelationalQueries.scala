@@ -1387,7 +1387,7 @@ object RelationalQueries {
     // bloom-admitted subset, and the count is metadata-only. The rollup
     // over all three phases hash-matches the oracle's plain filters —
     // skipping changed the PLAN, never the rows.
-    QuerySpec("q245_facade_pruned_scan",
+    QuerySpec("q248_facade_pruned_scan",
       (s, dir) => {
         val root = graft.util.TempDirs.scratch("graft_facade_q")
         val links = Tables.events(s, dir).select(
@@ -1443,7 +1443,7 @@ object RelationalQueries {
     // restored latest ≡ the pre-overwrite contents, the bad version
     // still readable at its pin, the clone = source + its own append
     // while the source is untouched.
-    QuerySpec("q246_versioned_restore_clone",
+    QuerySpec("q249_versioned_restore_clone",
       (s, dir) => {
         val root = graft.util.TempDirs.scratch("graft_restore_q")
         val ordersOf = (lo: String, hi: String) =>
@@ -1503,7 +1503,7 @@ object RelationalQueries {
     // commit then gives per-file intervals tight in all three, so a
     // 3-dim box plans a minority of files (require pins it) and the
     // rollup hash-matches the oracle's plain filter.
-    QuerySpec("q247_zorder3_box",
+    QuerySpec("q250_zorder3_box",
       (s, dir) => {
         val root = graft.util.TempDirs.scratch("graft_z3_q")
         val li = Tables.lineitem(s, dir).select(
