@@ -31,6 +31,11 @@ import graft.store.Versioned
   *    micro-batch is the full snapshot cut at stream start (all files
   *    of versions startingVersion..latest) — Delta's initial-snapshot
   *    semantics; later batches are per-commit deltas.
+  *  - `startingTimestamp` (epoch millis, exclusive with
+  *    startingVersion): start from the first commit PUBLISHED after
+  *    the instant — the streaming twin of `Versioned.readAsOf`'s
+  *    timestamp travel. An instant before the first commit streams
+  *    everything.
   *  - `maxVersionsPerBatch` (default unbounded): steady-state pacing —
   *    cap how many commits one micro-batch drains. The first batch
   *    after (re)start is deliberately uncapped: the source has no
@@ -79,13 +84,27 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): Source =
-    new VersionedSource(sqlContext, rootOf(parameters),
+                            parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "pass startingVersion OR startingTimestamp, not both")
+    // startingTimestamp = the stream twin of timestamp time travel:
+    // include every commit PUBLISHED after the instant (versionAt
+    // resolves the newest version at-or-before it, so the stream
+    // starts one past that — an instant before the first commit
+    // simply starts from version 1)
+    val startV = parameters.get("startingTimestamp").map { ts =>
+      try Versioned.versionAt(root, ts.toLong) + 1L
+      catch { case _: IllegalArgumentException => 1L }
+    }.orElse(parameters.get("startingVersion").map(_.toLong))
+      .getOrElse(1L)
+    new VersionedSource(sqlContext, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      startingVersion = parameters.get("startingVersion")
-        .map(_.toLong).getOrElse(1L),
+      startingVersion = startV,
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch")
         .map(_.toLong).getOrElse(Long.MaxValue))
+  }
 
   /** EXACTLY-ONCE streaming sink: each micro-batch append-commits
     * through the store's (appId, batchId) manifest transaction, so

@@ -127,6 +127,32 @@ class VersionedStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("append-only"))
   }
 
+  test("startingTimestamp streams only commits published after the " +
+      "instant; an instant before the first commit streams everything") {
+    val root = freshDir("vstream_ts") + "/t"
+    val beforeAll = System.currentTimeMillis() - 5L
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    Thread.sleep(25) // manifest mtimes are millis; separate the commits
+    val cut = System.currentTimeMillis()
+    Thread.sleep(25)
+    Versioned.commitAppend(Seq((2L, "b")).toDF("k", "s"), root)
+    Versioned.commitAppend(Seq((3L, "c")).toDF("k", "s"), root)
+    val after = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root, "startingTimestamp" -> cut.toString),
+      freshDir("vs_ts_ckpt"), after)
+    assert(after.flatten.toSet == Set(2L, 3L), s"after-cut got $after")
+    val all = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root, "startingTimestamp" -> beforeAll.toString),
+      freshDir("vs_ts_ckpt2"), all)
+    assert(all.flatten.toSet == Set(1L, 2L, 3L), s"before-all got $all")
+    // both options at once is a loud error
+    intercept[Exception] {
+      drain(readVersioned(root, "startingTimestamp" -> cut.toString,
+        "startingVersion" -> "2"), freshDir("vs_ts_ckpt3"),
+        scala.collection.mutable.ArrayBuffer[Set[Long]]())
+    }
+  }
+
   test("a NEW query (fresh checkpoint) sinking the same root is not " +
       "txn-deduped against the old one: appId derives from the checkpoint") {
     implicit val sqlCtx = spark.sqlContext
