@@ -230,7 +230,17 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(s) if s >= startingVersion =>
-        Versioned.readChanges(spark, root, s, endV)
+        // A RESTORE that rolled the table back to exactly what this
+        // stream already consumed leaves an append-consistent range
+        // with an empty file delta (manifest(end) == manifest(start)):
+        // the stream HEALS — an empty batch, not a crash. Only ranges
+        // whose files were genuinely rewritten (the overwrite itself,
+        // if the stream drained past it) still fail loudly with the
+        // non-append-lineage error.
+        if (Versioned.changedFileCount(root, s, endV) == 0L)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else Versioned.readChanges(spark, root, s, endV)
       case _ if startingVersion == 1L =>
         Versioned.read(spark, root, endV)
       case _ =>

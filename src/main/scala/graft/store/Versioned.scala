@@ -751,6 +751,30 @@ object Versioned {
     * files can carry rows that already existed), so a non-append
     * lineage — any `from` file missing at `to` — fails loudly instead
     * of returning changes that silently double-count. */
+  /** Number of files added between two committed versions of an
+    * append lineage — the metadata-only pre-check of [[readChanges]]
+    * (0 means "append-consistent but nothing new", e.g. a RESTORE back
+    * to exactly `fromVersion`'s contents; readChanges itself refuses
+    * an empty delta because an empty parquet scan has no schema).
+    * Throws the same non-append-lineage error on rewritten ranges. */
+  def changedFileCount(root: String, fromVersion: Long,
+                       toVersion: Long): Long = {
+    val (fs, rootPath) = fsRoot(root)
+    require(fromVersion >= 1 && toVersion > fromVersion &&
+      fs.exists(manifestPath(rootPath, fromVersion)) &&
+      fs.exists(manifestPath(rootPath, toVersion)),
+      s"need committed versions $fromVersion < $toVersion at $root")
+    val fromFiles = readManifest(fs, rootPath, fromVersion)._2.toSet
+    val toFiles = readManifest(fs, rootPath, toVersion)._2
+    val missing = fromFiles -- toFiles.toSet
+    require(missing.isEmpty,
+      s"versions $fromVersion..$toVersion of $root are not an append " +
+        s"lineage (an overwrite commit rewrote ${missing.size} files); " +
+        "incremental reads are only exact over appends - re-read the " +
+        "full snapshot instead")
+    toFiles.count(!fromFiles(_)).toLong
+  }
+
   def readChanges(spark: SparkSession, root: String, fromVersion: Long,
                   toVersion: Long): DataFrame = {
     val (fs, rootPath) = fsRoot(root)

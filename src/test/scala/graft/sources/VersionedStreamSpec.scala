@@ -200,6 +200,29 @@ class VersionedStreamSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("a restore back to the last-consumed snapshot HEALS the stream " +
+      "(empty batch), and later appends keep flowing") {
+    val root = freshDir("vstream_rs") + "/t"
+    val ckpt = freshDir("vs_rs_ckpt")
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    Versioned.commitAppend(Seq((2L, "b")).toDF("k", "s"), root)
+    val b1 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root), ckpt, b1) // consumes through v2
+    assert(b1.flatten.toSet == Set(1L, 2L))
+    // a bad overwrite lands and is ROLLED BACK before the stream ever
+    // drains it: v4's manifest == v2's, so the restart's delta is
+    // empty — the stream must continue, not crash on the bad history
+    Versioned.commitOverwrite(Seq((9L, "bad")).toDF("k", "s"), root)
+    Versioned.commitRestore(root, 2L)
+    val b2 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root), ckpt, b2)
+    assert(b2.isEmpty, s"healed restart should deliver nothing: $b2")
+    Versioned.commitAppend(Seq((3L, "c")).toDF("k", "s"), root)
+    val b3 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root), ckpt, b3)
+    assert(b3.flatten.toSet == Set(3L), s"post-heal append: $b3")
+  }
+
   test("an overwrite commit mid-stream fails the query loudly instead " +
       "of double-counting rewritten history") {
     val root = freshDir("vstream_ow") + "/t"
