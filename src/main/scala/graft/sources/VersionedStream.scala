@@ -247,7 +247,13 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
         // initial snapshot cut at startingVersion: manifest(end) minus
         // manifest(startingVersion - 1) - exact for append lineages,
         // guarded by the same non-append check as every delta batch
-        Versioned.readChanges(spark, root, startingVersion - 1, endV)
+        // (and by the same empty-delta healing: a table restored to
+        // exactly the cut's contents starts with an empty batch)
+        if (Versioned.changedFileCount(root, startingVersion - 1,
+            endV) == 0L)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else Versioned.readChanges(spark, root, startingVersion - 1, endV)
     }
 
   override def stop(): Unit = ()
