@@ -1539,6 +1539,114 @@ object RelationalQueries {
         FROM lineitem
         WHERE l_orderkey <= (SELECT max(l_orderkey) // 4 FROM lineitem)
           AND l_partkey <= (SELECT max(l_partkey) // 4 FROM lineitem)
-          AND l_suppkey <= (SELECT max(l_suppkey) // 4 FROM lineitem)"""))
+          AND l_suppkey <= (SELECT max(l_suppkey) // 4 FROM lineitem)""")),
+
+    // ------------------------------------------------------------------
+    // DELETION VECTORS (merge-on-read delete): two row-level deletes
+    // tombstone (file, row_index) pairs in kilobyte sidecars — the
+    // require pins that ZERO data files were rewritten — and reads
+    // apply them as a broadcast anti-join; time travel still sees the
+    // pre-delete rows; PURGE folds the tombstones into rewritten files
+    // and the table is copy-on-write clean again. At 100 TB this is
+    // the delete-economics operator: a ten-row GDPR delete costs
+    // kilobytes, not a gigabyte rewrite. The overlapping predicates
+    // (%7 and %5 share the %35 keys) pin that already-tombstoned rows
+    // never re-tombstone.
+    QuerySpec("q251_deletion_vectors",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_dv_q")
+        val orders = Tables.orders(s, dir).select(col("o_orderkey"),
+          Exact.cents(col("o_totalprice")).as("cents"))
+        (0 until 3).foreach { i =>
+          graft.store.Versioned.commitAppend(
+            orders.filter(pmod(col("o_orderkey"), lit(3L)) === i.toLong)
+              .coalesce(1), root, statsCols = Seq("o_orderkey"))
+        }
+        val before = graft.store.Versioned.files(root).toSet
+        graft.store.Versioned.commitDeleteVectors(s, root,
+          pmod(col("o_orderkey"), lit(7L)) === 0L)
+        val v5 = graft.store.Versioned.commitDeleteVectors(s, root,
+          pmod(col("o_orderkey"), lit(5L)) === 1L)
+        val after = graft.store.Versioned.files(root).toSet
+        require(before.subsetOf(after) &&
+          (after -- before).forall(_.contains("/dv/")),
+          "deletion vectors must only ADD tombstones, never rewrite")
+        val vp = graft.store.Versioned.commitPurgeDeleteVectors(s, root)
+        require(graft.store.Versioned.files(root, vp)
+          .forall(!_.contains("/dv/")), "purge must clear tombstones")
+        def rollup(phase: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_orders"),
+              sum(col("cents")).as("total_cents"))
+            .select(lit(phase).as("phase"), col("n_orders"),
+              col("total_cents"))
+        rollup("1_live", graft.store.Versioned.read(s, root, v5))
+          .unionByName(rollup("2_time_travel",
+            graft.store.Versioned.read(s, root, 3L)))
+          .unionByName(rollup("3_purged",
+            graft.store.Versioned.read(s, root, vp)))
+          .orderBy("phase")
+      },
+      Some(s"""
+        SELECT p.phase,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS total_cents
+        FROM (VALUES ('1_live'), ('2_time_travel'), ('3_purged'))
+          AS p(phase)
+        JOIN orders ON CASE WHEN p.phase = '2_time_travel' THEN TRUE
+          ELSE NOT (o_orderkey % 7 = 0) AND NOT (o_orderkey % 5 = 1)
+          END
+        GROUP BY p.phase ORDER BY p.phase""")),
+
+    // ------------------------------------------------------------------
+    // OPTIMIZE ZORDER BY: high-frequency appends land row-group-of-
+    // the-moment layouts whose per-file (src, dst) intervals all span
+    // the whole domain — a 2-dim box prunes NOTHING. One clustering
+    // compaction later the same table, same rows, prunes the same box
+    // to a minority of files (both requires pin it). The rollup after
+    // the rewrite hash-matches the oracle's plain filter: layout
+    // maintenance changed the plan, never the rows.
+    QuerySpec("q252_zorder_compact",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_zc_q")
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("src"), col("l_partkey").as("dst"),
+          col("l_quantity").cast("long").as("qty"))
+        // 8 hash-sliced appends: every file spans both key domains
+        (0 until 8).foreach { i =>
+          graft.store.Versioned.commitAppend(
+            li.filter(pmod(col("dst"), lit(8L)) === i.toLong)
+              .coalesce(1), root, statsCols = Seq("src", "dst"))
+        }
+        val mx = li.agg(max(col("src")), max(col("dst"))).head()
+        val bounds = Map("src" -> (0L, mx.getLong(0) / 4),
+          "dst" -> (0L, mx.getLong(1) / 4))
+        val (keptBefore, totalBefore) =
+          graft.store.Versioned.prunedFiles(root, bounds)
+        require(keptBefore.size == totalBefore,
+          s"append layout should admit every file, " +
+            s"pruned to ${keptBefore.size} of $totalBefore")
+        val vz = graft.store.Versioned.commitCompact(s, root,
+          smallBytes = 128L << 10, zorderBy = Seq("src", "dst"),
+          zorderFiles = 16)
+        val (keptAfter, totalAfter) =
+          graft.store.Versioned.prunedFiles(root, bounds, vz)
+        require(keptAfter.size < totalAfter,
+          s"zorder compaction pruned nothing: " +
+            s"${keptAfter.size} of $totalAfter")
+        graft.store.Versioned.readPruned(s, root, bounds, vz)
+          .filter(col("src") <= mx.getLong(0) / 4 &&
+            col("dst") <= mx.getLong(1) / 4)
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("qty_sum"),
+            sum(col("src")).as("src_sum"))
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS qty_sum,
+               CAST(sum(l_orderkey) AS BIGINT) AS src_sum
+        FROM lineitem
+        WHERE l_orderkey <= (SELECT max(l_orderkey) // 4 FROM lineitem)
+          AND l_partkey <= (SELECT max(l_partkey) // 4 FROM lineitem)"""))
   )
 }

@@ -32,10 +32,12 @@ import graft.store.Versioned
   *    of versions startingVersion..latest) — Delta's initial-snapshot
   *    semantics; later batches are per-commit deltas.
   *  - `startingTimestamp` (epoch millis, exclusive with
-  *    startingVersion): start from the first commit PUBLISHED after
-  *    the instant — the streaming twin of `Versioned.readAsOf`'s
-  *    timestamp travel. An instant before the first commit streams
-  *    everything.
+  *    startingVersion): start from the first commit published AT or
+  *    after the instant (Delta's at-or-after boundary: a commit whose
+  *    manifest mtime equals the timestamp is included) — the streaming
+  *    twin of `Versioned.readAsOf`'s timestamp travel. An instant
+  *    before the first commit streams everything; an instant after
+  *    the last streams only future commits.
   *  - `maxVersionsPerBatch` (default unbounded): steady-state pacing —
   *    cap how many commits one micro-batch drains. The first batch
   *    after (re)start is deliberately uncapped: the source has no
@@ -89,14 +91,15 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
       "pass startingVersion OR startingTimestamp, not both")
-    // startingTimestamp = the stream twin of timestamp time travel:
-    // include every commit PUBLISHED after the instant (versionAt
-    // resolves the newest version at-or-before it, so the stream
-    // starts one past that — an instant before the first commit
-    // simply starts from version 1)
+    // startingTimestamp = the stream twin of timestamp time travel,
+    // with Delta's AT-OR-AFTER boundary: the first included commit is
+    // the earliest manifest published at or after the instant (so a
+    // commit landing exactly at the timestamp streams — matters to
+    // pipelines porting Delta's startingTimestamp). No such commit yet
+    // → start one past latest: the stream idles until the next commit.
     val startV = parameters.get("startingTimestamp").map { ts =>
-      try Versioned.versionAt(root, ts.toLong) + 1L
-      catch { case _: IllegalArgumentException => 1L }
+      Versioned.versionAtOrAfter(root, ts.toLong)
+        .getOrElse(Versioned.latestVersion(root) + 1L)
     }.orElse(parameters.get("startingVersion").map(_.toLong))
       .getOrElse(1L)
     new VersionedSource(sqlContext, root,
@@ -137,13 +140,32 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // Exactly-once identity resolution, most- to least-specific:
+    // explicit appId > the query's own checkpointLocation option > the
+    // session-default checkpoint root (spark.sql.streaming
+    // .checkpointLocation — a validly-checkpointed query configured
+    // that way never sees "checkpointLocation" in its options map, so
+    // without this fallback it would throw despite having a stable
+    // identity). The session-default form folds in the sink root so
+    // two queries sinking DIFFERENT tables under one default stay
+    // distinct; two queries sinking the SAME root under one session
+    // default are indistinguishable here — pass explicit appIds for
+    // that shape. It must NOT default to anything query-independent
+    // beyond that (like the bare root): batchIds restart at 0 with a
+    // fresh checkpoint, so a shared appId would make the dedupe check
+    // silently skip every batch of the new query as a "duplicate".
     val appId = parameters.get("appId")
       .orElse(parameters.get("checkpointLocation").map(c => s"sink@$c"))
+      .orElse(Option(sqlContext.sparkSession.conf
+          .get("spark.sql.streaming.checkpointLocation", null))
+        .filter(_.nonEmpty).map(c => s"sink@$c@$root"))
       .getOrElse(throw new IllegalArgumentException(
         "graft-versioned sink needs an exactly-once identity: pass " +
-          ".option(\"appId\", ...) or a checkpointLocation (the txn " +
-          "dedupe keys on (appId, batchId); a root-derived default " +
-          "would skip batches of any NEW query whose ids restart at 0)"))
+          ".option(\"appId\", ...), a checkpointLocation option, or a " +
+          "session default spark.sql.streaming.checkpointLocation " +
+          "(the txn dedupe keys on (appId, batchId); a root-derived " +
+          "default would skip batches of any NEW query whose ids " +
+          "restart at 0)"))
     new VersionedSink(root, appId, statsCols)
   }
 }

@@ -86,6 +86,83 @@ object Versioned {
   private def manifestPath(rootPath: Path, v: Long): Path =
     new Path(rootPath, s"manifest-v$v.json")
 
+  // ------------------------------------------------------------------
+  // DELETION VECTORS (merge-on-read row-level delete). A DV commit
+  // removes rows WITHOUT rewriting data files: it publishes a parquet
+  // sidecar of (file, row_index) tombstones under `dv/<uuid>/`, listed
+  // in the manifest alongside the data files. Readers anti-join the
+  // tombstones against the scan's (_metadata.file_path,
+  // _metadata.row_index) — deleted rows vanish at read time, zero data
+  // bytes move at delete time. At 100 TB this is THE delete
+  // economics: a GDPR delete of 10 rows from a 1 GB z-ordered file
+  // costs a kilobyte of tombstones, not a gigabyte rewrite (Delta's
+  // deletion vectors / Iceberg's positional delete files).
+  // [[commitPurgeDeleteVectors]] is the compaction move that folds
+  // tombstones back into rewritten files when they accumulate.
+  // Copy-on-write rewrites (merge/delete/compact/clone) REQUIRE a
+  // purge first: they re-stage rows from raw file scans, which would
+  // silently resurrect tombstoned rows.
+
+  /** Is this manifest entry a deletion-vector file? Data lives under
+    * `data/<uuid>/`, tombstones under `dv/<uuid>/` — no data path
+    * contains a path component exactly "dv". Handles the absolute
+    * spellings clones produce. */
+  private[store] def isDvEntry(f: String): Boolean =
+    f.startsWith("dv/") || f.contains("/dv/")
+
+  /** Manifest entries split into (data files, deletion-vector files). */
+  private def splitEntries(files: Seq[String])
+      : (Seq[String], Seq[String]) = files.partition(f => !isDvEntry(f))
+
+  /** The tombstone key of every row in `df`'s scan: the file's
+    * manifest-relative spelling (`data/<uuid>/<part>`, the last three
+    * path components of the absolute scan path — stable across root
+    * moves, unlike the absolute URI) and the row's position. */
+  private def withDvKey(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    df.withColumn("__dv_file",
+        substring_index(col("_metadata.file_path"), "/", -3))
+      .withColumn("__dv_idx", col("_metadata.row_index"))
+  }
+
+  /** Apply `dvFiles`' tombstones to a scan of this table's data files:
+    * anti-join on (relative file, row index). The tombstone side is
+    * deleted-rows-sized, not table-sized — broadcast. */
+  private def applyDv(spark: SparkSession, rootPath: Path,
+                      df: DataFrame, dvFiles: Seq[String]): DataFrame = {
+    if (dvFiles.isEmpty) return df
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dv = spark.read
+      .parquet(dvFiles.map(resolve(rootPath, _).toString): _*)
+    val cols = df.columns
+    withDvKey(df)
+      .join(broadcast(dv), Seq("__dv_file", "__dv_idx"), "left_anti")
+      .select(cols.map(col).toSeq: _*)
+  }
+
+  /** Loud guard for copy-on-write ops that re-stage rows from raw file
+    * scans — running them over live tombstones would resurrect deleted
+    * rows into the rewritten files. */
+  private def requireNoDv(dvFiles: Seq[String], root: String,
+                          op: String): Unit =
+    require(dvFiles.isEmpty,
+      s"$op on $root requires materializing its ${dvFiles.size} " +
+        "deletion-vector file(s) first (commitPurgeDeleteVectors): a " +
+        "copy-on-write rewrite over live tombstones would resurrect " +
+        "deleted rows")
+
+  /** The only column types whose values survive a `cast("long")`
+    * losslessly and order-preservingly — the precondition for every
+    * sidecar-driven (long-vector) pruning decision here. */
+  private[store] def integralType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
   /** Highest committed version at `root`, or 0 if none. */
   def latestVersion(root: String): Long = {
     val (fs, rootPath) = fsRoot(root)
@@ -138,6 +215,74 @@ object Versioned {
         .map(_.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty)
 
+  /** Path-capability keys any ONE of which marks the FileSystem as
+    * supporting an ATOMIC conditional create (If-None-Match PUT
+    * surfaced as `create(path, overwrite = false)`). Without that
+    * capability, S3A's `create(overwrite = false)` is a non-atomic
+    * HEAD-then-PUT (and `fs.s3a.create.performance` skips even the
+    * HEAD), so two racing writers can both pass create() and the later
+    * close() silently replaces the earlier manifest — a lost commit,
+    * the exact failure the conditional-put branch exists to prevent.
+    * The key list is configurable because Hadoop releases name the
+    * capability differently; deployments can also assert capability
+    * out-of-band with `graft.versioned.condput.assumeCapable=true`
+    * (e.g. Hadoop 3.4.2+ with conditional create enabled and
+    * `fs.s3a.create.performance` off). */
+  private def condCreateCapabilityKeys: Seq[String] =
+    Option(hadoopConf.get("graft.versioned.condput.capabilities"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(
+        "fs.capability.conditional.create",
+        "fs.capability.conditional.overwrite",
+        "fs.s3a.capability.conditional.create"))
+
+  /** Fail FAST (loudly, before any bytes move) when the object-store
+    * branch is about to trust a `create(overwrite = false)` that the
+    * FileSystem does not implement as an atomic conditional PUT. A
+    * quietly non-exclusive create is strictly worse than an error: it
+    * passes every single-writer test and loses commits only under the
+    * concurrent-writer race it was supposed to win. */
+  private def requireConditionalCreate(fs: FileSystem, p: Path): Unit = {
+    if (hadoopConf.getBoolean("graft.versioned.condput.assumeCapable",
+        false)) return
+    val capable = condCreateCapabilityKeys.exists { key =>
+      try fs.hasPathCapability(p, key)
+      catch { case _: IllegalArgumentException => false }
+    }
+    if (!capable) throw new UnsupportedOperationException(
+      s"exclusive publish on ${p.toUri.getScheme}:// needs an ATOMIC " +
+        "conditional create (If-None-Match PUT); this FileSystem " +
+        s"advertises none of ${condCreateCapabilityKeys.mkString(", ")}" +
+        ". Without it a concurrent writer can silently replace a " +
+        "published manifest (lost commit). Use Hadoop 3.4.2+ with " +
+        "conditional creates enabled (and fs.s3a.create.performance " +
+        "OFF), add your Hadoop's capability key to " +
+        "graft.versioned.condput.capabilities, or assert capability " +
+        "with graft.versioned.condput.assumeCapable=true")
+  }
+
+  /** True when `t` (or a cause) is the surface of a LOST conditional
+    * write — the If-None-Match precondition failing at create() or at
+    * close(). Hadoop surfaces the close()-time 412 as
+    * RemoteFileChangedException (hadoop-aws, matched by name since the
+    * jar is not a compile-time dependency) or as an IOException
+    * carrying the S3 PreconditionFailed error; all of them mean "a
+    * racer published first", which the commit loop handles by retrying
+    * the next version — never by aborting. */
+  private[store] def isCondWriteConflict(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).exists {
+      e =>
+        e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+        e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+        e.getClass.getSimpleName == "RemoteFileChangedException" || {
+          val m = String.valueOf(e.getMessage)
+          e.isInstanceOf[java.io.IOException] &&
+            (m.contains("PreconditionFailed") ||
+              m.contains("Status Code: 412") ||
+              m.toLowerCase.contains("at least one of the pre-conditions"))
+        }
+    }
+
   /** Atomically publish a fully-written `tmp` as `target`, failing —
     * never replacing — if `target` already exists. Returns true on
     * success, false on a detected version collision. */
@@ -153,7 +298,12 @@ object Versioned {
         // create(path, overwrite = false). On S3A the object
         // materializes whole at close() (one PUT), so publication
         // stays atomic; a racer's create of the same manifest fails
-        // with FileAlreadyExistsException and retries the next version.
+        // with FileAlreadyExistsException — or, when the store checks
+        // the precondition at PUT time, with a 412 AT CLOSE()
+        // (RemoteFileChangedException) — and retries the next version.
+        // Both require the FS to actually implement conditional
+        // creates; probe before trusting it.
+        requireConditionalCreate(fs, target)
         val success = try {
           val out = fs.create(target, false)
           try {
@@ -164,8 +314,7 @@ object Versioned {
           } finally out.close()
           true
         } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
+          case e: Throwable if isCondWriteConflict(e) => false
         }
         fs.delete(tmp, false)
         success
@@ -417,11 +566,22 @@ object Versioned {
     // files — scan them all (at 100 TB file counts this branch never
     // takes; at spec/test scale it keeps merge latency flat)
     if (parentFiles.size < 4) return (parentFiles, Nil)
+    // Sidecar stats/blooms are LONG vectors: a non-integral key column
+    // (string, decimal, …) long-casts to null for some or all values,
+    // so bounds/equality sets derived from it could prune a parent
+    // file that DOES hold a matching row — the merge would then keep
+    // the old row and re-insert the update (silent duplicate keys).
+    // Merge keys are conjunctive equalities, so pruning on the
+    // integral subset alone is safe; non-integral keys simply
+    // contribute no pruning (mirrors predicateKeyStats' guard).
+    val intKeys = keys.filter(k => updates.schema.fields
+      .find(_.name == k).map(_.dataType).exists(integralType))
+    if (intKeys.isEmpty) return (parentFiles, Nil)
     import org.apache.spark.sql.functions.{col, max, min}
-    val aggs = keys.flatMap(k =>
+    val aggs = intKeys.flatMap(k =>
       Seq(min(col(k).cast("long")), max(col(k).cast("long"))))
     val row = updates.agg(aggs.head, aggs.tail: _*).collect().head
-    val bounds = keys.zipWithIndex.flatMap { case (k, i) =>
+    val bounds = intKeys.zipWithIndex.flatMap { case (k, i) =>
       if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
       else Some(k -> (row.getLong(2 * i), row.getLong(2 * i + 1)))
     }.toMap
@@ -433,7 +593,7 @@ object Versioned {
     val bloomCols =
       if (byBounds.size < 8) Nil
       else readBloomMeta(fs, rootPath, parent).map(_.cols).getOrElse(Nil)
-    val equalitySets = keys.filter(bloomCols.contains).flatMap { k =>
+    val equalitySets = intKeys.filter(bloomCols.contains).flatMap { k =>
       val distinctVals = updates.select(col(k).cast("long"))
         .filter(col(k).isNotNull).distinct()
         .limit(MergeBloomProbeMax + 1).collect().map(_.getLong(0)).toSeq
@@ -468,13 +628,7 @@ object Versioned {
           f.condition
       }.getOrElse(return (Map.empty, Map.empty))
     def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
-      dt match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }
+      integralType(dt)
     def attrOf(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       // analysis widens the narrow side of a mixed-width comparison;
@@ -590,7 +744,9 @@ object Versioned {
         expectedParent = Some(0L))
     import org.apache.spark.sql.functions.col
     val updKeys = updates.select(keys.map(col): _*).distinct()
-    val parentFiles = readManifest(fs, rootPath, parent)._2
+    val (parentFiles, dvParent) =
+      splitEntries(readManifest(fs, rootPath, parent)._2)
+    requireNoDv(dvParent, root, "MERGE")
     // sidecar pre-pruning: only files whose stats/bloom metadata admits
     // the update keys enter the match scan — the rest provably hold no
     // matched row and ride into the new manifest verbatim, unscanned
@@ -631,7 +787,9 @@ object Versioned {
     val (fs, rootPath) = fsRoot(root)
     val parent = latestVersion(root)
     require(parent > 0, s"no committed version at $root")
-    val parentFiles = readManifest(fs, rootPath, parent)._2
+    val (parentFiles, dvParent) =
+      splitEntries(readManifest(fs, rootPath, parent)._2)
+    requireNoDv(dvParent, root, "copy-on-write DELETE")
     // sidecar pre-pruning from the predicate's own literal conjuncts:
     // files whose stats/bloom metadata provably fails a necessary
     // comparison never enter the match scan
@@ -733,11 +891,13 @@ object Versioned {
     val v = if (version == 0L) latestVersion(root) else version
     require(v > 0 && fs.exists(manifestPath(rootPath, v)),
       s"no committed version $v at $root")
-    val files = readManifest(fs, rootPath, v)._2
+    val (files, dvFiles) = splitEntries(readManifest(fs, rootPath, v)._2)
     require(files.nonEmpty,
       s"version $v at $root lists no data files - corrupt or empty commit")
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files.map(resolve(rootPath, _).toString): _*)
+    applyDv(spark, rootPath,
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(files.map(resolve(rootPath, _).toString): _*),
+      dvFiles)
   }
 
   /** Incremental consumption (the CDC-read of every lakehouse log):
@@ -772,7 +932,12 @@ object Versioned {
         s"lineage (an overwrite commit rewrote ${missing.size} files); " +
         "incremental reads are only exact over appends - re-read the " +
         "full snapshot instead")
-    toFiles.count(!fromFiles(_)).toLong
+    val added = toFiles.filterNot(fromFiles)
+    require(!added.exists(isDvEntry),
+      s"versions $fromVersion..$toVersion of $root include a " +
+        "deletion-vector commit: rows were logically REMOVED, so the " +
+        "range is not an append lineage - re-read the full snapshot")
+    added.size.toLong
   }
 
   def readChanges(spark: SparkSession, root: String, fromVersion: Long,
@@ -791,6 +956,10 @@ object Versioned {
         "incremental reads are only exact over appends - re-read the " +
         "full snapshot instead")
     val delta = toFiles.filterNot(fromFiles)
+    require(!delta.exists(isDvEntry),
+      s"versions $fromVersion..$toVersion of $root include a " +
+        "deletion-vector commit: rows were logically REMOVED, so the " +
+        "range is not an append lineage - re-read the full snapshot")
     require(delta.nonEmpty,
       s"no files added between $fromVersion and $toVersion at $root")
     spark.read.parquet(delta.map(resolve(rootPath, _).toString): _*)
@@ -1084,7 +1253,8 @@ object Versioned {
       else parentMeta.map(_.words * 64).filter(_ > 0).getOrElse(return)
     require(mBits % 64 == 0 && mBits > 0,
       s"bloomBits must be a positive multiple of 64, got $mBits")
-    val manifestFiles = readManifest(fs, rootPath, v)._2
+    // tombstone files carry no table columns: data entries only
+    val manifestFiles = splitEntries(readManifest(fs, rootPath, v)._2)._1
     val sameLineage = parentMeta.isDefined && cols == parentCols
     val live = manifestFiles.toSet
     def liveKey(k: String): Boolean =
@@ -1121,11 +1291,19 @@ object Versioned {
         val byPath = missing.map { f =>
           fs.makeQualified(resolve(rootPath, f)).toUri.getPath -> f
         }.toMap
+        val scan = spark.read
+          .parquet(missing.map(resolve(rootPath, _).toString): _*)
+        // probes hash LONG values, so only integral columns can ever
+        // match them (and an ANSI cast of a malformed string would
+        // fail the commit) — a non-integral column writes no entries;
+        // files without entries always admit
+        if (!scan.schema.fields.find(_.name == c).map(_.dataType)
+            .exists(integralType)) Nil
+        else {
         val positions = (0 until BloomHashes).map(i =>
           pmod(xxhash64(col(c).cast("long"), lit(i.toLong)),
             lit(mBits.toLong)))
-        val words = spark.read
-          .parquet(missing.map(resolve(rootPath, _).toString): _*)
+        val words = scan
           .filter(col(c).isNotNull)
           .select(col("_metadata.file_path").as("__fp"),
             explode(array(positions: _*)).as("pos"))
@@ -1145,6 +1323,7 @@ object Versioned {
         missing.map { f =>
           val key = s"$c|$f"
           key -> words.getOrElse(key, Seq.fill(mBits / 64)(0L))
+        }
         }
       }
     }
@@ -1177,7 +1356,8 @@ object Versioned {
     val parentCols = parentMeta.map(_.cols).getOrElse(Nil)
     val cols = if (statsCols.nonEmpty) statsCols else parentCols
     if (cols.isEmpty) return
-    val manifestFiles = readManifest(fs, rootPath, v)._2
+    // tombstone files carry no table columns: data entries only
+    val manifestFiles = splitEntries(readManifest(fs, rootPath, v)._2)._1
     val sameLineage = parentMeta.isDefined && cols == parentCols
     val live = manifestFiles.toSet
     // carry parent shards BY REFERENCE, dropping fully-dead ones (the
@@ -1206,9 +1386,19 @@ object Versioned {
         val byPath = missing.map { f =>
           fs.makeQualified(resolve(rootPath, f)).toUri.getPath -> f
         }.toMap
-        val aggs = count(lit(1)) +: cols.flatMap(c =>
-          Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
-        spark.read.parquet(missing.map(resolve(rootPath, _).toString): _*)
+        val scan = spark.read
+          .parquet(missing.map(resolve(rootPath, _).toString): _*)
+        // the sidecar is a LONG vector: a non-integral column can't
+        // fill it (and under ANSI its cast THROWS on malformed input,
+        // which would fail the whole commit) — substitute null so the
+        // affected files simply get no entry and are never pruned
+        val aggs = count(lit(1)) +: cols.flatMap { c =>
+          val v = if (scan.schema.fields.find(_.name == c)
+              .map(_.dataType).exists(integralType)) col(c).cast("long")
+            else lit(null).cast("long")
+          Seq(min(v), max(v))
+        }
+        scan
           .groupBy(col("_metadata.file_path").as("__fp"))
           .agg(aggs.head, aggs.tail: _*)
           .collect().flatMap { r =>
@@ -1251,7 +1441,11 @@ object Versioned {
     val v = if (version == 0L) latestVersion(root) else version
     require(v > 0 && fs.exists(manifestPath(rootPath, v)),
       s"no committed version $v at $root")
-    val manifestFiles = readManifest(fs, rootPath, v)._2
+    // tombstones are not scannable data: prune over data entries only.
+    // Callers composing their own scan over the kept files must apply
+    // [[applyDeleteVectors]] on top when the table carries tombstones.
+    val manifestFiles =
+      splitEntries(readManifest(fs, rootPath, v)._2)._1
     val kept = admittedFiles(fs, rootPath, v, manifestFiles, bounds,
       equalities.view.mapValues(Seq(_)).toMap)
     (kept.map(resolve(rootPath, _).toString), manifestFiles.size.toLong)
@@ -1347,6 +1541,22 @@ object Versioned {
       s"no version of $root existed at $tsMillis (first commit is newer)"))
   }
 
+  /** Earliest version whose manifest was published AT or after
+    * `tsMillis`, or None when every commit predates the instant —
+    * Delta's `startingTimestamp` boundary (at-or-after, so a commit
+    * published exactly at the instant is INCLUDED). Walks versions
+    * ascending, skipping vacuumed manifests; manifest mtimes are
+    * nondecreasing in version by the publish protocol, so the first
+    * surviving hit is the answer. */
+  def versionAtOrAfter(root: String, tsMillis: Long): Option[Long] = {
+    val (fs, rootPath) = fsRoot(root)
+    (1L to latestVersion(root)).find { v =>
+      try fs.getFileStatus(manifestPath(rootPath, v))
+        .getModificationTime >= tsMillis
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+  }
+
   /** Read the snapshot as of a wall-clock instant. */
   def readAsOf(spark: SparkSession, root: String,
                tsMillis: Long): DataFrame =
@@ -1368,7 +1578,120 @@ object Versioned {
       s"every file of $root was pruned by $bounds/$equalities - the " +
         "result is empty; guard with prunedFiles if an empty match is " +
         "expected")
-    spark.read.parquet(kept: _*)
+    applyDeleteVectors(spark, root, spark.read.parquet(kept: _*),
+      version)
+  }
+
+  /** Apply the table's deletion vectors (if any) to `df`, a scan the
+    * caller composed over this table's data files (e.g. from
+    * [[prunedFiles]]). A no-op — and zero plan overhead — when the
+    * version carries no tombstones. */
+  def applyDeleteVectors(spark: SparkSession, root: String,
+                         df: DataFrame, version: Long = 0L): DataFrame = {
+    val (fs, rootPath) = fsRoot(root)
+    val v = if (version == 0L) latestVersion(root) else version
+    val dvFiles = splitEntries(readManifest(fs, rootPath, v)._2)._2
+    applyDv(spark, rootPath, df, dvFiles)
+  }
+
+  /** Row-level DELETE as a MERGE-ON-READ commit (Delta's deletion
+    * vectors / Iceberg's positional deletes): rows matching
+    * `predicate` are tombstoned by (file, row index) in a parquet
+    * sidecar under `dv/<uuid>/` — zero data bytes rewritten, the new
+    * manifest lists the same data files plus the tombstones, and every
+    * read path applies them as a broadcast anti-join. THE delete
+    * economics at 100 TB: a ten-row GDPR delete costs kilobytes, not
+    * the gigabyte copy-on-write rewrite [[commitDelete]] pays.
+    * Candidate files still prune via the predicate's own literal
+    * conjuncts, so the tombstone SCAN tracks the selection too.
+    * Already-tombstoned rows never re-tombstone (the matching scan
+    * reads the live view). A predicate matching nothing is a metadata
+    * no-op. Same optimistic conflict detection as every rewrite;
+    * tombstones accumulate until [[commitPurgeDeleteVectors]] folds
+    * them into rewritten files (required before copy-on-write ops). */
+  def commitDeleteVectors(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (fs, rootPath) = fsRoot(root)
+    val parent = latestVersion(root)
+    require(parent > 0, s"no committed version at $root")
+    val entries = readManifest(fs, rootPath, parent)._2
+    val (dataFiles, dvFiles) = splitEntries(entries)
+    // prune the tombstone scan exactly like copy-on-write DELETE
+    val (predBounds, predEqs) = predicateKeyStats(
+      spark.read.parquet(resolve(rootPath, dataFiles.head).toString),
+      predicate)
+    val candidates =
+      if (predBounds.isEmpty && predEqs.isEmpty) dataFiles
+      else admittedFiles(fs, rootPath, parent, dataFiles, predBounds,
+        predEqs)
+    if (candidates.isEmpty) return parent
+    // key the scan FIRST (the _metadata column only exists on the scan
+    // relation itself), then subtract the existing tombstones so
+    // already-deleted rows never re-tombstone
+    val keyed = withDvKey(spark.read.parquet(
+      candidates.map(resolve(rootPath, _).toString): _*))
+    val live =
+      if (dvFiles.isEmpty) keyed
+      else keyed.join(
+        org.apache.spark.sql.functions.broadcast(spark.read.parquet(
+          dvFiles.map(resolve(rootPath, _).toString): _*)),
+        Seq("__dv_file", "__dv_idx"), "left_anti")
+    val tombstones = live
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__dv_file"), col("__dv_idx"))
+    // stage under dv/<uuid>/ — invisible until the manifest publishes
+    val uuid = java.util.UUID.randomUUID().toString
+    val dir = new Path(new Path(rootPath, "dv"), uuid)
+    tombstones.write.parquet(dir.toString)
+    val staged = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.endsWith(".parquet") => s"dv/$uuid/$n" }
+      .sorted
+    // nothing matched: drop the empty stage, metadata no-op
+    val wrote = staged.nonEmpty && spark.read
+      .parquet(staged.map(resolve(rootPath, _).toString): _*)
+      .take(1).nonEmpty
+    if (!wrote) { fs.delete(dir, true); return parent }
+    val v = commitFiles(root, entries ++ staged, appendBase = false,
+      expectedParent = Some(parent))
+    // data files unchanged: sidecar entries carry fully, O(1) jobs
+    maintainStats(spark, root, v, Nil)
+    maintainBlooms(spark, root, v, Nil, 0)
+    v
+  }
+
+  /** Materialize deletion vectors (Delta's REWRITE/purge): rewrite
+    * ONLY the data files that tombstones reference — minus their
+    * deleted rows — and publish a manifest with no `dv/` entries;
+    * untouched files ride verbatim. The table becomes copy-on-write
+    * clean again (merge/delete/compact/readChanges all legal), history
+    * keeps the tombstoned versions until [[vacuum]]. No-op when the
+    * table has no tombstones. */
+  def commitPurgeDeleteVectors(spark: SparkSession,
+                               root: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val (fs, rootPath) = fsRoot(root)
+    val parent = latestVersion(root)
+    require(parent > 0, s"no committed version at $root")
+    val (dataFiles, dvFiles) =
+      splitEntries(readManifest(fs, rootPath, parent)._2)
+    if (dvFiles.isEmpty) return parent
+    val dv = spark.read
+      .parquet(dvFiles.map(resolve(rootPath, _).toString): _*)
+    val touchedKeys = dv.select("__dv_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val (touched, untouched) = dataFiles.partition(f =>
+      touchedKeys(new Path(resolve(rootPath, f).toUri.getPath)
+        .toString.split('/').takeRight(3).mkString("/")))
+    val survivors = applyDv(spark, rootPath,
+      spark.read.parquet(
+        touched.map(resolve(rootPath, _).toString): _*), dvFiles)
+    val staged = stage(survivors, root)
+    val v = commitFiles(root, untouched ++ staged, appendBase = false,
+      expectedParent = Some(parent))
+    maintainStats(spark, root, v, Nil)
+    maintainBlooms(spark, root, v, Nil, 0)
+    v
   }
 
   /** Bin-pack COMPACTION as a copy-on-write commit: every data file of
@@ -1382,6 +1705,9 @@ object Versioned {
     * appends. History is untouched: the parent version still lists the
     * small files until [[vacuum]] retires it. Stats sidecar entries
     * carry over for untouched files and recompute for the packed ones.
+    * `zorderBy` turns the pack into Delta's OPTIMIZE ZORDER BY: the
+    * packed rows re-cluster on the named columns' z-curve (same rows,
+    * tighter recomputed stats intervals → better file skipping).
     * Returns the new version, or the current one when fewer than two
     * files qualify (nothing to pack). Conflicts RESOLVE rather than
     * fail where that is provably safe: a concurrent blind append is
@@ -1392,22 +1718,43 @@ object Versioned {
     * `beforePublish` is the test seam for exactly that window. */
   def commitCompact(spark: SparkSession, root: String,
                     smallBytes: Long = 64L << 20,
-                    beforePublish: Long => Unit = _ => ()): Long = {
+                    beforePublish: Long => Unit = _ => (),
+                    zorderBy: Seq[String] = Nil,
+                    zorderFiles: Int = 0): Long = {
     val (fs, rootPath) = fsRoot(root)
     val parent = latestVersion(root)
     require(parent > 0, s"no committed version at $root")
-    val parentFiles = readManifest(fs, rootPath, parent)._2
+    val (parentFiles, dvParent) =
+      splitEntries(readManifest(fs, rootPath, parent)._2)
+    requireNoDv(dvParent, root, "COMPACT")
     val sized = parentFiles.map { f =>
       f -> fs.getFileStatus(resolve(rootPath, f)).getLen
     }
-    val (small, big) = sized.partition(_._2 < smallBytes)
+    // plain compaction packs only the sub-threshold files; OPTIMIZE
+    // ZORDER BY re-clusters EVERY file (Delta's semantics — clustering
+    // quality is the goal, `smallBytes` is just the target file size)
+    val (small, big) =
+      if (zorderBy.nonEmpty) (sized, Seq.empty[(String, Long)])
+      else sized.partition(_._2 < smallBytes)
     if (small.size < 2) return parent
     val totalSmall = small.map(_._2).sum
     val nOut = math.max(1L, (totalSmall + smallBytes - 1) / smallBytes)
       .toInt
-    val packed = spark.read
+    val smallScan = spark.read
       .parquet(small.map(p => resolve(rootPath, p._1).toString): _*)
-      .coalesce(nOut)
+    // OPTIMIZE ZORDER BY (Delta's clustering compaction): instead of a
+    // bit-identical coalesce, re-cluster the packed rows on the z-curve
+    // of the named columns — same rows, tighter per-file stats
+    // intervals, so the recomputed sidecar prunes multi-dimensional
+    // boxes the append order never could. Contents are permutation-
+    // identical either way; only the file layout changes.
+    val packed =
+      if (zorderBy.isEmpty) smallScan.coalesce(nOut)
+      else Layout.zorderN(smallScan,
+        zorderBy.map(org.apache.spark.sql.functions.col),
+        // explicit file-count override: the z-curve only prunes when
+        // it's cut into enough pieces for a box to exclude some
+        if (zorderFiles > 0) zorderFiles else nOut)
     val packedRels = stage(packed, root)
     // Compaction-specific conflict RESOLUTION (Delta's "blind appends
     // don't conflict with OPTIMIZE"): the rewrite changes no row, so a
@@ -1421,6 +1768,13 @@ object Versioned {
     val smallSet = small.map(_._1).toSet
     var base = parent
     var untouched = big.map(_._1)
+    // bounded, matching commitFiles' own retry budget: under SUSTAINED
+    // concurrent append traffic an unbounded recompose loop would
+    // livelock the compactor (re-read manifest, lose the race, repeat
+    // forever); after the cap the last conflict is re-raised and the
+    // caller reschedules the OPTIMIZE — the files are still small,
+    // nothing is lost
+    var attempts = 0
     while (true) {
       try {
         val v = commitFiles(root, untouched ++ packedRels,
@@ -1431,9 +1785,14 @@ object Versioned {
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 20) throw e
           val newParent = latestVersion(root)
           val newFiles = readManifest(fs, rootPath, newParent)._2
           if (!smallSet.subsetOf(newFiles.toSet)) throw e
+          // a racing DELETION-VECTOR commit may tombstone rows inside
+          // the files being packed — recomposing would resurrect them
+          if (newFiles.exists(isDvEntry)) throw e
           base = newParent
           untouched = newFiles.filterNot(smallSet)
       }
@@ -1489,6 +1848,9 @@ object Versioned {
       s"no committed version $v at $root")
     require(latestVersion(targetRoot) == 0L,
       s"clone target $targetRoot already has commits")
+    // deletion vectors clone along: the tombstone key is the file's
+    // last-three-components spelling, which absolute borrowed paths
+    // still produce, so the clone's reads apply them identically
     val absolute = readManifest(fs, rootPath, v)._2
       .map(f => fs.makeQualified(resolve(rootPath, f)).toString)
     val (tfs, tRootPath) = fsRoot(targetRoot)
@@ -1553,9 +1915,11 @@ object Versioned {
       .flatMap(v => readManifest(fs, rootPath, v)._2.map(relOf))
       .toSet
     val now = System.currentTimeMillis()
-    val dataDir = new Path(rootPath, "data")
     var nDel = 0L
     var bytes = 0L
+    // deletion-vector sidecars follow the same set arithmetic as data
+    // files: both directories sweep under one rule
+    Seq("data", "dv").map(new Path(rootPath, _)).foreach { dataDir =>
     if (fs.exists(dataDir)) {
       // recursive listStatus, NOT listFiles: located statuses force
       // permission loading, which RawLocalFileSystem implements by
@@ -1580,6 +1944,7 @@ object Versioned {
         fs.listStatus(dataDir).filter(_.isDirectory)
           .filter(d => fs.listStatus(d.getPath).isEmpty)
           .foreach(d => fs.delete(d.getPath, false))
+    }
     }
     // stats/bloom shards under meta/ follow the same set arithmetic as
     // data files: referenced by a retained index → keep; referenced

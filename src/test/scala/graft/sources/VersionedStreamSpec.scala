@@ -127,8 +127,9 @@ class VersionedStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("append-only"))
   }
 
-  test("startingTimestamp streams only commits published after the " +
-      "instant; an instant before the first commit streams everything") {
+  test("startingTimestamp streams commits published AT or after the " +
+      "instant (Delta's at-or-after boundary); an instant before the " +
+      "first commit streams everything") {
     val root = freshDir("vstream_ts") + "/t"
     val beforeAll = System.currentTimeMillis() - 5L
     Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
@@ -145,12 +146,57 @@ class VersionedStreamSpec extends SparkSpec {
     drain(readVersioned(root, "startingTimestamp" -> beforeAll.toString),
       freshDir("vs_ts_ckpt2"), all)
     assert(all.flatten.toSet == Set(1L, 2L, 3L), s"before-all got $all")
+    // the boundary itself: a commit published EXACTLY at the instant
+    // is INCLUDED (versionAtOrAfter, Delta semantics — the old
+    // versionAt+1 resolution skipped it)
+    val mt2 = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new org.apache.hadoop.fs.Path(
+        root, "manifest-v2.json")).getModificationTime
+    assert(Versioned.versionAtOrAfter(root, mt2).contains(2L))
+    val atCut = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root, "startingTimestamp" -> mt2.toString),
+      freshDir("vs_ts_ckpt4"), atCut)
+    assert(atCut.flatten.toSet.contains(2L),
+      s"commit at the exact instant must stream, got $atCut")
+    // an instant after every commit → idle stream, nothing replayed
+    assert(Versioned.versionAtOrAfter(root,
+      System.currentTimeMillis() + 60000L).isEmpty)
     // both options at once is a loud error
     intercept[Exception] {
       drain(readVersioned(root, "startingTimestamp" -> cut.toString,
         "startingVersion" -> "2"), freshDir("vs_ts_ckpt3"),
         scala.collection.mutable.ArrayBuffer[Set[Long]]())
     }
+  }
+
+  test("sink resolves its exactly-once identity from the SESSION " +
+      "default checkpoint location when the query carries no " +
+      "checkpointLocation option (and still errors with neither)") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = freshDir("vsink_sessdflt") + "/t"
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    in.addData(1L, 2L)
+    // neither appId nor any checkpoint: loud error at sink creation
+    val ex = intercept[Exception] {
+      in.toDF().toDF("k").writeStream
+        .format("graft.sources.VersionedStream")
+        .option("root", out).start()
+    }
+    assert(ex.getMessage.contains("exactly-once identity"))
+    // session default: the options map never sees checkpointLocation,
+    // but the query IS validly checkpointed — must not throw
+    val dflt = freshDir("vsink_sessdflt_ckpt")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", dflt)
+    try {
+      val q = in.toDF().toDF("k").writeStream
+        .format("graft.sources.VersionedStream")
+        .queryName("sessdflt_q").option("root", out).start()
+      try q.processAllAvailable() finally q.stop()
+      assert(Versioned.read(spark, out).as[Long].collect().toSet ==
+        Set(1L, 2L))
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
 
   test("a NEW query (fresh checkpoint) sinking the same root is not " +

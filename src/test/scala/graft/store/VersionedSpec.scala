@@ -993,4 +993,237 @@ class VersionedSpec extends SparkSpec {
       s"vacuum reclaimed only $nDel of the $nBefore superseded files")
     assert(Versioned.read(spark, root).as[Long].collect().toSet == before)
   }
+
+  test("merge on a STRING key never sidecar-prunes: long-cast stats " +
+      "over numeric-looking strings would prune a file holding a " +
+      "genuinely matching non-numeric key (silent duplicate rows)") {
+    val root = freshRoot()
+    def append(ks: String*): Unit = { Versioned.commitAppend(
+      ks.toSeq.map(k => (k, s"old-$k")).toDF("k", "v").coalesce(1),
+      root, statsCols = Seq("k"), bloomCols = Seq("k")); () }
+    // file 2 holds "abc" ALONGSIDE castable strings — the trap a
+    // long-cast pruning path would fall into: bounds [5,5] derived
+    // from the castable update key alone are disjoint from this
+    // file's castable values (7,8), pruning exactly the file that
+    // holds the matching "abc" row (and under ANSI the cast of "abc"
+    // THROWS, failing the whole commit). Both the sidecar writers and
+    // the merge pruner must treat non-integral columns as unprunable.
+    append("1", "2"); append("7", "8", "abc")
+    append("20", "21"); append("30", "31"); append("40")
+    val parent = Versioned.latestVersion(root)
+    val rels = Versioned.files(root, parent)
+      .map(p => p.substring(p.indexOf("data/")))
+    val upd = Seq(("5", "new-5"), ("abc", "new-abc")).toDF("k", "v")
+    // the guard: a non-integral key contributes no pruning at all
+    val (cands, skipped) =
+      Versioned.pruneMergeScan(upd, root, parent, rels, Seq("k"))
+    assert(skipped.isEmpty && cands.size == rels.size,
+      s"string key must not prune (pruned ${skipped.size})")
+    // end-to-end: exactly one row per key, "abc" updated not duplicated
+    val vm = Versioned.commitMerge(upd, root, Seq("k"))
+    val out = Versioned.read(spark, root, vm).as[(String, String)]
+      .collect().toMap
+    assert(out.size == Versioned.read(spark, root, vm).count(),
+      "merge produced duplicate keys")
+    assert(out("abc") == "new-abc" && out("5") == "new-5" &&
+      out("7") == "old-7")
+  }
+
+  test("mocks3c:// — a lost conditional write surfacing at close() as " +
+      "RemoteFileChangedException (the S3A 412 path) is classified as " +
+      "a lost race: the loser retries the next version, never aborts") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mocks3c.impl", classOf[MockS3CondPutFileSystem].getName)
+    hc.set("graft.versioned.condput.schemes", "mocks3c,mocks3n")
+    val root = "mocks3c://" + freshRoot()
+    val filesA = Versioned.stage(Seq((1L, "a")).toDF("k", "s"), root)
+    val filesB = Versioned.stage(Seq((2L, "b")).toDF("k", "s"), root)
+    var fired = false
+    val vA = Versioned.commitFiles(root, filesA, appendBase = true,
+      beforePublish = _ => {
+        if (!fired) {
+          fired = true
+          assert(Versioned.commitFiles(root, filesB,
+            appendBase = true) == 1L)
+        }
+      })
+    assert(vA == 2L, "A must lose v1 to B's 412 and land v2 on retry")
+    assert(Versioned.read(spark, root, 2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the classifier itself: hadoop-aws's exception by NAME (it is not
+    // a compile-time dependency), wrapped causes, and the S3 message
+    // shapes; an unrelated IOException is NOT a lost race
+    assert(Versioned.isCondWriteConflict(
+      new RemoteFileChangedException("412 at close")))
+    assert(Versioned.isCondWriteConflict(new java.io.IOException(
+      "wrapper", new RemoteFileChangedException("cause"))))
+    assert(Versioned.isCondWriteConflict(new java.io.IOException(
+      "PUT failed (Status Code: 412; Error Code: PreconditionFailed)")))
+    assert(Versioned.isCondWriteConflict(new java.io.IOException(
+      "At least one of the pre-conditions you specified did not hold")))
+    assert(!Versioned.isCondWriteConflict(
+      new java.io.IOException("connection reset")))
+  }
+
+  test("mocks3n:// — an object store that does NOT advertise atomic " +
+      "conditional creates fails FAST at publish (a quietly " +
+      "non-exclusive create loses racing commits); assumeCapable is " +
+      "the documented out-of-band override") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mocks3n.impl", classOf[MockS3NoCondFileSystem].getName)
+    hc.set("graft.versioned.condput.schemes", "mocks3c,mocks3n")
+    val root = "mocks3n://" + freshRoot()
+    val ex = intercept[UnsupportedOperationException] {
+      Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    }
+    assert(ex.getMessage.contains("conditional") &&
+      ex.getMessage.contains("assumeCapable"))
+    assert(Versioned.latestVersion(root) == 0L, "nothing published")
+    hc.setBoolean("graft.versioned.condput.assumeCapable", true)
+    try {
+      assert(Versioned.commitAppend(
+        Seq((1L, "a")).toDF("k", "s"), root) == 1L)
+      assert(Versioned.read(spark, root).as[(Long, String)]
+        .collect().toSet == Set((1L, "a")))
+    } finally hc.unset("graft.versioned.condput.assumeCapable")
+  }
+
+  test("deletion vectors: merge-on-read delete rewrites NOTHING, reads " +
+      "apply tombstones, time travel sees pre-delete rows, purge " +
+      "materializes and re-enables copy-on-write ops") {
+    val root = freshRoot()
+    (0 until 3).foreach(i => Versioned.commitAppend(
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id").as("k"),
+        (col("id") * 2).as("v")).coalesce(1), root,
+      statsCols = Seq("k")))
+    val before = Versioned.files(root).toSet
+    // delete k in [5, 12] — spans two files; prune derives from the
+    // predicate's own conjuncts so only those files are scanned
+    val v4 = Versioned.commitDeleteVectors(spark, root,
+      col("k") >= 5L && col("k") <= 12L)
+    assert(v4 == 4L)
+    val after = Versioned.files(root).toSet
+    assert(before.subsetOf(after) &&
+      (after -- before).forall(_.contains("/dv/")),
+      "a DV commit must only add tombstone files")
+    assert(Versioned.read(spark, root).as[(Long, Long)].collect()
+      .map(_._1).toSet == ((0L to 4L) ++ (13L to 29L)).toSet)
+    // time travel: the pre-delete version still reads every row
+    assert(Versioned.read(spark, root, 3L).count() == 30L)
+    // second, overlapping delete: already-tombstoned rows don't
+    // re-tombstone; live view shrinks again
+    val v5 = Versioned.commitDeleteVectors(spark, root,
+      col("k") >= 10L && col("k") <= 15L)
+    assert(v5 == 5L)
+    assert(Versioned.read(spark, root).as[(Long, Long)].collect()
+      .map(_._1).toSet == ((0L to 4L) ++ (16L to 29L)).toSet)
+    // a matching-nothing predicate is a metadata no-op
+    assert(Versioned.commitDeleteVectors(spark, root,
+      col("k") === 999L) == 5L)
+    // facade paths apply tombstones too: metadataCount refuses (falls
+    // back to a scan), pruned reads anti-join
+    assert(Versioned.metadataCount(root).isEmpty)
+    assert(Versioned.readPruned(spark, root, Map("k" -> (0L, 29L)))
+      .count() == 19L)
+    // copy-on-write ops demand a purge first
+    intercept[IllegalArgumentException] {
+      Versioned.commitMerge(Seq((1L, 99L)).toDF("k", "v"), root,
+        Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.commitDelete(spark, root, col("k") === 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.commitCompact(spark, root, smallBytes = 1L << 20)
+    }
+    // incremental reads refuse a range containing the DV commit: rows
+    // were logically removed, the range is not an append lineage
+    intercept[IllegalArgumentException] {
+      Versioned.readChanges(spark, root, 3L, 5L)
+    }
+    // PURGE: tombstones fold into rewritten files; only the referenced
+    // files rewrite, contents equal the live view, dv entries gone
+    val liveBefore = Versioned.read(spark, root).as[(Long, Long)]
+      .collect().toSet
+    val vp = Versioned.commitPurgeDeleteVectors(spark, root)
+    assert(vp == 6L)
+    val purged = Versioned.files(root, vp)
+    assert(purged.forall(!_.contains("/dv/")))
+    // file 1 (k in 0..9) and files 2-3 were all touched by deletes in
+    // this setup except none? files: [0..9], [10..19], [20..29]; both
+    // deletes touch files 1 and 2; file 3 (20..29) rides verbatim
+    assert(purged.toSet.intersect(before).size == 1,
+      "untouched files must ride into the purged manifest verbatim")
+    assert(Versioned.read(spark, root).as[(Long, Long)]
+      .collect().toSet == liveBefore)
+    // copy-on-write is legal again
+    val vm = Versioned.commitMerge(Seq((1L, 99L)).toDF("k", "v"), root,
+      Seq("k"))
+    assert(Versioned.read(spark, root, vm).filter(col("k") === 1L)
+      .as[(Long, Long)].collect().toSet == Set((1L, 99L)))
+    // vacuum reclaims the retired tombstone files with the same set
+    // arithmetic as data files
+    val (nDel, _) = Versioned.vacuum(root, vm)
+    assert(nDel > 0)
+    assert(!fsHasDvFiles(root),
+      "vacuum must sweep retired deletion-vector files")
+    assert(Versioned.read(spark, root).count() == liveBefore.size)
+  }
+
+  private def fsHasDvFiles(root: String): Boolean = {
+    val dir = new java.io.File(root, "dv")
+    dir.exists && dir.listFiles != null && dir.listFiles.exists(d =>
+      d.isDirectory && d.listFiles.exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("OPTIMIZE ZORDER BY: clustering compaction keeps contents " +
+      "permutation-identical and turns an unprunable 2-dim box into " +
+      "a pruned one") {
+    val root = freshRoot()
+    val n = 4096L
+    val df = spark.range(n).select(
+      (col("id") % 64L).as("x"), expr("id div 64").as("y"),
+      col("id").as("payload"))
+    // hash-sliced appends: every file spans both domains
+    (0 until 4).foreach(i => Versioned.commitAppend(
+      df.filter(col("id") % 4 === i.toLong).coalesce(1), root,
+      statsCols = Seq("x", "y")))
+    val bounds = Map("x" -> (0L, 15L), "y" -> (0L, 15L))
+    assert(Versioned.prunedFiles(root, bounds)._1.size == 4,
+      "append layout should admit every file")
+    val vz = Versioned.commitCompact(spark, root,
+      smallBytes = 16L << 10, zorderBy = Seq("x", "y"),
+      zorderFiles = 8)
+    val (kept, total) = Versioned.prunedFiles(root, bounds, vz)
+    assert(kept.size < total,
+      s"zorder compaction pruned nothing: ${kept.size} of $total")
+    assert(Versioned.read(spark, root, vz).as[(Long, Long, Long)]
+      .collect().toSet ==
+      df.as[(Long, Long, Long)].collect().toSet,
+      "clustering must preserve contents exactly")
+  }
+
+  test("compaction's recompose loop is BOUNDED: sustained concurrent " +
+      "append traffic re-raises the conflict after the retry budget " +
+      "instead of livelocking the compactor") {
+    val root = freshRoot()
+    (1 to 4).foreach(i => Versioned.commitAppend(
+      Seq((i.toLong, s"v$i")).toDF("k", "s"), root))
+    var races = 0
+    intercept[java.util.ConcurrentModificationException] {
+      // every publish window loses to a fresh blind append — an
+      // unbounded loop would never return from this call
+      Versioned.commitCompact(spark, root, smallBytes = 1L << 20,
+        beforePublish = { _ =>
+          races += 1
+          Versioned.commitAppend(
+            Seq((1000L + races, "raced")).toDF("k", "s"), root)
+          ()
+        })
+    }
+    assert(races >= 20 && races <= 25,
+      s"expected the 20-attempt budget to bound the loop, saw $races")
+    // the table is intact: all four originals plus every raced append
+    assert(Versioned.read(spark, root).count() == 4L + races)
+  }
 }
