@@ -1647,6 +1647,53 @@ object RelationalQueries {
                CAST(sum(l_orderkey) AS BIGINT) AS src_sum
         FROM lineitem
         WHERE l_orderkey <= (SELECT max(l_orderkey) // 4 FROM lineitem)
-          AND l_partkey <= (SELECT max(l_partkey) // 4 FROM lineitem)"""))
+          AND l_partkey <= (SELECT max(l_partkey) // 4 FROM lineitem)""")),
+
+    // ------------------------------------------------------------------
+    // CHANGE DATA FEED from the commit log's file algebra alone (no CDC
+    // files written at commit time): added data files are that commit's
+    // inserts, added deletion-vector files are its deletes (tombstones
+    // join back to only the files they reference and materialize the
+    // deleted rows with full schema + _change_type/_commit_version).
+    // A downstream consumer gets exactly-once row changes whose cost
+    // tracks the delta, never the table — the incremental-ETL read of
+    // every lakehouse. Oracle replays the same lineage as literal
+    // change sets.
+    QuerySpec("q253_change_feed",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_cdf_q")
+        val orders = Tables.orders(s, dir).select(col("o_orderkey"),
+          Exact.cents(col("o_totalprice")).as("cents"))
+        def slice(i: Int) =
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === i.toLong)
+            .coalesce(1)
+        graft.store.Versioned.commitAppend(slice(0), root,
+          statsCols = Seq("o_orderkey"))
+        graft.store.Versioned.commitAppend(slice(1), root)
+        graft.store.Versioned.commitDeleteVectors(s, root,
+          pmod(col("o_orderkey"), lit(5L)) === 2L)
+        graft.store.Versioned.commitAppend(slice(2), root)
+        graft.store.Versioned.readChangeFeed(s, root, 0L)
+          .groupBy(col("_change_type"), col("_commit_version"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+          .orderBy("_commit_version", "_change_type")
+      },
+      Some(s"""
+        WITH ch AS (
+          SELECT 'insert' AS t, 1 AS v, ${Exact.centsSql("o_totalprice")}
+            AS cents FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT 'insert', 2, ${Exact.centsSql("o_totalprice")}
+            FROM orders WHERE o_orderkey % 3 = 1
+          UNION ALL
+          SELECT 'delete', 3, ${Exact.centsSql("o_totalprice")}
+            FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 5 = 2
+          UNION ALL
+          SELECT 'insert', 4, ${Exact.centsSql("o_totalprice")}
+            FROM orders WHERE o_orderkey % 3 = 2)
+        SELECT t AS _change_type, CAST(v AS BIGINT) AS _commit_version,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type"""))
   )
 }

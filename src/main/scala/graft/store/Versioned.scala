@@ -1660,6 +1660,81 @@ object Versioned {
     v
   }
 
+  /** CHANGE DATA FEED (Delta's table_changes / CDF): every row-level
+    * change between `fromVersion` (exclusive; 0 = since table birth)
+    * and `toVersion` (inclusive; 0 = latest), stamped with
+    * `_change_type` ('insert' | 'delete') and `_commit_version`. The
+    * feed is derived purely from the commit log's file algebra — no
+    * extra CDC files written at commit time:
+    *   - a commit's added DATA files are its inserts (files are
+    *     immutable, so each row's insert version is exact);
+    *   - a commit's added DELETION-VECTOR files are its deletes — the
+    *     tombstones join back to ONLY the data files they reference
+    *     (deleted-rows-sized scan, not table-sized), materializing the
+    *     deleted rows with their full schema.
+    * Commits that REMOVE files (overwrite / copy-on-write merge /
+    * delete / compaction / restore) fail loudly: their file delta
+    * cannot distinguish rewritten-identical rows from changed ones, so
+    * a feed over them would fabricate changes — same contract as
+    * [[readChanges]], extended to tolerate (and surface) DV deletes.
+    * A downstream incremental consumer gets exactly-once row changes
+    * whose cost tracks the delta, never the table. */
+  def readChangeFeed(spark: SparkSession, root: String,
+                     fromVersion: Long, toVersion: Long = 0L)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val (fs, rootPath) = fsRoot(root)
+    val to = if (toVersion == 0L) latestVersion(root) else toVersion
+    require(fromVersion >= 0 && to > fromVersion &&
+      fs.exists(manifestPath(rootPath, to)) &&
+      (fromVersion == 0L ||
+        fs.exists(manifestPath(rootPath, fromVersion))),
+      s"need committed versions $fromVersion < $to at $root " +
+        "(fromVersion 0 = since table birth)")
+    def entriesAt(v: Long): Seq[String] =
+      if (v == 0L) Nil else readManifest(fs, rootPath, v)._2
+    val frames = (fromVersion + 1 to to).flatMap { v =>
+      val prev = entriesAt(v - 1).toSet
+      val cur = entriesAt(v)
+      val removed = prev -- cur.toSet
+      require(removed.isEmpty,
+        s"version $v of $root removed ${removed.size} file(s) " +
+          "(overwrite/merge/copy-on-write delete/compact/restore): its " +
+          "file delta cannot yield exact row changes - re-read the " +
+          "snapshot or purge+rebase the feed past it")
+      val (addedData, addedDv) =
+        splitEntries(cur.filterNot(prev))
+      val inserts =
+        if (addedData.isEmpty) Nil
+        else Seq(spark.read.parquet(
+            addedData.map(resolve(rootPath, _).toString): _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      val deletes =
+        if (addedDv.isEmpty) Nil
+        else {
+          val dv = spark.read.parquet(
+            addedDv.map(resolve(rootPath, _).toString): _*)
+          // only the referenced files enter the scan
+          val touched = dv.select("__dv_file").distinct()
+            .collect().map(_.getString(0)).toSet
+          val files = splitEntries(cur)._1.filter(f =>
+            touched(resolve(rootPath, f).toUri.getPath
+              .split('/').takeRight(3).mkString("/")))
+          val keyed = withDvKey(spark.read.parquet(
+            files.map(resolve(rootPath, _).toString): _*))
+          Seq(keyed.join(broadcast(dv), Seq("__dv_file", "__dv_idx"))
+            .drop("__dv_file", "__dv_idx")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        }
+      inserts ++ deletes
+    }
+    require(frames.nonEmpty,
+      s"no changes between $fromVersion and $to at $root")
+    frames.reduce(_.unionByName(_))
+  }
+
   /** Materialize deletion vectors (Delta's REWRITE/purge): rewrite
     * ONLY the data files that tombstones reference — minus their
     * deleted rows — and publish a manifest with no `dv/` entries;

@@ -1176,6 +1176,39 @@ class VersionedSpec extends SparkSpec {
       d.isDirectory && d.listFiles.exists(_.getName.endsWith(".parquet")))
   }
 
+  test("change data feed: inserts from added data files, deletes " +
+      "materialized from deletion vectors, loud on rewrite commits") {
+    val root = freshRoot()
+    Versioned.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      root)
+    Versioned.commitAppend(Seq((3L, "c")).toDF("k", "s"), root)
+    Versioned.commitDeleteVectors(spark, root, col("k") === 2L)
+    Versioned.commitAppend(Seq((4L, "d")).toDF("k", "s"), root)
+    val feed = Versioned.readChangeFeed(spark, root, 0L)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 2L),
+      (2L, "b", "delete", 3L),
+      (4L, "d", "insert", 4L)))
+    // bounded range: only the delete and the last insert
+    assert(Versioned.readChangeFeed(spark, root, 2L)
+      .as[(Long, String, String, Long)].collect().toSet ==
+      Set((2L, "b", "delete", 3L), (4L, "d", "insert", 4L)))
+    // a copy-on-write commit inside the range fails loudly (its file
+    // delta can't yield exact row changes)
+    Versioned.commitPurgeDeleteVectors(spark, root)
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.readChangeFeed(spark, root, 4L)
+    }
+    assert(ex.getMessage.contains("removed"))
+    // but a feed STARTING at the purge version works again
+    Versioned.commitAppend(Seq((5L, "e")).toDF("k", "s"), root)
+    assert(Versioned.readChangeFeed(spark, root, 5L)
+      .as[(Long, String, String, Long)].collect().toSet ==
+      Set((5L, "e", "insert", 6L)))
+  }
+
   test("OPTIMIZE ZORDER BY: clustering compaction keeps contents " +
       "permutation-identical and turns an unprunable 2-dim box into " +
       "a pruned one") {
