@@ -1650,6 +1650,74 @@ object RelationalQueries {
           AND l_partkey <= (SELECT max(l_partkey) // 4 FROM lineitem)""")),
 
     // ------------------------------------------------------------------
+    // MERGE-ON-READ upsert (q235's copy-on-write twin, Iceberg's MOR):
+    // matched rows TOMBSTONE by deletion vector, updates append as new
+    // files — the require pins that no existing file was rewritten.
+    // Same upsert algebra as q235, so the oracle is q235's; at 100 TB
+    // the write cost drops from "rewrite every matched file" to
+    // "kilobytes of tombstones + the new rows", traded against the
+    // read-time anti-join until a purge re-optimizes.
+    QuerySpec("q255_mor_merge",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_mor_q")
+        val ordersOf = (lo: String, hi: String) =>
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+              col("o_orderdate") < lit(hi).cast("timestamp"))
+            .select(col("o_orderkey"),
+              Exact.cents(col("o_totalprice")).as("cents"))
+        val v1 = graft.store.Versioned.commitAppend(
+          ordersOf("1996-01-01", "1996-07-01"), root,
+          statsCols = Seq("o_orderkey"))
+        val updates = ordersOf("1996-01-01", "1996-07-01")
+          .filter(pmod(col("o_orderkey"), lit(10L)) === 3)
+          .select(col("o_orderkey"), (col("cents") + 1000L).as("cents"))
+          .unionByName(ordersOf("1996-07-01", "1997-01-01"))
+        val before = graft.store.Versioned.files(root).toSet
+        val v2 = graft.store.Versioned.commitMergeOnRead(updates, root,
+          Seq("o_orderkey"))
+        require(before.subsetOf(
+          graft.store.Versioned.files(root, v2).toSet),
+          "merge-on-read must never rewrite an existing file")
+        def roll(phase: String, v: Long) =
+          graft.store.Versioned.read(s, root, v)
+            .agg(count(lit(1)).as("n_orders"),
+              countDistinct(col("o_orderkey")).as("n_keys"),
+              sum(col("cents")).as("total_cents"))
+            .select(lit(phase).as("phase"), col("n_orders"),
+              col("n_keys"), col("total_cents"))
+        roll("1_merged", v2).unionByName(roll("2_pinned_parent", v1))
+          .orderBy("phase")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey,
+                 ${Exact.centsSql("o_totalprice")} AS cents, o_orderdate
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'),
+        merged AS (
+          SELECT o_orderkey,
+                 cents + CASE WHEN o_orderdate < TIMESTAMP '1996-07-01'
+                               AND o_orderkey % 10 = 3
+                              THEN 1000 ELSE 0 END AS cents
+          FROM base),
+        pinned AS (
+          SELECT o_orderkey, cents FROM base
+          WHERE o_orderdate < TIMESTAMP '1996-07-01')
+        SELECT '1_merged' AS phase,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM merged
+        UNION ALL
+        SELECT '2_pinned_parent', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT o_orderkey) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
+        FROM pinned
+        ORDER BY phase""")),
+
+    // ------------------------------------------------------------------
     // CHANGE DATA FEED from the commit log's file algebra alone (no CDC
     // files written at commit time): added data files are that commit's
     // inserts, added deletion-vector files are its deletes (tombstones

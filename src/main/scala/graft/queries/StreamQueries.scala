@@ -328,6 +328,65 @@ object StreamQueries {
                CAST(sum(${graft.util.Exact.centsSql("o_totalprice")})
                  AS BIGINT) AS total_cents
             FROM orders WHERE o_orderkey % 3 < $v"""
-      }.mkString("\nUNION ALL\n") + "\nORDER BY version"))
+      }.mkString("\nUNION ALL\n") + "\nORDER BY version")),
+
+    // ------------------------------------------------------------------
+    // STREAMING change data feed: the commit log streams row CHANGES —
+    // a deletion-vector commit arrives as 'delete' rows (materialized
+    // from the tombstones, full schema), appends as 'insert' rows,
+    // each stamped with its commit version; three drains against three
+    // commits prove the 1:1 commit→batch mapping survives deletes.
+    // This is the CDC hand-off of a lakehouse pipeline: a downstream
+    // consumer (index refresh, aggregate maintenance, replication)
+    // applies exact row-level changes whose cost tracks the delta.
+    // Oracle replays the three change sets as literal selects.
+    QuerySpec("q254_stream_change_feed",
+      (s, dir) => {
+        import graft.store.Versioned
+        val in = graft.util.TempDirs.scratch("graft_cdfs_in")
+        val outDir = graft.util.TempDirs.scratch("graft_cdfs_out")
+        val ckpt = graft.util.TempDirs.scratch("graft_cdfs_ckpt")
+        def slice(k: Int) = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(3L)) === k.toLong)
+          .select(col("o_orderkey"),
+            graft.util.Exact.cents(col("o_totalprice")).as("cents"))
+        Versioned.commitAppend(slice(0), in)
+        val q = s.readStream.format("graft.sources.VersionedStream")
+          .option("root", in).option("readChangeFeed", "true").load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }.start()
+        try {
+          q.processAllAvailable()
+          Versioned.commitDeleteVectors(s, in,
+            pmod(col("o_orderkey"), lit(5L)) === 2L)
+          q.processAllAvailable()
+          Versioned.commitAppend(slice(1), in)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(outDir)
+          .groupBy(col("_change_type"), col("_commit_version"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("cents"))
+          .orderBy("_commit_version", "_change_type")
+      },
+      Some(s"""
+        WITH ch AS (
+          SELECT 'insert' AS t, 1 AS v, ${graft.util.Exact
+            .centsSql("o_totalprice")} AS cents
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT 'delete', 2, ${graft.util.Exact
+            .centsSql("o_totalprice")}
+          FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 = 2
+          UNION ALL
+          SELECT 'insert', 3, ${graft.util.Exact
+            .centsSql("o_totalprice")}
+          FROM orders WHERE o_orderkey % 3 = 1)
+        SELECT t AS _change_type, CAST(v AS BIGINT) AS _commit_version,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type"""))
   )
 }

@@ -38,6 +38,13 @@ import graft.store.Versioned
   *    twin of `Versioned.readAsOf`'s timestamp travel. An instant
   *    before the first commit streams everything; an instant after
   *    the last streams only future commits.
+  *  - `readChangeFeed` (default false): stream the CHANGE FEED instead
+  *    of the appended rows — each batch carries the range's row changes
+  *    stamped with `_change_type` ('insert' | 'delete', the latter
+  *    materialized from deletion-vector commits) and `_commit_version`
+  *    (Delta's CDF streaming read). Rewrite commits still fail the
+  *    query loudly; plain appends read as inserts, so a non-DV lineage
+  *    streams identically to the default mode plus the two stamps.
   *  - `maxVersionsPerBatch` (default unbounded): steady-state pacing —
   *    cap how many commits one micro-batch drains. The first batch
   *    after (re)start is deliberately uncapped: the source has no
@@ -68,6 +75,9 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
       throw new IllegalArgumentException(
         "graft.sources.VersionedStream needs .option(\"root\", ...)"))
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
@@ -78,7 +88,16 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
       require(Versioned.latestVersion(root) > 0,
         s"no committed version at $root to infer a schema from - " +
           "commit first or pass an explicit schema")
-      Versioned.read(sqlContext.sparkSession, root).schema
+      val base = Versioned.read(sqlContext.sparkSession, root).schema
+      // change-feed mode streams row CHANGES: table columns plus the
+      // change stamp (Delta's CDF streaming read shape)
+      if (cdfOf(parameters)) org.apache.spark.sql.types.StructType(
+        base.fields
+          :+ org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false)
+          :+ org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      else base
     }
     (shortName(), s)
   }
@@ -106,7 +125,8 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       startingVersion = startV,
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch")
-        .map(_.toLong).getOrElse(Long.MaxValue))
+        .map(_.toLong).getOrElse(Long.MaxValue),
+      cdf = cdfOf(parameters))
   }
 
   /** EXACTLY-ONCE streaming sink: each micro-batch append-commits
@@ -193,7 +213,8 @@ private case class VersionOffset(v: Long) extends Offset {
 private class VersionedSource(sqlContext: SQLContext, root: String,
                               override val schema: StructType,
                               startingVersion: Long,
-                              maxVersionsPerBatch: Long) extends Source {
+                              maxVersionsPerBatch: Long,
+                              cdf: Boolean = false) extends Source {
   require(startingVersion >= 1, s"startingVersion must be >= 1")
   require(maxVersionsPerBatch >= 1, s"maxVersionsPerBatch must be >= 1")
 
@@ -220,8 +241,17 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
     val endV = versionOf(end)
     known = math.max(known, endV)
     val spark = sqlContext.sparkSession
-    org.apache.spark.sql.GraftStreamBridge.asStreaming(
-      guardSchema(batchFrame(spark, start, endV), endV))
+    val (raw, opaque) = batchFrame(spark, start, endV)
+    val frame = guardSchema(raw, endV)
+    // batches that carry a JOIN — change-feed batches (tombstones →
+    // deleted rows) and an initial snapshot over live deletion vectors
+    // (the anti-join) — would read as stateful stream-stream joins if
+    // leaf-flagged, so they enter the stream pre-planned as one opaque
+    // leaf; plain scan batches stay leaf-flagged (pushdown visible to
+    // the incremental planner)
+    if (opaque) org.apache.spark.sql.GraftStreamBridge
+      .asStreamingOpaque(frame)
+    else org.apache.spark.sql.GraftStreamBridge.asStreaming(frame)
   }
 
   /** Fail LOUDLY when a delta batch's parquet schema drifts from the
@@ -244,13 +274,31 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
     df
   }
 
+  private def emptyBatch(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Change-feed batch over (fromV, endV]: row changes stamped with
+    * _change_type/_commit_version. Deletion-vector commits stream as
+    * 'delete' rows (batch mode's exact semantics); a same-contents
+    * range (restore-rollback healing) is an empty batch; a rewrite
+    * commit still fails the query loudly via readChangeFeed's guard. */
+  private def cdfBatch(spark: org.apache.spark.sql.SparkSession,
+                       fromV: Long, endV: Long): DataFrame =
+    if (Versioned.sameEntries(root, fromV, endV)) emptyBatch(spark)
+    else Versioned.readChangeFeed(spark, root, fromV, endV)
+
+  /** The micro-batch frame plus whether it must enter the stream as an
+    * opaque pre-planned leaf (it carries a join, which leaf-flagging
+    * would misread as a stateful streaming join). */
   private def batchFrame(spark: org.apache.spark.sql.SparkSession,
-                         start: Option[Offset], endV: Long): DataFrame =
+                         start: Option[Offset], endV: Long)
+      : (DataFrame, Boolean) =
     start.map(versionOf) match {
       case Some(s) if s >= endV =>
         // replanned empty range (e.g. restart edge): zero-row batch
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        (emptyBatch(spark), cdf)
       case Some(s) if s >= startingVersion =>
         // A RESTORE that rolled the table back to exactly what this
         // stream already consumed leaves an append-consistent range
@@ -259,23 +307,30 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
         // whose files were genuinely rewritten (the overwrite itself,
         // if the stream drained past it) still fail loudly with the
         // non-append-lineage error.
-        if (Versioned.changedFileCount(root, s, endV) == 0L)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else Versioned.readChanges(spark, root, s, endV)
+        if (cdf) (cdfBatch(spark, s, endV), true)
+        else if (Versioned.changedFileCount(root, s, endV) == 0L)
+          (emptyBatch(spark), false)
+        else (Versioned.readChanges(spark, root, s, endV), false)
       case _ if startingVersion == 1L =>
-        Versioned.read(spark, root, endV)
+        // the initial snapshot applies live deletion vectors (Delta's
+        // semantics: the snapshot is the LIVE rows) — an anti-join, so
+        // it must ride opaque when tombstones exist
+        if (cdf) (cdfBatch(spark, 0L, endV), true)
+        else (Versioned.read(spark, root, endV),
+          Versioned.hasDeleteVectors(root, endV))
       case _ =>
         // initial snapshot cut at startingVersion: manifest(end) minus
         // manifest(startingVersion - 1) - exact for append lineages,
         // guarded by the same non-append check as every delta batch
         // (and by the same empty-delta healing: a table restored to
         // exactly the cut's contents starts with an empty batch)
-        if (Versioned.changedFileCount(root, startingVersion - 1,
+        if (cdf) (cdfBatch(spark, startingVersion - 1, endV), true)
+        else if (Versioned.changedFileCount(root, startingVersion - 1,
             endV) == 0L)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else Versioned.readChanges(spark, root, startingVersion - 1, endV)
+          (emptyBatch(spark), false)
+        else
+          (Versioned.readChanges(spark, root, startingVersion - 1, endV),
+            false)
     }
 
   override def stop(): Unit = ()

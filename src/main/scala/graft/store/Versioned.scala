@@ -1518,11 +1518,26 @@ object Versioned {
     val v = if (version == 0L) latestVersion(root) else version
     require(v > 0 && fs.exists(manifestPath(rootPath, v)),
       s"no committed version $v at $root")
-    val files = readManifest(fs, rootPath, v)._2
+    val (files, dvFiles) = splitEntries(readManifest(fs, rootPath, v)._2)
     val (_, stats) = readStatsSidecar(fs, rootPath, v)
     val counts = files.map(stats.get(_).map(_.head))
-    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    if (counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.sum - dvRowCount(fs, rootPath, dvFiles))
   }
+
+  /** Exact tombstone count from the DV files' parquet FOOTERS — still
+    * metadata-only (no job runs; one footer read per dv file, and dv
+    * files are deleted-rows-sized). Tombstones are unique (file, idx)
+    * pairs by construction, so the footer row count IS the number of
+    * deleted live rows. */
+  private def dvRowCount(fs: FileSystem, rootPath: Path,
+                         dvFiles: Seq[String]): Long =
+    dvFiles.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(resolve(rootPath, f), fs.getConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
 
   /** Highest version whose manifest was PUBLISHED at or before
     * `tsMillis` (epoch millis) — timestamp time travel (Delta's
@@ -1679,6 +1694,27 @@ object Versioned {
     * [[readChanges]], extended to tolerate (and surface) DV deletes.
     * A downstream incremental consumer gets exactly-once row changes
     * whose cost tracks the delta, never the table. */
+  /** Does the snapshot at `version` (latest when 0) carry live
+    * deletion-vector tombstones? Manifest-sized, driver-side. */
+  def hasDeleteVectors(root: String, version: Long = 0L): Boolean = {
+    val (fs, rootPath) = fsRoot(root)
+    val v = if (version == 0L) latestVersion(root) else version
+    readManifest(fs, rootPath, v)._2.exists(isDvEntry)
+  }
+
+  /** Do two committed versions list the IDENTICAL file set? (0 = the
+    * empty pre-birth table.) The metadata-only emptiness check a
+    * change-feed consumer needs: a range whose endpoints share one
+    * manifest (e.g. a RESTORE rolled the table back to exactly the
+    * consumed state) carries no changes. */
+  def sameEntries(root: String, a: Long, b: Long): Boolean = {
+    val (fs, rootPath) = fsRoot(root)
+    def at(v: Long): Set[String] =
+      if (v == 0L) Set.empty
+      else readManifest(fs, rootPath, v)._2.toSet
+    at(a) == at(b)
+  }
+
   def readChangeFeed(spark: SparkSession, root: String,
                      fromVersion: Long, toVersion: Long = 0L)
       : DataFrame = {
@@ -1733,6 +1769,65 @@ object Versioned {
     require(frames.nonEmpty,
       s"no changes between $fromVersion and $to at $root")
     frames.reduce(_.unionByName(_))
+  }
+
+  /** MERGE-ON-READ upsert (Iceberg's MOR merge): matched rows are
+    * TOMBSTONED by deletion vector and the updates append as new data
+    * files — zero existing bytes rewrite, so an upsert touching 0.1%
+    * of a 100 TB table's keys costs kilobytes of tombstones plus the
+    * new rows, where [[commitMerge]]'s copy-on-write pays a rewrite of
+    * every matched file. The read-time price is the tombstone
+    * anti-join (merge-on-READ); [[commitPurgeDeleteVectors]] converts
+    * back to read-optimized when tombstones accumulate. Works WITH
+    * live tombstones (no purge needed — it never re-stages old rows),
+    * composes with the change feed (the commit reads as exact
+    * delete+insert pairs — CDC's canonical update encoding), and
+    * pre-prunes its match scan with the same sidecar machinery as
+    * copy-on-write merge. Same optimistic conflict detection. */
+  def commitMergeOnRead(updates: DataFrame, root: String,
+                        keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val spark = updates.sparkSession
+    val (fs, rootPath) = fsRoot(root)
+    val parent = latestVersion(root)
+    if (parent == 0L)
+      return commitFiles(root, stage(updates, root), appendBase = false,
+        expectedParent = Some(0L))
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val entries = readManifest(fs, rootPath, parent)._2
+    val (dataFiles, dvFiles) = splitEntries(entries)
+    val (candidates, _) =
+      pruneMergeScan(updates, root, parent, dataFiles, keys)
+    val updKeys = updates.select(keys.map(col): _*).distinct()
+    val stagedDv =
+      if (candidates.isEmpty) Nil
+      else {
+        val keyed = withDvKey(spark.read.parquet(
+          candidates.map(resolve(rootPath, _).toString): _*))
+        val live =
+          if (dvFiles.isEmpty) keyed
+          else keyed.join(broadcast(spark.read.parquet(
+              dvFiles.map(resolve(rootPath, _).toString): _*)),
+            Seq("__dv_file", "__dv_idx"), "left_anti")
+        val tombstones = live.join(updKeys, keys, "left_semi")
+          .select(col("__dv_file"), col("__dv_idx"))
+        val uuid = java.util.UUID.randomUUID().toString
+        val dir = new Path(new Path(rootPath, "dv"), uuid)
+        tombstones.write.parquet(dir.toString)
+        val staged = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .collect { case n if n.endsWith(".parquet") => s"dv/$uuid/$n" }
+          .sorted
+        val wrote = staged.nonEmpty && spark.read
+          .parquet(staged.map(resolve(rootPath, _).toString): _*)
+          .take(1).nonEmpty
+        if (!wrote) { fs.delete(dir, true); Nil } else staged
+      }
+    val stagedData = stage(updates, root)
+    val v = commitFiles(root, entries ++ stagedDv ++ stagedData,
+      appendBase = false, expectedParent = Some(parent))
+    maintainStats(spark, root, v, Nil)
+    maintainBlooms(spark, root, v, Nil, 0)
+    v
   }
 
   /** Materialize deletion vectors (Delta's REWRITE/purge): rewrite

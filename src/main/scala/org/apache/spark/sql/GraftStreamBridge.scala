@@ -25,6 +25,20 @@ object GraftStreamBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(cdf.sparkSession, plan)
   }
 
+  /** [[asStreaming]] for batch plans that are MORE than scans: leaf-
+    * flagging a plan containing a join/aggregate would make the
+    * incremental planner treat it as a STATEFUL streaming join (state
+    * stores, watermarks — and a crash, since the "join" is complete
+    * within this one batch). Compile the batch plan to its RDD first
+    * (codegen, pushdown, broadcast all happen under the BATCH planner)
+    * and hand the stream ONE streaming-flagged leaf wrapping it. */
+  def asStreamingOpaque(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val node = LogicalRDD.fromDataset(cdf.queryExecution.toRdd, cdf,
+      isStreaming = true)
+    org.apache.spark.sql.classic.Dataset.ofRows(cdf.sparkSession, node)
+  }
+
   /** The inverse seam, for DSv1 SINKS: the DataFrame handed to
     * `Sink.addBatch` is streaming-flagged, so direct batch actions on
     * it throw "must be executed with writeStream.start()". Re-wrap its

@@ -170,6 +170,61 @@ class VersionedStreamSpec extends SparkSpec {
     }
   }
 
+  test("change-feed streaming: batches carry inserts AND deletion-" +
+      "vector deletes with commit stamps; a restart resumes from the " +
+      "checkpoint; a plain stream over the same lineage fails loudly") {
+    val root = freshDir("vstream_cdf") + "/t"
+    val ckpt = freshDir("vstream_cdf_ckpt")
+    Versioned.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      root)
+    val changes =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    def drainCdf(): Unit = {
+      val q = readVersioned(root, "readChangeFeed" -> "true")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.select("k", "s", "_change_type",
+              "_commit_version")
+            .as[(Long, String, String, Long)].collect()
+          changes.synchronized { changes ++= rows }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainCdf()
+    assert(changes.toSet == Set((1L, "a", "insert", 1L),
+      (2L, "b", "insert", 1L)))
+    // a DV delete and an append stream as one resumed batch
+    Versioned.commitDeleteVectors(spark, root,
+      org.apache.spark.sql.functions.col("k") === 1L)
+    Versioned.commitAppend(Seq((3L, "c")).toDF("k", "s"), root)
+    drainCdf()
+    assert(changes.toSet == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (1L, "a", "delete", 2L), (3L, "c", "insert", 3L)))
+    // a DEFAULT (append-rows) stream whose INITIAL SNAPSHOT covers the
+    // whole lineage reads the LIVE rows (tombstones applied — the
+    // anti-join rides the opaque leaf, no stateful-join misplan)
+    val snap = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val qs = readVersioned(root)
+      .writeStream.option("checkpointLocation", freshDir("cdf_snap"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("k", "s").as[(Long, String)].collect()
+        snap.synchronized { snap ++= rows }; ()
+      }.start()
+    try qs.processAllAvailable() finally qs.stop()
+    assert(snap.toSet == Set((2L, "b"), (3L, "c")))
+    // but a default stream whose DELTA RANGE crosses the DV commit
+    // fails loudly instead of silently skipping the delete
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = readVersioned(root, "startingVersion" -> "2")
+        .writeStream.option("checkpointLocation", freshDir("cdf_plain"))
+        .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(String.valueOf(ex.getMessage).contains("deletion-vector") ||
+      String.valueOf(ex.getCause).contains("deletion-vector"))
+  }
+
   test("sink resolves its exactly-once identity from the SESSION " +
       "default checkpoint location when the query carries no " +
       "checkpointLocation option (and still errors with neither)") {

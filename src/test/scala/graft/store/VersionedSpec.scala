@@ -1120,9 +1120,10 @@ class VersionedSpec extends SparkSpec {
     // a matching-nothing predicate is a metadata no-op
     assert(Versioned.commitDeleteVectors(spark, root,
       col("k") === 999L) == 5L)
-    // facade paths apply tombstones too: metadataCount refuses (falls
-    // back to a scan), pruned reads anti-join
-    assert(Versioned.metadataCount(root).isEmpty)
+    // facade paths apply tombstones too: metadataCount stays
+    // metadata-only (stats counts minus the dv footers' row counts),
+    // pruned reads anti-join
+    assert(Versioned.metadataCount(root).contains(19L))
     assert(Versioned.readPruned(spark, root, Map("k" -> (0L, 29L)))
       .count() == 19L)
     // copy-on-write ops demand a purge first
@@ -1174,6 +1175,51 @@ class VersionedSpec extends SparkSpec {
     val dir = new java.io.File(root, "dv")
     dir.exists && dir.listFiles != null && dir.listFiles.exists(d =>
       d.isDirectory && d.listFiles.exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("merge-on-read upsert: matched rows tombstone, updates append, " +
+      "zero existing bytes rewrite; repeat upserts chain; the change " +
+      "feed reads each as delete+insert pairs") {
+    val root = freshRoot()
+    (0 until 3).foreach(i => Versioned.commitAppend(
+      spark.range(i * 10L, (i + 1) * 10L).select(col("id").as("k"),
+        (col("id") * 2).as("v")).coalesce(1), root,
+      statsCols = Seq("k")))
+    val before = Versioned.files(root).toSet
+    val v4 = Versioned.commitMergeOnRead(
+      Seq((5L, -5L), (15L, -15L), (99L, -99L)).toDF("k", "v"), root,
+      Seq("k"))
+    assert(v4 == 4L)
+    val after = Versioned.files(root).toSet
+    assert(before.subsetOf(after),
+      "MOR merge must never rewrite an existing file")
+    val snap = Versioned.read(spark, root).as[(Long, Long)]
+      .collect().toMap
+    assert(snap.size == 31 && snap(5L) == -5L && snap(15L) == -15L &&
+      snap(99L) == -99L && snap(6L) == 12L)
+    // second upsert touches a row the FIRST upsert appended: the new
+    // tombstone lands in the appended file, the chain stays exact
+    val v5 = Versioned.commitMergeOnRead(
+      Seq((5L, 555L)).toDF("k", "v"), root, Seq("k"))
+    val snap2 = Versioned.read(spark, root, v5).as[(Long, Long)]
+      .collect().toMap
+    assert(snap2.size == 31 && snap2(5L) == 555L)
+    // metadata-only count stays exact through the tombstone chain
+    assert(Versioned.metadataCount(root).contains(31L))
+    // the change feed reads the upserts as delete+insert pairs
+    val feed = Versioned.readChangeFeed(spark, root, 3L)
+      .filter(col("k") === 5L)
+      .select(col("v"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed == Set((10L, "delete", 4L), (-5L, "insert", 4L),
+      (-5L, "delete", 5L), (555L, "insert", 5L)))
+    // purge converts back to read-optimized; contents identical
+    val liveBefore = Versioned.read(spark, root).as[(Long, Long)]
+      .collect().toSet
+    val vp = Versioned.commitPurgeDeleteVectors(spark, root)
+    assert(Versioned.files(root, vp).forall(!_.contains("/dv/")))
+    assert(Versioned.read(spark, root, vp).as[(Long, Long)]
+      .collect().toSet == liveBefore)
   }
 
   test("change data feed: inserts from added data files, deletes " +
