@@ -807,6 +807,88 @@ object ScaleCanary {
     graft.store.Versioned.vacuum(zroot,
       graft.store.Versioned.latestVersion(zroot))
 
+    // Deletion vectors + merge-on-read at 5M rows: THE delete/upsert
+    // economics this store exists for. A bounded-predicate DV delete
+    // tombstones only matching row positions — zero data rewrites, and
+    // the tombstone sidecar prices in KILOBYTES against the table's
+    // tens of MB; a MOR upsert then tombstones its matched keys and
+    // appends the updates, again rewriting nothing. metadataCount
+    // stays exact (stats counts minus tombstone footers) and the
+    // change feed replays the whole chain as exact delete+insert sets.
+    val vBeforeDv = graft.store.Versioned.latestVersion(zroot)
+    val preDvCount = graft.store.Versioned.metadataCount(zroot)
+      .getOrElse(graft.store.Versioned.read(spark, zroot).count())
+    // ~5k GDPR-shaped row deletes scattered across ALL 64 files — the
+    // worst layout for copy-on-write (every file rewrites) and the
+    // best showcase for tombstones (kilobytes, zero rewrites)
+    val dvPred = pmod(col("payload"), lit(1000L)) === 0L
+    val dvMatched = graft.store.Versioned.read(spark, zroot)
+      .filter(dvPred).count()
+    val filesBeforeDv = graft.store.Versioned.files(zroot).toSet
+    time("dv delete (5M, bounded pred)") {
+      graft.store.Versioned.commitDeleteVectors(spark, zroot, dvPred)
+    }
+    val dvEntries = graft.store.Versioned.files(zroot)
+      .filterNot(filesBeforeDv)
+    require(dvEntries.nonEmpty && dvEntries.forall(_.contains("/dv/")),
+      "dv delete must add only tombstone files")
+    val dvBytes = dvEntries.map(p => new java.io.File(
+      new org.apache.hadoop.fs.Path(p).toUri.getPath).length).sum
+    require(dvBytes < (256L << 10),
+      s"tombstone sidecar should price in KB, got $dvBytes bytes")
+    val postDvCount = graft.store.Versioned.metadataCount(zroot)
+      .getOrElse(-1L)
+    require(postDvCount == preDvCount - dvMatched,
+      s"metadata count drifted: $postDvCount != $preDvCount - $dvMatched")
+    // ~5k unique-key upserts, again scattered over every file: the
+    // update relocates each row's x by +8192 so application is visible
+    val morUpdates = zdf
+      .filter(pmod(col("payload"), lit(997L)) === 0L)
+      .select((col("x") + 8192L).as("x"), col("y"), col("payload"))
+    val morKeys = morUpdates.count()
+    // upsert semantics: EVERY live row sharing a matched key
+    // tombstones, ONE row per key appends (payload is unique here, so
+    // only dv-deleted keys differ between matched and proposed)
+    val morMatchedLive = graft.store.Versioned.read(spark, zroot)
+      .join(morUpdates.select("payload"), Seq("payload"), "left_semi")
+      .count()
+    val filesBeforeMor = graft.store.Versioned.files(zroot).toSet
+    val vMor = time("merge-on-read upsert (5M)") {
+      graft.store.Versioned.commitMergeOnRead(morUpdates, zroot,
+        Seq("payload"))
+    }
+    require(filesBeforeMor.subsetOf(
+      graft.store.Versioned.files(zroot, vMor).toSet),
+      "MOR upsert rewrote an existing file")
+    val morApplied = graft.store.Versioned.read(spark, zroot, vMor)
+      .filter(col("x") >= 8192L).count()
+    require(morApplied == morKeys,
+      s"MOR upsert applied $morApplied of $morKeys keys")
+    val feed = time("change feed over dv+mor chain (5M)") {
+      graft.store.Versioned
+        .readChangeFeed(spark, zroot, vBeforeDv, vMor)
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    require(feed("delete") == dvMatched + morMatchedLive &&
+      feed("insert") == morKeys,
+      s"change feed drifted: $feed vs del=$dvMatched+$morMatchedLive " +
+        s"ins=$morKeys")
+    val vPurge = time("purge deletion vectors (5M)") {
+      graft.store.Versioned.commitPurgeDeleteVectors(spark, zroot)
+    }
+    require(graft.store.Versioned.files(zroot, vPurge)
+      .forall(!_.contains("/dv/")), "purge left tombstones behind")
+    val finalCount = graft.store.Versioned.read(spark, zroot).count()
+    require(finalCount ==
+      preDvCount - dvMatched - morMatchedLive + morKeys,
+      s"post-purge count drifted: $finalCount vs $preDvCount - " +
+        s"$dvMatched - $morMatchedLive + $morKeys")
+    println(s"[canary]   dv delete $dvMatched rows as $dvBytes tombstone" +
+      s" bytes (0 rewrites), MOR upsert $morKeys keys, purge clean")
+    graft.store.Versioned.vacuum(zroot,
+      graft.store.Versioned.latestVersion(zroot))
+
     // Gopher quality rules at 500k docs: one scan-fused integer
     // projection — the rule pass prices at scan throughput. The
     // synthetic w-token corpus fails the stop rule by design, so the
