@@ -545,6 +545,34 @@ object Demo {
       .select("doc_id", "source", "p_micros", "shard", "split")
       .orderBy("shard", "pos").show(5, false)
 
+    // merge-on-read row ops: a GDPR-shaped delete tombstones instead
+    // of rewriting, the change feed hands downstream consumers the
+    // exact row-level diff, and a purge re-optimizes the layout
+    println("== deletion vectors + change data feed")
+    val dvRoot = java.nio.file.Files
+      .createTempDirectory("graft_demo_dv").toString + "/t"
+    store.Versioned.commitAppend(
+      spark.range(100L).select(col("id").as("user_id"),
+        (col("id") * 7 % 100).as("score")), dvRoot)
+    val beforeFiles = store.Versioned.files(dvRoot).size
+    store.Versioned.commitDeleteVectors(spark, dvRoot,
+      col("user_id") % 10 === 3L) // "user 3, 13, 23... asked out"
+    println(s"   deleted 10 of 100 rows; data files rewritten: " +
+      s"${store.Versioned.files(dvRoot).count(f =>
+        !f.contains("/dv/")) - beforeFiles} (tombstones only)")
+    store.Versioned.commitMergeOnRead(
+      Seq((1L, 999L), (500L, 1L)).toDF("user_id", "score"), dvRoot,
+      Seq("user_id"))
+    println("   merge-on-read upsert: user 1 updated, user 500 " +
+      "inserted, zero rewrites")
+    store.Versioned.readChangeFeed(spark, dvRoot, 1L)
+      .orderBy("_commit_version", "_change_type", "user_id")
+      .show(14, false)
+    val purged = store.Versioned.commitPurgeDeleteVectors(spark, dvRoot)
+    println(s"   purge folded tombstones into rewritten files at " +
+      s"v$purged; live rows=" +
+      store.Versioned.read(spark, dvRoot).count())
+
     spark.stop()
   }
 }

@@ -542,4 +542,26 @@ class PlanSpec extends SparkSpec {
     // metadata-only count: no scan needed
     assert(graft.api.Engine.tableCount(spark, root) == 4096L)
   }
+
+  test("deletion-vector reads broadcast the tombstones (anti-join, no " +
+      "shuffle); a DV-free read plans NO join at all") {
+    import graft.store.Versioned
+    val root = java.nio.file.Files
+      .createTempDirectory("planspec_dv").toString
+    Versioned.commitAppend(spark.range(1000L)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    // no tombstones: the read is a bare scan — zero plan overhead
+    val clean = Versioned.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(!clean.contains("Join"), clean.take(1500))
+    Versioned.commitDeleteVectors(spark, root, col("k") < 10L)
+    val p = Versioned.read(spark, root)
+      .queryExecution.executedPlan.toString
+    // deleted-rows-sized side broadcasts; a shuffled anti-join here
+    // would re-partition the whole table to subtract ten rows
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hash"),
+      p.take(2000))
+  }
 }
