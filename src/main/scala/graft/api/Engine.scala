@@ -82,7 +82,8 @@ object Engine {
     if (kept.isEmpty)
       graft.store.Versioned.read(spark, root, version).filter(pred)
         .limit(0)
-    else spark.read.parquet(kept: _*).filter(pred)
+    else graft.store.Versioned.applyDeleteVectors(spark, root,
+      spark.read.parquet(kept: _*).filter(pred), version)
   }
 
   /** S3/S4 point lookup over a versioned table: bloom + stats sidecars
@@ -98,7 +99,8 @@ object Engine {
     if (kept.isEmpty)
       graft.store.Versioned.read(spark, root, version)
         .filter(col(keyCol) === key).limit(0)
-    else spark.read.parquet(kept: _*).filter(col(keyCol) === key)
+    else graft.store.Versioned.applyDeleteVectors(spark, root,
+      spark.read.parquet(kept: _*).filter(col(keyCol) === key), version)
   }
 
   /** COUNT(*) of a versioned table: metadata-only when the stats

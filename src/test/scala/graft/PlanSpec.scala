@@ -541,6 +541,17 @@ class PlanSpec extends SparkSpec {
     assert(miss.isEmpty && miss.columns.toSeq == Seq("src", "dst", "ts"))
     // metadata-only count: no scan needed
     assert(graft.api.Engine.tableCount(spark, root) == 4096L)
+    // deletion vectors flow through the pruned facade paths too: the
+    // composed scans apply tombstones on top of the admitted files
+    Versioned.commitDeleteVectors(spark, root,
+      col("src") === 5L && col("ts") === 0L)
+    assert(graft.api.Engine.lookup(spark, root, key = 5L).count() ==
+      63L, "facade lookup resurrected a tombstoned row")
+    val scan2 = graft.api.Engine.scanRange(spark, root,
+      idFrom = 0L, idTo = 8L, tsBefore = 8L)
+    assert(scan2.count() == full.count() - 1,
+      "facade range scan resurrected a tombstoned row")
+    assert(graft.api.Engine.tableCount(spark, root) == 4095L)
   }
 
   test("deletion-vector reads broadcast the tombstones (anti-join, no " +
