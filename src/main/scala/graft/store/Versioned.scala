@@ -1728,7 +1728,16 @@ object Versioned {
       s"need committed versions $fromVersion < $to at $root " +
         "(fromVersion 0 = since table birth)")
     def entriesAt(v: Long): Seq[String] =
-      if (v == 0L) Nil else readManifest(fs, rootPath, v)._2
+      if (v == 0L) Nil
+      else try readManifest(fs, rootPath, v)._2
+      catch { case _: java.io.FileNotFoundException =>
+        // a vacuumed manifest inside the range: the feed is no longer
+        // derivable — tell the consumer to re-seed, don't NPE
+        throw new IllegalArgumentException(
+          s"version $v of $root was vacuumed: the change feed over " +
+            s"($fromVersion, $to] is no longer derivable - re-seed " +
+            "from a retained snapshot and continue from there")
+      }
     val frames = (fromVersion + 1 to to).flatMap { v =>
       val prev = entriesAt(v - 1).toSet
       val cur = entriesAt(v)

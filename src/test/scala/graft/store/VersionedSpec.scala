@@ -1253,6 +1253,13 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readChangeFeed(spark, root, 5L)
       .as[(Long, String, String, Long)].collect().toSet ==
       Set((5L, "e", "insert", 6L)))
+    // a vacuumed manifest inside the range (from=0 = since birth, but
+    // the early manifests are gone) is a crisp re-seed error
+    Versioned.vacuum(root, 6L)
+    val exV = intercept[IllegalArgumentException] {
+      Versioned.readChangeFeed(spark, root, 0L)
+    }
+    assert(exV.getMessage.contains("vacuumed"))
   }
 
   test("OPTIMIZE ZORDER BY: clustering compaction keeps contents " +
