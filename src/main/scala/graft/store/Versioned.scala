@@ -400,7 +400,8 @@ object Versioned {
                                  beforePublish: Long => Unit = _ => (),
                                  txn: Option[(String, Long)] = None,
                                  expectedParent: Option[Long] = None,
-                                 txnDedupe: Boolean = true)
+                                 txnDedupe: Boolean = true,
+                                 op: String = "")
       : Long = {
     require(added.nonEmpty,
       s"refusing to commit an empty batch to $root: the staged write " +
@@ -431,7 +432,10 @@ object Versioned {
         else readManifest(fs, rootPath, parent)._2
       val v = parent + 1
       val txnField = txn
-        .map { case (a, b) => s""" "txn": "$a:$b",""" }.getOrElse("")
+        .map { case (a, b) => s""" "txn": "$a:$b",""" }.getOrElse("") +
+        // audit stamp, read back by [[history]] (DESCRIBE HISTORY):
+        // never load-bearing for reads, absent in pre-r12 manifests
+        (if (op.nonEmpty) s""" "op": "$op",""" else "")
       val body = (s"""{"version": $v, "writer": "$writer",$txnField """ +
         s""""files": [""" ::
         (base ++ added).map("\"" + _ + "\"" + ",").toList).mkString("\n")
@@ -457,7 +461,8 @@ object Versioned {
                    statsCols: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil,
                    bloomBits: Int = 65536): Long = {
-    val v = commitFiles(root, stage(df, root), appendBase = true)
+    val v = commitFiles(root, stage(df, root), appendBase = true,
+      op = "append")
     maintainStats(df.sparkSession, root, v, statsCols)
     maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
     v
@@ -481,7 +486,7 @@ object Versioned {
       latestVersion(root) // known duplicate: skip even the data write
     else {
       val v = commitFiles(root, stage(df, root), appendBase = true,
-        txn = Some((appId, batchId)))
+        txn = Some((appId, batchId)), op = "txn-append")
       maintainStats(df.sparkSession, root, v, statsCols)
       maintainBlooms(df.sparkSession, root, v, Nil, 0)
       v
@@ -502,7 +507,7 @@ object Versioned {
                       bloomCols: Seq[String] = Nil,
                       bloomBits: Int = 65536): Long = {
     val v = commitFiles(root, stage(df, root), appendBase = false,
-      txn = txn, txnDedupe = false)
+      txn = txn, txnDedupe = false, op = "overwrite")
     maintainStats(df.sparkSession, root, v, statsCols)
     maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
     v
@@ -741,7 +746,7 @@ object Versioned {
       // first append landing between latestVersion() and publish raises
       // instead of being silently overwritten by this manifest
       return commitFiles(root, stage(updates, root), appendBase = false,
-        expectedParent = Some(0L))
+        expectedParent = Some(0L), op = "merge")
     import org.apache.spark.sql.functions.col
     val updKeys = updates.select(keys.map(col): _*).distinct()
     val (parentFiles, dvParent) =
@@ -766,7 +771,7 @@ object Versioned {
         stage(survivors.unionByName(updates), root)
       }
     val v = commitFiles(root, untouched ++ staged, appendBase = false,
-      expectedParent = Some(parent))
+      expectedParent = Some(parent), op = "merge")
     maintainStats(spark, root, v, Nil)
     maintainBlooms(spark, root, v, Nil, 0)
     v
@@ -817,7 +822,8 @@ object Versioned {
       .parquet(touched.map(resolve(rootPath, _).toString): _*)
       .filter(keep)
     val v = commitFiles(root, untouched ++ stage(survivors, root),
-      appendBase = false, expectedParent = Some(parent))
+      appendBase = false, expectedParent = Some(parent),
+      op = "delete")
     maintainStats(spark, root, v, Nil)
     maintainBlooms(spark, root, v, Nil, 0)
     v
@@ -871,7 +877,7 @@ object Versioned {
     val rel = walk(fs.makeQualified(new Path(stageDir)))
       .map(p => fs.makeQualified(p).toString.stripPrefix(prefix)).sorted
     commitFiles(root, rel, appendBase = false, txn = txn,
-      txnDedupe = false)
+      txnDedupe = false, op = "staged-overwrite")
   }
 
   /** Read the snapshot at `version` (latest when 0) — exactly the
@@ -1668,7 +1674,7 @@ object Versioned {
       .take(1).nonEmpty
     if (!wrote) { fs.delete(dir, true); return parent }
     val v = commitFiles(root, entries ++ staged, appendBase = false,
-      expectedParent = Some(parent))
+      expectedParent = Some(parent), op = "dv-delete")
     // data files unchanged: sidecar entries carry fully, O(1) jobs
     maintainStats(spark, root, v, Nil)
     maintainBlooms(spark, root, v, Nil, 0)
@@ -1694,6 +1700,41 @@ object Versioned {
     * [[readChanges]], extended to tolerate (and surface) DV deletes.
     * A downstream incremental consumer gets exactly-once row changes
     * whose cost tracks the delta, never the table. */
+  /** DESCRIBE HISTORY: one row per retained commit, newest first —
+    * (version, published_at epoch-millis, operation, n_entries,
+    * n_data_files, n_dv_files, txn). `operation` reads the audit stamp
+    * commits carry since round 12 ("append", "merge", "dv-delete",
+    * "zorder-compact", …); older manifests show "unknown". Vacuumed
+    * versions are simply absent. Manifest-sized and driver-side like
+    * every metadata op here; the result is a small local DataFrame for
+    * joining/filtering, not a scan. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val (fs, rootPath) = fsRoot(root)
+    val rows = (latestVersion(root) to 1L by -1L).flatMap { v =>
+      val p = manifestPath(rootPath, v)
+      try {
+        val mtime = fs.getFileStatus(p).getModificationTime
+        val in = fs.open(p)
+        val header = try new java.io.BufferedReader(
+          new java.io.InputStreamReader(in,
+            java.nio.charset.StandardCharsets.UTF_8)).readLine()
+        finally in.close()
+        val h = String.valueOf(header)
+        def field(k: String): Option[String] =
+          ("\"" + k + "\":\\s*\"([^\"]+)\"").r
+            .findFirstMatchIn(h).map(_.group(1))
+        val entries = readManifest(fs, rootPath, v)._2
+        val (data, dv) = splitEntries(entries)
+        Some((v, mtime, field("op").getOrElse("unknown"),
+          entries.size.toLong, data.size.toLong, dv.size.toLong,
+          field("txn").getOrElse(null: String)))
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
+    rows.toDF("version", "published_at", "operation", "n_entries",
+      "n_data_files", "n_dv_files", "txn")
+  }
+
   /** Does the snapshot at `version` (latest when 0) carry live
     * deletion-vector tombstones? Manifest-sized, driver-side. */
   def hasDeleteVectors(root: String, version: Long = 0L): Boolean = {
@@ -1801,7 +1842,7 @@ object Versioned {
     val parent = latestVersion(root)
     if (parent == 0L)
       return commitFiles(root, stage(updates, root), appendBase = false,
-        expectedParent = Some(0L))
+        expectedParent = Some(0L), op = "mor-merge")
     import org.apache.spark.sql.functions.{broadcast, col}
     val entries = readManifest(fs, rootPath, parent)._2
     val (dataFiles, dvFiles) = splitEntries(entries)
@@ -1833,7 +1874,8 @@ object Versioned {
       }
     val stagedData = stage(updates, root)
     val v = commitFiles(root, entries ++ stagedDv ++ stagedData,
-      appendBase = false, expectedParent = Some(parent))
+      appendBase = false, expectedParent = Some(parent),
+      op = "mor-merge")
     maintainStats(spark, root, v, Nil)
     maintainBlooms(spark, root, v, Nil, 0)
     v
@@ -1867,7 +1909,7 @@ object Versioned {
         touched.map(resolve(rootPath, _).toString): _*), dvFiles)
     val staged = stage(survivors, root)
     val v = commitFiles(root, untouched ++ staged, appendBase = false,
-      expectedParent = Some(parent))
+      expectedParent = Some(parent), op = "dv-purge")
     maintainStats(spark, root, v, Nil)
     maintainBlooms(spark, root, v, Nil, 0)
     v
@@ -1958,7 +2000,8 @@ object Versioned {
       try {
         val v = commitFiles(root, untouched ++ packedRels,
           appendBase = false, beforePublish = beforePublish,
-          expectedParent = Some(base))
+          expectedParent = Some(base),
+          op = if (zorderBy.isEmpty) "compact" else "zorder-compact")
         maintainStats(spark, root, v, Nil)
         maintainBlooms(spark, root, v, Nil, 0)
         return v
@@ -1997,7 +2040,7 @@ object Versioned {
     if (toVersion == latest) return latest
     val files = readManifest(fs, rootPath, toVersion)._2
     val v = commitFiles(root, files, appendBase = false,
-      expectedParent = Some(latest))
+      expectedParent = Some(latest), op = "restore")
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach { spark =>
         maintainStats(spark, root, v, Nil)
@@ -2035,7 +2078,7 @@ object Versioned {
     val (tfs, tRootPath) = fsRoot(targetRoot)
     tfs.mkdirs(tRootPath)
     commitFiles(targetRoot, absolute, appendBase = false,
-      expectedParent = Some(0L))
+      expectedParent = Some(0L), op = "clone")
   }
 
   /** Garbage-collect history: retire versions < `keepFrom` and delete

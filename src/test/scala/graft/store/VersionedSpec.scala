@@ -1177,6 +1177,32 @@ class VersionedSpec extends SparkSpec {
       d.isDirectory && d.listFiles.exists(_.getName.endsWith(".parquet")))
   }
 
+  test("DESCRIBE HISTORY: every retained commit reads back with its " +
+      "operation stamp, entry counts and txn; vacuumed versions absent") {
+    val root = freshRoot()
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    Versioned.commitAppendTxn(Seq((2L, "b")).toDF("k", "s"), root,
+      "histapp", 0L)
+    Versioned.commitMerge(Seq((1L, "x")).toDF("k", "s"), root, Seq("k"))
+    Versioned.commitDeleteVectors(spark, root, col("k") === 2L)
+    Versioned.commitPurgeDeleteVectors(spark, root)
+    Versioned.commitRestore(root, 3L)
+    val h = Versioned.history(spark, root)
+      .as[(Long, Long, String, Long, Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(h.map(r => (r._1, r._3)).toSeq == Seq(
+      (1L, "append"), (2L, "txn-append"), (3L, "merge"),
+      (4L, "dv-delete"), (5L, "dv-purge"), (6L, "restore")))
+    assert(h(3)._6 >= 1L && h(2)._6 == 0L,
+      "dv-delete must show tombstone entries, merge none")
+    assert(h(1)._7 == "histapp:0", "txn stamp must read back")
+    assert(h.forall(_._2 > 0L), "published_at must be real mtimes")
+    // vacuum: retired versions drop out of the history
+    Versioned.vacuum(root, 6L)
+    assert(Versioned.history(spark, root).select("version")
+      .as[Long].collect().toSeq == Seq(6L))
+  }
+
   test("merge-on-read upsert: matched rows tombstone, updates append, " +
       "zero existing bytes rewrite; repeat upserts chain; the change " +
       "feed reads each as delete+insert pairs") {
