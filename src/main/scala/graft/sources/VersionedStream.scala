@@ -84,21 +84,30 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
                             parameters: Map[String, String])
       : (String, StructType) = {
     val root = rootOf(parameters)
-    val s = schema.getOrElse {
+    // change-feed mode streams row CHANGES: table columns plus the
+    // change stamp (Delta's CDF streaming read shape). The stamps are
+    // appended to EXPLICIT schemas too — a user passing the table's
+    // own schema would otherwise hit guardSchema's "schema drift"
+    // error on the very first CDF batch, a misleading failure for a
+    // correct call. An explicit schema that already carries the
+    // stamps passes through unchanged.
+    def withCdfStamps(base: StructType): StructType =
+      if (!cdfOf(parameters)) base
+      else {
+        val missing = Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))
+          .filterNot(f => base.fieldNames.contains(f.name))
+        org.apache.spark.sql.types.StructType(base.fields ++ missing)
+      }
+    val s = withCdfStamps(schema.getOrElse {
       require(Versioned.latestVersion(root) > 0,
         s"no committed version at $root to infer a schema from - " +
           "commit first or pass an explicit schema")
-      val base = Versioned.read(sqlContext.sparkSession, root).schema
-      // change-feed mode streams row CHANGES: table columns plus the
-      // change stamp (Delta's CDF streaming read shape)
-      if (cdfOf(parameters)) org.apache.spark.sql.types.StructType(
-        base.fields
-          :+ org.apache.spark.sql.types.StructField("_change_type",
-            org.apache.spark.sql.types.StringType, nullable = false)
-          :+ org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.LongType, nullable = false))
-      else base
-    }
+      Versioned.read(sqlContext.sparkSession, root).schema
+    })
     (shortName(), s)
   }
 
@@ -160,32 +169,31 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    // Exactly-once identity resolution, most- to least-specific:
-    // explicit appId > the query's own checkpointLocation option > the
-    // session-default checkpoint root (spark.sql.streaming
-    // .checkpointLocation — a validly-checkpointed query configured
-    // that way never sees "checkpointLocation" in its options map, so
-    // without this fallback it would throw despite having a stable
-    // identity). The session-default form folds in the sink root so
-    // two queries sinking DIFFERENT tables under one default stay
-    // distinct; two queries sinking the SAME root under one session
-    // default are indistinguishable here — pass explicit appIds for
-    // that shape. It must NOT default to anything query-independent
-    // beyond that (like the bare root): batchIds restart at 0 with a
-    // fresh checkpoint, so a shared appId would make the dedupe check
-    // silently skip every batch of the new query as a "duplicate".
+    // Exactly-once identity resolution: explicit appId, else the
+    // query's own checkpointLocation option. NOTHING query-independent
+    // may ever back-fill this — batchIds restart at 0 with a fresh
+    // checkpoint, so a shared appId makes the txn dedupe silently skip
+    // every batch of the new query as a "duplicate" of the old one's
+    // (silent data loss). That rules out the session-default
+    // spark.sql.streaming.checkpointLocation too: an unnamed query
+    // under it gets a FRESH random checkpoint subdir per start while
+    // any root-derived appId stays constant — exactly the losing
+    // shape — and DSv1 createSink parameters carry nothing
+    // query-unique (no query name, no resolved checkpoint dir) to
+    // fold in. Queries configured via the session default must pass
+    // an explicit appId (or checkpointLocation option); the error is
+    // loud by design.
     val appId = parameters.get("appId")
       .orElse(parameters.get("checkpointLocation").map(c => s"sink@$c"))
-      .orElse(Option(sqlContext.sparkSession.conf
-          .get("spark.sql.streaming.checkpointLocation", null))
-        .filter(_.nonEmpty).map(c => s"sink@$c@$root"))
       .getOrElse(throw new IllegalArgumentException(
         "graft-versioned sink needs an exactly-once identity: pass " +
-          ".option(\"appId\", ...), a checkpointLocation option, or a " +
-          "session default spark.sql.streaming.checkpointLocation " +
-          "(the txn dedupe keys on (appId, batchId); a root-derived " +
-          "default would skip batches of any NEW query whose ids " +
-          "restart at 0)"))
+          ".option(\"appId\", ...) or .option(\"checkpointLocation\", " +
+          "...). The txn dedupe keys on (appId, batchId); the session " +
+          "default spark.sql.streaming.checkpointLocation is NOT " +
+          "accepted because an unnamed query gets a fresh random " +
+          "checkpoint subdir per start (batchIds restart at 0) while " +
+          "any identity derived from the default stays constant - the " +
+          "dedupe would silently skip every batch of a rerun"))
     new VersionedSink(root, appId, statsCols)
   }
 }

@@ -125,6 +125,23 @@ object Versioned {
       .withColumn("__dv_idx", col("_metadata.row_index"))
   }
 
+  /** The tombstone key columns are reserved on DV-carrying tables:
+    * [[withDvKey]]'s withColumn would silently REPLACE same-named user
+    * columns, so every read of such a table would return corrupted
+    * values after the anti-join's final select. Rejected loudly at
+    * DV-commit time — tables that never commit tombstones may use any
+    * names. */
+  private def requireNoDvKeyColumns(
+      schema: org.apache.spark.sql.types.StructType, root: String,
+      op: String): Unit = {
+    val clash = schema.fieldNames
+      .filter(n => n == "__dv_file" || n == "__dv_idx")
+    require(clash.isEmpty,
+      s"$op on $root: column name(s) ${clash.mkString(", ")} are " +
+        "reserved for deletion-vector keys - rename the column(s) or " +
+        "use copy-on-write commitMerge/commitDelete on this table")
+  }
+
   /** Apply `dvFiles`' tombstones to a scan of this table's data files:
     * anti-join on (relative file, row index). The tombstone side is
     * deleted-rows-sized, not table-sized — broadcast. */
@@ -1650,8 +1667,10 @@ object Versioned {
     // key the scan FIRST (the _metadata column only exists on the scan
     // relation itself), then subtract the existing tombstones so
     // already-deleted rows never re-tombstone
-    val keyed = withDvKey(spark.read.parquet(
-      candidates.map(resolve(rootPath, _).toString): _*))
+    val rawScan = spark.read.parquet(
+      candidates.map(resolve(rootPath, _).toString): _*)
+    requireNoDvKeyColumns(rawScan.schema, root, "DV delete")
+    val keyed = withDvKey(rawScan)
     val live =
       if (dvFiles.isEmpty) keyed
       else keyed.join(
@@ -1752,7 +1771,16 @@ object Versioned {
     val (fs, rootPath) = fsRoot(root)
     def at(v: Long): Set[String] =
       if (v == 0L) Set.empty
-      else readManifest(fs, rootPath, v)._2.toSet
+      else try readManifest(fs, rootPath, v)._2.toSet
+      catch { case _: java.io.FileNotFoundException =>
+        // the streaming CDF path calls this with its consumed offset as
+        // `a` — a vacuumed manifest must surface the same crisp re-seed
+        // signal readChangeFeed raises, not a raw FileNotFoundException
+        throw new IllegalArgumentException(
+          s"version $v of $root was vacuumed: the change feed over " +
+            s"($a, $b] is no longer derivable - re-seed from a " +
+            "retained snapshot and continue from there")
+      }
     at(a) == at(b)
   }
 
@@ -1837,6 +1865,7 @@ object Versioned {
   def commitMergeOnRead(updates: DataFrame, root: String,
                         keys: Seq[String]): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    requireNoDvKeyColumns(updates.schema, root, "merge-on-read MERGE")
     val spark = updates.sparkSession
     val (fs, rootPath) = fsRoot(root)
     val parent = latestVersion(root)

@@ -225,9 +225,9 @@ class VersionedStreamSpec extends SparkSpec {
       String.valueOf(ex.getCause).contains("deletion-vector"))
   }
 
-  test("sink resolves its exactly-once identity from the SESSION " +
-      "default checkpoint location when the query carries no " +
-      "checkpointLocation option (and still errors with neither)") {
+  test("sink REFUSES a query-independent exactly-once identity: no " +
+      "appId/checkpointLocation option errors loudly, even under a " +
+      "session-default checkpoint location") {
     implicit val sqlCtx = spark.sqlContext
     val out = freshDir("vsink_sessdflt") + "/t"
     val in = org.apache.spark.sql.execution.streaming.runtime
@@ -240,17 +240,21 @@ class VersionedStreamSpec extends SparkSpec {
         .option("root", out).start()
     }
     assert(ex.getMessage.contains("exactly-once identity"))
-    // session default: the options map never sees checkpointLocation,
-    // but the query IS validly checkpointed — must not throw
+    // session default is NOT a valid identity either: an unnamed query
+    // gets a fresh random checkpoint subdir per start (batchIds restart
+    // at 0) while any identity derived from the default stays constant,
+    // so the txn dedupe would silently skip every batch of a rerun —
+    // the sink must throw the same loud error, not guess
     val dflt = freshDir("vsink_sessdflt_ckpt")
     spark.conf.set("spark.sql.streaming.checkpointLocation", dflt)
     try {
-      val q = in.toDF().toDF("k").writeStream
-        .format("graft.sources.VersionedStream")
-        .queryName("sessdflt_q").option("root", out).start()
-      try q.processAllAvailable() finally q.stop()
-      assert(Versioned.read(spark, out).as[Long].collect().toSet ==
-        Set(1L, 2L))
+      val ex2 = intercept[Exception] {
+        in.toDF().toDF("k").writeStream
+          .format("graft.sources.VersionedStream")
+          .queryName("sessdflt_q").option("root", out).start()
+      }
+      assert(ex2.getMessage.contains("exactly-once identity"),
+        s"session default must not back-fill the identity: $ex2")
     } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
 
@@ -343,5 +347,65 @@ class VersionedStreamSpec extends SparkSpec {
           .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
       assert(full.contains("append lineage"), s"unexpected failure: $full")
     } finally if (q.isActive) q.stop()
+  }
+
+  test("change-feed stream with an EXPLICIT schema gets the CDF stamp " +
+      "columns appended (no misleading schema-drift error)") {
+    val root = freshDir("vstream_cdf_es") + "/t"
+    Versioned.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      root)
+    // the user passes the TABLE's schema (the natural call) — the
+    // source must append _change_type/_commit_version itself instead
+    // of failing the first batch with "schema drift"
+    val tableSchema = Versioned.read(spark, root).schema
+    val rows =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    val q = spark.readStream
+      .format("graft.sources.VersionedStream")
+      .schema(tableSchema)
+      .option("root", root).option("readChangeFeed", "true").load()
+      .writeStream.option("checkpointLocation", freshDir("cdf_es_ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = b.select("k", "s", "_change_type", "_commit_version")
+          .as[(Long, String, String, Long)].collect()
+        rows.synchronized { rows ++= r }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows.toSet == Set((1L, "a", "insert", 1L),
+      (2L, "b", "insert", 1L)))
+  }
+
+  test("a vacuumed consumed-offset manifest surfaces as the crisp " +
+      "re-seed error on the CDF stream, not a raw FileNotFound") {
+    val root = freshDir("vstream_cdf_vac") + "/t"
+    val ckpt = freshDir("cdf_vac_ckpt")
+    Versioned.commitAppend(Seq((1L, "a")).toDF("k", "s"), root)
+    val drained = scala.collection.mutable.ArrayBuffer[String]()
+    def runCdf(): Unit = {
+      val q = readVersioned(root, "readChangeFeed" -> "true")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val r = b.select("s").as[String].collect()
+          drained.synchronized { drained ++= r }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runCdf() // consumes through v1
+    Versioned.commitAppend(Seq((2L, "b")).toDF("k", "s"), root)
+    Versioned.commitAppend(Seq((3L, "c")).toDF("k", "s"), root)
+    // vacuum retires v1 — the stream's consumed offset. The resumed
+    // query's first touch of that offset (sameEntries with fromV=1)
+    // must raise the same "vacuumed - re-seed" signal readChangeFeed
+    // does, not a FileNotFoundException from the manifest read.
+    Versioned.vacuum(root, keepFrom = 2L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runCdf()
+    }
+    val full = ex.getMessage +
+      Iterator.iterate(ex.getCause)(c =>
+        if (c == null) null else c.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(full.contains("re-seed"), s"unexpected failure: $full")
+    assert(!full.contains("FileNotFound"), s"raw FNF leaked: $full")
   }
 }

@@ -1338,4 +1338,30 @@ class VersionedSpec extends SparkSpec {
     // the table is intact: all four originals plus every raced append
     assert(Versioned.read(spark, root).count() == 4L + races)
   }
+
+  test("__dv_file/__dv_idx are reserved on DV-carrying tables: DV " +
+      "delete and merge-on-read REJECT a clashing schema loudly " +
+      "instead of corrupting every later read") {
+    val root = freshRoot()
+    // a table whose columns collide with the tombstone key names —
+    // legal for append/copy-on-write, poisonous under withDvKey's
+    // withColumn (it would silently replace the user columns)
+    Versioned.commitAppend(
+      Seq((1L, "f1"), (2L, "f2")).toDF("k", "__dv_file"), root)
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.commitDeleteVectors(spark, root, col("k") === 1L)
+    }
+    assert(ex.getMessage.contains("reserved"), s"got: $ex")
+    val ex2 = intercept[IllegalArgumentException] {
+      Versioned.commitMergeOnRead(
+        Seq((1L, "f9")).toDF("k", "__dv_file"), root, Seq("k"))
+    }
+    assert(ex2.getMessage.contains("reserved"), s"got: $ex2")
+    // the table stayed untouched and copy-on-write ops still work
+    assert(Versioned.latestVersion(root) == 1L)
+    Versioned.commitMerge(Seq((1L, "f9")).toDF("k", "__dv_file"),
+      root, Seq("k"))
+    assert(Versioned.read(spark, root).as[(Long, String)].collect()
+      .toSet == Set((1L, "f9"), (2L, "f2")))
+  }
 }
