@@ -77,13 +77,11 @@ object Engine {
       col(tsCol) < tsBefore
     val bounds = Map(idCol -> (idFrom, idTo - 1),
       tsCol -> (Long.MinValue, tsBefore - 1))
-    val (kept, _) = graft.store.Versioned.prunedFiles(root, bounds,
-      version)
-    if (kept.isEmpty)
-      graft.store.Versioned.read(spark, root, version).filter(pred)
-        .limit(0)
-    else graft.store.Versioned.applyDeleteVectors(spark, root,
-      spark.read.parquet(kept: _*).filter(pred), version)
+    // ONE scan-composition path (Versioned.readSkipped) plans the
+    // admitted files and applies deletion vectors — the facade never
+    // hand-builds a scan (r12's DV-resurrection bug class)
+    graft.store.Versioned.readSkipped(spark, root, bounds, version)
+      .filter(pred)
   }
 
   /** S3/S4 point lookup over a versioned table: bloom + stats sidecars
@@ -94,13 +92,22 @@ object Engine {
              key: Long, keyCol: String = "src",
              version: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val (kept, _) = graft.store.Versioned.prunedFiles(root, Map.empty,
-      version, equalities = Map(keyCol -> key))
-    if (kept.isEmpty)
-      graft.store.Versioned.read(spark, root, version)
-        .filter(col(keyCol) === key).limit(0)
-    else graft.store.Versioned.applyDeleteVectors(spark, root,
-      spark.read.parquet(kept: _*).filter(col(keyCol) === key), version)
+    graft.store.Versioned.readSkipped(spark, root, Map.empty, version,
+      equalities = Map(keyCol -> key)).filter(col(keyCol) === key)
+  }
+
+  /** STRING-keyed point lookup — the reference's canonical identity is
+    * the URL string (`linkgraph/store/cdb/cdb.go:16-22`, unique index
+    * `000001_create_links_table.up.sql:3`): the bloom sidecar is
+    * probed with the full-value hash key and the stats sidecar with
+    * the 8-byte-prefix key, so a URL lookup on a clustered table
+    * admits a handful of files instead of scanning every one. */
+  def lookupKey(spark: org.apache.spark.sql.SparkSession, root: String,
+                key: String, keyCol: String = "url",
+                version: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.store.Versioned.readSkipped(spark, root, Map.empty, version,
+      stringEqualities = Map(keyCol -> key)).filter(col(keyCol) === key)
   }
 
   /** COUNT(*) of a versioned table: metadata-only when the stats

@@ -1718,6 +1718,93 @@ object RelationalQueries {
         ORDER BY phase""")),
 
     // ------------------------------------------------------------------
+    // STRING-KEY file skipping — the reference's canonical identity is
+    // the URL string (`linkgraph/store/cdb/cdb.go:16-22`; unique index
+    // `000001_create_links_table.up.sql:3`), so a lakehouse that only
+    // skips on integral keys scans every file for the system's MOST
+    // COMMON upsert/lookup shape. The sidecars key strings in two
+    // spaces: an order-preserving 8-byte-prefix key for stats
+    // intervals and the full-value xxhash64 for blooms. This table is
+    // the adversarial case for prefix stats — every URL shares the
+    // 8-byte "https://" prefix, so intervals are a single point and
+    // ONLY the hash bloom can discriminate. The requires pin that a
+    // URL-keyed merge pre-prunes its match scan and a URL point
+    // lookup plans a strict subset of files; the rollup hash-matches
+    // the oracle's plain SQL, proving skipping lost nothing.
+    QuerySpec("q256_url_key_skip",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_urlkey_q")
+        val docs = Tables.documents(s, dir).select(
+          concat(lit("https://"), col("source"), lit(".example/doc/"),
+            col("doc_id")).as("url"),
+          col("doc_id"), col("n_chars"))
+        (0 until 8).foreach { i =>
+          graft.store.Versioned.commitAppend(
+            docs.filter(pmod(col("doc_id"), lit(8L)) === i.toLong)
+              .coalesce(1), root,
+            statsCols = Seq("url"), bloomCols = Seq("url"))
+        }
+        val parent = graft.store.Versioned.latestVersion(root)
+        val rels = graft.store.Versioned.files(root, parent)
+          .map(p => p.substring(p.indexOf("data/")))
+        // URL-keyed upsert: touched keys live in ONE slice (doc_id %
+        // 40 ∈ {3, 11} ⊂ slice 3); the bloom probe must admit a
+        // minority of files even though prefix stats are blind here
+        val updates = docs
+          .filter(pmod(col("doc_id"), lit(40L)) === 3L)
+          .select(col("url"), col("doc_id"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .unionByName(docs
+            .filter(pmod(col("doc_id"), lit(40L)) === 11L)
+            .select(concat(lit("https://new.example/doc/"),
+              col("doc_id")).as("url"), col("doc_id"), col("n_chars")))
+        val (cands, _) = graft.store.Versioned.pruneMergeScan(
+          updates, root, parent, rels, Seq("url"))
+        require(cands.size < rels.size,
+          s"URL merge scanned ${cands.size} of ${rels.size} files - " +
+            "string-key skipping is not engaging")
+        graft.store.Versioned.commitMerge(updates, root, Seq("url"))
+        // facade point lookup by URL: hash-bloom-admitted subset
+        val url0 = docs.filter(col("doc_id") === 0L)
+          .select(col("url")).head().getString(0)
+        val hit = graft.api.Engine.lookupKey(s, root, url0,
+          keyCol = "url")
+        require(hit.inputFiles.length < rels.size,
+          s"URL lookup planned ${hit.inputFiles.length} files")
+        graft.store.Versioned.read(s, root)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("url")).as("n_keys"),
+            sum(col("n_chars")).as("chars_sum"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit"),
+            sum(col("n_chars")).as("hit_chars")))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT 'https://' || source || '.example/doc/' ||
+                 CAST(doc_id AS VARCHAR) AS url, doc_id, n_chars
+          FROM documents),
+        merged AS (
+          SELECT url, doc_id,
+                 n_chars + CASE WHEN doc_id % 40 = 3 THEN 1000
+                                ELSE 0 END AS n_chars
+          FROM docs
+          UNION ALL
+          SELECT 'https://new.example/doc/' || CAST(doc_id AS VARCHAR),
+                 doc_id, n_chars
+          FROM docs WHERE doc_id % 40 = 11),
+        hit AS (
+          SELECT * FROM merged
+          WHERE url = (SELECT url FROM docs WHERE doc_id = 0))
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM merged) AS n_rows,
+               (SELECT CAST(count(DISTINCT url) AS BIGINT) FROM merged)
+                 AS n_keys,
+               (SELECT CAST(sum(n_chars) AS BIGINT) FROM merged)
+                 AS chars_sum,
+               (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+               (SELECT CAST(sum(n_chars) AS BIGINT) FROM hit)
+                 AS hit_chars""")),
+
+    // ------------------------------------------------------------------
     // CHANGE DATA FEED from the commit log's file algebra alone (no CDC
     // files written at commit time): added data files are that commit's
     // inserts, added deletion-vector files are its deletes (tombstones

@@ -180,6 +180,78 @@ object Versioned {
     case _ => false
   }
 
+  private[store] def stringType(
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.StringType
+
+  // ------------------------------------------------------------------
+  // STRING skip keys. The sidecars are fixed-width LONG vectors, so a
+  // string column participates in skipping through two long-valued key
+  // functions, each computed by the IDENTICAL arithmetic on the writer
+  // (a Catalyst column over the scan) and the prober (driver-side over
+  // a literal), so the two can never drift:
+  //
+  //  - STATS (range) key: the first 8 UTF-8 bytes as a big-endian
+  //    unsigned integer, zero-padded, remapped into signed order by
+  //    subtracting 2^63 (= flipping the top bit). This truncated
+  //    prefix is MONOTONE w.r.t. UTF-8 byte-wise string order — a ≤ b
+  //    implies prefixKey(a) ≤ prefixKey(b) — which is all interval
+  //    pruning needs; Delta keeps truncated string min/max for the
+  //    same reason. Range conjuncts on strings therefore translate to
+  //    prefix-space bounds (INCLUSIVE on both ends: `url > L` implies
+  //    only prefixKey(url) >= prefixKey(L), never +1).
+  //  - BLOOM (equality) key: xxhash64 of the string (seed 42, the
+  //    engine-wide Catalyst default), giving point lookups and merge
+  //    key probes full-value discrimination that an 8-byte prefix
+  //    can't (URL tables share long scheme+host prefixes).
+  //
+  // A column that is neither integral nor string still contributes no
+  // sidecar entries and never prunes — metadata stays optional.
+
+  /** The order-preserving stats key of a string column, as a Catalyst
+    * expression (codegen'd builtins only): big-endian unsigned of the
+    * first 8 UTF-8 bytes, shifted into signed long order. `conv`
+    * parses the 16 hex digits as unsigned 64-bit; the subtraction runs
+    * in DECIMAL(20,0) (exact for the full u64 domain) and the final
+    * long cast is ANSI-safe because the result is in [-2^63, 2^63).
+    * Null strings stay null (no stats contribution). */
+  private[store] def prefixKeyCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, encode, hex, lit, substring}
+    val first8 = substring(encode(c, "UTF-8"), 1, 8)
+    val padded = org.apache.spark.sql.functions.rpad(first8, 8,
+      Array[Byte](0))
+    (conv(hex(padded), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+      - lit(new java.math.BigDecimal("9223372036854775808")))
+      .cast("long")
+  }
+
+  /** Driver-side twin of [[prefixKeyCol]] for probe literals. */
+  private[store] def prefixKeyOf(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var u = 0L
+    var i = 0
+    while (i < 8) {
+      u = (u << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    u ^ Long.MinValue // unsigned -> signed, order-preserving
+  }
+
+  /** The bloom (equality) key of a string column: xxhash64(value),
+    * seed 42 — the same Catalyst expression the writer's scan runs. */
+  private[store] def hashKeyCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.xxhash64(c)
+
+  /** Driver-side twin of [[hashKeyCol]] for probe literals — evaluated
+    * through the identical Catalyst expression. */
+  private[store] def hashKeyOf(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(s)), 42L)
+      .eval(null).asInstanceOf[Long]
+
   /** Highest committed version at `root`, or 0 if none. */
   def latestVersion(root: String): Long = {
     val (fs, rootPath) = fsRoot(root)
@@ -588,22 +660,31 @@ object Versioned {
     // files — scan them all (at 100 TB file counts this branch never
     // takes; at spec/test scale it keeps merge latency flat)
     if (parentFiles.size < 4) return (parentFiles, Nil)
-    // Sidecar stats/blooms are LONG vectors: a non-integral key column
-    // (string, decimal, …) long-casts to null for some or all values,
-    // so bounds/equality sets derived from it could prune a parent
-    // file that DOES hold a matching row — the merge would then keep
-    // the old row and re-insert the update (silent duplicate keys).
-    // Merge keys are conjunctive equalities, so pruning on the
-    // integral subset alone is safe; non-integral keys simply
-    // contribute no pruning (mirrors predicateKeyStats' guard).
-    val intKeys = keys.filter(k => updates.schema.fields
-      .find(_.name == k).map(_.dataType).exists(integralType))
-    if (intKeys.isEmpty) return (parentFiles, Nil)
+    // Sidecar stats/blooms are LONG vectors keyed per column TYPE:
+    // integral columns long-cast (lossless, order-preserving), string
+    // columns go through their prefix/hash skip keys — the IDENTICAL
+    // expressions the sidecar writers run, so a probe can never prune
+    // a parent file that holds a matching row (which would make the
+    // merge keep the old row and re-insert the update: silent
+    // duplicate keys). Any other key type (decimal, …) contributes no
+    // pruning — merge keys are conjunctive equalities, so pruning on
+    // the prunable subset alone is safe (mirrors predicateKeyStats'
+    // guard).
     import org.apache.spark.sql.functions.{col, max, min}
-    val aggs = intKeys.flatMap(k =>
-      Seq(min(col(k).cast("long")), max(col(k).cast("long"))))
+    val keyTypes = keys.flatMap(k => updates.schema.fields
+      .find(_.name == k).map(f => k -> f.dataType)).toMap
+    val intKeys = keys.filter(k => keyTypes.get(k).exists(integralType))
+    val strKeys = keys.filter(k => keyTypes.get(k).exists(stringType))
+    val prunable = intKeys ++ strKeys
+    if (prunable.isEmpty) return (parentFiles, Nil)
+    def statsKey(k: String): org.apache.spark.sql.Column =
+      if (intKeys.contains(k)) col(k).cast("long")
+      else prefixKeyCol(col(k))
+    // stats-space bounds of the update keys: ONE driver-sized agg
+    val aggs = prunable.flatMap(k =>
+      Seq(min(statsKey(k)), max(statsKey(k))))
     val row = updates.agg(aggs.head, aggs.tail: _*).collect().head
-    val bounds = intKeys.zipWithIndex.flatMap { case (k, i) =>
+    val bounds = prunable.zipWithIndex.flatMap { case (k, i) =>
       if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
       else Some(k -> (row.getLong(2 * i), row.getLong(2 * i + 1)))
     }.toMap
@@ -615,40 +696,53 @@ object Versioned {
     val bloomCols =
       if (byBounds.size < 8) Nil
       else readBloomMeta(fs, rootPath, parent).map(_.cols).getOrElse(Nil)
-    val equalitySets = intKeys.filter(bloomCols.contains).flatMap { k =>
-      val distinctVals = updates.select(col(k).cast("long"))
+    def distinctProbe(k: String,
+        keyExpr: org.apache.spark.sql.Column): Option[Seq[Long]] = {
+      val vals = updates.select(keyExpr.as("__probe"))
         .filter(col(k).isNotNull).distinct()
         .limit(MergeBloomProbeMax + 1).collect().map(_.getLong(0)).toSeq
-      if (distinctVals.size > MergeBloomProbeMax) None
-      else Some(k -> distinctVals)
-    }.toMap
+      if (vals.size > MergeBloomProbeMax) None else Some(vals)
+    }
+    val equalitySets = intKeys.filter(bloomCols.contains)
+      .flatMap(k => distinctProbe(k, col(k).cast("long")).map(k -> _))
+      .toMap
+    // string keys probe the bloom with their full-value hash — the
+    // discrimination an 8-byte prefix can't give a URL-keyed table
+    val hashEqualitySets = strKeys.filter(bloomCols.contains)
+      .flatMap(k => distinctProbe(k, hashKeyCol(col(k))).map(k -> _))
+      .toMap
     val candidates =
-      if (equalitySets.isEmpty) byBounds
+      if (equalitySets.isEmpty && hashEqualitySets.isEmpty) byBounds
       else admittedFiles(fs, rootPath, parent, byBounds, Map.empty,
-        equalitySets)
+        equalitySets, hashEqualitySets)
     val c = candidates.toSet
     (candidates, parentFiles.filterNot(c))
   }
 
-  /** Best-effort (bounds, equality-sets) on integral columns implied by
-    * a DELETE predicate: analyze the predicate against `probe` (any
+  /** Best-effort (bounds, equality-sets, hash-equality-sets) implied
+    * by a DELETE predicate: analyze the predicate against `probe` (any
     * schema-bearing sample of the table — planning only, no job runs)
     * and read the resolved filter condition's conjuncts that compare an
-    * attribute against an integer literal. Any conjunct this can't
-    * read is simply ignored: under AND semantics every recognized
-    * comparison is a NECESSARY condition for a row to match, so pruning
-    * files that provably fail one is safe no matter what the unread
-    * conjuncts do. A top-level OR yields no conjuncts and therefore no
-    * pruning. */
+    * attribute against an integer OR string literal. Integral
+    * comparisons yield stats bounds + bloom equalities in raw value
+    * space; string comparisons yield prefix-key bounds (range
+    * conjuncts map INCLUSIVELY: `url > L` implies only
+    * prefixKey(url) >= prefixKey(L)) + full-value hash equalities for
+    * the bloom. Any conjunct this can't read is simply ignored: under
+    * AND semantics every recognized comparison is a NECESSARY
+    * condition for a row to match, so pruning files that provably fail
+    * one is safe no matter what the unread conjuncts do. A top-level
+    * OR yields no conjuncts and therefore no pruning. */
   private[store] def predicateKeyStats(probe: DataFrame,
       predCol: org.apache.spark.sql.Column)
-      : (Map[String, (Long, Long)], Map[String, Seq[Long]]) = {
+      : (Map[String, (Long, Long)], Map[String, Seq[Long]],
+         Map[String, Seq[Long]]) = {
     import org.apache.spark.sql.catalyst.expressions._
     val pred: Expression = probe.filter(predCol).queryExecution.analyzed
       .collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition
-      }.getOrElse(return (Map.empty, Map.empty))
+      }.getOrElse(return (Map.empty, Map.empty, Map.empty))
     def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
       integralType(dt)
     def attrOf(e: Expression): Option[String] = e match {
@@ -671,17 +765,85 @@ object Versioned {
         case v: java.lang.Byte => Some(v.toLong)
         case _ => None
       }
+    // string attr + string literal: the prefix/hash skip-key spaces
+    def strAttrOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference if stringType(a.dataType) => Some(a.name)
+      case _ => None
+    }
+    def strLitOf(e: Expression): Option[String] =
+      if (!e.foldable) None
+      else e.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          Some(s.toString)
+        case _ => None
+      }
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
     var bounds = Map.empty[String, (Long, Long)]
     var eqs = Map.empty[String, Seq[Long]]
+    var heqs = Map.empty[String, Seq[Long]]
     def tighten(c: String, lo: Long, hi: Long): Unit = {
       val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
       bounds += c -> (math.max(l0, lo), math.min(h0, hi))
     }
     conjuncts(pred).foreach {
+      // ---- string conjuncts (before the integral cases: their attr
+      // matcher would swallow a string attr with a None literal) ----
+      case EqualTo(a, l) if strAttrOf(a).isDefined &&
+          strLitOf(l).isDefined =>
+        val (c, s) = (strAttrOf(a).get, strLitOf(l).get)
+        val pk = prefixKeyOf(s)
+        tighten(c, pk, pk); heqs += c -> Seq(hashKeyOf(s))
+      case EqualTo(l, a) if strAttrOf(a).isDefined &&
+          strLitOf(l).isDefined =>
+        val (c, s) = (strAttrOf(a).get, strLitOf(l).get)
+        val pk = prefixKeyOf(s)
+        tighten(c, pk, pk); heqs += c -> Seq(hashKeyOf(s))
+      case In(a, vs) if strAttrOf(a).isDefined && vs.nonEmpty &&
+          vs.forall(strLitOf(_).isDefined) =>
+        val c = strAttrOf(a).get
+        val values = vs.flatMap(strLitOf)
+        val pks = values.map(prefixKeyOf)
+        tighten(c, pks.min, pks.max)
+        heqs += c -> values.map(hashKeyOf)
+      // prefix truncation keeps only the INCLUSIVE bound of a strict
+      // string comparison (url > L admits url sharing L's 8-byte
+      // prefix)
+      case GreaterThan(a, l) if strAttrOf(a).isDefined &&
+          strLitOf(l).isDefined =>
+        tighten(strAttrOf(a).get, prefixKeyOf(strLitOf(l).get),
+          Long.MaxValue)
+      case GreaterThanOrEqual(a, l) if strAttrOf(a).isDefined &&
+          strLitOf(l).isDefined =>
+        tighten(strAttrOf(a).get, prefixKeyOf(strLitOf(l).get),
+          Long.MaxValue)
+      case LessThan(a, l) if strAttrOf(a).isDefined &&
+          strLitOf(l).isDefined =>
+        tighten(strAttrOf(a).get, Long.MinValue,
+          prefixKeyOf(strLitOf(l).get))
+      case LessThanOrEqual(a, l) if strAttrOf(a).isDefined &&
+          strLitOf(l).isDefined =>
+        tighten(strAttrOf(a).get, Long.MinValue,
+          prefixKeyOf(strLitOf(l).get))
+      // reversed comparisons (lit OP strAttr) flip the inequality
+      case GreaterThan(l, a) if strAttrOf(a).isDefined &&
+          strLitOf(l).isDefined =>
+        tighten(strAttrOf(a).get, Long.MinValue,
+          prefixKeyOf(strLitOf(l).get))
+      case GreaterThanOrEqual(l, a) if strAttrOf(a).isDefined &&
+          strLitOf(l).isDefined =>
+        tighten(strAttrOf(a).get, Long.MinValue,
+          prefixKeyOf(strLitOf(l).get))
+      case LessThan(l, a) if strAttrOf(a).isDefined &&
+          strLitOf(l).isDefined =>
+        tighten(strAttrOf(a).get, prefixKeyOf(strLitOf(l).get),
+          Long.MaxValue)
+      case LessThanOrEqual(l, a) if strAttrOf(a).isDefined &&
+          strLitOf(l).isDefined =>
+        tighten(strAttrOf(a).get, prefixKeyOf(strLitOf(l).get),
+          Long.MaxValue)
       case EqualTo(a, l) if attrOf(a).isDefined && litOf(l).isDefined =>
         val (c, v) = (attrOf(a).get, litOf(l).get)
         tighten(c, v, v); eqs += c -> Seq(v)
@@ -722,7 +884,7 @@ object Versioned {
       case _ => () // unrecognized conjunct: contributes no pruning
     }
     (bounds.filterNot { case (_, (lo, hi)) =>
-      lo == Long.MinValue && hi == Long.MaxValue }, eqs)
+      lo == Long.MinValue && hi == Long.MaxValue }, eqs, heqs)
   }
 
   /** Row-level MERGE (upsert) as a COPY-ON-WRITE commit — the lakehouse
@@ -815,13 +977,14 @@ object Versioned {
     // sidecar pre-pruning from the predicate's own literal conjuncts:
     // files whose stats/bloom metadata provably fails a necessary
     // comparison never enter the match scan
-    val (predBounds, predEqs) = predicateKeyStats(
+    val (predBounds, predEqs, predHashEqs) = predicateKeyStats(
       spark.read.parquet(resolve(rootPath, parentFiles.head).toString),
       predicate)
     val candidates =
-      if (predBounds.isEmpty && predEqs.isEmpty) parentFiles
+      if (predBounds.isEmpty && predEqs.isEmpty && predHashEqs.isEmpty)
+        parentFiles
       else admittedFiles(fs, rootPath, parent, parentFiles, predBounds,
-        predEqs)
+        predEqs, predHashEqs)
     val skipped = { val c = candidates.toSet
       parentFiles.filterNot(c) }
     if (candidates.isEmpty) return parent
@@ -1316,15 +1479,21 @@ object Versioned {
         }.toMap
         val scan = spark.read
           .parquet(missing.map(resolve(rootPath, _).toString): _*)
-        // probes hash LONG values, so only integral columns can ever
-        // match them (and an ANSI cast of a malformed string would
-        // fail the commit) — a non-integral column writes no entries;
-        // files without entries always admit
-        if (!scan.schema.fields.find(_.name == c).map(_.dataType)
-            .exists(integralType)) Nil
+        // probes hash a LONG key: integral columns long-cast (the
+        // probe value is the raw key), STRING columns hash through
+        // xxhash64 first (the probe value is [[hashKeyOf]] of the
+        // literal — the identical expression, so writer and prober
+        // can never drift). Any other type writes no entries; files
+        // without entries always admit
+        val dt = scan.schema.fields.find(_.name == c).map(_.dataType)
+        val keyLong =
+          if (dt.exists(integralType)) Some(col(c).cast("long"))
+          else if (dt.exists(stringType)) Some(hashKeyCol(col(c)))
+          else None
+        if (keyLong.isEmpty) Nil
         else {
         val positions = (0 until BloomHashes).map(i =>
-          pmod(xxhash64(col(c).cast("long"), lit(i.toLong)),
+          pmod(xxhash64(keyLong.get, lit(i.toLong)),
             lit(mBits.toLong)))
         val words = scan
           .filter(col(c).isNotNull)
@@ -1411,13 +1580,19 @@ object Versioned {
         }.toMap
         val scan = spark.read
           .parquet(missing.map(resolve(rootPath, _).toString): _*)
-        // the sidecar is a LONG vector: a non-integral column can't
-        // fill it (and under ANSI its cast THROWS on malformed input,
-        // which would fail the whole commit) — substitute null so the
-        // affected files simply get no entry and are never pruned
+        // the sidecar is a LONG vector: integral columns long-cast
+        // (lossless, order-preserving), STRING columns store their
+        // order-preserving 8-byte-prefix key (probers translate
+        // string bounds/equalities into the same key space). Any
+        // other type can't fill it (and under ANSI a blind cast
+        // THROWS on malformed input, which would fail the whole
+        // commit) — substitute null so the affected files simply get
+        // no entry and are never pruned
         val aggs = count(lit(1)) +: cols.flatMap { c =>
-          val v = if (scan.schema.fields.find(_.name == c)
-              .map(_.dataType).exists(integralType)) col(c).cast("long")
+          val dt = scan.schema.fields.find(_.name == c).map(_.dataType)
+          val v =
+            if (dt.exists(integralType)) col(c).cast("long")
+            else if (dt.exists(stringType)) prefixKeyCol(col(c))
             else lit(null).cast("long")
           Seq(min(v), max(v))
         }
@@ -1458,7 +1633,8 @@ object Versioned {
     * parquet scan. */
   def prunedFiles(root: String, bounds: Map[String, (Long, Long)],
                   version: Long = 0L,
-                  equalities: Map[String, Long] = Map.empty)
+                  equalities: Map[String, Long] = Map.empty,
+                  stringEqualities: Map[String, String] = Map.empty)
       : (Seq[String], Long) = {
     val (fs, rootPath) = fsRoot(root)
     val v = if (version == 0L) latestVersion(root) else version
@@ -1469,8 +1645,17 @@ object Versioned {
     // [[applyDeleteVectors]] on top when the table carries tombstones.
     val manifestFiles =
       splitEntries(readManifest(fs, rootPath, v)._2)._1
-    val kept = admittedFiles(fs, rootPath, v, manifestFiles, bounds,
-      equalities.view.mapValues(Seq(_)).toMap)
+    // a string equality probes BOTH sidecars in their own key spaces:
+    // the stats interval as a degenerate prefix-key bound, the bloom
+    // as the full-value hash (prefixes of URL tables collide; the
+    // hash discriminates)
+    val strBounds = stringEqualities.map { case (c, s) =>
+      val pk = prefixKeyOf(s); c -> (pk, pk)
+    }
+    val kept = admittedFiles(fs, rootPath, v, manifestFiles,
+      bounds ++ strBounds,
+      equalities.view.mapValues(Seq(_)).toMap,
+      stringEqualities.map { case (c, s) => c -> Seq(hashKeyOf(s)) })
     (kept.map(resolve(rootPath, _).toString), manifestFiles.size.toLong)
   }
 
@@ -1480,11 +1665,22 @@ object Versioned {
     * values (the bloom test a point lookup needs with a single value,
     * and the safe per-column relaxation a MERGE key-set needs — a file
     * can hold a matching row only if every key column's bloom admits
-    * some update value). Missing sidecars/entries/columns admit. */
+    * some update value). Missing sidecars/entries/columns admit.
+    *
+    * Two probe value spaces, matching what the sidecars store per
+    * column type: `bounds`/`equalitySets` are STATS-space longs
+    * (integral raw values; string prefix keys go through `bounds`
+    * only), and `hashEqualitySets` carries BLOOM-space keys for
+    * string columns ([[hashKeyOf]] values) — probed against blooms
+    * but NEVER folded into interval bounds, because a hash is not
+    * order-preserving and the stats vector for that column holds
+    * prefix keys, a different space. */
   private def admittedFiles(fs: FileSystem, rootPath: Path, v: Long,
                             files: Seq[String],
                             bounds: Map[String, (Long, Long)],
-                            equalitySets: Map[String, Seq[Long]])
+                            equalitySets: Map[String, Seq[Long]],
+                            hashEqualitySets: Map[String, Seq[Long]] =
+                              Map.empty)
       : Seq[String] = {
     val (cols, stats) = readStatsSidecar(fs, rootPath, v)
     val idx = cols.zipWithIndex.toMap
@@ -1503,12 +1699,16 @@ object Versioned {
         }
       }
     }
+    // bloom probes: integral equality values probe as themselves;
+    // string equalities arrive pre-hashed in hashEqualitySets (the
+    // writer's bloom for a string column indexes hashKeyCol values)
+    val bloomProbes = equalitySets ++ hashEqualitySets
     val bloomMeta = readBloomMeta(fs, rootPath, v)
     val probeCols = bloomMeta.map(m =>
-      equalitySets.keySet.filter(m.cols.contains))
+      bloomProbes.keySet.filter(m.cols.contains))
       .getOrElse(Set.empty[String])
     if (probeCols.isEmpty || statsAdmitted.isEmpty ||
-        equalitySets.forall(_._2.isEmpty)) statsAdmitted
+        bloomProbes.forall(_._2.isEmpty)) statsAdmitted
     else {
       // bloom pass: load ONLY the stats-survivors' bit arrays (seeked
       // out of the immutable shards), probe each equality value
@@ -1517,7 +1717,7 @@ object Versioned {
         probeCols.map(c => s"$c|$f")).toSet
       val blooms = bloomEntriesFor(fs, rootPath, meta, needed)
       statsAdmitted.filter { f =>
-        equalitySets.forall { case (c, values) =>
+        bloomProbes.forall { case (c, values) =>
           !probeCols(c) || values.isEmpty ||
             blooms.get(s"$c|$f").forall { words =>
               values.exists { value =>
@@ -1608,16 +1808,43 @@ object Versioned {
   def readPruned(spark: SparkSession, root: String,
                  bounds: Map[String, (Long, Long)],
                  version: Long = 0L,
-                 equalities: Map[String, Long] = Map.empty): DataFrame = {
-    val (kept, _) = prunedFiles(root, bounds, version, equalities)
+                 equalities: Map[String, Long] = Map.empty,
+                 stringEqualities: Map[String, String] = Map.empty)
+      : DataFrame = {
+    val (kept, _) = prunedFiles(root, bounds, version, equalities,
+      stringEqualities)
     require(kept.nonEmpty,
       // an empty parquet scan needs a schema; give the caller a crisp
       // signal instead of an analysis error
-      s"every file of $root was pruned by $bounds/$equalities - the " +
-        "result is empty; guard with prunedFiles if an empty match is " +
-        "expected")
+      s"every file of $root was pruned by $bounds/$equalities/" +
+        s"$stringEqualities - the result is empty; guard with " +
+        "prunedFiles if an empty match is expected, or use readSkipped")
+    composeKept(spark, root, kept, version)
+  }
+
+  /** THE admitted-files read path: every caller that plans a pruned
+    * scan of a versioned table composes it here, so deletion-vector
+    * application can never be forgotten by a hand-built scan (the
+    * facade's r12 DV-resurrection bug). Kept files in, live rows out. */
+  private def composeKept(spark: SparkSession, root: String,
+                          kept: Seq[String], version: Long): DataFrame =
     applyDeleteVectors(spark, root, spark.read.parquet(kept: _*),
       version)
+
+  /** [[readPruned]] that tolerates a fully-pruned admission: returns
+    * an EMPTY frame with the table's schema instead of raising — the
+    * facade's point-lookup/range-scan contract (a miss is an empty
+    * result, not an error). Same single scan-composition path. */
+  def readSkipped(spark: SparkSession, root: String,
+                  bounds: Map[String, (Long, Long)],
+                  version: Long = 0L,
+                  equalities: Map[String, Long] = Map.empty,
+                  stringEqualities: Map[String, String] = Map.empty)
+      : DataFrame = {
+    val (kept, _) = prunedFiles(root, bounds, version, equalities,
+      stringEqualities)
+    if (kept.isEmpty) read(spark, root, version).limit(0)
+    else composeKept(spark, root, kept, version)
   }
 
   /** Apply the table's deletion vectors (if any) to `df`, a scan the
@@ -1656,13 +1883,14 @@ object Versioned {
     val entries = readManifest(fs, rootPath, parent)._2
     val (dataFiles, dvFiles) = splitEntries(entries)
     // prune the tombstone scan exactly like copy-on-write DELETE
-    val (predBounds, predEqs) = predicateKeyStats(
+    val (predBounds, predEqs, predHashEqs) = predicateKeyStats(
       spark.read.parquet(resolve(rootPath, dataFiles.head).toString),
       predicate)
     val candidates =
-      if (predBounds.isEmpty && predEqs.isEmpty) dataFiles
+      if (predBounds.isEmpty && predEqs.isEmpty && predHashEqs.isEmpty)
+        dataFiles
       else admittedFiles(fs, rootPath, parent, dataFiles, predBounds,
-        predEqs)
+        predEqs, predHashEqs)
     if (candidates.isEmpty) return parent
     // key the scan FIRST (the _metadata column only exists on the scan
     // relation itself), then subtract the existing tombstones so

@@ -447,7 +447,7 @@ class VersionedSpec extends SparkSpec {
     // delete with a literal predicate: conjunct extraction prunes the
     // scan to the one admitted file, others carry verbatim
     val probe = spark.read.parquet(Versioned.files(root, vm).head)
-    val (bounds, eqs) = Versioned.predicateKeyStats(probe,
+    val (bounds, eqs, _) = Versioned.predicateKeyStats(probe,
       col("k") === 250L && col("v") =!= 0L)
     assert(bounds == Map("k" -> (250L, 250L)) && eqs == Map("k" -> Seq(250L)))
     val beforeDel = rels(vm)
@@ -457,9 +457,9 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, root, vd).filter(col("k") === 250L)
       .isEmpty)
     // an OR predicate yields no conjuncts — no pruning, still correct
-    val (b2, e2) = Versioned.predicateKeyStats(probe,
+    val (b2, e2, h2) = Versioned.predicateKeyStats(probe,
       col("k") === 1L || col("k") === 299L)
-    assert(b2.isEmpty && e2.isEmpty)
+    assert(b2.isEmpty && e2.isEmpty && h2.isEmpty)
     val vd2 = Versioned.commitDelete(spark, root,
       col("k") === 1L || col("k") === 299L)
     assert(Versioned.read(spark, root, vd2)
@@ -994,9 +994,9 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, root).as[Long].collect().toSet == before)
   }
 
-  test("merge on a STRING key never sidecar-prunes: long-cast stats " +
-      "over numeric-looking strings would prune a file holding a " +
-      "genuinely matching non-numeric key (silent duplicate rows)") {
+  test("merge on a STRING key prunes through the string skip keys — " +
+      "never through a long cast — and stays exact: the file holding " +
+      "a non-numeric matching key is always admitted") {
     val root = freshRoot()
     def append(ks: String*): Unit = { Versioned.commitAppend(
       ks.toSeq.map(k => (k, s"old-$k")).toDF("k", "v").coalesce(1),
@@ -1006,20 +1006,23 @@ class VersionedSpec extends SparkSpec {
     // from the castable update key alone are disjoint from this
     // file's castable values (7,8), pruning exactly the file that
     // holds the matching "abc" row (and under ANSI the cast of "abc"
-    // THROWS, failing the whole commit). Both the sidecar writers and
-    // the merge pruner must treat non-integral columns as unprunable.
+    // THROWS, failing the whole commit). The string PREFIX key has no
+    // such trap: the probe interval [pk("5"), pk("abc")] overlaps
+    // file 2's [pk("7"), pk("abc")] — admitted — while the files
+    // lexicographically outside the interval prune away.
     append("1", "2"); append("7", "8", "abc")
     append("20", "21"); append("30", "31"); append("40")
     val parent = Versioned.latestVersion(root)
     val rels = Versioned.files(root, parent)
       .map(p => p.substring(p.indexOf("data/")))
     val upd = Seq(("5", "new-5"), ("abc", "new-abc")).toDF("k", "v")
-    // the guard: a non-integral key contributes no pruning at all
     val (cands, skipped) =
       Versioned.pruneMergeScan(upd, root, parent, rels, Seq("k"))
-    assert(skipped.isEmpty && cands.size == rels.size,
-      s"string key must not prune (pruned ${skipped.size})")
-    // end-to-end: exactly one row per key, "abc" updated not duplicated
+    assert(cands.size == 1 && skipped.size == 4,
+      s"prefix-key bounds should admit exactly the abc file, " +
+        s"got ${cands.size} candidates")
+    // end-to-end: exactly one row per key, "abc" updated not
+    // duplicated, the unmatched castable key "5" inserted
     val vm = Versioned.commitMerge(upd, root, Seq("k"))
     val out = Versioned.read(spark, root, vm).as[(String, String)]
       .collect().toMap
@@ -1027,6 +1030,99 @@ class VersionedSpec extends SparkSpec {
       "merge produced duplicate keys")
     assert(out("abc") == "new-abc" && out("5") == "new-5" &&
       out("7") == "old-7")
+  }
+
+  test("string skip keys: writer expressions and driver-side probes " +
+      "are the IDENTICAL arithmetic, and the prefix key is monotone " +
+      "in byte-wise string order") {
+    val samples = Seq("", "a", "ab", "abcdefgh", "abcdefghi",
+      "https://example.com/x", "https://example.com/y",
+      "Ω-multibyte-π", "ζζζζζζζζζζ", "", "zzzzzzzzz",
+      "123", "abcÿdef", "ab", "日本語のテキスト")
+    val df = samples.toDF("s")
+    val got = df.select(col("s"), Versioned.prefixKeyCol(col("s")),
+        Versioned.hashKeyCol(col("s")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    samples.foreach { s =>
+      assert(got(s)._1 == Versioned.prefixKeyOf(s),
+        s"prefix key drift for '$s': sql=${got(s)._1} " +
+          s"driver=${Versioned.prefixKeyOf(s)}")
+      assert(got(s)._2 == Versioned.hashKeyOf(s),
+        s"hash key drift for '$s'")
+    }
+    // monotone: byte-wise string order implies prefix-key order
+    val byteOrder = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
+    val sorted = samples.sorted(byteOrder)
+    sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(Versioned.prefixKeyOf(a) <= Versioned.prefixKeyOf(b),
+        s"prefix key not monotone: '$a' <= '$b' but keys reversed")
+    case _ => () }
+  }
+
+  test("URL-keyed table: shared scheme prefixes leave stats blind, " +
+      "the hash bloom still prunes point lookups, merges AND " +
+      "merge-on-read to the matching files") {
+    val root = freshRoot()
+    // 8 files of URLs all sharing the 8-byte prefix "https://" — the
+    // prefix-key interval of every file is the single point
+    // pk("https://"), so stats admit everything; only the full-value
+    // hash blooms can discriminate (the reference's canonical table
+    // is URL-keyed: linkgraph/store/cdb/cdb.go:16-22)
+    (0 until 8).foreach { i =>
+      Versioned.commitAppend(
+        (0 until 50).map(j => (s"https://site$i.example/page$j",
+          s"old-$i-$j")).toDF("url", "v").coalesce(1),
+        root, statsCols = Seq("url"), bloomCols = Seq("url"))
+    }
+    val parent = Versioned.latestVersion(root)
+    val rels = Versioned.files(root, parent)
+      .map(p => p.substring(p.indexOf("data/")))
+    // point lookup: one URL admits far fewer than 8 files (bloom FPs
+    // permitted, full scans not)
+    val (kept, total) = Versioned.prunedFiles(root, Map.empty, parent,
+      stringEqualities = Map("url" -> "https://site3.example/page7"))
+    assert(total == 8 && kept.size < 4,
+      s"hash bloom should prune a URL lookup, admitted ${kept.size}/8")
+    assert(Versioned.readPruned(spark, root, Map.empty, parent,
+        stringEqualities = Map("url" -> "https://site3.example/page7"))
+        .filter(col("url") === "https://site3.example/page7")
+        .count() == 1,
+      "the admitted set must include the URL's file")
+    // URL-keyed MERGE: the match scan admits a minority of files
+    val upd = Seq(("https://site2.example/page5", "new"),
+      ("https://site6.example/page1", "new")).toDF("url", "v")
+    val (cands, skipped) =
+      Versioned.pruneMergeScan(upd, root, parent, rels, Seq("url"))
+    assert(cands.size < rels.size && skipped.nonEmpty,
+      s"URL merge should pre-prune, scanned ${cands.size}/8")
+    val vm = Versioned.commitMerge(upd, root, Seq("url"))
+    val out = Versioned.read(spark, root, vm)
+    assert(out.count() == 400L, "merge must not duplicate URL keys")
+    assert(out.filter(col("v") === "new").count() == 2L)
+    // merge-on-read over the same key space: tombstones land only for
+    // matched rows, no duplicates in the live view
+    val upd2 = Seq(("https://site1.example/page9", "mor"),
+      ("https://brand.new/page", "mor")).toDF("url", "v")
+    val vmor = Versioned.commitMergeOnRead(upd2, root, Seq("url"))
+    val live = Versioned.read(spark, root, vmor)
+    assert(live.count() == 401L,
+      "MoR merge must tombstone the matched URL exactly once")
+    assert(live.filter(col("v") === "mor").count() == 2L)
+    assert(live.groupBy("url").count().filter(col("count") > 1)
+      .isEmpty, "duplicate URL keys after MoR merge")
   }
 
   test("mocks3c:// — a lost conditional write surfacing at close() as " +
