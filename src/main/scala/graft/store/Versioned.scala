@@ -142,18 +142,56 @@ object Versioned {
         "use copy-on-write commitMerge/commitDelete on this table")
   }
 
+  /** Default cap on tombstone parquet bytes that still BROADCAST into
+    * every read (overridable via `graft.versioned.dv.broadcastBytes`
+    * in the Hadoop conf). Tombstones are (40-byte path, long) rows
+    * that decompress several-fold from parquet, and Spark hard-fails
+    * any broadcast at 8 GB — so unbounded accumulation between purges
+    * must degrade to a shuffle, not ship every tombstone through the
+    * driver to every task. */
+  private val DvBroadcastBytesDefault = 32L << 20
+
+  private def dvBroadcastBytes: Long =
+    Option(hadoopConf.get("graft.versioned.dv.broadcastBytes"))
+      .map(_.toLong).getOrElse(DvBroadcastBytesDefault)
+
+  /** Parquet bytes of a manifest's tombstone sidecars — the number
+    * [[history]] surfaces as `dv_bytes` and [[applyDv]] sizes its
+    * join strategy by. One driver-side getFileStatus per dv file
+    * (dv files are deleted-rows-sized and few). */
+  private def dvFileBytes(fs: FileSystem, rootPath: Path,
+                          dvFiles: Seq[String]): Long =
+    dvFiles.map(f => fs.getFileStatus(resolve(rootPath, f)).getLen).sum
+
   /** Apply `dvFiles`' tombstones to a scan of this table's data files:
     * anti-join on (relative file, row index). The tombstone side is
-    * deleted-rows-sized, not table-sized — broadcast. */
-  private def applyDv(spark: SparkSession, rootPath: Path,
+    * deleted-rows-sized, not table-sized — BROADCAST while it stays
+    * under [[dvBroadcastBytes]]; past that (tombstones accumulated
+    * toward a purge) the same anti-join runs as a shuffled sort-merge,
+    * which is slower but bounded at any accumulation level. The read
+    * stays exact either way; `commitPurgeDeleteVectors` restores the
+    * read-optimized shape. */
+  private def applyDv(spark: SparkSession, fs: FileSystem,
+                      rootPath: Path,
                       df: DataFrame, dvFiles: Seq[String]): DataFrame = {
     if (dvFiles.isEmpty) return df
     import org.apache.spark.sql.functions.{broadcast, col}
     val dv = spark.read
       .parquet(dvFiles.map(resolve(rootPath, _).toString): _*)
+    val bytes = dvFileBytes(fs, rootPath, dvFiles)
+    val dvSide =
+      if (bytes <= dvBroadcastBytes) broadcast(dv)
+      else {
+        System.err.println(
+          s"[graft] $rootPath carries $bytes tombstone parquet bytes " +
+            s"(> broadcast cap $dvBroadcastBytes): reads fall back to " +
+            "a shuffled anti-join; run commitPurgeDeleteVectors to " +
+            "restore the read-optimized table")
+        dv.hint("merge")
+      }
     val cols = df.columns
     withDvKey(df)
-      .join(broadcast(dv), Seq("__dv_file", "__dv_idx"), "left_anti")
+      .join(dvSide, Seq("__dv_file", "__dv_idx"), "left_anti")
       .select(cols.map(col).toSeq: _*)
   }
 
@@ -1080,7 +1118,7 @@ object Versioned {
     val (files, dvFiles) = splitEntries(readManifest(fs, rootPath, v)._2)
     require(files.nonEmpty,
       s"version $v at $root lists no data files - corrupt or empty commit")
-    applyDv(spark, rootPath,
+    applyDv(spark, fs, rootPath,
       spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(files.map(resolve(rootPath, _).toString): _*),
       dvFiles)
@@ -1856,7 +1894,7 @@ object Versioned {
     val (fs, rootPath) = fsRoot(root)
     val v = if (version == 0L) latestVersion(root) else version
     val dvFiles = splitEntries(readManifest(fs, rootPath, v)._2)._2
-    applyDv(spark, rootPath, df, dvFiles)
+    applyDv(spark, fs, rootPath, df, dvFiles)
   }
 
   /** Row-level DELETE as a MERGE-ON-READ commit (Delta's deletion
@@ -1908,10 +1946,17 @@ object Versioned {
     val tombstones = live
       .filter(coalesce(predicate, lit(false)))
       .select(col("__dv_file"), col("__dv_idx"))
-    // stage under dv/<uuid>/ — invisible until the manifest publishes
+    // stage under dv/<uuid>/ — invisible until the manifest publishes.
+    // ONE file per commit (repartition, not coalesce: a coalesce would
+    // collapse the matching SCAN's parallelism too; the shuffle moves
+    // only deleted-rows-sized tombstones): a wide scan would otherwise
+    // emit a near-empty tombstone file per scan task, and at 100×
+    // commit rates file count IS manifest + footer-open cost. A delete
+    // too large for one writer task belongs in copy-on-write
+    // commitDelete anyway — its economics beat tombstones there.
     val uuid = java.util.UUID.randomUUID().toString
     val dir = new Path(new Path(rootPath, "dv"), uuid)
-    tombstones.write.parquet(dir.toString)
+    tombstones.repartition(1).write.parquet(dir.toString)
     val staged = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.endsWith(".parquet") => s"dv/$uuid/$n" }
       .sorted
@@ -1973,13 +2018,18 @@ object Versioned {
             .findFirstMatchIn(h).map(_.group(1))
         val entries = readManifest(fs, rootPath, v)._2
         val (data, dv) = splitEntries(entries)
+        // dv_bytes = accumulated tombstone parquet bytes at this
+        // version — the purge-pressure gauge: once it crosses the
+        // applyDv broadcast cap, reads degrade to a shuffled
+        // anti-join until commitPurgeDeleteVectors folds them in
         Some((v, mtime, field("op").getOrElse("unknown"),
           entries.size.toLong, data.size.toLong, dv.size.toLong,
+          dvFileBytes(fs, rootPath, dv),
           field("txn").getOrElse(null: String)))
       } catch { case _: java.io.FileNotFoundException => None }
     }
     rows.toDF("version", "published_at", "operation", "n_entries",
-      "n_data_files", "n_dv_files", "txn")
+      "n_data_files", "n_dv_files", "dv_bytes", "txn")
   }
 
   /** Does the snapshot at `version` (latest when 0) carry live
@@ -2118,9 +2168,10 @@ object Versioned {
             Seq("__dv_file", "__dv_idx"), "left_anti")
         val tombstones = live.join(updKeys, keys, "left_semi")
           .select(col("__dv_file"), col("__dv_idx"))
+        // one tombstone file per commit (see commitDeleteVectors)
         val uuid = java.util.UUID.randomUUID().toString
         val dir = new Path(new Path(rootPath, "dv"), uuid)
-        tombstones.write.parquet(dir.toString)
+        tombstones.repartition(1).write.parquet(dir.toString)
         val staged = fs.listStatus(dir).toSeq.map(_.getPath.getName)
           .collect { case n if n.endsWith(".parquet") => s"dv/$uuid/$n" }
           .sorted
@@ -2161,7 +2212,7 @@ object Versioned {
     val (touched, untouched) = dataFiles.partition(f =>
       touchedKeys(new Path(resolve(rootPath, f).toUri.getPath)
         .toString.split('/').takeRight(3).mkString("/")))
-    val survivors = applyDv(spark, rootPath,
+    val survivors = applyDv(spark, fs, rootPath,
       spark.read.parquet(
         touched.map(resolve(rootPath, _).toString): _*), dvFiles)
     val staged = stage(survivors, root)

@@ -832,6 +832,10 @@ object ScaleCanary {
       .filterNot(filesBeforeDv)
     require(dvEntries.nonEmpty && dvEntries.forall(_.contains("/dv/")),
       "dv delete must add only tombstone files")
+    require(dvEntries.size == 1,
+      s"a DV commit stages ONE tombstone file (repartitioned), " +
+        s"got ${dvEntries.size} - near-empty per-scan-task sidecars " +
+        "are manifest + footer-open cost at 100x commit rates")
     val dvBytes = dvEntries.map(p => new java.io.File(
       new org.apache.hadoop.fs.Path(p).toUri.getPath).length).sum
     require(dvBytes < (256L << 10),

@@ -575,4 +575,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hash"),
       p.take(2000))
   }
+
+  test("deletion-vector application is size-AWARE: tombstones past " +
+      "the broadcast cap degrade to a shuffled anti-join (bounded at " +
+      "any accumulation level), and the read stays exact") {
+    import graft.store.Versioned
+    val root = java.nio.file.Files
+      .createTempDirectory("planspec_dv_big").toString
+    Versioned.commitAppend(spark.range(1000L)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    Versioned.commitDeleteVectors(spark, root, col("k") < 10L)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("graft.versioned.dv.broadcastBytes", "1")
+    try {
+      val df = Versioned.read(spark, root)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        "tombstones past the cap must not broadcast: " + p.take(2000))
+      assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
+        p.take(2000))
+      assert(df.count() == 990L, "shuffled DV application lost rows")
+      assert(df.agg(sum(col("k"))).head().getLong(0) ==
+        (10L to 999L).sum)
+    } finally hconf.unset("graft.versioned.dv.broadcastBytes")
+  }
 }

@@ -1202,6 +1202,8 @@ class VersionedSpec extends SparkSpec {
     assert(before.subsetOf(after) &&
       (after -- before).forall(_.contains("/dv/")),
       "a DV commit must only add tombstone files")
+    assert((after -- before).size == 1,
+      "a DV commit stages ONE tombstone file, not one per scan task")
     assert(Versioned.read(spark, root).as[(Long, Long)].collect()
       .map(_._1).toSet == ((0L to 4L) ++ (13L to 29L)).toSet)
     // time travel: the pre-delete version still reads every row
@@ -1284,14 +1286,18 @@ class VersionedSpec extends SparkSpec {
     Versioned.commitPurgeDeleteVectors(spark, root)
     Versioned.commitRestore(root, 3L)
     val h = Versioned.history(spark, root)
-      .as[(Long, Long, String, Long, Long, Long, String)]
+      .as[(Long, Long, String, Long, Long, Long, Long, String)]
       .collect().sortBy(_._1)
     assert(h.map(r => (r._1, r._3)).toSeq == Seq(
       (1L, "append"), (2L, "txn-append"), (3L, "merge"),
       (4L, "dv-delete"), (5L, "dv-purge"), (6L, "restore")))
     assert(h(3)._6 >= 1L && h(2)._6 == 0L,
       "dv-delete must show tombstone entries, merge none")
-    assert(h(1)._7 == "histapp:0", "txn stamp must read back")
+    // dv_bytes is the purge-pressure gauge: positive while tombstones
+    // accumulate, zero once the purge folds them back
+    assert(h(3)._7 > 0L && h(4)._7 == 0L,
+      s"dv_bytes should read ${h(3)._7} at dv-delete, 0 after purge")
+    assert(h(1)._8 == "histapp:0", "txn stamp must read back")
     assert(h.forall(_._2 > 0L), "published_at must be real mtimes")
     // vacuum: retired versions drop out of the history
     Versioned.vacuum(root, 6L)
