@@ -387,6 +387,57 @@ object StreamQueries {
         SELECT t AS _change_type, CAST(v AS BIGINT) AS _commit_version,
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(cents) AS BIGINT) AS cents
-        FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type"""))
+        FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""")),
+
+    // ------------------------------------------------------------------
+    // INITIAL-SNAPSHOT PACING (Delta's maxFilesPerTrigger on the
+    // snapshot): starting a stream on a big table must not be one
+    // micro-batch scanning the whole snapshot — with
+    // maxFilesPerBatch=1 a 4-file cut drains as FOUR file-sized
+    // batches (offsets are version#fileCount, so a restart resumes at
+    // the exact file). The require pins the batch count; the rollup
+    // over everything the stream delivered hash-matches the oracle's
+    // plain per-slice aggregation — pacing changed the BATCHING,
+    // never the rows. At 100 TB this is the difference between a
+    // stream that starts and one whose first batch is a full table
+    // scan pinned to a single trigger.
+    QuerySpec("q257_paced_snapshot_stream",
+      (s, dir) => {
+        import graft.store.Versioned
+        val in = graft.util.TempDirs.scratch("graft_paced_in")
+        val outDir = graft.util.TempDirs.scratch("graft_paced_out")
+        val ckpt = graft.util.TempDirs.scratch("graft_paced_ckpt")
+        def slice(k: Int) = Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(4L)) === k.toLong)
+          .select(col("o_orderkey"),
+            graft.util.Exact.cents(col("o_totalprice")).as("cents"))
+          .coalesce(1)
+        (0 until 4).foreach(k => Versioned.commitAppend(slice(k), in))
+        val nBatches = new java.util.concurrent.atomic.AtomicLong
+        val q = s.readStream.format("graft.sources.VersionedStream")
+          .option("root", in).option("maxFilesPerBatch", "1").load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              nBatches.incrementAndGet()
+              b.write.mode("append").parquet(outDir)
+            }; ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        require(nBatches.get == 4L,
+          s"a 4-file snapshot under maxFilesPerBatch=1 must drain in " +
+            s"4 batches, saw ${nBatches.get}")
+        s.read.parquet(outDir)
+          .groupBy(pmod(col("o_orderkey"), lit(4L)).as("slice"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("total_cents"))
+          .orderBy("slice")
+      },
+      Some(s"""
+        SELECT CAST(o_orderkey % 4 AS BIGINT) AS slice,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(${graft.util.Exact.centsSql("o_totalprice")})
+                 AS BIGINT) AS total_cents
+        FROM orders GROUP BY 1 ORDER BY slice"""))
   )
 }

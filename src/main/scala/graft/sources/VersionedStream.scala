@@ -47,10 +47,24 @@ import graft.store.Versioned
   *    streams identically to the default mode plus the two stamps.
   *  - `maxVersionsPerBatch` (default unbounded): steady-state pacing —
   *    cap how many commits one micro-batch drains. The first batch
-  *    after (re)start is deliberately uncapped: the source has no
+  *    after a RESTART is deliberately uncapped: the source has no
   *    durable memory of its own, so capping before the checkpoint
   *    position is known could propose an offset BEHIND the committed
   *    one; an uncapped catch-up batch is always monotone.
+  *  - `maxFilesPerBatch` (default unbounded): INITIAL-SNAPSHOT pacing
+  *    (Delta's maxFilesPerTrigger role on the snapshot). "Start a
+  *    stream on a 100 TB table" must not be one micro-batch scanning
+  *    the entire snapshot: the snapshot cut's files drain in
+  *    deterministic (sorted) order, at most this many per batch, with
+  *    offsets of the form `version#fileCount` so a restart resumes at
+  *    the exact file the checkpoint recorded. Applies only to the
+  *    snapshot cut — steady-state deltas pace by maxVersionsPerBatch.
+  *    A FRESH query caps its very first batch (the source marks first
+  *    construction under its checkpoint metadata dir); after a restart
+  *    whose last batch committed, the remaining catch-up is uncapped,
+  *    same contract as maxVersionsPerBatch. Not combinable with
+  *    readChangeFeed (CDF batches are join-materialized per version;
+  *    pace them by maxVersionsPerBatch).
   *
   * An OVERWRITE commit inside the streamed range fails the query loudly
   * (the readChanges non-append-lineage guard): replaying rewritten
@@ -130,12 +144,37 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
         .getOrElse(Versioned.latestVersion(root) + 1L)
     }.orElse(parameters.get("startingVersion").map(_.toLong))
       .getOrElse(1L)
+    val maxFiles = parameters.get("maxFilesPerBatch").map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    require(maxFiles == Long.MaxValue || !cdfOf(parameters),
+      "maxFilesPerBatch paces the initial snapshot's FILE scan; " +
+        "change-feed batches are join-materialized per version - " +
+        "pace a CDF stream with maxVersionsPerBatch instead")
+    // Fresh-vs-restart detection for snapshot pacing: a capped FIRST
+    // proposal is only safe when nothing is committed yet (a restart
+    // whose last batch committed must propose an uncapped catch-up —
+    // anything else could land BEHIND the checkpoint offset). The
+    // source has no access to the offset log, but it does own a
+    // metadata dir under the checkpoint: an exclusive marker create
+    // distinguishes first construction (we created it → fresh, cap
+    // away) from every later one (restart → first proposal uncapped,
+    // the documented maxVersionsPerBatch contract).
+    val fresh = maxFiles != Long.MaxValue && {
+      val p = new org.apache.hadoop.fs.Path(metadataPath,
+        "graft-snapshot-paced")
+      val fs = p.getFileSystem(
+        sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p.getParent)
+      fs.createNewFile(p)
+    }
     new VersionedSource(sqlContext, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       startingVersion = startV,
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch")
         .map(_.toLong).getOrElse(Long.MaxValue),
-      cdf = cdfOf(parameters))
+      cdf = cdfOf(parameters),
+      maxFilesPerBatch = maxFiles,
+      freshStart = fresh)
   }
 
   /** EXACTLY-ONCE streaming sink: each micro-batch append-commits
@@ -213,43 +252,93 @@ private class VersionedSink(root: String, appId: String,
   override def toString: String = name()
 }
 
-/** Version-number offset; json is just the number. */
-private case class VersionOffset(v: Long) extends Offset {
-  override def json: String = v.toString
+/** Offset: a version number (`"7"` = everything through manifest 7),
+  * or mid-snapshot `"7#120"` = the first 120 files of the snapshot
+  * cut at version 7 (cut = manifest(7) minus
+  * manifest(startingVersion−1), sorted — reconstructible from
+  * manifests alone, so the json is self-contained across restarts). */
+private case class VersionOffset(v: Long, file: Long = -1L)
+    extends Offset {
+  override def json: String =
+    if (file < 0) v.toString else s"$v#$file"
+}
+
+private object VersionOffset {
+  def parse(o: Offset): VersionOffset = {
+    val s = o.json.trim
+    s.indexOf('#') match {
+      case -1 => VersionOffset(s.toLong)
+      case i => VersionOffset(s.take(i).toLong, s.drop(i + 1).toLong)
+    }
+  }
 }
 
 private class VersionedSource(sqlContext: SQLContext, root: String,
                               override val schema: StructType,
                               startingVersion: Long,
                               maxVersionsPerBatch: Long,
-                              cdf: Boolean = false) extends Source {
+                              cdf: Boolean = false,
+                              maxFilesPerBatch: Long = Long.MaxValue,
+                              freshStart: Boolean = false)
+    extends Source {
   require(startingVersion >= 1, s"startingVersion must be >= 1")
   require(maxVersionsPerBatch >= 1, s"maxVersionsPerBatch must be >= 1")
+  require(maxFilesPerBatch >= 1, s"maxFilesPerBatch must be >= 1")
 
-  // highest version this source has handed to a batch — pacing state
-  // only (correctness lives in the checkpoint's offset log); -1 until
-  // the first getBatch syncs it, so a restarted query's catch-up batch
-  // is never capped below its committed offset
-  private var known = -1L
+  // highest offset this source has handed to a batch — pacing state
+  // only (correctness lives in the checkpoint's offset log); knownV < 0
+  // until the first getBatch syncs it, so a restarted query's catch-up
+  // batch is never capped below its committed offset. knownFile >= 0
+  // means the last end was MID-SNAPSHOT at that file count.
+  private var knownV = -1L
+  private var knownFile = -1L
 
-  private def versionOf(o: Offset): Long = o.json.trim.toLong
+  // the snapshot cut is immutable per (base, version): cache the file
+  // list the pacer slices (manifest-sized, driver-side)
+  private val cuts =
+    scala.collection.mutable.Map.empty[Long, Seq[String]]
+  private def cutFiles(v: Long): Seq[String] =
+    cuts.getOrElseUpdate(v,
+      Versioned.snapshotCutFiles(root, startingVersion - 1, v))
 
   override def getOffset: Option[Offset] = {
     val latest = Versioned.latestVersion(root)
     if (latest < startingVersion) None
-    else if (known < 0 || known >= latest) Some(VersionOffset(latest))
+    else if (knownV >= 0 && knownFile >= 0) {
+      // draining a paced snapshot cut: next slice, or the finishing
+      // offset (plain version) once the cut is exhausted
+      val n = cutFiles(knownV).size.toLong
+      val next = knownFile + math.min(maxFilesPerBatch, n - knownFile)
+      if (next >= n) Some(VersionOffset(knownV))
+      else Some(VersionOffset(knownV, next))
+    }
+    else if (knownV < 0 && freshStart && maxFilesPerBatch != Long.MaxValue) {
+      // fresh query, paced: the very first proposal slices the
+      // snapshot cut at the CURRENT latest (safe — nothing committed)
+      val n = cutFiles(latest).size.toLong
+      if (maxFilesPerBatch >= n) Some(VersionOffset(latest))
+      else Some(VersionOffset(latest, maxFilesPerBatch))
+    }
+    else if (knownV < 0 || knownV >= latest) Some(VersionOffset(latest))
     // step, never known + max: an unbounded cap must not overflow the
     // addition (2 + Long.MaxValue wraps NEGATIVE and poisons the
     // offset log with a garbage version)
     else Some(VersionOffset(
-      known + math.min(maxVersionsPerBatch, latest - known)))
+      knownV + math.min(maxVersionsPerBatch, latest - knownV)))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = versionOf(end)
-    known = math.max(known, endV)
+    val endO = VersionOffset.parse(end)
+    val endV = endO.v
+    // sync pacing state to the furthest end seen (lexicographic on
+    // (version, fileCount); plain v sits ABOVE any v#k)
+    val ahead = endV > knownV ||
+      (endV == knownV && knownFile >= 0 &&
+        (endO.file < 0 || endO.file > knownFile))
+    if (knownV < 0 || ahead) { knownV = endV; knownFile = endO.file }
     val spark = sqlContext.sparkSession
-    val (raw, opaque) = batchFrame(spark, start, endV)
+    val (raw, opaque) = batchFrame(spark, start.map(VersionOffset.parse),
+      endO)
     val frame = guardSchema(raw, endV)
     // batches that carry a JOIN — change-feed batches (tombstones →
     // deleted rows) and an initial snapshot over live deletion vectors
@@ -297,17 +386,61 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
     if (Versioned.sameEntries(root, fromV, endV)) emptyBatch(spark)
     else Versioned.readChangeFeed(spark, root, fromV, endV)
 
+  /** A slice [from, until) of the snapshot cut at `v`, with the
+    * version's live deletion vectors applied (tombstone keys are
+    * per-file, so applying them to a file subset is exact). */
+  private def cutSlice(spark: org.apache.spark.sql.SparkSession,
+                       v: Long, from: Long, until: Long)
+      : (DataFrame, Boolean) = {
+    val files = cutFiles(v).slice(from.toInt,
+      math.min(until, Int.MaxValue.toLong).toInt)
+    if (files.isEmpty) (emptyBatch(spark), false)
+    else {
+      val dv = Versioned.hasDeleteVectors(root, v)
+      val scan = spark.read.parquet(files: _*)
+      (if (dv) Versioned.applyDeleteVectors(spark, root, scan, v)
+       else scan, dv)
+    }
+  }
+
   /** The micro-batch frame plus whether it must enter the stream as an
     * opaque pre-planned leaf (it carries a join, which leaf-flagging
     * would misread as a stateful streaming join). */
   private def batchFrame(spark: org.apache.spark.sql.SparkSession,
-                         start: Option[Offset], endV: Long)
-      : (DataFrame, Boolean) =
-    start.map(versionOf) match {
-      case Some(s) if s >= endV =>
+                         start: Option[VersionOffset],
+                         end: VersionOffset)
+      : (DataFrame, Boolean) = {
+    val endV = end.v
+    start match {
+      case None if end.file >= 0L =>
+        // paced snapshot: the first slice of the cut
+        cutSlice(spark, endV, 0L, end.file)
+      case Some(s) if s.file >= 0L =>
+        // resuming MID-SNAPSHOT at file s.file of cut(s.v)
+        val n = cutFiles(s.v).size.toLong
+        if (end.file >= 0L) {
+          require(end.v == s.v,
+            s"mid-snapshot offsets must share a version: " +
+              s"${s.json} -> ${end.json}")
+          cutSlice(spark, s.v, s.file, end.file)
+        } else if (endV <= s.v) {
+          // finishing slice: the plain end offset closes the cut
+          cutSlice(spark, s.v, s.file, n)
+        } else {
+          // uncapped catch-up after a restart: the rest of the cut
+          // plus the deltas (s.v, endV] — the delta side carries the
+          // same non-append/DV guards as every plain delta batch
+          val (cut, cutDv) = cutSlice(spark, s.v, s.file, n)
+          if (Versioned.changedFileCount(root, s.v, endV) == 0L)
+            (cut, cutDv)
+          else
+            (cut.unionByName(Versioned.readChanges(spark, root, s.v,
+              endV)), cutDv)
+        }
+      case Some(s) if s.v >= endV =>
         // replanned empty range (e.g. restart edge): zero-row batch
         (emptyBatch(spark), cdf)
-      case Some(s) if s >= startingVersion =>
+      case Some(s) if s.v >= startingVersion =>
         // A RESTORE that rolled the table back to exactly what this
         // stream already consumed leaves an append-consistent range
         // with an empty file delta (manifest(end) == manifest(start)):
@@ -315,10 +448,10 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
         // whose files were genuinely rewritten (the overwrite itself,
         // if the stream drained past it) still fail loudly with the
         // non-append-lineage error.
-        if (cdf) (cdfBatch(spark, s, endV), true)
-        else if (Versioned.changedFileCount(root, s, endV) == 0L)
+        if (cdf) (cdfBatch(spark, s.v, endV), true)
+        else if (Versioned.changedFileCount(root, s.v, endV) == 0L)
           (emptyBatch(spark), false)
-        else (Versioned.readChanges(spark, root, s, endV), false)
+        else (Versioned.readChanges(spark, root, s.v, endV), false)
       case _ if startingVersion == 1L =>
         // the initial snapshot applies live deletion vectors (Delta's
         // semantics: the snapshot is the LIVE rows) — an anti-join, so
@@ -340,6 +473,7 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
           (Versioned.readChanges(spark, root, startingVersion - 1, endV),
             false)
     }
+  }
 
   override def stop(): Unit = ()
 

@@ -1164,6 +1164,32 @@ object Versioned {
     added.size.toLong
   }
 
+  /** The DATA files of an initial-snapshot cut, in DETERMINISTIC
+    * (sorted) order, as absolute paths: manifest(version) minus
+    * manifest(baseVersion) (base 0 = table birth). The streaming
+    * source paces its first batch by slicing this list — the order
+    * must be reconstructible from manifests alone so a restarted
+    * query resumes at the exact file its checkpoint recorded.
+    * Deletion-vector entries are excluded (the snapshot APPLIES them;
+    * they are not scannable data). A vacuumed manifest inside the cut
+    * surfaces the crisp re-seed error, not a raw FileNotFound. */
+  def snapshotCutFiles(root: String, baseVersion: Long,
+                       version: Long): Seq[String] = {
+    val (fs, rootPath) = fsRoot(root)
+    def dataAt(v: Long): Seq[String] =
+      if (v == 0L) Nil
+      else try splitEntries(readManifest(fs, rootPath, v)._2)._1
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"version $v of $root was vacuumed: the snapshot cut over " +
+            s"($baseVersion, $version] is no longer derivable - " +
+            "re-seed the stream from a retained snapshot")
+      }
+    val base = dataAt(baseVersion).toSet
+    dataAt(version).filterNot(base).sorted
+      .map(resolve(rootPath, _).toString)
+  }
+
   def readChanges(spark: SparkSession, root: String, fromVersion: Long,
                   toVersion: Long): DataFrame = {
     val (fs, rootPath) = fsRoot(root)

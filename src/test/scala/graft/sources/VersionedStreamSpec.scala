@@ -349,6 +349,56 @@ class VersionedStreamSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("maxFilesPerBatch paces the initial snapshot: a 3-file cut " +
+      "drains file-by-file in deterministic order, a mid-snapshot " +
+      "restart resumes at the right file, and the union is exactly " +
+      "the snapshot") {
+    val root = freshDir("vstream_paced") + "/t"
+    Versioned.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), root)
+    Versioned.commitAppend(
+      Seq((3L, "c"), (4L, "d")).toDF("k", "s").coalesce(1), root)
+    Versioned.commitAppend(
+      Seq((5L, "e")).toDF("k", "s").coalesce(1), root)
+    val fileSets = Set(Set(1L, 2L), Set(3L, 4L), Set(5L))
+
+    // FRESH query: the whole snapshot drains one file per batch
+    val b0 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root, "maxFilesPerBatch" -> "1"),
+      freshDir("vstream_paced_ckpt0"), b0)
+    assert(b0.size == 3 && b0.toSet == fileSets,
+      s"fresh paced snapshot should drain as the 3 file sets: $b0")
+
+    // mid-snapshot restart: Trigger.Once commits exactly the first
+    // 1-file slice, then a normal restart resumes at the next file
+    val ckpt = freshDir("vstream_paced_ckpt")
+    val b1 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q1 = readVersioned(root, "maxFilesPerBatch" -> "1")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("k").as[Long].collect().toSet
+        b1.synchronized { if (rows.nonEmpty) b1 += rows }; ()
+      }.start()
+    q1.awaitTermination()
+    assert(b1.size == 1 && fileSets.contains(b1.head),
+      s"Trigger.Once under pacing should consume exactly one file: $b1")
+    val b2 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root, "maxFilesPerBatch" -> "1"), ckpt, b2)
+    assert(b2.flatten.toSet == Set(1L, 2L, 3L, 4L, 5L) -- b1.head,
+      s"restart must resume at the NEXT file (no re-read, no skip): " +
+        s"consumed ${b1.head} then $b2")
+    assert((b1 ++ b2).map(_.size).sum == 5,
+      s"pacing duplicated or dropped rows: $b1 then $b2")
+
+    // steady state is untouched: a post-snapshot append arrives as a
+    // normal delta batch
+    Versioned.commitAppend(Seq((6L, "f")).toDF("k", "s"), root)
+    val b3 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    drain(readVersioned(root, "maxFilesPerBatch" -> "1"), ckpt, b3)
+    assert(b3.toSeq == Seq(Set(6L)), s"delta after paced snapshot: $b3")
+  }
+
   test("change-feed stream with an EXPLICIT schema gets the CDF stamp " +
       "columns appended (no misleading schema-drift error)") {
     val root = freshDir("vstream_cdf_es") + "/t"
