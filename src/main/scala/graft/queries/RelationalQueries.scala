@@ -1849,6 +1849,73 @@ object RelationalQueries {
         SELECT t AS _change_type, CAST(v AS BIGINT) AS _commit_version,
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(cents) AS BIGINT) AS cents
+        FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""")),
+
+    // ------------------------------------------------------------------
+    // CHANGE DATA FEED across COPY-ON-WRITE rewrites (q253's twin for
+    // the default merge path): a merge/delete committed with cdc=true
+    // stages its exact row changes as a cdc/ sidecar (Delta's
+    // _change_data role) — the rewritten data files carry both changed
+    // and merely-recopied rows, so the sidecar is the ONLY exact
+    // derivation; the feed reads it back verbatim. A compaction
+    // (row-neutral rewrite) crosses the feed as zero changes. The
+    // extra commit cost is one write of rows already in hand; cdc
+    // stays off by default. Oracle replays the lineage as literal
+    // change sets.
+    QuerySpec("q258_cow_change_feed",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_cowcdf_q")
+        val orders = Tables.orders(s, dir).select(col("o_orderkey"),
+          Exact.cents(col("o_totalprice")).as("cents"))
+        graft.store.Versioned.commitAppend(
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0L)
+            .coalesce(1), root, statsCols = Seq("o_orderkey"))
+        // CoW MERGE with cdc: bump cents on the %6==0 half (matched),
+        // insert the %3==1 slice (unmatched)
+        val updates = orders
+          .filter(pmod(col("o_orderkey"), lit(6L)) === 0L)
+          .select(col("o_orderkey"), (col("cents") + 1000L).as("cents"))
+          .unionByName(
+            orders.filter(pmod(col("o_orderkey"), lit(3L)) === 1L))
+        graft.store.Versioned.commitMerge(updates, root,
+          Seq("o_orderkey"), cdc = true)
+        // CoW DELETE with cdc
+        graft.store.Versioned.commitDelete(s, root,
+          pmod(col("o_orderkey"), lit(5L)) === 1L, cdc = true)
+        // row-neutral compaction: zero feed changes
+        graft.store.Versioned.commitCompact(s, root,
+          smallBytes = 64L << 20)
+        graft.store.Versioned.readChangeFeed(s, root, 0L)
+          .groupBy(col("_change_type"), col("_commit_version"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+          .orderBy("_commit_version", "_change_type")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 ${Exact.centsSql("o_totalprice")} AS cents
+          FROM orders),
+        v2ins AS (
+          SELECT k, cents + 1000 AS cents FROM base WHERE k % 6 = 0
+          UNION ALL
+          SELECT k, cents FROM base WHERE k % 3 = 1),
+        live2 AS (
+          SELECT k, cents + CASE WHEN k % 6 = 0 THEN 1000 ELSE 0 END
+            AS cents
+          FROM base WHERE k % 3 = 0
+          UNION ALL
+          SELECT k, cents FROM base WHERE k % 3 = 1),
+        ch AS (
+          SELECT 'insert' AS t, 1 AS v, cents FROM base WHERE k % 3 = 0
+          UNION ALL
+          SELECT 'delete', 2, cents FROM base WHERE k % 6 = 0
+          UNION ALL
+          SELECT 'insert', 2, cents FROM v2ins
+          UNION ALL
+          SELECT 'delete', 3, cents FROM live2 WHERE k % 5 = 1)
+        SELECT t AS _change_type, CAST(v AS BIGINT) AS _commit_version,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS cents
         FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type"""))
   )
 }

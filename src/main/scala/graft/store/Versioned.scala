@@ -110,9 +110,22 @@ object Versioned {
   private[store] def isDvEntry(f: String): Boolean =
     f.startsWith("dv/") || f.contains("/dv/")
 
-  /** Manifest entries split into (data files, deletion-vector files). */
+  /** Is this manifest entry a CHANGE-DATA sidecar (`cdc/<uuid>/`)? A
+    * copy-on-write merge/delete committed with cdc=true stages its
+    * exact row changes there so the change feed stays derivable across
+    * rewrites (Delta's _change_data directory). CDC files are
+    * metadata-for-consumers, never scannable table data. */
+  private[store] def isCdcEntry(f: String): Boolean =
+    f.startsWith("cdc/") || f.contains("/cdc/")
+
+  /** Manifest entries split into (data files, deletion-vector files).
+    * CDC sidecars are NEITHER: they are excluded from the data side so
+    * every read/stats/bloom/compaction path ignores them, and from the
+    * dv side so tombstone application never scans them. */
   private def splitEntries(files: Seq[String])
-      : (Seq[String], Seq[String]) = files.partition(f => !isDvEntry(f))
+      : (Seq[String], Seq[String]) =
+    (files.filterNot(f => isDvEntry(f) || isCdcEntry(f)),
+      files.filter(isDvEntry))
 
   /** The tombstone key of every row in `df`'s scan: the file's
     * manifest-relative spelling (`data/<uuid>/<part>`, the last three
@@ -554,9 +567,20 @@ object Versioned {
             "landed during the copy-on-write rewrite - re-run the " +
             "merge/delete against the new snapshot")
       }
-      val base =
-        if (!appendBase || parent == 0L) Nil
+      val parentEntries =
+        if (parent == 0L) Nil
         else readManifest(fs, rootPath, parent)._2
+      val base = if (appendBase) parentEntries else Nil
+      // CDC sidecars belong to exactly ONE version — the commit that
+      // wrote them (the feed derives a version's changes from its
+      // NEWLY-ADDED cdc entries). Drop any parent-carried cdc entry
+      // from the composed list so manifests never accumulate stale
+      // change files; freshly staged cdc entries (absent from the
+      // parent) ride through. Retired cdc files become vacuumable the
+      // moment their version does.
+      val parentCdc = parentEntries.filter(isCdcEntry).toSet
+      val composed = (base ++ added)
+        .filterNot(e => isCdcEntry(e) && parentCdc(e))
       val v = parent + 1
       val txnField = txn
         .map { case (a, b) => s""" "txn": "$a:$b",""" }.getOrElse("") +
@@ -565,7 +589,7 @@ object Versioned {
         (if (op.nonEmpty) s""" "op": "$op",""" else "")
       val body = (s"""{"version": $v, "writer": "$writer",$txnField """ +
         s""""files": [""" ::
-        (base ++ added).map("\"" + _ + "\"" + ",").toList).mkString("\n")
+        composed.map("\"" + _ + "\"" + ",").toList).mkString("\n")
           .stripSuffix(",") + "\n]}"
       val tmp = new Path(rootPath, s".manifest-v$v-$writer.tmp")
       writeFile(fs, tmp, body)
@@ -951,10 +975,26 @@ object Versioned {
     * commit landing mid-rewrite raises ConcurrentModificationException
     * instead of silently dropping it. */
   def commitMerge(updates: DataFrame, root: String,
-                  keys: Seq[String]): Long = {
+                  keys: Seq[String], cdc: Boolean = false): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val spark = updates.sparkSession
     val (fs, rootPath) = fsRoot(root)
+    import org.apache.spark.sql.functions.{col, lit}
+    // cdc=true (Delta's delta.enableChangeDataFeed role): stage the
+    // commit's EXACT row changes as a cdc/<uuid>/ sidecar — matched
+    // old rows as 'delete', every update row as 'insert' (the
+    // delete+insert pair is CDC's canonical update encoding) — so
+    // [[readChangeFeed]] stays derivable across this rewrite. Cost:
+    // one extra write of changed rows (they are already in hand), off
+    // by default.
+    def cdcOf(deletes: Option[DataFrame]): Seq[String] =
+      if (!cdc) Nil
+      else {
+        val ins = updates.withColumn("_change_type", lit("insert"))
+        stageCdc(spark, fs, rootPath, deletes
+          .map(_.withColumn("_change_type", lit("delete"))
+            .unionByName(ins)).getOrElse(ins))
+      }
     val parent = latestVersion(root)
     if (parent == 0L)
       // merging into an empty table is a plain insert — but STILL a
@@ -962,9 +1002,9 @@ object Versioned {
       // one), so it conflict-detects like every other merge: a racing
       // first append landing between latestVersion() and publish raises
       // instead of being silently overwritten by this manifest
-      return commitFiles(root, stage(updates, root), appendBase = false,
+      return commitFiles(root,
+        stage(updates, root) ++ cdcOf(None), appendBase = false,
         expectedParent = Some(0L), op = "merge")
-    import org.apache.spark.sql.functions.col
     val updKeys = updates.select(keys.map(col): _*).distinct()
     val (parentFiles, dvParent) =
       splitEntries(readManifest(fs, rootPath, parent)._2)
@@ -979,16 +1019,18 @@ object Versioned {
       else touchedFiles(spark, fs, rootPath, candidates,
         _.join(updKeys, keys, "left_semi"))
     val untouched = skipped ++ unmatchedScanned
-    val staged =
-      if (touched.isEmpty) stage(updates, root) // pure insert
+    val (staged, cdcStaged) =
+      if (touched.isEmpty)
+        (stage(updates, root), cdcOf(None)) // pure insert
       else {
-        val survivors = spark.read
+        val touchedScan = spark.read
           .parquet(touched.map(resolve(rootPath, _).toString): _*)
-          .join(updKeys, keys, "left_anti")
-        stage(survivors.unionByName(updates), root)
+        val survivors = touchedScan.join(updKeys, keys, "left_anti")
+        (stage(survivors.unionByName(updates), root),
+          cdcOf(Some(touchedScan.join(updKeys, keys, "left_semi"))))
       }
-    val v = commitFiles(root, untouched ++ staged, appendBase = false,
-      expectedParent = Some(parent), op = "merge")
+    val v = commitFiles(root, untouched ++ staged ++ cdcStaged,
+      appendBase = false, expectedParent = Some(parent), op = "merge")
     maintainStats(spark, root, v, Nil)
     maintainBlooms(spark, root, v, Nil, 0)
     v
@@ -1005,7 +1047,8 @@ object Versioned {
     * current version, no new commit). Same conflict detection as
     * [[commitMerge]]. */
   def commitDelete(spark: SparkSession, root: String,
-                   predicate: org.apache.spark.sql.Column): Long = {
+                   predicate: org.apache.spark.sql.Column,
+                   cdc: Boolean = false): Long = {
     val (fs, rootPath) = fsRoot(root)
     val parent = latestVersion(root)
     require(parent > 0, s"no committed version at $root")
@@ -1036,10 +1079,21 @@ object Versioned {
     val keep = org.apache.spark.sql.functions
       .not(org.apache.spark.sql.functions.coalesce(predicate,
         org.apache.spark.sql.functions.lit(false)))
-    val survivors = spark.read
+    val touchedScan = spark.read
       .parquet(touched.map(resolve(rootPath, _).toString): _*)
-      .filter(keep)
-    val v = commitFiles(root, untouched ++ stage(survivors, root),
+    val survivors = touchedScan.filter(keep)
+    // cdc=true: the deleted rows become this commit's change record
+    // (one extra pass over the touched files), keeping the feed
+    // derivable across the rewrite
+    val cdcStaged =
+      if (!cdc) Nil
+      else stageCdc(spark, fs, rootPath, touchedScan
+        .filter(org.apache.spark.sql.functions.coalesce(predicate,
+          org.apache.spark.sql.functions.lit(false)))
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("delete")))
+    val v = commitFiles(root,
+      untouched ++ stage(survivors, root) ++ cdcStaged,
       appendBase = false, expectedParent = Some(parent),
       op = "delete")
     maintainStats(spark, root, v, Nil)
@@ -1148,8 +1202,14 @@ object Versioned {
       fs.exists(manifestPath(rootPath, fromVersion)) &&
       fs.exists(manifestPath(rootPath, toVersion)),
       s"need committed versions $fromVersion < $toVersion at $root")
-    val fromFiles = readManifest(fs, rootPath, fromVersion)._2.toSet
+    // CDC sidecars are per-version change records, not table data:
+    // they appear and retire outside the append algebra and must not
+    // read as rewrites (their retirement) or as appended rows (their
+    // addition)
+    val fromFiles = readManifest(fs, rootPath, fromVersion)._2
+      .filterNot(isCdcEntry).toSet
     val toFiles = readManifest(fs, rootPath, toVersion)._2
+      .filterNot(isCdcEntry)
     val missing = fromFiles -- toFiles.toSet
     require(missing.isEmpty,
       s"versions $fromVersion..$toVersion of $root are not an append " +
@@ -1197,8 +1257,12 @@ object Versioned {
       fs.exists(manifestPath(rootPath, fromVersion)) &&
       fs.exists(manifestPath(rootPath, toVersion)),
       s"need committed versions $fromVersion < $toVersion at $root")
-    val fromFiles = readManifest(fs, rootPath, fromVersion)._2.toSet
+    // cdc sidecars sit outside the append algebra (see
+    // changedFileCount)
+    val fromFiles = readManifest(fs, rootPath, fromVersion)._2
+      .filterNot(isCdcEntry).toSet
     val toFiles = readManifest(fs, rootPath, toVersion)._2
+      .filterNot(isCdcEntry)
     val missing = fromFiles -- toFiles.toSet
     require(missing.isEmpty,
       s"versions $fromVersion..$toVersion of $root are not an append " +
@@ -2002,20 +2066,25 @@ object Versioned {
   /** CHANGE DATA FEED (Delta's table_changes / CDF): every row-level
     * change between `fromVersion` (exclusive; 0 = since table birth)
     * and `toVersion` (inclusive; 0 = latest), stamped with
-    * `_change_type` ('insert' | 'delete') and `_commit_version`. The
-    * feed is derived purely from the commit log's file algebra — no
-    * extra CDC files written at commit time:
-    *   - a commit's added DATA files are its inserts (files are
-    *     immutable, so each row's insert version is exact);
-    *   - a commit's added DELETION-VECTOR files are its deletes — the
-    *     tombstones join back to ONLY the data files they reference
-    *     (deleted-rows-sized scan, not table-sized), materializing the
-    *     deleted rows with their full schema.
-    * Commits that REMOVE files (overwrite / copy-on-write merge /
-    * delete / compaction / restore) fail loudly: their file delta
-    * cannot distinguish rewritten-identical rows from changed ones, so
-    * a feed over them would fabricate changes — same contract as
-    * [[readChanges]], extended to tolerate (and surface) DV deletes.
+    * `_change_type` ('insert' | 'delete') and `_commit_version`.
+    * Derivation, per version:
+    *   - a commit that staged a `cdc/` sidecar ([[commitMerge]]/
+    *     [[commitDelete]] with cdc=true) IS its own change record —
+    *     its exact stamped rows are read back and its file delta is
+    *     ignored (rewritten files carry both changed and
+    *     merely-recopied rows);
+    *   - otherwise, added DATA files are that commit's inserts (files
+    *     are immutable, so each row's insert version is exact), and
+    *     added DELETION-VECTOR files are its deletes — the tombstones
+    *     join back to ONLY the data files they reference
+    *     (deleted-rows-sized scan), materializing the deleted rows
+    *     with full schema;
+    *   - provably row-neutral rewrites (compact / zorder-compact /
+    *     dv-purge) cross the feed as zero changes;
+    *   - any OTHER commit that removed files (overwrite, cdc-less
+    *     merge/delete, restore) fails loudly: its file delta cannot
+    *     distinguish rewritten-identical rows from changed ones, so a
+    *     feed over it would fabricate changes.
     * A downstream incremental consumer gets exactly-once row changes
     * whose cost tracks the delta, never the table. */
   /** DESCRIBE HISTORY: one row per retained commit, newest first —
@@ -2073,9 +2142,13 @@ object Versioned {
     * consumed state) carries no changes. */
   def sameEntries(root: String, a: Long, b: Long): Boolean = {
     val (fs, rootPath) = fsRoot(root)
+    // cdc sidecars are per-version CHANGE RECORDS, not table state:
+    // two versions with identical data+dv files are the same snapshot
+    // even if one carried a cdc record the other dropped
     def at(v: Long): Set[String] =
       if (v == 0L) Set.empty
-      else try readManifest(fs, rootPath, v)._2.toSet
+      else try readManifest(fs, rootPath, v)._2
+        .filterNot(isCdcEntry).toSet
       catch { case _: java.io.FileNotFoundException =>
         // the streaming CDF path calls this with its consumed offset as
         // `a` — a vacuumed manifest must surface the same crisp re-seed
@@ -2086,6 +2159,47 @@ object Versioned {
             "retained snapshot and continue from there")
       }
     at(a) == at(b)
+  }
+
+  /** The audit op stamp of a manifest's header ("append", "merge",
+    * "compact", …; "unknown" for pre-r12 manifests). One header line
+    * read, driver-side. */
+  private def manifestOp(fs: FileSystem, rootPath: Path,
+                         v: Long): String = {
+    val in = fs.open(manifestPath(rootPath, v))
+    val header = try new java.io.BufferedReader(
+      new java.io.InputStreamReader(in,
+        java.nio.charset.StandardCharsets.UTF_8)).readLine()
+    finally in.close()
+    "\"op\":\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(String.valueOf(header)).map(_.group(1))
+      .getOrElse("unknown")
+  }
+
+  /** Rewrite ops that change the table's FILE LIST but provably no
+    * live row — the change feed crosses them as zero changes instead
+    * of failing: compaction/z-order are permutation-identical by
+    * construction, and a DV purge only materializes deletes the feed
+    * already reported at their dv commits. */
+  private val RowNeutralOps = Set("compact", "zorder-compact", "dv-purge")
+
+  /** Stage `changes` (table columns + `_change_type`) as a
+    * `cdc/<uuid>/` sidecar; returns the staged root-relative entries,
+    * or Nil when no row changed (the empty stage is deleted). Invisible
+    * until the caller's manifest publishes, like every stage here. */
+  private def stageCdc(spark: SparkSession, fs: FileSystem,
+                       rootPath: Path, changes: DataFrame)
+      : Seq[String] = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val dir = new Path(new Path(rootPath, "cdc"), uuid)
+    changes.write.parquet(dir.toString)
+    val staged = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.endsWith(".parquet") => s"cdc/$uuid/$n" }
+      .sorted
+    val wrote = staged.nonEmpty && spark.read
+      .parquet(staged.map(resolve(rootPath, _).toString): _*)
+      .take(1).nonEmpty
+    if (!wrote) { fs.delete(dir, true); Nil } else staged
   }
 
   def readChangeFeed(spark: SparkSession, root: String,
@@ -2111,17 +2225,34 @@ object Versioned {
             s"($fromVersion, $to] is no longer derivable - re-seed " +
             "from a retained snapshot and continue from there")
       }
-    val frames = (fromVersion + 1 to to).flatMap { v =>
+    def perVersion(v: Long): Seq[DataFrame] = {
       val prev = entriesAt(v - 1).toSet
       val cur = entriesAt(v)
-      val removed = prev -- cur.toSet
-      require(removed.isEmpty,
-        s"version $v of $root removed ${removed.size} file(s) " +
-          "(overwrite/merge/copy-on-write delete/compact/restore): its " +
-          "file delta cannot yield exact row changes - re-read the " +
-          "snapshot or purge+rebase the feed past it")
-      val (addedData, addedDv) =
-        splitEntries(cur.filterNot(prev))
+      val added = cur.filterNot(prev)
+      val addedCdc = added.filter(isCdcEntry)
+      // a commit that staged a CDC sidecar IS its own change record:
+      // read the exact rows it wrote (already _change_type-stamped),
+      // and derive NOTHING from its file delta — the rewritten data
+      // files carry both changed and merely-recopied rows
+      if (addedCdc.nonEmpty)
+        return Seq(spark.read.parquet(
+            addedCdc.map(resolve(rootPath, _).toString): _*)
+          .withColumn("_commit_version", lit(v)))
+      val removed = (prev -- cur.toSet).filterNot(isCdcEntry)
+      if (removed.nonEmpty) {
+        // rewrites that provably change no live row (compaction,
+        // z-order, dv purge) cross the feed as zero changes; every
+        // other rewrite without a CDC sidecar stays a loud failure
+        val op = manifestOp(fs, rootPath, v)
+        if (RowNeutralOps(op)) return Nil
+        throw new IllegalArgumentException(
+          s"version $v of $root removed ${removed.size} file(s) " +
+            s"(op '$op': overwrite/merge/copy-on-write delete/" +
+            "restore): its file delta cannot yield exact row changes " +
+            "- commit rewrites with cdc=true (commitMerge/commitDelete)" +
+            " to keep the feed derivable, or re-read the snapshot")
+      }
+      val (addedData, addedDv) = splitEntries(added)
       val inserts =
         if (addedData.isEmpty) Nil
         else Seq(spark.read.parquet(
@@ -2148,6 +2279,7 @@ object Versioned {
         }
       inserts ++ deletes
     }
+    val frames = (fromVersion + 1 to to).flatMap(perVersion)
     require(frames.nonEmpty,
       s"no changes between $fromVersion and $to at $root")
     frames.reduce(_.unionByName(_))
@@ -2372,7 +2504,11 @@ object Versioned {
       fs.exists(manifestPath(rootPath, toVersion)),
       s"no committed version $toVersion at $root to restore to")
     if (toVersion == latest) return latest
+    // a restore re-publishes the old FILE LIST, not the old commit's
+    // change record: carrying its cdc sidecar would make the feed
+    // replay those changes at the restore version
     val files = readManifest(fs, rootPath, toVersion)._2
+      .filterNot(isCdcEntry)
     val v = commitFiles(root, files, appendBase = false,
       expectedParent = Some(latest), op = "restore")
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -2407,7 +2543,11 @@ object Versioned {
     // deletion vectors clone along: the tombstone key is the file's
     // last-three-components spelling, which absolute borrowed paths
     // still produce, so the clone's reads apply them identically
+    // cdc sidecars stay behind: the clone's v1 is a fresh table birth
+    // (its feed derives every row as an insert), not a replay of the
+    // source commit's change record
     val absolute = readManifest(fs, rootPath, v)._2
+      .filterNot(isCdcEntry)
       .map(f => fs.makeQualified(resolve(rootPath, f)).toString)
     val (tfs, tRootPath) = fsRoot(targetRoot)
     tfs.mkdirs(tRootPath)
@@ -2475,7 +2615,7 @@ object Versioned {
     var bytes = 0L
     // deletion-vector sidecars follow the same set arithmetic as data
     // files: both directories sweep under one rule
-    Seq("data", "dv").map(new Path(rootPath, _)).foreach { dataDir =>
+    Seq("data", "dv", "cdc").map(new Path(rootPath, _)).foreach { dataDir =>
     if (fs.exists(dataDir)) {
       // recursive listStatus, NOT listFiles: located statuses force
       // permission loading, which RawLocalFileSystem implements by

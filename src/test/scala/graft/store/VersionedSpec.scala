@@ -1369,15 +1369,21 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readChangeFeed(spark, root, 2L)
       .as[(Long, String, String, Long)].collect().toSet ==
       Set((2L, "b", "delete", 3L), (4L, "d", "insert", 4L)))
-    // a copy-on-write commit inside the range fails loudly (its file
-    // delta can't yield exact row changes)
+    // a DV purge is a row-NEUTRAL rewrite: it contributes zero
+    // changes instead of failing the feed (its deletes were already
+    // reported at their dv commits). A range holding ONLY the purge
+    // is an empty feed (loud - an empty scan has no schema); a range
+    // spanning purge + append yields exactly the append.
     Versioned.commitPurgeDeleteVectors(spark, root)
     val ex = intercept[IllegalArgumentException] {
       Versioned.readChangeFeed(spark, root, 4L)
     }
-    assert(ex.getMessage.contains("removed"))
-    // but a feed STARTING at the purge version works again
+    assert(ex.getMessage.contains("no changes"))
     Versioned.commitAppend(Seq((5L, "e")).toDF("k", "s"), root)
+    assert(Versioned.readChangeFeed(spark, root, 4L)
+      .as[(Long, String, String, Long)].collect().toSet ==
+      Set((5L, "e", "insert", 6L)),
+      "a purge inside the range must be transparent to the feed")
     assert(Versioned.readChangeFeed(spark, root, 5L)
       .as[(Long, String, String, Long)].collect().toSet ==
       Set((5L, "e", "insert", 6L)))
@@ -1439,6 +1445,54 @@ class VersionedSpec extends SparkSpec {
       s"expected the 20-attempt budget to bound the loop, saw $races")
     // the table is intact: all four originals plus every raced append
     assert(Versioned.read(spark, root).count() == 4L + races)
+  }
+
+  test("CDC sidecars keep the change feed derivable across copy-on-" +
+      "write merge/delete; row-neutral compaction crosses as zero " +
+      "changes; a cdc-less rewrite still fails loudly") {
+    val root = freshRoot()
+    Versioned.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s").coalesce(1),
+      root)
+    // v2: CoW merge WITH cdc — update k=2, insert k=4; the feed must
+    // read the exact delete+insert pairs, not the rewritten file
+    val v2 = Versioned.commitMerge(
+      Seq((2L, "B"), (4L, "d")).toDF("k", "s"), root, Seq("k"),
+      cdc = true)
+    // v3: CoW delete WITH cdc
+    val v3 = Versioned.commitDelete(spark, root, col("k") === 1L,
+      cdc = true)
+    // v4: compaction — changes the file list, provably no row
+    val v4 = Versioned.commitCompact(spark, root, smallBytes = 1L << 20)
+    assert((v2, v3, v4) == (2L, 3L, 4L),
+      s"expected compact to commit as v4, got ($v2, $v3, $v4)")
+    Versioned.commitAppend(Seq((5L, "e")).toDF("k", "s"), root)
+    val feed = Versioned.readChangeFeed(spark, root, 0L)
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L),
+      (2L, "b", "delete", 2L), (2L, "B", "insert", 2L),
+      (4L, "d", "insert", 2L),
+      (1L, "a", "delete", 3L),
+      (5L, "e", "insert", 5L)), s"feed read: $feed")
+    // the live table is exactly the feed folded forward
+    assert(Versioned.read(spark, root).as[(Long, String)].collect()
+      .toSet == Set((2L, "B"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // cdc sidecars live in exactly ONE version's manifest: later
+    // commits drop them, so the v5 manifest carries none
+    assert(!Versioned.files(root).exists(_.contains("/cdc/")),
+      "cdc entries must not ride forward past their own version")
+    // a cdc-less CoW merge still fails the feed loudly over its range
+    Versioned.commitMerge(Seq((3L, "C")).toDF("k", "s"), root, Seq("k"))
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.readChangeFeed(spark, root, 5L).collect()
+    }
+    assert(ex.getMessage.contains("cdc=true"), s"got: $ex")
+    // ...while ranges before the cdc-less rewrite stay derivable
+    assert(Versioned.readChangeFeed(spark, root, 4L, 5L)
+      .select("k").as[Long].collect().toSeq == Seq(5L))
   }
 
   test("__dv_file/__dv_idx are reserved on DV-carrying tables: DV " +
