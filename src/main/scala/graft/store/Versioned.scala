@@ -2551,8 +2551,86 @@ object Versioned {
       .map(f => fs.makeQualified(resolve(rootPath, f)).toString)
     val (tfs, tRootPath) = fsRoot(targetRoot)
     tfs.mkdirs(tRootPath)
-    commitFiles(targetRoot, absolute, appendBase = false,
+    val cv = commitFiles(targetRoot, absolute, appendBase = false,
       expectedParent = Some(0L), op = "clone")
+    // register the borrow on the SOURCE: clones/<uuid>.json records
+    // which table borrowed this snapshot's files, so a source-side
+    // vacuum can WARN before retiring versions a clone still reads
+    // (the r11/r12 observability gap — the breakage used to surface
+    // as a read error later instead of a dry-run warning now).
+    // Best-effort metadata: a failed registration never fails the
+    // clone, it only loses the warning.
+    writeFile(fs, new Path(clonesDir(rootPath),
+      s"${java.util.UUID.randomUUID()}.json"),
+      s"""{"clone_root": "${tfs.makeQualified(tRootPath)}", """ +
+        s""""source_version": $v}""")
+    cv
+  }
+
+  private def clonesDir(rootPath: Path): Path =
+    new Path(rootPath, "clones")
+
+  /** Clone roots registered against this source (by [[cloneShallow]]);
+    * registrations whose clone no longer exists are skipped. */
+  private def registeredClones(fs: FileSystem, rootPath: Path)
+      : Seq[String] = {
+    val dir = clonesDir(rootPath)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.filterNot(_.isDirectory).flatMap { st =>
+      val in = fs.open(st.getPath)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      "\"clone_root\":\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(text).map(_.group(1))
+    }.distinct
+  }
+
+  /** For each registered shallow clone of `root`, the borrowed source
+    * files a `vacuum(keepFrom)` could reclaim — i.e. borrowed paths
+    * NOT reachable from any retained source manifest. Empty map =
+    * this vacuum is provably clone-safe. Clone roots that no longer
+    * have commits (deleted/abandoned clones) are ignored. Driver-side
+    * and manifest-sized: source retention set + each clone's manifest
+    * entries. */
+  def cloneBorrowsAtRisk(root: String, keepFrom: Long)
+      : Map[String, Seq[String]] = {
+    val (fs, rootPath) = fsRoot(root)
+    val clones = registeredClones(fs, rootPath)
+    if (clones.isEmpty) return Map.empty
+    val latest = latestVersion(root)
+    val rootPrefix = rootPath.toString + "/"
+    // qualify-then-strip handles every entry spelling uniformly
+    // (root-relative, bare-absolute, and the single-slash file:/ form
+    // Hadoop renders for local URIs)
+    def relOf(f: String): String =
+      fs.makeQualified(resolve(rootPath, f)).toString
+        .stripPrefix(rootPrefix)
+    val keep = (math.max(1L, keepFrom) to latest).flatMap { v =>
+      try readManifest(fs, rootPath, v)._2.map(relOf)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }.toSet
+    clones.flatMap { cloneRoot =>
+      val borrowed = try {
+        val (cfs, cRootPath) = fsRoot(cloneRoot)
+        // resolve every clone entry against the CLONE root: its own
+        // (root-relative) files land under the clone and drop out of
+        // the source-prefix filter; borrowed absolute entries resolve
+        // to themselves and survive
+        (1L to latestVersion(cloneRoot)).flatMap { cv =>
+          try readManifest(cfs, cRootPath, cv)._2
+          catch { case _: java.io.FileNotFoundException => Nil }
+        }.distinct
+          .map(f => cfs.makeQualified(resolve(cRootPath, f)).toString)
+          .filter(_.startsWith(rootPrefix))
+      } catch { case _: Exception => Nil }
+      val atRisk = borrowed.map(_.stripPrefix(rootPrefix))
+        .filterNot(keep)
+      if (atRisk.isEmpty) None else Some(cloneRoot -> atRisk.toSeq)
+    }.toMap
   }
 
   /** Garbage-collect history: retire versions < `keepFrom` and delete
@@ -2592,6 +2670,22 @@ object Versioned {
     val latest = latestVersion(root)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom $keepFrom outside committed range 1..$latest")
+    // clone observability: a registered shallow clone still reading
+    // files this sweep could reclaim gets a LOUD warning (dry-run and
+    // real alike) — the breakage otherwise surfaces as a clone read
+    // error much later. The sweep itself is not blocked: the
+    // source/clone retention contract is the documented Delta caveat,
+    // and cloneBorrowsAtRisk is the programmatic pre-check.
+    val atRisk = cloneBorrowsAtRisk(root, keepFrom)
+    atRisk.foreach { case (cloneRoot, files) =>
+      System.err.println(
+        s"[graft] vacuum($root, keepFrom=$keepFrom)" +
+          (if (dryRun) " [dry-run]" else "") +
+          s": shallow clone $cloneRoot borrows ${files.size} file(s) " +
+          "this sweep can reclaim - the clone's reads will break; " +
+          "retain the source versions or re-materialize the clone " +
+          "first (cloneBorrowsAtRisk lists the files)")
+    }
     val rootPrefix = rootPath.toString + "/"
     def rel(p: Path): String =
       fs.makeQualified(p).toString.stripPrefix(rootPrefix)

@@ -1495,6 +1495,36 @@ class VersionedSpec extends SparkSpec {
       .select("k").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("shallow clones REGISTER on the source: a vacuum that could " +
+      "reclaim borrowed files reports the clone (dry-run included), " +
+      "a provably clone-safe vacuum reports nothing and leaves clone " +
+      "reads intact") {
+    val root = freshRoot()
+    val target = freshRoot() + "/clone"
+    Versioned.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      root)
+    Versioned.cloneShallow(root, target)
+    // v2 OVERWRITES the source: v1's files (the clone's borrow) become
+    // retired history the moment keepFrom passes 1
+    Versioned.commitOverwrite(Seq((9L, "z")).toDF("k", "s"), root)
+    // keepFrom=2 would reclaim exactly what the clone borrows
+    val atRisk = Versioned.cloneBorrowsAtRisk(root, 2L)
+    assert(atRisk.size == 1 && atRisk.head._2.nonEmpty,
+      s"the registered clone's borrow must be reported: $atRisk")
+    assert(atRisk.head._1.contains("clone"), s"clone root: $atRisk")
+    // keepFrom=1 retains everything the clone reads: provably safe
+    assert(Versioned.cloneBorrowsAtRisk(root, 1L).isEmpty)
+    // dry-run deletes nothing (warns on stderr); clone reads intact
+    Versioned.vacuum(root, 2L, dryRun = true)
+    assert(Versioned.read(spark, target).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (2L, "b")))
+    // a non-retiring vacuum (keepFrom=1) sweeps only true orphans and
+    // the clone still reads its pinned snapshot
+    Versioned.vacuum(root, 1L)
+    assert(Versioned.read(spark, target).as[(Long, String)].collect()
+      .toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("__dv_file/__dv_idx are reserved on DV-carrying tables: DV " +
       "delete and merge-on-read REJECT a clashing schema loudly " +
       "instead of corrupting every later read") {
