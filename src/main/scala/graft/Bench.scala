@@ -90,6 +90,39 @@ object Bench {
         .queryExecution.toRdd.foreach(_ => ())
       (System.nanoTime() - t0) / 1e9
     }
+
+    // PER-QUERY load sentinel: the 25-query-spaced probes above bound
+    // 25-query windows, and round-12's driver board proved a load
+    // burst can live entirely INSIDE one window (q91 read 14x its
+    // idle cost while every spaced probe straddled the burst and the
+    // board stamped load_suspect=false). A 10x-smaller probe now runs
+    // before EVERY query (plus one closing the last), so each query's
+    // measurement is bounded by probes on both sides at single-query
+    // granularity; a breaching mini-probe taints exactly the queries
+    // it bounds, which the existing retry pass re-times under a
+    // verified-clean calibration. Cost: ~250 x ~60ms = ~15s per
+    // board, not charged to any query.
+    def miniProbe(): Double = {
+      val t0 = System.nanoTime()
+      // 8 partitions, not 32: the mini probe's cost is dominated by
+      // task-scheduling rounds, and 8 tasks keep it ~0.1s while still
+      // reading ambient CPU contention (load inflates task runtimes
+      // whatever the task count)
+      spark.range(0L, 2000000L, 1L, 8)
+        .selectExpr("id % 97 as k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
+        .queryExecution.toRdd.foreach(_ => ())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Idle cost of the mini probe on the reference 32-cpu host inside
+    // the warm bench JVM (measured: min 0.08, median 0.10-0.12
+    // steady-state, occasional 0.29 spikes under this host's ambient
+    // tenancy). The 3x threshold (0.36s) sits above those spikes and
+    // far below any burst that meaningfully inflates a query (q91's
+    // r12 burst was 14x).
+    val MiniIdleSec = sys.env.get("GRAFT_BENCH_MINI_IDLE")
+      .map(_.toDouble).getOrElse(0.12)
+    def miniClean(sec: Double): Boolean = sec <= 3 * MiniIdleSec
     // Idle-host cost of calibrate() on the reference 32-cpu host:
     // measured 0.37-0.50s over repeated steady-state runs (see
     // COVERAGE.md "bench calibration"); 0.45 puts the 2x suspect
@@ -157,6 +190,10 @@ object Bench {
     val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // miniProbes(i) bounds the START of query i; miniProbes(i+1) (the
+    // next query's opening probe, or the closing one) bounds its end
+    val miniProbes = new Array[Double](queryList.size + 1)
+    miniProbe() // untimed: pays codegen for the mini plan
     val firstPass = queryList.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx > 0 && idx % probeEvery == 0) {
         val p = calibrate()
@@ -164,8 +201,13 @@ object Bench {
         if (debug) println(f"[bench] calib probe @q$idx: $p%.3fs" +
           (if (calibClean(p)) "" else "  ** LOAD **"))
       }
+      miniProbes(idx) = miniProbe()
+      if (debug && !miniClean(miniProbes(idx)))
+        println(f"[bench] mini probe @q$idx: ${miniProbes(idx)}%.3fs" +
+          "  ** LOAD **")
       (name, fn, idx, runQuery(name, fn, ""))
     }
+    miniProbes(queryList.size) = miniProbe()
     val calibMidEndSec = calibrate() // probe closing the last window
     probes += ((queryList.size, calibMidEndSec))
 
@@ -181,7 +223,16 @@ object Bench {
       case Seq((a, pa), (b, pb)) if !calibClean(pa) || !calibClean(pb) =>
         (a, b)
     }.toSeq
-    val tainted = taintedWindows.flatMap { case (a, b) => a until b }.toSet
+    // single-query taint: a breaching mini-probe taints the query it
+    // opens AND the one it closes (the burst was live at that instant,
+    // which sits inside both measurements' windows)
+    val miniBreaches = miniProbes.indices
+      .filter(i => !miniClean(miniProbes(i)))
+    val miniTainted = miniBreaches
+      .flatMap(i => Seq(i - 1, i)).filter(i =>
+        i >= 0 && i < queryList.size).toSet
+    val tainted = taintedWindows.flatMap { case (a, b) => a until b }
+      .toSet ++ miniTainted
     var retryAborted = false
     var retried = 0
     val results = firstPass.map { case (name, fn, idx, first) =>
@@ -222,7 +273,8 @@ object Bench {
     // (and the stderr note fires) as evidence for the next run's
     // scheduling, it just no longer voids provably-clean measurements.
     val mainBreach = !calibClean(calibStartSec) ||
-      probes.exists { case (_, p) => !calibClean(p) }
+      probes.exists { case (_, p) => !calibClean(p) } ||
+      miniBreaches.nonEmpty
     // A breach that was fully healed (every tainted query re-timed under
     // a clean calibration) no longer invalidates the board, but the
     // probe series and load_recovered stay in the artifact as evidence.
@@ -270,6 +322,12 @@ object Bench {
       val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
+    val miniFloor = {
+      val s = miniProbes.sorted
+      val n = s.length
+      if (n == 0) 0d
+      else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
     val normFactor = CalibIdleMidrunSec / calibFloor
     val qsNorm = results.collect {
       case (k, Right(sec)) => f""""$k":${sec * normFactor}%.4f"""
@@ -288,6 +346,13 @@ object Bench {
       f""""total_norm_sec":$totalNorm%.2f,""" +
       s""""calib_probes":$probeJson,""" +
       s""""probe_every":$probeEvery,""" +
+      f""""mini_idle_sec":$MiniIdleSec%.3f,""" +
+      f""""mini_floor_sec":$miniFloor%.3f,""" +
+      s""""mini_breaches":${miniBreaches.size},""" +
+      s""""mini_breach_queries":[""" + miniBreaches.take(20)
+        .flatMap(i => Seq(i - 1, i))
+        .filter(i => i >= 0 && i < queryList.size).distinct
+        .map(i => "\"" + queryList(i)._1 + "\"").mkString(",") + "]," +
       s""""retried":$retried,""" +
       s""""load_recovered":$loadRecovered,""" +
       s""""load_suspect":$loadSuspect"""
