@@ -573,6 +573,36 @@ object Demo {
       s"v$purged; live rows=" +
       store.Versioned.read(spark, dvRoot).count())
 
+    // ---- string-key skipping: the reference's canonical identity is
+    // the URL string — prefix-key stats + hash blooms let a URL
+    // lookup/merge plan a minority of files even though every URL
+    // shares the "https://" 8-byte prefix (stats-blind worst case)
+    println("== URL-keyed store: string skip keys + cdc merge feed")
+    val urlRoot = java.nio.file.Files
+      .createTempDirectory("graft_demo_url").toString + "/t"
+    (0 until 6).foreach { i =>
+      store.Versioned.commitAppend(
+        spark.range(40L).select(
+          concat(lit(s"https://site$i.example/p"), col("id")).as("url"),
+          col("id").as("hits")).coalesce(1),
+        urlRoot, statsCols = Seq("url"), bloomCols = Seq("url"))
+    }
+    val probeUrl = "https://site4.example/p7"
+    val (urlKept, urlTotal) = store.Versioned.prunedFiles(urlRoot,
+      Map.empty, stringEqualities = Map("url" -> probeUrl))
+    println(s"   URL point lookup plans ${urlKept.size} of $urlTotal " +
+      "files (full-value hash bloom; prefix stats are blind here)")
+    api.Engine.lookupKey(spark, urlRoot, probeUrl).show(1, false)
+    // a copy-on-write merge with cdc=true keeps the change feed
+    // derivable across the rewrite — the feed reads the exact
+    // delete+insert pairs, never the recopied rows
+    store.Versioned.commitMerge(
+      Seq((probeUrl, 999L), ("https://brand.new/p0", 1L))
+        .toDF("url", "hits"),
+      urlRoot, Seq("url"), cdc = true)
+    store.Versioned.readChangeFeed(spark, urlRoot, 6L)
+      .orderBy("_change_type", "url").show(3, false)
+
     spark.stop()
   }
 }
