@@ -150,16 +150,23 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
       "maxFilesPerBatch paces the initial snapshot's FILE scan; " +
         "change-feed batches are join-materialized per version - " +
         "pace a CDF stream with maxVersionsPerBatch instead")
-    // Fresh-vs-restart detection for snapshot pacing: a capped FIRST
-    // proposal is only safe when nothing is committed yet (a restart
-    // whose last batch committed must propose an uncapped catch-up —
-    // anything else could land BEHIND the checkpoint offset). The
-    // source has no access to the offset log, but it does own a
-    // metadata dir under the checkpoint: an exclusive marker create
-    // distinguishes first construction (we created it → fresh, cap
-    // away) from every later one (restart → first proposal uncapped,
-    // the documented maxVersionsPerBatch contract).
-    val fresh = maxFiles != Long.MaxValue && {
+    val maxVersions = parameters.get("maxVersionsPerBatch")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    // Fresh-vs-restart detection for first-batch pacing: a capped
+    // FIRST proposal is only safe when nothing is committed yet (a
+    // restart whose last batch committed must propose an uncapped
+    // catch-up — anything else could land BEHIND the checkpoint
+    // offset). The source has no access to the offset log, but it
+    // does own a metadata dir under the checkpoint: an exclusive
+    // marker create distinguishes first construction (we created it →
+    // fresh, cap away) from every later one (restart → first proposal
+    // uncapped, the documented catch-up contract). Applies to BOTH
+    // pacing knobs: a fresh query under maxVersionsPerBatch paces
+    // from its very first batch (including CDF mode, where the first
+    // batch would otherwise materialize the whole history's changes),
+    // and maxFilesPerBatch slices the snapshot cut by file.
+    val fresh = (maxFiles != Long.MaxValue ||
+        maxVersions != Long.MaxValue) && {
       val p = new org.apache.hadoop.fs.Path(metadataPath,
         "graft-snapshot-paced")
       val fs = p.getFileSystem(
@@ -170,8 +177,7 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
     new VersionedSource(sqlContext, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       startingVersion = startV,
-      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch")
-        .map(_.toLong).getOrElse(Long.MaxValue),
+      maxVersionsPerBatch = maxVersions,
       cdf = cdfOf(parameters),
       maxFilesPerBatch = maxFiles,
       freshStart = fresh)
@@ -313,11 +319,20 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
       else Some(VersionOffset(knownV, next))
     }
     else if (knownV < 0 && freshStart && maxFilesPerBatch != Long.MaxValue) {
-      // fresh query, paced: the very first proposal slices the
+      // fresh query, file-paced: the very first proposal slices the
       // snapshot cut at the CURRENT latest (safe — nothing committed)
       val n = cutFiles(latest).size.toLong
       if (maxFilesPerBatch >= n) Some(VersionOffset(latest))
       else Some(VersionOffset(latest, maxFilesPerBatch))
+    }
+    else if (knownV < 0 && freshStart &&
+        maxVersionsPerBatch != Long.MaxValue) {
+      // fresh query, version-paced: pace from the very first batch
+      // (in CDF mode the first batch would otherwise join-materialize
+      // the whole history's changes in one go)
+      val from = startingVersion - 1
+      Some(VersionOffset(
+        from + math.min(maxVersionsPerBatch, latest - from)))
     }
     else if (knownV < 0 || knownV >= latest) Some(VersionOffset(latest))
     // step, never known + max: an unbounded cap must not overflow the

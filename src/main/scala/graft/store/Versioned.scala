@@ -231,6 +231,13 @@ object Versioned {
     case _ => false
   }
 
+  /** Only the DEFAULT (UTF8_BINARY) string type participates in
+    * string skip keys: the prefix key is monotone in BYTE order and
+    * the hash key discriminates by exact bytes, so a collated column
+    * (e.g. UTF8_LCASE, where 'A' = 'a' but the bytes differ) would
+    * make both unsound. Spark 4 collations carry a distinct
+    * `StringType(collationId)` that fails this equality, so collated
+    * columns degrade to no-pruning automatically. */
   private[store] def stringType(
       dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == org.apache.spark.sql.types.StringType

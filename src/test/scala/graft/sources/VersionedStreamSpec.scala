@@ -63,31 +63,50 @@ class VersionedStreamSpec extends SparkSpec {
       freshDir("vs_sv_ckpt"), sv)
     assert(sv.flatten.toSet == Set(3L, 4L), s"startingVersion=3 got $sv")
 
-    // pacing: catch-up batch drains versions 1..2 (uncapped by design),
-    // then commits 3..5 arrive one micro-batch per version
+    // pacing: a FRESH query paces from its very first batch (the
+    // marker under the source metadata dir proves nothing is
+    // committed, so the cap is safe), then live commits arrive one
+    // micro-batch per version
     val root2 = freshDir("vstream_mx") + "/t"
     (1 to 2).foreach { i =>
       Versioned.commitAppend(Seq((i.toLong, i.toLong)).toDF("k", "v"),
         root2)
     }
+    val ckpt2 = freshDir("vs_mx_ckpt")
     val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
-    val q = readVersioned(root2, "maxVersionsPerBatch" -> "1")
-      .writeStream.option("checkpointLocation", freshDir("vs_mx_ckpt"))
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        val rows = df.select("k").as[Long].collect().toSet
-        batches.synchronized { if (rows.nonEmpty) batches += rows }; ()
-      }.start()
-    try {
-      q.processAllAvailable()
-      (3 to 5).foreach { i =>
-        Versioned.commitAppend(Seq((i.toLong, i.toLong)).toDF("k", "v"),
-          root2)
-      }
-      q.processAllAvailable()
-    } finally q.stop()
-    assert(batches.head == Set(1L, 2L), s"catch-up batch was ${batches.head}")
-    assert(batches.tail.toSeq == Seq(Set(3L), Set(4L), Set(5L)),
-      s"paced batches were ${batches.tail}")
+    def drainPaced(commitMore: Boolean): Unit = {
+      val q = readVersioned(root2, "maxVersionsPerBatch" -> "1")
+        .writeStream.option("checkpointLocation", ckpt2)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val rows = df.select("k").as[Long].collect().toSet
+          batches.synchronized { if (rows.nonEmpty) batches += rows }; ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        if (commitMore) {
+          (3 to 5).foreach { i =>
+            Versioned.commitAppend(
+              Seq((i.toLong, i.toLong)).toDF("k", "v"), root2)
+          }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    drainPaced(commitMore = true)
+    assert(batches.toSeq == Seq(Set(1L), Set(2L), Set(3L), Set(4L),
+      Set(5L)), s"fresh paced batches were $batches")
+    // a RESTART stays paced too: the engine's recovery getBatch syncs
+    // the source's position from the checkpoint before the first
+    // proposal, so stepping resumes one version per batch (never an
+    // offset behind the checkpoint)
+    (6 to 7).foreach { i =>
+      Versioned.commitAppend(Seq((i.toLong, i.toLong)).toDF("k", "v"),
+        root2)
+    }
+    batches.clear()
+    drainPaced(commitMore = false)
+    assert(batches.toSeq == Seq(Set(6L), Set(7L)),
+      s"restarted paced batches were $batches")
   }
 
   test("sink side: micro-batches append-commit exactly-once; a restart " +
@@ -397,6 +416,33 @@ class VersionedStreamSpec extends SparkSpec {
     val b3 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
     drain(readVersioned(root, "maxFilesPerBatch" -> "1"), ckpt, b3)
     assert(b3.toSeq == Seq(Set(6L)), s"delta after paced snapshot: $b3")
+  }
+
+  test("a FRESH change-feed stream under maxVersionsPerBatch paces " +
+      "its history replay instead of materializing every change in " +
+      "one first batch") {
+    val root = freshDir("vstream_cdf_paced") + "/t"
+    (1 to 3).foreach { i =>
+      Versioned.commitAppend(
+        Seq((i.toLong, s"v$i")).toDF("k", "s"), root)
+    }
+    val batches =
+      scala.collection.mutable.ArrayBuffer[Set[(Long, String, Long)]]()
+    val q = readVersioned(root, "readChangeFeed" -> "true",
+        "maxVersionsPerBatch" -> "1")
+      .writeStream
+      .option("checkpointLocation", freshDir("cdf_paced_ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("k", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect().toSet
+        batches.synchronized { if (rows.nonEmpty) batches += rows }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.size == 3,
+      s"3-version history under maxVersionsPerBatch=1 must replay in " +
+        s"3 batches: $batches")
+    assert(batches.flatten.toSet == Set(
+      (1L, "insert", 1L), (2L, "insert", 2L), (3L, "insert", 3L)))
   }
 
   test("change-feed stream with an EXPLICIT schema gets the CDF stamp " +
