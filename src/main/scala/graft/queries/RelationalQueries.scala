@@ -1916,6 +1916,62 @@ object RelationalQueries {
         SELECT t AS _change_type, CAST(v AS BIGINT) AS _commit_version,
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(cents) AS BIGINT) AS cents
-        FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type"""))
+        FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""")),
+
+    // ------------------------------------------------------------------
+    // SIDECAR BACKFILL (Delta's ANALYZE / CREATE BLOOMFILTER INDEX
+    // role): a table committed WITHOUT skipping metadata gets stats +
+    // bloom sidecars retroactively via indexSkipping — no new table
+    // version, no data rewrite; a point lookup that admitted every
+    // file before admits a bloom-pruned minority after (both requires
+    // pin the flip), and the backfilled row counts make COUNT(*)
+    // metadata-only. At 100 TB this is how an inherited/imported table
+    // joins the skipping regime without a rewrite. The rollup
+    // hash-matches the oracle's plain filter - indexing changed the
+    // PLAN, never the rows.
+    QuerySpec("q259_sidecar_backfill",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_backfill_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        (0 until 6).foreach { i =>
+          graft.store.Versioned.commitAppend(
+            orders.filter(pmod(col("o_orderkey"), lit(6L)) === i.toLong)
+              .coalesce(1), root) // deliberately NO sidecar columns
+        }
+        val k0 = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+        val before = graft.store.Versioned.prunedFiles(root, Map.empty,
+          equalities = Map("o_orderkey" -> k0))._1.size
+        require(before == 6,
+          s"pre-backfill lookup must admit every file, admitted $before")
+        graft.store.Versioned.indexSkipping(s, root,
+          statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+        val (kept, total) = graft.store.Versioned.prunedFiles(root,
+          Map.empty, equalities = Map("o_orderkey" -> k0))
+        require(kept.size < total,
+          s"backfilled bloom pruned nothing: ${kept.size} of $total")
+        val metaCount = graft.store.Versioned.metadataCount(root)
+          .getOrElse(sys.error("backfilled stats must serve COUNT(*)"))
+        graft.store.Versioned.readPruned(s, root, Map.empty,
+            equalities = Map("o_orderkey" -> k0))
+          .filter(col("o_orderkey") === k0)
+          .agg(count(lit(1)).as("n_hit"), sum(col("cents")).as("cents"),
+            max(col("o_orderkey")).as("okey"))
+          .withColumn("n_total", lit(metaCount))
+      },
+      Some(s"""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AS n_hit,
+               (SELECT CAST(sum(${Exact.centsSql("o_totalprice")})
+                 AS BIGINT) FROM orders
+                WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AS cents,
+               (SELECT CAST(max(o_orderkey) AS BIGINT) FROM orders
+                WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AS okey,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders)
+                 AS n_total"""))
   )
 }

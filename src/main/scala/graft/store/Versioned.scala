@@ -1866,6 +1866,60 @@ object Versioned {
     }
   }
 
+  /** Backfill (or re-key) the data-skipping sidecars of an EXISTING
+    * table — Delta's ANALYZE / CREATE BLOOMFILTER INDEX role: a table
+    * committed without statsCols/bloomCols gets file skipping
+    * retroactively, with NO new table version (sidecars are optional
+    * metadata published beside the current manifest; a concurrent
+    * reader mid-backfill simply prunes nothing yet). Every later
+    * commit maintains the new sidecars incrementally (columns inherit
+    * through the sidecar lineage). Passing different columns than an
+    * existing sidecar re-keys it (full recompute of the current
+    * snapshot's entries; untouched history keeps its old sidecars).
+    * Cost: one column-pruned scan of the snapshot per sidecar kind —
+    * the price any index build pays once. */
+  def indexSkipping(spark: SparkSession, root: String,
+                    statsCols: Seq[String] = Nil,
+                    bloomCols: Seq[String] = Nil,
+                    bloomBits: Int = 65536): Unit = {
+    val v = latestVersion(root)
+    require(v > 0, s"no committed version at $root")
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "indexSkipping needs statsCols and/or bloomCols")
+    if (statsCols.nonEmpty) maintainStats(spark, root, v, statsCols)
+    if (bloomCols.nonEmpty)
+      maintainBlooms(spark, root, v, bloomCols, bloomBits)
+  }
+
+  /** Time-based retention vacuum (Delta's `VACUUM ... RETAIN n HOURS`
+    * shape): retire history whose manifests published before
+    * `olderThanMs` ago, keeping every version published inside the
+    * retention window — and always the latest. Returns (files
+    * deleted, bytes reclaimed) like [[vacuum]]; same set arithmetic,
+    * grace window and dry-run semantics. */
+  def vacuumOlderThan(root: String, olderThanMs: Long,
+                      orphanGraceMs: Long = 0L,
+                      dryRun: Boolean = false): (Long, Long) = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val keepFrom = versionAtOrAfter(root, cutoff)
+      .getOrElse(latestVersion(root))
+    vacuum(root, keepFrom, orphanGraceMs, dryRun)
+  }
+
+  /** [[readChangeFeed]] anchored at a wall-clock instant: every
+    * row-level change committed AFTER `tsMillis` (the version current
+    * at the instant is the exclusive lower bound; an instant before
+    * the first commit feeds from table birth). The timestamp twin of
+    * time travel, for consumers that think in checkpointed clocks
+    * rather than version numbers. */
+  def readChangeFeedSince(spark: SparkSession, root: String,
+                          tsMillis: Long): DataFrame = {
+    val from =
+      try versionAt(root, tsMillis)
+      catch { case _: IllegalArgumentException => 0L }
+    readChangeFeed(spark, root, from)
+  }
+
   /** COUNT(*) of the snapshot from METADATA alone (the stats sidecar's
     * per-file row counts) — no scan, no job; None when any file of the
     * version lacks a stats entry (caller falls back to

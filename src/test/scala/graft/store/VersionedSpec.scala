@@ -1495,6 +1495,50 @@ class VersionedSpec extends SparkSpec {
       .select("k").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("indexSkipping backfills sidecars on an EXISTING table with no " +
+      "new version, later commits maintain them; vacuumOlderThan " +
+      "retires by wall clock; readChangeFeedSince anchors at an " +
+      "instant") {
+    val root = freshRoot()
+    // six range-disjoint files committed WITHOUT any sidecar columns
+    (0 until 6).foreach { i =>
+      Versioned.commitAppend(
+        spark.range(i * 10L, (i + 1) * 10L)
+          .select(col("id").as("k"), (col("id") * 2).as("v"))
+          .coalesce(1), root)
+    }
+    assert(Versioned.prunedFiles(root, Map("k" -> (0L, 9L)))._1
+      .size == 6, "no sidecars yet: every file must admit")
+    // ANALYZE-style backfill: skipping appears with NO new commit
+    Versioned.indexSkipping(spark, root, statsCols = Seq("k"),
+      bloomCols = Seq("k"))
+    assert(Versioned.latestVersion(root) == 6L,
+      "backfill must not publish a new version")
+    val (kept, total) = Versioned.prunedFiles(root, Map("k" -> (0L, 9L)))
+    assert(total == 6 && kept.size == 1,
+      s"backfilled stats should admit 1 of 6 files, got ${kept.size}")
+    // the sidecar lineage continues through later plain commits
+    Versioned.commitAppend(
+      spark.range(60L, 70L)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+        .coalesce(1), root)
+    val (kept2, total2) =
+      Versioned.prunedFiles(root, Map("k" -> (60L, 69L)))
+    assert(total2 == 7 && kept2.size == 1,
+      s"maintained stats should admit the new file only: ${kept2.size}")
+    // timestamp-anchored feed: an instant before the first commit
+    // feeds from birth
+    assert(Versioned.readChangeFeedSince(spark, root, 0L).count() ==
+      70L)
+    // wall-clock retention: a huge window retires nothing; a zero
+    // window keeps (at least) the latest and the table stays exact
+    Versioned.vacuumOlderThan(root, olderThanMs = 86400000L)
+    assert(Versioned.history(spark, root).count() == 7L)
+    Versioned.vacuumOlderThan(root, 0L)
+    assert(Versioned.read(spark, root).count() == 70L)
+    assert(Versioned.latestVersion(root) == 7L)
+  }
+
   test("shallow clones REGISTER on the source: a vacuum that could " +
       "reclaim borrowed files reports the clone (dry-run included), " +
       "a provably clone-safe vacuum reports nothing and leaves clone " +
