@@ -2286,64 +2286,109 @@ object Versioned {
             s"($fromVersion, $to] is no longer derivable - re-seed " +
             "from a retained snapshot and continue from there")
       }
-    def perVersion(v: Long): Seq[DataFrame] = {
+    // ---- metadata walk (driver, manifest-sized): classify every
+    // version and collect its contributing files. Validation (vacuumed
+    // gaps, cdc-less rewrites) happens HERE, per version, exactly as
+    // before; only the frame construction below is collapsed.
+    case class Delta(v: Long, addedData: Seq[String],
+                     addedDv: Seq[String], addedCdc: Seq[String],
+                     curData: Seq[String])
+    val deltas = (fromVersion + 1 to to).flatMap { v =>
       val prev = entriesAt(v - 1).toSet
       val cur = entriesAt(v)
       val added = cur.filterNot(prev)
       val addedCdc = added.filter(isCdcEntry)
       // a commit that staged a CDC sidecar IS its own change record:
-      // read the exact rows it wrote (already _change_type-stamped),
-      // and derive NOTHING from its file delta — the rewritten data
-      // files carry both changed and merely-recopied rows
-      if (addedCdc.nonEmpty)
-        return Seq(spark.read.parquet(
-            addedCdc.map(resolve(rootPath, _).toString): _*)
-          .withColumn("_commit_version", lit(v)))
-      val removed = (prev -- cur.toSet).filterNot(isCdcEntry)
-      if (removed.nonEmpty) {
-        // rewrites that provably change no live row (compaction,
-        // z-order, dv purge) cross the feed as zero changes; every
-        // other rewrite without a CDC sidecar stays a loud failure
-        val op = manifestOp(fs, rootPath, v)
-        if (RowNeutralOps(op)) return Nil
-        throw new IllegalArgumentException(
-          s"version $v of $root removed ${removed.size} file(s) " +
-            s"(op '$op': overwrite/merge/copy-on-write delete/" +
-            "restore): its file delta cannot yield exact row changes " +
-            "- commit rewrites with cdc=true (commitMerge/commitDelete)" +
-            " to keep the feed derivable, or re-read the snapshot")
-      }
-      val (addedData, addedDv) = splitEntries(added)
-      val inserts =
-        if (addedData.isEmpty) Nil
-        else Seq(spark.read.parquet(
-            addedData.map(resolve(rootPath, _).toString): _*)
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v)))
-      val deletes =
-        if (addedDv.isEmpty) Nil
-        else {
-          val dv = spark.read.parquet(
-            addedDv.map(resolve(rootPath, _).toString): _*)
-          // only the referenced files enter the scan
-          val touched = dv.select("__dv_file").distinct()
-            .collect().map(_.getString(0)).toSet
-          val files = splitEntries(cur)._1.filter(f =>
-            touched(resolve(rootPath, f).toUri.getPath
-              .split('/').takeRight(3).mkString("/")))
-          val keyed = withDvKey(spark.read.parquet(
-            files.map(resolve(rootPath, _).toString): _*))
-          Seq(keyed.join(broadcast(dv), Seq("__dv_file", "__dv_idx"))
-            .drop("__dv_file", "__dv_idx")
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v)))
+      // its exact stamped rows are read back and its file delta is
+      // ignored — the rewritten data files carry both changed and
+      // merely-recopied rows
+      if (addedCdc.nonEmpty) Some(Delta(v, Nil, Nil, addedCdc, Nil))
+      else {
+        val removed = (prev -- cur.toSet).filterNot(isCdcEntry)
+        if (removed.nonEmpty) {
+          // rewrites that provably change no live row (compaction,
+          // z-order, dv purge) cross the feed as zero changes; every
+          // other rewrite without a CDC sidecar stays a loud failure
+          val op = manifestOp(fs, rootPath, v)
+          if (RowNeutralOps(op)) None
+          else throw new IllegalArgumentException(
+            s"version $v of $root removed ${removed.size} file(s) " +
+              s"(op '$op': overwrite/merge/copy-on-write delete/" +
+              "restore): its file delta cannot yield exact row " +
+              "changes - commit rewrites with cdc=true (commitMerge/" +
+              "commitDelete) to keep the feed derivable, or re-read " +
+              "the snapshot")
+        } else {
+          val (addedData, addedDv) = splitEntries(added)
+          Some(Delta(v, addedData, addedDv, Nil, splitEntries(cur)._1))
         }
-      inserts ++ deletes
+      }
     }
-    val frames = (fromVersion + 1 to to).flatMap(perVersion)
+    // ---- frame construction: O(1) scans regardless of version count.
+    // A month of appends is ONE parquet scan stamped by a broadcast
+    // (file → version) map join, not a 10,000-way union whose analysis
+    // alone would dwarf the read; deletes join once against the union
+    // of referenced files (tombstone keys are globally unique — a row
+    // tombstones in exactly one version); cdc records are a third
+    // stamped scan. Data files are immutable, so reading a file
+    // through any later manifest yields its commit-time rows.
+    def relKey(f: String): String = resolve(rootPath, f).toUri.getPath
+      .split('/').takeRight(3).mkString("/")
+    def stampVersion(files: Seq[(String, Long)],
+                     df: DataFrame): DataFrame = {
+      import spark.implicits._
+      val vmap = files.map { case (f, v) => relKey(f) -> v }
+        .toDF("__cf", "_commit_version")
+      df.withColumn("__cf",
+          org.apache.spark.sql.functions.substring_index(
+            col("_metadata.file_path"), "/", -3))
+        .join(broadcast(vmap), "__cf").drop("__cf")
+    }
+    def scanOf(files: Seq[(String, Long)]): DataFrame =
+      // mergeSchema: a schema-evolution append inside the range
+      // surfaces late columns with nulls for pre-evolution rows
+      // instead of failing a per-version union (or silently dropping
+      // them off a single-footer inference)
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => resolve(rootPath, f._1).toString): _*)
+    val insertFiles = deltas.flatMap(d => d.addedData.map(_ -> d.v))
+    val inserts =
+      if (insertFiles.isEmpty) Nil
+      else Seq(stampVersion(insertFiles, scanOf(insertFiles))
+        .withColumn("_change_type", lit("insert")))
+    val cdcFiles = deltas.flatMap(d => d.addedCdc.map(_ -> d.v))
+    val cdcRows =
+      if (cdcFiles.isEmpty) Nil
+      else Seq(stampVersion(cdcFiles, scanOf(cdcFiles)))
+    val dvFiles = deltas.flatMap(d => d.addedDv.map(_ -> d.v))
+    val deletes =
+      if (dvFiles.isEmpty) Nil
+      else {
+        // tombstones stamped with their commit version (their own
+        // file → version map); only the referenced data files enter
+        // the scan (deleted-rows-sized, never table-sized)
+        val dv = stampVersion(dvFiles, spark.read.parquet(
+          dvFiles.map(f => resolve(rootPath, f._1).toString): _*))
+        val touched = dv.select("__dv_file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val files = deltas.flatMap(_.curData).distinct
+          .filter(f => touched(relKey(f)))
+        val keyed = withDvKey(spark.read.parquet(
+          files.map(resolve(rootPath, _).toString): _*))
+        Seq(keyed.join(broadcast(dv), Seq("__dv_file", "__dv_idx"))
+          .drop("__dv_file", "__dv_idx")
+          .withColumn("_change_type", lit("delete")))
+      }
+    val frames = inserts ++ deletes ++ cdcRows
     require(frames.nonEmpty,
       s"no changes between $fromVersion and $to at $root")
-    frames.reduce(_.unionByName(_))
+    val out = frames.reduce(_.unionByName(_))
+    // canonical column order: table columns, then the two stamps (the
+    // stream source's declared schema and every consumer rely on it)
+    val tableCols = out.columns
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+    out.select((tableCols :+ "_change_type" :+ "_commit_version")
+      .map(col).toSeq: _*)
   }
 
   /** MERGE-ON-READ upsert (Iceberg's MOR merge): matched rows are

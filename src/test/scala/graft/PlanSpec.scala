@@ -576,6 +576,26 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("change feed over MANY commits plans O(1) scans: one stamped " +
+      "parquet scan + a broadcast file-to-version map, never a " +
+      "per-version union") {
+    import graft.store.Versioned
+    val root = java.nio.file.Files
+      .createTempDirectory("planspec_cdf_wide").toString
+    (1 to 30).foreach { i =>
+      Versioned.commitAppend(spark.range(i * 10L, i * 10L + 10L)
+        .select(col("id").as("k")).coalesce(1), root)
+    }
+    val feed = Versioned.readChangeFeed(spark, root, 0L)
+    val p = feed.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"a 30-commit feed planned $scans parquet " +
+      "scans - the per-version union is back: " + p.take(1500))
+    assert(feed.count() == 300L)
+    assert(feed.groupBy("_commit_version").count().count() == 30L,
+      "every commit's version stamp must survive the collapsed scan")
+  }
+
   test("deletion-vector application is size-AWARE: tombstones past " +
       "the broadcast cap degrade to a shuffled anti-join (bounded at " +
       "any accumulation level), and the read stays exact") {
