@@ -317,17 +317,14 @@ object Bench {
     // shipped ALONGSIDE, never instead.
     val CalibIdleMidrunSec = sys.env.get("GRAFT_BENCH_CALIB_IDLE_MIDRUN")
       .map(_.toDouble).getOrElse(0.70)
-    val calibFloor = {
-      val s = probePoints.map(_._2).sorted
+    def median(xs: Seq[Double]): Double = {
+      if (xs.isEmpty) return 0d
+      val s = xs.sorted
       val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
-    val miniFloor = {
-      val s = miniProbes.sorted
-      val n = s.length
-      if (n == 0) 0d
-      else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
-    }
+    val calibFloor = median(probePoints.map(_._2))
+    val miniFloor = median(miniProbes.toSeq)
     val normFactor = CalibIdleMidrunSec / calibFloor
     val qsNorm = results.collect {
       case (k, Right(sec)) => f""""$k":${sec * normFactor}%.4f"""

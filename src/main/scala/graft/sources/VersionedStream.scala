@@ -329,8 +329,13 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
         maxVersionsPerBatch != Long.MaxValue) {
       // fresh query, version-paced: pace from the very first batch
       // (in CDF mode the first batch would otherwise join-materialize
-      // the whole history's changes in one go)
-      val from = startingVersion - 1
+      // the whole history's changes in one go). Floored at the
+      // earliest RETAINED version: vacuumed history must not make the
+      // first capped offset point at a manifest that no longer exists
+      // (the unpaced path starts from the live snapshot and never
+      // sees the gap).
+      val from = math.max(startingVersion - 1,
+        Versioned.earliestVersion(root) - 1)
       Some(VersionOffset(
         from + math.min(maxVersionsPerBatch, latest - from)))
     }
@@ -399,7 +404,13 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
   private def cdfBatch(spark: org.apache.spark.sql.SparkSession,
                        fromV: Long, endV: Long): DataFrame =
     if (Versioned.sameEntries(root, fromV, endV)) emptyBatch(spark)
-    else Versioned.readChangeFeed(spark, root, fromV, endV)
+    // emptyOk: a range holding only row-neutral rewrites (compact /
+    // zorder / dv-purge — routine table maintenance) carries zero
+    // changes; without tolerance the feed's nonEmpty require would
+    // crash-loop this stream on every restart until an unrelated
+    // commit lands
+    else Versioned.readChangeFeed(spark, root, fromV, endV,
+      emptyOk = true)
 
   /** A slice [from, until) of the snapshot cut at `v`, with the
     * version's live deletion vectors applied (tombstone keys are

@@ -1243,18 +1243,51 @@ object Versioned {
   def snapshotCutFiles(root: String, baseVersion: Long,
                        version: Long): Seq[String] = {
     val (fs, rootPath) = fsRoot(root)
-    def dataAt(v: Long): Seq[String] =
-      if (v == 0L) Nil
-      else try splitEntries(readManifest(fs, rootPath, v)._2)._1
+    def entriesOf(v: Long): (Seq[String], Seq[String]) =
+      if (v == 0L) (Nil, Nil)
+      else try splitEntries(readManifest(fs, rootPath, v)._2)
       catch { case _: java.io.FileNotFoundException =>
         throw new IllegalArgumentException(
           s"version $v of $root was vacuumed: the snapshot cut over " +
             s"($baseVersion, $version] is no longer derivable - " +
             "re-seed the stream from a retained snapshot")
       }
-    val base = dataAt(baseVersion).toSet
-    dataAt(version).filterNot(base).sorted
+    val (baseData, baseDv) = entriesOf(baseVersion)
+    val (curData, curDv) = entriesOf(version)
+    // a cut anchored ABOVE table birth is an incremental read: it
+    // carries the same lineage guards as readChanges — a raw set-diff
+    // over a rewrite would stream recopied rows as fresh data and
+    // silently drop deleted ones (the unpaced path fails loudly on
+    // exactly these; pacing must not convert that into wrong results)
+    if (baseVersion > 0L) {
+      val missing = baseData.toSet -- curData.toSet
+      require(missing.isEmpty,
+        s"versions $baseVersion..$version of $root are not an append " +
+          s"lineage (a rewrite commit removed ${missing.size} files); " +
+          "the paced snapshot cut is only exact over appends - " +
+          "re-seed from the full snapshot instead")
+      require((curDv.toSet -- baseDv.toSet).isEmpty,
+        s"versions $baseVersion..$version of $root include a " +
+          "deletion-vector commit: rows were logically REMOVED, so " +
+          "the paced cut is not an append lineage - re-seed from the " +
+          "full snapshot")
+    }
+    val base = baseData.toSet
+    curData.filterNot(base).sorted
       .map(resolve(rootPath, _).toString)
+  }
+
+  /** Smallest version whose manifest survives (vacuum retires history
+    * from the bottom), or 0 on an empty table. */
+  def earliestVersion(root: String): Long = {
+    val (fs, rootPath) = fsRoot(root)
+    if (!fs.exists(rootPath)) return 0L
+    val vs = fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .collect {
+        case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
+          n.stripPrefix("manifest-v").stripSuffix(".json").toLong
+      }
+    if (vs.isEmpty) 0L else vs.min
   }
 
   def readChanges(spark: SparkSession, root: String, fromVersion: Long,
@@ -1917,7 +1950,21 @@ object Versioned {
     val from =
       try versionAt(root, tsMillis)
       catch { case _: IllegalArgumentException => 0L }
-    readChangeFeed(spark, root, from)
+    // an anchor at or after the last commit is the steady-state "any
+    // changes since my last poll?" — an EMPTY feed, not an error
+    if (from >= latestVersion(root)) emptyFeedFrame(spark, root, 0L)
+    else readChangeFeed(spark, root, from)
+  }
+
+  /** A zero-row frame with the change feed's exact shape (table
+    * columns + `_change_type` + `_commit_version`) — what a feed over
+    * a changeless range returns when the caller asked for tolerance. */
+  private def emptyFeedFrame(spark: SparkSession, root: String,
+                             version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    read(spark, root, version).limit(0)
+      .withColumn("_change_type", lit("none"))
+      .withColumn("_commit_version", lit(0L))
   }
 
   /** COUNT(*) of the snapshot from METADATA alone (the stats sidecar's
@@ -2177,11 +2224,15 @@ object Versioned {
         // dv_bytes = accumulated tombstone parquet bytes at this
         // version — the purge-pressure gauge: once it crosses the
         // applyDv broadcast cap, reads degrade to a shuffled
-        // anti-join until commitPurgeDeleteVectors folds them in
+        // anti-join until commitPurgeDeleteVectors folds them in.
+        // -1 = unknown (a dv file swept mid-vacuum must not make the
+        // whole audit row vanish through the outer FNF catch)
+        val dvb =
+          try dvFileBytes(fs, rootPath, dv)
+          catch { case _: java.io.FileNotFoundException => -1L }
         Some((v, mtime, field("op").getOrElse("unknown"),
           entries.size.toLong, data.size.toLong, dv.size.toLong,
-          dvFileBytes(fs, rootPath, dv),
-          field("txn").getOrElse(null: String)))
+          dvb, field("txn").getOrElse(null: String)))
       } catch { case _: java.io.FileNotFoundException => None }
     }
     rows.toDF("version", "published_at", "operation", "n_entries",
@@ -2264,7 +2315,8 @@ object Versioned {
   }
 
   def readChangeFeed(spark: SparkSession, root: String,
-                     fromVersion: Long, toVersion: Long = 0L)
+                     fromVersion: Long, toVersion: Long = 0L,
+                     emptyOk: Boolean = false)
       : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val (fs, rootPath) = fsRoot(root)
@@ -2380,6 +2432,11 @@ object Versioned {
           .withColumn("_change_type", lit("delete")))
       }
     val frames = inserts ++ deletes ++ cdcRows
+    if (frames.isEmpty && emptyOk)
+      // a range holding only row-neutral rewrites carries no changes;
+      // a tolerant caller (the streaming source) gets a typed empty
+      // frame instead of an error it would crash-loop on
+      return emptyFeedFrame(spark, root, to)
     require(frames.nonEmpty,
       s"no changes between $fromVersion and $to at $root")
     val out = frames.reduce(_.unionByName(_))
@@ -2665,11 +2722,16 @@ object Versioned {
     // (the r11/r12 observability gap — the breakage used to surface
     // as a read error later instead of a dry-run warning now).
     // Best-effort metadata: a failed registration never fails the
-    // clone, it only loses the warning.
-    writeFile(fs, new Path(clonesDir(rootPath),
+    // clone (it is already committed), it only loses the warning.
+    try writeFile(fs, new Path(clonesDir(rootPath),
       s"${java.util.UUID.randomUUID()}.json"),
       s"""{"clone_root": "${tfs.makeQualified(tRootPath)}", """ +
         s""""source_version": $v}""")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] clone $targetRoot committed but " +
+        s"its borrow registration on $root failed ($e): source-side " +
+        "vacuum warnings will not cover this clone")
+    }
     cv
   }
 

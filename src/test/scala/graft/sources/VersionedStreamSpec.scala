@@ -445,6 +445,67 @@ class VersionedStreamSpec extends SparkSpec {
       (1L, "insert", 1L), (2L, "insert", 2L), (3L, "insert", 3L)))
   }
 
+  test("a CDF stream crosses a row-neutral compaction as an EMPTY " +
+      "batch instead of crash-looping on the feed's no-changes error") {
+    val root = freshDir("vstream_cdf_compact") + "/t"
+    val ckpt = freshDir("cdf_compact_ckpt")
+    (1 to 3).foreach { i =>
+      Versioned.commitAppend(
+        Seq((i.toLong, s"v$i")).toDF("k", "s").coalesce(1), root)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def drainCdf(): Unit = {
+      val q = readVersioned(root, "readChangeFeed" -> "true")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val r = b.select("k", "_change_type")
+            .as[(Long, String)].collect()
+          rows.synchronized { rows ++= r }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainCdf() // consumes through v3
+    assert(rows.size == 3)
+    // routine table maintenance: a compaction changes the FILE LIST
+    // but no live row — the stream must deliver zero changes and keep
+    // flowing, not die on readChangeFeed's nonEmpty require
+    assert(Versioned.commitCompact(spark, root,
+      smallBytes = 1L << 20) == 4L)
+    drainCdf()
+    assert(rows.size == 3, s"compaction fabricated changes: $rows")
+    Versioned.commitAppend(Seq((9L, "post")).toDF("k", "s"), root)
+    drainCdf()
+    assert(rows.toSet.contains((9L, "insert")),
+      s"post-compaction appends must keep flowing: $rows")
+  }
+
+  test("the paced snapshot cut carries the SAME lineage guards as the " +
+      "unpaced path: a rewrite inside (startingVersion-1, latest] " +
+      "fails loudly instead of streaming recopied rows") {
+    val root = freshDir("vstream_paced_rw") + "/t"
+    (1 to 3).foreach { i =>
+      Versioned.commitAppend(
+        Seq((i.toLong, s"v$i")).toDF("k", "s").coalesce(1), root)
+    }
+    // v4 rewrites v1's file: the cut (manifest(4) minus manifest(2))
+    // would otherwise include the rewritten file's RECOPIED rows
+    Versioned.commitDelete(spark, root,
+      org.apache.spark.sql.functions.col("k") === 1L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = readVersioned(root, "startingVersion" -> "3",
+          "maxFilesPerBatch" -> "1")
+        .writeStream
+        .option("checkpointLocation", freshDir("paced_rw_ckpt"))
+        .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val full = ex.getMessage +
+      Iterator.iterate(ex.getCause)(c =>
+        if (c == null) null else c.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(full.contains("append lineage"), s"unexpected failure: $full")
+  }
+
   test("change-feed stream with an EXPLICIT schema gets the CDF stamp " +
       "columns appended (no misleading schema-drift error)") {
     val root = freshDir("vstream_cdf_es") + "/t"
