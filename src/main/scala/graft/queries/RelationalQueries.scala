@@ -1972,6 +1972,138 @@ object RelationalQueries {
                 WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
                  AS okey,
                (SELECT CAST(count(*) AS BIGINT) FROM orders)
-                 AS n_total"""))
+                 AS n_total""")),
+
+    // ------------------------------------------------------------------
+    // format("graft") DATA SOURCE: the versioned store read and written
+    // through Spark's own DataFrameReader/Writer, so plain Catalyst
+    // predicates drive file skipping with no store API in the query at
+    // all (Delta's TahoeLogFileIndex role). The table is committed via
+    // df.write.format("graft") in 6 disjoint o_orderkey range slices;
+    // the band read's executed plan must admit ≤ 2 of 6 files purely
+    // from its WHERE clause (the require pins it via the relation's
+    // OWN FileIndex and the scan's pushed dataFilters). A deletion-
+    // vector commit then flips the source to its join-based fallback
+    // relation — same rows, tombstones applied — while versionAsOf
+    // time travel still plans the native pre-DV scan. Oracle replays
+    // both reads as plain filters.
+    QuerySpec("q260_format_datasource",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_dsrc_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val w = maxK / 6 + 1
+        (0 until 6).foreach { i =>
+          orders.filter(col("o_orderkey") >= i * w &&
+              col("o_orderkey") < (i + 1) * w)
+            .coalesce(1)
+            .write.format("graft").mode("append")
+            .option("statsCols", "o_orderkey")
+            .option("bloomCols", "o_orderkey")
+            .save(root)
+        }
+        def planned(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.executedPlan.collect {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+              sc.relation.location
+                .listFiles(sc.partitionFilters, sc.dataFilters)
+                .map(_.files.size).sum
+          }.sum
+        val band = s.read.format("graft").load(root)
+          .filter(col("o_orderkey") >= w && col("o_orderkey") < 3 * w)
+        require(planned(band) <= 2,
+          s"band WHERE must admit <=2 of 6 files, planned ${planned(band)}")
+        graft.store.Versioned.commitDeleteVectors(s, root,
+          pmod(col("o_orderkey"), lit(7L)) === 3L)
+        // pre-DV time travel keeps the native file-scan relation
+        val asOf = s.read.format("graft").option("versionAsOf", "6")
+          .load(root)
+          .filter(col("o_orderkey") >= w && col("o_orderkey") < 3 * w)
+        require(planned(asOf) <= 2, "versionAsOf must still file-skip")
+        // latest carries tombstones: the DV fallback applies them
+        val live = s.read.format("graft").load(root)
+        asOf.agg(count(lit(1)).as("band_n"),
+            sum(col("cents")).as("band_cents"))
+          .crossJoin(live.agg(count(lit(1)).as("live_n"),
+            sum(col("cents")).as("live_cents")))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 ${Exact.centsSql("o_totalprice")} AS cents
+          FROM orders),
+        wv AS (SELECT CAST(FLOOR(max(k) / 6.0) AS BIGINT) + 1 AS w
+               FROM base),
+        band AS (SELECT base.* FROM base, wv
+                 WHERE k >= w AND k < 3 * w),
+        live AS (SELECT * FROM base WHERE k % 7 <> 3)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM band) AS band_n,
+               (SELECT CAST(sum(cents) AS BIGINT) FROM band)
+                 AS band_cents,
+               (SELECT CAST(count(*) AS BIGINT) FROM live) AS live_n,
+               (SELECT CAST(sum(cents) AS BIGINT) FROM live)
+                 AS live_cents""")),
+
+    // ------------------------------------------------------------------
+    // PARTITIONED TABLES: hive-style partition columns in the
+    // versioned store (Delta/Iceberg partitioning role). The layout
+    // rides type-tagged shadow dirs (`__pi_c=v` / `__ps_c=v`) while
+    // the data files keep every real column, so every consumer reads
+    // the same schema — and file skipping prunes from the PATH before
+    // any stats/bloom sidecar byte is read (at 100 TB, partition
+    // pruning is the first-order skip: zero metadata IO beyond the
+    // manifest). Two tables pin both key kinds: orders partitioned by
+    // an integral bucket (bounds probe), documents by the string
+    // source column (prefix-key + value-hash probe through the same
+    // sidecar spaces). Requires pin minority admission; the rollup
+    // hash-matches DuckDB's plain filters.
+    QuerySpec("q261_partitioned_table",
+      (s, dir) => {
+        val rootI = graft.util.TempDirs.scratch("graft_part_qi")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+          .withColumn("bucket", pmod(col("o_orderkey"), lit(8L)))
+        graft.store.Versioned.commitAppend(orders, rootI,
+          partitionBy = Seq("bucket"))
+        val (keptI, totalI) = graft.store.Versioned.prunedFiles(rootI,
+          Map("bucket" -> (3L, 3L)))
+        require(keptI.size < totalI,
+          s"bucket probe admitted ${keptI.size} of $totalI files")
+        val b3 = graft.store.Versioned.readPruned(s, rootI,
+            Map("bucket" -> (3L, 3L)))
+          .filter(col("bucket") === 3L)
+          .agg(count(lit(1)).as("b_n"), sum(col("cents")).as("b_cents"))
+
+        val rootS = graft.util.TempDirs.scratch("graft_part_qs")
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+        graft.store.Versioned.commitAppend(docs, rootS,
+          partitionBy = Seq("source"))
+        val src = docs.agg(min(col("source"))).head().getString(0)
+        val (keptS, totalS) = graft.store.Versioned.prunedFiles(rootS,
+          Map.empty, stringEqualities = Map("source" -> src))
+        require(keptS.size < totalS,
+          s"source probe admitted ${keptS.size} of $totalS files")
+        val s0 = graft.store.Versioned.readPruned(s, rootS, Map.empty,
+            stringEqualities = Map("source" -> src))
+          .filter(col("source") === src)
+          .agg(count(lit(1)).as("s_n"), sum(col("n_chars")).as("s_chars"))
+        b3.crossJoin(s0)
+      },
+      Some(s"""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE o_orderkey % 8 = 3) AS b_n,
+               (SELECT CAST(sum(${Exact.centsSql("o_totalprice")})
+                 AS BIGINT) FROM orders
+                WHERE o_orderkey % 8 = 3) AS b_cents,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents
+                WHERE source = (SELECT min(source) FROM documents))
+                 AS s_n,
+               (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+                WHERE source = (SELECT min(source) FROM documents))
+                 AS s_chars"""))
   )
 }

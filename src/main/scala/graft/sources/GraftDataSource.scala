@@ -1,0 +1,436 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, InSet, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, StartsWith => CStartsWith}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.store.Versioned
+
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * versioned store as a first-class Spark data source, so plain
+  * DataFrame / SQL predicates drive its file skipping through Catalyst
+  * itself instead of through facade arguments.
+  *
+  * READ plans one of two relations:
+  *
+  *  - **No deletion vectors at the version** (the read-optimized state
+  *    every purge/compaction restores): a native [[HadoopFsRelation]]
+  *    over [[GraftFileIndex]] — Spark's own parquet scan, whole-stage
+  *    codegen, vectorized reader and parquet row-group pruning all
+  *    apply, and `listFiles` receives the query's data filters as
+  *    Catalyst expressions, which the index translates into the
+  *    store's stats-interval + bloom probes (Delta's TahoeLogFileIndex
+  *    role). A filter the index can't translate simply admits — file
+  *    skipping is an IO optimization, never a correctness gate,
+  *    because Spark re-applies every predicate row-wise.
+  *  - **Live deletion vectors**: rows owe a read-time tombstone
+  *    anti-join no file-scan relation can express, so the source falls
+  *    back to a [[PrunedFilteredScan]] that composes the store's own
+  *    admitted-files + DV-application path ([[Versioned.readProbed]])
+  *    and hands Spark the resulting InternalRow RDD. Same answers,
+  *    join-based; `commitPurgeDeleteVectors` restores the native plan.
+  *
+  * Options: `versionAsOf` (commit number) and `timestampAsOf` (epoch
+  * millis) time travel, mutually exclusive; `mergeSchema` unions the
+  * schemas of all live files instead of trusting the first.
+  *
+  * WRITE maps SaveMode onto the commit log: Append → `commitAppend`,
+  * Overwrite → `commitOverwrite` (history stays readable, vacuum
+  * reclaims), ErrorIfExists / Ignore honor existing versions.
+  * `statsCols` / `bloomCols` (comma-separated) maintain the skipping
+  * sidecars exactly as the Scala API does. */
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft format needs a table root: " +
+          "spark.read.format(\"graft\").load(<root>)"))
+
+  private def opt(parameters: Map[String, String], name: String)
+      : Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  private def resolveVersion(root: String,
+                             parameters: Map[String, String]): Long = {
+    val asOfV = opt(parameters, "versionAsOf")
+    val asOfTs = opt(parameters, "timestampAsOf")
+    require(asOfV.isEmpty || asOfTs.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    asOfV.map(_.toLong)
+      .orElse(asOfTs.map { ts =>
+        require(ts.nonEmpty && ts.forall(_.isDigit),
+          s"timestampAsOf must be epoch millis, got '$ts'")
+        Versioned.versionAt(root, ts.toLong)
+      })
+      .getOrElse(Versioned.latestVersion(root))
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : BaseRelation = {
+    val root = rootOf(parameters)
+    val spark = sqlContext.sparkSession
+    val version = resolveVersion(root, parameters)
+    require(version > 0, s"no committed version at $root")
+    if (Versioned.hasDeleteVectors(root, version))
+      new GraftDvRelation(sqlContext, root, version)
+    else {
+      val index = new GraftFileIndex(spark, root, version)
+      val dataSchema =
+        if (opt(parameters, "mergeSchema").exists(_.toBoolean))
+          spark.read.option("mergeSchema", "true")
+            .parquet(index.inputFiles.toSeq: _*).schema
+        else spark.read.parquet(index.inputFiles.head).schema
+      HadoopFsRelation(index, new StructType(), dataSchema, None,
+        new ParquetFileFormat, parameters)(spark)
+    }
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val root = rootOf(parameters)
+    def cols(name: String): Seq[String] =
+      opt(parameters, name).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val statsCols = cols("statsCols")
+    val bloomCols = cols("bloomCols")
+    // DSv1 writers don't receive DataFrameWriter.partitionBy, so the
+    // hive-style layout rides an option instead
+    val partitionBy = cols("partitionBy")
+    val exists = Versioned.latestVersion(root) > 0
+    mode match {
+      case SaveMode.Append =>
+        Versioned.commitAppend(data, root, statsCols, bloomCols,
+          partitionBy = partitionBy)
+      case SaveMode.Overwrite =>
+        Versioned.commitOverwrite(data, root, None, statsCols,
+          bloomCols, partitionBy = partitionBy)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"$root already holds a committed table (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case _ => // first commit of an ErrorIfExists / Ignore write
+        Versioned.commitAppend(data, root, statsCols, bloomCols,
+          partitionBy = partitionBy)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** The store's commit log as Spark's [[FileIndex]]: `listFiles` is
+  * called with the query's partition + data filters and answers with
+  * only the files the stats/bloom sidecars admit, so Catalyst's own
+  * predicate pushdown becomes the store's file skipping with no API
+  * between them. Untranslatable filters admit; every filter is still
+  * applied row-wise by the scan above, so admission is never a
+  * correctness gate. */
+final class GraftFileIndex(spark: SparkSession, root: String,
+                           val version: Long) extends FileIndex {
+
+  private val statuses: Seq[FileStatus] =
+    Versioned.dataFileStatuses(root, version)
+  private val byPath: Map[String, FileStatus] =
+    statuses.map(s => s.getPath.toString -> s).toMap
+  private val schemaOf: StructType =
+    spark.read.parquet(statuses.head.getPath.toString).schema
+
+  override val rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val probes = GraftProbes.fromCatalyst(
+      partitionFilters ++ dataFilters, schemaOf)
+    val kept: Seq[FileStatus] =
+      if (probes.contradiction) Nil
+      else if (probes.isEmpty) statuses
+      else {
+        val (admitted, _) = Versioned.admittedDataFiles(root, version,
+          probes.bounds, probes.equalitySets, probes.hashEqualitySets)
+        admitted.flatMap(byPath.get)
+      }
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    statuses.map(_.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+}
+
+/** Deletion-vector fallback relation: admitted files + tombstone
+  * anti-join composed by the store's single scan path, surfaced as an
+  * InternalRow RDD (`needConversion = false`). Spark re-applies every
+  * filter above this scan, so only translatable probes matter here —
+  * they bound IO, not answers. */
+private[sources] final class GraftDvRelation(
+    override val sqlContext: SQLContext, root: String, version: Long)
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    Versioned.read(spark, root, version).schema
+
+  // buildScan returns InternalRows (the contract this flag selects);
+  // the declared RDD[Row] element type is erased at runtime
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val probes = GraftProbes.fromSources(filters, schema)
+    val base =
+      if (probes.contradiction)
+        Versioned.read(spark, root, version).limit(0)
+      else Versioned.readProbed(spark, root, version, probes.bounds,
+        probes.equalitySets, probes.hashEqualitySets)
+    // row-wise application of whatever translates cheaply; Spark
+    // re-applies the full set above, this only trims the exchange
+    val filtered = GraftProbes.toColumns(filters)
+      .foldLeft(base)((df, c) => df.filter(c))
+    val pruned =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.map(col).toSeq: _*)
+    pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+/** Translation from Spark filter languages (Catalyst expressions for
+  * the FileIndex, `sources.Filter` for the DV relation) into the
+  * store's sidecar key spaces: integral columns probe as raw longs,
+  * string columns as order-preserving 8-byte-prefix keys (stats
+  * intervals) plus xxhash64 full-value keys (blooms). Conjunctions
+  * intersect; anything unrecognized is ignored (admits). A provably
+  * unsatisfiable conjunction (disjoint equality sets, crossed integral
+  * bounds) is flagged so callers plan ZERO files. */
+private[sources] object GraftProbes {
+
+  final case class Probes(bounds: Map[String, (Long, Long)],
+                          equalitySets: Map[String, Seq[Long]],
+                          hashEqualitySets: Map[String, Seq[Long]],
+                          contradiction: Boolean) {
+    def isEmpty: Boolean =
+      bounds.isEmpty && equalitySets.isEmpty && hashEqualitySets.isEmpty
+  }
+
+  private final class Builder(schema: StructType) {
+    private val kinds: Map[String, Char] = schema.fields.map { f =>
+      f.name -> (f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => 'i'
+        case StringType => 's'
+        case _ => 'x'
+      })
+    }.toMap
+    private val boundAcc = mutable.Map.empty[String, (Long, Long)]
+    private val intEqAcc = mutable.Map.empty[String, Set[Long]]
+    private val strEqAcc = mutable.Map.empty[String, Set[String]]
+    private var contradiction = false
+
+    private def addBound(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = boundAcc.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      boundAcc(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+
+    private def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+
+    private def stringOf(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case u: UTF8String => Some(u.toString)
+      case _ => None
+    }
+
+    /** `c = any of vs` (a single equality conjunct; null elements match
+      * nothing and are dropped — an all-null list is a contradiction). */
+    def equality(c: String, vs: Seq[Any]): Unit = kinds.get(c) match {
+      case Some('i') =>
+        val longs = vs.filter(_ != null).flatMap(longOf)
+        if (longs.size == vs.count(_ != null)) {
+          if (longs.isEmpty) contradiction = true
+          else {
+            val merged = intEqAcc.get(c)
+              .map(_ intersect longs.toSet).getOrElse(longs.toSet)
+            intEqAcc(c) = merged
+            if (merged.isEmpty) contradiction = true
+          }
+        }
+      case Some('s') =>
+        val strs = vs.filter(_ != null).flatMap(stringOf)
+        if (strs.size == vs.count(_ != null)) {
+          if (strs.isEmpty) contradiction = true
+          else {
+            val merged = strEqAcc.get(c)
+              .map(_ intersect strs.toSet).getOrElse(strs.toSet)
+            strEqAcc(c) = merged
+            if (merged.isEmpty) contradiction = true
+          }
+        }
+      case _ => ()
+    }
+
+    /** `c <op> v` range conjunct. Integral bounds are exact (strict
+      * ops shift by one); string bounds go through the prefix key,
+      * which is monotone NON-strict — a strict string op relaxes to
+      * its non-strict prefix bound, still a sound necessary
+      * condition. */
+    def range(c: String, v: Any, gt: Boolean, strict: Boolean): Unit =
+      kinds.get(c) match {
+        case Some('i') => longOf(v).foreach { l =>
+          if (gt) {
+            if (strict && l == Long.MaxValue) contradiction = true
+            else addBound(c, if (strict) l + 1 else l, Long.MaxValue)
+          } else {
+            if (strict && l == Long.MinValue) contradiction = true
+            else addBound(c, Long.MinValue, if (strict) l - 1 else l)
+          }
+        }
+        case Some('s') => stringOf(v).foreach { s =>
+          val pk = Versioned.prefixKeyOf(s)
+          if (gt) addBound(c, pk, Long.MaxValue)
+          else addBound(c, Long.MinValue, pk)
+        }
+        case _ => ()
+      }
+
+    /** `c LIKE 'p%'`: every match shares p's first 8 UTF-8 bytes (or
+      * starts with all of p when p is shorter), so its prefix key lies
+      * in [key(p padded 0x00), key(p padded 0xFF)]. */
+    def startsWith(c: String, p: String): Unit =
+      if (kinds.get(c).contains('s')) {
+        val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var lo = 0L
+        var hi = 0L
+        var i = 0
+        while (i < 8) {
+          val known = i < b.length
+          lo = (lo << 8) | (if (known) b(i) & 0xffL else 0x00L)
+          hi = (hi << 8) | (if (known) b(i) & 0xffL else 0xffL)
+          i += 1
+        }
+        addBound(c, lo ^ Long.MinValue, hi ^ Long.MinValue)
+      }
+
+    def build(): Probes = {
+      // string equality sets probe blooms by full-value hash AND
+      // narrow the stats interval through their prefix keys
+      strEqAcc.foreach { case (c, vs) =>
+        val pks = vs.map(Versioned.prefixKeyOf)
+        addBound(c, pks.min, pks.max)
+      }
+      val crossed = boundAcc.exists { case (_, (lo, hi)) => lo > hi }
+      Probes(boundAcc.toMap,
+        intEqAcc.view.mapValues(_.toSeq.sorted).toMap,
+        strEqAcc.view.mapValues(
+          _.toSeq.sorted.map(Versioned.hashKeyOf)).toMap,
+        contradiction || crossed)
+    }
+  }
+
+  def fromCatalyst(filters: Seq[Expression], schema: StructType)
+      : Probes = {
+    val b = new Builder(schema)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    filters.flatMap(conjuncts).foreach {
+      case CEqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+        b.equality(a.name, Seq(v))
+      case CEqualTo(Literal(v, _), a: AttributeReference) if v != null =>
+        b.equality(a.name, Seq(v))
+      case CEqualNullSafe(a: AttributeReference, Literal(v, _))
+          if v != null => b.equality(a.name, Seq(v))
+      case CEqualNullSafe(Literal(v, _), a: AttributeReference)
+          if v != null => b.equality(a.name, Seq(v))
+      case CIn(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        b.equality(a.name, vs.map(_.asInstanceOf[Literal].value))
+      case InSet(a: AttributeReference, vs) =>
+        b.equality(a.name, vs.toSeq)
+      case CGreaterThan(a: AttributeReference, Literal(v, _)) =>
+        b.range(a.name, v, gt = true, strict = true)
+      case CGreaterThan(Literal(v, _), a: AttributeReference) =>
+        b.range(a.name, v, gt = false, strict = true)
+      case CGreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        b.range(a.name, v, gt = true, strict = false)
+      case CGreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        b.range(a.name, v, gt = false, strict = false)
+      case CLessThan(a: AttributeReference, Literal(v, _)) =>
+        b.range(a.name, v, gt = false, strict = true)
+      case CLessThan(Literal(v, _), a: AttributeReference) =>
+        b.range(a.name, v, gt = true, strict = true)
+      case CLessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        b.range(a.name, v, gt = false, strict = false)
+      case CLessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        b.range(a.name, v, gt = true, strict = false)
+      case CStartsWith(a: AttributeReference, Literal(v, StringType))
+          if v != null => b.startsWith(a.name, v.toString)
+      case _ => ()
+    }
+    b.build()
+  }
+
+  def fromSources(filters: Seq[Filter], schema: StructType): Probes = {
+    val b = new Builder(schema)
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    filters.flatMap(conjuncts).foreach {
+      case EqualTo(c, v) if v != null => b.equality(c, Seq(v))
+      case EqualNullSafe(c, v) if v != null => b.equality(c, Seq(v))
+      case In(c, vs) => b.equality(c, vs.toSeq)
+      case GreaterThan(c, v) => b.range(c, v, gt = true, strict = true)
+      case GreaterThanOrEqual(c, v) =>
+        b.range(c, v, gt = true, strict = false)
+      case LessThan(c, v) => b.range(c, v, gt = false, strict = true)
+      case LessThanOrEqual(c, v) =>
+        b.range(c, v, gt = false, strict = false)
+      case StringStartsWith(c, p) => b.startsWith(c, p)
+      case _ => ()
+    }
+    b.build()
+  }
+
+  /** Row-wise `Column` forms of the translatable filters — applied
+    * inside the DV relation so fewer rows cross its RDD boundary. */
+  def toColumns(filters: Seq[Filter]): Seq[org.apache.spark.sql.Column] =
+    filters.flatMap {
+      case EqualTo(c, v) => Some(col(c) === v)
+      case EqualNullSafe(c, v) => Some(col(c) <=> v)
+      case In(c, vs) => Some(col(c).isin(vs.toSeq: _*))
+      case GreaterThan(c, v) => Some(col(c) > v)
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= v)
+      case LessThan(c, v) => Some(col(c) < v)
+      case LessThanOrEqual(c, v) => Some(col(c) <= v)
+      case StringStartsWith(c, p) => Some(col(c).startsWith(p))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case _ => None
+    }
+}

@@ -286,7 +286,7 @@ object Versioned {
   }
 
   /** Driver-side twin of [[prefixKeyCol]] for probe literals. */
-  private[store] def prefixKeyOf(s: String): Long = {
+  private[graft] def prefixKeyOf(s: String): Long = {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var u = 0L
     var i = 0
@@ -305,7 +305,7 @@ object Versioned {
 
   /** Driver-side twin of [[hashKeyCol]] for probe literals — evaluated
     * through the identical Catalyst expression. */
-  private[store] def hashKeyOf(s: String): Long =
+  private[graft] def hashKeyOf(s: String): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64(
       Seq(org.apache.spark.sql.catalyst.expressions.Literal(s)), 42L)
       .eval(null).asInstanceOf[Long]
@@ -496,16 +496,107 @@ object Versioned {
   /** Stage `df`'s parquet files into a fresh `data/<uuid>/` directory;
     * returns their root-relative paths. Nothing is visible until
     * [[commitFiles]] publishes a manifest listing them. */
-  private[store] def stage(df: DataFrame, root: String): Seq[String] = {
+  private[store] def stage(df: DataFrame, root: String,
+                           partitionBy: Seq[String] = Nil)
+      : Seq[String] = {
     val (fs, rootPath) = fsRoot(root)
     fs.mkdirs(rootPath)
     val uuid = java.util.UUID.randomUUID().toString
     val dir = new Path(new Path(rootPath, "data"), uuid)
-    df.write.parquet(dir.toString)
-    fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.endsWith(".parquet") => s"data/$uuid/$n" }
-      .sorted
+    if (partitionBy.isEmpty) {
+      df.write.parquet(dir.toString)
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.endsWith(".parquet") => s"data/$uuid/$n" }
+        .sorted
+    } else {
+      // Hive-style partition layout UNDER the commit directory, with
+      // the partition values duplicated into type-tagged SHADOW
+      // columns (`__pi_c=v` integral / `__ps_c=v` string) so the data
+      // files keep every real column: explicit-file reads (the only
+      // reads this store plans) never re-infer directory columns, so
+      // every existing consumer — merge, compact, DV, change feed —
+      // sees the same schema it always did. The per-row duplication
+      // is a dictionary/RLE run in parquet, ~free; what it buys at
+      // 100 TB is [[partitionAdmits]]: file skipping from the PATH
+      // alone, before any stats/bloom sidecar byte is read.
+      import org.apache.spark.sql.functions.col
+      val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val shadows = partitionBy.map { c =>
+        val dt = fields.getOrElse(c, throw new IllegalArgumentException(
+          s"partitionBy column $c is not in the frame's schema"))
+        val tag =
+          if (integralType(dt)) "__pi_"
+          else if (stringType(dt)) "__ps_"
+          else throw new IllegalArgumentException(
+            s"partitionBy column $c must be integral or string for " +
+              s"path-level pruning, got $dt")
+        require(!c.contains("=") && !c.contains("/"),
+          s"partition column name $c cannot encode into a path")
+        c -> (tag + c)
+      }
+      val dup = shadows.foldLeft(df) { case (d, (c, s)) =>
+        d.withColumn(s, col(c)) }
+      dup.write.partitionBy(shadows.map(_._2): _*).parquet(dir.toString)
+      val rootUri = rootPath.toString
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.endsWith(".parquet"))
+          out += p.stripPrefix(rootUri).stripPrefix("/")
+      }
+      require(out.nonEmpty, s"partitioned stage wrote no parquet under $dir")
+      out.sorted.toSeq
+    }
   }
+
+  /** Partition key/values encoded in a manifest entry's path by a
+    * partitioned [[stage]]: (column, 'i'|'s' kind, raw value). */
+  private def partitionKv(f: String): Seq[(String, Char, String)] =
+    f.split('/').toSeq.flatMap { seg =>
+      val tagged = seg.startsWith("__pi_") || seg.startsWith("__ps_")
+      val eq = seg.indexOf('=')
+      if (!tagged || eq < 5) None
+      else Some((seg.substring(5, eq),
+        if (seg.charAt(3) == 'i') 'i' else 's',
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(eq + 1))))
+    }
+
+  /** Can a file admit rows under the probes, judged from its PATH's
+    * partition values alone — zero sidecar bytes read? Every row of
+    * the file shares the path's partition values, so a probed
+    * partition column admits iff ITS value passes: integral values
+    * compare raw (stats space), string values through the same
+    * prefix-key / full-value-hash spaces the sidecars use. A null
+    * partition (`__HIVE_DEFAULT_PARTITION__`) can satisfy no
+    * equality/range probe. Unprobed or unparseable values admit —
+    * like every skipping layer here, this is an IO optimization,
+    * never a correctness gate. */
+  private def partitionAdmits(f: String,
+      bounds: Map[String, (Long, Long)],
+      equalitySets: Map[String, Seq[Long]],
+      hashEqualitySets: Map[String, Seq[Long]]): Boolean =
+    partitionKv(f).forall { case (c, kind, raw) =>
+      val probed = bounds.contains(c) ||
+        equalitySets.get(c).exists(_.nonEmpty) ||
+        hashEqualitySets.get(c).exists(_.nonEmpty)
+      if (!probed) true
+      else if (raw ==
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME) false
+      else kind match {
+        case 'i' => raw.toLongOption.forall { v =>
+          bounds.get(c).forall { case (lo, hi) => v >= lo && v <= hi } &&
+            equalitySets.get(c).filter(_.nonEmpty).forall(_.contains(v))
+        }
+        case _ =>
+          val pk = prefixKeyOf(raw)
+          bounds.get(c).forall { case (lo, hi) => pk >= lo && pk <= hi } &&
+            hashEqualitySets.get(c).filter(_.nonEmpty)
+              .forall(_.contains(hashKeyOf(raw)))
+      }
+    }
 
   /** Latest transaction batch id committed at `root` by `appId`, or
     * None. Scans manifest headers newest-first — driver-side and
@@ -618,9 +709,10 @@ object Versioned {
   def commitAppend(df: DataFrame, root: String,
                    statsCols: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil,
-                   bloomBits: Int = 65536): Long = {
-    val v = commitFiles(root, stage(df, root), appendBase = true,
-      op = "append")
+                   bloomBits: Int = 65536,
+                   partitionBy: Seq[String] = Nil): Long = {
+    val v = commitFiles(root, stage(df, root, partitionBy),
+      appendBase = true, op = "append")
     maintainStats(df.sparkSession, root, v, statsCols)
     maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
     v
@@ -663,9 +755,10 @@ object Versioned {
                       txn: Option[(String, Long)] = None,
                       statsCols: Seq[String] = Nil,
                       bloomCols: Seq[String] = Nil,
-                      bloomBits: Int = 65536): Long = {
-    val v = commitFiles(root, stage(df, root), appendBase = false,
-      txn = txn, txnDedupe = false, op = "overwrite")
+                      bloomBits: Int = 65536,
+                      partitionBy: Seq[String] = Nil): Long = {
+    val v = commitFiles(root, stage(df, root, partitionBy),
+      appendBase = false, txn = txn, txnDedupe = false, op = "overwrite")
     maintainStats(df.sparkSession, root, v, statsCols)
     maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
     v
@@ -1827,6 +1920,48 @@ object Versioned {
     (kept.map(resolve(rootPath, _).toString), manifestFiles.size.toLong)
   }
 
+  /** The admitted-file planning step with the prober's probes already
+    * translated into sidecar key spaces — the entry point
+    * `graft.sources.GraftDataSource`'s FileIndex uses to turn Catalyst
+    * filter expressions into file skipping. `bounds` and
+    * `equalitySets` are STATS-space longs (integral raw values or
+    * string prefix keys), `hashEqualitySets` BLOOM-space hashes
+    * ([[hashKeyOf]]); missing sidecars/columns admit. Returns
+    * (absolute admitted paths, total data files at the version). */
+  private[graft] def admittedDataFiles(root: String, version: Long,
+      bounds: Map[String, (Long, Long)],
+      equalitySets: Map[String, Seq[Long]],
+      hashEqualitySets: Map[String, Seq[Long]]): (Seq[String], Long) = {
+    val (fs, rootPath) = fsRoot(root)
+    val v = if (version == 0L) latestVersion(root) else version
+    require(v > 0 && fs.exists(manifestPath(rootPath, v)),
+      s"no committed version $v at $root")
+    val dataFiles = splitEntries(readManifest(fs, rootPath, v)._2)._1
+    val kept = admittedFiles(fs, rootPath, v, dataFiles, bounds,
+      equalitySets, hashEqualitySets)
+    (kept.map(resolve(rootPath, _).toString), dataFiles.size.toLong)
+  }
+
+  /** FileStatus of every data file at `version` (0 = latest), in
+    * manifest order. Sizes feed the scan planner's split/coalesce
+    * arithmetic, so they must be real. One `listStatus` per commit
+    * directory — O(commits) namenode calls, not O(files) — because
+    * staged files of one commit share a `data/<uuid>/` parent. */
+  private[graft] def dataFileStatuses(root: String, version: Long)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val (fs, rootPath) = fsRoot(root)
+    val v = if (version == 0L) latestVersion(root) else version
+    require(v > 0 && fs.exists(manifestPath(rootPath, v)),
+      s"no committed version $v at $root")
+    val abs = splitEntries(readManifest(fs, rootPath, v)._2)._1
+      .map(f => fs.makeQualified(resolve(rootPath, f)))
+    val listed: Map[Path, org.apache.hadoop.fs.FileStatus] =
+      abs.map(_.getParent).distinct
+        .flatMap(d => fs.listStatus(d).toSeq)
+        .map(s => s.getPath -> s).toMap
+    abs.map(p => listed.getOrElse(p, fs.getFileStatus(p)))
+  }
+
   /** Core of file-level skipping over ROOT-RELATIVE manifest entries:
     * the subset of `files` that can possibly satisfy `bounds` AND, per
     * column of `equalitySets`, contain at least ONE of the listed
@@ -1855,9 +1990,13 @@ object Versioned {
     val allBounds = bounds ++ equalitySets.collect {
       case (c, vs) if vs.nonEmpty => c -> (vs.min, vs.max)
     }
-    // stats pass first: cheap interval tests over the already-parsed
+    // path-level partition pruning first: judged from the manifest
+    // entry strings alone, before a single sidecar byte is read
+    val partAdmitted = files.filter(f =>
+      partitionAdmits(f, bounds, equalitySets, hashEqualitySets))
+    // stats pass next: cheap interval tests over the already-parsed
     // sidecar narrow the survivor set before any bloom bits are read
-    val statsAdmitted = files.filter { f =>
+    val statsAdmitted = partAdmitted.filter { f =>
       stats.get(f).forall { s =>
         allBounds.forall { case (c, (lo, hi)) =>
           idx.get(c).forall { i =>
@@ -2079,6 +2218,22 @@ object Versioned {
       : DataFrame = {
     val (kept, _) = prunedFiles(root, bounds, version, equalities,
       stringEqualities)
+    if (kept.isEmpty) read(spark, root, version).limit(0)
+    else composeKept(spark, root, kept, version)
+  }
+
+  /** [[readSkipped]] over pre-translated probes (the
+    * [[admittedDataFiles]] key spaces) — the scan
+    * `graft.sources.GraftDataSource`'s deletion-vector relation
+    * composes. Same single [[composeKept]] path: admitted files in,
+    * LIVE rows out, empty admission tolerated. */
+  private[graft] def readProbed(spark: SparkSession, root: String,
+      version: Long,
+      bounds: Map[String, (Long, Long)],
+      equalitySets: Map[String, Seq[Long]],
+      hashEqualitySets: Map[String, Seq[Long]]): DataFrame = {
+    val (kept, _) = admittedDataFiles(root, version, bounds,
+      equalitySets, hashEqualitySets)
     if (kept.isEmpty) read(spark, root, version).limit(0)
     else composeKept(spark, root, kept, version)
   }

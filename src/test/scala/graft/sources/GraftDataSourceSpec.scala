@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.Versioned
+
+/** `format("graft")` — the versioned store as a Spark data source:
+  * filters written as plain DataFrame predicates must reach the
+  * store's file skipping through Catalyst, and every answer must match
+  * the store's own read path. */
+class GraftDataSourceSpec extends SparkSpec {
+
+  private def scratch(tag: String): String =
+    graft.util.TempDirs.scratch(tag)
+
+  /** Files the query's scan ACTUALLY plans, asked of the relation's
+    * own FileIndex with the scan's pushed-down data filters. */
+  private def plannedFiles(df: DataFrame): Int = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected one file scan:\n" +
+      df.queryExecution.executedPlan.toString.take(2000))
+    val s = scans.head
+    s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+      .map(_.files.size).sum
+  }
+
+  /** 8 single-file commits keyed by disjoint k-ranges (file i holds
+    * k in [100i, 100i+99]) with stats+bloom sidecars on k and url. */
+  private def slicedTable(tag: String): String = {
+    val root = scratch(tag)
+    (0 until 8).foreach { i =>
+      val df = spark.range(100L * i, 100L * i + 100).toDF("k")
+        .withColumn("url",
+          concat(lit("https://host"), col("k") % 4,
+            lit(".example/p/"), col("k")))
+        .withColumn("payload", col("k") * 7L)
+      Versioned.commitAppend(df.coalesce(1), root,
+        statsCols = Seq("k", "url"), bloomCols = Seq("k", "url"))
+    }
+    root
+  }
+
+  test("format write + read round-trip with time travel") {
+    val root = scratch("graft_dsrc_rt")
+    spark.range(0, 50).toDF("k")
+      .write.format("graft").mode("append").save(root)
+    spark.range(50, 80).toDF("k")
+      .write.format("graft").mode("append").save(root)
+    val all = spark.read.format("graft").load(root)
+    assert(all.count() == 80L)
+    assert(all.agg(sum("k")).head.getLong(0) == (0L until 80L).sum)
+    val v1 = spark.read.format("graft")
+      .option("versionAsOf", "1").load(root)
+    assert(v1.count() == 50L)
+    // the store's own API sees format-written commits identically
+    assert(Versioned.read(spark, root).count() == 80L)
+  }
+
+  test("integral equality and range filters skip files") {
+    val root = slicedTable("graft_dsrc_skip")
+    val t = spark.read.format("graft").load(root)
+    assert(plannedFiles(t) == 8)
+
+    val eq = t.filter(col("k") === 333L)
+    assert(plannedFiles(eq) == 1, "k=333 must plan exactly file 3")
+    assert(eq.select("payload").head.getLong(0) == 333L * 7)
+
+    val rng = t.filter(col("k") >= 150L && col("k") < 420L)
+    assert(plannedFiles(rng) == 4, "range must plan exactly files 1..4")
+    assert(rng.count() == 270L)
+
+    val in = t.filter(col("k").isin(5L, 17L, 23L))
+    assert(plannedFiles(in) == 1, "IN within one slice must plan 1 file")
+    assert(in.count() == 3L)
+
+    // contradiction: crossed bounds survive the optimizer (unlike a
+    // twice-pinned equality, which Catalyst folds to an empty
+    // relation before the index is consulted) and must plan ZERO files
+    val none = t.filter(col("k") >= 600L && col("k") < 10L)
+    assert(plannedFiles(none) == 0)
+    assert(none.count() == 0L)
+  }
+
+  test("string equality prunes through hash blooms, prefixes through stats") {
+    val root = slicedTable("graft_dsrc_str")
+    val t = spark.read.format("graft").load(root)
+    // every URL shares the 8-byte "https://" prefix: only the
+    // full-value hash bloom can discriminate equality here
+    val probe = "https://host1.example/p/401"
+    val hit = t.filter(col("url") === probe)
+    assert(plannedFiles(hit) < 8, "URL equality must prune via bloom")
+    assert(hit.count() == 1L && hit.head.getAs[Long]("k") == 401L)
+    // a miss still answers empty, whatever was admitted
+    assert(t.filter(col("url") === "https://nowhere.example/x")
+      .count() == 0L)
+  }
+
+  test("SQL over a temp view drives the same skipping") {
+    val root = slicedTable("graft_dsrc_sql")
+    spark.read.format("graft").load(root).createOrReplaceTempView("gds")
+    val q = spark.sql("SELECT sum(payload) AS s FROM gds WHERE k = 212")
+    assert(q.head.getLong(0) == 212L * 7)
+    val scan = spark.sql("SELECT * FROM gds WHERE k = 212")
+    assert(plannedFiles(scan) == 1)
+  }
+
+  test("deletion-vector tables fall back to the store's scan path") {
+    val root = slicedTable("graft_dsrc_dv")
+    Versioned.commitDeleteVectors(spark, root,
+      col("k") % 100L === 42L) // one row tombstoned per file
+    assert(Versioned.hasDeleteVectors(root))
+    val t = spark.read.format("graft").load(root)
+    assert(t.count() == 792L, "8 tombstoned rows must vanish")
+    assert(t.filter(col("k") === 42L).count() == 0L)
+    assert(t.filter(col("k") === 43L).count() == 1L)
+    // column pruning + row filters through the fallback relation
+    val s = t.filter(col("k") >= 100L && col("k") < 200L)
+      .agg(sum("payload")).head.getLong(0)
+    val expect = (100L until 200L).filter(_ != 142L).map(_ * 7).sum
+    assert(s == expect)
+    // purge restores the native file-scan relation
+    Versioned.commitPurgeDeleteVectors(spark, root)
+    val purged = spark.read.format("graft").load(root)
+    assert(plannedFiles(purged.filter(col("k") === 43L)) >= 1)
+    assert(purged.count() == 792L)
+  }
+
+  test("save modes honor existing tables") {
+    val root = scratch("graft_dsrc_modes")
+    spark.range(0, 10).toDF("k")
+      .write.format("graft").mode("errorifexists").save(root)
+    intercept[IllegalArgumentException] {
+      spark.range(0, 10).toDF("k")
+        .write.format("graft").mode("errorifexists").save(root)
+    }
+    spark.range(10, 20).toDF("k")
+      .write.format("graft").mode("ignore").save(root)
+    assert(spark.read.format("graft").load(root).count() == 10L)
+    spark.range(0, 3).toDF("k")
+      .write.format("graft").mode("overwrite").save(root)
+    assert(spark.read.format("graft").load(root).count() == 3L)
+    assert(spark.read.format("graft").option("versionAsOf", "1")
+      .load(root).count() == 10L)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hive-style partition columns in the versioned store: values are
+  * duplicated into type-tagged shadow dirs (`__pi_c=v` / `__ps_c=v`)
+  * so data files keep every real column, and file skipping prunes
+  * from the PATH before any sidecar is read. */
+class PartitionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scratch(tag: String) = graft.util.TempDirs.scratch(tag)
+
+  test("partitioned commit keeps all columns and round-trips") {
+    val root = scratch("graft_part_rt")
+    val df = spark.range(0, 400).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(8L)))
+      .withColumn("payload", col("k") * 3L)
+    Versioned.commitAppend(df, root, partitionBy = Seq("bucket"))
+    val back = Versioned.read(spark, root)
+    assert(back.columns.sorted.toSeq == Seq("bucket", "k", "payload"),
+      "shadow partition dirs must never surface as columns")
+    assert(back.count() == 400L)
+    assert(back.agg(sum("payload")).head.getLong(0) == (0L until 400L).map(_ * 3).sum)
+    assert(back.filter(col("bucket") =!= pmod(col("k"), lit(8L))).count() == 0L,
+      "partition values must ride inside the data files")
+  }
+
+  test("integral partition bounds prune files from the path alone") {
+    val root = scratch("graft_part_int")
+    val df = spark.range(0, 400).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(8L)))
+    Versioned.commitAppend(df, root, partitionBy = Seq("bucket"))
+    // deliberately NO sidecars: the path is the only skipping metadata
+    val (kept, total) = Versioned.prunedFiles(root,
+      Map("bucket" -> (3L, 3L)))
+    assert(total >= 8 && kept.size < total / 4,
+      s"bucket=3 admitted ${kept.size} of $total files")
+    val rows = Versioned.readPruned(spark, root,
+      Map("bucket" -> (3L, 3L)))
+    assert(rows.filter(col("bucket") === 3L).count() == 50L)
+    // range probe spans two partitions
+    val (kept2, _) = Versioned.prunedFiles(root,
+      Map("bucket" -> (5L, 6L)))
+    assert(kept2.size <= 2 * kept.size && kept2.size > 0)
+    // a probe on an UNpartitioned column admits everything (no stats)
+    val (kept3, _) = Versioned.prunedFiles(root, Map("k" -> (0L, 1L)))
+    assert(kept3.size == total)
+  }
+
+  test("string partitions prune via prefix-key bounds and value hashes") {
+    val root = scratch("graft_part_str")
+    val df = spark.range(0, 300).toDF("k")
+      .withColumn("src", concat(lit("src"), pmod(col("k"), lit(10L))))
+    Versioned.commitAppend(df, root, partitionBy = Seq("src"))
+    val (kept, total) = Versioned.prunedFiles(root, Map.empty,
+      stringEqualities = Map("src" -> "src7"))
+    assert(total >= 10 && kept.size < total / 4,
+      s"src7 admitted ${kept.size} of $total files")
+    val rows = Versioned.readSkipped(spark, root, Map.empty,
+      stringEqualities = Map("src" -> "src7"))
+      .filter(col("src") === "src7")
+    assert(rows.count() == 30L)
+    // special characters survive the path escape round-trip
+    val root2 = scratch("graft_part_esc")
+    val weird = Seq(("a/b:c d%e", 1L), ("plain", 2L)).toDF("src", "k")
+    Versioned.commitAppend(weird, root2, partitionBy = Seq("src"))
+    val (keptW, totalW) = Versioned.prunedFiles(root2, Map.empty,
+      stringEqualities = Map("src" -> "a/b:c d%e"))
+    assert(totalW == 2 && keptW.size == 1,
+      s"escaped partition value admitted ${keptW.size} of $totalW")
+    assert(Versioned.readPruned(spark, root2, Map.empty,
+      stringEqualities = Map("src" -> "a/b:c d%e"))
+      .head.getAs[Long]("k") == 1L)
+  }
+
+  test("null partitions read back but never satisfy a probe") {
+    val root = scratch("graft_part_null")
+    val df = Seq((Some("s0"), 1L), (None, 2L), (Some("s1"), 3L))
+      .toDF("src", "k")
+    Versioned.commitAppend(df, root, partitionBy = Seq("src"))
+    assert(Versioned.read(spark, root).count() == 3L)
+    assert(Versioned.read(spark, root)
+      .filter(col("src").isNull).head.getAs[Long]("k") == 2L)
+    val (kept, total) = Versioned.prunedFiles(root, Map.empty,
+      stringEqualities = Map("src" -> "s0"))
+    assert(total == 3 && kept.size == 1,
+      "the null partition cannot satisfy an equality probe")
+  }
+
+  test("partition pruning composes with merge, DV delete and the format read") {
+    val root = scratch("graft_part_mix")
+    val df = spark.range(0, 240).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(6L)))
+      .withColumn("v", lit(1L))
+    Versioned.commitAppend(df, root, partitionBy = Seq("bucket"),
+      statsCols = Seq("k"))
+    // a DV delete whose predicate names the partition column scans
+    // (and tombstones) only that partition's files
+    Versioned.commitDeleteVectors(spark, root,
+      col("bucket") === 2L && col("k") < 100L)
+    val live = Versioned.read(spark, root)
+    assert(live.count() == 240L - 17L) // k%6==2 && k<100: 17 values
+    assert(live.filter(col("bucket") === 2L && col("k") < 100L).count() == 0L)
+    // format("graft") write with the partitionBy option + filter-driven
+    // pruning through the FileIndex
+    val root2 = scratch("graft_part_fmt")
+    spark.range(0, 200).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(4L)))
+      .write.format("graft").mode("append")
+      .option("partitionBy", "bucket").save(root2)
+    val t = spark.read.format("graft").load(root2)
+      .filter(col("bucket") === 1L)
+    val scans = t.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    val planned = scans.map(sc => sc.relation.location
+      .listFiles(sc.partitionFilters, sc.dataFilters)
+      .map(_.files.size).sum).sum
+    val totalFiles = Versioned.files(root2).size
+    assert(planned < totalFiles,
+      s"bucket=1 planned $planned of $totalFiles files")
+    assert(t.count() == 50L)
+  }
+}
