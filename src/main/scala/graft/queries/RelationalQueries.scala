@@ -2104,6 +2104,63 @@ object RelationalQueries {
                  AS s_n,
                (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
                 WHERE source = (SELECT min(source) FROM documents))
-                 AS s_chars"""))
+                 AS s_chars""")),
+
+    // ------------------------------------------------------------------
+    // REPLACE WHERE (Delta's `replaceWhere` — the partition-backfill
+    // idiom): one commit atomically swaps every row matching the
+    // predicate for a re-derived frame, validating the frame carries
+    // NO rows outside the region. On the bucket-partitioned orders
+    // table the match scan path-prunes to the replaced partition, so
+    // the require can pin that every other partition's files persist
+    // BY REFERENCE (zero rewrite) across the commit; cdc=true keeps
+    // the change feed derivable (exact delete+insert records). Oracle
+    // replays the backfill as a CASE projection plus literal change
+    // sets.
+    QuerySpec("q262_replace_where",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_rw_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+          .withColumn("bucket", pmod(col("o_orderkey"), lit(8L)))
+        graft.store.Versioned.commitAppend(orders, root,
+          partitionBy = Seq("bucket"))
+        val repl = orders.filter(col("bucket") === 3L)
+          .select(col("o_orderkey"),
+            (col("cents") + 5000L).as("cents"), col("bucket"))
+        graft.store.Versioned.commitReplaceWhere(repl, root,
+          col("bucket") === 3L, cdc = true, partitionBy = Seq("bucket"))
+        val v1 = graft.store.Versioned.files(root, 1L)
+        val v2 = graft.store.Versioned.files(root, 2L).toSet
+        require(v1.filterNot(_.contains("__pi_bucket=3"))
+          .forall(v2.contains),
+          "replaceWhere must keep every other partition by reference")
+        require(!v1.filter(_.contains("__pi_bucket=3"))
+          .exists(v2.contains),
+          "replaceWhere must drop the replaced partition's old files")
+        val live = graft.store.Versioned.read(s, root)
+        val feed = graft.store.Versioned.readChangeFeed(s, root, 1L)
+        live.agg(count(lit(1)).as("n_live"),
+            sum(col("cents")).as("cents_live"))
+          .crossJoin(feed.agg(
+            sum(when(col("_change_type") === "delete", 1L)
+              .otherwise(0L)).as("n_del"),
+            sum(when(col("_change_type") === "insert", col("cents")))
+              .as("cents_ins")))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 ${Exact.centsSql("o_totalprice")} AS cents
+          FROM orders),
+        b3 AS (SELECT * FROM base WHERE k % 8 = 3)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_live,
+               (SELECT CAST(sum(cents +
+                  CASE WHEN k % 8 = 3 THEN 5000 ELSE 0 END) AS BIGINT)
+                FROM base) AS cents_live,
+               (SELECT CAST(count(*) AS BIGINT) FROM b3) AS n_del,
+               (SELECT CAST(sum(cents + 5000) AS BIGINT) FROM b3)
+                 AS cents_ins"""))
   )
 }

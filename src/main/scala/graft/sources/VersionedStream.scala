@@ -207,13 +207,20 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
       s"graft-versioned sink is append-only (got $outputMode): the " +
         "store's txn protocol dedupes whole appended batches; updates " +
         "belong to commitMerge, not a streaming sink")
-    require(partitionColumns.isEmpty,
-      "graft-versioned sink does not partition by columns; use " +
-        "Layout.zorder2 + statsCols for layout")
     val root = rootOf(parameters)
     val statsCols = parameters.get("statsCols")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // writeStream.partitionBy(...) lands here as partitionColumns:
+    // each micro-batch commits under the store's hive-style partition
+    // layout, so the table accretes path-prunable structure as it
+    // streams (an option spelling is accepted too for parity with the
+    // batch writer)
+    val partitionBy =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionBy")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
     // Exactly-once identity resolution: explicit appId, else the
     // query's own checkpointLocation option. NOTHING query-independent
     // may ever back-fill this — batchIds restart at 0 with a fresh
@@ -239,18 +246,20 @@ class VersionedStream extends StreamSourceProvider with StreamSinkProvider
           "checkpoint subdir per start (batchIds restart at 0) while " +
           "any identity derived from the default stays constant - the " +
           "dedupe would silently skip every batch of a rerun"))
-    new VersionedSink(root, appId, statsCols)
+    new VersionedSink(root, appId, statsCols, partitionBy)
   }
 }
 
 private class VersionedSink(root: String, appId: String,
-                            statsCols: Seq[String]) extends Sink {
+                            statsCols: Seq[String],
+                            partitionBy: Seq[String]) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // addBatch hands a streaming-flagged frame; re-wrap before batch
     // actions (the ForeachBatchSink move)
     val batch = org.apache.spark.sql.GraftStreamBridge.asBatch(data)
     if (!batch.isEmpty) {
-      Versioned.commitAppendTxn(batch, root, appId, batchId, statsCols)
+      Versioned.commitAppendTxn(batch, root, appId, batchId, statsCols,
+        partitionBy)
       ()
     }
   }

@@ -731,11 +731,13 @@ object Versioned {
     * again inside the optimistic-commit retry loop, so two racing
     * re-deliveries of the same batch commit it exactly once too. */
   def commitAppendTxn(df: DataFrame, root: String, appId: String,
-                      batchId: Long, statsCols: Seq[String] = Nil): Long = {
+                      batchId: Long, statsCols: Seq[String] = Nil,
+                      partitionBy: Seq[String] = Nil): Long = {
     if (latestTxnBatch(root, appId).exists(_ >= batchId))
       latestVersion(root) // known duplicate: skip even the data write
     else {
-      val v = commitFiles(root, stage(df, root), appendBase = true,
+      val v = commitFiles(root, stage(df, root, partitionBy),
+        appendBase = true,
         txn = Some((appId, batchId)), op = "txn-append")
       maintainStats(df.sparkSession, root, v, statsCols)
       maintainBlooms(df.sparkSession, root, v, Nil, 0)
@@ -1198,6 +1200,83 @@ object Versioned {
       op = "delete")
     maintainStats(spark, root, v, Nil)
     maintainBlooms(spark, root, v, Nil, 0)
+    v
+  }
+
+  /** Atomic predicate replacement (Delta's `replaceWhere` — THE
+    * partition-backfill idiom): ONE commit whose manifest drops every
+    * row matching `predicate` and adds `df`'s rows instead. `df` must
+    * contain only rows matching the predicate (validated with one
+    * count, exactly as Delta validates) so the operation stays the
+    * declarative "replace this region", never a disguised full
+    * overwrite. The match scan pre-prunes through the same sidecar +
+    * partition-path probes as DELETE, so re-deriving one partition of
+    * a 100 TB table scans and rewrites only that partition's files —
+    * and readers flip from old region to new region atomically at
+    * manifest publish. An empty match region degrades to a plain
+    * append of `df` (backfill into new territory). cdc = true stages
+    * the removed rows as `delete` and the new rows as `insert` change
+    * records so the feed stays derivable across the rewrite. */
+  def commitReplaceWhere(df: DataFrame, root: String,
+      predicate: org.apache.spark.sql.Column,
+      cdc: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsRoot(root)
+    val parent = latestVersion(root)
+    require(parent > 0, s"no committed version at $root")
+    val (parentFiles, dvParent) =
+      splitEntries(readManifest(fs, rootPath, parent)._2)
+    requireNoDv(dvParent, root, "replaceWhere")
+    val strays = df.filter(not(coalesce(predicate, lit(false)))).count()
+    require(strays == 0L,
+      s"replaceWhere frame carries $strays rows OUTSIDE the predicate" +
+        " - widen the predicate or filter the frame (silently keeping" +
+        " them would turn a region replacement into a blind overwrite)")
+    val (predBounds, predEqs, predHashEqs) = predicateKeyStats(
+      spark.read.parquet(resolve(rootPath, parentFiles.head).toString),
+      predicate)
+    val candidates =
+      if (predBounds.isEmpty && predEqs.isEmpty && predHashEqs.isEmpty)
+        parentFiles
+      else admittedFiles(fs, rootPath, parent, parentFiles, predBounds,
+        predEqs, predHashEqs)
+    val skipped = { val c = candidates.toSet
+      parentFiles.filterNot(c) }
+    val (touched, unmatchedScanned) =
+      if (candidates.isEmpty) (Nil, Nil)
+      else touchedFiles(spark, fs, rootPath, candidates,
+        _.filter(predicate))
+    val untouched = skipped ++ unmatchedScanned
+    val keep = not(coalesce(predicate, lit(false)))
+    val touchedScan =
+      if (touched.isEmpty) None
+      else Some(spark.read
+        .parquet(touched.map(resolve(rootPath, _).toString): _*))
+    val survivorsStaged = touchedScan
+      .map(t => stage(t.filter(keep), root)).getOrElse(Nil)
+    val cdcStaged =
+      if (!cdc) Nil
+      else {
+        val deletes = touchedScan.map(t =>
+          stageCdc(spark, fs, rootPath, t
+            .filter(coalesce(predicate, lit(false)))
+            .withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("delete"))))
+          .getOrElse(Nil)
+        deletes ++ stageCdc(spark, fs, rootPath, df.withColumn(
+          "_change_type", org.apache.spark.sql.functions.lit("insert")))
+      }
+    val v = commitFiles(root,
+      untouched ++ survivorsStaged ++ stage(df, root, partitionBy) ++
+        cdcStaged,
+      appendBase = false, expectedParent = Some(parent),
+      op = "replace-where")
+    maintainStats(spark, root, v, statsCols)
+    maintainBlooms(spark, root, v, bloomCols, 65536)
     v
   }
 

@@ -130,6 +130,23 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(purged.count() == 792L)
   }
 
+  test("CREATE TEMPORARY VIEW ... USING graft serves pure-SQL users") {
+    val root = slicedTable("graft_dsrc_ddl")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gds_ddl " +
+      s"USING graft OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) AS n FROM gds_ddl")
+      .head.getLong(0) == 800L)
+    assert(spark.sql("SELECT payload FROM gds_ddl WHERE k = 212")
+      .head.getLong(0) == 212L * 7)
+    assert(plannedFiles(
+      spark.sql("SELECT * FROM gds_ddl WHERE k = 212")) == 1)
+    // time travel through DDL options
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gds_v1 " +
+      s"USING graft OPTIONS (path '$root', versionAsOf '1')")
+    assert(spark.sql("SELECT count(*) AS n FROM gds_v1")
+      .head.getLong(0) == 100L)
+  }
+
   test("save modes honor existing tables") {
     val root = scratch("graft_dsrc_modes")
     spark.range(0, 10).toDF("k")

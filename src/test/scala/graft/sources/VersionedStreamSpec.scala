@@ -146,6 +146,33 @@ class VersionedStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("append-only"))
   }
 
+  test("writeStream.partitionBy commits micro-batches under the " +
+      "hive-style layout; the streamed table path-prunes") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    implicit val sqlCtx = spark.sqlContext
+    val out = freshDir("vsink_part") + "/t"
+    val ckpt = freshDir("vsink_part_ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = in.toDF().toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(4L)))
+      .writeStream.format("graft.sources.VersionedStream")
+      .option("root", out).option("checkpointLocation", ckpt)
+      .partitionBy("bucket").start()
+    in.addData(0L until 40L: _*)
+    try q.processAllAvailable() finally q.stop()
+    val back = Versioned.read(spark, out)
+    assert(back.count() == 40L)
+    assert(back.columns.sorted.toSeq == Seq("bucket", "k"),
+      "shadow partition dirs must never surface as columns")
+    val (kept, total) = Versioned.prunedFiles(out,
+      Map("bucket" -> (2L, 2L)))
+    assert(total >= 4 && kept.size < total,
+      s"bucket=2 admitted ${kept.size} of $total streamed files")
+    assert(Versioned.readPruned(spark, out, Map("bucket" -> (2L, 2L)))
+      .filter(col("bucket") === 2L).count() == 10L)
+  }
+
   test("startingTimestamp streams commits published AT or after the " +
       "instant (Delta's at-or-after boundary); an instant before the " +
       "first commit streams everything") {

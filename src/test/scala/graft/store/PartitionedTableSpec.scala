@@ -90,6 +90,63 @@ class PartitionedTableSpec extends SparkSpec {
       "the null partition cannot satisfy an equality probe")
   }
 
+  test("replaceWhere swaps one partition atomically, leaves the rest by reference") {
+    val root = scratch("graft_part_rw")
+    val df = spark.range(0, 240).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(6L)))
+      .withColumn("v", lit(1L))
+    Versioned.commitAppend(df, root, partitionBy = Seq("bucket"))
+    // a frame carrying rows OUTSIDE the predicate is refused loudly
+    val strays = spark.range(1000, 1010).toDF("k")
+      .withColumn("bucket", lit(3L)).withColumn("v", lit(2L))
+    intercept[IllegalArgumentException] {
+      Versioned.commitReplaceWhere(strays, root, col("bucket") === 2L)
+    }
+    val repl = spark.range(1000, 1010).toDF("k")
+      .withColumn("bucket", lit(2L)).withColumn("v", lit(2L))
+    Versioned.commitReplaceWhere(repl, root, col("bucket") === 2L,
+      partitionBy = Seq("bucket"))
+    val after = Versioned.read(spark, root)
+    assert(after.count() == 210L) // 200 untouched + 10 replacement
+    assert(after.filter(col("bucket") === 2L).count() == 10L)
+    assert(after.filter(col("bucket") === 2L)
+      .agg(sum("v")).head.getLong(0) == 20L)
+    assert(after.filter(col("bucket") =!= 2L)
+      .agg(sum("v")).head.getLong(0) == 200L)
+    // untouched partitions persist BY REFERENCE (no rewrite); the
+    // replaced partition's old files are gone from the new manifest
+    val v1Files = Versioned.files(root, 1L)
+    val v2Files = Versioned.files(root, 2L).toSet
+    assert(v1Files.filter(_.contains("__pi_bucket=1"))
+      .forall(v2Files.contains), "bucket 1 must not be rewritten")
+    assert(!v1Files.filter(_.contains("__pi_bucket=2"))
+      .exists(v2Files.contains), "old bucket 2 files must be dropped")
+    // an empty match region degrades to a plain append
+    val fresh = spark.range(2000, 2005).toDF("k")
+      .withColumn("bucket", lit(9L)).withColumn("v", lit(3L))
+    Versioned.commitReplaceWhere(fresh, root, col("bucket") === 9L)
+    assert(Versioned.read(spark, root).count() == 215L)
+    // time travel still sees the pre-replacement region
+    assert(Versioned.read(spark, root, 1L)
+      .filter(col("bucket") === 2L).count() == 40L)
+  }
+
+  test("replaceWhere with cdc stages exact delete+insert change records") {
+    val root = scratch("graft_part_rwcdc")
+    val df = spark.range(0, 60).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(3L)))
+    Versioned.commitAppend(df, root, partitionBy = Seq("bucket"))
+    val repl = spark.range(500, 504).toDF("k")
+      .withColumn("bucket", lit(1L))
+    Versioned.commitReplaceWhere(repl, root, col("bucket") === 1L,
+      cdc = true)
+    val feed = Versioned.readChangeFeed(spark, root, 1L)
+    assert(feed.filter(col("_change_type") === "delete").count() == 20L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 4L)
+    assert(feed.filter(col("_change_type") === "insert")
+      .agg(min("k")).head.getLong(0) == 500L)
+  }
+
   test("partition pruning composes with merge, DV delete and the format read") {
     val root = scratch("graft_part_mix")
     val df = spark.range(0, 240).toDF("k")
