@@ -1584,13 +1584,36 @@ object Versioned {
     * the sidecar at version v, or (Nil, empty) when absent — the bulk
     * loader for interval pruning and metadata counts, which consult
     * every manifest file's entry anyway. */
+  /** Driver-side LRU of fully-parsed stats shards, keyed by absolute
+    * shard path. Shards are IMMUTABLE by construction (commits write
+    * new ones, vacuum deletes dead ones, nothing rewrites in place),
+    * so a cached parse can never go stale — this is the snapshot-cache
+    * role Delta's DeltaLog plays: without it every query planning a
+    * pruned scan re-opens and re-parses the same sidecar bytes. Size-
+    * bounded; eviction only costs a re-parse. */
+  private val statsShardCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, Seq[Long]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Seq[Long]]])
+          : Boolean = size() > 64
+    })
+
   private def readStatsSidecar(fs: FileSystem, rootPath: Path, v: Long)
       : (Seq[String], Map[String, Seq[Long]]) =
     readStatsMeta(fs, rootPath, v) match {
       case None => (Nil, Map.empty)
       case Some(meta) =>
         (meta.cols, meta.shards.foldLeft(meta.inline) { (acc, s) =>
-          acc ++ readMetaShardEntries(fs, resolve(rootPath, s), null)
+          val key = resolve(rootPath, s).toString
+          val cached = statsShardCache.get(key)
+          acc ++ (if (cached != null) cached
+          else {
+            val parsed =
+              readMetaShardEntries(fs, resolve(rootPath, s), null)
+            statsShardCache.put(key, parsed)
+            parsed
+          })
         })
     }
 
@@ -2804,7 +2827,8 @@ object Versioned {
                     smallBytes: Long = 64L << 20,
                     beforePublish: Long => Unit = _ => (),
                     zorderBy: Seq[String] = Nil,
-                    zorderFiles: Int = 0): Long = {
+                    zorderFiles: Int = 0,
+                    partitionBy: Seq[String] = Nil): Long = {
     val (fs, rootPath) = fsRoot(root)
     val parent = latestVersion(root)
     require(parent > 0, s"no committed version at $root")
@@ -2833,13 +2857,37 @@ object Versioned {
     // boxes the append order never could. Contents are permutation-
     // identical either way; only the file layout changes.
     val packed =
-      if (zorderBy.isEmpty) smallScan.coalesce(nOut)
+      if (partitionBy.nonEmpty) {
+        // PARTITION-AWARE compaction: a flat rewrite of a partitioned
+        // table would erase its hive-style layout (and with it every
+        // later path-prune), so rows re-land under their partition
+        // dirs. One hash exchange on the partition columns gives each
+        // partition a single writer task — one compacted file per
+        // partition per OPTIMIZE (a partition larger than the target
+        // emits one larger file; Delta bin-packs within partitions,
+        // this keeps the single-exchange shape). With zorderBy, rows
+        // additionally sort on the z-curve WITHIN their partition, so
+        // parquet row-group stats inside each partition file stay
+        // multi-dimensionally tight (file-level stats are already
+        // partition-tight by construction).
+        import org.apache.spark.sql.functions.col
+        val byPart = smallScan.repartition(nOut,
+          partitionBy.map(col): _*)
+        if (zorderBy.isEmpty) byPart
+        else byPart.sortWithinPartitions(
+          partitionBy.map(col) :+
+            // one clustering column is a plain sort; the z-curve
+            // needs >= 2 dimensions to interleave
+            (if (zorderBy.size == 1) col(zorderBy.head)
+             else Layout.zValueN(zorderBy.map(col))): _*)
+      }
+      else if (zorderBy.isEmpty) smallScan.coalesce(nOut)
       else Layout.zorderN(smallScan,
         zorderBy.map(org.apache.spark.sql.functions.col),
         // explicit file-count override: the z-curve only prunes when
         // it's cut into enough pieces for a box to exclude some
         if (zorderFiles > 0) zorderFiles else nOut)
-    val packedRels = stage(packed, root)
+    val packedRels = stage(packed, root, partitionBy)
     // Compaction-specific conflict RESOLUTION (Delta's "blind appends
     // don't conflict with OPTIMIZE"): the rewrite changes no row, so a
     // concurrent commit that merely ADDED files is compatible — on a

@@ -893,6 +893,53 @@ object ScaleCanary {
     graft.store.Versioned.vacuum(zroot,
       graft.store.Versioned.latestVersion(zroot))
 
+    // Partitioned layout at 5M rows / 32 day-partitions: a day probe
+    // plans ~1/32 of the files with ZERO sidecar bytes read (the path
+    // IS the metadata), and a replaceWhere backfill of one day leaves
+    // every other partition's files in the manifest by reference —
+    // the two invariants that make partition layout THE first-order
+    // skip at 100 TB.
+    val proot = java.nio.file.Files
+      .createTempDirectory("graft_canary_part").toString + "/t"
+    val pdf = spark.range(nE).select(col("id").as("k"),
+      pmod(xxhash64(col("id"), lit(9)), lit(32)).as("day"),
+      (col("id") * 7L).as("m"))
+    time("partitioned commit (5M)") {
+      graft.store.Versioned.commitAppend(pdf, proot,
+        partitionBy = Seq("day"))
+    }
+    val (pKept, pTotal) = time("partition prune (1/32)") {
+      graft.store.Versioned.prunedFiles(proot, Map("day" -> (17L, 17L)))
+    }
+    require(pKept.size * 16 <= pTotal,
+      s"day probe admitted ${pKept.size} of $pTotal files")
+    val day17Before = graft.store.Versioned.readPruned(spark, proot,
+      Map("day" -> (17L, 17L))).filter(col("day") === 17L).count()
+    val pOthers = graft.store.Versioned.files(proot, 1L)
+      .filterNot(_.contains("__pi_day=17")).toSet
+    val pRepl = spark.range(1000L).select(
+      (col("id") + 10000000L).as("k"), lit(17L).as("day"),
+      lit(0L).as("m"))
+    val vRw = time("replaceWhere one day (5M)") {
+      graft.store.Versioned.commitReplaceWhere(pRepl, proot,
+        col("day") === 17L, partitionBy = Seq("day"))
+    }
+    require(pOthers.subsetOf(
+      graft.store.Versioned.files(proot, vRw).toSet),
+      "replaceWhere rewrote untouched partitions")
+    val day17After = graft.store.Versioned.read(spark, proot)
+      .filter(col("day") === 17L).count()
+    require(day17After == 1000L,
+      s"replaced day carries $day17After rows, expected 1000")
+    val pTotalRows = graft.store.Versioned.read(spark, proot).count()
+    require(pTotalRows == nE - day17Before + 1000L,
+      s"post-replace count drifted: $pTotalRows vs " +
+        s"$nE - $day17Before + 1000")
+    println(s"[canary]   partition prune ${pKept.size}/$pTotal files, " +
+      s"replaceWhere swapped $day17Before -> 1000 rows, others by ref")
+    graft.store.Versioned.vacuum(proot,
+      graft.store.Versioned.latestVersion(proot))
+
     // Gopher quality rules at 500k docs: one scan-fused integer
     // projection — the rule pass prices at scan throughput. The
     // synthetic w-token corpus fails the stop rule by design, so the

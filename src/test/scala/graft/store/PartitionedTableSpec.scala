@@ -147,6 +147,34 @@ class PartitionedTableSpec extends SparkSpec {
       .agg(min("k")).head.getLong(0) == 500L)
   }
 
+  test("partition-aware compaction keeps the hive layout and the path prune") {
+    val root = scratch("graft_part_compact")
+    (0 until 5).foreach { i =>
+      val df = spark.range(i * 40L, i * 40L + 40L).toDF("k")
+        .withColumn("bucket", pmod(col("k"), lit(4L)))
+      Versioned.commitAppend(df, root, partitionBy = Seq("bucket"))
+    }
+    val before = Versioned.files(root).size
+    val sumBefore = Versioned.read(spark, root)
+      .agg(sum("k")).head.getLong(0)
+    Versioned.commitCompact(spark, root,
+      partitionBy = Seq("bucket"), zorderBy = Seq("k"))
+    val afterFiles = Versioned.files(root)
+    assert(afterFiles.size < before,
+      s"compaction left ${afterFiles.size} of $before files")
+    assert(afterFiles.forall(_.contains("__pi_bucket=")),
+      "the hive layout must survive compaction")
+    val after = Versioned.read(spark, root)
+    assert(after.count() == 200L)
+    assert(after.agg(sum("k")).head.getLong(0) == sumBefore)
+    val (kept, total) = Versioned.prunedFiles(root,
+      Map("bucket" -> (1L, 1L)))
+    assert(kept.size < total,
+      s"post-compaction prune admitted ${kept.size} of $total")
+    assert(Versioned.readPruned(spark, root, Map("bucket" -> (1L, 1L)))
+      .filter(col("bucket") === 1L).count() == 50L)
+  }
+
   test("partition pruning composes with merge, DV delete and the format read") {
     val root = scratch("graft_part_mix")
     val df = spark.range(0, 240).toDF("k")
