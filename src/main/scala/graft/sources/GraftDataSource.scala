@@ -85,6 +85,23 @@ class GraftDataSource extends RelationProvider
       : BaseRelation = {
     val root = rootOf(parameters)
     val spark = sqlContext.sparkSession
+    // batch change-feed read (Delta's CDF shape): rows changed over
+    // (startingVersion, endingVersion], stamped _change_type +
+    // _commit_version — cost tracks the DELTA, never the table
+    if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
+      val from = opt(parameters, "startingVersion").map(_.toLong)
+        .orElse(opt(parameters, "startingTimestamp").map { ts =>
+          require(ts.nonEmpty && ts.forall(_.isDigit),
+            s"startingTimestamp must be epoch millis, got '$ts'")
+          math.max(0L, Versioned.versionAtOrAfter(root, ts.toLong)
+            .getOrElse(Versioned.latestVersion(root) + 1) - 1L)
+        })
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed needs startingVersion or startingTimestamp"))
+      val to = opt(parameters, "endingVersion").map(_.toLong)
+        .getOrElse(0L)
+      return new GraftCdfRelation(sqlContext, root, from, to)
+    }
     val version = resolveVersion(root, parameters)
     require(version > 0, s"no committed version at $root")
     if (Versioned.hasDeleteVectors(root, version))
@@ -213,6 +230,40 @@ private[sources] final class GraftDvRelation(
       else filtered.select(requiredColumns.map(col).toSeq: _*)
     pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
+}
+
+/** Batch change-data-feed relation: the exact row changes over
+  * (startingVersion, endingVersion], derived from the commit log's
+  * file algebra (and cdc sidecars across rewrites) by
+  * [[Versioned.readChangeFeed]]. A metadata-driven computed scan —
+  * filters re-apply above it, so none are claimed here. */
+private[sources] final class GraftCdfRelation(
+    override val sqlContext: SQLContext, root: String,
+    fromVersion: Long, toVersion: Long)
+    extends BaseRelation with TableScan {
+
+  private def feed: DataFrame = {
+    val spark = sqlContext.sparkSession
+    val to =
+      if (toVersion == 0L) Versioned.latestVersion(root) else toVersion
+    if (fromVersion >= to)
+      // changeless range: the feed's exact shape, zero rows (the
+      // readChangeFeedSince tolerance, not an error)
+      Versioned.read(spark, root).limit(0)
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("none"))
+        .withColumn("_commit_version",
+          org.apache.spark.sql.functions.lit(0L))
+    else Versioned.readChangeFeed(spark, root, fromVersion, to,
+      emptyOk = true)
+  }
+
+  override val schema: StructType = feed.schema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] =
+    feed.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 /** Translation from Spark filter languages (Catalyst expressions for

@@ -147,6 +147,32 @@ class GraftDataSourceSpec extends SparkSpec {
       .head.getLong(0) == 100L)
   }
 
+  test("batch change feed through format options") {
+    val root = scratch("graft_dsrc_cdf")
+    spark.range(0, 20).toDF("k")
+      .write.format("graft").mode("append").save(root)
+    spark.range(20, 30).toDF("k")
+      .write.format("graft").mode("append").save(root)
+    Versioned.commitDeleteVectors(spark, root, col("k") < 5L)
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(root)
+    assert(feed.columns.contains("_change_type") &&
+      feed.columns.contains("_commit_version"))
+    assert(feed.filter(col("_change_type") === "insert").count() == 10L)
+    assert(feed.filter(col("_change_type") === "delete").count() == 5L)
+    // ending bound cuts the range
+    assert(spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "2")
+      .load(root).count() == 10L)
+    // an empty range answers empty, not an error
+    val v = Versioned.latestVersion(root)
+    assert(spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v.toString).load(root).count() == 0L)
+  }
+
   test("save modes honor existing tables") {
     val root = scratch("graft_dsrc_modes")
     spark.range(0, 10).toDF("k")
