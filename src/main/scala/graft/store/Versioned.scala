@@ -545,7 +545,9 @@ object Versioned {
         if (p.endsWith(".parquet"))
           out += p.stripPrefix(rootUri).stripPrefix("/")
       }
-      require(out.nonEmpty, s"partitioned stage wrote no parquet under $dir")
+      // an empty frame stages no files — the same tolerance as the
+      // flat branch (a rewrite whose touched files lose every row
+      // legitimately stages nothing; callers compose untouched files)
       out.sorted.toSeq
     }
   }
@@ -597,6 +599,23 @@ object Versioned {
               .forall(_.contains(hashKeyOf(raw)))
       }
     }
+
+  /** The partition layout `files` share, or Nil: the partition column
+    * sequence when EVERY file's path carries the identical one. The
+    * auto-preserve probe every copy-on-write rewrite (merge, delete,
+    * purge, replaceWhere survivors, compaction) runs before staging,
+    * so rewriting rows never silently flattens a partitioned table —
+    * at 100 TB the layout IS the first-order file skip, and a
+    * compaction that erased it would quietly turn every later
+    * partition-probe into a full-manifest admit. Mixed or absent
+    * layouts detect as Nil (plain staging, exactly the old
+    * behavior). */
+  private def detectPartitionBy(files: Seq[String]): Seq[String] = {
+    if (files.isEmpty) return Nil
+    val sets = files.map(f => partitionKv(f).map(_._1))
+    if (sets.head.nonEmpty && sets.forall(_ == sets.head)) sets.head
+    else Nil
+  }
 
   /** Latest transaction batch id committed at `root` by `appId`, or
     * None. Scans manifest headers newest-first — driver-side and
@@ -1121,14 +1140,15 @@ object Versioned {
       else touchedFiles(spark, fs, rootPath, candidates,
         _.join(updKeys, keys, "left_semi"))
     val untouched = skipped ++ unmatchedScanned
+    val layout = detectPartitionBy(parentFiles)
     val (staged, cdcStaged) =
       if (touched.isEmpty)
-        (stage(updates, root), cdcOf(None)) // pure insert
+        (stage(updates, root, layout), cdcOf(None)) // pure insert
       else {
         val touchedScan = spark.read
           .parquet(touched.map(resolve(rootPath, _).toString): _*)
         val survivors = touchedScan.join(updKeys, keys, "left_anti")
-        (stage(survivors.unionByName(updates), root),
+        (stage(survivors.unionByName(updates), root, layout),
           cdcOf(Some(touchedScan.join(updKeys, keys, "left_semi"))))
       }
     val v = commitFiles(root, untouched ++ staged ++ cdcStaged,
@@ -1195,7 +1215,9 @@ object Versioned {
         .withColumn("_change_type",
           org.apache.spark.sql.functions.lit("delete")))
     val v = commitFiles(root,
-      untouched ++ stage(survivors, root) ++ cdcStaged,
+      untouched ++
+        stage(survivors, root, detectPartitionBy(parentFiles)) ++
+        cdcStaged,
       appendBase = false, expectedParent = Some(parent),
       op = "delete")
     maintainStats(spark, root, v, Nil)
@@ -1252,12 +1274,17 @@ object Versioned {
         _.filter(predicate))
     val untouched = skipped ++ unmatchedScanned
     val keep = not(coalesce(predicate, lit(false)))
+    // the table's own layout wins when the caller didn't name one, so
+    // a region replacement never flattens a partitioned table
+    val layout =
+      if (partitionBy.nonEmpty) partitionBy
+      else detectPartitionBy(parentFiles)
     val touchedScan =
       if (touched.isEmpty) None
       else Some(spark.read
         .parquet(touched.map(resolve(rootPath, _).toString): _*))
     val survivorsStaged = touchedScan
-      .map(t => stage(t.filter(keep), root)).getOrElse(Nil)
+      .map(t => stage(t.filter(keep), root, layout)).getOrElse(Nil)
     val cdcStaged =
       if (!cdc) Nil
       else {
@@ -1271,7 +1298,7 @@ object Versioned {
           "_change_type", org.apache.spark.sql.functions.lit("insert")))
       }
     val v = commitFiles(root,
-      untouched ++ survivorsStaged ++ stage(df, root, partitionBy) ++
+      untouched ++ survivorsStaged ++ stage(df, root, layout) ++
         cdcStaged,
       appendBase = false, expectedParent = Some(parent),
       op = "replace-where")
@@ -2758,7 +2785,7 @@ object Versioned {
           .take(1).nonEmpty
         if (!wrote) { fs.delete(dir, true); Nil } else staged
       }
-    val stagedData = stage(updates, root)
+    val stagedData = stage(updates, root, detectPartitionBy(dataFiles))
     val v = commitFiles(root, entries ++ stagedDv ++ stagedData,
       appendBase = false, expectedParent = Some(parent),
       op = "mor-merge")
@@ -2793,7 +2820,7 @@ object Versioned {
     val survivors = applyDv(spark, fs, rootPath,
       spark.read.parquet(
         touched.map(resolve(rootPath, _).toString): _*), dvFiles)
-    val staged = stage(survivors, root)
+    val staged = stage(survivors, root, detectPartitionBy(dataFiles))
     val v = commitFiles(root, untouched ++ staged, appendBase = false,
       expectedParent = Some(parent), op = "dv-purge")
     maintainStats(spark, root, v, Nil)
@@ -2856,8 +2883,14 @@ object Versioned {
     // intervals, so the recomputed sidecar prunes multi-dimensional
     // boxes the append order never could. Contents are permutation-
     // identical either way; only the file layout changes.
+    // the packed files' layout: the caller's explicit choice, else the
+    // small files' own detected layout — OPTIMIZE must never flatten a
+    // partitioned table as a side effect
+    val layout =
+      if (partitionBy.nonEmpty) partitionBy
+      else detectPartitionBy(small.map(_._1))
     val packed =
-      if (partitionBy.nonEmpty) {
+      if (layout.nonEmpty) {
         // PARTITION-AWARE compaction: a flat rewrite of a partitioned
         // table would erase its hive-style layout (and with it every
         // later path-prune), so rows re-land under their partition
@@ -2872,10 +2905,10 @@ object Versioned {
         // partition-tight by construction).
         import org.apache.spark.sql.functions.col
         val byPart = smallScan.repartition(nOut,
-          partitionBy.map(col): _*)
+          layout.map(col): _*)
         if (zorderBy.isEmpty) byPart
         else byPart.sortWithinPartitions(
-          partitionBy.map(col) :+
+          layout.map(col) :+
             // one clustering column is a plain sort; the z-curve
             // needs >= 2 dimensions to interleave
             (if (zorderBy.size == 1) col(zorderBy.head)
@@ -2887,7 +2920,7 @@ object Versioned {
         // explicit file-count override: the z-curve only prunes when
         // it's cut into enough pieces for a box to exclude some
         if (zorderFiles > 0) zorderFiles else nOut)
-    val packedRels = stage(packed, root, partitionBy)
+    val packedRels = stage(packed, root, layout)
     // Compaction-specific conflict RESOLUTION (Delta's "blind appends
     // don't conflict with OPTIMIZE"): the rewrite changes no row, so a
     // concurrent commit that merely ADDED files is compatible — on a

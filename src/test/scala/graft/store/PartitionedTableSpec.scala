@@ -147,6 +147,43 @@ class PartitionedTableSpec extends SparkSpec {
       .agg(min("k")).head.getLong(0) == 500L)
   }
 
+  test("every rewrite auto-preserves the layout: merge, delete, DV purge, compact") {
+    val root = scratch("graft_part_auto")
+    val df = spark.range(0, 120).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(4L)))
+      .withColumn("v", col("k"))
+    Versioned.commitAppend(df, root, partitionBy = Seq("bucket"))
+    def allPartitioned(): Boolean = Versioned.files(root)
+      .forall(f => f.contains("__pi_bucket=") || f.contains("/cdc/"))
+    // copy-on-write MERGE re-lands survivors + updates partitioned
+    val upd = spark.range(0, 10).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(4L)))
+      .withColumn("v", col("k") + 1000L)
+    Versioned.commitMerge(upd, root, Seq("k"))
+    assert(allPartitioned(), "merge flattened the layout")
+    // copy-on-write DELETE
+    Versioned.commitDelete(spark, root, col("k") === 5L)
+    assert(allPartitioned(), "delete flattened the layout")
+    // deletion-vector delete + purge (tombstone keys stay consistent
+    // across the partition dirs' extra path segment)
+    Versioned.commitDeleteVectors(spark, root, col("k") === 6L)
+    Versioned.commitPurgeDeleteVectors(spark, root)
+    assert(Versioned.files(root).forall(_.contains("__pi_bucket=")),
+      "purge flattened the layout")
+    // compaction auto-detects the layout with no param
+    Versioned.commitCompact(spark, root)
+    assert(allPartitioned(), "compaction flattened the layout")
+    // pruning still engages and contents survived the whole chain
+    val (kept, total) = Versioned.prunedFiles(root,
+      Map("bucket" -> (2L, 2L)))
+    assert(kept.size < total)
+    val t = Versioned.read(spark, root)
+    assert(t.count() == 118L) // 120 - k=5 - k=6
+    val lowSum = t.filter(col("k") < 10L).agg(sum("v")).head.getLong(0)
+    assert(lowSum == (0 until 10).filter(x => x != 5 && x != 6)
+      .map(_ + 1000L).sum)
+  }
+
   test("partition-aware compaction keeps the hive layout and the path prune") {
     val root = scratch("graft_part_compact")
     (0 until 5).foreach { i =>
