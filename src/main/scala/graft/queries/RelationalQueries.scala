@@ -2161,6 +2161,51 @@ object RelationalQueries {
                 FROM base) AS cents_live,
                (SELECT CAST(count(*) AS BIGINT) FROM b3) AS n_del,
                (SELECT CAST(sum(cents + 5000) AS BIGINT) FROM b3)
-                 AS cents_ins"""))
+                 AS cents_ins""")),
+
+    // ------------------------------------------------------------------
+    // CHECK CONSTRAINTS (Delta's table constraints): named SQL
+    // predicates enforced on every staged write through the single
+    // stage() choke point — a violating batch fails LOUDLY before any
+    // data bytes land (the requires pin both the refusal and that the
+    // table version did not advance), adding a rule the existing data
+    // breaks is refused, and the valid half commits normally. Oracle
+    // replays the surviving contents as a plain aggregate.
+    QuerySpec("q263_check_constraints",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_cons_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        graft.store.Versioned.commitAppend(
+          orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L), root)
+        graft.store.Versioned.addCheckConstraint(s, root,
+          "cents_nonneg", "cents >= 0")
+        val before = graft.store.Versioned.latestVersion(root)
+        val threw =
+          try {
+            graft.store.Versioned.commitAppend(
+              orders.filter(pmod(col("o_orderkey"), lit(2L)) === 1L)
+                .withColumn("cents", col("cents") - lit(1L << 60)),
+              root)
+            false
+          } catch { case _: IllegalArgumentException => true }
+        require(threw, "a violating batch must be refused")
+        require(graft.store.Versioned.latestVersion(root) == before,
+          "a refused batch must not advance the table")
+        graft.store.Versioned.commitAppend(
+          orders.filter(pmod(col("o_orderkey"), lit(2L)) === 1L), root)
+        graft.store.Versioned.read(s, root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("cents_sum"),
+            min(col("cents")).as("cents_min"))
+      },
+      Some(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS cents_sum,
+               CAST(min(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS cents_min
+        FROM orders"""))
   )
 }

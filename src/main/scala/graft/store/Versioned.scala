@@ -496,9 +496,131 @@ object Versioned {
   /** Stage `df`'s parquet files into a fresh `data/<uuid>/` directory;
     * returns their root-relative paths. Nothing is visible until
     * [[commitFiles]] publishes a manifest listing them. */
+  // ------------------------------------------------------------------
+  // CHECK CONSTRAINTS (Delta's table constraints): named SQL
+  // predicates every staged write batch must satisfy before its
+  // commit publishes. Stored in `constraints.json` beside the
+  // manifests — table-level metadata OUTSIDE the version history,
+  // like the skipping sidecars (a RESTORE changes data, not rules).
+  // Enforcement rides [[stage]], the single choke point every data
+  // write passes through (append, txn-append, overwrite, merge,
+  // delete survivors, replaceWhere, compaction), so no commit path
+  // can forget it; one aggregate pass over the staged rows when
+  // constraints exist, zero cost otherwise. SQL semantics: a NULL
+  // predicate PASSES (violation = provably FALSE), exactly the
+  // standard's CHECK behavior.
+
+  private def constraintsPath(rootPath: Path): Path =
+    new Path(rootPath, "constraints.json")
+
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def jsonUnesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => b += other; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** The table's CHECK constraints, name → SQL predicate (empty when
+    * none were ever added). */
+  def checkConstraints(root: String): Seq[(String, String)] = {
+    val (fs, rootPath) = fsRoot(root)
+    val p = constraintsPath(rootPath)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    // one `"name": "escaped-expr"` pair per line, written by
+    // writeConstraints — no JSON parser dependency needed
+    "\"((?:[^\"\\\\]|\\\\.)*)\":\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(text)
+      .map(m => (jsonUnesc(m.group(1)), jsonUnesc(m.group(2)))).toSeq
+  }
+
+  private def writeConstraints(fs: FileSystem, rootPath: Path,
+                               cons: Seq[(String, String)]): Unit =
+    if (cons.isEmpty) { fs.delete(constraintsPath(rootPath), false); () }
+    else writeFile(fs, constraintsPath(rootPath),
+      "{\n" + cons.map { case (n, e) =>
+        s"""  "${jsonEsc(n)}": "${jsonEsc(e)}"""" }.mkString(",\n") +
+        "\n}")
+
+  /** Add a named CHECK constraint. The CURRENT snapshot is validated
+    * first (Delta does the same): adding a rule the existing data
+    * already breaks would make every later commit fail for rows the
+    * writer never touched. Re-adding a name replaces its predicate
+    * (after the same validation). */
+  def addCheckConstraint(spark: SparkSession, root: String,
+                         name: String, predicate: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    val (fs, rootPath) = fsRoot(root)
+    if (latestVersion(root) > 0) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val bad = read(spark, root)
+        .filter(not(coalesce(expr(predicate), lit(true)))).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint $name: $bad existing rows of " +
+          s"$root already violate ($predicate)")
+    }
+    val others = checkConstraints(root).filterNot(_._1 == name)
+    writeConstraints(fs, rootPath, others :+ (name -> predicate))
+  }
+
+  /** Remove a CHECK constraint by name (no-op when absent). */
+  def dropCheckConstraint(root: String, name: String): Unit = {
+    val (fs, rootPath) = fsRoot(root)
+    writeConstraints(fs, rootPath,
+      checkConstraints(root).filterNot(_._1 == name))
+  }
+
+  /** Fail LOUDLY if any staged row provably violates a CHECK
+    * constraint — one aggregate pass counting violations per
+    * constraint, so the error names the rule and the row count
+    * instead of leaving a poisoned table behind. */
+  private def enforceConstraints(df: DataFrame, root: String): Unit = {
+    val cons = checkConstraints(root)
+    if (cons.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val aggs = cons.map { case (n, e) =>
+      sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L))
+        .as(n) }
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    cons.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(bad == 0L,
+        s"CHECK constraint $n violated by $bad staged rows: ($e) - " +
+          "nothing was committed")
+    }
+  }
+
   private[store] def stage(df: DataFrame, root: String,
                            partitionBy: Seq[String] = Nil)
       : Seq[String] = {
+    enforceConstraints(df, root)
     val (fs, rootPath) = fsRoot(root)
     fs.mkdirs(rootPath)
     val uuid = java.util.UUID.randomUUID().toString
