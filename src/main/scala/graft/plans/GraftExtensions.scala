@@ -34,6 +34,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TsLiteralPushdown)
+    // SQL INSERT INTO/OVERWRITE on `USING graft` relations must commit
+    // through the manifest protocol; the generic file-source insert
+    // would write unlisted parquet straight into the table dir
+    // (invisible rows = silent data loss). Resolution-batch placement
+    // beats the post-hoc DataSourceAnalysis to the statement.
+    ext.injectResolutionRule(_ => new GraftInsertRule)
     // Native expressions as SQL functions (graft_dot, graft_jaro_winkler
     // …): the same descriptions graft.functions.Registry.register
     // installs post-hoc, here wired at session build time.

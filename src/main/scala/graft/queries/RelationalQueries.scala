@@ -2206,6 +2206,64 @@ object RelationalQueries {
                  AS cents_sum,
                CAST(min(${Exact.centsSql("o_totalprice")}) AS BIGINT)
                  AS cents_min
-        FROM orders"""))
+        FROM orders""")),
+
+    // ------------------------------------------------------------------
+    // SQL DML over the store: INSERT INTO / UPDATE / DELETE FROM /
+    // MERGE INTO on a `USING graft` temp view, every statement routed
+    // through the manifest protocol by the session-extension rule
+    // (GraftInsertRule) — versions, time travel and history behave
+    // exactly as the Scala API (the require pins one version per
+    // statement). Without the rule, INSERT would write unlisted
+    // parquet into the table dir (invisible rows) and the other three
+    // would fail analysis. Oracle replays the statement sequence as
+    // CASE/filter algebra.
+    QuerySpec("q264_sql_dml",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_dml_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format("graft").mode("append").save(root)
+        orders.createOrReplaceTempView("graft_q264_orders")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q264_t " +
+          s"USING graft OPTIONS (path '$root')")
+        s.sql("INSERT INTO graft_q264_t " +
+          "SELECT o_orderkey, cents FROM graft_q264_orders " +
+          "WHERE o_orderkey % 2 = 1")
+        s.sql("UPDATE graft_q264_t SET cents = cents + 100 " +
+          "WHERE o_orderkey % 10 = 0")
+        s.sql("DELETE FROM graft_q264_t WHERE o_orderkey % 7 = 0")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q264_src AS " +
+          "SELECT o_orderkey, CAST(77 AS BIGINT) AS cents " +
+          "FROM graft_q264_orders WHERE o_orderkey % 5 = 1")
+        s.sql("MERGE INTO graft_q264_t USING graft_q264_src " +
+          "ON graft_q264_t.o_orderkey = graft_q264_src.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        require(graft.store.Versioned.latestVersion(root) == 5L,
+          "each DML statement must publish exactly one version")
+        graft.store.Versioned.read(s, root)
+          .agg(count(lit(1)).as("n_live"),
+            sum(col("cents")).as("cents_live"),
+            sum(when(pmod(col("o_orderkey"), lit(5L)) === 1L, 1L)
+              .otherwise(0L)).as("n_merged"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 ${Exact.centsSql("o_totalprice")} AS cents
+          FROM orders),
+        live AS (
+          SELECT k, CASE WHEN k % 5 = 1 THEN 77
+                         WHEN k % 10 = 0 THEN cents + 100
+                         ELSE cents END AS cents
+          FROM base WHERE k % 7 <> 0 OR k % 5 = 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_live,
+               CAST(sum(cents) AS BIGINT) AS cents_live,
+               CAST(sum(CASE WHEN k % 5 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_merged
+        FROM live"""))
   )
 }

@@ -157,7 +157,7 @@ class GraftDataSource extends RelationProvider
   * between them. Untranslatable filters admit; every filter is still
   * applied row-wise by the scan above, so admission is never a
   * correctness gate. */
-final class GraftFileIndex(spark: SparkSession, root: String,
+final class GraftFileIndex(spark: SparkSession, val root: String,
                            val version: Long) extends FileIndex {
 
   private val statuses: Seq[FileStatus] =
@@ -200,8 +200,9 @@ final class GraftFileIndex(spark: SparkSession, root: String,
   * InternalRow RDD (`needConversion = false`). Spark re-applies every
   * filter above this scan, so only translatable probes matter here —
   * they bound IO, not answers. */
-private[sources] final class GraftDvRelation(
-    override val sqlContext: SQLContext, root: String, version: Long)
+private[graft] final class GraftDvRelation(
+    override val sqlContext: SQLContext, val root: String,
+    version: Long)
     extends BaseRelation with PrunedFilteredScan {
 
   private def spark = sqlContext.sparkSession

@@ -739,6 +739,16 @@ object Versioned {
     else Nil
   }
 
+  /** [[detectPartitionBy]] over the LATEST version's data files — the
+    * layout an append that cannot name one (SQL INSERT INTO) should
+    * land under. Nil on an empty table or a mixed layout. */
+  private[graft] def currentLayout(root: String): Seq[String] = {
+    if (latestVersion(root) == 0L) return Nil
+    val (fs, rootPath) = fsRoot(root)
+    detectPartitionBy(
+      splitEntries(readManifest(fs, rootPath, latestVersion(root))._2)._1)
+  }
+
   /** Latest transaction batch id committed at `root` by `appId`, or
     * None. Scans manifest headers newest-first — driver-side and
     * manifest-sized like every metadata op here. */
@@ -1342,6 +1352,83 @@ object Versioned {
         cdcStaged,
       appendBase = false, expectedParent = Some(parent),
       op = "delete")
+    maintainStats(spark, root, v, Nil)
+    maintainBlooms(spark, root, v, Nil, 0)
+    v
+  }
+
+  /** Copy-on-write UPDATE (SQL `UPDATE t SET c = e WHERE p`): rewrite
+    * ONLY the files holding a matching row, with each matched row's
+    * assigned columns replaced (ANSI-cast to the column's existing
+    * type — a lossy narrowing throws, it never corrupts) and every
+    * other row byte-identical; untouched files ride into the new
+    * manifest by reference. The match scan pre-prunes through the
+    * same sidecar + partition-path probes as DELETE, so an update
+    * touching one partition's rows rewrites only that partition's
+    * files. cdc = true stages the matched rows' old values as
+    * `delete` and new values as `insert` (CDC's canonical update
+    * encoding). A condition matching nothing is a metadata no-op. */
+  def commitUpdate(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      cdc: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val (fs, rootPath) = fsRoot(root)
+    val parent = latestVersion(root)
+    require(parent > 0, s"no committed version at $root")
+    val (parentFiles, dvParent) =
+      splitEntries(readManifest(fs, rootPath, parent)._2)
+    requireNoDv(dvParent, root, "copy-on-write UPDATE")
+    val probe = spark.read
+      .parquet(resolve(rootPath, parentFiles.head).toString)
+    val schema = probe.schema
+    assignments.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"UPDATE assigns unknown column $c (table has " +
+          s"${schema.fieldNames.mkString(", ")})") }
+    val flag = "__graft_update_matched"
+    require(!schema.fieldNames.contains(flag),
+      s"column name $flag is reserved by UPDATE")
+    val (predBounds, predEqs, predHashEqs) =
+      predicateKeyStats(probe, condition)
+    val candidates =
+      if (predBounds.isEmpty && predEqs.isEmpty && predHashEqs.isEmpty)
+        parentFiles
+      else admittedFiles(fs, rootPath, parent, parentFiles, predBounds,
+        predEqs, predHashEqs)
+    val skipped = { val c = candidates.toSet
+      parentFiles.filterNot(c) }
+    if (candidates.isEmpty) return parent
+    val (touched, unmatchedScanned) = touchedFiles(spark, fs, rootPath,
+      candidates, _.filter(condition))
+    if (touched.isEmpty) return parent
+    val untouched = skipped ++ unmatchedScanned
+    // the matched flag is computed ONCE over the original values —
+    // assignments may change the very columns the condition reads
+    val flagged = spark.read
+      .parquet(touched.map(resolve(rootPath, _).toString): _*)
+      .withColumn(flag, coalesce(condition, lit(false)))
+    val assignMap = assignments.toMap
+    val rewritten = flagged.select(
+      (schema.fields.toSeq.map { f =>
+        assignMap.get(f.name)
+          .map(v => when(col(flag), v.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      } :+ col(flag)): _*)
+    val cdcStaged =
+      if (!cdc) Nil
+      else stageCdc(spark, fs, rootPath,
+        flagged.filter(col(flag)).drop(flag)
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(rewritten.filter(col(flag)).drop(flag)
+            .withColumn("_change_type", lit("insert"))))
+    val v = commitFiles(root,
+      untouched ++
+        stage(rewritten.drop(flag), root,
+          detectPartitionBy(parentFiles)) ++ cdcStaged,
+      appendBase = false, expectedParent = Some(parent), op = "update")
     maintainStats(spark, root, v, Nil)
     maintainBlooms(spark, root, v, Nil, 0)
     v

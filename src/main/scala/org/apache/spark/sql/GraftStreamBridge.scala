@@ -39,6 +39,23 @@ object GraftStreamBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(cdf.sparkSession, node)
   }
 
+  /** Plan → DataFrame seam for commands handed a resolved
+    * LogicalPlan (the graft INSERT command): `Dataset.ofRows` is
+    * `private[sql]`, this is its sanctioned doorway. */
+  def ofRows(session: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical
+               .LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
+
+  /** Expression → Column seam (the classic `ExpressionUtils.column`
+    * is `private[sql]`): lets the graft DML commands re-issue a
+    * resolved statement predicate as a DataFrame filter. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** The inverse seam, for DSv1 SINKS: the DataFrame handed to
     * `Sink.addBatch` is streaming-flagged, so direct batch actions on
     * it throw "must be executed with writeStream.start()". Re-wrap its

@@ -147,6 +147,78 @@ class GraftDataSourceSpec extends SparkSpec {
       .head.getLong(0) == 100L)
   }
 
+  test("SQL INSERT INTO commits through the manifest protocol") {
+    val root = scratch("graft_dsrc_ins")
+    spark.range(0, 10).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(2L)))
+      .write.format("graft").mode("append")
+      .option("partitionBy", "bucket").save(root)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ins_t " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO ins_t VALUES (100, 0)")
+    assert(Versioned.latestVersion(root) == 2L,
+      "INSERT must publish a manifest version")
+    assert(Versioned.read(spark, root).count() == 11L,
+      "inserted rows must be visible to protocol reads")
+    assert(Versioned.files(root).forall(_.contains("__pi_bucket=")),
+      "SQL appends must land under the table's own layout")
+    spark.sql("INSERT INTO ins_t SELECT id + 200, id % 2 FROM range(3)")
+    assert(Versioned.read(spark, root).count() == 14L)
+    // INSERT OVERWRITE = overwrite commit; history stays readable
+    spark.sql("INSERT OVERWRITE ins_t VALUES (7, 1)")
+    assert(Versioned.read(spark, root).count() == 1L)
+    assert(Versioned.read(spark, root, 2L).count() == 11L)
+    // nothing bypassed the protocol into the table root
+    assert(!new java.io.File(root).listFiles()
+      .exists(f => f.getName.endsWith(".parquet") ||
+        f.getName == "_SUCCESS"),
+      "no orphan files may land beside the manifests")
+  }
+
+  test("SQL DELETE, UPDATE and MERGE route through the commit protocol") {
+    import spark.implicits._
+    val root = scratch("graft_dsrc_dml")
+    spark.range(0, 100).toDF("k").withColumn("v", col("k") * 2L)
+      .write.format("graft").mode("append").save(root)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dml_t " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("UPDATE dml_t SET v = v + 1000 WHERE k < 10")
+    assert(Versioned.read(spark, root).count() == 100L)
+    assert(Versioned.read(spark, root).filter(col("k") < 10L)
+      .agg(sum("v")).head.getLong(0) ==
+      (0 until 10).map(k => 2L * k + 1000L).sum)
+    // copy-on-write DELETE (no tombstones yet)
+    spark.sql("DELETE FROM dml_t WHERE k >= 90")
+    assert(Versioned.read(spark, root).count() == 90L)
+    // a DV-carrying table stays merge-on-read under SQL DELETE
+    Versioned.commitDeleteVectors(spark, root, col("k") === 0L)
+    spark.sql("DELETE FROM dml_t WHERE k = 1")
+    assert(Versioned.hasDeleteVectors(root))
+    assert(Versioned.read(spark, root).count() == 88L)
+    // canonical-upsert MERGE (purge first: commitMerge is CoW)
+    Versioned.commitPurgeDeleteVectors(spark, root)
+    spark.range(85, 95).toDF("k").withColumn("v", lit(7L))
+      .createOrReplaceTempView("dml_src")
+    spark.sql("MERGE INTO dml_t USING dml_src ON dml_t.k = dml_src.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(Versioned.read(spark, root).count() == 93L,
+      "5 matched updates + 5 re-inserts of deleted keys")
+    assert(Versioned.read(spark, root)
+      .filter(col("k") >= 85L && col("k") < 95L)
+      .agg(sum("v")).head.getLong(0) == 70L)
+    // the statements read back as ordinary commits
+    val ops = Versioned.history(spark, root)
+      .select("operation").as[String].collect().toSet
+    assert(Set("update", "delete", "merge").subsetOf(ops), s"ops=$ops")
+    // an unsupported merge shape names what IS supported
+    val ex = intercept[Exception] {
+      spark.sql("MERGE INTO dml_t USING dml_src ON dml_t.k = dml_src.k " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(ex.getMessage.contains("canonical upsert"))
+  }
+
   test("batch change feed through format options") {
     val root = scratch("graft_dsrc_cdf")
     spark.range(0, 20).toDF("k")
