@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (invisible rows = silent data loss). Resolution-batch placement
     // beats the post-hoc DataSourceAnalysis to the statement.
     ext.injectResolutionRule(_ => new GraftInsertRule)
+    // DV-carrying format("graft") reads become native scan+anti-join
+    // plans (vectorized parquet + codegen preserved); optimizer-side so
+    // EVERY execution re-applies the live snapshot's tombstones — see
+    // the rule's doc for why the analyzer cannot host this
+    ext.injectOptimizerRule(session => new GraftDvReadRule(session))
     // Native expressions as SQL functions (graft_dot, graft_jaro_winkler
     // …): the same descriptions graft.functions.Registry.register
     // installs post-hoc, here wired at session build time.

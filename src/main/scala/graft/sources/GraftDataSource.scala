@@ -44,12 +44,24 @@ import graft.store.Versioned
   * millis) time travel, mutually exclusive; `mergeSchema` unions the
   * schemas of all live files instead of trusting the first.
   *
+  * SNAPSHOT RESOLUTION IS LAZY for untravelled reads: a relation
+  * resolved once (a `CREATE TEMPORARY VIEW ... USING graft`, a catalog
+  * table entry) re-resolves the LATEST version at every `listFiles`
+  * call, so SQL reads through a long-lived view observe later commits
+  * — read-your-writes for the pure-SQL audience (Delta resolves the
+  * snapshot at listFiles time for the same reason). `versionAsOf` /
+  * `timestampAsOf` pin, exactly as asked.
+  *
   * WRITE maps SaveMode onto the commit log: Append → `commitAppend`,
   * Overwrite → `commitOverwrite` (history stays readable, vacuum
   * reclaims), ErrorIfExists / Ignore honor existing versions.
   * `statsCols` / `bloomCols` (comma-separated) maintain the skipping
-  * sidecars exactly as the Scala API does. */
+  * sidecars exactly as the Scala API does. [[SchemaRelationProvider]]
+  * makes `CREATE TABLE t (cols...) USING graft` legal before any data
+  * is committed: the declared schema serves the typed empty relation
+  * until the first commit writes the schema of record. */
 class GraftDataSource extends RelationProvider
+    with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -65,8 +77,11 @@ class GraftDataSource extends RelationProvider
     parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase(name) => v }
 
-  private def resolveVersion(root: String,
-                             parameters: Map[String, String]): Long = {
+  /** Explicitly-pinned version, or None for "latest, resolved lazily
+    * per scan". */
+  private def pinnedVersion(root: String,
+                            parameters: Map[String, String])
+      : Option[Long] = {
     val asOfV = opt(parameters, "versionAsOf")
     val asOfTs = opt(parameters, "timestampAsOf")
     require(asOfV.isEmpty || asOfTs.isEmpty,
@@ -77,11 +92,21 @@ class GraftDataSource extends RelationProvider
           s"timestampAsOf must be epoch millis, got '$ts'")
         Versioned.versionAt(root, ts.toLong)
       })
-      .getOrElse(Versioned.latestVersion(root))
   }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String])
+      : BaseRelation =
+    createRelation(sqlContext, parameters, None)
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters, Some(schema))
+
+  private def createRelation(sqlContext: SQLContext,
+                             parameters: Map[String, String],
+                             userSchema: Option[StructType])
       : BaseRelation = {
     val root = rootOf(parameters)
     val spark = sqlContext.sparkSession
@@ -102,17 +127,29 @@ class GraftDataSource extends RelationProvider
         .getOrElse(0L)
       return new GraftCdfRelation(sqlContext, root, from, to)
     }
-    val version = resolveVersion(root, parameters)
-    require(version > 0, s"no committed version at $root")
-    if (Versioned.hasDeleteVectors(root, version))
-      new GraftDvRelation(sqlContext, root, version)
+    val pinned = pinnedVersion(root, parameters)
+    val creationVersion = pinned.getOrElse(Versioned.latestVersion(root))
+    require(creationVersion > 0 || userSchema.nonEmpty ||
+      Versioned.tableSchema(root).nonEmpty,
+      s"no committed version at $root (and no declared schema to " +
+        "serve an empty relation from)")
+    if (creationVersion > 0 &&
+        Versioned.hasDeleteVectors(root, creationVersion))
+      // correct without session extensions (self-contained anti-join
+      // RDD); with GraftExtensions, GraftDvReadRule replaces this per
+      // query with the native scan + logical anti-join plan, keeping
+      // whole-stage codegen and the vectorized parquet reader
+      new GraftDvRelation(sqlContext, root, pinned, creationVersion)
     else {
-      val index = new GraftFileIndex(spark, root, version)
+      val index = new GraftFileIndex(spark, root, pinned)
+      val files = index.inputFiles
       val dataSchema =
-        if (opt(parameters, "mergeSchema").exists(_.toBoolean))
+        if (files.isEmpty)
+          Versioned.tableSchema(root).orElse(userSchema).get
+        else if (opt(parameters, "mergeSchema").exists(_.toBoolean))
           spark.read.option("mergeSchema", "true")
-            .parquet(index.inputFiles.toSeq: _*).schema
-        else spark.read.parquet(index.inputFiles.head).schema
+            .parquet(files.toSeq: _*).schema
+        else index.schemaOf
       HadoopFsRelation(index, new StructType(), dataSchema, None,
         new ParquetFileFormat, parameters)(spark)
     }
@@ -156,16 +193,55 @@ class GraftDataSource extends RelationProvider
   * predicate pushdown becomes the store's file skipping with no API
   * between them. Untranslatable filters admit; every filter is still
   * applied row-wise by the scan above, so admission is never a
-  * correctness gate. */
+  * correctness gate.
+  *
+  * `pinned = None` means "the LATEST version, re-resolved at every
+  * listFiles call" — a relation resolved once into a temp view or a
+  * catalog table keeps seeing new commits (the snapshot is chosen per
+  * scan, Delta's TahoeLogFileIndex semantics); a DML command that
+  * advanced the table needs no invalidation hook. The per-version
+  * snapshot is cached, so repeated scans of an unchanged table pay one
+  * manifest read. `dvApplied = true` marks an index planned UNDER the
+  * logical anti-join [[graft.plans.GraftDvReadRule]] builds — the
+  * guard below must not re-fire for it. */
 final class GraftFileIndex(spark: SparkSession, val root: String,
-                           val version: Long) extends FileIndex {
+                           val pinned: Option[Long],
+                           val dvApplied: Boolean = false)
+    extends FileIndex {
 
-  private val statuses: Seq[FileStatus] =
-    Versioned.dataFileStatuses(root, version)
-  private val byPath: Map[String, FileStatus] =
-    statuses.map(s => s.getPath.toString -> s).toMap
-  private val schemaOf: StructType =
-    spark.read.parquet(statuses.head.getPath.toString).schema
+  def this(spark: SparkSession, root: String, version: Long) =
+    this(spark, root, Some(version))
+
+  /** The version this scan reads: pinned, or latest-right-now. */
+  def resolvedVersion: Long =
+    pinned.getOrElse(Versioned.latestVersion(root))
+
+  // per-version snapshot cache: (version, statuses). Version 0 (an
+  // uncommitted table) holds zero files.
+  @volatile private var cached: (Long, Seq[FileStatus]) = (-1L, Nil)
+
+  private def snapshot(): (Long, Seq[FileStatus]) = {
+    val v = resolvedVersion
+    val c = cached
+    if (c._1 == v) c
+    else {
+      val fresh =
+        (v, if (v == 0L) Nil else Versioned.dataFileStatuses(root, v))
+      cached = fresh
+      fresh
+    }
+  }
+
+  /** Schema used for probe translation and (when files exist) as the
+    * relation's data schema: the schema of record when persisted, a
+    * head-file footer otherwise. */
+  private[graft] lazy val schemaOf: StructType =
+    Versioned.tableSchema(root).getOrElse {
+      val (_, statuses) = snapshot()
+      require(statuses.nonEmpty,
+        s"$root holds no data files and no schema of record")
+      spark.read.parquet(statuses.head.getPath.toString).schema
+    }
 
   override val rootPaths: Seq[Path] = Seq(new Path(root))
 
@@ -174,12 +250,30 @@ final class GraftFileIndex(spark: SparkSession, val root: String,
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
+    val (version, statuses) = snapshot()
+    // planning data files alone over live tombstones would RESURRECT
+    // deleted rows; GraftDvReadRule (installed by GraftExtensions)
+    // rewrites such reads into scan + anti-join before execution, so
+    // reaching this guard means the rule isn't installed
+    require(dvApplied || version == 0L ||
+      !Versioned.hasDeleteVectors(root, version),
+      s"$root carries deletion vectors at version $version: install " +
+        "graft.plans.GraftExtensions (spark.sql.extensions) so reads " +
+        "apply them (a relation analyzed BEFORE the tombstone commit " +
+        "must be re-created), or read via graft.store.Versioned.read")
+    if (statuses.isEmpty)
+      // uncommitted or emptied table: zero files, and no schema is
+      // needed to say so
+      return Seq(PartitionDirectory(InternalRow.empty,
+        Array.empty[FileStatus]))
     val probes = GraftProbes.fromCatalyst(
       partitionFilters ++ dataFilters, schemaOf)
     val kept: Seq[FileStatus] =
-      if (probes.contradiction) Nil
+      if (probes.contradiction || version == 0L) Nil
       else if (probes.isEmpty) statuses
       else {
+        val byPath: Map[String, FileStatus] =
+          statuses.map(s => s.getPath.toString -> s).toMap
         val (admitted, _) = Versioned.admittedDataFiles(root, version,
           probes.bounds, probes.equalitySets, probes.hashEqualitySets)
         admitted.flatMap(byPath.get)
@@ -188,27 +282,33 @@ final class GraftFileIndex(spark: SparkSession, val root: String,
   }
 
   override def inputFiles: Array[String] =
-    statuses.map(_.getPath.toString).toArray
+    snapshot()._2.map(_.getPath.toString).toArray
 
-  override def refresh(): Unit = ()
+  override def refresh(): Unit = cached = (-1L, Nil)
 
-  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def sizeInBytes: Long = snapshot()._2.map(_.getLen).sum
 }
 
 /** Deletion-vector fallback relation: admitted files + tombstone
   * anti-join composed by the store's single scan path, surfaced as an
   * InternalRow RDD (`needConversion = false`). Spark re-applies every
   * filter above this scan, so only translatable probes matter here —
-  * they bound IO, not answers. */
+  * they bound IO, not answers. Like the file index, an unpinned
+  * relation re-resolves the latest version per scan. With
+  * GraftExtensions installed this relation never executes:
+  * GraftDvReadRule replaces it with the native logical plan. */
 private[graft] final class GraftDvRelation(
     override val sqlContext: SQLContext, val root: String,
-    version: Long)
+    val pinned: Option[Long], creationVersion: Long)
     extends BaseRelation with PrunedFilteredScan {
 
   private def spark = sqlContext.sparkSession
 
+  private def scanVersion: Long =
+    pinned.getOrElse(Versioned.latestVersion(root))
+
   override val schema: StructType =
-    Versioned.read(spark, root, version).schema
+    Versioned.read(spark, root, creationVersion).schema
 
   // buildScan returns InternalRows (the contract this flag selects);
   // the declared RDD[Row] element type is erased at runtime
@@ -216,6 +316,7 @@ private[graft] final class GraftDvRelation(
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    val version = scanVersion
     val probes = GraftProbes.fromSources(filters, schema)
     val base =
       if (probes.contradiction)
@@ -243,7 +344,9 @@ private[sources] final class GraftCdfRelation(
     fromVersion: Long, toVersion: Long)
     extends BaseRelation with TableScan {
 
-  private def feed: DataFrame = {
+  // ONE derivation serving both schema and buildScan (the frame is
+  // metadata-derived; computing it twice was pure waste)
+  private lazy val feed: DataFrame = {
     val spark = sqlContext.sparkSession
     val to =
       if (toVersion == 0L) Versioned.latestVersion(root) else toVersion

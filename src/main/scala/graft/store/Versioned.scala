@@ -431,14 +431,15 @@ object Versioned {
     }
 
   /** Atomically publish a fully-written `tmp` as `target`, failing —
-    * never replacing — if `target` already exists. Returns true on
-    * success, false on a detected version collision. */
-  private def publishExclusive(fs: FileSystem, tmp: Path, target: Path,
-                               writer: String, rootPath: Path,
-                               v: Long): Boolean = {
+    * never replacing — if `target` already exists; `tmp` is consumed
+    * either way. Returns true on success, false on a detected
+    * collision. The one exclusive-create primitive every versioned
+    * root-level file (manifests, constraint states) publishes
+    * through. */
+  private def exclusiveCreate(fs: FileSystem, tmp: Path,
+                              target: Path): Boolean = {
     val scheme = String.valueOf(target.toUri.getScheme).toLowerCase
-    val won =
-      if (condPutSchemes(scheme)) {
+    if (condPutSchemes(scheme)) {
         // Object stores: rename is copy+delete and silently replaces,
         // so the exclusive primitive is the CONDITIONAL PUT
         // (If-None-Match), surfaced through the FileSystem contract as
@@ -486,12 +487,18 @@ object Versioned {
             false }
         if (!renamed) { fs.delete(tmp, false); false } else true
       }
-    // Second check: re-read the published manifest's writer token. On a
-    // store whose rename is not strictly exclusive, a racer may have
-    // replaced us between publish and here — treat that as a loss and
-    // retry rather than silently orphaning the other writer's commit.
-    won && readManifest(fs, rootPath, v)._1 == writer
   }
+
+  /** [[exclusiveCreate]] for manifests, plus a second check: re-read
+    * the published manifest's writer token. On a store whose rename is
+    * not strictly exclusive, a racer may have replaced us between
+    * publish and here — treat that as a loss and retry rather than
+    * silently orphaning the other writer's commit. */
+  private def publishExclusive(fs: FileSystem, tmp: Path, target: Path,
+                               writer: String, rootPath: Path,
+                               v: Long): Boolean =
+    exclusiveCreate(fs, tmp, target) &&
+      readManifest(fs, rootPath, v)._1 == writer
 
   /** Stage `df`'s parquet files into a fresh `data/<uuid>/` directory;
     * returns their root-relative paths. Nothing is visible until
@@ -512,6 +519,70 @@ object Versioned {
 
   private def constraintsPath(rootPath: Path): Path =
     new Path(rootPath, "constraints.json")
+
+  /** Constraint state is VERSIONED (`constraints-v<n>.json`, highest n
+    * wins) and published through the same exclusive-create primitive as
+    * manifests, so two concurrent ALTERs compose instead of one losing
+    * its rule to a read-modify-write race. The unversioned
+    * `constraints.json` is read as legacy state (version 0) for tables
+    * written before this scheme. Vacuum never touches root-level
+    * `constraints-*` files. */
+  private def constraintsVersionPath(rootPath: Path, n: Long): Path =
+    new Path(rootPath, s"constraints-v$n.json")
+
+  private def latestConstraintsVersion(fs: FileSystem,
+                                       rootPath: Path): Long = {
+    if (!fs.exists(rootPath)) return 0L
+    fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .collect {
+        case n if n.startsWith("constraints-v") && n.endsWith(".json") =>
+          n.stripPrefix("constraints-v").stripSuffix(".json").toLong
+      }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Table schema of record (`schema.json`, maintained by [[stage]] at
+    * every data write): what makes a ZERO-data-file version — a legal
+    * state after a delete that removes every row — readable as a typed
+    * empty frame, and what lets metadata paths learn the schema without
+    * a parquet footer read. Advisory for skipping, authoritative only
+    * for the empty-table read. */
+  private def schemaPath(rootPath: Path): Path =
+    new Path(rootPath, "schema.json")
+
+  /** The persisted schema of record, when one was ever written. */
+  def tableSchema(root: String): Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, rootPath) = fsRoot(root)
+    val p = schemaPath(rootPath)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(text))
+      .toOption.collect {
+        case s: org.apache.spark.sql.types.StructType => s }
+  }
+
+  private def writeTableSchema(fs: FileSystem, rootPath: Path,
+                               schema: org.apache.spark.sql.types.StructType)
+      : Unit =
+    try writeFile(fs, schemaPath(rootPath), schema.json)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Typed EMPTY frame in the schema of record — the read of a version
+    * whose manifest lists zero data files. */
+  private def emptyTyped(spark: SparkSession, root: String): DataFrame = {
+    val schema = tableSchema(root).getOrElse(
+      throw new IllegalStateException(
+        s"version at $root lists no data files and no schema of " +
+          "record (schema.json) survives - the table predates " +
+          "empty-state support; recommit any data to repair"))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   private def jsonEsc(s: String): String =
     s.flatMap {
@@ -541,10 +612,14 @@ object Versioned {
   }
 
   /** The table's CHECK constraints, name → SQL predicate (empty when
-    * none were ever added). */
+    * none were ever added). Reads the highest `constraints-v<n>.json`,
+    * falling back to the legacy unversioned `constraints.json`. */
   def checkConstraints(root: String): Seq[(String, String)] = {
     val (fs, rootPath) = fsRoot(root)
-    val p = constraintsPath(rootPath)
+    val n = latestConstraintsVersion(fs, rootPath)
+    val p =
+      if (n > 0L) constraintsVersionPath(rootPath, n)
+      else constraintsPath(rootPath)
     if (!fs.exists(p)) return Nil
     val in = fs.open(p)
     val text = try {
@@ -553,54 +628,81 @@ object Versioned {
       new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
     // one `"name": "escaped-expr"` pair per line, written by
-    // writeConstraints — no JSON parser dependency needed
+    // publishConstraints — no JSON parser dependency needed
     "\"((?:[^\"\\\\]|\\\\.)*)\":\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findAllMatchIn(text)
       .map(m => (jsonUnesc(m.group(1)), jsonUnesc(m.group(2)))).toSeq
   }
 
-  private def writeConstraints(fs: FileSystem, rootPath: Path,
-                               cons: Seq[(String, String)]): Unit =
-    if (cons.isEmpty) { fs.delete(constraintsPath(rootPath), false); () }
-    else writeFile(fs, constraintsPath(rootPath),
-      "{\n" + cons.map { case (n, e) =>
-        s"""  "${jsonEsc(n)}": "${jsonEsc(e)}"""" }.mkString(",\n") +
-        "\n}")
+  /** Publish a new constraint state through the manifest's exclusive-
+    * create primitive: `transform` is re-applied to the FRESHLY-READ
+    * state on every collision retry, so concurrent ALTERs compose
+    * instead of losing one rule to a read-modify-write race. */
+  private def publishConstraints(root: String,
+      transform: Seq[(String, String)] => Seq[(String, String)]): Unit = {
+    val (fs, rootPath) = fsRoot(root)
+    fs.mkdirs(rootPath)
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val cons = transform(checkConstraints(root))
+      val n = latestConstraintsVersion(fs, rootPath) + 1L
+      val body = "{\n" + cons.map { case (c, e) =>
+        s"""  "${jsonEsc(c)}": "${jsonEsc(e)}"""" }.mkString(",\n") +
+        "\n}"
+      val target = constraintsVersionPath(rootPath, n)
+      val tmp = new Path(rootPath,
+        s".constraints-v$n-${java.util.UUID.randomUUID()}.tmp")
+      writeFile(fs, tmp, body)
+      if (exclusiveCreate(fs, tmp, target)) return
+      // lost the race: re-read the racer's state and re-apply
+    }
+    throw new IllegalStateException(
+      s"gave up publishing constraints to $root after 20 retries")
+  }
 
-  /** Add a named CHECK constraint. The CURRENT snapshot is validated
-    * first (Delta does the same): adding a rule the existing data
-    * already breaks would make every later commit fail for rows the
-    * writer never touched. Re-adding a name replaces its predicate
-    * (after the same validation). */
+  /** Add a named CHECK constraint. The predicate is PARSED first (a
+    * typo'd expression would otherwise poison every subsequent write),
+    * then the CURRENT snapshot is validated (Delta does the same):
+    * adding a rule the existing data already breaks would make every
+    * later commit fail for rows the writer never touched. Re-adding a
+    * name replaces its predicate (after the same validation). */
   def addCheckConstraint(spark: SparkSession, root: String,
                          name: String, predicate: String): Unit = {
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '_'),
       s"constraint name must be [A-Za-z0-9_]+, got '$name'")
-    val (fs, rootPath) = fsRoot(root)
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    // parse BEFORE storing — throws ParseException on malformed SQL
+    // whether or not the table holds data yet (functions.expr defers
+    // parsing to analysis, so invoke the parser directly)
+    spark.sessionState.sqlParser.parseExpression(predicate)
+    val parsed = expr(predicate)
     if (latestVersion(root) > 0) {
-      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
       val bad = read(spark, root)
-        .filter(not(coalesce(expr(predicate), lit(true)))).count()
+        .filter(not(coalesce(parsed, lit(true)))).count()
       require(bad == 0L,
         s"cannot add CHECK constraint $name: $bad existing rows of " +
           s"$root already violate ($predicate)")
     }
-    val others = checkConstraints(root).filterNot(_._1 == name)
-    writeConstraints(fs, rootPath, others :+ (name -> predicate))
+    publishConstraints(root,
+      _.filterNot(_._1 == name) :+ (name -> predicate))
   }
 
   /** Remove a CHECK constraint by name (no-op when absent). */
-  def dropCheckConstraint(root: String, name: String): Unit = {
-    val (fs, rootPath) = fsRoot(root)
-    writeConstraints(fs, rootPath,
-      checkConstraints(root).filterNot(_._1 == name))
-  }
+  def dropCheckConstraint(root: String, name: String): Unit =
+    publishConstraints(root, _.filterNot(_._1 == name))
 
   /** Fail LOUDLY if any staged row provably violates a CHECK
     * constraint — one aggregate pass counting violations per
     * constraint, so the error names the rule and the row count
-    * instead of leaving a poisoned table behind. */
+    * instead of leaving a poisoned table behind. Runs over the STAGED
+    * BYTES, never the input frame: re-evaluating the frame would
+    * compute it twice AND — for a non-deterministic input (rand(),
+    * current_timestamp, an unstable shuffle re-execution) — validate
+    * DIFFERENT rows than the ones being committed, letting violating
+    * rows slip past the CHECK (Delta validates at write time for the
+    * same reason). */
   private def enforceConstraints(df: DataFrame, root: String): Unit = {
     val cons = checkConstraints(root)
     if (cons.isEmpty) return
@@ -617,12 +719,43 @@ object Versioned {
     }
   }
 
+  /** A scan of just-staged manifest entries (root-relative), or None
+    * when the batch staged no files. */
+  private def stagedScan(spark: SparkSession, rootPath: Path,
+                         staged: Seq[String]): Option[DataFrame] =
+    if (staged.isEmpty) None
+    else Some(spark.read
+      .parquet(staged.map(resolve(rootPath, _).toString): _*))
+
   private[store] def stage(df: DataFrame, root: String,
                            partitionBy: Seq[String] = Nil)
       : Seq[String] = {
-    enforceConstraints(df, root)
+    val staged = stageUnchecked(df, root, partitionBy)
+    // validate constraints on the bytes as written; a violating batch
+    // deletes its own staging dir so nothing leaks (the table never
+    // referenced it)
+    val (fs, rootPath) = fsRoot(root)
+    stagedScan(df.sparkSession, rootPath, staged).foreach { scan =>
+      try enforceConstraints(scan, root)
+      catch {
+        case e: Throwable =>
+          // every staged entry is data/<uuid>/... — drop the commit dir
+          staged.map(_.split('/').take(2).mkString("/")).distinct
+            .foreach(d => try fs.delete(resolve(rootPath, d), true)
+              catch { case scala.util.control.NonFatal(_) => () })
+          throw e
+      }
+    }
+    staged
+  }
+
+  private def stageUnchecked(df: DataFrame, root: String,
+                             partitionBy: Seq[String]): Seq[String] = {
     val (fs, rootPath) = fsRoot(root)
     fs.mkdirs(rootPath)
+    // schema of record: what keeps a zero-data-file version readable
+    // as a typed empty frame (last write wins; advisory metadata)
+    writeTableSchema(fs, rootPath, df.schema)
     val uuid = java.util.UUID.randomUUID().toString
     val dir = new Path(new Path(rootPath, "data"), uuid)
     if (partitionBy.isEmpty) {
@@ -790,9 +923,13 @@ object Versioned {
                                  txn: Option[(String, Long)] = None,
                                  expectedParent: Option[Long] = None,
                                  txnDedupe: Boolean = true,
-                                 op: String = "")
+                                 op: String = "",
+                                 emptyOk: Boolean = false)
       : Long = {
-    require(added.nonEmpty,
+    // rewrite commits (emptyOk) may legitimately compose ZERO files —
+    // a delete that removes every row — and the schema of record keeps
+    // that version readable; blind appends of nothing stay refused
+    require(added.nonEmpty || emptyOk,
       s"refusing to commit an empty batch to $root: the staged write " +
         "produced no parquet files and a version listing no files is " +
         "unreadable (filter empty micro-batches out before committing)")
@@ -862,7 +999,13 @@ object Versioned {
                    bloomCols: Seq[String] = Nil,
                    bloomBits: Int = 65536,
                    partitionBy: Seq[String] = Nil): Long = {
-    val v = commitFiles(root, stage(df, root, partitionBy),
+    // an append that names no layout lands under the table's own:
+    // partition columns behave as table metadata (Delta's semantics),
+    // so a plain append can never silently flatten a partitioned
+    // table and cost every later prober its path-level skip
+    val layout =
+      if (partitionBy.nonEmpty) partitionBy else currentLayout(root)
+    val v = commitFiles(root, stage(df, root, layout),
       appendBase = true, op = "append")
     maintainStats(df.sparkSession, root, v, statsCols)
     maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
@@ -887,7 +1030,10 @@ object Versioned {
     if (latestTxnBatch(root, appId).exists(_ >= batchId))
       latestVersion(root) // known duplicate: skip even the data write
     else {
-      val v = commitFiles(root, stage(df, root, partitionBy),
+      // same layout-as-table-metadata default as [[commitAppend]]
+      val layout =
+        if (partitionBy.nonEmpty) partitionBy else currentLayout(root)
+      val v = commitFiles(root, stage(df, root, layout),
         appendBase = true,
         txn = Some((appId, batchId)), op = "txn-append")
       maintainStats(df.sparkSession, root, v, statsCols)
@@ -1309,6 +1455,7 @@ object Versioned {
     val (parentFiles, dvParent) =
       splitEntries(readManifest(fs, rootPath, parent)._2)
     requireNoDv(dvParent, root, "copy-on-write DELETE")
+    if (parentFiles.isEmpty) return parent // already empty: no-op
     // sidecar pre-pruning from the predicate's own literal conjuncts:
     // files whose stats/bloom metadata provably fails a necessary
     // comparison never enter the match scan
@@ -1351,7 +1498,7 @@ object Versioned {
         stage(survivors, root, detectPartitionBy(parentFiles)) ++
         cdcStaged,
       appendBase = false, expectedParent = Some(parent),
-      op = "delete")
+      op = "delete", emptyOk = true)
     maintainStats(spark, root, v, Nil)
     maintainBlooms(spark, root, v, Nil, 0)
     v
@@ -1380,6 +1527,7 @@ object Versioned {
     val (parentFiles, dvParent) =
       splitEntries(readManifest(fs, rootPath, parent)._2)
     requireNoDv(dvParent, root, "copy-on-write UPDATE")
+    if (parentFiles.isEmpty) return parent // no rows to update: no-op
     val probe = spark.read
       .parquet(resolve(rootPath, parentFiles.head).toString)
     val schema = probe.schema
@@ -1462,14 +1610,35 @@ object Versioned {
     val (parentFiles, dvParent) =
       splitEntries(readManifest(fs, rootPath, parent)._2)
     requireNoDv(dvParent, root, "replaceWhere")
-    val strays = df.filter(not(coalesce(predicate, lit(false)))).count()
-    require(strays == 0L,
-      s"replaceWhere frame carries $strays rows OUTSIDE the predicate" +
-        " - widen the predicate or filter the frame (silently keeping" +
-        " them would turn a region replacement into a blind overwrite)")
-    val (predBounds, predEqs, predHashEqs) = predicateKeyStats(
-      spark.read.parquet(resolve(rootPath, parentFiles.head).toString),
-      predicate)
+    // the table's own layout wins when the caller didn't name one, so
+    // a region replacement never flattens a partitioned table
+    val layout =
+      if (partitionBy.nonEmpty) partitionBy
+      else detectPartitionBy(parentFiles)
+    // stage the replacement FIRST, then validate on the bytes as
+    // written — the frame is computed exactly once, so the rows
+    // checked against the region predicate (and the CHECK
+    // constraints, inside stage) are the rows being committed even
+    // for a non-deterministic input
+    val newStaged = stage(df, root, layout)
+    val newScan = stagedScan(spark, rootPath, newStaged)
+    newScan.map(_.filter(not(coalesce(predicate, lit(false)))).count())
+      .filter(_ > 0L).foreach { strays =>
+        newStaged.map(_.split('/').take(2).mkString("/")).distinct
+          .foreach(d => try fs.delete(resolve(rootPath, d), true)
+            catch { case scala.util.control.NonFatal(_) => () })
+        throw new IllegalArgumentException(
+          s"replaceWhere frame carries $strays rows OUTSIDE the " +
+            "predicate - widen the predicate or filter the frame " +
+            "(silently keeping them would turn a region replacement " +
+            "into a blind overwrite)")
+      }
+    val (predBounds, predEqs, predHashEqs) =
+      if (parentFiles.isEmpty) (Map.empty[String, (Long, Long)],
+        Map.empty[String, Seq[Long]], Map.empty[String, Seq[Long]])
+      else predicateKeyStats(
+        spark.read.parquet(resolve(rootPath, parentFiles.head).toString),
+        predicate)
     val candidates =
       if (predBounds.isEmpty && predEqs.isEmpty && predHashEqs.isEmpty)
         parentFiles
@@ -1483,11 +1652,6 @@ object Versioned {
         _.filter(predicate))
     val untouched = skipped ++ unmatchedScanned
     val keep = not(coalesce(predicate, lit(false)))
-    // the table's own layout wins when the caller didn't name one, so
-    // a region replacement never flattens a partitioned table
-    val layout =
-      if (partitionBy.nonEmpty) partitionBy
-      else detectPartitionBy(parentFiles)
     val touchedScan =
       if (touched.isEmpty) None
       else Some(spark.read
@@ -1503,14 +1667,16 @@ object Versioned {
             .withColumn("_change_type",
               org.apache.spark.sql.functions.lit("delete"))))
           .getOrElse(Nil)
-        deletes ++ stageCdc(spark, fs, rootPath, df.withColumn(
-          "_change_type", org.apache.spark.sql.functions.lit("insert")))
+        // insert records from the staged bytes, not a re-evaluation
+        deletes ++ newScan.map(n => stageCdc(spark, fs, rootPath,
+          n.withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))))
+          .getOrElse(Nil)
       }
     val v = commitFiles(root,
-      untouched ++ survivorsStaged ++ stage(df, root, layout) ++
-        cdcStaged,
+      untouched ++ survivorsStaged ++ newStaged ++ cdcStaged,
       appendBase = false, expectedParent = Some(parent),
-      op = "replace-where")
+      op = "replace-where", emptyOk = true)
     maintainStats(spark, root, v, statsCols)
     maintainBlooms(spark, root, v, bloomCols, 65536)
     v
@@ -1585,8 +1751,9 @@ object Versioned {
     require(v > 0 && fs.exists(manifestPath(rootPath, v)),
       s"no committed version $v at $root")
     val (files, dvFiles) = splitEntries(readManifest(fs, rootPath, v)._2)
-    require(files.nonEmpty,
-      s"version $v at $root lists no data files - corrupt or empty commit")
+    // zero data files is a LEGAL state (a delete that removed every
+    // row): serve the typed empty frame from the schema of record
+    if (files.isEmpty) return emptyTyped(spark, root)
     applyDv(spark, fs, rootPath,
       spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(files.map(resolve(rootPath, _).toString): _*),
@@ -2611,6 +2778,7 @@ object Versioned {
     require(parent > 0, s"no committed version at $root")
     val entries = readManifest(fs, rootPath, parent)._2
     val (dataFiles, dvFiles) = splitEntries(entries)
+    if (dataFiles.isEmpty) return parent // already empty: no-op
     // prune the tombstone scan exactly like copy-on-write DELETE
     val (predBounds, predEqs, predHashEqs) = predicateKeyStats(
       spark.read.parquet(resolve(rootPath, dataFiles.head).toString),

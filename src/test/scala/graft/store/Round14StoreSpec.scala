@@ -1,0 +1,127 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-14 write-path contracts: constraints validated on the staged
+  * bytes and published race-safely, and partition layout behaving as
+  * table metadata for every append path. */
+class Round14StoreSpec extends SparkSpec {
+
+  private def scratch(tag: String): String =
+    graft.util.TempDirs.scratch(tag)
+
+  test("constraints validate the STAGED bytes - a non-deterministic " +
+      "frame cannot slip violating rows past the CHECK") {
+    val root = scratch("graft_r14_nondet")
+    Versioned.commitAppend(spark.range(10).toDF("k")
+      .withColumn("v", lit(1L)), root)
+    Versioned.addCheckConstraint(spark, root, "v_small", "v < 1000000")
+    // rand() re-evaluates per action: were the constraint checked on a
+    // SEPARATE pass over the input, the validated rows would not be
+    // the written rows. Checking the staged files makes the outcome
+    // exact either way: whatever landed is what was judged.
+    val nondet = spark.range(1000).toDF("k")
+      .withColumn("v", (rand() * 2000000).cast("long"))
+    val before = Versioned.latestVersion(root)
+    val threw =
+      try { Versioned.commitAppend(nondet, root); false }
+      catch { case _: IllegalArgumentException => true }
+    assert(threw, "a frame with ~50% violating rows must be refused")
+    assert(Versioned.latestVersion(root) == before)
+    // the refused staging directory must not leak files
+    val (fs, rootPath) = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    val dataDir = new org.apache.hadoop.fs.Path(rootPath, "data")
+    val commitDirs = fs.listStatus(dataDir).count(_.isDirectory)
+    assert(commitDirs == 1,
+      s"refused staging dirs must be cleaned up, found $commitDirs")
+  }
+
+  test("malformed constraint predicates are refused at ADD time, " +
+      "even on an empty table") {
+    val root = scratch("graft_r14_badpred")
+    val threw =
+      try {
+        Versioned.addCheckConstraint(spark, root, "broken",
+          "v >>>> NOT SQL")
+        false
+      } catch { case _: Exception => true }
+    assert(threw, "a typo'd predicate must fail at ADD, not poison " +
+      "every later write")
+    assert(Versioned.checkConstraints(root).isEmpty)
+  }
+
+  test("constraint adds compose through versioned exclusive publish") {
+    val root = scratch("graft_r14_conspub")
+    Versioned.commitAppend(spark.range(5).toDF("k")
+      .withColumn("a", lit(1L)).withColumn("b", lit(2L)), root)
+    Versioned.addCheckConstraint(spark, root, "a_pos", "a > 0")
+    Versioned.addCheckConstraint(spark, root, "b_pos", "b > 0")
+    assert(Versioned.checkConstraints(root).map(_._1).sorted ==
+      Seq("a_pos", "b_pos"))
+    Versioned.dropCheckConstraint(root, "a_pos")
+    assert(Versioned.checkConstraints(root).map(_._1) == Seq("b_pos"))
+    // each mutation published a NEW constraints-v<n>.json exclusively
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val states = fs.listStatus(p).map(_.getPath.getName)
+      .count(n => n.startsWith("constraints-v") && n.endsWith(".json"))
+    assert(states == 3, s"expected 3 published states, found $states")
+  }
+
+  test("replaceWhere evaluates its frame ONCE (staged bytes drive " +
+      "both validation and cdc)") {
+    val root = scratch("graft_r14_rwonce")
+    Versioned.commitAppend(spark.range(100).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(4L))), root,
+      partitionBy = Seq("bucket"))
+    // a stray frame is refused AND its staging dir cleaned up
+    val before = Versioned.latestVersion(root)
+    val threw =
+      try {
+        Versioned.commitReplaceWhere(
+          spark.range(200, 210).toDF("k")
+            .withColumn("bucket", pmod(col("k"), lit(4L))),
+          root, col("bucket") === 1L)
+        false
+      } catch { case _: IllegalArgumentException => true }
+    assert(threw)
+    assert(Versioned.latestVersion(root) == before)
+    // a clean region replacement with cdc records exact changes
+    val repl = spark.range(300, 325).toDF("k")
+      .withColumn("bucket", lit(1L))
+    Versioned.commitReplaceWhere(repl, root, col("bucket") === 1L,
+      cdc = true)
+    val feed = Versioned.readChangeFeed(spark, root, before)
+    assert(feed.filter(col("_change_type") === "insert").count() == 25L)
+    assert(feed.filter(col("_change_type") === "delete").count() == 25L)
+    assert(Versioned.read(spark, root).count() == 100L)
+  }
+
+  test("appends without partitionBy land under the table's layout " +
+      "(partition columns are table metadata)") {
+    val root = scratch("graft_r14_layout")
+    Versioned.commitAppend(spark.range(64).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(4L))), root,
+      partitionBy = Seq("bucket"))
+    // plain Scala append names no layout — must inherit
+    Versioned.commitAppend(spark.range(64, 128).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(4L))), root)
+    // format writer append names no layout — must inherit
+    spark.range(128, 192).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(4L)))
+      .write.format("graft").mode("append").save(root)
+    val files = Versioned.files(root)
+    assert(files.nonEmpty && files.forall(_.contains("__pi_bucket=")),
+      "every file of every append must carry the partition path")
+    // and a merge afterwards still auto-preserves (nothing flattened)
+    Versioned.commitMerge(spark.range(10).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(4L))), root, Seq("k"))
+    assert(Versioned.files(root).forall(_.contains("__pi_bucket=")))
+    assert(Versioned.read(spark, root).count() == 192L)
+  }
+}
