@@ -49,7 +49,7 @@ class GraftDvReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(lr: LogicalRelation, root: String,
                       pinned: Option[Long]): LogicalPlan = {
     val v = pinned.getOrElse(Versioned.latestVersion(root))
-    if (v == 0L || !Versioned.hasDeleteVectors(root, v)) return lr
+    if (v == 0L || !GraftDvReadRule.hasDv(root, v)) return lr
     val index = new GraftFileIndex(session, root, Some(v),
       dvApplied = true)
     if (index.inputFiles.isEmpty) return lr
@@ -81,4 +81,28 @@ class GraftDvReadRule(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => lr
         }
     }
+}
+
+private[plans] object GraftDvReadRule {
+  /** DV presence is IMMUTABLE per (root, version) — a published
+    * manifest never changes — so the per-optimizer-run probe memoizes
+    * (bounded LRU; the latest-version lookup itself stays live). */
+  private val dvCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f,
+        true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > 256
+    })
+
+  def hasDv(root: String, version: Long): Boolean = {
+    val key = s"$root#$version"
+    val c = dvCache.get(key)
+    if (c != null) c.booleanValue()
+    else {
+      val v = Versioned.hasDeleteVectors(root, version)
+      dvCache.put(key, java.lang.Boolean.valueOf(v))
+      v
+    }
+  }
 }

@@ -45,6 +45,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // EVERY execution re-applies the live snapshot's tombstones — see
     // the rule's doc for why the analyzer cannot host this
     ext.injectOptimizerRule(session => new GraftDvReadRule(session))
+    // SQL time travel BY NAME (SELECT ... FROM t VERSION AS OF n):
+    // Spark only resolves RelationTimeTravel for DSv2 tables — its own
+    // ResolveRelations THROWS for v1 relations, so this must run in
+    // the earlier hint-resolution batch to claim graft names first
+    ext.injectHintResolutionRule(session =>
+      new GraftTimeTravelRule(session))
+    // governance verbs (ALTER TABLE ADD/DROP CONSTRAINT, DESCRIBE
+    // HISTORY, OPTIMIZE [ZORDER BY], VACUUM) as a delegating parser —
+    // everything outside the five shapes goes to Spark's own parser
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
     // Native expressions as SQL functions (graft_dot, graft_jaro_winkler
     // …): the same descriptions graft.functions.Registry.register
     // installs post-hoc, here wired at session build time.

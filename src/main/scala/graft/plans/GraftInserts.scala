@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -39,9 +39,11 @@ import graft.store.Versioned
   *     `commitDelete`.
   *   - UPDATE → `commitUpdate` (copy-on-write, pre-pruned).
   *   - MERGE INTO t USING s ON <equality of identically-named cols>
-  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-  *     → `commitMerge(s, keys)`; any other merge shape fails loudly
-  *     naming what IS supported.
+  *     with the FULL clause grammar — conditional WHEN MATCHED
+  *     UPDATE/DELETE, conditional WHEN NOT MATCHED INSERT (column
+  *     lists included), WHEN NOT MATCHED BY SOURCE UPDATE/DELETE —
+  *     → `commitMergeConditional`; only a non-equality ON clause
+  *     fails loudly.
   */
 class GraftInsertRule extends Rule[LogicalPlan] {
 
@@ -64,33 +66,11 @@ class GraftInsertRule extends Rule[LogicalPlan] {
     case o => Seq(o)
   }
 
-  /** The canonical-upsert keys of a MERGE, when the statement has
-    * exactly that shape (UPDATE SET * / INSERT * actions arrive either
-    * as star actions or already expanded to name-identical
-    * assignments, depending on which resolution iteration sees them
-    * first). */
-  private def upsertKeys(m: MergeIntoTable): Seq[String] = {
-    def sameNameAssigns(as: Seq[Assignment]): Boolean = as.forall {
-      case Assignment(k: AttributeReference, v: AttributeReference) =>
-        k.name == v.name
-      case _ => false
-    }
-    val matchedOk = m.matchedActions match {
-      case Seq(UpdateStarAction(None)) => true
-      case Seq(UpdateAction(None, as, _)) => sameNameAssigns(as)
-      case _ => false
-    }
-    val notMatchedOk = m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => true
-      case Seq(InsertAction(None, as)) => sameNameAssigns(as)
-      case _ => false
-    }
-    require(matchedOk && notMatchedOk &&
-      m.notMatchedBySourceActions.isEmpty,
-      "graft MERGE supports the canonical upsert only: WHEN MATCHED " +
-        "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * (no action " +
-        "conditions, no NOT MATCHED BY SOURCE) - use the Scala API's " +
-        "commitMerge/commitMergeOnRead for other shapes")
+  /** ON-clause keys: a conjunction of equalities between
+    * identically-named columns (the one restriction the SQL surface
+    * keeps — the store's key probes, file pruning and canonical
+    * upsert all speak named keys). */
+  private def mergeKeys(m: MergeIntoTable): Seq[String] =
     conjuncts(m.mergeCondition).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if a.name == b.name => a.name
@@ -98,6 +78,50 @@ class GraftInsertRule extends Rule[LogicalPlan] {
         "graft MERGE needs an ON clause that is a conjunction of " +
           s"equalities between identically-named columns, got: $other")
     }.distinct
+
+  /** Translate the statement's WHEN clauses into the store's
+    * side-disambiguated merge namespace: every attribute bound to the
+    * target becomes `__t_<name>`, every source attribute `__s_<name>`
+    * — carried as re-resolvable Columns (see [[GraftDml.asCol]]'s
+    * rationale), evaluated by `commitMergeConditional` over its joined
+    * frame. */
+  private def clausesOf(m: MergeIntoTable): (Seq[GraftMergeClause],
+      Seq[GraftMergeClause], Seq[GraftMergeClause]) = {
+    val tAttrs = m.targetTable.outputSet
+    val sAttrs = m.sourceTable.outputSet
+    def xlate(e: Expression): Column =
+      org.apache.spark.sql.GraftStreamBridge.columnOf(e.transform {
+        case a: AttributeReference if tAttrs.contains(a) =>
+          UnresolvedAttribute.quoted("__t_" + a.name)
+        case a: AttributeReference if sAttrs.contains(a) =>
+          UnresolvedAttribute.quoted("__s_" + a.name)
+      })
+    val targetCols = m.targetTable.schema.fieldNames.toSeq
+    def starAssigns(prefix: String): Seq[(String, Column)] =
+      targetCols.map(n => n -> org.apache.spark.sql.GraftStreamBridge
+        .columnOf(UnresolvedAttribute.quoted(prefix + n)))
+    def assignsOf(as: Seq[Assignment]): Seq[(String, Column)] =
+      as.map {
+        case Assignment(k: AttributeReference, v) => k.name -> xlate(v)
+        case a => throw new IllegalArgumentException(
+          s"graft MERGE assigns whole target columns, got ${a.key}")
+      }
+    def clauseOf(a: MergeAction): GraftMergeClause = a match {
+      case UpdateStarAction(c) =>
+        GraftMergeClause(c.map(xlate), "update", starAssigns("__s_"))
+      case UpdateAction(c, as, _) =>
+        GraftMergeClause(c.map(xlate), "update", assignsOf(as))
+      case DeleteAction(c) =>
+        GraftMergeClause(c.map(xlate), "delete", Nil)
+      case InsertStarAction(c) =>
+        GraftMergeClause(c.map(xlate), "insert", starAssigns("__s_"))
+      case InsertAction(c, as) =>
+        GraftMergeClause(c.map(xlate), "insert", assignsOf(as))
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE action: $other")
+    }
+    (m.matchedActions.map(clauseOf), m.notMatchedActions.map(clauseOf),
+      m.notMatchedBySourceActions.map(clauseOf))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -107,11 +131,8 @@ class GraftInsertRule extends Rule[LogicalPlan] {
         require(i.partitionSpec.isEmpty,
           "INSERT into a graft table takes no PARTITION spec: " +
             "partition values are ordinary columns of the row")
-        require(i.userSpecifiedCols.isEmpty,
-          "INSERT into a graft table does not support a column list " +
-            "yet - provide every column positionally")
         GraftInsertCommand(rootOf(i.table).get, i.query,
-          i.overwrite, i.table.schema)
+          i.overwrite, i.table.schema, i.userSpecifiedCols)
 
       case d: DeleteFromTable if d.table.resolved &&
           d.condition.resolved && rootOf(d.table).isDefined =>
@@ -130,18 +151,26 @@ class GraftInsertRule extends Rule[LogicalPlan] {
 
       case m: MergeIntoTable if m.targetTable.resolved &&
           m.sourceTable.resolved && m.mergeCondition.resolved &&
+          m.matchedActions.forall(_.resolved) &&
+          m.notMatchedActions.forall(_.resolved) &&
+          m.notMatchedBySourceActions.forall(_.resolved) &&
           rootOf(m.targetTable).isDefined =>
-        GraftMergeCommand(rootOf(m.targetTable).get, m.sourceTable,
-          upsertKeys(m), m.targetTable.schema)
+        val (matched, notMatched, nmbs) = clausesOf(m)
+        GraftMergeFullCommand(rootOf(m.targetTable).get,
+          m.sourceTable, mergeKeys(m), matched, notMatched, nmbs)
     }
 }
 
 /** INSERT: align the query's rows to the table schema positionally
   * (names from the table, ANSI casts to its types — a narrowing that
-  * loses data throws, it never corrupts), then commit. */
+  * loses data throws, it never corrupts), then commit. A column list
+  * (`INSERT INTO t (a, c) SELECT ...`) binds positionally to the
+  * NAMED columns; unnamed columns become null (the standard's
+  * DEFAULT-absent behavior). */
 case class GraftInsertCommand(root: String, query: LogicalPlan,
                               overwrite: Boolean,
-                              tableSchema: StructType)
+                              tableSchema: StructType,
+                              userCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
@@ -149,12 +178,35 @@ case class GraftInsertCommand(root: String, query: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     val rows = org.apache.spark.sql.GraftStreamBridge.ofRows(session,
       query)
-    require(rows.schema.length == tableSchema.length,
-      s"INSERT provides ${rows.schema.length} columns, table $root " +
-        s"has ${tableSchema.length}")
-    val aligned = rows.toDF(tableSchema.fieldNames.toSeq: _*)
-      .select(tableSchema.fields.toSeq
-        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val aligned =
+      if (userCols.isEmpty) {
+        require(rows.schema.length == tableSchema.length,
+          s"INSERT provides ${rows.schema.length} columns, table " +
+            s"$root has ${tableSchema.length}")
+        rows.toDF(tableSchema.fieldNames.toSeq: _*)
+          .select(tableSchema.fields.toSeq
+            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      } else {
+        val unknown = userCols.filterNot(tableSchema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"INSERT column list names unknown column(s) " +
+            s"${unknown.mkString(", ")}")
+        val mustName = tableSchema.fields
+          .filter(f => !f.nullable && !userCols.contains(f.name))
+        require(mustName.isEmpty,
+          "INSERT column list omits NOT NULL column(s) " +
+            s"${mustName.map(_.name).mkString(", ")} - name them or " +
+            "make them nullable")
+        require(rows.schema.length == userCols.length,
+          s"INSERT provides ${rows.schema.length} columns for a " +
+            s"${userCols.length}-column list")
+        val named = rows.toDF(userCols: _*)
+        named.select(tableSchema.fields.toSeq.map { f =>
+          if (userCols.contains(f.name))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      }
     val layout = Versioned.currentLayout(root)
     if (overwrite)
       Versioned.commitOverwrite(aligned, root, partitionBy = layout)
@@ -203,21 +255,31 @@ case class GraftUpdateCommand(root: String,
   }
 }
 
-/** MERGE INTO (canonical upsert): keep-newest on the ON-clause keys. */
-case class GraftMergeCommand(root: String, source: LogicalPlan,
-                             keys: Seq[String],
-                             tableSchema: StructType)
+/** A WHEN clause carried from analysis to run time: condition and
+  * assignment VALUES are re-resolvable Columns over the merge's
+  * `__t_`/`__s_` joined namespace. */
+case class GraftMergeClause(condition: Option[Column], kind: String,
+                            assignments: Seq[(String, Column)])
+
+/** MERGE INTO with the FULL grammar (conditional matched
+  * update/delete, conditional inserts with column lists, NOT MATCHED
+  * BY SOURCE) — routed to [[Versioned.commitMergeConditional]]. */
+case class GraftMergeFullCommand(root: String, source: LogicalPlan,
+                                 keys: Seq[String],
+                                 matched: Seq[GraftMergeClause],
+                                 notMatched: Seq[GraftMergeClause],
+                                 notMatchedBySource: Seq[GraftMergeClause])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.GraftStreamBridge.ofRows(session,
       source)
-    val missing = tableSchema.fieldNames.filterNot(src.columns.contains)
-    require(missing.isEmpty,
-      s"MERGE source lacks table column(s) ${missing.mkString(", ")}")
-    val aligned = src.select(tableSchema.fields.toSeq
-      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-    Versioned.commitMerge(aligned, root, keys)
+    def xl(cs: Seq[GraftMergeClause]): Seq[Versioned.MergeClause] =
+      cs.map(c => Versioned.MergeClause(c.condition, c.kind,
+        c.assignments))
+    Versioned.commitMergeConditional(src, root, keys, xl(matched),
+      xl(notMatched), xl(notMatchedBySource))
     Nil
   }
 }
+

@@ -1,0 +1,231 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.trees.Origin
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+import graft.sources.{GraftDvRelation, GraftFileIndex}
+import graft.store.Versioned
+
+/** SQL governance verbs for graft tables — the administrative surface
+  * a pure-SQL user otherwise lacks (reads, writes and DML already work;
+  * constraint management, history, OPTIMIZE and VACUUM only had Scala
+  * entry points):
+  *
+  *   - `ALTER TABLE t ADD CONSTRAINT name CHECK (predicate)`
+  *   - `ALTER TABLE t DROP CONSTRAINT name`
+  *   - `DESCRIBE HISTORY t`
+  *   - `OPTIMIZE t [ZORDER BY (c1, c2, ...)]`
+  *   - `VACUUM t [RETAIN n HOURS] [DRY RUN]`
+  *
+  * `t` is a temp view / catalog table name, or a path: a quoted
+  * `'/path'` or Delta's ``graft.`/path` `` convention. Installed by
+  * [[GraftExtensions]] as a DELEGATING parser: statements matching the
+  * five shapes above parse into graft commands, everything else goes
+  * verbatim to the session's own parser — zero behavior change outside
+  * the new verbs (Delta ships its VACUUM/OPTIMIZE grammar through the
+  * same injectParser hook). */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val t = sqlText.trim
+    addConstraintRe.findFirstMatchIn(t).map { m =>
+      GraftAddConstraintCommand(TableRef(m.group(1)),
+        m.group(2), m.group(3).trim)
+    }.orElse(dropConstraintRe.findFirstMatchIn(t).map { m =>
+      GraftDropConstraintCommand(TableRef(m.group(1)), m.group(2))
+    }).orElse(describeHistoryRe.findFirstMatchIn(t).map { m =>
+      GraftDescribeHistoryCommand(TableRef(m.group(1)))
+    }).orElse(optimizeRe.findFirstMatchIn(t).map { m =>
+      val zorder = Option(m.group(2)).toSeq
+        .flatMap(_.split(',')).map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty)
+      GraftOptimizeCommand(TableRef(m.group(1)), zorder)
+    }).orElse(vacuumRe.findFirstMatchIn(t).map { m =>
+      GraftVacuumCommand(TableRef(m.group(1)),
+        Option(m.group(2)).map(_.toLong),
+        dryRun = m.group(3) != null)
+    }).getOrElse(delegate.parsePlan(sqlText))
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String)
+      : FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+private[plans] object GraftSqlParser {
+  // table reference: 'path' | graft.`path` | (multipart) identifier
+  private val tblP = """('[^']+'|graft\.`[^`]+`|[\w][\w.]*)"""
+  private def re(p: String) =
+    ("(?is)\\A" + p + "\\s*;?\\s*\\z").r
+
+  val addConstraintRe = re("ALTER\\s+TABLE\\s+" + tblP +
+    "\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)")
+  val dropConstraintRe = re("ALTER\\s+TABLE\\s+" + tblP +
+    "\\s+DROP\\s+CONSTRAINT\\s+(\\w+)")
+  val describeHistoryRe = re("DESCRIBE\\s+HISTORY\\s+" + tblP)
+  val optimizeRe = re("OPTIMIZE\\s+" + tblP +
+    "(?:\\s+ZORDER\\s+BY\\s*\\(?([\\w,\\s`]+?)\\)?)?")
+  val vacuumRe = re("VACUUM\\s+" + tblP +
+    "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?")
+}
+
+/** A graft table named in a governance verb: a filesystem path or a
+  * catalog/temp-view name, resolved to the table ROOT at run time (the
+  * catalog may not know the name at parse time). */
+final case class TableRef(raw: String) {
+  def root(session: SparkSession): String = {
+    if (raw.startsWith("'") && raw.endsWith("'"))
+      return raw.substring(1, raw.length - 1)
+    if (raw.toLowerCase.startsWith("graft.`") && raw.endsWith("`"))
+      return raw.substring("graft.`".length, raw.length - 1)
+    // temp view first (the USING graft idiom), then the catalog table
+    val cat = session.sessionState.catalog
+    val viewPlan = cat.getTempView(raw)
+      .orElse(cat.getGlobalTempView(raw))
+    viewPlan.flatMap(rootOfPlan).getOrElse {
+      val parts = raw.split('.')
+      val ident =
+        if (parts.length == 2) TableIdentifier(parts(1), Some(parts(0)))
+        else TableIdentifier(raw)
+      val meta =
+        try cat.getTableMetadata(ident)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"$raw is neither a graft temp view nor a catalog table " +
+              s"(${e.getMessage}); name a USING graft view/table or " +
+              "pass the table root as '/path'")
+        }
+      require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+        s"table $raw is not USING graft (provider " +
+          s"${meta.provider.getOrElse("none")})")
+      meta.storage.locationUri.map(u => new org.apache.hadoop.fs.Path(u)
+          .toString)
+        .orElse(meta.storage.properties.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("path") => v })
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft table $raw has no location"))
+    }
+  }
+
+  private def rootOfPlan(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case lr: LogicalRelation if rootOfRelation(lr).isDefined =>
+        rootOfRelation(lr).get
+    }
+
+  private def rootOfRelation(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case gi: GraftFileIndex => Some(gi.root)
+        case _ => None
+      }
+      case dv: GraftDvRelation => Some(dv.root)
+      case _ => None
+    }
+}
+
+private[plans] object GraftSqlOut {
+  def attr(name: String, dt: DataType): Attribute =
+    AttributeReference(name, dt, nullable = true)()
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (predicate)` → the
+  * versioned, race-safe constraint publish (predicate parsed first,
+  * current snapshot validated). */
+case class GraftAddConstraintCommand(table: TableRef, name: String,
+                                     predicate: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Versioned.addCheckConstraint(session, table.root(session), name,
+      predicate)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name`. */
+case class GraftDropConstraintCommand(table: TableRef, name: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Versioned.dropCheckConstraint(table.root(session), name)
+    Nil
+  }
+}
+
+/** `DESCRIBE HISTORY t` → the commit audit (version, publish time,
+  * operation, file counts, tombstone bytes, txn stamp). */
+case class GraftDescribeHistoryCommand(table: TableRef)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlOut.attr("version", LongType),
+    GraftSqlOut.attr("published_at", LongType),
+    GraftSqlOut.attr("operation", StringType),
+    GraftSqlOut.attr("n_entries", LongType),
+    GraftSqlOut.attr("n_data_files", LongType),
+    GraftSqlOut.attr("n_dv_files", LongType),
+    GraftSqlOut.attr("dv_bytes", LongType),
+    GraftSqlOut.attr("txn", StringType))
+  override def run(session: SparkSession): Seq[Row] =
+    Versioned.history(session, table.root(session)).collect().toSeq
+}
+
+/** `OPTIMIZE t [ZORDER BY (cols)]` → bin-packing compaction, or a full
+  * z-order re-cluster when columns are named. Returns the resulting
+  * version (unchanged when nothing qualified). */
+case class GraftOptimizeCommand(table: TableRef, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(GraftSqlOut.attr("version", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = Versioned.commitCompact(session, table.root(session),
+      zorderBy = zorderBy)
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` → reclaim history older than
+  * the retention horizon (default 168h = 7 days, Delta's default).
+  * Keeps every version whose commit is inside the horizon plus the
+  * version current AT the horizon, so time travel within retention
+  * stays intact. */
+case class GraftVacuumCommand(table: TableRef, retainHours: Option[Long],
+                              dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlOut.attr("files_deleted", LongType),
+    GraftSqlOut.attr("bytes_reclaimed", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = table.root(session)
+    val hours = retainHours.getOrElse(168L)
+    val cutoff = System.currentTimeMillis() - hours * 3600L * 1000L
+    val latest = Versioned.latestVersion(root)
+    val keepFrom =
+      try math.max(1L, math.min(latest, Versioned.versionAt(root, cutoff)))
+      catch { case _: Exception => 1L } // cutoff before first commit
+    val (n, bytes) = Versioned.vacuum(root, keepFrom, dryRun = dryRun)
+    Seq(Row(n, bytes))
+  }
+}

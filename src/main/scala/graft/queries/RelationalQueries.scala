@@ -2264,6 +2264,209 @@ object RelationalQueries {
                CAST(sum(cents) AS BIGINT) AS cents_live,
                CAST(sum(CASE WHEN k % 5 = 1 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_merged
-        FROM live"""))
+        FROM live""")),
+
+    // ------------------------------------------------------------------
+    // PERSISTENT CATALOG (round 14): graft tables BY NAME in
+    // spark_catalog — CREATE TABLE ... USING graft LOCATION, INSERT /
+    // UPDATE by name, and VERSION AS OF time travel by name from a
+    // FRESH SparkSession (shared catalog state). Every real lakehouse
+    // interaction starts `SELECT ... FROM name`, not `load(path)`; the
+    // reference wires its stores by named handle, never by path
+    // (monolith/main.go:89-124). The requires pin cross-session
+    // visibility; the rollup hash-matches DuckDB replaying the
+    // statement algebra.
+    QuerySpec("q265_catalog_table",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_cat265_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0L)
+          .write.format("graft").save(root)
+        s.sql("DROP TABLE IF EXISTS graft_q265")
+        s.sql(s"CREATE TABLE graft_q265 USING graft LOCATION '$root'")
+        orders.createOrReplaceTempView("graft_q265_orders")
+        s.sql("INSERT INTO graft_q265 " +
+          "SELECT o_orderkey, cents FROM graft_q265_orders " +
+          "WHERE o_orderkey % 2 = 1")
+        s.sql("UPDATE graft_q265 SET cents = cents + 7 " +
+          "WHERE o_orderkey % 11 = 0")
+        // a FRESH session addresses the table by NAME: reads, time
+        // travel, DML history all resolve through the shared catalog
+        val s2 = s.newSession()
+        val v1 = s2.sql(
+          "SELECT count(*) FROM graft_q265 VERSION AS OF 1")
+          .head.getLong(0)
+        s2.sql("SELECT CAST(count(*) AS BIGINT) AS n_live, " +
+            "CAST(sum(cents) AS BIGINT) AS cents_live " +
+            "FROM graft_q265")
+          .crossJoin(s2.createDataFrame(Seq(Tuple1(v1))).toDF("n_v1"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 ${Exact.centsSql("o_totalprice")} AS cents
+          FROM orders),
+        live AS (
+          SELECT k, cents + CASE WHEN k % 11 = 0 THEN 7 ELSE 0 END
+                   AS cents
+          FROM base)
+        SELECT CAST(count(*) AS BIGINT) AS n_live,
+               CAST(sum(cents) AS BIGINT) AS cents_live,
+               (SELECT CAST(count(*) AS BIGINT) FROM base
+                WHERE k % 2 = 0) AS n_v1
+        FROM live""")),
+
+    // ------------------------------------------------------------------
+    // FULL SQL MERGE GRAMMAR (round 14): conditional matched
+    // update/delete, NOT MATCHED BY SOURCE, and an INSERT column list
+    // in ONE statement — the reference's keep-newest URL upsert
+    // (linkgraph/store/cdb/cdb.go:16-22) is exactly the conditional
+    // matched action here (update only when the source revision is
+    // newer). The oracle replays the clause algebra as CASE/filter
+    // SQL; a require pins one version for the whole statement.
+    QuerySpec("q266_merge_full",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_mf266_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        // nullable rev (the column-list insert leaves it null)
+        val target = orders.filter(pmod(col("k"), lit(2L)) === 0L)
+          .withColumn("rev",
+            when(col("k") >= 0L, pmod(col("k"), lit(4L))))
+        target.write.format("graft").save(root)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q266_t " +
+          s"USING graft OPTIONS (path '$root')")
+        orders.filter(pmod(col("k"), lit(3L)) === 0L)
+          .select(col("k"), (col("cents") + 5L).as("cents"),
+            lit(2L).as("rev"))
+          .createOrReplaceTempView("graft_q266_s")
+        val before = graft.store.Versioned.latestVersion(root)
+        s.sql("MERGE INTO graft_q266_t t USING graft_q266_s s " +
+          "ON t.k = s.k " +
+          "WHEN MATCHED AND s.rev > t.rev THEN UPDATE SET * " +
+          "WHEN MATCHED THEN DELETE " +
+          "WHEN NOT MATCHED THEN INSERT (k, cents) " +
+          "VALUES (s.k, s.cents) " +
+          "WHEN NOT MATCHED BY SOURCE AND t.k % 5 = 0 " +
+          "THEN UPDATE SET cents = t.cents + 1")
+        require(graft.store.Versioned.latestVersion(root) == before + 1,
+          "the whole MERGE must publish exactly one version")
+        graft.store.Versioned.read(s, root)
+          .agg(count(lit(1)).as("n_live"),
+            sum(col("cents")).as("cents_live"),
+            sum(when(col("rev").isNull, 1L).otherwise(0L))
+              .as("n_inserted"),
+            sum(col("rev")).as("rev_sum"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 ${Exact.centsSql("o_totalprice")} AS cents
+          FROM orders),
+        t AS (SELECT k, cents, k % 4 AS rev FROM base WHERE k % 2 = 0),
+        live AS (
+          SELECT k, cents + 5 AS cents, 2 AS rev FROM t
+          WHERE k % 3 = 0 AND rev < 2
+          UNION ALL
+          SELECT k,
+                 cents + CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS cents,
+                 rev
+          FROM t WHERE k % 3 <> 0
+          UNION ALL
+          SELECT k, cents + 5 AS cents, NULL AS rev
+          FROM base WHERE k % 3 = 0 AND k % 2 = 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_live,
+               CAST(sum(cents) AS BIGINT) AS cents_live,
+               CAST(sum(CASE WHEN rev IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_inserted,
+               CAST(sum(rev) AS BIGINT) AS rev_sum
+        FROM live""")),
+
+    // ------------------------------------------------------------------
+    // SQL GOVERNANCE VERBS (round 14): constraint lifecycle, commit
+    // audit and compaction driven ENTIRELY in SQL — ALTER TABLE ADD
+    // CONSTRAINT enforces on the very next INSERT (refused batches
+    // leave no version and no stray files), DESCRIBE HISTORY reads the
+    // audit, OPTIMIZE packs the small appends. The requires pin the
+    // refusal, the version ledger and the file-count drop; the rollup
+    // hash-matches DuckDB over the surviving contents.
+    QuerySpec("q267_sql_governance",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_gov267_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        (0 until 4).foreach { i =>
+          orders.filter(pmod(col("o_orderkey"), lit(8L)) === i.toLong)
+            .coalesce(1)
+            .write.format("graft").mode("append").save(root)
+        }
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q267 " +
+          s"USING graft OPTIONS (path '$root')")
+        val hist = s.sql("DESCRIBE HISTORY graft_q267").collect()
+        require(hist.length == 4 &&
+          hist.forall(_.getString(2) == "append"),
+          "history must audit the four appends")
+        s.sql("ALTER TABLE graft_q267 ADD CONSTRAINT cents_pos " +
+          "CHECK (cents >= 0)")
+        val threw =
+          try { s.sql("INSERT INTO graft_q267 VALUES (1, -5)"); false }
+          catch { case _: Throwable => true }
+        require(threw && graft.store.Versioned.latestVersion(root) == 4L,
+          "a violating INSERT must be refused without a version")
+        orders.filter(pmod(col("o_orderkey"), lit(8L)) >= 4L)
+          .createOrReplaceTempView("graft_q267_rest")
+        s.sql("INSERT INTO graft_q267 SELECT * FROM graft_q267_rest")
+        val filesBefore = graft.store.Versioned.files(root).size
+        s.sql("OPTIMIZE graft_q267")
+        require(graft.store.Versioned.files(root).size < filesBefore,
+          "OPTIMIZE must pack the small appends")
+        val ops = s.sql("DESCRIBE HISTORY graft_q267")
+          .collect().map(_.getString(2)).toSet
+        require(Set("append", "compact").subsetOf(ops),
+          s"audit ops must include append+compact, got $ops")
+        graft.store.Versioned.read(s, root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("cents_sum"))
+      },
+      Some(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS cents_sum
+        FROM orders""")),
+
+    // ------------------------------------------------------------------
+    // EMPTY-STATE LIFECYCLE (round 14): delete-everything is a LEGAL
+    // committed state — the schema of record serves a typed empty
+    // frame (count 0, full schema) through both the facade and the
+    // format — and the table is immediately writable again. The
+    // oracle replays the rebirth contents.
+    QuerySpec("q268_empty_rebirth",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_empty268_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        orders.filter(pmod(col("o_orderkey"), lit(2L)) === 1L)
+          .write.format("graft").save(root)
+        graft.store.Versioned.commitDelete(s, root, lit(true))
+        val empty = s.read.format("graft").load(root)
+        require(empty.count() == 0L &&
+          empty.schema.fieldNames.toSeq == Seq("o_orderkey", "cents"),
+          "the emptied table must read as a TYPED empty frame")
+        require(graft.store.Versioned.read(s, root).count() == 0L)
+        orders.write.format("graft").mode("append").save(root)
+        s.read.format("graft").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("cents_sum"))
+      },
+      Some(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS cents_sum
+        FROM orders"""))
   )
 }

@@ -167,21 +167,36 @@ class GraftDataSource extends RelationProvider
     // DSv1 writers don't receive DataFrameWriter.partitionBy, so the
     // hive-style layout rides an option instead
     val partitionBy = cols("partitionBy")
+    // writer ergonomics: bound file sizes at write time (OPTIMIZE
+    // becomes maintenance, not repair) and/or z-order-cluster the
+    // batch as it lands (write-time OPTIMIZE ZORDER)
+    val maxRecords = opt(parameters, "maxRecordsPerFile")
+      .map(_.toLong).getOrElse(0L)
+    val zorderBy = cols("zorderBy")
+    val toWrite =
+      if (zorderBy.isEmpty) data
+      else if (zorderBy.size == 1)
+        data.sort(org.apache.spark.sql.functions.col(zorderBy.head))
+      else graft.store.Layout.zorderN(data,
+        zorderBy.map(org.apache.spark.sql.functions.col),
+        opt(parameters, "zorderFiles").map(_.toInt).getOrElse(
+          math.max(1, data.rdd.getNumPartitions)))
     val exists = Versioned.latestVersion(root) > 0
     mode match {
       case SaveMode.Append =>
-        Versioned.commitAppend(data, root, statsCols, bloomCols,
-          partitionBy = partitionBy)
+        Versioned.commitAppend(toWrite, root, statsCols, bloomCols,
+          partitionBy = partitionBy, maxRecordsPerFile = maxRecords)
       case SaveMode.Overwrite =>
-        Versioned.commitOverwrite(data, root, None, statsCols,
-          bloomCols, partitionBy = partitionBy)
+        Versioned.commitOverwrite(toWrite, root, None, statsCols,
+          bloomCols, partitionBy = partitionBy,
+          maxRecordsPerFile = maxRecords)
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalArgumentException(
           s"$root already holds a committed table (SaveMode.ErrorIfExists)")
       case SaveMode.Ignore if exists => ()
       case _ => // first commit of an ErrorIfExists / Ignore write
-        Versioned.commitAppend(data, root, statsCols, bloomCols,
-          partitionBy = partitionBy)
+        Versioned.commitAppend(toWrite, root, statsCols, bloomCols,
+          partitionBy = partitionBy, maxRecordsPerFile = maxRecords)
     }
     createRelation(sqlContext, parameters)
   }

@@ -728,9 +728,11 @@ object Versioned {
       .parquet(staged.map(resolve(rootPath, _).toString): _*))
 
   private[store] def stage(df: DataFrame, root: String,
-                           partitionBy: Seq[String] = Nil)
+                           partitionBy: Seq[String] = Nil,
+                           maxRecordsPerFile: Long = 0L)
       : Seq[String] = {
-    val staged = stageUnchecked(df, root, partitionBy)
+    val staged = stageUnchecked(df, root, partitionBy,
+      maxRecordsPerFile)
     // validate constraints on the bytes as written; a violating batch
     // deletes its own staging dir so nothing leaks (the table never
     // referenced it)
@@ -750,16 +752,25 @@ object Versioned {
   }
 
   private def stageUnchecked(df: DataFrame, root: String,
-                             partitionBy: Seq[String]): Seq[String] = {
+                             partitionBy: Seq[String],
+                             maxRecordsPerFile: Long = 0L)
+      : Seq[String] = {
     val (fs, rootPath) = fsRoot(root)
     fs.mkdirs(rootPath)
     // schema of record: what keeps a zero-data-file version readable
     // as a typed empty frame (last write wins; advisory metadata)
     writeTableSchema(fs, rootPath, df.schema)
+    // target-file-size ergonomics: Spark's own per-write splitter —
+    // the writer keeps files bounded so OPTIMIZE is maintenance, not
+    // repair (0 = unbounded, the default)
+    def writer(d: DataFrame) =
+      if (maxRecordsPerFile > 0L)
+        d.write.option("maxRecordsPerFile", maxRecordsPerFile)
+      else d.write
     val uuid = java.util.UUID.randomUUID().toString
     val dir = new Path(new Path(rootPath, "data"), uuid)
     if (partitionBy.isEmpty) {
-      df.write.parquet(dir.toString)
+      writer(df).parquet(dir.toString)
       fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .collect { case n if n.endsWith(".parquet") => s"data/$uuid/$n" }
         .sorted
@@ -791,7 +802,8 @@ object Versioned {
       }
       val dup = shadows.foldLeft(df) { case (d, (c, s)) =>
         d.withColumn(s, col(c)) }
-      dup.write.partitionBy(shadows.map(_._2): _*).parquet(dir.toString)
+      writer(dup).partitionBy(shadows.map(_._2): _*)
+        .parquet(dir.toString)
       val rootUri = rootPath.toString
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(dir, true)
@@ -998,14 +1010,16 @@ object Versioned {
                    statsCols: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil,
                    bloomBits: Int = 65536,
-                   partitionBy: Seq[String] = Nil): Long = {
+                   partitionBy: Seq[String] = Nil,
+                   maxRecordsPerFile: Long = 0L): Long = {
     // an append that names no layout lands under the table's own:
     // partition columns behave as table metadata (Delta's semantics),
     // so a plain append can never silently flatten a partitioned
     // table and cost every later prober its path-level skip
     val layout =
       if (partitionBy.nonEmpty) partitionBy else currentLayout(root)
-    val v = commitFiles(root, stage(df, root, layout),
+    val v = commitFiles(root,
+      stage(df, root, layout, maxRecordsPerFile),
       appendBase = true, op = "append")
     maintainStats(df.sparkSession, root, v, statsCols)
     maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
@@ -1055,8 +1069,10 @@ object Versioned {
                       statsCols: Seq[String] = Nil,
                       bloomCols: Seq[String] = Nil,
                       bloomBits: Int = 65536,
-                      partitionBy: Seq[String] = Nil): Long = {
-    val v = commitFiles(root, stage(df, root, partitionBy),
+                      partitionBy: Seq[String] = Nil,
+                      maxRecordsPerFile: Long = 0L): Long = {
+    val v = commitFiles(root,
+      stage(df, root, partitionBy, maxRecordsPerFile),
       appendBase = false, txn = txn, txnDedupe = false, op = "overwrite")
     maintainStats(df.sparkSession, root, v, statsCols)
     maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
@@ -1431,6 +1447,236 @@ object Versioned {
       }
     val v = commitFiles(root, untouched ++ staged ++ cdcStaged,
       appendBase = false, expectedParent = Some(parent), op = "merge")
+    maintainStats(spark, root, v, Nil)
+    maintainBlooms(spark, root, v, Nil, 0)
+    v
+  }
+
+  /** One WHEN clause of a general [[commitMergeConditional]] MERGE.
+    * `kind`: "update" | "delete" (matched / not-matched-by-source) or
+    * "insert" (not-matched). Expressions reference the merge's joined
+    * namespace: `__t_<col>` target values, `__s_<col>` source values —
+    * so `t.v < s.v` arrives as `__t_v < __s_v` with zero ambiguity
+    * even though both sides share every column name. `assignments`
+    * map TARGET column name → value expression; columns an update
+    * leaves unassigned keep their target value, columns an insert
+    * leaves unassigned become null. */
+  final case class MergeClause(
+      condition: Option[org.apache.spark.sql.Column],
+      kind: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)])
+
+  /** General MERGE (the full SQL grammar): conditional matched
+    * updates/deletes, conditional not-matched inserts (with column
+    * lists), and NOT MATCHED BY SOURCE clauses — evaluated with
+    * standard first-matching-clause-wins semantics. One copy-on-write
+    * commit:
+    *
+    *  - files that provably hold no affected row ride into the new
+    *    manifest BY REFERENCE (key-pruned exactly like
+    *    [[commitMerge]]); with NOT MATCHED BY SOURCE clauses every
+    *    target row is potentially affected, so every file rewrites —
+    *    the semantics force it;
+    *  - affected rows evaluate through ONE outer join + projection +
+    *    filter (codegen-friendly, fully distributed, no driver loop);
+    *  - a source carrying duplicate keys that MATCH a target row is
+    *    refused (the standard's "cannot update the same row twice"
+    *    ambiguity, Delta raises the same); duplicates that only
+    *    insert are legal and insert once each.
+    *
+    * The reference's keep-newest URL upsert
+    * (linkgraph/store/cdb/cdb.go:16-22) is exactly a conditional
+    * matched action in this grammar: WHEN MATCHED AND s.retrieved_at >
+    * t.retrieved_at THEN UPDATE. */
+  def commitMergeConditional(source: DataFrame, root: String,
+      keys: Seq[String],
+      matched: Seq[MergeClause],
+      notMatched: Seq[MergeClause],
+      notMatchedBySource: Seq[MergeClause],
+      cdc: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    matched.foreach(c => require(c.kind == "update" || c.kind == "delete",
+      s"matched clause must be update/delete, got ${c.kind}"))
+    notMatched.foreach(c => require(c.kind == "insert",
+      s"not-matched clause must be insert, got ${c.kind}"))
+    notMatchedBySource.foreach(c =>
+      require(c.kind == "update" || c.kind == "delete",
+        s"not-matched-by-source clause must be update/delete, got " +
+          c.kind))
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "merge needs at least one clause")
+    val spark = source.sparkSession
+    val (fs, rootPath) = fsRoot(root)
+    val parent = latestVersion(root)
+    val (parentFiles, dvParent) =
+      if (parent == 0L) (Nil, Nil)
+      else splitEntries(readManifest(fs, rootPath, parent)._2)
+    requireNoDv(dvParent, root, "MERGE")
+
+    val fields: Seq[org.apache.spark.sql.types.StructField] =
+      if (parentFiles.nonEmpty)
+        spark.read.parquet(resolve(rootPath, parentFiles.head).toString)
+          .schema.fields.toSeq
+      else tableSchema(root).map(_.fields.toSeq).getOrElse(
+        // table birth by merge: the insert clauses define the shape
+        source.schema.fields.toSeq)
+    keys.foreach(k => require(fields.exists(_.name == k),
+      s"merge key $k is not a column of $root"))
+    (fields.map(_.name) ++ source.columns).foreach(n =>
+      require(!n.startsWith("__t_") && !n.startsWith("__s_"),
+        s"column name $n is reserved by MERGE's joined namespace"))
+    // an insert clause leaving a NOT NULL column unassigned would
+    // write nulls a non-nullable read then misrenders — refuse (the
+    // standard's NOT NULL violation)
+    notMatched.foreach { c =>
+      val assigned = c.assignments.map(_._1).toSet
+      val missing = fields.filter(f => !f.nullable && !assigned(f.name))
+      require(missing.isEmpty,
+        "MERGE insert clause omits NOT NULL column(s) " +
+          s"${missing.map(_.name).mkString(", ")}")
+    }
+
+    def cond(c: MergeClause): org.apache.spark.sql.Column =
+      coalesce(c.condition.getOrElse(lit(true)), lit(false))
+    /** first-matching-clause-wins keep flag. */
+    def keepOf(clauses: Seq[MergeClause],
+               default: org.apache.spark.sql.Column) =
+      clauses.foldRight(default)((c, els) =>
+        when(cond(c), lit(c.kind != "delete")).otherwise(els))
+    /** first-matching-clause-wins value of column `f`. */
+    def valueOf(clauses: Seq[MergeClause],
+                f: org.apache.spark.sql.types.StructField,
+                default: org.apache.spark.sql.Column) =
+      clauses.foldRight(default)((c, els) => when(cond(c), c.kind match {
+        case "update" => c.assignments.toMap.get(f.name)
+          .map(_.cast(f.dataType)).getOrElse(col("__t_" + f.name))
+        case "insert" => c.assignments.toMap.get(f.name)
+          .map(_.cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType))
+        case _ => default // delete rows are filtered; value unused
+      }).otherwise(els))
+
+    // table birth / emptied table: only the insert clauses can apply
+    if (parentFiles.isEmpty) {
+      val sPref = source.select(source.columns.toSeq
+        .map(c => col(c).as("__s_" + c)): _*)
+      val keep = keepOf(notMatched, lit(false))
+      val out = sPref.filter(keep).select(fields.map(f =>
+        valueOf(notMatched, f, lit(null).cast(f.dataType))
+          .as(f.name)): _*)
+      val staged = stage(out, root)
+      if (staged.isEmpty) return parent
+      return commitFiles(root, staged, appendBase = true,
+        expectedParent = Some(parent), op = "merge")
+    }
+
+    // candidate selection: with NOT MATCHED BY SOURCE every target row
+    // is potentially affected (unmatched rows live in files the key
+    // probes would skip), so the rewrite is necessarily full-table;
+    // otherwise prune exactly like the canonical upsert
+    val updKeys = source.select(keys.map(col): _*).distinct()
+    val (touched, untouched) =
+      if (notMatchedBySource.nonEmpty) (parentFiles, Seq.empty[String])
+      else {
+        val (candidates, skipped) =
+          pruneMergeScan(source, root, parent, parentFiles, keys)
+        val (t, unmatchedScanned) =
+          if (candidates.isEmpty) (Nil, Nil)
+          else touchedFiles(spark, fs, rootPath, candidates,
+            _.join(updKeys, keys, "left_semi"))
+        (t, skipped ++ unmatchedScanned)
+      }
+
+    // nothing matched and nothing to insert: metadata no-op
+    if (touched.isEmpty && notMatched.isEmpty) return parent
+
+    val touchedScan =
+      if (touched.isEmpty) None
+      else Some(spark.read
+        .parquet(touched.map(resolve(rootPath, _).toString): _*))
+
+    // multi-match ambiguity: duplicate source keys hitting ONE target
+    // row would apply two updates to it — refuse, like Delta
+    if (matched.nonEmpty && touchedScan.nonEmpty) {
+      val dups = source.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+        .drop("__n")
+      val clash = touchedScan.get.join(dups, keys, "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "MERGE source holds multiple rows for a key that matches one " +
+          "target row - deduplicate the source (ambiguous update)")
+    }
+
+    val tPref = touchedScan.map(t => t.select(fields.map(f =>
+        col(f.name).as("__t_" + f.name)): _*)
+      .withColumn("__t_present", lit(true)))
+    val sPref = source.select(source.columns.toSeq
+        .map(c => col(c).as("__s_" + c)): _*)
+      .withColumn("__s_present", lit(true))
+
+    /** Did ANY clause of the set fire for this row? (Which one wins is
+      * the keep/value fold's job; fired-ness marks the row CHANGED for
+      * the change-data record.) */
+    def firedOf(clauses: Seq[MergeClause]) =
+      clauses.map(cond).reduceOption(_ || _).getOrElse(lit(false))
+
+    val (result, cdcStaged) = tPref match {
+      case None =>
+        // nothing matched: only inserts can produce rows — and an
+        // insert-only commit removes no files, so the change feed
+        // derives its inserts from the file algebra with no sidecar
+        val keep = keepOf(notMatched, lit(false))
+        (sPref.filter(keep).select(fields.map(f =>
+          valueOf(notMatched, f, lit(null).cast(f.dataType))
+            .as(f.name)): _*), Seq.empty[String])
+      case Some(t) =>
+        val joinCond = keys.map(k =>
+          col("__t_" + k) === col("__s_" + k)).reduce(_ && _)
+        val joinType =
+          if (notMatched.nonEmpty) "full_outer" else "left_outer"
+        val joined = t.join(sPref, joinCond, joinType)
+        val tHere = coalesce(col("__t_present"), lit(false))
+        val sHere = coalesce(col("__s_present"), lit(false))
+        val keep = when(tHere && sHere, keepOf(matched, lit(true)))
+          .when(tHere && !sHere, keepOf(notMatchedBySource, lit(true)))
+          .otherwise(keepOf(notMatched, lit(false)))
+        val outCols = fields.map { f =>
+          val tVal = col("__t_" + f.name)
+          when(tHere && sHere, valueOf(matched, f, tVal))
+            .when(tHere && !sHere, valueOf(notMatchedBySource, f, tVal))
+            .otherwise(valueOf(notMatched, f,
+              lit(null).cast(f.dataType)))
+            .cast(f.dataType).as(f.name)
+        }
+        val cdcFiles =
+          if (!cdc) Nil
+          else {
+            // exact change records (CDC's delete+insert encoding):
+            // rows where a clause FIRED emit their old image as
+            // delete (target-present rows) and their new image as
+            // insert (kept rows) — unchanged rows emit nothing
+            val fired = when(tHere && sHere, firedOf(matched))
+              .when(tHere && !sHere, firedOf(notMatchedBySource))
+              .otherwise(firedOf(notMatched))
+            val changed = joined.filter(fired)
+            val dels = changed.filter(tHere)
+              .select(fields.map(f =>
+                col("__t_" + f.name).cast(f.dataType).as(f.name)): _*)
+              .withColumn("_change_type", lit("delete"))
+            val ins = changed.filter(keep).select(outCols: _*)
+              .withColumn("_change_type", lit("insert"))
+            stageCdc(spark, fs, rootPath, dels.unionByName(ins))
+          }
+        (joined.filter(keep).select(outCols: _*), cdcFiles)
+    }
+
+    val v = commitFiles(root,
+      untouched ++ stage(result, root, detectPartitionBy(parentFiles))
+        ++ cdcStaged,
+      appendBase = false, expectedParent = Some(parent), op = "merge",
+      emptyOk = true)
     maintainStats(spark, root, v, Nil)
     maintainBlooms(spark, root, v, Nil, 0)
     v

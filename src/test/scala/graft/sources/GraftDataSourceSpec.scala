@@ -211,12 +211,17 @@ class GraftDataSourceSpec extends SparkSpec {
     val ops = Versioned.history(spark, root)
       .select("operation").as[String].collect().toSet
     assert(Set("update", "delete", "merge").subsetOf(ops), s"ops=$ops")
-    // an unsupported merge shape names what IS supported
+    // matched DELETE is part of the supported grammar (round 14)
+    spark.sql("MERGE INTO dml_t USING dml_src ON dml_t.k = dml_src.k " +
+      "WHEN MATCHED THEN DELETE")
+    assert(Versioned.read(spark, root).count() == 83L,
+      "the 10 source keys must delete")
+    // only a non-equality ON clause is refused, naming the contract
     val ex = intercept[Exception] {
-      spark.sql("MERGE INTO dml_t USING dml_src ON dml_t.k = dml_src.k " +
+      spark.sql("MERGE INTO dml_t USING dml_src ON dml_t.k < dml_src.k " +
         "WHEN MATCHED THEN DELETE")
     }
-    assert(ex.getMessage.contains("canonical upsert"))
+    assert(ex.getMessage.contains("identically-named"))
   }
 
   test("batch change feed through format options") {

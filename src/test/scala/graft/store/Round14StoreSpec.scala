@@ -102,6 +102,37 @@ class Round14StoreSpec extends SparkSpec {
     assert(Versioned.read(spark, root).count() == 100L)
   }
 
+  test("writer ergonomics: maxRecordsPerFile bounds file sizes at " +
+      "write time; zorderBy clusters the landing batch") {
+    val root = scratch("graft_r14_writer")
+    spark.range(1000).toDF("k").withColumn("x", pmod(col("k"), lit(32L)))
+      .withColumn("y", pmod(col("k") * 7L, lit(32L)))
+      .coalesce(1)
+      .write.format("graft")
+      .option("maxRecordsPerFile", "100")
+      .save(root)
+    val files = Versioned.files(root)
+    assert(files.size == 10,
+      s"1000 rows at 100/file from one partition must land 10 files, " +
+        s"got ${files.size}")
+    // z-order write: stats sidecars on the z dims should file-skip a box
+    val rootZ = scratch("graft_r14_zwrite")
+    spark.range(4096).toDF("k")
+      .withColumn("x", pmod(col("k"), lit(64L)))
+      .withColumn("y", pmod(col("k") * 13L, lit(64L)))
+      .write.format("graft")
+      .option("zorderBy", "x,y").option("zorderFiles", "16")
+      .option("statsCols", "x,y")
+      .save(rootZ)
+    val (kept, total) = Versioned.prunedFiles(rootZ,
+      Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+    assert(total == 16L)
+    assert(kept.size < total / 2,
+      s"a z-ordered 8x8 box must skip most of $total files, " +
+        s"admitted ${kept.size}")
+    assert(spark.read.format("graft").load(rootZ).count() == 4096L)
+  }
+
   test("appends without partitionBy land under the table's layout " +
       "(partition columns are table metadata)") {
     val root = scratch("graft_r14_layout")
