@@ -55,6 +55,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftVacuumCommand(TableRef(m.group(1)),
         Option(m.group(2)).map(_.toLong),
         dryRun = m.group(3) != null)
+    }).orElse(restoreRe.findFirstMatchIn(t).map { m =>
+      GraftRestoreCommand(TableRef(m.group(1)), m.group(2).toLong)
+    }).orElse(describeDetailRe.findFirstMatchIn(t).map { m =>
+      GraftDescribeDetailCommand(TableRef(m.group(1)))
     }).getOrElse(delegate.parsePlan(sqlText))
   }
 
@@ -91,6 +95,9 @@ private[plans] object GraftSqlParser {
     "(?:\\s+ZORDER\\s+BY\\s*\\(?([\\w,\\s`]+?)\\)?)?")
   val vacuumRe = re("VACUUM\\s+" + tblP +
     "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?")
+  val restoreRe = re("RESTORE\\s+TABLE\\s+" + tblP +
+    "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
+  val describeDetailRe = re("DESCRIBE\\s+DETAIL\\s+" + tblP)
 }
 
 /** A graft table named in a governance verb: a filesystem path or a
@@ -203,6 +210,48 @@ case class GraftOptimizeCommand(table: TableRef, zorderBy: Seq[String])
     val v = Versioned.commitCompact(session, table.root(session),
       zorderBy = zorderBy)
     Seq(Row(v))
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` → a NEW commit whose manifest
+  * re-lists the target version's files (history stays intact; the
+  * restore itself is auditable and reversible). */
+case class GraftRestoreCommand(table: TableRef, toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(GraftSqlOut.attr("version", LongType))
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Versioned.commitRestore(table.root(session), toVersion)))
+}
+
+/** `DESCRIBE DETAIL t` → the table's current physical shape (Delta's
+  * DESCRIBE DETAIL role): location, version, file counts and bytes,
+  * partition layout, live tombstone files, constraint count. */
+case class GraftDescribeDetailCommand(table: TableRef)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlOut.attr("location", StringType),
+    GraftSqlOut.attr("version", LongType),
+    GraftSqlOut.attr("num_data_files", LongType),
+    GraftSqlOut.attr("size_bytes", LongType),
+    GraftSqlOut.attr("partition_columns", StringType),
+    GraftSqlOut.attr("num_dv_files", LongType),
+    GraftSqlOut.attr("num_constraints", LongType))
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = table.root(session)
+    val v = Versioned.latestVersion(root)
+    val statuses =
+      if (v == 0L) Nil else Versioned.dataFileStatuses(root, v)
+    val dvFiles =
+      if (v == 0L) 0L
+      else Versioned.history(session, root)
+        .limit(1).collect().headOption
+        .map(_.getAs[Long]("n_dv_files")).getOrElse(0L)
+    Seq(Row(root, v, statuses.size.toLong,
+      statuses.map(_.getLen).sum,
+      Versioned.currentLayout(root).mkString(","),
+      dvFiles,
+      Versioned.checkConstraints(root).size.toLong))
   }
 }
 

@@ -62,9 +62,48 @@ import graft.store.Versioned
   * until the first commit writes the schema of record. */
 class GraftDataSource extends RelationProvider
     with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming: ONE format name for batch and stream (Delta's
+  // ergonomics) — readStream/writeStream.format("graft") delegate to
+  // the versioned stream source/sink, with the batch reader's `path`
+  // spelling accepted for the table root.
+  private lazy val streams = new VersionedStream
+
+  private def streamParams(parameters: Map[String, String])
+      : Map[String, String] =
+    if (parameters.contains("root")) parameters
+    else parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
+    }.map(p => parameters + ("root" -> p)).getOrElse(parameters)
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    streams.sourceSchema(sqlContext, schema, providerName,
+      streamParams(parameters))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    streams.createSource(sqlContext, metadataPath, schema, providerName,
+      streamParams(parameters))
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    streams.createSink(sqlContext, streamParams(parameters),
+      partitionColumns, outputMode)
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }

@@ -131,4 +131,23 @@ class CatalogSqlSpec extends SparkSpec {
     // other statements pass through the delegating parser untouched
     assert(spark.sql("SELECT 1 + 1").head.getInt(0) == 2)
   }
+
+  test("RESTORE TABLE and DESCRIBE DETAIL in SQL") {
+    val root = scratch("graft_cat_restore")
+    spark.range(10).toDF("k").write.format("graft").save(root)
+    spark.range(10, 30).toDF("k")
+      .write.format("graft").mode("append").save(root)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_cat_r " +
+      s"USING graft OPTIONS (path '$root')")
+    val d = spark.sql("DESCRIBE DETAIL graft_cat_r").head
+    assert(d.getString(0) == root)
+    assert(d.getLong(1) == 2L)
+    assert(d.getLong(2) > 0L && d.getLong(3) > 0L)
+    val v = spark.sql("RESTORE TABLE graft_cat_r TO VERSION AS OF 1")
+      .head.getLong(0)
+    assert(v == 3L, "restore publishes a NEW auditable version")
+    assert(spark.sql("SELECT count(*) FROM graft_cat_r")
+      .head.getLong(0) == 10L,
+      "the restored view must read version 1's contents")
+  }
 }

@@ -102,6 +102,29 @@ class LiveRelationSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root).count() == 8L)
   }
 
+  test("readStream/writeStream work under the one format name: graft") {
+    val in = scratch("graft_live_sin")
+    val out = scratch("graft_live_sout")
+    val ckpt = scratch("graft_live_ckpt")
+    spark.range(10).toDF("k").write.format("graft").save(in)
+    val q = spark.readStream.format("graft").load(in)
+      .writeStream.format("graft")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.read.format("graft").load(out).count() == 10L)
+    // a second commit streams incrementally through the same names
+    Versioned.commitAppend(spark.range(10, 15).toDF("k"), in)
+    val q2 = spark.readStream.format("graft").load(in)
+      .writeStream.format("graft")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(spark.read.format("graft").load(out).count() == 15L)
+  }
+
   test("CREATE TABLE with declared schema reads empty before any commit") {
     val root = scratch("graft_live_declared")
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW gdecl (k BIGINT, s STRING) " +
