@@ -807,6 +807,66 @@ object ScaleCanary {
     graft.store.Versioned.vacuum(zroot,
       graft.store.Versioned.latestVersion(zroot))
 
+    // Conditional MERGE (the full SQL grammar) at 5M rows: WHEN
+    // MATCHED AND s.payload > t.payload THEN UPDATE / WHEN MATCHED
+    // THEN DELETE / WHEN NOT MATCHED THEN INSERT, evaluated as ONE
+    // outer join + first-clause-wins projection. With no NOT MATCHED
+    // BY SOURCE clause the match scan key-prunes through the same
+    // sidecars as the canonical upsert (x is bounded to one band, so
+    // stats intervals skip the other bands' files), and every skipped
+    // file rides into the new manifest verbatim.
+    val cParent = graft.store.Versioned.files(zroot)
+      .map(p => p.substring(p.indexOf("data/")))
+    val box = zdf.filter(col("x") <= 63L && col("y") <= 63L)
+      .groupBy("x", "y").agg(max(col("payload")).as("p0"))
+    val cSrc = box.select(col("x"), col("y"),
+        when(pmod(col("x"), lit(2L)) === 0L,
+          col("p0") + 3000000000L)         // newer: update fires
+          .otherwise(lit(-1L)).as("payload")) // older: delete fires
+      .unionByName(spark.range(1000)
+        .select((col("id") % 64L).as("x"), (col("id") + 5000L).as("y"),
+          lit(7L).as("payload")))           // new keys: insert fires
+    val (cCand, cSkip) = graft.store.Versioned.pruneMergeScan(
+      cSrc, zroot, graft.store.Versioned.latestVersion(zroot),
+      cParent, Seq("x", "y"))
+    require(cCand.size <= 16 && cCand.size + cSkip.size == cParent.size,
+      s"conditional-merge pre-prune admitted ${cCand.size}/" +
+        s"${cParent.size} files for an x-band source")
+    val preBoxEven = graft.store.Versioned.read(spark, zroot)
+      .filter(col("x") <= 63L && col("y") <= 63L &&
+        pmod(col("x"), lit(2L)) === 0L).count()
+    val mc = graft.store.Versioned.MergeClause
+    val vCond = time("conditional merge commit (5M)") {
+      graft.store.Versioned.commitMergeConditional(cSrc, zroot,
+        Seq("x", "y"),
+        matched = Seq(
+          mc(Some(col("__s_payload") > col("__t_payload")), "update",
+            Seq("payload" -> col("__s_payload"))),
+          mc(None, "delete", Nil)),
+        notMatched = Seq(mc(None, "insert",
+          Seq("x" -> col("__s_x"), "y" -> col("__s_y"),
+            "payload" -> col("__s_payload")))),
+        notMatchedBySource = Nil)
+    }
+    val condFiles = graft.store.Versioned.files(zroot, vCond)
+      .map(p => p.substring(p.indexOf("data/"))).toSet
+    require(cSkip.forall(condFiles.contains),
+      "a sidecar-skipped file was rewritten by the conditional merge")
+    val condRead = graft.store.Versioned.read(spark, zroot, vCond)
+    require(condRead.filter(col("x") <= 63L && col("y") <= 63L &&
+        pmod(col("x"), lit(2L)) === 1L).count() == 0L,
+      "matched-DELETE rows survived the conditional merge")
+    val updatedN = condRead.filter(col("payload") >= 3000000000L).count()
+    require(updatedN == preBoxEven,
+      s"conditional update rewrote $updatedN rows, expected $preBoxEven")
+    require(condRead.filter(col("y") >= 5000L).count() == 1000L,
+      "conditional-merge inserts lost")
+    println(s"[canary]   conditional merge ${cCand.size}/" +
+      s"${cParent.size} candidate files, $preBoxEven updated, " +
+      "odd-x box deleted, 1000 inserted")
+    graft.store.Versioned.vacuum(zroot,
+      graft.store.Versioned.latestVersion(zroot))
+
     // Deletion vectors + merge-on-read at 5M rows: THE delete/upsert
     // economics this store exists for. A bounded-predicate DV delete
     // tombstones only matching row positions — zero data rewrites, and
