@@ -73,6 +73,27 @@ class Round14StoreSpec extends SparkSpec {
     assert(states == 3, s"expected 3 published states, found $states")
   }
 
+  test("concurrent constraint ALTERs compose (no lost update)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = scratch("graft_r14_consrace")
+    Versioned.commitAppend(spark.range(4).toDF("k")
+      .withColumn("a", lit(1L)).withColumn("b", lit(1L))
+      .withColumn("c", lit(1L)).withColumn("d", lit(1L)), root)
+    // four racing ADDs of distinct rules: the versioned exclusive
+    // publish must compose ALL of them — the read-modify-write race
+    // the flat constraints.json lost one to
+    val names = Seq("a_pos", "b_pos", "c_pos", "d_pos")
+    val adds = names.map { n =>
+      Future(Versioned.addCheckConstraint(spark, root, n,
+        s"${n.take(1)} > 0"))
+    }
+    Await.result(Future.sequence(adds), 60.seconds)
+    assert(Versioned.checkConstraints(root).map(_._1).sorted == names,
+      s"racing ALTERs lost a rule: ${Versioned.checkConstraints(root)}")
+  }
+
   test("replaceWhere evaluates its frame ONCE (staged bytes drive " +
       "both validation and cdc)") {
     val root = scratch("graft_r14_rwonce")
