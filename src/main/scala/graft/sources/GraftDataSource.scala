@@ -203,9 +203,18 @@ class GraftDataSource extends RelationProvider
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val statsCols = cols("statsCols")
     val bloomCols = cols("bloomCols")
-    // DSv1 writers don't receive DataFrameWriter.partitionBy, so the
-    // hive-style layout rides an option instead
-    val partitionBy = cols("partitionBy")
+    // native DataFrameWriter.partitionBy arrives encoded under
+    // DataSourceUtils.PARTITIONING_COLUMNS_KEY (__partition_columns);
+    // the explicit "partitionBy" option remains as the SQL-facing
+    // spelling (CREATE TEMPORARY VIEW options cannot call partitionBy)
+    val nativeBy = opt(parameters,
+        org.apache.spark.sql.execution.datasources.DataSourceUtils
+          .PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .decodePartitioningColumns)
+      .getOrElse(Nil)
+    val partitionBy =
+      if (nativeBy.nonEmpty) nativeBy else cols("partitionBy")
     // writer ergonomics: bound file sizes at write time (OPTIMIZE
     // becomes maintenance, not repair) and/or z-order-cluster the
     // batch as it lands (write-time OPTIMIZE ZORDER)

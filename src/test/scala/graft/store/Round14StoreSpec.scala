@@ -154,6 +154,21 @@ class Round14StoreSpec extends SparkSpec {
     assert(spark.read.format("graft").load(rootZ).count() == 4096L)
   }
 
+  test("DataFrameWriter.partitionBy lands the hive layout natively") {
+    val root = scratch("graft_r14_natpby")
+    spark.range(256).toDF("k")
+      .withColumn("bucket", pmod(col("k"), lit(4L)))
+      .write.format("graft").partitionBy("bucket").save(root)
+    val files = Versioned.files(root)
+    assert(files.nonEmpty && files.forall(_.contains("__pi_bucket=")),
+      s"partitionBy must not be silently dropped: ${files.take(2)}")
+    val (kept, total) = Versioned.prunedFiles(root,
+      Map("bucket" -> (2L, 2L)))
+    assert(kept.size < total, "the layout must path-prune")
+    assert(spark.read.format("graft").load(root)
+      .filter(col("bucket") === 2L).count() == 64L)
+  }
+
   test("appends without partitionBy land under the table's layout " +
       "(partition columns are table metadata)") {
     val root = scratch("graft_r14_layout")
