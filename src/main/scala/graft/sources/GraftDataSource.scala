@@ -296,15 +296,19 @@ final class GraftFileIndex(spark: SparkSession, val root: String,
   }
 
   /** Schema used for probe translation and (when files exist) as the
-    * relation's data schema: the schema of record when persisted, a
-    * head-file footer otherwise. */
-  private[graft] lazy val schemaOf: StructType =
-    Versioned.tableSchema(root).getOrElse {
-      val (_, statuses) = snapshot()
-      require(statuses.nonEmpty,
-        s"$root holds no data files and no schema of record")
+    * relation's data schema. The FILE FOOTER is authoritative whenever
+    * data files exist — schema.json is advisory, last-writer-wins
+    * metadata (a refused or conflict-failed write may have updated it
+    * with a schema no committed version carries), so it only serves
+    * the zero-data-file case where there is no footer to read. */
+  private[graft] lazy val schemaOf: StructType = {
+    val (_, statuses) = snapshot()
+    if (statuses.nonEmpty)
       spark.read.parquet(statuses.head.getPath.toString).schema
-    }
+    else Versioned.tableSchema(root).getOrElse(
+      throw new IllegalStateException(
+        s"$root holds no data files and no schema of record"))
+  }
 
   override val rootPaths: Seq[Path] = Seq(new Path(root))
 

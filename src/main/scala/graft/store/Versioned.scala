@@ -616,7 +616,14 @@ object Versioned {
     * falling back to the legacy unversioned `constraints.json`. */
   def checkConstraints(root: String): Seq[(String, String)] = {
     val (fs, rootPath) = fsRoot(root)
-    val n = latestConstraintsVersion(fs, rootPath)
+    constraintsStateAt(fs, rootPath,
+      latestConstraintsVersion(fs, rootPath))
+  }
+
+  /** Constraint state as of constraints-version `n` (0 = the legacy
+    * unversioned file, or nothing). */
+  private def constraintsStateAt(fs: FileSystem, rootPath: Path,
+                                 n: Long): Seq[(String, String)] = {
     val p =
       if (n > 0L) constraintsVersionPath(rootPath, n)
       else constraintsPath(rootPath)
@@ -645,14 +652,19 @@ object Versioned {
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
-      val cons = transform(checkConstraints(root))
-      val n = latestConstraintsVersion(fs, rootPath) + 1L
+      // CAS shape: the state is read AT version n0 and published AT
+      // n0+1 — a racer landing n0+1 first fails our exclusive create
+      // and we re-derive from THEIR state. (Reading "latest" and
+      // re-listing for the slot separately is a torn read: a commit
+      // between the two silently loses its rule.)
+      val n0 = latestConstraintsVersion(fs, rootPath)
+      val cons = transform(constraintsStateAt(fs, rootPath, n0))
       val body = "{\n" + cons.map { case (c, e) =>
         s"""  "${jsonEsc(c)}": "${jsonEsc(e)}"""" }.mkString(",\n") +
         "\n}"
-      val target = constraintsVersionPath(rootPath, n)
+      val target = constraintsVersionPath(rootPath, n0 + 1L)
       val tmp = new Path(rootPath,
-        s".constraints-v$n-${java.util.UUID.randomUUID()}.tmp")
+        s".constraints-v${n0 + 1L}-${java.util.UUID.randomUUID()}.tmp")
       writeFile(fs, tmp, body)
       if (exclusiveCreate(fs, tmp, target)) return
       // lost the race: re-read the racer's state and re-apply
@@ -748,6 +760,12 @@ object Versioned {
           throw e
       }
     }
+    // schema of record: what keeps a zero-data-file version readable
+    // as a typed empty frame. Written AFTER constraint validation so a
+    // refused batch cannot leave a schema no committed version carries
+    // (still advisory: file footers stay authoritative when files
+    // exist — see GraftFileIndex.schemaOf)
+    writeTableSchema(fs, rootPath, df.schema)
     staged
   }
 
@@ -757,9 +775,6 @@ object Versioned {
       : Seq[String] = {
     val (fs, rootPath) = fsRoot(root)
     fs.mkdirs(rootPath)
-    // schema of record: what keeps a zero-data-file version readable
-    // as a typed empty frame (last write wins; advisory metadata)
-    writeTableSchema(fs, rootPath, df.schema)
     // target-file-size ergonomics: Spark's own per-write splitter —
     // the writer keeps files bounded so OPTIMIZE is maintenance, not
     // repair (0 = unbounded, the default)
