@@ -59,6 +59,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRestoreCommand(TableRef(m.group(1)), m.group(2).toLong)
     }).orElse(describeDetailRe.findFirstMatchIn(t).map { m =>
       GraftDescribeDetailCommand(TableRef(m.group(1)))
+    }).orElse(convertRe.findFirstMatchIn(t).map { m =>
+      GraftConvertCommand(TableRef(m.group(1)))
     }).getOrElse(delegate.parsePlan(sqlText))
   }
 
@@ -98,6 +100,7 @@ private[plans] object GraftSqlParser {
   val restoreRe = re("RESTORE\\s+TABLE\\s+" + tblP +
     "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
   val describeDetailRe = re("DESCRIBE\\s+DETAIL\\s+" + tblP)
+  val convertRe = re("CONVERT\\s+TO\\s+GRAFT\\s+" + tblP)
 }
 
 /** A graft table named in a governance verb: a filesystem path or a
@@ -253,6 +256,17 @@ case class GraftDescribeDetailCommand(table: TableRef)
       dvFiles,
       Versioned.checkConstraints(root).size.toLong))
   }
+}
+
+/** `CONVERT TO GRAFT '<dir>'` → adopt an existing plain-parquet
+  * directory by reference: version 1 lists its files, zero bytes
+  * rewritten (Delta's CONVERT TO DELTA role). */
+case class GraftConvertCommand(table: TableRef)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(GraftSqlOut.attr("version", LongType))
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Versioned.convertParquet(session, table.root(session))))
 }
 
 /** `VACUUM t [RETAIN n HOURS] [DRY RUN]` → reclaim history older than

@@ -2444,6 +2444,44 @@ object RelationalQueries {
     // frame (count 0, full schema) through both the facade and the
     // format — and the table is immediately writable again. The
     // oracle replays the rebirth contents.
+    // ------------------------------------------------------------------
+    // CONVERT TO GRAFT (round 14, Delta's CONVERT TO DELTA role):
+    // adopt an EXISTING plain-parquet directory as version 1 BY
+    // REFERENCE — zero bytes rewritten (the require pins that the
+    // adopted file survives in the manifest verbatim), after which the
+    // full surface applies: SQL DML, history, time travel. At 100 TB
+    // this is the adoption path: a metadata commit, not a copy.
+    QuerySpec("q269_convert_parquet",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_conv269_q")
+        val conf = s.sparkContext.hadoopConfiguration
+        val src = new org.apache.hadoop.fs.Path(dir, "orders.parquet")
+        val dst = new org.apache.hadoop.fs.Path(root, "orders.parquet")
+        val fs = dst.getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+          fs, dst, false, conf)
+        val v = s.sql(s"CONVERT TO GRAFT '$root'").head.getLong(0)
+        require(v == 1L, "convert must publish version 1")
+        require(graft.store.Versioned.files(root, 1L)
+          .exists(_.endsWith("orders.parquet")),
+          "the adopted file must be listed by reference")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q269 " +
+          s"USING graft OPTIONS (path '$root')")
+        s.sql("DELETE FROM graft_q269 WHERE o_orderkey % 3 = 0")
+        s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_v1 " +
+            "FROM graft_q269 VERSION AS OF 1")
+          .crossJoin(s.sql(
+            "SELECT CAST(count(*) AS BIGINT) AS n_live, " +
+              "CAST(sum(" + Exact.centsSql("o_totalprice") + ") " +
+              "AS BIGINT) AS cents_live FROM graft_q269"))
+      },
+      Some(s"""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_v1,
+               CAST(count(*) AS BIGINT) AS n_live,
+               CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+                 AS cents_live
+        FROM orders WHERE o_orderkey % 3 <> 0""")),
+
     QuerySpec("q268_empty_rebirth",
       (s, dir) => {
         val root = graft.util.TempDirs.scratch("graft_empty268_q")

@@ -1017,6 +1017,48 @@ object Versioned {
       s"gave up committing to $root after 20 version-collision retries")
   }
 
+  /** Adopt an EXISTING plain-parquet directory as a graft table
+    * (Delta's CONVERT TO DELTA role): version 1's manifest lists the
+    * directory's parquet files BY REFERENCE — zero bytes rewritten, so
+    * converting a 100 TB directory is a metadata operation. After
+    * conversion every feature applies: DML, time travel, constraints,
+    * OPTIMIZE, [[indexSkipping]] backfills the stats/bloom sidecars.
+    *
+    * Hive-partitioned trees (`key=value` path segments) are REFUSED:
+    * their partition values exist only in the paths, and this store's
+    * explicit-file scans read values from file bytes — converting one
+    * would silently drop those columns. Re-land such data through a
+    * partitioned [[commitAppend]] instead. */
+  def convertParquet(spark: SparkSession, root: String): Long = {
+    val (fs, rootPath) = fsRoot(root)
+    require(latestVersion(root) == 0L,
+      s"$root is already a graft table (convert adopts plain parquet)")
+    require(fs.exists(rootPath), s"$root does not exist")
+    val rootUri = fs.makeQualified(rootPath).toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val p = fs.makeQualified(it.next().getPath).toString
+      if (p.endsWith(".parquet")) {
+        val rel = p.stripPrefix(rootUri).stripPrefix("/")
+        require(!rel.contains("="),
+          s"$root looks hive-partitioned ($rel): partition values " +
+            "live only in paths there - re-land the data through a " +
+            "partitioned commitAppend instead of converting")
+        out += rel
+      }
+    }
+    require(out.nonEmpty, s"no parquet files under $root to convert")
+    val entries = out.sorted.toSeq
+    // schema of record from the adopted files (footer-read, advisory)
+    try writeTableSchema(fs, rootPath,
+      spark.read.parquet(resolve(rootPath, entries.head).toString)
+        .schema)
+    catch { case scala.util.control.NonFatal(_) => () }
+    commitFiles(root, entries, appendBase = false,
+      expectedParent = Some(0L), op = "convert")
+  }
+
   /** Append-commit `df` as the next version; returns the new version
     * number. The parquet write lands in an isolated `data/<uuid>/`
     * directory first; the table only advances when the manifest
@@ -1612,16 +1654,21 @@ object Versioned {
         .parquet(touched.map(resolve(rootPath, _).toString): _*))
 
     // multi-match ambiguity: duplicate source keys hitting ONE target
-    // row would apply two updates to it — refuse, like Delta
+    // row would apply two updates to it — refuse, like Delta. The
+    // guard is two-staged so the common dup-free source never pays a
+    // second touched-file scan: a source-sized distinct check first,
+    // and only an actual duplicate probes the (rewrite-sized) target.
     if (matched.nonEmpty && touchedScan.nonEmpty) {
       val dups = source.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
         .drop("__n")
-      val clash = touchedScan.get.join(dups, keys, "left_semi")
-        .limit(1).count()
-      require(clash == 0L,
-        "MERGE source holds multiple rows for a key that matches one " +
-          "target row - deduplicate the source (ambiguous update)")
+      if (dups.limit(1).count() > 0L) {
+        val clash = touchedScan.get.join(dups, keys, "left_semi")
+          .limit(1).count()
+        require(clash == 0L,
+          "MERGE source holds multiple rows for a key that matches " +
+            "one target row - deduplicate the source (ambiguous update)")
+      }
     }
 
     val tPref = touchedScan.map(t => t.select(fields.map(f =>

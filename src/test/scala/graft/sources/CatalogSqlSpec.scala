@@ -132,6 +132,39 @@ class CatalogSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 + 1").head.getInt(0) == 2)
   }
 
+  test("CONVERT TO GRAFT adopts a plain parquet dir by reference; " +
+      "hive trees are refused") {
+    val root = scratch("graft_cat_conv")
+    // a plain parquet dir written by Spark (multiple part files)
+    spark.range(100).toDF("k").repartition(4)
+      .write.mode("overwrite").parquet(root)
+    val v = spark.sql(s"CONVERT TO GRAFT '$root'").head.getLong(0)
+    assert(v == 1L)
+    assert(spark.read.format("graft").load(root).count() == 100L)
+    // adopted files are listed by reference (no data/ staging dir)
+    assert(Versioned.files(root).forall(f => !f.contains("/data/")))
+    // the full surface applies post-conversion
+    Versioned.commitDelete(spark, root,
+      org.apache.spark.sql.functions.col("k") < 50L)
+    assert(spark.read.format("graft").load(root).count() == 50L)
+    assert(spark.read.format("graft").option("versionAsOf", "1")
+      .load(root).count() == 100L)
+    // double-convert refused; hive-partitioned tree refused
+    val again = try { Versioned.convertParquet(spark, root); false }
+      catch { case _: IllegalArgumentException => true }
+    assert(again, "converting an existing graft table must be refused")
+    val hive = scratch("graft_cat_convhive")
+    spark.range(100).toDF("k")
+      .withColumn("p", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.lit(4L)))
+      .write.mode("overwrite").partitionBy("p").parquet(hive)
+    val refused = try { Versioned.convertParquet(spark, hive); false }
+      catch { case _: IllegalArgumentException => true }
+    assert(refused,
+      "hive-partitioned trees must be refused (values live in paths)")
+  }
+
   test("RESTORE TABLE and DESCRIBE DETAIL in SQL") {
     val root = scratch("graft_cat_restore")
     spark.range(10).toDF("k").write.format("graft").save(root)
