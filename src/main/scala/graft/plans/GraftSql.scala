@@ -61,6 +61,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftDescribeDetailCommand(TableRef(m.group(1)))
     }).orElse(convertRe.findFirstMatchIn(t).map { m =>
       GraftConvertCommand(TableRef(m.group(1)))
+    }).orElse(setPropsRe.findFirstMatchIn(t).map { m =>
+      GraftSetPropertiesCommand(TableRef(m.group(1)),
+        kvPairs(m.group(2)))
+    }).orElse(unsetPropsRe.findFirstMatchIn(t).map { m =>
+      GraftUnsetPropertiesCommand(TableRef(m.group(1)),
+        "'([^']*)'".r.findAllMatchIn(m.group(2))
+          .map(_.group(1)).toSeq)
     }).getOrElse(delegate.parsePlan(sqlText))
   }
 
@@ -101,6 +108,15 @@ private[plans] object GraftSqlParser {
     "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
   val describeDetailRe = re("DESCRIBE\\s+DETAIL\\s+" + tblP)
   val convertRe = re("CONVERT\\s+TO\\s+GRAFT\\s+" + tblP)
+  val setPropsRe = re("ALTER\\s+TABLE\\s+" + tblP +
+    "\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)")
+  val unsetPropsRe = re("ALTER\\s+TABLE\\s+" + tblP +
+    "\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)")
+
+  /** `'k' = 'v', 'k2' = 'v2'` → pairs. */
+  def kvPairs(body: String): Seq[(String, String)] =
+    "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(body)
+      .map(m => (m.group(1), m.group(2))).toSeq
 }
 
 /** A graft table named in a governance verb: a filesystem path or a
@@ -255,6 +271,31 @@ case class GraftDescribeDetailCommand(table: TableRef)
       Versioned.currentLayout(root).mkString(","),
       dvFiles,
       Versioned.checkConstraints(root).size.toLong))
+  }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)` → the versioned,
+  * race-safe property publish. `graft.enableChangeDataFeed` = 'true'
+  * makes every later rewrite commit stage exact change records, so
+  * the change feed stays derivable across SQL DML. */
+case class GraftSetPropertiesCommand(table: TableRef,
+                                     props: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    require(props.nonEmpty,
+      "SET TBLPROPERTIES needs at least one 'key' = 'value' pair")
+    Versioned.setTableProperties(table.root(session), props)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)`. */
+case class GraftUnsetPropertiesCommand(table: TableRef,
+                                       keys: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Versioned.unsetTableProperties(table.root(session), keys)
+    Nil
   }
 }
 

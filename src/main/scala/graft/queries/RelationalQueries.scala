@@ -2482,6 +2482,81 @@ object RelationalQueries {
                  AS cents_live
         FROM orders WHERE o_orderkey % 3 <> 0""")),
 
+    // ------------------------------------------------------------------
+    // CDF ACROSS SQL DML via the table property (round 14, Delta's
+    // delta.enableChangeDataFeed): ALTER TABLE ... SET TBLPROPERTIES
+    // ('graft.enableChangeDataFeed'='true') makes EVERY later rewrite
+    // commit stage exact change records — so UPDATE / DELETE /
+    // conditional MERGE issued as plain SQL keep the change feed
+    // derivable for downstream consumers without each statement
+    // opting in. The oracle replays the statement algebra into the
+    // feed's delete/insert records.
+    QuerySpec("q270_cdf_sql_dml",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_cdf270_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            Exact.cents(col("o_totalprice")).as("cents"))
+        orders.filter(pmod(col("k"), lit(2L)) === 0L)
+          .write.format("graft").save(root)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q270 " +
+          s"USING graft OPTIONS (path '$root')")
+        s.sql("ALTER TABLE graft_q270 SET TBLPROPERTIES " +
+          "('graft.enableChangeDataFeed' = 'true')")
+        require(graft.store.Versioned.cdfEnabled(root),
+          "the property must round-trip")
+        s.sql("UPDATE graft_q270 SET cents = cents + 100 " +
+          "WHERE k % 10 = 0")
+        s.sql("DELETE FROM graft_q270 WHERE k % 14 = 0")
+        orders.filter(pmod(col("k"), lit(6L)) === 0L)
+          .select(col("k"), lit(777L).as("cents"))
+          .createOrReplaceTempView("graft_q270_src")
+        s.sql("MERGE INTO graft_q270 t USING graft_q270_src s " +
+          "ON t.k = s.k " +
+          "WHEN MATCHED AND s.cents > t.cents THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        val feed = graft.store.Versioned.readChangeFeed(s, root, 1L)
+        feed.agg(
+          sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+            .as("n_del"),
+          sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+            .as("n_ins"),
+          sum(when(col("_change_type") === "delete", col("cents")))
+            .as("cents_del"),
+          sum(when(col("_change_type") === "insert", col("cents")))
+            .as("cents_ins"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 ${Exact.centsSql("o_totalprice")} AS cents
+          FROM orders),
+        t0 AS (SELECT k, cents FROM base WHERE k % 2 = 0),
+        upd AS (SELECT k, cents AS old, cents + 100 AS new
+                FROM t0 WHERE k % 10 = 0),
+        a1 AS (SELECT k, cents +
+                 CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS cents
+               FROM t0),
+        del AS (SELECT k, cents FROM a1 WHERE k % 14 = 0),
+        a2 AS (SELECT * FROM a1 WHERE k % 14 <> 0),
+        fired AS (SELECT k, cents FROM a2
+                  WHERE k % 6 = 0 AND 777 > cents),
+        mins AS (SELECT k FROM base
+                 WHERE k % 6 = 0 AND k % 42 = 0)
+        SELECT
+          CAST((SELECT count(*) FROM upd) + (SELECT count(*) FROM del)
+            + (SELECT count(*) FROM fired) AS BIGINT) AS n_del,
+          CAST((SELECT count(*) FROM upd)
+            + (SELECT count(*) FROM fired)
+            + (SELECT count(*) FROM mins) AS BIGINT) AS n_ins,
+          CAST((SELECT sum(old) FROM upd)
+            + COALESCE((SELECT sum(cents) FROM del), 0)
+            + COALESCE((SELECT sum(cents) FROM fired), 0) AS BIGINT)
+            AS cents_del,
+          CAST((SELECT sum(new) FROM upd)
+            + 777 * ((SELECT count(*) FROM fired)
+              + (SELECT count(*) FROM mins)) AS BIGINT) AS cents_ins""")),
+
     QuerySpec("q268_empty_rebirth",
       (s, dir) => {
         val root = graft.util.TempDirs.scratch("graft_empty268_q")

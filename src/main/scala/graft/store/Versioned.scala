@@ -520,26 +520,34 @@ object Versioned {
   private def constraintsPath(rootPath: Path): Path =
     new Path(rootPath, "constraints.json")
 
-  /** Constraint state is VERSIONED (`constraints-v<n>.json`, highest n
-    * wins) and published through the same exclusive-create primitive as
+  /** Table-level key→value states (CHECK constraints, table
+    * properties) are VERSIONED (`<prefix>-v<n>.json`, highest n wins)
+    * and published through the same exclusive-create primitive as
     * manifests, so two concurrent ALTERs compose instead of one losing
-    * its rule to a read-modify-write race. The unversioned
-    * `constraints.json` is read as legacy state (version 0) for tables
-    * written before this scheme. Vacuum never touches root-level
-    * `constraints-*` files. */
-  private def constraintsVersionPath(rootPath: Path, n: Long): Path =
-    new Path(rootPath, s"constraints-v$n.json")
+    * its entry to a read-modify-write race: the state is read AT
+    * version n0 and published AT exactly n0+1 — a true CAS. Vacuum
+    * never touches root-level state files. */
+  private def kvVersionPath(rootPath: Path, prefix: String,
+                            n: Long): Path =
+    new Path(rootPath, s"$prefix-v$n.json")
 
-  private def latestConstraintsVersion(fs: FileSystem,
-                                       rootPath: Path): Long = {
+  private def latestKvVersion(fs: FileSystem, rootPath: Path,
+                              prefix: String): Long = {
     if (!fs.exists(rootPath)) return 0L
     fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
       .collect {
-        case n if n.startsWith("constraints-v") && n.endsWith(".json") =>
-          n.stripPrefix("constraints-v").stripSuffix(".json").toLong
+        case n if n.startsWith(prefix + "-v") && n.endsWith(".json") =>
+          n.stripPrefix(prefix + "-v").stripSuffix(".json").toLong
       }
       .foldLeft(0L)(math.max)
   }
+
+  private def constraintsVersionPath(rootPath: Path, n: Long): Path =
+    kvVersionPath(rootPath, "constraints", n)
+
+  private def latestConstraintsVersion(fs: FileSystem,
+                                       rootPath: Path): Long =
+    latestKvVersion(fs, rootPath, "constraints")
 
   /** Table schema of record (`schema.json`, maintained by [[stage]] at
     * every data write): what makes a ZERO-data-file version — a legal
@@ -623,10 +631,16 @@ object Versioned {
   /** Constraint state as of constraints-version `n` (0 = the legacy
     * unversioned file, or nothing). */
   private def constraintsStateAt(fs: FileSystem, rootPath: Path,
-                                 n: Long): Seq[(String, String)] = {
-    val p =
+                                 n: Long): Seq[(String, String)] =
+    kvFileState(fs,
       if (n > 0L) constraintsVersionPath(rootPath, n)
-      else constraintsPath(rootPath)
+      else constraintsPath(rootPath))
+
+  /** Parse one versioned key→value state file: a `"key": "value"`
+    * pair per line, written by [[publishKv]] — no JSON parser
+    * dependency needed. */
+  private def kvFileState(fs: FileSystem,
+                          p: Path): Seq[(String, String)] = {
     if (!fs.exists(p)) return Nil
     val in = fs.open(p)
     val text = try {
@@ -634,18 +648,17 @@ object Versioned {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
       new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    // one `"name": "escaped-expr"` pair per line, written by
-    // publishConstraints — no JSON parser dependency needed
     "\"((?:[^\"\\\\]|\\\\.)*)\":\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findAllMatchIn(text)
       .map(m => (jsonUnesc(m.group(1)), jsonUnesc(m.group(2)))).toSeq
   }
 
-  /** Publish a new constraint state through the manifest's exclusive-
+  /** Publish a new key→value state through the manifest's exclusive-
     * create primitive: `transform` is re-applied to the FRESHLY-READ
     * state on every collision retry, so concurrent ALTERs compose
-    * instead of losing one rule to a read-modify-write race. */
-  private def publishConstraints(root: String,
+    * instead of losing one entry to a read-modify-write race. */
+  private def publishKv(root: String, prefix: String,
+      readAt: (FileSystem, Path, Long) => Seq[(String, String)],
       transform: Seq[(String, String)] => Seq[(String, String)]): Unit = {
     val (fs, rootPath) = fsRoot(root)
     fs.mkdirs(rootPath)
@@ -656,22 +669,26 @@ object Versioned {
       // n0+1 — a racer landing n0+1 first fails our exclusive create
       // and we re-derive from THEIR state. (Reading "latest" and
       // re-listing for the slot separately is a torn read: a commit
-      // between the two silently loses its rule.)
-      val n0 = latestConstraintsVersion(fs, rootPath)
-      val cons = transform(constraintsStateAt(fs, rootPath, n0))
+      // between the two silently loses its entry.)
+      val n0 = latestKvVersion(fs, rootPath, prefix)
+      val cons = transform(readAt(fs, rootPath, n0))
       val body = "{\n" + cons.map { case (c, e) =>
         s"""  "${jsonEsc(c)}": "${jsonEsc(e)}"""" }.mkString(",\n") +
         "\n}"
-      val target = constraintsVersionPath(rootPath, n0 + 1L)
+      val target = kvVersionPath(rootPath, prefix, n0 + 1L)
       val tmp = new Path(rootPath,
-        s".constraints-v${n0 + 1L}-${java.util.UUID.randomUUID()}.tmp")
+        s".$prefix-v${n0 + 1L}-${java.util.UUID.randomUUID()}.tmp")
       writeFile(fs, tmp, body)
       if (exclusiveCreate(fs, tmp, target)) return
       // lost the race: re-read the racer's state and re-apply
     }
     throw new IllegalStateException(
-      s"gave up publishing constraints to $root after 20 retries")
+      s"gave up publishing $prefix state to $root after 20 retries")
   }
+
+  private def publishConstraints(root: String,
+      transform: Seq[(String, String)] => Seq[(String, String)]): Unit =
+    publishKv(root, "constraints", constraintsStateAt, transform)
 
   /** Add a named CHECK constraint. The predicate is PARSED first (a
     * typo'd expression would otherwise poison every subsequent write),
@@ -704,6 +721,48 @@ object Versioned {
   /** Remove a CHECK constraint by name (no-op when absent). */
   def dropCheckConstraint(root: String, name: String): Unit =
     publishConstraints(root, _.filterNot(_._1 == name))
+
+  /** The CDF table property key (Delta's
+    * `delta.enableChangeDataFeed` role): when "true", EVERY
+    * copy-on-write rewrite commit (merge, update, delete,
+    * replaceWhere, conditional merge) stages exact cdc sidecars, so
+    * [[readChangeFeed]] stays derivable across SQL DML without each
+    * statement opting in. */
+  val EnableChangeDataFeedKey = "graft.enableChangeDataFeed"
+
+  /** Table properties: versioned key→value metadata beside the
+    * manifests (`properties-v<n>.json`), published through the same
+    * CAS as constraints. */
+  def tableProperties(root: String): Seq[(String, String)] = {
+    val (fs, rootPath) = fsRoot(root)
+    propertiesStateAt(fs, rootPath,
+      latestKvVersion(fs, rootPath, "properties"))
+  }
+
+  private def propertiesStateAt(fs: FileSystem, rootPath: Path,
+                                n: Long): Seq[(String, String)] =
+    if (n == 0L) Nil
+    else kvFileState(fs, kvVersionPath(rootPath, "properties", n))
+
+  /** Set (or replace) table properties. */
+  def setTableProperties(root: String,
+                         props: Seq[(String, String)]): Unit = {
+    require(props.nonEmpty, "no properties to set")
+    publishKv(root, "properties", propertiesStateAt,
+      state => state.filterNot(p => props.exists(_._1 == p._1)) ++ props)
+  }
+
+  /** Remove table properties by key (absent keys are no-ops). */
+  def unsetTableProperties(root: String, keys: Seq[String]): Unit =
+    publishKv(root, "properties", propertiesStateAt,
+      _.filterNot(p => keys.contains(p._1)))
+
+  /** Is the change-data-feed property on? Read at every rewrite
+    * commit (one small driver-side state read). */
+  def cdfEnabled(root: String): Boolean =
+    tableProperties(root)
+      .exists(p => p._1 == EnableChangeDataFeedKey &&
+        p._2.equalsIgnoreCase("true"))
 
   /** Fail LOUDLY if any staged row provably violates a CHECK
     * constraint — one aggregate pass counting violations per
@@ -1451,6 +1510,8 @@ object Versioned {
     require(keys.nonEmpty, "merge needs at least one key column")
     val spark = updates.sparkSession
     val (fs, rootPath) = fsRoot(root)
+    // the table-level CDF property turns cdc on for every rewrite
+    val cdcOn = cdc || cdfEnabled(root)
     import org.apache.spark.sql.functions.{col, lit}
     // cdc=true (Delta's delta.enableChangeDataFeed role): stage the
     // commit's EXACT row changes as a cdc/<uuid>/ sidecar — matched
@@ -1460,7 +1521,7 @@ object Versioned {
     // one extra write of changed rows (they are already in hand), off
     // by default.
     def cdcOf(deletes: Option[DataFrame]): Seq[String] =
-      if (!cdc) Nil
+      if (!cdcOn) Nil
       else {
         val ins = updates.withColumn("_change_type", lit("insert"))
         stageCdc(spark, fs, rootPath, deletes
@@ -1565,6 +1626,8 @@ object Versioned {
       notMatchedBySource.nonEmpty, "merge needs at least one clause")
     val spark = source.sparkSession
     val (fs, rootPath) = fsRoot(root)
+    // the table-level CDF property turns cdc on for every rewrite
+    val cdcOn = cdc || cdfEnabled(root)
     val parent = latestVersion(root)
     val (parentFiles, dvParent) =
       if (parent == 0L) (Nil, Nil)
@@ -1713,7 +1776,7 @@ object Versioned {
             .cast(f.dataType).as(f.name)
         }
         val cdcFiles =
-          if (!cdc) Nil
+          if (!cdcOn) Nil
           else {
             // exact change records (CDC's delete+insert encoding):
             // rows where a clause FIRED emit their old image as
@@ -1764,6 +1827,8 @@ object Versioned {
       splitEntries(readManifest(fs, rootPath, parent)._2)
     requireNoDv(dvParent, root, "copy-on-write DELETE")
     if (parentFiles.isEmpty) return parent // already empty: no-op
+    // the table-level CDF property turns cdc on for every rewrite
+    val cdcOn = cdc || cdfEnabled(root)
     // sidecar pre-pruning from the predicate's own literal conjuncts:
     // files whose stats/bloom metadata provably fails a necessary
     // comparison never enter the match scan
@@ -1795,7 +1860,7 @@ object Versioned {
     // (one extra pass over the touched files), keeping the feed
     // derivable across the rewrite
     val cdcStaged =
-      if (!cdc) Nil
+      if (!cdcOn) Nil
       else stageCdc(spark, fs, rootPath, touchedScan
         .filter(org.apache.spark.sql.functions.coalesce(predicate,
           org.apache.spark.sql.functions.lit(false)))
@@ -1836,6 +1901,8 @@ object Versioned {
       splitEntries(readManifest(fs, rootPath, parent)._2)
     requireNoDv(dvParent, root, "copy-on-write UPDATE")
     if (parentFiles.isEmpty) return parent // no rows to update: no-op
+    // the table-level CDF property turns cdc on for every rewrite
+    val cdcOn = cdc || cdfEnabled(root)
     val probe = spark.read
       .parquet(resolve(rootPath, parentFiles.head).toString)
     val schema = probe.schema
@@ -1874,7 +1941,7 @@ object Versioned {
           .getOrElse(col(f.name))
       } :+ col(flag)): _*)
     val cdcStaged =
-      if (!cdc) Nil
+      if (!cdcOn) Nil
       else stageCdc(spark, fs, rootPath,
         flagged.filter(col(flag)).drop(flag)
           .withColumn("_change_type", lit("delete"))
@@ -1918,6 +1985,8 @@ object Versioned {
     val (parentFiles, dvParent) =
       splitEntries(readManifest(fs, rootPath, parent)._2)
     requireNoDv(dvParent, root, "replaceWhere")
+    // the table-level CDF property turns cdc on for every rewrite
+    val cdcOn = cdc || cdfEnabled(root)
     // the table's own layout wins when the caller didn't name one, so
     // a region replacement never flattens a partitioned table
     val layout =
@@ -1967,7 +2036,7 @@ object Versioned {
     val survivorsStaged = touchedScan
       .map(t => stage(t.filter(keep), root, layout)).getOrElse(Nil)
     val cdcStaged =
-      if (!cdc) Nil
+      if (!cdcOn) Nil
       else {
         val deletes = touchedScan.map(t =>
           stageCdc(spark, fs, rootPath, t

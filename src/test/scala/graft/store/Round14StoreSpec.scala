@@ -73,6 +73,35 @@ class Round14StoreSpec extends SparkSpec {
     assert(states == 3, s"expected 3 published states, found $states")
   }
 
+  test("table properties round-trip; the CDF property turns every " +
+      "rewrite's change records on") {
+    val root = scratch("graft_r14_props")
+    Versioned.commitAppend(spark.range(20).toDF("k")
+      .withColumn("v", col("k")), root)
+    Versioned.setTableProperties(root,
+      Seq(Versioned.EnableChangeDataFeedKey -> "true", "owner" -> "me"))
+    assert(Versioned.cdfEnabled(root))
+    assert(Versioned.tableProperties(root).toMap.get("owner")
+      .contains("me"))
+    // a plain Scala DELETE (cdc defaulted false) now stages change
+    // records because the table property is on
+    Versioned.commitDelete(spark, root, col("k") < 5L)
+    val feed = Versioned.readChangeFeed(spark, root, 1L)
+    assert(feed.filter(col("_change_type") === "delete").count() == 5L)
+    Versioned.unsetTableProperties(root,
+      Seq(Versioned.EnableChangeDataFeedKey))
+    assert(!Versioned.cdfEnabled(root))
+    // SQL surface
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_r14_props " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("ALTER TABLE graft_r14_props SET TBLPROPERTIES " +
+      "('graft.enableChangeDataFeed' = 'true')")
+    assert(Versioned.cdfEnabled(root))
+    spark.sql("ALTER TABLE graft_r14_props UNSET TBLPROPERTIES " +
+      "('graft.enableChangeDataFeed')")
+    assert(!Versioned.cdfEnabled(root))
+  }
+
   test("concurrent constraint ALTERs compose (no lost update)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
