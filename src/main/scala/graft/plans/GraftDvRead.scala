@@ -57,15 +57,26 @@ class GraftDvReadRule(session: SparkSession) extends Rule[LogicalPlan] {
       None, new ParquetFileFormat, Map.empty)(session)
     val scan = session.baseRelationToDataFrame(rel)
     val applied = Versioned.applyDeleteVectors(session, root, scan, v)
-    val child = applied.queryExecution.analyzed
-    val byName = child.output.map(a => a.name -> a).toMap
+    // pick the column space the stale relation actually exposes: a
+    // relation under the schema-DDL mapping wrap outputs PHYSICAL
+    // names (the native scan already matches); a GraftDvRelation (or
+    // an unmapped table) outputs the logical/footer names
+    def rebind(frame: org.apache.spark.sql.DataFrame)
+        : Option[LogicalPlan] = {
+      val child = frame.queryExecution.analyzed
+      val byName = child.output.map(a => a.name -> a).toMap
+      if (!lr.output.forall(o => byName.contains(o.name))) None
+      else Some(Project(lr.output.map { o =>
+        Alias(byName(o.name), o.name)(exprId = o.exprId,
+          qualifier = o.qualifier)
+      }, child))
+    }
+    rebind(applied).orElse {
+      Versioned.schemaDdl(root, v)
+        .flatMap(s => rebind(Versioned.toLogicalFrame(applied, s)))
     // schema drift between the stale relation and the live table:
     // keep the self-contained fallback rather than emit a wrong plan
-    if (!lr.output.forall(o => byName.contains(o.name))) return lr
-    Project(lr.output.map { o =>
-      Alias(byName(o.name), o.name)(exprId = o.exprId,
-        qualifier = o.qualifier)
-    }, child)
+    }.getOrElse(lr)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

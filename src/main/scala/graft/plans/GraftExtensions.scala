@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // would write unlisted parquet straight into the table dir
     // (invisible rows = silent data loss). Resolution-batch placement
     // beats the post-hoc DataSourceAnalysis to the statement.
+    // schema-DDL (column-mapping) relations project to their logical
+    // names — MUST sit in the same resolution batch as the DML rule,
+    // which defers conversion until the wrap has landed
+    ext.injectResolutionRule(session => new GraftMappingRule(session))
     ext.injectResolutionRule(_ => new GraftInsertRule)
     // DV-carrying format("graft") reads become native scan+anti-join
     // plans (vectorized parquet + codegen preserved); optimizer-side so

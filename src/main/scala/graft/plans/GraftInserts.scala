@@ -50,9 +50,32 @@ class GraftInsertRule extends Rule[LogicalPlan] {
   private def rootOf(table: LogicalPlan): Option[String] = table match {
     case s: SubqueryAlias => rootOf(s.child)
     case v: View => rootOf(v.child)
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      // ONLY the mapping wrap (GraftMappingRule) is transparent —
+      // a user view projecting a graft table stays non-DML-able,
+      // exactly as before schema DDL existed
+      p.child match {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location match {
+            case gi: GraftFileIndex if gi.mapped => Some(gi.root)
+            case _ => None
+          }
+          case _ => None
+        }
+        case _ => None
+      }
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
-        case gi: GraftFileIndex => Some(gi.root)
+        case gi: GraftFileIndex =>
+          // a schema-DDL relation still awaiting its mapping wrap:
+          // DON'T convert yet (the statement would see physical
+          // names); GraftMappingRule fires in this same resolution
+          // fixpoint and the next iteration converts over the wrap
+          val wrapPending = !gi.mapped &&
+            Versioned.schemaDdl(gi.root, gi.pinned.getOrElse(0L))
+              .exists(_.schema.fieldNames.toSeq !=
+                lr.output.map(_.name))
+          if (wrapPending) None else Some(gi.root)
         case _ => None
       }
       case dv: GraftDvRelation => Some(dv.root)

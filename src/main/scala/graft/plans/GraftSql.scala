@@ -68,6 +68,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftUnsetPropertiesCommand(TableRef(m.group(1)),
         "'([^']*)'".r.findAllMatchIn(m.group(2))
           .map(_.group(1)).toSeq)
+    }).orElse(addColumnsRe.findFirstMatchIn(t).map { m =>
+      GraftAddColumnsCommand(TableRef(m.group(1)),
+        Option(m.group(2)).getOrElse(m.group(3)).trim)
+    }).orElse(renameColumnRe.findFirstMatchIn(t).map { m =>
+      GraftRenameColumnCommand(TableRef(m.group(1)),
+        m.group(2), m.group(3))
+    }).orElse(dropColumnRe.findFirstMatchIn(t).map { m =>
+      GraftDropColumnCommand(TableRef(m.group(1)), m.group(2))
     }).getOrElse(delegate.parsePlan(sqlText))
   }
 
@@ -112,6 +120,13 @@ private[plans] object GraftSqlParser {
     "\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)")
   val unsetPropsRe = re("ALTER\\s+TABLE\\s+" + tblP +
     "\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)")
+  // schema DDL (metadata-only; see Versioned's column-mapping band)
+  val addColumnsRe = re("ALTER\\s+TABLE\\s+" + tblP +
+    "\\s+ADD\\s+COLUMNS?\\s+(?:\\((.+)\\)|(.+))")
+  val renameColumnRe = re("ALTER\\s+TABLE\\s+" + tblP +
+    "\\s+RENAME\\s+COLUMN\\s+`?(\\w+)`?\\s+TO\\s+`?(\\w+)`?")
+  val dropColumnRe = re("ALTER\\s+TABLE\\s+" + tblP +
+    "\\s+DROP\\s+COLUMNS?\\s+`?(\\w+)`?")
 
   /** `'k' = 'v', 'k2' = 'v2'` → pairs. */
   def kvPairs(body: String): Seq[(String, String)] =
@@ -123,6 +138,24 @@ private[plans] object GraftSqlParser {
   * catalog/temp-view name, resolved to the table ROOT at run time (the
   * catalog may not know the name at parse time). */
 final case class TableRef(raw: String) {
+
+  /** The session-catalog identifier behind this ref, when the ref is
+    * a (non-view) catalog table name — the schema-DDL commands keep
+    * the catalog's stored schema in step so `DESCRIBE t` and fresh
+    * resolutions see the declared names. */
+  def catalogIdent(session: SparkSession): Option[TableIdentifier] = {
+    if (raw.startsWith("'") || raw.toLowerCase.startsWith("graft.`"))
+      return None
+    val cat = session.sessionState.catalog
+    if (cat.getTempView(raw).isDefined ||
+        cat.getGlobalTempView(raw).isDefined) return None
+    val parts = raw.split('.')
+    val ident =
+      if (parts.length == 2) TableIdentifier(parts(1), Some(parts(0)))
+      else TableIdentifier(raw)
+    if (cat.tableExists(ident)) Some(ident) else None
+  }
+
   def root(session: SparkSession): String = {
     if (raw.startsWith("'") && raw.endsWith("'"))
       return raw.substring(1, raw.length - 1)
@@ -308,6 +341,73 @@ case class GraftConvertCommand(table: TableRef)
     Seq(GraftSqlOut.attr("version", LongType))
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(Versioned.convertParquet(session, table.root(session))))
+}
+
+/** Shared tail of the schema-DDL commands: keep a named catalog
+  * table's stored schema in step with the new LOGICAL schema and drop
+  * any cached relation so the next query re-resolves. */
+private[plans] object GraftSchemaDdl {
+  def syncCatalog(session: SparkSession, table: TableRef,
+                  root: String): Unit = {
+    table.catalogIdent(session).foreach { id =>
+      Versioned.schemaDdl(root).map(_.schema).foreach { logical =>
+        // alterTable, not alterTableDataSchema: the latter refuses
+        // renames/drops (it only appends), but the store's versioned
+        // schemaddl state is the source of truth here — the catalog
+        // entry is a mirror for DESCRIBE and fresh resolutions
+        val cat = session.sessionState.catalog
+        val meta = cat.getTableMetadata(id)
+        try cat.alterTable(meta.copy(schema = logical))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      session.sessionState.catalog.refreshTable(id)
+    }
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMN(S) (a INT, b STRING)` → metadata-only
+  * schema widen: no file rewrites, old rows read the new columns as
+  * null. */
+case class GraftAddColumnsCommand(table: TableRef, colsDdl: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cols =
+      try StructType.fromDDL(colsDdl)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"cannot parse ADD COLUMNS list '$colsDdl': ${e.getMessage}")
+      }
+    val root = table.root(session)
+    Versioned.addColumns(session, root, cols)
+    GraftSchemaDdl.syncCatalog(session, table, root)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` → metadata-only: files keep
+  * the old (physical) name; reads, writes, DML and the data-skipping
+  * sidecars speak the new name from this version on. */
+case class GraftRenameColumnCommand(table: TableRef, from: String,
+                                    to: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = table.root(session)
+    Versioned.renameColumn(session, root, from, to)
+    GraftSchemaDdl.syncCatalog(session, table, root)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN c` → metadata-only: the bytes stay
+  * until vacuum-of-history, but no read or write sees them again. */
+case class GraftDropColumnCommand(table: TableRef, name: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = table.root(session)
+    Versioned.dropColumn(session, root, name)
+    GraftSchemaDdl.syncCatalog(session, table, root)
+    Nil
+  }
 }
 
 /** `VACUUM t [RETAIN n HOURS] [DRY RUN]` → reclaim history older than

@@ -2580,6 +2580,80 @@ object RelationalQueries {
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
                  AS cents_sum
-        FROM orders"""))
+        FROM orders""")),
+
+    // ------------------------------------------------------------------
+    // SCHEMA DDL AS METADATA (round 14, Delta column mapping 'name'
+    // mode): ALTER TABLE RENAME COLUMN / ADD COLUMNS / DROP COLUMN
+    // rewrite ZERO data files — files keep their physical names, a
+    // versioned schemaddl state maps them to the declared names, and
+    // reads/DML/stats-probes translate at the facade. The in-query
+    // requires pin the metadata-only property (identical file list
+    // across the rename) and the staleness rules; the oracle replays
+    // the whole statement algebra over orders in DuckDB.
+    QuerySpec("q271_schema_ddl",
+      (s, dir) => {
+        val root = graft.util.TempDirs.scratch("graft_ddl271_q")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            Exact.cents(col("o_totalprice")).as("cents"),
+            col("o_custkey").as("cust"))
+        orders.filter(pmod(col("k"), lit(2L)) === 0L)
+          .write.format("graft").save(root)
+        val filesBefore = graft.store.Versioned.files(root).toSet
+        // rename is pure metadata: same files, new logical name
+        s.sql(s"ALTER TABLE '$root' RENAME COLUMN cents TO amount")
+        require(graft.store.Versioned.files(root).toSet == filesBefore,
+          "RENAME COLUMN must not rewrite a single data file")
+        s.sql(s"ALTER TABLE '$root' ADD COLUMNS (tier STRING)")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q271 " +
+          s"USING graft OPTIONS (path '$root')")
+        // DML in the declared names: conditional tier stamp, delete,
+        // then an insert carrying the new column
+        s.sql("UPDATE graft_q271 SET tier = 'big' " +
+          "WHERE amount >= 15000000")
+        s.sql("DELETE FROM graft_q271 WHERE k % 21 = 0")
+        s.sql("INSERT INTO graft_q271 " +
+          "SELECT k + 1000000000, amount, cust, 'new' " +
+          "FROM graft_q271 WHERE k % 100 = 0")
+        // drop a column; the view re-creates to see the narrower set
+        s.sql(s"ALTER TABLE '$root' DROP COLUMN cust")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q271 " +
+          s"USING graft OPTIONS (path '$root')")
+        val live = s.table("graft_q271")
+        require(live.columns.toSeq == Seq("k", "amount", "tier"),
+          s"post-DDL columns: ${live.columns.toSeq}")
+        // time travel to version 1 still shows the ORIGINAL names
+        require(graft.store.Versioned.read(s, root, 1L)
+          .columns.toSeq == Seq("k", "cents", "cust"),
+          "pre-DDL versions keep their original schema")
+        live.agg(
+          count(lit(1)).as("n_live"),
+          sum(col("amount")).as("amount_sum"),
+          sum(when(col("tier") === "big", 1L).otherwise(0L))
+            .as("n_big"),
+          sum(when(col("tier") === "new", 1L).otherwise(0L))
+            .as("n_new"))
+      },
+      Some(s"""
+        WITH t0 AS (
+          SELECT o_orderkey AS k,
+                 ${Exact.centsSql("o_totalprice")} AS amount
+          FROM orders WHERE o_orderkey % 2 = 0),
+        a1 AS (SELECT k, amount,
+                 CASE WHEN amount >= 15000000 THEN 'big' END AS tier
+               FROM t0),
+        a2 AS (SELECT * FROM a1 WHERE k % 21 <> 0),
+        ins AS (SELECT k + 1000000000 AS k, amount, 'new' AS tier
+                FROM a2 WHERE k % 100 = 0),
+        fin AS (SELECT k, amount, tier FROM a2
+                UNION ALL SELECT k, amount, tier FROM ins)
+        SELECT CAST(count(*) AS BIGINT) AS n_live,
+               CAST(sum(amount) AS BIGINT) AS amount_sum,
+               CAST(sum(CASE WHEN tier = 'big' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_big,
+               CAST(sum(CASE WHEN tier = 'new' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_new
+        FROM fin"""))
   )
 }

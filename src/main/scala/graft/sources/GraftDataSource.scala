@@ -169,7 +169,8 @@ class GraftDataSource extends RelationProvider
     val pinned = pinnedVersion(root, parameters)
     val creationVersion = pinned.getOrElse(Versioned.latestVersion(root))
     require(creationVersion > 0 || userSchema.nonEmpty ||
-      Versioned.tableSchema(root).nonEmpty,
+      Versioned.tableSchema(root).nonEmpty ||
+      Versioned.schemaDdl(root).nonEmpty,
       s"no committed version at $root (and no declared schema to " +
         "serve an empty relation from)")
     if (creationVersion > 0 &&
@@ -182,13 +183,20 @@ class GraftDataSource extends RelationProvider
     else {
       val index = new GraftFileIndex(spark, root, pinned)
       val files = index.inputFiles
-      val dataSchema =
+      // schema-DDL tables scan in PHYSICAL space (the state's explicit
+      // read schema — files predating an added column null-fill it);
+      // GraftMappingRule projects the relation to logical names per
+      // query, so renames land without re-creating the relation
+      val ddl = Versioned.schemaDdl(root,
+        pinned.getOrElse(0L))
+      val dataSchema = ddl.map(_.physicalReadSchema).getOrElse {
         if (files.isEmpty)
           Versioned.tableSchema(root).orElse(userSchema).get
         else if (opt(parameters, "mergeSchema").exists(_.toBoolean))
           spark.read.option("mergeSchema", "true")
             .parquet(files.toSeq: _*).schema
         else index.schemaOf
+      }
       HadoopFsRelation(index, new StructType(), dataSchema, None,
         new ParquetFileFormat, parameters)(spark)
     }
@@ -269,11 +277,17 @@ class GraftDataSource extends RelationProvider
   * guard below must not re-fire for it. */
 final class GraftFileIndex(spark: SparkSession, val root: String,
                            val pinned: Option[Long],
-                           val dvApplied: Boolean = false)
+                           val dvApplied: Boolean = false,
+                           val mapped: Boolean = false)
     extends FileIndex {
 
   def this(spark: SparkSession, root: String, version: Long) =
     this(spark, root, Some(version))
+
+  /** Copy flagged as already sitting under a [[graft.plans]] mapping
+    * projection (stops the wrap rule re-firing in its fixpoint). */
+  private[graft] def asMapped: GraftFileIndex =
+    new GraftFileIndex(spark, root, pinned, dvApplied, mapped = true)
 
   /** The version this scan reads: pinned, or latest-right-now. */
   def resolvedVersion: Long =
@@ -301,14 +315,19 @@ final class GraftFileIndex(spark: SparkSession, val root: String,
     * metadata (a refused or conflict-failed write may have updated it
     * with a schema no committed version carries), so it only serves
     * the zero-data-file case where there is no footer to read. */
-  private[graft] lazy val schemaOf: StructType = {
-    val (_, statuses) = snapshot()
-    if (statuses.nonEmpty)
-      spark.read.parquet(statuses.head.getPath.toString).schema
-    else Versioned.tableSchema(root).getOrElse(
-      throw new IllegalStateException(
-        s"$root holds no data files and no schema of record"))
-  }
+  private[graft] lazy val schemaOf: StructType =
+    // a schema-DDL state is authoritative for the PHYSICAL read space
+    // (footers of old files predate added columns); otherwise footers
+    // rule as before
+    Versioned.schemaDdl(root, pinned.getOrElse(0L))
+      .map(_.physicalReadSchema).getOrElse {
+        val (_, statuses) = snapshot()
+        if (statuses.nonEmpty)
+          spark.read.parquet(statuses.head.getPath.toString).schema
+        else Versioned.tableSchema(root).getOrElse(
+          throw new IllegalStateException(
+            s"$root holds no data files and no schema of record"))
+      }
 
   override val rootPaths: Seq[Path] = Seq(new Path(root))
 
@@ -341,8 +360,11 @@ final class GraftFileIndex(spark: SparkSession, val root: String,
       else {
         val byPath: Map[String, FileStatus] =
           statuses.map(s => s.getPath.toString -> s).toMap
+        // filters push through the mapping projection into PHYSICAL
+        // attributes, so these probes are already in sidecar space
         val (admitted, _) = Versioned.admittedDataFiles(root, version,
-          probes.bounds, probes.equalitySets, probes.hashEqualitySets)
+          probes.bounds, probes.equalitySets, probes.hashEqualitySets,
+          physicalKeys = true)
         admitted.flatMap(byPath.get)
       }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))

@@ -432,9 +432,21 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
     if (files.isEmpty) (emptyBatch(spark), false)
     else {
       val dv = Versioned.hasDeleteVectors(root, v)
-      val scan = spark.read.parquet(files: _*)
-      (if (dv) Versioned.applyDeleteVectors(spark, root, scan, v)
-       else scan, dv)
+      // schema-DDL tables: scan the slice in physical space and
+      // project to the logical schema (every other batch shape goes
+      // through Versioned.read/readChanges/readChangeFeed, which
+      // already do this)
+      val ddl = Versioned.schemaDdl(root, v)
+      val scan = ddl match {
+        case Some(s) => spark.read.schema(s.physicalReadSchema)
+          .parquet(files: _*)
+        case None => spark.read.parquet(files: _*)
+      }
+      val applied =
+        if (dv) Versioned.applyDeleteVectors(spark, root, scan, v)
+        else scan
+      (ddl.map(s => Versioned.toLogicalFrame(applied, s))
+        .getOrElse(applied), dv)
     }
   }
 

@@ -581,13 +581,16 @@ object Versioned {
     catch { case scala.util.control.NonFatal(_) => () }
 
   /** Typed EMPTY frame in the schema of record — the read of a version
-    * whose manifest lists zero data files. */
-  private def emptyTyped(spark: SparkSession, root: String): DataFrame = {
-    val schema = tableSchema(root).getOrElse(
-      throw new IllegalStateException(
-        s"version at $root lists no data files and no schema of " +
-          "record (schema.json) survives - the table predates " +
-          "empty-state support; recommit any data to repair"))
+    * whose manifest lists zero data files. A schema-DDL state (which
+    * holds the LOGICAL schema) outranks the legacy advisory file. */
+  private def emptyTyped(spark: SparkSession, root: String,
+                         version: Long = 0L): DataFrame = {
+    val schema = schemaDdl(root, version).map(_.schema)
+      .orElse(tableSchema(root)).getOrElse(
+        throw new IllegalStateException(
+          s"version at $root lists no data files and no schema of " +
+            "record (schema.json) survives - the table predates " +
+            "empty-state support; recommit any data to repair"))
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -764,6 +767,376 @@ object Versioned {
       .exists(p => p._1 == EnableChangeDataFeedKey &&
         p._2.equalsIgnoreCase("true"))
 
+  // ================= schema DDL (metadata-only column mapping) =====
+  //
+  // ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN as pure
+  // METADATA commits — no data file is rewritten, so renaming a column
+  // on a 100 TB table costs one small state publish plus one empty
+  // manifest commit (Delta's column-mapping 'name' mode plays the same
+  // trick; ref stores have no schema DDL at all — their Go structs ARE
+  // the schema — so this is lakehouse surface the reference never
+  // needed).
+  //
+  // Model: files always keep their PHYSICAL column names (the names
+  // current when each file was written — renames never change them);
+  // a versioned state file `schemaddl-v<n>.json` records the LOGICAL
+  // schema, each renamed field carrying its physical name in field
+  // metadata under [[PhysicalNameKey]]. Reads scan in physical space
+  // (explicit read schema, so files predating an added column
+  // null-fill it) and project to logical at the facade boundary;
+  // writes translate logical→physical before staging. Stats/bloom
+  // sidecars and partition paths stay keyed in physical space — so
+  // file skipping keeps working across renames, with probe KEYS
+  // translated once at the pruning entry points. Everything here is
+  // INERT (byte-identical legacy code paths) until a DDL state exists.
+
+  /** Field-metadata key carrying a renamed column's physical (file)
+    * name. Absent = physical == logical. */
+  val PhysicalNameKey = "graft.physical"
+
+  private val SchemaDdlPrefix = "schemaddl"
+
+  /** One published schema-DDL state: the logical schema of record,
+    * the first manifest version it applies to (reads at earlier
+    * versions use the previous state, or the legacy footer-driven
+    * path), and every physical name ever dropped (so a re-added
+    * column of the same name gets a FRESH physical name instead of
+    * resurrecting old file bytes). */
+  final case class SchemaDdl(schema: org.apache.spark.sql.types.StructType,
+                             asOf: Long, dropped: Seq[String]) {
+    def physicalOf(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains(PhysicalNameKey))
+        f.metadata.getString(PhysicalNameKey)
+      else f.name
+
+    /** logical name → physical name, every field. */
+    def mapping: Seq[(String, String)] =
+      schema.fields.toSeq.map(f => f.name -> physicalOf(f))
+
+    def physicalName(logical: String): Option[String] =
+      schema.fields.find(_.name == logical).map(physicalOf)
+
+    /** The schema data files are READ with: physical names, all
+      * nullable (files predating an added column have no bytes for
+      * it — the parquet reader serves null). */
+    def physicalReadSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(physicalOf(f),
+          f.dataType, nullable = true)))
+
+    /** Does any field's logical spelling differ from its physical? */
+    def renames: Boolean = mapping.exists(p => p._1 != p._2)
+  }
+
+  private def schemaDdlStateAt(fs: FileSystem, rootPath: Path,
+                               n: Long): Seq[(String, String)] =
+    if (n == 0L) Nil
+    else kvFileState(fs, kvVersionPath(rootPath, SchemaDdlPrefix, n))
+
+  private def parseSchemaDdl(kv: Seq[(String, String)])
+      : Option[SchemaDdl] = {
+    val m = kv.toMap
+    for {
+      sj <- m.get("schema")
+      s <- scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(sj)).toOption
+        .collect { case t: org.apache.spark.sql.types.StructType => t }
+    } yield SchemaDdl(s, m.get("asOfManifest").map(_.toLong)
+        .getOrElse(1L),
+      m.get("dropped").toSeq.flatMap(_.split(','))
+        .map(_.trim).filter(_.nonEmpty))
+  }
+
+  // published states are immutable: cache parses per (root, n)
+  private val ddlCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[SchemaDdl]](64, 0.75f,
+        true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[SchemaDdl]]): Boolean =
+        size() > 256
+    })
+
+  private def schemaDdlAtN(fs: FileSystem, rootPath: Path,
+                           n: Long): Option[SchemaDdl] = {
+    val key = s"$rootPath#$n"
+    val c = ddlCache.get(key)
+    if (c != null) c
+    else {
+      val v = parseSchemaDdl(schemaDdlStateAt(fs, rootPath, n))
+      ddlCache.put(key, v)
+      v
+    }
+  }
+
+  /** The schema-DDL state governing a read at manifest `version`
+    * (0 = latest): the newest published state whose `asOf` has been
+    * reached. None = the table never saw schema DDL (or the read
+    * time-travels to before the first one) — every code path then
+    * takes its legacy footer-driven branch. */
+  def schemaDdl(root: String, version: Long = 0L): Option[SchemaDdl] = {
+    val (fs, rootPath) = fsRoot(root)
+    val latest = latestKvVersion(fs, rootPath, SchemaDdlPrefix)
+    if (latest == 0L) return None
+    val v = if (version == 0L) Long.MaxValue else version
+    var n = latest
+    while (n > 0L) {
+      schemaDdlAtN(fs, rootPath, n) match {
+        case Some(s) if s.asOf <= v => return Some(s)
+        case _ => n -= 1L
+      }
+    }
+    None
+  }
+
+  /** Project a PHYSICAL-space frame (a data-file scan) into `s`'s
+    * logical schema, null-filling columns the files predate and
+    * carrying `extra` passthrough columns (internal keys a caller
+    * captured before projecting) unchanged. */
+  private[graft] def toLogicalFrame(df: DataFrame, s: SchemaDdl,
+                                    extra: Seq[String] = Nil)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.toSet
+    val cols = s.schema.fields.toSeq.map { f =>
+      val p = s.physicalOf(f)
+      (if (present(p)) col(p) else lit(null).cast(f.dataType)).as(f.name)
+    } ++ extra.filter(present).map(col)
+    df.select(cols: _*)
+  }
+
+  /** Rename a LOGICAL-space frame (user input, or an internal scan
+    * already projected logical) into physical column names for
+    * staging. Columns outside the state (schema evolution on write,
+    * internal shadow columns added later) pass through unrenamed. */
+  private[store] def toPhysicalFrame(df: DataFrame, s: SchemaDdl)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val byLogical = s.mapping.toMap
+    df.select(df.columns.toSeq.map { c =>
+      byLogical.get(c) match {
+        case Some(p) if p != c => col(c).as(p)
+        case _ => col(c)
+      }
+    }: _*)
+  }
+
+  /** Translate probe-map KEYS (logical column names from facade
+    * callers / user predicates) into the sidecars' physical space.
+    * Unknown keys pass through (they can only fail to match a sidecar
+    * column, which admits — never prunes wrongly). */
+  private def physProbeKeys[T](s: Option[SchemaDdl],
+                               m: Map[String, T]): Map[String, T] =
+    s match {
+      case None => m
+      case Some(st) =>
+        m.map { case (k, v) => st.physicalName(k).getOrElse(k) -> v }
+    }
+
+  /** Translate a logical column LIST (statsCols / bloomCols / zorder
+    * args) to physical names. */
+  private def physCols(s: Option[SchemaDdl],
+                       cols: Seq[String]): Seq[String] =
+    s match {
+      case None => cols
+      case Some(st) => cols.map(c => st.physicalName(c).getOrElse(c))
+    }
+
+  /** Scan root-relative data `files` in PHYSICAL space under the
+    * read discipline `ddl` demands: explicit physical read schema
+    * when a state applies (absent columns null-fill; dropped columns
+    * are simply not requested), the plain footer-driven read —
+    * byte-identical to the legacy path — otherwise. */
+  private def dataScan(spark: SparkSession, rootPath: Path,
+                       files: Seq[String], ddl: Option[SchemaDdl])
+      : DataFrame = {
+    val paths = files.map(resolve(rootPath, _).toString)
+    ddl match {
+      case Some(s) => spark.read.schema(s.physicalReadSchema)
+        .parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** Attribute names a SQL predicate references (constraint guards:
+    * renaming or dropping a column a CHECK constraint mentions would
+    * poison every later write). */
+  private def referencedColumns(spark: SparkSession,
+                                predicate: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(predicate).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }
+
+  /** The current LOGICAL schema a DDL op starts from: the live state,
+    * else a baseline derived from the data (merged footers — DDL is
+    * rare, the one-time sweep is the price of adopting mapping on an
+    * evolved table), else the declared schema of record. */
+  private def ddlBaseline(spark: SparkSession, root: String)
+      : org.apache.spark.sql.types.StructType =
+    schemaDdl(root).map(_.schema).getOrElse {
+      val (fs, rootPath) = fsRoot(root)
+      val v = latestVersion(root)
+      val files =
+        if (v == 0L) Nil
+        else splitEntries(readManifest(fs, rootPath, v)._2)._1
+      if (files.nonEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(resolve(rootPath, _).toString): _*).schema
+      else tableSchema(root).getOrElse(throw new IllegalStateException(
+        s"$root holds no data and no schema of record - nothing to " +
+          "ALTER"))
+    }
+
+  private def requireDdlColumnName(n: String): Unit =
+    require(n.nonEmpty && !n.contains(',') && !n.contains('=') &&
+      !n.contains('/') && !n.startsWith("__"),
+      s"column name '$n' cannot be used in schema DDL (reserved " +
+        "prefix or path/list metacharacters)")
+
+  /** Guards shared by rename/drop: partition columns live in paths
+    * and constraint predicates are stored text — both would go stale. */
+  private def requireDdlSafe(spark: SparkSession, root: String,
+                             col: String, op: String): Unit = {
+    val layout = currentLayout(root)
+    require(!layout.contains(col),
+      s"cannot $op partition column $col of $root: its values are " +
+        "encoded in the table's directory layout - rewrite through " +
+        "commitOverwrite with a new partitionBy instead")
+    checkConstraints(root).foreach { case (name, pred) =>
+      require(!referencedColumns(spark, pred).contains(col),
+        s"cannot $op column $col of $root: CHECK constraint $name " +
+          s"references it ($pred) - drop the constraint first")
+    }
+  }
+
+  /** Fresh physical name for a (re-)added column: the logical name
+    * itself when nothing ever used it, else a suffixed spelling that
+    * collides with no live physical, no dropped physical, and no
+    * live logical name (one namespace keeps probe translation
+    * unambiguous). */
+  private def freshPhysical(logical: String, s: SchemaDdl): String = {
+    val taken = s.mapping.flatMap(p => Seq(p._1, p._2)).toSet ++
+      s.dropped.toSet
+    if (!taken(logical)) logical
+    else {
+      var i = 1
+      var cand = s"${logical}_$i"
+      while (taken(cand)) { i += 1; cand = s"${logical}_$i" }
+      cand
+    }
+  }
+
+  private def withPhysical(f: org.apache.spark.sql.types.StructField,
+                           phys: String)
+      : org.apache.spark.sql.types.StructField =
+    if (phys == f.name)
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(PhysicalNameKey).build())
+    else
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(PhysicalNameKey, phys).build())
+
+  /** Publish a schema-DDL state via the same CAS the constraints use
+    * (concurrent ALTERs compose or fail loudly inside `transform`),
+    * then stamp an EMPTY commit so the change is visible in DESCRIBE
+    * HISTORY, paces streams, and gives time travel a crisp boundary.
+    * `transform` maps the FRESHLY-READ state (None = first DDL) to
+    * the new one. */
+  private def publishSchemaDdl(spark: SparkSession, root: String,
+      op: String,
+      transform: SchemaDdl => SchemaDdl): Long = {
+    publishKv(root, SchemaDdlPrefix, schemaDdlStateAt, kv => {
+      val prev = parseSchemaDdl(kv).getOrElse(
+        SchemaDdl(ddlBaseline(spark, root), 0L, Nil))
+      val next = transform(prev).copy(asOf = latestVersion(root) + 1L)
+      require(next.schema.fields.nonEmpty,
+        s"schema DDL would leave $root with zero columns")
+      Seq("schema" -> next.schema.json,
+        "asOfManifest" -> next.asOf.toString,
+        "dropped" -> next.dropped.mkString(","))
+    })
+    // the state parses freshly on every read; visible boundary commit
+    val v = commitFiles(root, Nil, appendBase = true, op = op,
+      emptyOk = true)
+    // files unchanged: sidecar entries carry by reference (O(1) jobs)
+    // — without this the DDL version would break the stats/bloom
+    // lineage and every later probe would admit everything
+    maintainStats(spark, root, v, Nil)
+    maintainBlooms(spark, root, v, Nil, 0)
+    v
+  }
+
+  /** ALTER TABLE ADD COLUMNS: metadata-only — no file rewrites, old
+    * rows read the new columns as null. Returns the new table
+    * version. */
+  def addColumns(spark: SparkSession, root: String,
+                 cols: org.apache.spark.sql.types.StructType): Long = {
+    require(cols.fields.nonEmpty, "ADD COLUMNS needs at least one")
+    cols.fieldNames.foreach(requireDdlColumnName)
+    publishSchemaDdl(spark, root,
+      s"add-columns ${cols.fieldNames.mkString(",")}", prev => {
+        val fresh = cols.fields.foldLeft(prev) { (s, f) =>
+          require(!s.schema.fieldNames.contains(f.name),
+            s"column ${f.name} already exists in $root")
+          val phys = freshPhysical(f.name, s)
+          s.copy(schema = org.apache.spark.sql.types.StructType(
+            s.schema.fields :+ withPhysical(
+              f.copy(nullable = true), phys)))
+        }
+        fresh
+      })
+  }
+
+  /** ALTER TABLE RENAME COLUMN: metadata-only — files keep the old
+    * (physical) name; reads, writes, predicates, stats and blooms all
+    * speak the new logical name from this version on. */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    requireDdlColumnName(to)
+    requireDdlSafe(spark, root, from, "rename")
+    publishSchemaDdl(spark, root, s"rename-column $from->$to", prev => {
+      val i = prev.schema.fieldNames.indexOf(from)
+      require(i >= 0, s"no column $from in $root")
+      require(!prev.schema.fieldNames.contains(to),
+        s"column $to already exists in $root")
+      // one namespace: the new logical spelling must not shadow some
+      // OTHER field's physical name, or probe translation turns
+      // ambiguous (prefer refusing a rare rename over a wrong prune)
+      prev.schema.fields.zipWithIndex.foreach { case (f, j) =>
+        require(j == i || prev.physicalOf(f) != to,
+          s"cannot rename $from to $to: another column's data is " +
+            s"physically stored under '$to'")
+      }
+      val f = prev.schema.fields(i)
+      val phys = prev.physicalOf(f)
+      val renamed = withPhysical(f.copy(name = to), phys)
+      prev.copy(schema = org.apache.spark.sql.types.StructType(
+        prev.schema.fields.updated(i, renamed)))
+    })
+  }
+
+  /** ALTER TABLE DROP COLUMN: metadata-only — the bytes stay in the
+    * files (vacuum-of-history economics, exactly Delta's drop) but no
+    * read, write or probe sees the column again; re-adding the same
+    * name later maps to a FRESH physical name, so the old values can
+    * never resurrect. */
+  def dropColumn(spark: SparkSession, root: String,
+                 name: String): Long = {
+    requireDdlSafe(spark, root, name, "drop")
+    publishSchemaDdl(spark, root, s"drop-column $name", prev => {
+      val i = prev.schema.fieldNames.indexOf(name)
+      require(i >= 0, s"no column $name in $root")
+      require(prev.schema.fields.length > 1,
+        s"cannot drop the only column of $root")
+      val phys = prev.physicalOf(prev.schema.fields(i))
+      prev.copy(
+        schema = org.apache.spark.sql.types.StructType(
+          prev.schema.fields.patch(i, Nil, 1)),
+        dropped = (prev.dropped :+ phys).distinct)
+    })
+  }
+
   /** Fail LOUDLY if any staged row provably violates a CHECK
     * constraint — one aggregate pass counting violations per
     * constraint, so the error names the rule and the row count
@@ -798,18 +1171,54 @@ object Versioned {
     else Some(spark.read
       .parquet(staged.map(resolve(rootPath, _).toString): _*))
 
+  /** Extend a live schema-DDL state with columns this write
+    * introduces (schema evolution under mapping): each new logical
+    * name gets a collision-free physical name, applying from the
+    * version this write is about to commit. Returns the state the
+    * write stages under (None = table has no DDL state — the legacy
+    * path, untranslated). */
+  private def ddlForWrite(root: String,
+      dfSchema: org.apache.spark.sql.types.StructType)
+      : Option[SchemaDdl] = {
+    val s0 = schemaDdl(root)
+    val newCols = s0.toSeq.flatMap(s => dfSchema.fields
+      .filterNot(f => s.schema.fieldNames.contains(f.name)))
+    if (s0.isEmpty || newCols.isEmpty) return s0
+    newCols.foreach(f => requireDdlColumnName(f.name))
+    publishKv(root, SchemaDdlPrefix, schemaDdlStateAt, kv => {
+      val prev = parseSchemaDdl(kv).getOrElse(s0.get)
+      val next = newCols.foldLeft(prev) { (st, f) =>
+        if (st.schema.fieldNames.contains(f.name)) st
+        else st.copy(schema = org.apache.spark.sql.types.StructType(
+          st.schema.fields :+ withPhysical(f.copy(nullable = true),
+            freshPhysical(f.name, st))))
+      }.copy(asOf = latestVersion(root) + 1L)
+      Seq("schema" -> next.schema.json,
+        "asOfManifest" -> next.asOf.toString,
+        "dropped" -> next.dropped.mkString(","))
+    })
+    schemaDdl(root)
+  }
+
   private[store] def stage(df: DataFrame, root: String,
                            partitionBy: Seq[String] = Nil,
                            maxRecordsPerFile: Long = 0L)
       : Seq[String] = {
-    val staged = stageUnchecked(df, root, partitionBy,
+    // schema-DDL tables stage in PHYSICAL column space (files must
+    // agree with every file written before the renames); partition
+    // columns are refused from rename/drop, so `partitionBy` spells
+    // the same in both spaces
+    val ddl = ddlForWrite(root, df.schema)
+    val physDf = ddl.map(toPhysicalFrame(df, _)).getOrElse(df)
+    val staged = stageUnchecked(physDf, root, partitionBy,
       maxRecordsPerFile)
     // validate constraints on the bytes as written; a violating batch
     // deletes its own staging dir so nothing leaks (the table never
-    // referenced it)
+    // referenced it). Constraint predicates speak LOGICAL names.
     val (fs, rootPath) = fsRoot(root)
     stagedScan(df.sparkSession, rootPath, staged).foreach { scan =>
-      try enforceConstraints(scan, root)
+      val logicalScan = ddl.map(toLogicalFrame(scan, _)).getOrElse(scan)
+      try enforceConstraints(logicalScan, root)
       catch {
         case e: Throwable =>
           // every staged entry is data/<uuid>/... — drop the commit dir
@@ -823,8 +1232,9 @@ object Versioned {
     // as a typed empty frame. Written AFTER constraint validation so a
     // refused batch cannot leave a schema no committed version carries
     // (still advisory: file footers stay authoritative when files
-    // exist — see GraftFileIndex.schemaOf)
-    writeTableSchema(fs, rootPath, df.schema)
+    // exist — see GraftFileIndex.schemaOf). PHYSICAL space, like the
+    // footers it stands in for.
+    writeTableSchema(fs, rootPath, physDf.schema)
     staged
   }
 
@@ -1206,18 +1616,23 @@ object Versioned {
     * untouched) as root-relative manifest entries. */
   private def touchedFiles(spark: SparkSession, fs: FileSystem,
                            rootPath: Path, parentFiles: Seq[String],
-                           matches: DataFrame => DataFrame)
+                           matches: DataFrame => DataFrame,
+                           ddl: Option[SchemaDdl] = None)
       : (Seq[String], Seq[String]) = {
     // keyed scheme-less so `_metadata.file_path`'s URI spelling
     // (file:///x vs file:/x) can never miss a manifest entry
     val byPath = parentFiles.map { f =>
       fs.makeQualified(resolve(rootPath, f)).toUri.getPath -> f
     }.toMap
-    val snap = spark.read
-      .parquet(parentFiles.map(resolve(rootPath, _).toString): _*)
+    val snap = dataScan(spark, rootPath, parentFiles, ddl)
     import org.apache.spark.sql.functions.col
-    val touched = matches(
-        snap.withColumn("__fp", col("_metadata.file_path")))
+    // capture the metadata column BEFORE any logical projection (it
+    // only resolves on the scan relation itself), then let `matches`
+    // evaluate user predicates over logical names
+    val keyed = snap.withColumn("__fp", col("_metadata.file_path"))
+    val logical = ddl.map(toLogicalFrame(keyed, _, extra = Seq("__fp")))
+      .getOrElse(keyed)
+    val touched = matches(logical)
       .select("__fp").distinct().collect()
       .map(r => byPath(new Path(r.getString(0)).toUri.getPath))
       .toSeq.sorted
@@ -1249,6 +1664,13 @@ object Versioned {
                                     keys: Seq[String])
       : (Seq[String], Seq[String]) = {
     val (fs, rootPath) = fsRoot(root)
+    // update keys are logical; the sidecars (and partition paths)
+    // key physical — translate the probe-map keys once
+    val ddl = schemaDdl(root, parent)
+    def phys(m: Map[String, (Long, Long)]) = physProbeKeys(ddl, m)
+    def physS(m: Map[String, Seq[Long]]) = physProbeKeys(ddl, m)
+    def physOf(k: String): String =
+      ddl.flatMap(_.physicalName(k)).getOrElse(k)
     // pruning can't pay for its own planning jobs on a handful of
     // files — scan them all (at 100 TB file counts this branch never
     // takes; at spec/test scale it keeps merge latency flat)
@@ -1283,7 +1705,7 @@ object Versioned {
     }.toMap
     // stage 1: bounds alone (stats sidecar, no extra jobs)
     val byBounds = admittedFiles(fs, rootPath, parent, parentFiles,
-      bounds, Map.empty)
+      phys(bounds), Map.empty)
     // stage 2: the per-column bloom probe pays one distinct-collect
     // job per key column — only worth it while many candidates remain
     val bloomCols =
@@ -1296,18 +1718,18 @@ object Versioned {
         .limit(MergeBloomProbeMax + 1).collect().map(_.getLong(0)).toSeq
       if (vals.size > MergeBloomProbeMax) None else Some(vals)
     }
-    val equalitySets = intKeys.filter(bloomCols.contains)
+    val equalitySets = intKeys.filter(k => bloomCols.contains(physOf(k)))
       .flatMap(k => distinctProbe(k, col(k).cast("long")).map(k -> _))
       .toMap
     // string keys probe the bloom with their full-value hash — the
     // discrimination an 8-byte prefix can't give a URL-keyed table
-    val hashEqualitySets = strKeys.filter(bloomCols.contains)
+    val hashEqualitySets = strKeys.filter(k => bloomCols.contains(physOf(k)))
       .flatMap(k => distinctProbe(k, hashKeyCol(col(k))).map(k -> _))
       .toMap
     val candidates =
       if (equalitySets.isEmpty && hashEqualitySets.isEmpty) byBounds
       else admittedFiles(fs, rootPath, parent, byBounds, Map.empty,
-        equalitySets, hashEqualitySets)
+        physS(equalitySets), physS(hashEqualitySets))
     val c = candidates.toSet
     (candidates, parentFiles.filterNot(c))
   }
@@ -1510,6 +1932,7 @@ object Versioned {
     require(keys.nonEmpty, "merge needs at least one key column")
     val spark = updates.sparkSession
     val (fs, rootPath) = fsRoot(root)
+    val ddl = schemaDdl(root)
     // the table-level CDF property turns cdc on for every rewrite
     val cdcOn = cdc || cdfEnabled(root)
     import org.apache.spark.sql.functions.{col, lit}
@@ -1526,7 +1949,7 @@ object Versioned {
         val ins = updates.withColumn("_change_type", lit("insert"))
         stageCdc(spark, fs, rootPath, deletes
           .map(_.withColumn("_change_type", lit("delete"))
-            .unionByName(ins)).getOrElse(ins))
+            .unionByName(ins)).getOrElse(ins), ddl)
       }
     val parent = latestVersion(root)
     if (parent == 0L)
@@ -1550,15 +1973,16 @@ object Versioned {
     val (touched, unmatchedScanned) =
       if (candidates.isEmpty) (Nil, Nil)
       else touchedFiles(spark, fs, rootPath, candidates,
-        _.join(updKeys, keys, "left_semi"))
+        _.join(updKeys, keys, "left_semi"), ddl)
     val untouched = skipped ++ unmatchedScanned
     val layout = detectPartitionBy(parentFiles)
     val (staged, cdcStaged) =
       if (touched.isEmpty)
         (stage(updates, root, layout), cdcOf(None)) // pure insert
       else {
-        val touchedScan = spark.read
-          .parquet(touched.map(resolve(rootPath, _).toString): _*)
+        val physScan = dataScan(spark, rootPath, touched, ddl)
+        val touchedScan = ddl.map(toLogicalFrame(physScan, _))
+          .getOrElse(physScan)
         val survivors = touchedScan.join(updKeys, keys, "left_anti")
         (stage(survivors.unionByName(updates), root, layout),
           cdcOf(Some(touchedScan.join(updKeys, keys, "left_semi"))))
@@ -1626,6 +2050,7 @@ object Versioned {
       notMatchedBySource.nonEmpty, "merge needs at least one clause")
     val spark = source.sparkSession
     val (fs, rootPath) = fsRoot(root)
+    val ddl = schemaDdl(root)
     // the table-level CDF property turns cdc on for every rewrite
     val cdcOn = cdc || cdfEnabled(root)
     val parent = latestVersion(root)
@@ -1635,12 +2060,14 @@ object Versioned {
     requireNoDv(dvParent, root, "MERGE")
 
     val fields: Seq[org.apache.spark.sql.types.StructField] =
-      if (parentFiles.nonEmpty)
-        spark.read.parquet(resolve(rootPath, parentFiles.head).toString)
-          .schema.fields.toSeq
-      else tableSchema(root).map(_.fields.toSeq).getOrElse(
-        // table birth by merge: the insert clauses define the shape
-        source.schema.fields.toSeq)
+      ddl.map(_.schema.fields.toSeq).getOrElse {
+        if (parentFiles.nonEmpty)
+          spark.read.parquet(resolve(rootPath, parentFiles.head).toString)
+            .schema.fields.toSeq
+        else tableSchema(root).map(_.fields.toSeq).getOrElse(
+          // table birth by merge: the insert clauses define the shape
+          source.schema.fields.toSeq)
+      }
     keys.foreach(k => require(fields.exists(_.name == k),
       s"merge key $k is not a column of $root"))
     (fields.map(_.name) ++ source.columns).foreach(n =>
@@ -1704,7 +2131,7 @@ object Versioned {
         val (t, unmatchedScanned) =
           if (candidates.isEmpty) (Nil, Nil)
           else touchedFiles(spark, fs, rootPath, candidates,
-            _.join(updKeys, keys, "left_semi"))
+            _.join(updKeys, keys, "left_semi"), ddl)
         (t, skipped ++ unmatchedScanned)
       }
 
@@ -1713,8 +2140,10 @@ object Versioned {
 
     val touchedScan =
       if (touched.isEmpty) None
-      else Some(spark.read
-        .parquet(touched.map(resolve(rootPath, _).toString): _*))
+      else {
+        val phys = dataScan(spark, rootPath, touched, ddl)
+        Some(ddl.map(toLogicalFrame(phys, _)).getOrElse(phys))
+      }
 
     // multi-match ambiguity: duplicate source keys hitting ONE target
     // row would apply two updates to it — refuse, like Delta. The
@@ -1792,7 +2221,7 @@ object Versioned {
               .withColumn("_change_type", lit("delete"))
             val ins = changed.filter(keep).select(outCols: _*)
               .withColumn("_change_type", lit("insert"))
-            stageCdc(spark, fs, rootPath, dels.unionByName(ins))
+            stageCdc(spark, fs, rootPath, dels.unionByName(ins), ddl)
           }
         (joined.filter(keep).select(outCols: _*), cdcFiles)
     }
@@ -1827,24 +2256,29 @@ object Versioned {
       splitEntries(readManifest(fs, rootPath, parent)._2)
     requireNoDv(dvParent, root, "copy-on-write DELETE")
     if (parentFiles.isEmpty) return parent // already empty: no-op
+    val ddl = schemaDdl(root)
     // the table-level CDF property turns cdc on for every rewrite
     val cdcOn = cdc || cdfEnabled(root)
     // sidecar pre-pruning from the predicate's own literal conjuncts:
     // files whose stats/bloom metadata provably fails a necessary
-    // comparison never enter the match scan
+    // comparison never enter the match scan. The probe frame must
+    // speak LOGICAL names (the predicate's language); the resulting
+    // keys translate to the sidecars' physical space.
+    val headScan = dataScan(spark, rootPath, Seq(parentFiles.head), ddl)
     val (predBounds, predEqs, predHashEqs) = predicateKeyStats(
-      spark.read.parquet(resolve(rootPath, parentFiles.head).toString),
+      ddl.map(toLogicalFrame(headScan, _)).getOrElse(headScan),
       predicate)
     val candidates =
       if (predBounds.isEmpty && predEqs.isEmpty && predHashEqs.isEmpty)
         parentFiles
-      else admittedFiles(fs, rootPath, parent, parentFiles, predBounds,
-        predEqs, predHashEqs)
+      else admittedFiles(fs, rootPath, parent, parentFiles,
+        physProbeKeys(ddl, predBounds), physProbeKeys(ddl, predEqs),
+        physProbeKeys(ddl, predHashEqs))
     val skipped = { val c = candidates.toSet
       parentFiles.filterNot(c) }
     if (candidates.isEmpty) return parent
     val (touched, unmatchedScanned) = touchedFiles(spark, fs, rootPath,
-      candidates, _.filter(predicate))
+      candidates, _.filter(predicate), ddl)
     val untouched = skipped ++ unmatchedScanned
     if (touched.isEmpty) return parent
     // SQL DELETE semantics: remove rows where the predicate is TRUE;
@@ -1853,8 +2287,9 @@ object Versioned {
     val keep = org.apache.spark.sql.functions
       .not(org.apache.spark.sql.functions.coalesce(predicate,
         org.apache.spark.sql.functions.lit(false)))
-    val touchedScan = spark.read
-      .parquet(touched.map(resolve(rootPath, _).toString): _*)
+    val physTouched = dataScan(spark, rootPath, touched, ddl)
+    val touchedScan = ddl.map(toLogicalFrame(physTouched, _))
+      .getOrElse(physTouched)
     val survivors = touchedScan.filter(keep)
     // cdc=true: the deleted rows become this commit's change record
     // (one extra pass over the touched files), keeping the feed
@@ -1865,7 +2300,7 @@ object Versioned {
         .filter(org.apache.spark.sql.functions.coalesce(predicate,
           org.apache.spark.sql.functions.lit(false)))
         .withColumn("_change_type",
-          org.apache.spark.sql.functions.lit("delete")))
+          org.apache.spark.sql.functions.lit("delete")), ddl)
     val v = commitFiles(root,
       untouched ++
         stage(survivors, root, detectPartitionBy(parentFiles)) ++
@@ -1901,10 +2336,11 @@ object Versioned {
       splitEntries(readManifest(fs, rootPath, parent)._2)
     requireNoDv(dvParent, root, "copy-on-write UPDATE")
     if (parentFiles.isEmpty) return parent // no rows to update: no-op
+    val ddl = schemaDdl(root)
     // the table-level CDF property turns cdc on for every rewrite
     val cdcOn = cdc || cdfEnabled(root)
-    val probe = spark.read
-      .parquet(resolve(rootPath, parentFiles.head).toString)
+    val headScan = dataScan(spark, rootPath, Seq(parentFiles.head), ddl)
+    val probe = ddl.map(toLogicalFrame(headScan, _)).getOrElse(headScan)
     val schema = probe.schema
     assignments.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c),
@@ -1918,19 +2354,21 @@ object Versioned {
     val candidates =
       if (predBounds.isEmpty && predEqs.isEmpty && predHashEqs.isEmpty)
         parentFiles
-      else admittedFiles(fs, rootPath, parent, parentFiles, predBounds,
-        predEqs, predHashEqs)
+      else admittedFiles(fs, rootPath, parent, parentFiles,
+        physProbeKeys(ddl, predBounds), physProbeKeys(ddl, predEqs),
+        physProbeKeys(ddl, predHashEqs))
     val skipped = { val c = candidates.toSet
       parentFiles.filterNot(c) }
     if (candidates.isEmpty) return parent
     val (touched, unmatchedScanned) = touchedFiles(spark, fs, rootPath,
-      candidates, _.filter(condition))
+      candidates, _.filter(condition), ddl)
     if (touched.isEmpty) return parent
     val untouched = skipped ++ unmatchedScanned
     // the matched flag is computed ONCE over the original values —
     // assignments may change the very columns the condition reads
-    val flagged = spark.read
-      .parquet(touched.map(resolve(rootPath, _).toString): _*)
+    val physTouched = dataScan(spark, rootPath, touched, ddl)
+    val flagged = ddl.map(toLogicalFrame(physTouched, _))
+      .getOrElse(physTouched)
       .withColumn(flag, coalesce(condition, lit(false)))
     val assignMap = assignments.toMap
     val rewritten = flagged.select(
@@ -1946,7 +2384,7 @@ object Versioned {
         flagged.filter(col(flag)).drop(flag)
           .withColumn("_change_type", lit("delete"))
           .unionByName(rewritten.filter(col(flag)).drop(flag)
-            .withColumn("_change_type", lit("insert"))))
+            .withColumn("_change_type", lit("insert"))), ddl)
     val v = commitFiles(root,
       untouched ++
         stage(rewritten.drop(flag), root,
@@ -1997,8 +2435,11 @@ object Versioned {
     // checked against the region predicate (and the CHECK
     // constraints, inside stage) are the rows being committed even
     // for a non-deterministic input
+    val ddl = schemaDdl(root)
+    def logicalOf(d: DataFrame): DataFrame =
+      ddl.map(toLogicalFrame(d, _)).getOrElse(d)
     val newStaged = stage(df, root, layout)
-    val newScan = stagedScan(spark, rootPath, newStaged)
+    val newScan = stagedScan(spark, rootPath, newStaged).map(logicalOf)
     newScan.map(_.filter(not(coalesce(predicate, lit(false)))).count())
       .filter(_ > 0L).foreach { strays =>
         newStaged.map(_.split('/').take(2).mkString("/")).distinct
@@ -2014,25 +2455,25 @@ object Versioned {
       if (parentFiles.isEmpty) (Map.empty[String, (Long, Long)],
         Map.empty[String, Seq[Long]], Map.empty[String, Seq[Long]])
       else predicateKeyStats(
-        spark.read.parquet(resolve(rootPath, parentFiles.head).toString),
+        logicalOf(dataScan(spark, rootPath, Seq(parentFiles.head), ddl)),
         predicate)
     val candidates =
       if (predBounds.isEmpty && predEqs.isEmpty && predHashEqs.isEmpty)
         parentFiles
-      else admittedFiles(fs, rootPath, parent, parentFiles, predBounds,
-        predEqs, predHashEqs)
+      else admittedFiles(fs, rootPath, parent, parentFiles,
+        physProbeKeys(ddl, predBounds), physProbeKeys(ddl, predEqs),
+        physProbeKeys(ddl, predHashEqs))
     val skipped = { val c = candidates.toSet
       parentFiles.filterNot(c) }
     val (touched, unmatchedScanned) =
       if (candidates.isEmpty) (Nil, Nil)
       else touchedFiles(spark, fs, rootPath, candidates,
-        _.filter(predicate))
+        _.filter(predicate), ddl)
     val untouched = skipped ++ unmatchedScanned
     val keep = not(coalesce(predicate, lit(false)))
     val touchedScan =
       if (touched.isEmpty) None
-      else Some(spark.read
-        .parquet(touched.map(resolve(rootPath, _).toString): _*))
+      else Some(logicalOf(dataScan(spark, rootPath, touched, ddl)))
     val survivorsStaged = touchedScan
       .map(t => stage(t.filter(keep), root, layout)).getOrElse(Nil)
     val cdcStaged =
@@ -2042,12 +2483,12 @@ object Versioned {
           stageCdc(spark, fs, rootPath, t
             .filter(coalesce(predicate, lit(false)))
             .withColumn("_change_type",
-              org.apache.spark.sql.functions.lit("delete"))))
+              org.apache.spark.sql.functions.lit("delete")), ddl))
           .getOrElse(Nil)
         // insert records from the staged bytes, not a re-evaluation
         deletes ++ newScan.map(n => stageCdc(spark, fs, rootPath,
           n.withColumn("_change_type",
-            org.apache.spark.sql.functions.lit("insert"))))
+            org.apache.spark.sql.functions.lit("insert")), ddl))
           .getOrElse(Nil)
       }
     val v = commitFiles(root,
@@ -2130,11 +2571,21 @@ object Versioned {
     val (files, dvFiles) = splitEntries(readManifest(fs, rootPath, v)._2)
     // zero data files is a LEGAL state (a delete that removed every
     // row): serve the typed empty frame from the schema of record
-    if (files.isEmpty) return emptyTyped(spark, root)
-    applyDv(spark, fs, rootPath,
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(files.map(resolve(rootPath, _).toString): _*),
-      dvFiles)
+    if (files.isEmpty) return emptyTyped(spark, root, v)
+    schemaDdl(root, v) match {
+      case Some(s) =>
+        // schema-DDL table: scan in physical space (explicit read
+        // schema — files predating an added column null-fill it),
+        // apply tombstones while the scan still owns its _metadata,
+        // then project to the logical schema of record
+        toLogicalFrame(applyDv(spark, fs, rootPath,
+          dataScan(spark, rootPath, files, Some(s)), dvFiles), s)
+      case None =>
+        applyDv(spark, fs, rootPath,
+          spark.read.option("mergeSchema", mergeSchema.toString)
+            .parquet(files.map(resolve(rootPath, _).toString): _*),
+          dvFiles)
+    }
   }
 
   /** Incremental consumption (the CDC-read of every lakehouse log):
@@ -2268,7 +2719,12 @@ object Versioned {
         "range is not an append lineage - re-read the full snapshot")
     require(delta.nonEmpty,
       s"no files added between $fromVersion and $toVersion at $root")
-    spark.read.parquet(delta.map(resolve(rootPath, _).toString): _*)
+    schemaDdl(root, toVersion) match {
+      case Some(s) =>
+        toLogicalFrame(dataScan(spark, rootPath, delta, Some(s)), s)
+      case None =>
+        spark.read.parquet(delta.map(resolve(rootPath, _).toString): _*)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -2565,9 +3021,12 @@ object Versioned {
     * entries) and a small index referencing it alongside the parent's
     * carried shards. */
   private def maintainBlooms(spark: SparkSession, root: String, v: Long,
-                             bloomCols: Seq[String],
+                             bloomCols0: Seq[String],
                              bloomBits: Int): Unit = {
     val (fs, rootPath) = fsRoot(root)
+    // sidecars key PHYSICAL names (the space staged files scan in);
+    // callers name columns logically
+    val bloomCols = physCols(schemaDdl(root, v), bloomCols0)
     val parentMeta = {
       val pv = newestSidecarVersion(fs, v - 1, bloomPath(rootPath, _))
       if (pv > 0) readBloomMeta(fs, rootPath, pv) else None
@@ -2682,8 +3141,10 @@ object Versioned {
     * columns (stats enabled once at the first commit stay maintained
     * by every later commit on the lineage). */
   private def maintainStats(spark: SparkSession, root: String, v: Long,
-                            statsCols: Seq[String]): Unit = {
+                            statsCols0: Seq[String]): Unit = {
     val (fs, rootPath) = fsRoot(root)
+    // sidecars key PHYSICAL names; callers name columns logically
+    val statsCols = physCols(schemaDdl(root, v), statsCols0)
     val parentMeta = {
       val pv = newestSidecarVersion(fs, v - 1, statsPath(rootPath, _))
       if (pv > 0) readStatsMeta(fs, rootPath, pv) else None
@@ -2795,10 +3256,13 @@ object Versioned {
     val strBounds = stringEqualities.map { case (c, s) =>
       val pk = prefixKeyOf(s); c -> (pk, pk)
     }
+    // facade callers probe in LOGICAL names; sidecars key physical
+    val ddl = schemaDdl(root, v)
     val kept = admittedFiles(fs, rootPath, v, manifestFiles,
-      bounds ++ strBounds,
-      equalities.view.mapValues(Seq(_)).toMap,
-      stringEqualities.map { case (c, s) => c -> Seq(hashKeyOf(s)) })
+      physProbeKeys(ddl, bounds ++ strBounds),
+      physProbeKeys(ddl, equalities.view.mapValues(Seq(_)).toMap),
+      physProbeKeys(ddl,
+        stringEqualities.map { case (c, s) => c -> Seq(hashKeyOf(s)) }))
     (kept.map(resolve(rootPath, _).toString), manifestFiles.size.toLong)
   }
 
@@ -2813,14 +3277,20 @@ object Versioned {
   private[graft] def admittedDataFiles(root: String, version: Long,
       bounds: Map[String, (Long, Long)],
       equalitySets: Map[String, Seq[Long]],
-      hashEqualitySets: Map[String, Seq[Long]]): (Seq[String], Long) = {
+      hashEqualitySets: Map[String, Seq[Long]],
+      physicalKeys: Boolean = false): (Seq[String], Long) = {
     val (fs, rootPath) = fsRoot(root)
     val v = if (version == 0L) latestVersion(root) else version
     require(v > 0 && fs.exists(manifestPath(rootPath, v)),
       s"no committed version $v at $root")
     val dataFiles = splitEntries(readManifest(fs, rootPath, v)._2)._1
-    val kept = admittedFiles(fs, rootPath, v, dataFiles, bounds,
-      equalitySets, hashEqualitySets)
+    // GraftFileIndex probes arrive pre-translated (its filters push
+    // through the mapping projection into physical attributes);
+    // facade and DV-relation probes speak logical names
+    val ddl = if (physicalKeys) None else schemaDdl(root, v)
+    val kept = admittedFiles(fs, rootPath, v, dataFiles,
+      physProbeKeys(ddl, bounds), physProbeKeys(ddl, equalitySets),
+      physProbeKeys(ddl, hashEqualitySets))
     (kept.map(resolve(rootPath, _).toString), dataFiles.size.toLong)
   }
 
@@ -3085,8 +3555,15 @@ object Versioned {
     * facade's r12 DV-resurrection bug). Kept files in, live rows out. */
   private def composeKept(spark: SparkSession, root: String,
                           kept: Seq[String], version: Long): DataFrame =
-    applyDeleteVectors(spark, root, spark.read.parquet(kept: _*),
-      version)
+    schemaDdl(root, version) match {
+      case Some(s) =>
+        toLogicalFrame(applyDeleteVectors(spark, root,
+          spark.read.schema(s.physicalReadSchema).parquet(kept: _*),
+          version), s)
+      case None =>
+        applyDeleteVectors(spark, root, spark.read.parquet(kept: _*),
+          version)
+    }
 
   /** [[readPruned]] that tolerates a fully-pruned admission: returns
     * an EMPTY frame with the table's schema instead of raising — the
@@ -3156,21 +3633,24 @@ object Versioned {
     val entries = readManifest(fs, rootPath, parent)._2
     val (dataFiles, dvFiles) = splitEntries(entries)
     if (dataFiles.isEmpty) return parent // already empty: no-op
+    val ddl = schemaDdl(root)
+    def logicalOf(d: DataFrame, extra: Seq[String] = Nil): DataFrame =
+      ddl.map(toLogicalFrame(d, _, extra)).getOrElse(d)
     // prune the tombstone scan exactly like copy-on-write DELETE
     val (predBounds, predEqs, predHashEqs) = predicateKeyStats(
-      spark.read.parquet(resolve(rootPath, dataFiles.head).toString),
+      logicalOf(dataScan(spark, rootPath, Seq(dataFiles.head), ddl)),
       predicate)
     val candidates =
       if (predBounds.isEmpty && predEqs.isEmpty && predHashEqs.isEmpty)
         dataFiles
-      else admittedFiles(fs, rootPath, parent, dataFiles, predBounds,
-        predEqs, predHashEqs)
+      else admittedFiles(fs, rootPath, parent, dataFiles,
+        physProbeKeys(ddl, predBounds), physProbeKeys(ddl, predEqs),
+        physProbeKeys(ddl, predHashEqs))
     if (candidates.isEmpty) return parent
     // key the scan FIRST (the _metadata column only exists on the scan
     // relation itself), then subtract the existing tombstones so
     // already-deleted rows never re-tombstone
-    val rawScan = spark.read.parquet(
-      candidates.map(resolve(rootPath, _).toString): _*)
+    val rawScan = dataScan(spark, rootPath, candidates, ddl)
     requireNoDvKeyColumns(rawScan.schema, root, "DV delete")
     val keyed = withDvKey(rawScan)
     val live =
@@ -3179,7 +3659,8 @@ object Versioned {
         org.apache.spark.sql.functions.broadcast(spark.read.parquet(
           dvFiles.map(resolve(rootPath, _).toString): _*)),
         Seq("__dv_file", "__dv_idx"), "left_anti")
-    val tombstones = live
+    val tombstones =
+      logicalOf(live, extra = Seq("__dv_file", "__dv_idx"))
       .filter(coalesce(predicate, lit(false)))
       .select(col("__dv_file"), col("__dv_idx"))
     // stage under dv/<uuid>/ — invisible until the manifest publishes.
@@ -3338,11 +3819,16 @@ object Versioned {
     * or Nil when no row changed (the empty stage is deleted). Invisible
     * until the caller's manifest publishes, like every stage here. */
   private def stageCdc(spark: SparkSession, fs: FileSystem,
-                       rootPath: Path, changes: DataFrame)
+                       rootPath: Path, changes: DataFrame,
+                       ddl: Option[SchemaDdl] = None)
       : Seq[String] = {
     val uuid = java.util.UUID.randomUUID().toString
     val dir = new Path(new Path(rootPath, "cdc"), uuid)
-    changes.write.parquet(dir.toString)
+    // cdc sidecars live in the same PHYSICAL column space as data
+    // files (the feed projects to logical at read); `_change_type`
+    // is outside the mapping and passes through unrenamed
+    ddl.map(toPhysicalFrame(changes, _)).getOrElse(changes)
+      .write.parquet(dir.toString)
     val staged = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.endsWith(".parquet") => s"cdc/$uuid/$n" }
       .sorted
@@ -3434,13 +3920,21 @@ object Versioned {
             col("_metadata.file_path"), "/", -3))
         .join(broadcast(vmap), "__cf").drop("__cf")
     }
-    def scanOf(files: Seq[(String, Long)]): DataFrame =
-      // mergeSchema: a schema-evolution append inside the range
-      // surfaces late columns with nulls for pre-evolution rows
-      // instead of failing a per-version union (or silently dropping
-      // them off a single-footer inference)
-      spark.read.option("mergeSchema", "true")
+    // schema-DDL tables read every feed scan with ONE explicit
+    // physical schema (uniform frames across inserts/deletes/cdc even
+    // when files span an add-column boundary), then project logical
+    val feedDdl = schemaDdl(root, to)
+    def scanOf(files: Seq[(String, Long)]): DataFrame = feedDdl match {
+      case Some(s) => spark.read.schema(s.physicalReadSchema)
         .parquet(files.map(f => resolve(rootPath, f._1).toString): _*)
+      case None =>
+        // mergeSchema: a schema-evolution append inside the range
+        // surfaces late columns with nulls for pre-evolution rows
+        // instead of failing a per-version union (or silently dropping
+        // them off a single-footer inference)
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => resolve(rootPath, f._1).toString): _*)
+    }
     val insertFiles = deltas.flatMap(d => d.addedData.map(_ -> d.v))
     val inserts =
       if (insertFiles.isEmpty) Nil
@@ -3449,7 +3943,21 @@ object Versioned {
     val cdcFiles = deltas.flatMap(d => d.addedCdc.map(_ -> d.v))
     val cdcRows =
       if (cdcFiles.isEmpty) Nil
-      else Seq(stampVersion(cdcFiles, scanOf(cdcFiles)))
+      else {
+        // cdc sidecars carry `_change_type` INSIDE the file — a
+        // schema-DDL read must ask for it alongside the physical cols
+        val cdcScan = feedDdl match {
+          case Some(s) => spark.read.schema(
+              org.apache.spark.sql.types.StructType(
+                s.physicalReadSchema.fields :+
+                  org.apache.spark.sql.types.StructField("_change_type",
+                    org.apache.spark.sql.types.StringType)))
+            .parquet(cdcFiles.map(f =>
+              resolve(rootPath, f._1).toString): _*)
+          case None => scanOf(cdcFiles)
+        }
+        Seq(stampVersion(cdcFiles, cdcScan))
+      }
     val dvFiles = deltas.flatMap(d => d.addedDv.map(_ -> d.v))
     val deletes =
       if (dvFiles.isEmpty) Nil
@@ -3463,8 +3971,7 @@ object Versioned {
           .collect().map(_.getString(0)).toSet
         val files = deltas.flatMap(_.curData).distinct
           .filter(f => touched(relKey(f)))
-        val keyed = withDvKey(spark.read.parquet(
-          files.map(resolve(rootPath, _).toString): _*))
+        val keyed = withDvKey(dataScan(spark, rootPath, files, feedDdl))
         Seq(keyed.join(broadcast(dv), Seq("__dv_file", "__dv_idx"))
           .drop("__dv_file", "__dv_idx")
           .withColumn("_change_type", lit("delete")))
@@ -3480,9 +3987,11 @@ object Versioned {
     val out = frames.reduce(_.unionByName(_))
     // canonical column order: table columns, then the two stamps (the
     // stream source's declared schema and every consumer rely on it)
-    val tableCols = out.columns
+    val logical = feedDdl.map(toLogicalFrame(out, _,
+      extra = Seq("_change_type", "_commit_version"))).getOrElse(out)
+    val tableCols = logical.columns
       .filterNot(c => c == "_change_type" || c == "_commit_version")
-    out.select((tableCols :+ "_change_type" :+ "_commit_version")
+    logical.select((tableCols :+ "_change_type" :+ "_commit_version")
       .map(col).toSeq: _*)
   }
 
@@ -3515,17 +4024,21 @@ object Versioned {
     val (candidates, _) =
       pruneMergeScan(updates, root, parent, dataFiles, keys)
     val updKeys = updates.select(keys.map(col): _*).distinct()
+    val morDdl = schemaDdl(root)
     val stagedDv =
       if (candidates.isEmpty) Nil
       else {
-        val keyed = withDvKey(spark.read.parquet(
-          candidates.map(resolve(rootPath, _).toString): _*))
+        val keyed = withDvKey(dataScan(spark, rootPath, candidates,
+          morDdl))
         val live =
           if (dvFiles.isEmpty) keyed
           else keyed.join(broadcast(spark.read.parquet(
               dvFiles.map(resolve(rootPath, _).toString): _*)),
             Seq("__dv_file", "__dv_idx"), "left_anti")
-        val tombstones = live.join(updKeys, keys, "left_semi")
+        // match keys in LOGICAL space (updKeys speaks logical names)
+        val liveLogical = morDdl.map(toLogicalFrame(live, _,
+          extra = Seq("__dv_file", "__dv_idx"))).getOrElse(live)
+        val tombstones = liveLogical.join(updKeys, keys, "left_semi")
           .select(col("__dv_file"), col("__dv_idx"))
         // one tombstone file per commit (see commitDeleteVectors)
         val uuid = java.util.UUID.randomUUID().toString
@@ -3571,10 +4084,13 @@ object Versioned {
     val (touched, untouched) = dataFiles.partition(f =>
       touchedKeys(new Path(resolve(rootPath, f).toUri.getPath)
         .toString.split('/').takeRight(3).mkString("/")))
+    // stage() takes LOGICAL frames (and maps back to physical): a
+    // raw physical scan must project first or a rename could corrupt
+    val purgeDdl = schemaDdl(root)
     val survivors = applyDv(spark, fs, rootPath,
-      spark.read.parquet(
-        touched.map(resolve(rootPath, _).toString): _*), dvFiles)
-    val staged = stage(survivors, root, detectPartitionBy(dataFiles))
+      dataScan(spark, rootPath, touched, purgeDdl), dvFiles)
+    val staged = stage(purgeDdl.map(toLogicalFrame(survivors, _))
+      .getOrElse(survivors), root, detectPartitionBy(dataFiles))
     val v = commitFiles(root, untouched ++ staged, appendBase = false,
       expectedParent = Some(parent), op = "dv-purge")
     maintainStats(spark, root, v, Nil)
@@ -3629,8 +4145,13 @@ object Versioned {
     val totalSmall = small.map(_._2).sum
     val nOut = math.max(1L, (totalSmall + smallBytes - 1) / smallBytes)
       .toInt
-    val smallScan = spark.read
-      .parquet(small.map(p => resolve(rootPath, p._1).toString): _*)
+    // LOGICAL space throughout (zorderBy names, stage contract); a
+    // schema-DDL state projects the physical scan up front
+    val compactDdl = schemaDdl(root)
+    val physSmall = dataScan(spark, rootPath, small.map(_._1),
+      compactDdl)
+    val smallScan = compactDdl.map(toLogicalFrame(physSmall, _))
+      .getOrElse(physSmall)
     // OPTIMIZE ZORDER BY (Delta's clustering compaction): instead of a
     // bit-identical coalesce, re-cluster the packed rows on the z-curve
     // of the named columns — same rows, tighter per-file stats
