@@ -19,6 +19,10 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         "256k")
       .config("spark.sql.session.timeZone", "UTC")
+      // no fork-per-file chmods / .crc sidecars on file:// (see
+      // graft.util.FastLocalFileSystem and the Bench session)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.util.FastLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1172,7 +1172,14 @@ object PipelineQueries {
     // the honest cost of exactness; at 100 TB swap the ndv column for
     // the mergeable HLL path (q103/q132) and keep the rest identical.
     QuerySpec("q131_column_profile",
-      (s, dir) => Tables.lineitem(s, dir)
+      // widen before the stack: the 6-way stack + lpad string
+      // formatting is scan-stage CPU (7.5 s in one 3-task stage at
+      // sf0.1 — the single-row-group file plans 1-3 scan tasks);
+      // project to the 6 profiled columns first so the exchange
+      // carries only them, a no-op at production scan widths
+      (s, dir) => graft.util.Par.widen(Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_linestatus", "l_shipdate"))
         .selectExpr("""stack(6,
             'l_orderkey',   lpad(cast(l_orderkey as string), 12, '0'),
             'l_linenumber', lpad(cast(l_linenumber as string), 12, '0'),

@@ -208,7 +208,12 @@ object Sketches {
   def heavyHitters(df: DataFrame, value: Column, minCount: Long,
                    d: Int = 4, w: Int = 8192): DataFrame = {
     require(minCount > 0, s"minCount must be positive, got $minCount")
-    val vals = df.select(value.as("term"))
+    // widen: the d hash probes + est-filter are scan-stage per-row CPU
+    // and a tiny single-row-group source plans 1-3 scan tasks (q94
+    // burned 6.3 s at 3-way parallelism on 32 cores); identity at
+    // production scan widths, so the documented "the only term-keyed
+    // exchange carries pruned candidates" shape is unchanged at scale
+    val vals = graft.util.Par.widen(df.select(value.as("term")))
     val sketch = countMinTable(vals, col("term"), d, w)
       .localCheckpoint(false) // d consumers below; build the scan once
     // Row-preserving scan-stage probe: one broadcast join per hash row

@@ -1062,8 +1062,7 @@ object Versioned {
     // files unchanged: sidecar entries carry by reference (O(1) jobs)
     // — without this the DDL version would break the stats/bloom
     // lineage and every later probe would admit everything
-    maintainStats(spark, root, v, Nil)
-    maintainBlooms(spark, root, v, Nil, 0)
+    maintainSidecars(spark, root, v, Nil, Nil, 0)
     v
   }
 
@@ -1215,7 +1214,12 @@ object Versioned {
     // validate constraints on the bytes as written; a violating batch
     // deletes its own staging dir so nothing leaks (the table never
     // referenced it). Constraint predicates speak LOGICAL names.
+    // Unconstrained tables (the overwhelmingly common case) skip even
+    // BUILDING the staged relation: spark.read.parquet here costs a
+    // footer read + file-index listing per commit for an aggregate
+    // that would validate zero rules.
     val (fs, rootPath) = fsRoot(root)
+    if (checkConstraints(root).nonEmpty)
     stagedScan(df.sparkSession, rootPath, staged).foreach { scan =>
       val logicalScan = ddl.map(toLogicalFrame(scan, _)).getOrElse(scan)
       try enforceConstraints(logicalScan, root)
@@ -1547,8 +1551,7 @@ object Versioned {
     val v = commitFiles(root,
       stage(df, root, layout, maxRecordsPerFile),
       appendBase = true, op = "append")
-    maintainStats(df.sparkSession, root, v, statsCols)
-    maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
+    maintainSidecars(df.sparkSession, root, v, statsCols, bloomCols, bloomBits)
     v
   }
 
@@ -1576,8 +1579,7 @@ object Versioned {
       val v = commitFiles(root, stage(df, root, layout),
         appendBase = true,
         txn = Some((appId, batchId)), op = "txn-append")
-      maintainStats(df.sparkSession, root, v, statsCols)
-      maintainBlooms(df.sparkSession, root, v, Nil, 0)
+      maintainSidecars(df.sparkSession, root, v, statsCols, Nil, 0)
       v
     }
   }
@@ -1600,8 +1602,7 @@ object Versioned {
     val v = commitFiles(root,
       stage(df, root, partitionBy, maxRecordsPerFile),
       appendBase = false, txn = txn, txnDedupe = false, op = "overwrite")
-    maintainStats(df.sparkSession, root, v, statsCols)
-    maintainBlooms(df.sparkSession, root, v, bloomCols, bloomBits)
+    maintainSidecars(df.sparkSession, root, v, statsCols, bloomCols, bloomBits)
     v
   }
 
@@ -1989,8 +1990,7 @@ object Versioned {
       }
     val v = commitFiles(root, untouched ++ staged ++ cdcStaged,
       appendBase = false, expectedParent = Some(parent), op = "merge")
-    maintainStats(spark, root, v, Nil)
-    maintainBlooms(spark, root, v, Nil, 0)
+    maintainSidecars(spark, root, v, Nil, Nil, 0)
     v
   }
 
@@ -2231,8 +2231,7 @@ object Versioned {
         ++ cdcStaged,
       appendBase = false, expectedParent = Some(parent), op = "merge",
       emptyOk = true)
-    maintainStats(spark, root, v, Nil)
-    maintainBlooms(spark, root, v, Nil, 0)
+    maintainSidecars(spark, root, v, Nil, Nil, 0)
     v
   }
 
@@ -2307,8 +2306,7 @@ object Versioned {
         cdcStaged,
       appendBase = false, expectedParent = Some(parent),
       op = "delete", emptyOk = true)
-    maintainStats(spark, root, v, Nil)
-    maintainBlooms(spark, root, v, Nil, 0)
+    maintainSidecars(spark, root, v, Nil, Nil, 0)
     v
   }
 
@@ -2390,8 +2388,7 @@ object Versioned {
         stage(rewritten.drop(flag), root,
           detectPartitionBy(parentFiles)) ++ cdcStaged,
       appendBase = false, expectedParent = Some(parent), op = "update")
-    maintainStats(spark, root, v, Nil)
-    maintainBlooms(spark, root, v, Nil, 0)
+    maintainSidecars(spark, root, v, Nil, Nil, 0)
     v
   }
 
@@ -2495,8 +2492,7 @@ object Versioned {
       untouched ++ survivorsStaged ++ newStaged ++ cdcStaged,
       appendBase = false, expectedParent = Some(parent),
       op = "replace-where", emptyOk = true)
-    maintainStats(spark, root, v, statsCols)
-    maintainBlooms(spark, root, v, bloomCols, 65536)
+    maintainSidecars(spark, root, v, statsCols, bloomCols, 65536)
     v
   }
 
@@ -3020,6 +3016,26 @@ object Versioned {
     * entries, plus a one-time migration of a v1 parent's live inline
     * entries) and a small index referencing it alongside the parent's
     * carried shards. */
+  /** Run the two sidecar-maintenance passes CONCURRENTLY (guide §2.6:
+    * overlap independent jobs). Each is an independent column-pruned
+    * scan job + sidecar publish with no shared state (stats-v<n> vs
+    * bloom-v<n>, distinct shard files), and on a multi-commit lineage
+    * their ~100 ms fixed per-job costs were strictly serial before —
+    * every commit on a stats+bloom table paid both in sequence. Off
+    * lineages return instantly, so the future is free where sidecars
+    * are not maintained. */
+  private def maintainSidecars(spark: SparkSession, root: String,
+                               v: Long, statsCols: Seq[String],
+                               bloomCols: Seq[String],
+                               bloomBits: Int): Unit = {
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val stats = Future(maintainStats(spark, root, v, statsCols))
+    maintainBlooms(spark, root, v, bloomCols, bloomBits)
+    Await.result(stats, scala.concurrent.duration.Duration.Inf)
+  }
+
   private def maintainBlooms(spark: SparkSession, root: String, v: Long,
                              bloomCols0: Seq[String],
                              bloomBits: Int): Unit = {
@@ -3685,8 +3701,7 @@ object Versioned {
     val v = commitFiles(root, entries ++ staged, appendBase = false,
       expectedParent = Some(parent), op = "dv-delete")
     // data files unchanged: sidecar entries carry fully, O(1) jobs
-    maintainStats(spark, root, v, Nil)
-    maintainBlooms(spark, root, v, Nil, 0)
+    maintainSidecars(spark, root, v, Nil, Nil, 0)
     v
   }
 
@@ -4056,8 +4071,7 @@ object Versioned {
     val v = commitFiles(root, entries ++ stagedDv ++ stagedData,
       appendBase = false, expectedParent = Some(parent),
       op = "mor-merge")
-    maintainStats(spark, root, v, Nil)
-    maintainBlooms(spark, root, v, Nil, 0)
+    maintainSidecars(spark, root, v, Nil, Nil, 0)
     v
   }
 
@@ -4093,8 +4107,7 @@ object Versioned {
       .getOrElse(survivors), root, detectPartitionBy(dataFiles))
     val v = commitFiles(root, untouched ++ staged, appendBase = false,
       expectedParent = Some(parent), op = "dv-purge")
-    maintainStats(spark, root, v, Nil)
-    maintainBlooms(spark, root, v, Nil, 0)
+    maintainSidecars(spark, root, v, Nil, Nil, 0)
     v
   }
 
@@ -4221,8 +4234,7 @@ object Versioned {
           appendBase = false, beforePublish = beforePublish,
           expectedParent = Some(base),
           op = if (zorderBy.isEmpty) "compact" else "zorder-compact")
-        maintainStats(spark, root, v, Nil)
-        maintainBlooms(spark, root, v, Nil, 0)
+        maintainSidecars(spark, root, v, Nil, Nil, 0)
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -4266,8 +4278,7 @@ object Versioned {
       expectedParent = Some(latest), op = "restore")
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach { spark =>
-        maintainStats(spark, root, v, Nil)
-        maintainBlooms(spark, root, v, Nil, 0)
+        maintainSidecars(spark, root, v, Nil, Nil, 0)
       }
     v
   }

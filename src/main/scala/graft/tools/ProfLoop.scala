@@ -17,21 +17,32 @@ object ProfLoop {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         "256k")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.util.FastLocalFileSystem")
       .config("spark.ui.enabled", "false").getOrCreate()
+    println("file:// fs = " + new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getClass.getName)
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Logs.quietExpected()
 
+    // (id, name, tasks, wall, runSum, shufWr, cpuSum, gcSum, fetchWait,
+    //  shufRdRecs)
     @volatile var stages =
-      List.empty[(Int, String, Int, Long, Long, Long)]
+      List.empty[(Int, String, Int, Long, Long, Long, Long, Long, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(
           sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = (for {s <- si.submissionTime; c <- si.completionTime}
           yield c - s).getOrElse(-1L)
+        val m = si.taskMetrics
         stages ::= ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
-          si.numTasks, dur, si.taskMetrics.executorRunTime,
-          si.taskMetrics.shuffleWriteMetrics.bytesWritten))
+          si.numTasks, dur, m.executorRunTime,
+          m.shuffleWriteMetrics.bytesWritten,
+          m.executorCpuTime / 1000000, m.jvmGCTime,
+          m.shuffleReadMetrics.fetchWaitTime,
+          m.shuffleReadMetrics.recordsRead))
       }
     })
 
@@ -39,16 +50,37 @@ object ProfLoop {
     graft.Tables.nation(spark, sfDir).groupBy("n_regionkey")
       .count().collect()
 
-    val t0 = System.nanoTime()
-    val n = graft.SparkEntry.queries(qname)(spark, sfDir).count()
-    val total = (System.nanoTime() - t0) / 1e9
+    // Attempt 1 warms JIT/codegen caches like Bench's best-of-2; the
+    // profiled run is attempt 2 unless PROF_COLD=1.
+    val attempts = sys.env.get("PROF_N").map(_.toInt)
+      .getOrElse(if (sys.env.contains("PROF_COLD")) 1 else 2)
+    var total = 0d
+    var n = 0L
+    for (a <- 1 to attempts) {
+      if (a == attempts) stages = Nil
+      val t0 = System.nanoTime()
+      n = graft.SparkEntry.queries(qname)(spark, sfDir)
+        .queryExecution.toRdd.count()
+      total = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      println(f"== attempt $a: ${total}%.2f s ==")
+    }
     Thread.sleep(500)
     println(f"== $qname total ${total}%.2f s, rows=$n ==")
-    println(f"${"stage"}%-6s${"tasks"}%-7s${"wall_ms"}%-9s" +
-      f"${"cpu_ms"}%-9s${"shuf_wr"}%-10sname")
-    stages.sortBy(_._1).foreach { case (id, nm, nt, w, c, sw) =>
-      if (w > 30) println(f"$id%-6d$nt%-7d$w%-9d$c%-9d$sw%-10d$nm")
+    println(f"${"stage"}%-6s${"tasks"}%-7s${"wall_ms"}%-9s${"run_ms"}%-9s" +
+      f"${"cpu_ms"}%-9s${"gc_ms"}%-7s${"fetch"}%-7s${"shuf_wr"}%-10s" +
+      f"${"rd_recs"}%-10s")
+    stages.sortBy(_._1).foreach {
+      case (id, _, nt, w, r, sw, c, gc, fw, rr) =>
+        if (w > 30) println(f"$id%-6d$nt%-7d$w%-9d$r%-9d$c%-9d$gc%-7d" +
+          f"$fw%-7d$sw%-10d$rr%-10d")
     }
+    println(f"-- totals: wall=${stages.map(_._4).sum}ms " +
+      f"run=${stages.map(_._5).sum}ms cpu=${stages.map(_._7).sum}ms " +
+      f"gc=${stages.map(_._8).sum}ms fetch=${stages.map(_._9).sum}ms " +
+      f"stages=${stages.size}")
     val byTasks = stages.groupBy(_._3).view
       .mapValues(s => (s.size, s.map(_._4).sum)).toMap
     println("-- stages by task count: " + byTasks.toSeq.sortBy(_._1)

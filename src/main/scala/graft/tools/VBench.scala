@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * block). Run: java -Xmx24g -cp ... graft.tools.VBench */
 object VBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.ui.enabled","false")
+    val spark = (if (sys.env.contains("VBENCH_FASTFS"))
+      b.config("spark.hadoop.fs.file.impl",
+        "graft.util.FastLocalFileSystem") else b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = graft.util.TempDirs.scratch("vbench")
     val t0 = System.nanoTime()
