@@ -13,13 +13,20 @@ object ProfLoop {
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val qname = args.headOption.getOrElse("q11_pagerank")
-    val spark = SparkSession.builder().withExtensions(new graft.plans.GraftExtensions).master(s"local[$cpus]")
+    val b0 = SparkSession.builder().withExtensions(new graft.plans.GraftExtensions).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        "256k")
+        sys.env.getOrElse("GRAFT_BENCH_MIN_PARTITION", "64k"))
       .config("spark.hadoop.fs.file.impl",
         "graft.util.FastLocalFileSystem")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // PROF_CONF="k1=v1;k2=v2" ad-hoc conf overrides for A/B probes
+    sys.env.get("PROF_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split('=')).foreach {
+        case Array(k, v) => b0.config(k, v)
+        case _ => ()
+      }
+    val spark = b0.getOrCreate()
     println("file:// fs = " + new org.apache.hadoop.fs.Path("/tmp")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getClass.getName)

@@ -10,9 +10,15 @@ object VBench {
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.ui.enabled","false")
-    val spark = (if (sys.env.contains("VBENCH_FASTFS"))
+    val b1 = if (sys.env.contains("VBENCH_FASTFS"))
       b.config("spark.hadoop.fs.file.impl",
-        "graft.util.FastLocalFileSystem") else b).getOrCreate()
+        "graft.util.FastLocalFileSystem") else b
+    sys.env.get("VBENCH_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split('=')).foreach {
+        case Array(k, v) => b1.config(k, v)
+        case _ => ()
+      }
+    val spark = b1.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = graft.util.TempDirs.scratch("vbench")
     val t0 = System.nanoTime()
