@@ -46,12 +46,28 @@ object Hits {
       .localCheckpoint(false)
     val nEdges = e.count()
     val nPart = GraphUtil.partitionLaw(nEdges, spark)
-    val eCached = e.repartition(nPart, col("src")).localCheckpoint(false)
+    // TWO cached edge layouts, one per join key of the mutual
+    // recursion (guide §2.4): the auth step joins on src, the hub step
+    // on dst. With only the src layout, every hub step re-shuffled and
+    // re-sorted the E-sized edge table to the dst key — per iteration.
+    // With both layouts cached (partitioned AND sorted by their key,
+    // which localCheckpoint preserves), each step's sort-merge join
+    // exchanges only the V-sized score frame; the edge table never
+    // moves again. Costs one extra E-sized shuffle at init — repaid by
+    // the first iteration.
+    val eCached = e.repartition(nPart, col("src"))
+      .sortWithinPartitions("src").localCheckpoint(false)
+    val eByDst = e.repartition(nPart, col("dst"))
+      .sortWithinPartitions("dst").localCheckpoint(false)
 
     // Overflow guard: exact worst-case growth bound from the real
-    // degree profile (two tiny aggs over the cached edge table).
-    val maxIn = eCached.groupBy("dst").count().agg(max("count")).head.getLong(0)
-    val maxOut = eCached.groupBy("src").count().agg(max("count")).head.getLong(0)
+    // degree profile — two tiny independent aggs, computed in ONE
+    // driver action (crossJoin of their 1-row results).
+    val degRow = eByDst.groupBy("dst").count().agg(max("count").as("mi"))
+      .crossJoin(eCached.groupBy("src").count().agg(max("count").as("mo")))
+      .head()
+    val maxIn = degRow.getLong(0)
+    val maxOut = degRow.getLong(1)
     val growth = math.max(1L, maxIn) * math.max(1L, maxOut)
     // score bound: hub_k, auth_k ≤ growth^k (hub_0 = 1), so the bit
     // width is iters · bitlen(growth); +2 margin for the final sums.
@@ -74,7 +90,7 @@ object Hits {
       auth = eCached.join(hub.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("hub").as("auth"))
         .localCheckpoint(false)
-      hub = eCached.join(auth.withColumnRenamed("id", "dst"), "dst")
+      hub = eByDst.join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("auth").as("hub"))
       // Keep the loop's logical plan constant-size; lazy so a single
       // job materializes the generation when first referenced.

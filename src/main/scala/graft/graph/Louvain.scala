@@ -91,18 +91,28 @@ object Louvain {
     val lab = labels.select(col("id"), col("lab"))
     val tot = lab.join(deg, "id")
       .groupBy(col("lab").as("c")).agg(sum("k").as("tot"))
-    // weight from v into each neighboring community under OLD labels
-    val kvc = e2
+    // Candidate set = neighbor communities ∪ the current community,
+    // folded into ONE aggregation (the old separate kvc groupBy(src,c)
+    // re-aggregated by the same key one exchange later — guide §2.4:
+    // operations keyed the same way share one exchange). Clustering by
+    // `id` alone (a subset of the group key, so the aggregate's
+    // distribution requirement is satisfied) leaves the output
+    // partitioned by the NEXT operation's join key, so the `cur` join
+    // below adds no exchange either.
+    val cand = e2
       .join(lab.select(col("id").as("dst"), col("lab").as("c")), "dst")
-      .groupBy(col("src").as("id"), col("c"))
-      .agg(sum("w").as("kvc"))
-    // candidate set = neighbor communities ∪ the current community
-    // (kvc = 0 when v has no neighbor at home)
-    val cand = kvc
+      .select(col("src").as("id"), col("c"), col("w").as("kvc"))
       .unionByName(lab.select(col("id"), col("lab").as("c"),
         lit(0L).as("kvc")))
+      .repartition(col("id"))
       .groupBy("id", "c").agg(sum("kvc").as("kvc"))
     val cur = lab.join(deg, "id") // id, lab (current), k
+    // Join order chosen for exchange elision: cur joins on the `id`
+    // the candidate stream is already clustered by; the tot join then
+    // moves only the direction-filtered half of the stream; the final
+    // groupBy(id) is the only id re-exchange. (Filter placement
+    // commutes with the inner joins — identical rows, identical
+    // argmax.)
     cand.join(cur, "id")
       .filter(if (allowUp) col("c") >= col("lab")
               else col("c") <= col("lab"))
@@ -149,8 +159,8 @@ object Louvain {
     * value is comparable ACROSS LEVELS because coarsening preserves
     * both total weight and lifted modularity. DECIMAL(38,0) sums; one
     * driver scalar. */
-  private def qNum(wedges: DataFrame, e2: DataFrame, deg: DataFrame,
-                   labels: DataFrame): java.math.BigDecimal = {
+  private def qNumFrame(wedges: DataFrame, e2: DataFrame, deg: DataFrame,
+                        labels: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val lab = labels.select(col("id"), col("lab"))
     val tot = lab.join(deg, "id").groupBy(col("lab").as("c"))
@@ -169,8 +179,11 @@ object Louvain {
       .crossJoin(broadcast(m2))
       .agg(sum(col("m2") * col("in") - col("tot") * col("tot"))
         .as("qnum"))
-      .first().getDecimal(0)
   }
+
+  private def qNum(wedges: DataFrame, e2: DataFrame, deg: DataFrame,
+                   labels: DataFrame): java.math.BigDecimal =
+    qNumFrame(wedges, e2, deg, labels).first().getDecimal(0)
 
   /** One level's move phase run UNTIL CONVERGED — by EXACT modularity
     * stability, not zero moves: stop when a full down+up round pair
@@ -207,11 +220,22 @@ object Louvain {
       r += 1
       val next = core(e2, deg, m2, lab, allowUp = r % 2 == 0)
         .transform(graft.util.Ckpt.lean)
-      val moved = next
+      // ONE driver action per round (was two): moved-count and the
+      // exact modularity numerator are independent aggregates over the
+      // same checkpointed label generation, so crossJoining their
+      // 1-row frames lets a single job compute both — the scheduler
+      // runs the two legs' stages concurrently and the loop saves a
+      // driver round-trip + job fixed cost per round (guide §2.6).
+      // Identical values: a zero-move round's labels equal the
+      // previous round's, so its qnum is exactly the q the old code
+      // carried over without recomputing.
+      val movedDf = next
         .join(lab.select(col("id"), col("lab").as("prev")), "id")
-        .filter(col("lab") =!= col("prev")).count()
+        .agg(count(when(col("lab") =!= col("prev"), lit(1))).as("moved"))
+      val row = movedDf.crossJoin(qNumFrame(we, e2, deg, next)).first()
+      val moved = row.getLong(0)
+      val nextQ = row.getDecimal(1)
       totalMoved += moved
-      val nextQ = if (moved == 0L) q else qNum(we, e2, deg, next)
       stableStreak =
         if (nextQ.compareTo(q) == 0) stableStreak + 1 else 0
       q = nextQ

@@ -437,11 +437,8 @@ private class VersionedSource(sqlContext: SQLContext, root: String,
       // through Versioned.read/readChanges/readChangeFeed, which
       // already do this)
       val ddl = Versioned.schemaDdl(root, v)
-      val scan = ddl match {
-        case Some(s) => spark.read.schema(s.physicalReadSchema)
-          .parquet(files: _*)
-        case None => spark.read.parquet(files: _*)
-      }
+      val scan = Versioned.fastScanAbs(spark, root, files,
+        ddl.map(_.physicalReadSchema))
       val applied =
         if (dv) Versioned.applyDeleteVectors(spark, root, scan, v)
         else scan

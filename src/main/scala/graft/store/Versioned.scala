@@ -189,8 +189,7 @@ object Versioned {
                       df: DataFrame, dvFiles: Seq[String]): DataFrame = {
     if (dvFiles.isEmpty) return df
     import org.apache.spark.sql.functions.{broadcast, col}
-    val dv = spark.read
-      .parquet(dvFiles.map(resolve(rootPath, _).toString): _*)
+    val dv = dataScan(spark, rootPath, dvFiles, None)
     val bytes = dvFileBytes(fs, rootPath, dvFiles)
     val dvSide =
       if (bytes <= dvBroadcastBytes) broadcast(dv)
@@ -946,15 +945,26 @@ object Versioned {
     * when a state applies (absent columns null-fill; dropped columns
     * are simply not requested), the plain footer-driven read —
     * byte-identical to the legacy path — otherwise. */
+  /** [[FastScan]] over ABSOLUTE paths for graft-internal callers
+    * outside this object (the streaming source's snapshot-cut slices):
+    * same known-file-set relation construction as [[dataScan]]. */
+  private[graft] def fastScanAbs(spark: SparkSession, root: String,
+      paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    val (fs, rootPath) = fsRoot(root)
+    FastScan.parquetPaths(spark, fs, rootPath, paths, schema)
+  }
+
   private def dataScan(spark: SparkSession, rootPath: Path,
                        files: Seq[String], ddl: Option[SchemaDdl])
       : DataFrame = {
     val paths = files.map(resolve(rootPath, _).toString)
-    ddl match {
-      case Some(s) => spark.read.schema(s.physicalReadSchema)
-        .parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
+    // manifest-pinned file set: FastScan skips the per-path
+    // glob/exists + listing work of the generic reader (same
+    // HadoopFsRelation/ParquetFileFormat scan underneath)
+    FastScan.parquetPaths(spark, fsRoot(rootPath.toString)._1, rootPath,
+      paths, ddl.map(_.physicalReadSchema))
   }
 
   /** Attribute names a SQL predicate references (constraint guards:
@@ -1146,8 +1156,8 @@ object Versioned {
     * DIFFERENT rows than the ones being committed, letting violating
     * rows slip past the CHECK (Delta validates at write time for the
     * same reason). */
-  private def enforceConstraints(df: DataFrame, root: String): Unit = {
-    val cons = checkConstraints(root)
+  private def enforceConstraints(df: DataFrame,
+                                 cons: Seq[(String, String)]): Unit = {
     if (cons.isEmpty) return
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
     val aggs = cons.map { case (n, e) =>
@@ -1167,8 +1177,7 @@ object Versioned {
   private def stagedScan(spark: SparkSession, rootPath: Path,
                          staged: Seq[String]): Option[DataFrame] =
     if (staged.isEmpty) None
-    else Some(spark.read
-      .parquet(staged.map(resolve(rootPath, _).toString): _*))
+    else Some(dataScan(spark, rootPath, staged, None))
 
   /** Extend a live schema-DDL state with columns this write
     * introduces (schema evolution under mapping): each new logical
@@ -1219,17 +1228,19 @@ object Versioned {
     // footer read + file-index listing per commit for an aggregate
     // that would validate zero rules.
     val (fs, rootPath) = fsRoot(root)
-    if (checkConstraints(root).nonEmpty)
-    stagedScan(df.sparkSession, rootPath, staged).foreach { scan =>
-      val logicalScan = ddl.map(toLogicalFrame(scan, _)).getOrElse(scan)
-      try enforceConstraints(logicalScan, root)
-      catch {
-        case e: Throwable =>
-          // every staged entry is data/<uuid>/... — drop the commit dir
-          staged.map(_.split('/').take(2).mkString("/")).distinct
-            .foreach(d => try fs.delete(resolve(rootPath, d), true)
-              catch { case scala.util.control.NonFatal(_) => () })
-          throw e
+    val cons = checkConstraints(root)
+    if (cons.nonEmpty) {
+      stagedScan(df.sparkSession, rootPath, staged).foreach { scan =>
+        val logicalScan = ddl.map(toLogicalFrame(scan, _)).getOrElse(scan)
+        try enforceConstraints(logicalScan, cons)
+        catch {
+          case e: Throwable =>
+            // every staged entry is data/<uuid>/... — drop the commit dir
+            staged.map(_.split('/').take(2).mkString("/")).distinct
+              .foreach(d => try fs.delete(resolve(rootPath, d), true)
+                catch { case scala.util.control.NonFatal(_) => () })
+            throw e
+        }
       }
     }
     // schema of record: what keeps a zero-data-file version readable
@@ -2577,10 +2588,15 @@ object Versioned {
         toLogicalFrame(applyDv(spark, fs, rootPath,
           dataScan(spark, rootPath, files, Some(s)), dvFiles), s)
       case None =>
-        applyDv(spark, fs, rootPath,
-          spark.read.option("mergeSchema", mergeSchema.toString)
-            .parquet(files.map(resolve(rootPath, _).toString): _*),
-          dvFiles)
+        // mergeSchema reads genuinely need every footer — keep the
+        // generic reader there; the common path reads the manifest's
+        // file set through FastScan (no per-file driver work)
+        val scan =
+          if (mergeSchema)
+            spark.read.option("mergeSchema", "true")
+              .parquet(files.map(resolve(rootPath, _).toString): _*)
+          else dataScan(spark, rootPath, files, None)
+        applyDv(spark, fs, rootPath, scan, dvFiles)
     }
   }
 
@@ -2719,7 +2735,7 @@ object Versioned {
       case Some(s) =>
         toLogicalFrame(dataScan(spark, rootPath, delta, Some(s)), s)
       case None =>
-        spark.read.parquet(delta.map(resolve(rootPath, _).toString): _*)
+        dataScan(spark, rootPath, delta, None)
     }
   }
 
@@ -3028,12 +3044,21 @@ object Versioned {
                                v: Long, statsCols: Seq[String],
                                bloomCols: Seq[String],
                                bloomBits: Int): Unit = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    val stats = Future(maintainStats(spark, root, v, statsCols))
-    maintainBlooms(spark, root, v, bloomCols, bloomBits)
-    Await.result(stats, scala.concurrent.duration.Duration.Inf)
+    // `blocking` marks the Spark-job wait for the fork-join pool so
+    // concurrent commits can't starve the shared global executor.
+    val stats = Future(blocking(maintainStats(spark, root, v, statsCols)))
+    // The stats future must ALWAYS be awaited — abandoning it on a
+    // bloom failure would swallow its exception and leave it racing a
+    // caller that believes version v's sidecar maintenance is over.
+    val blooms =
+      scala.util.Try(maintainBlooms(spark, root, v, bloomCols, bloomBits))
+    val statsRes = scala.util.Try(
+      Await.result(stats, scala.concurrent.duration.Duration.Inf))
+    blooms.get
+    statsRes.get
   }
 
   private def maintainBlooms(spark: SparkSession, root: String, v: Long,
@@ -3095,8 +3120,7 @@ object Versioned {
         val byPath = missing.map { f =>
           fs.makeQualified(resolve(rootPath, f)).toUri.getPath -> f
         }.toMap
-        val scan = spark.read
-          .parquet(missing.map(resolve(rootPath, _).toString): _*)
+        val scan = dataScan(spark, rootPath, missing, None)
         // probes hash a LONG key: integral columns long-cast (the
         // probe value is the raw key), STRING columns hash through
         // xxhash64 first (the probe value is [[hashKeyOf]] of the
@@ -3198,8 +3222,7 @@ object Versioned {
         val byPath = missing.map { f =>
           fs.makeQualified(resolve(rootPath, f)).toUri.getPath -> f
         }.toMap
-        val scan = spark.read
-          .parquet(missing.map(resolve(rootPath, _).toString): _*)
+        val scan = dataScan(spark, rootPath, missing, None)
         // the sidecar is a LONG vector: integral columns long-cast
         // (lossless, order-preserving), STRING columns store their
         // order-preserving 8-byte-prefix key (probers translate
@@ -3570,16 +3593,18 @@ object Versioned {
     * application can never be forgotten by a hand-built scan (the
     * facade's r12 DV-resurrection bug). Kept files in, live rows out. */
   private def composeKept(spark: SparkSession, root: String,
-                          kept: Seq[String], version: Long): DataFrame =
+                          kept: Seq[String], version: Long): DataFrame = {
+    val (fs, rootPath) = fsRoot(root)
+    def scan(schema: Option[org.apache.spark.sql.types.StructType]) =
+      FastScan.parquetPaths(spark, fs, rootPath, kept, schema)
     schemaDdl(root, version) match {
       case Some(s) =>
         toLogicalFrame(applyDeleteVectors(spark, root,
-          spark.read.schema(s.physicalReadSchema).parquet(kept: _*),
-          version), s)
+          scan(Some(s.physicalReadSchema)), version), s)
       case None =>
-        applyDeleteVectors(spark, root, spark.read.parquet(kept: _*),
-          version)
+        applyDeleteVectors(spark, root, scan(None), version)
     }
+  }
 
   /** [[readPruned]] that tolerates a fully-pruned admission: returns
     * an EMPTY frame with the table's schema instead of raising — the
@@ -3940,8 +3965,9 @@ object Versioned {
     // when files span an add-column boundary), then project logical
     val feedDdl = schemaDdl(root, to)
     def scanOf(files: Seq[(String, Long)]): DataFrame = feedDdl match {
-      case Some(s) => spark.read.schema(s.physicalReadSchema)
-        .parquet(files.map(f => resolve(rootPath, f._1).toString): _*)
+      case Some(s) => FastScan.parquetPaths(spark, fs, rootPath,
+        files.map(f => resolve(rootPath, f._1).toString),
+        Some(s.physicalReadSchema))
       case None =>
         // mergeSchema: a schema-evolution append inside the range
         // surfaces late columns with nulls for pre-evolution rows
@@ -3962,13 +3988,12 @@ object Versioned {
         // cdc sidecars carry `_change_type` INSIDE the file — a
         // schema-DDL read must ask for it alongside the physical cols
         val cdcScan = feedDdl match {
-          case Some(s) => spark.read.schema(
-              org.apache.spark.sql.types.StructType(
-                s.physicalReadSchema.fields :+
-                  org.apache.spark.sql.types.StructField("_change_type",
-                    org.apache.spark.sql.types.StringType)))
-            .parquet(cdcFiles.map(f =>
-              resolve(rootPath, f._1).toString): _*)
+          case Some(s) => FastScan.parquetPaths(spark, fs, rootPath,
+            cdcFiles.map(f => resolve(rootPath, f._1).toString),
+            Some(org.apache.spark.sql.types.StructType(
+              s.physicalReadSchema.fields :+
+                org.apache.spark.sql.types.StructField("_change_type",
+                  org.apache.spark.sql.types.StringType))))
           case None => scanOf(cdcFiles)
         }
         Seq(stampVersion(cdcFiles, cdcScan))
@@ -3980,8 +4005,8 @@ object Versioned {
         // tombstones stamped with their commit version (their own
         // file → version map); only the referenced data files enter
         // the scan (deleted-rows-sized, never table-sized)
-        val dv = stampVersion(dvFiles, spark.read.parquet(
-          dvFiles.map(f => resolve(rootPath, f._1).toString): _*))
+        val dv = stampVersion(dvFiles,
+          dataScan(spark, rootPath, dvFiles.map(_._1), None))
         val touched = dv.select("__dv_file").distinct()
           .collect().map(_.getString(0)).toSet
         val files = deltas.flatMap(_.curData).distinct
@@ -4047,8 +4072,8 @@ object Versioned {
           morDdl))
         val live =
           if (dvFiles.isEmpty) keyed
-          else keyed.join(broadcast(spark.read.parquet(
-              dvFiles.map(resolve(rootPath, _).toString): _*)),
+          else keyed.join(
+            broadcast(dataScan(spark, rootPath, dvFiles, None)),
             Seq("__dv_file", "__dv_idx"), "left_anti")
         // match keys in LOGICAL space (updKeys speaks logical names)
         val liveLogical = morDdl.map(toLogicalFrame(live, _,
@@ -4091,8 +4116,7 @@ object Versioned {
     val (dataFiles, dvFiles) =
       splitEntries(readManifest(fs, rootPath, parent)._2)
     if (dvFiles.isEmpty) return parent
-    val dv = spark.read
-      .parquet(dvFiles.map(resolve(rootPath, _).toString): _*)
+    val dv = dataScan(spark, rootPath, dvFiles, None)
     val touchedKeys = dv.select("__dv_file").distinct()
       .collect().map(_.getString(0)).toSet
     val (touched, untouched) = dataFiles.partition(f =>

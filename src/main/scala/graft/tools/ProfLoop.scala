@@ -22,9 +22,11 @@ object ProfLoop {
       .config("spark.ui.enabled", "false")
     // PROF_CONF="k1=v1;k2=v2" ad-hoc conf overrides for A/B probes
     sys.env.get("PROF_CONF").toSeq
-      .flatMap(_.split(';')).map(_.split('=')).foreach {
+      .flatMap(_.split(';')).filter(_.nonEmpty)
+      .map(_.split("=", 2)).foreach {
         case Array(k, v) => b0.config(k, v)
-        case _ => ()
+        case bad => sys.error(
+          s"PROF_CONF entry '${bad.mkString("=")}' is not k=v")
       }
     val spark = b0.getOrCreate()
     println("file:// fs = " + new org.apache.hadoop.fs.Path("/tmp")
@@ -37,10 +39,17 @@ object ProfLoop {
     //  shufRdRecs)
     @volatile var stages =
       List.empty[(Int, String, Int, Long, Long, Long, Long, Long, Long, Long)]
+    // Stage events arrive on the async listener bus: a warm-up
+    // attempt's late completions can land AFTER a naive `stages = Nil`
+    // reset and be mis-attributed to the profiled run. Gate on the
+    // stage's own submissionTime instead — only stages submitted at or
+    // after the profiled attempt's start are recorded.
+    @volatile var profileFromMs = Long.MaxValue
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(
           sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
+        if (si.submissionTime.forall(_ < profileFromMs)) return
         val dur = (for {s <- si.submissionTime; c <- si.completionTime}
           yield c - s).getOrElse(-1L)
         val m = si.taskMetrics
@@ -64,7 +73,7 @@ object ProfLoop {
     var total = 0d
     var n = 0L
     for (a <- 1 to attempts) {
-      if (a == attempts) stages = Nil
+      if (a == attempts) { profileFromMs = System.currentTimeMillis(); stages = Nil }
       val t0 = System.nanoTime()
       n = graft.SparkEntry.queries(qname)(spark, sfDir)
         .queryExecution.toRdd.count()
@@ -74,7 +83,16 @@ object ProfLoop {
         .foreach(_.unpersist(blocking = false))
       println(f"== attempt $a: ${total}%.2f s ==")
     }
-    Thread.sleep(500)
+    // Drain the async listener bus so the profiled run's tail events
+    // are all recorded (private[spark] is public bytecode, so plain
+    // reflection reaches waitUntilEmpty); sleep only as a fallback.
+    try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .fold(Thread.sleep(500))(_.invoke(bus))
+    } catch { case _: Throwable => Thread.sleep(500) }
     println(f"== $qname total ${total}%.2f s, rows=$n ==")
     println(f"${"stage"}%-6s${"tasks"}%-7s${"wall_ms"}%-9s${"run_ms"}%-9s" +
       f"${"cpu_ms"}%-9s${"gc_ms"}%-7s${"fetch"}%-7s${"shuf_wr"}%-10s" +

@@ -14,9 +14,11 @@ object VBench {
       b.config("spark.hadoop.fs.file.impl",
         "graft.util.FastLocalFileSystem") else b
     sys.env.get("VBENCH_CONF").toSeq
-      .flatMap(_.split(';')).map(_.split('=')).foreach {
+      .flatMap(_.split(';')).filter(_.nonEmpty)
+      .map(_.split("=", 2)).foreach {
         case Array(k, v) => b1.config(k, v)
-        case _ => ()
+        case bad => sys.error(
+          s"VBENCH_CONF entry '${bad.mkString("=")}' is not k=v")
       }
     val spark = b1.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

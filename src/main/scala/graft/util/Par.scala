@@ -28,7 +28,23 @@ object Par {
     * columns the heavy stage needs (guide §2.3). */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    // Derive the width WITHOUT executing the plan. Under AQE (the
+    // default), `queryExecution.toRdd` on a plan containing an
+    // exchange materializes every query stage — i.e. it RUNS the whole
+    // upstream as real shuffle jobs just to read a partition count,
+    // and the `repartition` below would then re-execute it a second
+    // time (no exchange reuse across executions). Widening only ever
+    // repairs SCAN width (a single-row-group file planning 1-3 tasks),
+    // so: if the plan already contains any exchange, AQE owns the
+    // post-shuffle width and widen is the identity; only for
+    // exchange-free plans is `toRdd` consulted, where it is free (no
+    // query stages exist to materialize).
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange) df
+    else if (df.queryExecution.toRdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
 }
