@@ -39,6 +39,20 @@ object Tables {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
+  // Analyzed-relation cache — what a catalog table gives for free.
+  // `spark.read.parquet` pays a footer read + schema resolution PER
+  // CALL (~55 ms warm), and a session that runs many queries over the
+  // same immutable tables re-pays it every time. The cache key carries
+  // the file's (path, mtime, length), so a rewritten path resolves a
+  // FRESH relation (metadata cache with stat-based invalidation, not
+  // result caching: the DataFrame is a logical plan — every action
+  // still reads the parquet bytes). Weak session keys as above.
+  private val relCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+          DataFrame]]())
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Session-level (safe to set repeatedly); nanosAsLong must be set before
     // the schema of a NANOS-era events.parquet is resolved, and UTC must be
@@ -58,8 +72,26 @@ object Tables {
         "groups. Build the session with .withExtensions(new " +
         "graft.plans.GraftExtensions) or --conf spark.sql.extensions=" +
         "graft.plans.GraftExtensions.")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeTs(df) else df
+    val p = s"$dir/$name.parquet"
+    def resolve(): DataFrame = {
+      val df = spark.read.parquet(p)
+      if (name == "events") normalizeTs(df) else df
+    }
+    // stat the path (one FS call); unstat-able paths skip the cache so
+    // spark.read surfaces its usual missing-path error
+    val key = try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val st = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(hp)
+      Some((p, st.getModificationTime, st.getLen))
+    } catch { case _: java.io.IOException => None }
+    key match {
+      case None => resolve()
+      case Some(k) =>
+        relCache.computeIfAbsent(spark,
+          _ => new java.util.concurrent.ConcurrentHashMap())
+          .computeIfAbsent(k, _ => resolve())
+    }
   }
 
   /** Normalize `ts` to ns-since-epoch LONG regardless of how the parquet

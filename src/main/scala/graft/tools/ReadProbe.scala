@@ -77,6 +77,16 @@ object ReadProbe {
       override def refresh(): Unit = ()
       override def sizeInBytes: Long = ss.map(_.getLen).sum
     }
+    // Base-table relation construction cost in a warm session (the
+    // per-query tax every bench query pays on Tables.read).
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    (1 to 3).foreach { i =>
+      time(s"Tables.lineitem construct #$i") {
+        graft.Tables.lineitem(spark, sf) }
+      time(s"Tables.orders+part+events construct #$i") {
+        graft.Tables.orders(spark, sf); graft.Tables.part(spark, sf)
+        graft.Tables.events(spark, sf) }
+    }
     (1 to 3).foreach { i =>
       val df = time(s"static-index construct #$i") {
         spark.baseRelationToDataFrame(HadoopFsRelation(
