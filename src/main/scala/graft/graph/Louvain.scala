@@ -113,18 +113,32 @@ object Louvain {
     // groupBy(id) is the only id re-exchange. (Filter placement
     // commutes with the inner joins — identical rows, identical
     // argmax.)
+    // Argmax as ONE packed decimal instead of max(struct(s, -c)):
+    // a struct-typed aggregation buffer is not HashAggregate-mutable,
+    // so the struct form planned as SortAggregate — a full sort of the
+    // candidate stream + interpreted struct comparisons EVERY round.
+    // v = s·2⁶³ + (2⁶³−1−c) is strictly monotone in the same
+    // (s desc, c asc) order (0 ≤ offset < 2⁶³ even for negative s) and
+    // exact: |s| ≤ 2W·k_max < 2⁶², so |v| < 2¹²⁶ < 10³⁸ fits
+    // DECIMAL(38,0) with headroom — same integer-exact argmax, now a
+    // codegen'd HashAggregate (measured q233 ~-40% on the round's agg
+    // stages).
+    val M = lit(new java.math.BigDecimal("9223372036854775808"))
+      .cast("decimal(38,0)") // 2^63
     cand.join(cur, "id")
       .filter(if (allowUp) col("c") >= col("lab")
               else col("c") <= col("lab"))
       .join(tot, "c").crossJoin(broadcast(m2))
       .select(col("id"),
-        struct(
-          (col("m2") * col("kvc") - col("k") *
+        ((col("m2") * col("kvc") - col("k") *
             (col("tot") - when(col("c") === col("lab"), col("k"))
-              .otherwise(lit(0L)))).as("s"),
-          (-col("c")).as("nc")).as("sc"))
+              .otherwise(lit(0L)))).cast("decimal(38,0)") * M +
+          (lit(Long.MaxValue) - col("c")).cast("decimal(19,0)"))
+          .as("sc"))
       .groupBy("id").agg(max(col("sc")).as("b"))
-      .select(col("id"), (-col("b.nc")).as("lab"))
+      .select(col("id"),
+        (lit(Long.MaxValue).cast("decimal(19,0)") - pmod(col("b"), M))
+          .cast("long").as("lab"))
   }
 
   /** Contract a partition: communities become super-vertices, edge
